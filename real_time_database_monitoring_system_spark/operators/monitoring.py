@@ -1,0 +1,309 @@
+"""Monitoring-panel operators over the `events` feed.
+
+`events(event_id, ts, user_id, event_type, value, props)` stands in for
+the reference's live-activity and metric tables (`pg_stat_activity`,
+`admin.system_metrics` — FIXTURES.md §1/§7): `user_id`≈pid,
+`event_type`≈state, `value`≈cpu_usage, `ts`≈query_start/created_at.
+
+Determinism: the reference computes everything relative to ``now()``
+(``/root/reference/myapp/views.py:402,405,414,419``). ``now()`` inside a
+correctness-checked query is non-reproducible, so every operator takes
+"now" as the **maximum event time in the table** (the monitoring
+snapshot instant), computed as a broadcast scalar subquery — one
+column-pruned max-agg, no driver collect, scale-independent.
+
+All interval math is exact integer microseconds (BIGINT): SURVEY §7
+flags PG-interval vs Spark-interval formatting as a correctness risk,
+so intervals never leave the engine as native interval types.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+MICROS_PER_MIN = 60_000_000
+MICROS_PER_HOUR = 3_600_000_000
+
+
+def _us(col: Column | str) -> Column:
+    """Exact epoch microseconds of a (NTZ) timestamp column. The NTZ →
+    LTZ cast is value-preserving because the engine pins the session
+    timezone to UTC (sources.registry.configure_session)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def with_as_of(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach the snapshot instant ``as_of_us`` (max event time, µs) to
+    every row via a broadcast scalar aggregate — the Spark restatement
+    of PG's ``now()`` at snapshot time."""
+    as_of = events.agg(F.max(_us(ts_col)).alias("as_of_us"))
+    return events.crossJoin(F.broadcast(as_of))
+
+
+def slow_sessions(events: DataFrame, threshold_minutes: int = 15) -> DataFrame:
+    """Sessions running longer than a threshold — the flagship panel.
+
+    Reference: slow-query detection, ``now() - query_start > interval
+    '15 minute'`` ordered by duration (views.py:396-407). Scan →
+    computed projection (age) → interval filter → sort. Filter and
+    projection sit directly on the scan, so Catalyst pushes both into
+    the parquet reader.
+    """
+    df = with_as_of(events)
+    df = df.withColumn("age_us", F.col("as_of_us") - _us("ts"))
+    return (
+        df.filter(F.col("age_us") > threshold_minutes * MICROS_PER_MIN)
+        .select("event_id", "user_id", "event_type", "ts", "age_us")
+        .orderBy(F.desc("age_us"), F.asc("event_id"))
+    )
+
+
+def idle_sessions(events: DataFrame, idle_type: str = "view", threshold_hours: int = 1) -> DataFrame:
+    """Idle sessions: state equality AND age over threshold (conjunctive
+    filter, views.py:411-421)."""
+    df = with_as_of(events)
+    df = df.withColumn("idle_us", F.col("as_of_us") - _us("ts"))
+    return (
+        df.filter((F.col("event_type") == idle_type) & (F.col("idle_us") > threshold_hours * MICROS_PER_HOUR))
+        .select("event_id", "user_id", "ts", "idle_us")
+        .orderBy(F.desc("idle_us"), F.asc("event_id"))
+    )
+
+
+def session_summary(events: DataFrame) -> DataFrame:
+    """Per-state session counts: COUNT(*), COUNT(DISTINCT user),
+    conditional count (views.py:506-514, 566-572 generalized to a keyed
+    agg — partial aggregation map-side, one shuffle on event_type)."""
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.when(F.col("value") > 50, 1)).alias("n_hot"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def connection_load(events: DataFrame, slots_per_user: int = 250) -> DataFrame:
+    """Connection-load panel: ``100 - (COUNT(*) / NULLIF(max,0)) * 100``
+    with the capacity from a scalar subquery (views.py:517-523).
+    Integer counts until one final double division, so the value is
+    engine-exact."""
+    counts = events.agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("used_connections"),
+        (F.countDistinct("user_id") * slots_per_user).alias("max_connections"),
+    )
+    return counts.select(
+        "used_connections",
+        "max_connections",
+        (
+            F.lit(100.0)
+            - (
+                F.col("used_connections").cast("double")
+                / F.when(F.col("max_connections") == 0, F.lit(None)).otherwise(F.col("max_connections"))
+            )
+            * 100.0
+        ).alias("connection_load_pct"),
+    )
+
+
+def threshold_flags(events: DataFrame) -> DataFrame:
+    """Derived boolean status flags per metric row (views.py:618-638:
+    cpu<95, ram<90, cache>85, disk<90, load1<10, load5<15) — narrow
+    map-only projection, no shuffle."""
+    v = F.col("value")
+    return events.select(
+        "event_id",
+        "user_id",
+        "value",
+        (v < 95).alias("cpu_status"),
+        (v < 90).alias("ram_status"),
+        (v > 85).alias("cache_status"),
+        (v < 10).alias("load1_status"),
+        (v < 15).alias("load5_status"),
+    )
+
+
+def downsample_5min(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
+    """Time-bucket downsampling — the reference does this in browser JS
+    (one point per ≥5-min gap, ``index_resource.html:230-245``); here it
+    is a keyed aggregation on an exact integer bucket, the batch twin of
+    a tumbling-window streaming agg (SURVEY §2.8 T2).
+
+    Bucket arithmetic is integer µs division (epoch-aligned, identical
+    in any engine). ``last value`` is max_by over the unique
+    monotonically-assigned event_id — deterministic under ties.
+    """
+    bucket_us = bucket_seconds * 1_000_000
+    return (
+        events.withColumn("bucket_s", F.expr(f"unix_micros(cast(ts as timestamp)) div {bucket_us}") * bucket_seconds)
+        .groupBy("bucket_s")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_s")
+    )
+
+
+def minute_corr_join(
+    events: DataFrame,
+    customer: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "error",
+) -> DataFrame:
+    """Minute-truncated correlation join (J4): the reference joins
+    metric rows to process samples on ``TO_CHAR(ts,'YYYY:MM:DD HH24:MI')``
+    string equality plus a pid hop to live sessions, DISTINCT
+    (views.py:793-799). Restated as an exact integer minute-bucket
+    equi-join (SURVEY §7: prefer date_trunc semantics over string
+    equality) plus a dimension hop, with the dimension broadcast.
+    """
+    minute = lambda c: F.expr("unix_micros(cast(ts as timestamp)) div 60000000")  # noqa: E731
+    a = events.filter(F.col("event_type") == left_type).select(
+        minute(F.col("ts")).alias("minute_b"),
+        F.col("event_id").alias("a_event_id"),
+        F.col("user_id").alias("a_user_id"),
+    )
+    b = events.filter(F.col("event_type") == right_type).select(
+        minute(F.col("ts")).alias("minute_b"),
+        F.col("event_id").alias("b_event_id"),
+    )
+    return (
+        a.join(b, "minute_b")
+        .join(F.broadcast(customer), a.a_user_id == customer.c_custkey)
+        .select("minute_b", "a_event_id", "b_event_id", "c_name")
+        .distinct()
+        .orderBy("minute_b", "a_event_id", "b_event_id")
+    )
+
+
+def lag_delta(events: DataFrame) -> DataFrame:
+    """LAG-over-ordered-series delta (W1, views.py:656-664). The
+    reference's window is global (ORDER BY only — single-partition at
+    scale); we partition by user so state stays distributed, matching
+    how the panel generalizes beyond one backup series."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+def latest_per_user(events: DataFrame) -> DataFrame:
+    """Top-1 per key by recency (W2: ``ORDER BY id DESC LIMIT 1``
+    views.py:585-614 generalized per-key). row_number over (user, ts
+    desc, id desc) — deterministic tiebreak on the unique id."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "value", "event_type")
+    )
+
+
+def tps_per_user(events: DataFrame) -> DataFrame:
+    """Rate-from-counters (A4, views.py:551-563): events per second over
+    each user's active span, CASE-guarded against a zero span."""
+    g = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        (F.max(_us("ts")) - F.min(_us("ts"))).alias("span_us"),
+    )
+    return g.select(
+        "user_id",
+        "n_events",
+        "span_us",
+        F.when(
+            F.col("span_us") > 0,
+            F.col("n_events").cast("double") / (F.col("span_us").cast("double") / 1e6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("tps"),
+    ).orderBy("user_id")
+
+
+def retention_filter(events: DataFrame, retention_days: int = 7) -> DataFrame:
+    """Retention predicate (P11, views.py:976-985): rows older than
+    ``as_of - N days`` — the archive/restore cutoff."""
+    df = with_as_of(events)
+    cutoff = F.col("as_of_us") - F.lit(retention_days * 24 * MICROS_PER_HOUR)
+    return (
+        df.filter(_us("ts") < cutoff)
+        .select("event_id", "event_type", "ts")
+        .orderBy("event_id")
+    )
+
+
+def build_predicates(filters: dict[str, tuple[str, object]]) -> Column:
+    """Dynamic predicate builder (P10, views.py:838-862): compose
+    optional, validated filters into one Column. ``filters`` maps
+    column -> (op, value) with op in {'=', '>=', '<=', '>', '<',
+    'between'}. Catalyst folds and pushes the conjunction down."""
+    ops = {
+        "=": lambda c, v: F.col(c) == v,
+        ">=": lambda c, v: F.col(c) >= v,
+        "<=": lambda c, v: F.col(c) <= v,
+        ">": lambda c, v: F.col(c) > v,
+        "<": lambda c, v: F.col(c) < v,
+        "between": lambda c, v: F.col(c).between(v[0], v[1]),
+    }
+    preds = [ops[op](col, val) for col, (op, val) in filters.items()]
+    if not preds:
+        return F.lit(True)
+    return reduce(lambda a, b: a & b, preds)
+
+
+def drilldown_grid(events: DataFrame, filters: dict[str, tuple[str, object]]) -> DataFrame:
+    """Drill-down grid with runtime-assembled WHERE (views.py:832-874):
+    DISTINCT projection over dynamically filtered rows."""
+    return (
+        events.filter(build_predicates(filters))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .distinct()
+        .orderBy("event_id")
+    )
+
+
+def paginate(df: DataFrame, order_cols: list[str], page: int, page_size: int = 10) -> DataFrame:
+    """Pagination (O5, ``cpu_usage_grid.html:177-199``): row_number over
+    a total order (caller must supply a unique ordering) windowed to
+    one page. At scale prefer key-set pagination; this mirrors the
+    reference's offset semantics."""
+    w = Window.orderBy(*order_cols)
+    lo, hi = (page - 1) * page_size + 1, page * page_size
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(lo, hi))
+        .drop("rn")
+    )
+
+
+def substring_search(df: DataFrame, cols: list[str], term: str) -> DataFrame:
+    """Case-insensitive any-column substring filter (P12, the JS search
+    box, ``cpu_usage_grid.html:201-214``): lower(concat_ws(' ', cols))
+    LIKE %term%."""
+    hay = F.lower(F.concat_ws(" ", *[F.col(c).cast("string") for c in cols]))
+    return df.filter(hay.contains(term.lower()))
+
+
+def props_key_histogram(events: DataFrame) -> DataFrame:
+    """JSON prop extraction + histogram (the reference ships rows to JS
+    as JSON, views.py:816; here JSON work stays in the engine):
+    get_json_object on the props column, grouped count."""
+    return (
+        events.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+        .orderBy("k")
+    )

@@ -1,0 +1,71 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+processed with Arrow-batched ``mapInPandas``.
+
+Image/audio decode libraries are not available in this container, so
+the decode step is a clearly-marked deterministic fake
+(`_fake_decode`); everything Spark-side — binary column handling,
+schema declaration, Arrow batch iteration, partition-preserving
+mapInPandas — is real and is what matters at scale: payload bytes stay
+in the JVM until the Arrow hand-off, and each task processes its
+partition's batches independently (no shuffle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "doc_id bigint, payload_bytes bigint, fake_width int, fake_height int, checksum bigint"
+)
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Treat document text as an opaque binary payload column — the
+    multimodal data model: `binary` payload + typed metadata columns."""
+    return documents.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("payload"),
+        F.col("source").alias("media_source"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for an image decode.
+
+    A real deployment plugs Pillow/ffmpeg here:
+        raise NotImplementedError("decode requires Pillow/ffmpeg")
+    The fake derives metadata purely from the byte content so the
+    pipeline is testable end-to-end and oracle-checkable.
+    """
+    n = len(payload)
+    checksum = 0
+    for b in payload:
+        checksum = (checksum * 31 + b) % 1000000007
+    return n, n % 640, (n * 7) % 480, checksum
+
+
+def decode_metadata(documents: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches of (doc_id, payload) → decoded
+    metadata rows. One output row per input row, schema declared up
+    front — partition-preserving, no shuffle."""
+    payloads = attach_payload(documents)
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "payload_bytes": [d[0] for d in decoded],
+                    "fake_width": [d[1] for d in decoded],
+                    "fake_height": [d[2] for d in decoded],
+                    "checksum": [d[3] for d in decoded],
+                }
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(decode_batches, DECODED_SCHEMA).orderBy("doc_id")

@@ -1,0 +1,72 @@
+"""Mutation layer: upsert / delete / update / archive emulation on
+immutable storage (SURVEY §2.10 M1-M4, §2.1 S9-S12).
+
+The reference mutates PostgreSQL tables in place (``INSERT … ON
+CONFLICT DO NOTHING`` views.py:33-44, DELETE views.py:113/277-280,
+UPDATE views.py:168-170, archive pipeline views.py:913-994). On
+parquet-style immutable storage these become *functional* DataFrame
+transforms whose result is written back with overwrite (or, with a
+table format like Delta/Iceberg, a MERGE). The functions here return
+the post-mutation DataFrame; sinks are the caller's choice.
+
+Scale notes: upsert shuffles both sides on the key once (left_anti +
+union); delete/update are map-only filters/projections — no shuffle.
+Cross-table transactional atomicity (M4) is documented as out of
+scope, matching SURVEY §7.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
+    """M1 upsert, last-writer-wins on `key_cols`: rows from `updates`
+    replace matching target rows; unmatched target rows pass through.
+    (``INSERT … ON CONFLICT DO UPDATE`` shape; for the reference's
+    DO NOTHING shape swap the anti-join sides.)"""
+    remaining = target.join(updates.select(*key_cols), key_cols, "left_anti")
+    return remaining.unionByName(updates)
+
+
+def insert_ignore(target: DataFrame, inserts: DataFrame, key_cols: list[str]) -> DataFrame:
+    """M1 ``INSERT … ON CONFLICT DO NOTHING`` (views.py:33-44,
+    apps.py:7-11): only rows whose key is absent are appended."""
+    new_rows = inserts.join(target.select(*key_cols), key_cols, "left_anti")
+    return target.unionByName(new_rows)
+
+
+def delete_where(target: DataFrame, pred: Column) -> DataFrame:
+    """M2 DELETE by predicate (views.py:113, 277-280): keep the
+    complement. NULL predicate rows are kept (SQL DELETE only removes
+    rows where the predicate is TRUE)."""
+    return target.filter(~F.coalesce(pred, F.lit(False)))
+
+
+def update_where(target: DataFrame, pred: Column, assignments: dict[str, Column]) -> DataFrame:
+    """M3 UPDATE by predicate (views.py:168-170): conditional
+    projection per assigned column."""
+    out = target
+    for col_name, new_val in assignments.items():
+        out = out.withColumn(col_name, F.when(pred, new_val).otherwise(F.col(col_name)))
+    return out
+
+
+def archive_split(source: DataFrame, pred: Column) -> tuple[DataFrame, DataFrame]:
+    """S9-S12 archive pipeline core (views.py:947-956): rows matching
+    `pred` move to the archive (stamped), the rest stay. Returns
+    (archive_rows, remaining_rows); the caller writes archive with
+    append and source with overwrite."""
+    archived = source.filter(pred).withColumn("archive_timestamp", F.current_timestamp())
+    remaining = source.filter(~F.coalesce(pred, F.lit(False)))
+    return archived, remaining
+
+
+def restore_expired(archive: DataFrame, target: DataFrame, age_pred: Column) -> tuple[DataFrame, DataFrame]:
+    """The generated PL/pgSQL restore routine (views.py:959-988) as
+    DataFrame algebra: archived rows older than the retention period
+    are appended back to the target and removed from the archive."""
+    expired = archive.filter(age_pred).drop("archive_timestamp")
+    kept = archive.filter(~F.coalesce(age_pred, F.lit(False)))
+    return target.unionByName(expired), kept

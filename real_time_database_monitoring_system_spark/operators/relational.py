@@ -1,0 +1,247 @@
+"""Relational core: joins, global/keyed aggregations, sorts/top-K,
+set-shaped operators (SURVEY §2.3, §2.4, §2.6) over the TPC-H-ish
+tables.
+
+Scale posture: dimension sides (`customer`, `nation`, `region`) are
+explicitly broadcast where the reference joins a big fact to a small
+catalog (its J1–J3 all join live activity against catalogs); top-K is
+always ORDER BY + LIMIT so Spark plans `TakeOrderedAndProject`
+(per-partition heap + driver merge, no global sort); aggregates that
+feed the oracle use exact decimal accumulation (order-independent) and
+only convert to double at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def three_way_topk(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 100) -> DataFrame:
+    """3-way inner equi-join, filter, top-K (J1: pg_locks ⋈ pg_class ⋈
+    pg_stat_activity with NOT granted + sort, views.py:436-457).
+
+    Fact-to-fact join (lineitem⋈orders) shuffles on the join key;
+    the customer dimension is broadcast. LIMIT after ORDER BY plans as
+    TakeOrderedAndProject; ties broken by the unique (orderkey,
+    linenumber) pair (SURVEY §7 top-K determinism).
+    """
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders.filter(F.col("o_orderstatus") == "F"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select("l_orderkey", "l_linenumber", "c_name", "o_orderdate", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(k)
+    )
+
+
+def left_join_rollup(customer: DataFrame, orders: DataFrame, nation: DataFrame) -> DataFrame:
+    """Two-hop LEFT OUTER join with COALESCE fallback (J3: auth_user ⟕
+    auth_user_groups ⟕ auth_group + COALESCE(name,'No Role Assigned'),
+    views.py:48-56).
+
+    The nullable side is orders-after-2001 aggregated per customer
+    (pre-aggregate before the join: the shuffle moves one row per
+    customer, not one per order); nation is broadcast.
+    """
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_recent"))
+    )
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left")
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_name", F.lit("No Nation")).alias("nation_name"),
+            F.coalesce("n_recent", F.lit(0)).alias("recent_orders"),
+            F.when(F.col("n_recent").isNull(), "No Recent Orders").otherwise("Active").alias("activity"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def customers_without_recent_orders(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Anti-join (J6: ``id NOT IN (SELECT user_id FROM ...)`` group
+    assignment, apps.py:55-69) — left_anti keeps NOT-IN semantics
+    without materializing the subquery driver-side."""
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp_ntz"))
+    return (
+        customer.join(recent, customer.c_custkey == recent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def urgent_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Semi-join (J7/P15: EXISTS-style membership, views.py:161-164,
+    227-229): customers holding at least one URGENT order."""
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(urgent, customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def cross_join_lookup(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """Cross join + theta filter (J5: ``FROM auth_group g,
+    auth_permission p WHERE ...``, apps.py:28-33). The filter collapses
+    it to an equi-join; Catalyst detects that and plans a hash join —
+    declared cross, executed equi."""
+    return (
+        region.crossJoin(nation)
+        .filter((F.col("r_regionkey") == F.col("n_regionkey")) & F.col("r_name").like("A%"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+def nations_per_region(region: DataFrame, nation: DataFrame) -> DataFrame:
+    """STRING_AGG (A6, views.py:966-971): nation names per region as a
+    sorted CSV string. collect_list order is nondeterministic under
+    shuffle, so we array_sort before joining — deterministic at any
+    parallelism."""
+    return (
+        region.join(nation, region.r_regionkey == nation.n_regionkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.count("n_name").alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ", ").alias("nation_list"),
+        )
+        .orderBy("r_name")
+    )
+
+
+def pricing_summary(lineitem: DataFrame) -> DataFrame:
+    """Keyed aggregation battery (generalizes the reference's global
+    scalar aggs A1-A5 to grouped form; shape of TPC-H Q1). Decimal
+    accumulation keeps sums exact and order-independent — a double SUM
+    over a shuffled table is partition-order dependent and would break
+    oracle hash-matching; decimal also survives 100 TB row counts
+    (38-digit headroom)."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    # keep intermediate factors narrow (8,2)/(8,4) so products stay well
+    # inside decimal(38,_) in any engine — exact, order-independent sums
+    one_minus_disc = (F.lit(1) - disc).cast("decimal(8,2)")
+    one_plus_tax = (F.lit(1) + tax).cast("decimal(8,2)")
+    charge_factor = (one_minus_disc * one_plus_tax).cast("decimal(8,4)")
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * one_minus_disc).cast("double").alias("sum_disc_price"),
+            F.sum(price * charge_factor).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .withColumn("avg_qty", F.col("sum_qty").cast("double") / F.col("count_order").cast("double"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def cache_hit_ratio(lineitem: DataFrame) -> DataFrame:
+    """SUM-ratio aggregation (A3: cache-hit percentage
+    ``SUM(blks_hit)/NULLIF(SUM(blks_hit)+SUM(blks_read),0)*100``,
+    views.py:527-534), keyed by linestatus. Integer counts, one final
+    double division."""
+    hits = F.count(F.when(F.col("l_returnflag") == "N", 1))
+    total = F.count("*")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(hits.alias("hits"), (total - hits).alias("misses"))
+        .select(
+            "l_linestatus",
+            "hits",
+            "misses",
+            (
+                F.col("hits").cast("double")
+                * 100.0
+                / F.when(F.col("hits") + F.col("misses") == 0, F.lit(None)).otherwise(F.col("hits") + F.col("misses"))
+            ).alias("hit_pct"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def topk_global(events: DataFrame, k: int = 20) -> DataFrame:
+    """Global top-K (O2: top-20 bloat/size/resource panels,
+    views.py:431-432, 475, 495-496): TakeOrderedAndProject, unique
+    tiebreak."""
+    return (
+        events.select("event_id", "user_id", "event_type", "value")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+        .limit(k)
+    )
+
+
+def distinct_types(events: DataFrame) -> DataFrame:
+    """DISTINCT projection (P14, views.py:833, 794) — partial-agg
+    dedup before the shuffle."""
+    return events.select("event_type").distinct().orderBy("event_type")
+
+
+def table_catalog(tables: dict[str, DataFrame]) -> DataFrame:
+    """Catalog/metadata scan (S5: pg_class ⋈ pg_namespace size listing,
+    views.py:460-476): one row per table with its row count — a union
+    of column-pruned count aggregates."""
+    parts = []
+    for name, df in sorted(tables.items()):
+        parts.append(df.agg(F.count("*").alias("n_rows")).select(F.lit(name).alias("table_name"), "n_rows"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")
+
+
+def priority_bands(orders: DataFrame) -> DataFrame:
+    """CASE WHEN classification (F10, views.py:553-559;
+    db_helpers.py:29-33): priority → severity rank, totalprice → band,
+    then a keyed count."""
+    sev = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 3)
+        .otherwise(9)
+    )
+    band = (
+        F.when(F.col("o_totalprice") >= 300000, "XL")
+        .when(F.col("o_totalprice") >= 150000, "L")
+        .when(F.col("o_totalprice") >= 50000, "M")
+        .otherwise("S")
+    )
+    return (
+        orders.select(sev.alias("severity"), band.alias("price_band"))
+        .groupBy("severity", "price_band")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("severity", "price_band")
+    )
+
+
+def net_price_ratio(lineitem: DataFrame) -> DataFrame:
+    """ROUND / NULLIF / cast battery (F6, F7, F9, views.py:489-493,
+    518, 529): exact decimal net price rounded to 2 places; ratio with
+    NULLIF zero-guard (l_tax=0 rows exercise the NULL path)."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    # exact 4-decimal product; no re-rounding to 2dp (half-case rounding
+    # of decimals differs between engines — SURVEY §7 determinism)
+    net = price * (F.lit(1).cast("decimal(18,2)") - disc)
+    return (
+        lineitem.select(
+            "l_orderkey",
+            "l_linenumber",
+            net.cast("double").alias("net_price"),
+            (
+                F.col("l_extendedprice")
+                / F.when(F.col("l_tax") == 0, F.lit(None)).otherwise(F.col("l_tax"))
+            ).alias("price_per_tax"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -1,0 +1,142 @@
+"""Similarity search over the `embeddings` table (`embedding:
+array<float>`, 64-dim).
+
+- Brute-force cosine top-k: the exact baseline. Dot products via
+  zip_with + aggregate (JVM higher-order functions — no Python, no
+  UDF). The query side is a small DataFrame and is broadcast, so the
+  scan of the big side stays shuffle-free; per-query top-k is a
+  window over rank.
+- LSH-bucketed ANN: random-hyperplane signatures (seeded, literal
+  planes) bucket both sides; candidates are scored only within
+  matching buckets (multi-probe across bands). This is the 100 TB
+  path: the candidate join replaces the all-pairs cross product.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential fold dot product over double arrays (deterministic
+    summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def knn_bruteforce(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> DataFrame:
+    """Exact cosine top-k for the first `n_queries` vectors against the
+    whole table (self-match excluded).
+
+    The query set (vec_id < n_queries) is broadcast; the big side is
+    scanned once with a map-side cosine + per-query top-k window.
+    Cosine is rounded to 9 dp *for ranking and output* so results are
+    reproducible across engines (the raw double differs only in the
+    last ulp across summation strategies).
+    """
+    emb_d = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb_d.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    scored = (
+        emb_d.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 9).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "rn", "vec_id", "label", "cos_sim")
+        .orderBy("q_id", "rn")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of `vec` against literal hyperplanes → int."""
+    sig = F.lit(0)
+    for i, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec, plane_col) >= 0, F.lit(1)).otherwise(F.lit(0))
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def knn_lsh(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    n_planes: int = 12,
+    bands: int = 3,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH.
+
+    Signature bits are split into `bands`; two vectors are candidates
+    if any band matches (multi-probe improves recall). Exact cosine is
+    computed only on candidates. At scale, both sides shuffle on
+    (band_id, band_sig) — bucket sizes are data-independent in
+    expectation, and no cross product exists.
+    """
+    planes = _hyperplanes(n_planes, dim)
+    bits_per_band = n_planes // bands
+    emb_d = embeddings.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    ).withColumn("sig", lsh_signature(F.col("vec"), planes))
+    mask = (1 << bits_per_band) - 1
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftright(F.col("sig"), b * bits_per_band).bitwiseAND(F.lit(mask)).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = emb_d.select(
+        "vec_id", "label", "vec", F.explode(F.array(*band_structs)).alias("b")
+    ).select("vec_id", "label", "vec", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+    queries = banded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "band_id", "band_sig"
+    )
+    cand = (
+        banded.join(queries, ["band_id", "band_sig"])
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "q_vec", "vec_id", "label", "vec")
+        .distinct()
+    )
+    scored = cand.select(
+        "q_id", "vec_id", "label", F.round(cosine(F.col("q_vec"), F.col("vec")), 9).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "rn", "vec_id", "label", "cos_sim")
+        .orderBy("q_id", "rn")
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline layer (language ID, quality scoring, token
+counting, fingerprinting).
+
+All expressions are built-in higher-order / string functions (JVM-side,
+codegen) — no Python in the hot path. Counts and ratios are exact
+integers until one final double division, so results are engine-exact
+for oracle checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Deliberately simple and deterministic.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "dans"],
+}
+
+
+def _tokens(col: Column) -> Column:
+    """Whitespace tokens with empties dropped (split on runs)."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens plus a BPE-ish regex token
+    count (`[a-z]+|[0-9]+|[^a-z0-9\\s]` word/number/punct atoms), and
+    mean token length."""
+    toks = _tokens(F.col("text"))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return (
+        documents.select(
+            "doc_id",
+            F.size(toks).alias("n_tokens"),
+            F.size(bpe).alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+            F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace_chars"),
+        )
+        .withColumn(
+            "mean_token_len",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.col("n_nonspace_chars").cast("double") / F.col("n_tokens").cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword / uniqueness
+    ratios folded into a 0-100 score with a CASE band. Mirrors the
+    reference's threshold-flagging post-processing style
+    (views.py:618-638) applied to document quality."""
+    toks = _tokens(F.col("text"))
+    stop_all = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(stop_all)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0))
+    df = documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_m"),
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        n_stop.alias("n_stopwords"),
+        n_punct.alias("n_punct"),
+    )
+    uniq_ratio = F.col("n_unique").cast("double") / F.col("n_tokens").cast("double")
+    stop_ratio = F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double")
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars_m").cast("double")
+    score = (
+        uniq_ratio * 50.0
+        + stop_ratio * 30.0
+        + (F.lit(1.0) - punct_ratio) * 10.0
+        + F.when(F.col("n_tokens").between(20, 500), F.lit(10.0)).otherwise(F.lit(0.0))
+    )
+    return (
+        df.filter(F.col("n_tokens") > 0)
+        .withColumn("uniq_ratio", uniq_ratio)
+        .withColumn("stop_ratio", stop_ratio)
+        .withColumn("quality", score)
+        .withColumn(
+            "quality_band",
+            F.when(score >= 60, "high").when(score >= 40, "medium").otherwise("low"),
+        )
+        .select("doc_id", "lang", "n_tokens", "uniq_ratio", "stop_ratio", "quality", "quality_band")
+        .orderBy("doc_id")
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts with a
+    deterministic argmax (score desc, language code asc). Exact integer
+    scores → engine-exact. On real corpora the stopword lists grow;
+    the operator shape (token filter + greatest/CASE) is unchanged."""
+    toks = _tokens(F.col("text"))
+
+    def _score(words: list[str]) -> Column:
+        # single-arg lambda is required: a two-arg lambda would be
+        # interpreted by Spark as an (element, index) function
+        return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+    scored = documents.select(
+        "doc_id",
+        "lang",
+        *[_score(ws).alias(f"score_{lg}") for lg, ws in LANG_STOPWORDS.items()],
+    )
+    langs = sorted(LANG_STOPWORDS)  # asc tiebreak
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    guess = F.lit("unknown")
+    for lg in reversed(langs):
+        guess = F.when(F.col(f"score_{lg}") == best, F.lit(lg)).otherwise(guess)
+    guess = F.when(best == 0, F.lit("unknown")).otherwise(guess)
+    return scored.withColumn("lang_guess", guess).orderBy("doc_id")
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of whitespace-normalized text plus a
+    31-polynomial rolling hash (mod 1e9+7) over characters — the
+    rolling hash is the shape used for shingle hashing at scale and is
+    expressible in any engine for oracle parity."""
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    chars = F.filter(F.split(norm, ""), lambda c: c != "")
+    rolling = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007,
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("md5_fp"),
+        rolling.alias("rolling_fp"),
+    ).orderBy("doc_id")

@@ -1,0 +1,56 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The engine is designed for a multi-executor cluster reading ~100 TB;
+tests run on ``local[N]``. Defaults chosen so the same code path works
+in both regimes:
+
+- AQE on (runtime join selection, skew-join splitting, partition
+  coalescing) — replaces hand-tuned shuffle partition counts at scale.
+- Session timezone pinned to UTC and parquet NTZ inference off so
+  timestamp arithmetic is identical across engines (the DuckDB oracle
+  evaluates naive timestamps).
+- Arrow enabled for the few pandas-UDF paths (multimodal decode).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rtdbms-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` is only forced when given (tests/bench pass
+    ``local[N]``); in production the cluster manager supplies it.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 100 TB posture: don't let tiny files explode task counts locally,
+        # and keep broadcast threshold at default 10 MB (dimension tables
+        # region/nation/supplier stay broadcast-able at any SF).
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    if master:
+        builder = builder.master(master)
+    return builder.getOrCreate()
+
+
+def get_local_spark(cpus: int | None = None) -> SparkSession:
+    """local[N] session for tests and bench."""
+    n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return get_spark(master=f"local[{n}]", shuffle_partitions=n)

@@ -1,0 +1,3 @@
+from .registry import SCHEMAS, TABLES, load_table, register_views
+
+__all__ = ["SCHEMAS", "TABLES", "load_table", "register_views"]

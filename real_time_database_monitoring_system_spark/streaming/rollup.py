@@ -1,0 +1,91 @@
+"""Structured Streaming layer (SURVEY §2.8 T1-T4).
+
+The reference's "real time" is request-time polling — every page load
+re-runs ~19 snapshot queries (``/root/reference/myapp/views.py:394-680``).
+The idiomatic Spark replacement is a streaming pipeline over the
+append-only feed: windowed rollups (T1/T2) and threshold alert streams
+(T3). Here the parquet `events` table is replayed as a file stream with
+``availableNow`` (process-everything-then-stop), which keeps the exact
+same code shape that a live file/Kafka source would run continuously.
+
+Batch equivalence: each streaming result is checked against its batch
+twin (`operators.monitoring.downsample_5min`, `threshold_flags`) in
+tests and against the DuckDB oracle by the driver.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import SCHEMAS, configure_session
+
+_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_session(spark)
+    raw = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        # glob form: the file-stream source then resolves the sf dir as
+        # basePath (a bare file path would be rejected as basePath)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/events.parque[t]")
+    )
+    # same ns → µs truncation as the batch loader (registry.load_table)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink and
+    return the materialized result as a batch DataFrame."""
+    name = f"stream_result_{next(_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def stream_rollup(spark: SparkSession, sf_dir: str, bucket_seconds: int = 300) -> DataFrame:
+    """T1/T2: event-time tumbling-window rollup of the metric feed —
+    the streaming twin of the JS 5-minute downsampler
+    (``index_resource.html:230-245``). Complete output mode: the full
+    rollup is the dashboard's state. Window starts are epoch-aligned
+    (session tz UTC), emitted as exact integer bucket seconds."""
+    src = _events_stream(spark, sf_dir)
+    windowed = (
+        src.groupBy(F.window("ts", f"{bucket_seconds} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            (F.expr("unix_micros(cast(w.start as timestamp)) div 1000000")).alias("bucket_s"),
+            "n_points",
+            "last_value",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(windowed, "complete").orderBy("bucket_s")
+
+
+def stream_alerts(spark: SparkSession, sf_dir: str, threshold: float = 99.0) -> DataFrame:
+    """T3: threshold alert stream — the reference's Python flagging +
+    email notifier (views.py:618-638, 371-378) as a streaming filter.
+    Append mode, stateless; a production sink would be foreachBatch →
+    notifier."""
+    src = _events_stream(spark, sf_dir)
+    alerts = src.filter(F.col("value") > threshold).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    return _run_to_memory(alerts, "append").orderBy("event_id")
