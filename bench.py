@@ -1,0 +1,76 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized with a noop sink (forces every
+exchange/aggregation; nothing is collected to the driver), timed after
+a warm-up query has absorbed JVM/codegen startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from __spark_entry__ import queries  # noqa: E402
+from real_time_database_monitoring_system_spark.session import get_local_spark  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "three_way_topk",
+    "left_join_rollup",
+    "downsample_5min",
+    "minute_corr_join",
+    "lag_delta",
+    "latest_per_user",
+    "topk_events",
+    "slow_sessions",
+    "exact_dedup",
+    "token_stats",
+    "quality_score",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    spark = get_local_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = queries()
+
+    # warm-up: JVM, codegen, parquet footers
+    qs["session_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,6 +63,19 @@ def archive_split(source: DataFrame, pred: Column) -> tuple[DataFrame, DataFrame
     return archived, remaining
 
 
+def compact(df: DataFrame, target_partitions: int) -> DataFrame:
+    """S13 VACUUM-ANALYZE stand-in: small-file compaction. The
+    reference issues ``VACUUM ANALYZE`` (views.py:897-900); the Spark
+    analog is rewriting a fragmented table at a sane partition count
+    (callers follow with ``ANALYZE TABLE ... COMPUTE STATISTICS`` when
+    a catalog table is involved). ``coalesce`` avoids a shuffle when
+    reducing; ``repartition`` only when growing."""
+    n = df.rdd.getNumPartitions()
+    if target_partitions < n:
+        return df.coalesce(target_partitions)
+    return df.repartition(target_partitions)
+
+
 def restore_expired(archive: DataFrame, target: DataFrame, age_pred: Column) -> tuple[DataFrame, DataFrame]:
     """The generated PL/pgSQL restore routine (views.py:959-988) as
     DataFrame algebra: archived rows older than the retention period

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import spread as _spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     """Sequential fold dot product over double arrays (deterministic
@@ -49,7 +51,7 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Da
     reproducible across engines (the raw double differs only in the
     last ulp across summation strategies).
     """
-    emb_d = embeddings.select(
+    emb_d = _spread(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     queries = emb_d.filter(F.col("vec_id") < n_queries).select(
@@ -107,7 +109,7 @@ def knn_lsh(
     """
     planes = _hyperplanes(n_planes, dim)
     bits_per_band = n_planes // bands
-    emb_d = embeddings.select(
+    emb_d = _spread(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     ).withColumn("sig", lsh_signature(F.col("vec"), planes))
     mask = (1 << bits_per_band) - 1

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread as _spread
+
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
 # language identifier. Deliberately simple and deterministic.
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -35,7 +37,7 @@ def token_stats(documents: DataFrame) -> DataFrame:
     toks = _tokens(F.col("text"))
     bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
     return (
-        documents.select(
+        _spread(documents, "doc_id").select(
             "doc_id",
             F.size(toks).alias("n_tokens"),
             F.size(bpe).alias("n_bpe_tokens"),
@@ -64,7 +66,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(stop_all)))
     n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0))
-    df = documents.select(
+    df = _spread(documents, "doc_id").select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars_m"),
@@ -108,7 +110,7 @@ def lang_id(documents: DataFrame) -> DataFrame:
         # interpreted by Spark as an (element, index) function
         return F.size(F.filter(toks, lambda x: x.isin(words)))
 
-    scored = documents.select(
+    scored = _spread(documents, "doc_id").select(
         "doc_id",
         "lang",
         *[_score(ws).alias(f"score_{lg}") for lg, ws in LANG_STOPWORDS.items()],
@@ -134,7 +136,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007,
     )
-    return documents.select(
+    return _spread(documents, "doc_id").select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("md5_fp"),
         rolling.alias("rolling_fp"),

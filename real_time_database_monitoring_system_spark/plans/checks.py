@@ -43,5 +43,15 @@ def count_exchanges(df: DataFrame) -> int:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Count codegen stages. AQE's unexecuted plan hides codegen
+    annotation, so both the `*(n)` markers (AQE off) and
+    WholeStageCodegen nodes (formatted/executed plans) are counted."""
     plan = explain_str(df, "simple")
+    stars = {
+        line.split("*(")[1].split(")")[0]
+        for line in plan.splitlines()
+        if "*(" in line
+    }
+    if stars:
+        return len(stars)
     return sum(1 for line in plan.splitlines() if "WholeStageCodegen" in line)

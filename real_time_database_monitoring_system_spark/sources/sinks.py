@@ -1,0 +1,54 @@
+"""Sinks (SURVEY §2.1 S6-S9): CSV, JSON, XLSX, table append.
+
+The reference exports grids in the browser — CSV with quote-escaping
+(``index.html:338-371`` et al.), XLSX via SheetJS
+(``cpu_usage_grid.html:216-240``), JSON for Chart.js (views.py:816).
+Here they are engine-side writers: CSV/JSON scale out (one file per
+partition, executor-side); XLSX is inherently single-file and is
+documented as a driver-side small-result export.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, single_file: bool = False) -> None:
+    """CSV export with full quoting (S6 — the JS exporter quotes every
+    cell). ``single_file`` coalesces to one partition for small
+    dashboard grids; leave False for large tables."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", header).option("quoteAll", True).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines export (S8 — ``json.dumps(processed_res)``)."""
+    df.write.mode("overwrite").json(path)
+
+
+def to_json_column(df: DataFrame, col_name: str = "payload") -> DataFrame:
+    """Row → JSON string column (the Chart.js hand-off shape): struct of
+    all columns serialized JVM-side."""
+    return df.select(F.to_json(F.struct(*df.columns)).alias(col_name))
+
+
+def write_xlsx(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
+    """XLSX export (S7). Spreadsheet files are a driver-side,
+    small-result format: the writer refuses unbounded inputs rather
+    than silently collecting a 100 TB table."""
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(f"xlsx export capped at {max_rows} rows, got {n}; use write_csv")
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, index=False)
+    except (ImportError, ModuleNotFoundError):
+        # no openpyxl in this container: fall back to CSV next to it
+        pdf.to_csv(path + ".csv", index=False)
+
+
+def append_with_timestamp(src: DataFrame, ts_col: str = "archive_timestamp") -> DataFrame:
+    """S9 INSERT…SELECT archive shape (views.py:947-951): source rows
+    stamped with the archive time, ready for ``.write.mode('append')``."""
+    return src.withColumn(ts_col, F.current_timestamp())

@@ -1,0 +1,68 @@
+"""Semantic checks for the hash-based ops that have no SQL oracle:
+MinHash+LSH and SimHash against exact Jaccard; LSH-ANN recall against
+brute-force KNN; multimodal decode plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.operators import dedup, multimodal, similarity
+from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+
+def test_minhash_finds_planted_duplicate(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    # plant a near-duplicate of doc 0 (same source, text + one word)
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    with_dup = docs.unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs(with_dup, threshold=0.5).collect()
+    assert any(r.doc_a == 0 and r.doc_b == 100000 for r in pairs), pairs
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """Every truly-similar pair (exact Jaccard >= 0.6) must be caught
+    by the LSH candidate generation (recall check on real data)."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.0).collect()
+    }
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 5), f"LSH missed {missed}"
+
+
+def test_simhash_identical_docs_distance_zero(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    pairs = dedup.simhash_pairs(docs.unionByName(dup), max_hamming=0).collect()
+    assert any(r.doc_a == 0 and r.doc_b == 100000 and r.hamming == 0 for r in pairs)
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.q_id, r.vec_id) for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()}
+    approx = {(r.q_id, r.vec_id) for r in similarity.knn_lsh(emb, n_queries=10, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH ANN recall too low: {recall}"
+
+
+def test_multimodal_decode_shapes(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = multimodal.decode_metadata(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    first = rows[0]
+    assert first.payload_bytes > 0
+    assert 0 <= first.fake_width < 640 and 0 <= first.fake_height < 480

@@ -1,0 +1,48 @@
+"""Unit tests for the PG-dialect function layer."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.functions import pg_dialect
+
+
+def test_pattern_translation():
+    f = pg_dialect.pg_to_java_pattern
+    assert f("YYYY-MM-DD HH24:MI:SS") == "yyyy-MM-dd HH:mm:ss"
+    assert f("DD/MM/YYYY HH24:MI") == "dd/MM/yyyy HH:mm"
+    assert f("YYYY:MM:DD HH24:MI") == "yyyy:MM:dd HH:mm"
+    assert f("MON DD, YYYY") == "MMM dd, yyyy"
+    assert f("HH12:MI AM") == "hh:mm a"
+
+
+def test_to_char_and_at_time_zone(spark):
+    df = spark.sql("SELECT CAST('2024-03-01 13:45:30' AS TIMESTAMP_NTZ) AS t")
+    row = df.select(
+        pg_dialect.to_char("t", "YYYY-MM-DD HH24:MI:SS").alias("s"),
+        F.date_format(pg_dialect.at_time_zone("t", "Asia/Kolkata"), "HH:mm").alias("ist"),
+    ).first()
+    assert row.s == "2024-03-01 13:45:30"
+    assert row.ist == "19:15"  # +05:30
+
+
+def test_size_pretty_int(spark):
+    df = spark.createDataFrame(
+        [(0,), (42,), (10240,), (10485760,), (10737418240,), (10995116277760,)], "b long"
+    )
+    rows = df.select(pg_dialect.size_pretty_int(F.col("b")).alias("p")).collect()
+    assert [r.p for r in rows] == ["0 B", "42 B", "10 KB", "10 MB", "10 GB", "10 TB"]
+
+
+def test_nullif(spark):
+    df = spark.createDataFrame([(1, 1), (2, 3)], "a int, b int")
+    rows = df.select(pg_dialect.nullif_(F.col("a"), F.col("b")).alias("n")).collect()
+    assert [r.n for r in rows] == [None, 2]
+
+
+def test_age_micros(spark):
+    df = spark.sql(
+        "SELECT CAST('2024-01-01 01:00:00' AS TIMESTAMP_NTZ) AS a, "
+        "CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ) AS b"
+    )
+    assert df.select(pg_dialect.age_micros("a", "b").alias("d")).first().d == 3_600_000_000

@@ -1,0 +1,74 @@
+"""Physical-plan assertions — the 100 TB posture checks.
+
+These tests fail if a future change silently de-optimizes a plan:
+filters must reach the parquet scan, dimension joins must broadcast,
+top-K must plan TakeOrderedAndProject, and shuffle counts must stay at
+the operator's budget.
+"""
+
+from __future__ import annotations
+
+from real_time_database_monitoring_system_spark.operators import monitoring, relational
+from real_time_database_monitoring_system_spark.plans import checks
+from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+
+def test_three_way_topk_plan(spark, sf_dir):
+    df = relational.three_way_topk(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+    assert checks.has_take_ordered(df), "top-K must plan TakeOrderedAndProject"
+    assert checks.has_broadcast_join(df), "customer dim must broadcast"
+    plan = checks.explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan or (
+        "EqualTo(l_returnflag,R)" in plan
+    ), "returnflag filter must push into parquet scan"
+
+
+def test_pricing_summary_single_agg_shuffle(spark, sf_dir):
+    df = relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    # one exchange for the keyed agg + one range exchange for the sort
+    assert checks.count_exchanges(df) <= 2
+    plan = checks.explain_str(df)
+    assert "l_shipdate" in plan and "PushedFilters" in plan
+
+
+def test_pricing_summary_prunes_columns(spark, sf_dir):
+    df = relational.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+    plan = checks.explain_str(df)
+    # partkey/suppkey are not referenced and must not be read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "l_partkey" not in read_schema[0]
+
+
+def test_slow_sessions_prunes_columns(spark, sf_dir):
+    # the age filter is derived (vs the as_of scalar) so it cannot push
+    # to the scan by design; column pruning must still drop props/value
+    df = monitoring.slow_sessions(load_table(spark, sf_dir, "events"))
+    plan = checks.explain_str(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("props" not in ln for ln in read_schema)
+
+
+def test_topk_events_take_ordered(spark, sf_dir):
+    df = relational.topk_global(load_table(spark, sf_dir, "events"))
+    assert checks.has_take_ordered(df)
+
+
+def test_minute_corr_join_broadcasts_dim(spark, sf_dir):
+    df = monitoring.minute_corr_join(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    assert checks.has_broadcast_join(df)
+
+
+def test_codegen_covers_agg_pipeline(spark, sf_dir):
+    # AQE's unexecuted plan hides codegen markers; plan once without it
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = relational.cache_hit_ratio(load_table(spark, sf_dir, "lineitem"))
+        assert checks.wholestage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
