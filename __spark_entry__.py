@@ -296,12 +296,22 @@ def _q_update(spark, sf):
     )
 
 
+def _q_ivf_knn(spark, sf):
+    return similarity.ivf_knn(load_table(spark, sf, "embeddings"))
+
+
 def _q_streaming_rollup(spark, sf):
     return streaming_rollup.stream_rollup(spark, sf)
 
 
 def _q_streaming_alerts(spark, sf):
     return streaming_rollup.stream_alerts(spark, sf)
+
+
+def _q_streaming_stateful(spark, sf):
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    return stateful.stream_user_tracker(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -349,6 +359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
+        "ivf_knn": _q_ivf_knn,
         "multimodal_meta": _q_multimodal_meta,
         # mutation layer
         "upsert_merge": _q_upsert,
@@ -357,6 +368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming layer
         "streaming_rollup_5min": _q_streaming_rollup,
         "streaming_alerts": _q_streaming_alerts,
+        "streaming_stateful_tracker": _q_streaming_stateful,
     }
 
 
@@ -783,6 +795,13 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_alerts"] = """
         SELECT event_id, ts, user_id, event_type, value
         FROM events WHERE value > 99.0 ORDER BY event_id
+    """
+
+    # the stateful tracker's final state must equal the batch aggregate
+    sql["streaming_stateful_tracker"] = """
+        SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+               max(event_id) AS last_event_id
+        FROM events GROUP BY user_id ORDER BY user_id
     """
 
     return sql

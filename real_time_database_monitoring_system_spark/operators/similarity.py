@@ -91,6 +91,58 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def ivf_knn(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization into inverted lists, probe
+    the closest lists only.
+
+    The coarse quantizer is the per-`label` centroid (mean vector) —
+    in production the labels come from a k-means pass; the search
+    machinery is identical. Queries compute exact cosine only against
+    vectors whose list is among their `nprobe` nearest centroids. At
+    scale the big side is pre-partitioned (clustered) by list id, so a
+    probe touches only those partitions.
+    """
+    emb_d = _spread(embeddings, "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    # centroid per list: element-wise mean via posexplode + group
+    cent = (
+        emb_d.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    queries = emb_d.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    # rank centroids per query, keep nprobe lists
+    qc = queries.crossJoin(F.broadcast(cent)).select(
+        "q_id", "q_vec", "label", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select(
+        "q_id", "q_vec", "label"
+    )
+    cand = emb_d.join(F.broadcast(probes), "label").filter(F.col("vec_id") != F.col("q_id"))
+    scored = cand.select(
+        "q_id", "vec_id", "label", F.round(cosine(F.col("q_vec"), F.col("vec")), 9).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "rn", "vec_id", "label", "cos_sim")
+        .orderBy("q_id", "rn")
+    )
+
+
 def knn_lsh(
     embeddings: DataFrame,
     n_queries: int = 20,

@@ -1,0 +1,73 @@
+"""Sink/source layer tests (S6-S8 + generic readers) and the
+vectorized pandas-UDF surface."""
+
+from __future__ import annotations
+
+import math
+import os
+
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.functions import vectorized
+from real_time_database_monitoring_system_spark.operators.mutation import compact
+from real_time_database_monitoring_system_spark.sources import formats, sinks
+from real_time_database_monitoring_system_spark.sources.registry import SCHEMAS, load_table
+
+
+def test_csv_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    out = str(tmp_path / "region_csv")
+    sinks.write_csv(df, out, single_file=True)
+    back = formats.read_csv(spark, out, SCHEMAS["region"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_json")
+    sinks.write_json(df, out)
+    back = formats.read_jsonl(spark, out, SCHEMAS["nation"])
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_to_json_column(spark, sf_dir):
+    df = load_table(spark, sf_dir, "region").orderBy("r_regionkey").limit(1)
+    payload = sinks.to_json_column(df).first().payload
+    assert '"r_regionkey":0' in payload.replace(" ", "")
+
+
+def test_xlsx_cap(spark, sf_dir, tmp_path):
+    df = load_table(spark, sf_dir, "region")
+    try:
+        sinks.write_xlsx(df, str(tmp_path / "r.xlsx"), max_rows=2)
+        raise AssertionError("expected ValueError for capped export")
+    except ValueError:
+        pass
+    sinks.write_xlsx(df, str(tmp_path / "r2.xlsx"))
+    assert any(p.startswith("r2.xlsx") for p in os.listdir(tmp_path))
+
+
+def test_compact_reduces_partitions(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").repartition(16)
+    assert compact(df, 4).rdd.getNumPartitions() == 4
+    assert compact(df.coalesce(2), 8).rdd.getNumPartitions() == 8
+
+
+def test_normalize_embedding_udf(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    rows = emb.select(
+        vectorized.normalized(F.col("embedding").cast("array<double>")).alias("n")
+    ).collect()
+    for r in rows:
+        norm = math.sqrt(sum(x * x for x in r.n))
+        assert abs(norm - 1.0) < 1e-9
+
+
+def test_ivf_knn_recall(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.q_id, r.vec_id) for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in similarity.ivf_knn(emb, n_queries=10, k=5, nprobe=3).collect()}
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
