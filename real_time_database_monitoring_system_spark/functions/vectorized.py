@@ -14,10 +14,13 @@ import pandas as pd
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 
-@pandas_udf("array<double>")
+# DataType instances (not DDL strings): DDL parsing would require an
+# active SparkSession at import time
+@pandas_udf(T.ArrayType(T.DoubleType()))
 def normalize_embedding(vecs: pd.Series) -> pd.Series:
     """L2-normalize embedding vectors, one Arrow batch at a time."""
     out = []
@@ -28,7 +31,7 @@ def normalize_embedding(vecs: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@pandas_udf("double")
+@pandas_udf(T.DoubleType())
 def gaussian_weight(values: pd.Series) -> pd.Series:
     """exp(-(x-50)^2 / (2*15^2)) — a vectorized scalar transform (the
     threshold-flag shape F13 as a smooth score)."""
