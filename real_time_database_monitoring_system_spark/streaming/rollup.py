@@ -79,6 +79,35 @@ def stream_rollup(spark: SparkSession, sf_dir: str, bucket_seconds: int = 300) -
     return _run_to_memory(windowed, "complete").orderBy("bucket_s")
 
 
+def stream_rollup_watermarked(
+    spark: SparkSession, sf_dir: str, bucket_seconds: int = 300, lateness: str = "10 minutes"
+) -> DataFrame:
+    """T2 with late-data handling: watermarked tumbling windows in
+    APPEND mode — the production shape for unbounded feeds (state for a
+    window is dropped once the watermark passes, emitted exactly once).
+    On a replayed finite feed the trailing windows (newer than the
+    final watermark) are withheld by design; the equivalence test
+    checks emitted ⊂ batch and completeness up to the watermark."""
+    src = _events_stream(spark, sf_dir)
+    # withWatermark requires LTZ; the cast is value-preserving under
+    # the engine's pinned UTC session timezone
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    windowed = (
+        src.withWatermark("ts", lateness)
+        .groupBy(F.window("ts", f"{bucket_seconds} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            (F.expr("unix_micros(cast(w.start as timestamp)) div 1000000")).alias("bucket_s"),
+            "n_points",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(windowed, "append").orderBy("bucket_s")
+
+
 def stream_alerts(spark: SparkSession, sf_dir: str, threshold: float = 99.0) -> DataFrame:
     """T3: threshold alert stream — the reference's Python flagging +
     email notifier (views.py:618-638, 371-378) as a streaming filter.

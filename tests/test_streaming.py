@@ -14,6 +14,47 @@ def test_stream_rollup_equals_batch_downsample(spark, sf_dir):
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
 
 
+def test_watermarked_rollup_subset_of_batch(spark, sf_dir):
+    """Append-mode windows must agree with the batch rollup wherever
+    emitted, and be complete for all windows older than the final
+    watermark (max ts - lateness)."""
+    batch = {
+        r.bucket_s: (r.n_points, r.sum_value)
+        for r in monitoring.downsample_5min(load_table(spark, sf_dir, "events")).collect()
+    }
+    emitted = {
+        r.bucket_s: (r.n_points, r.sum_value)
+        for r in sr.stream_rollup_watermarked(spark, sf_dir).collect()
+    }
+    assert emitted, "no windows emitted"
+    for b, v in emitted.items():
+        assert batch[b] == v, f"window {b}: stream {v} != batch {batch[b]}"
+    # completeness: every batch window except the watermark tail emitted
+    max_bucket = max(batch)
+    tail_cutoff = max_bucket - 2 * 300  # lateness 10 min = 2 buckets
+    missing = [b for b in batch if b < tail_cutoff and b not in emitted]
+    assert not missing, f"windows missing before watermark: {missing[:5]}"
+
+
+def test_stateful_tracker_equals_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        r.user_id: (r.n, r.mx, r.last)
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"), F.max("event_id").alias("last"))
+        .collect()
+    }
+    tracked = {
+        r.user_id: (r.n_events, r.max_value, r.last_event_id)
+        for r in stateful.stream_user_tracker(spark, sf_dir).collect()
+    }
+    assert tracked == batch
+
+
 def test_stream_alerts_equals_batch_filter(spark, sf_dir):
     from pyspark.sql import functions as F
 
