@@ -1,0 +1,57 @@
+"""Skew-aware join utilities.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on by
+default in `session.get_spark`) handles most skew at runtime. Salting
+is the explicit fallback for the pathological case AQE cannot fix:
+a *broadcast-ineligible* join where a handful of keys dominate (e.g.
+one monitoring `user_id` owning 10% of a 100 TB event feed).
+
+`salted_join` replicates the right side `salt` times and scatters the
+left side across the replicas, so a hot key's rows spread over `salt`
+tasks instead of one straggler.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "__salt"
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with key salting.
+
+    The left (large, skewed) side gets a random salt in [0, salt);
+    the right side is exploded `salt` times, one copy per salt value —
+    acceptable when the right side is much smaller than the left but
+    too big to broadcast. Result equals ``left.join(right, on, how)``
+    for inner/left_semi/left joins (an unmatched *right* row would be
+    emitted once per replica, so right/full joins are rejected).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(f"salted_join supports inner/left/left_semi, got {how!r}")
+    salted_left = left.withColumn(SALT_COL, (F.rand(seed=42) * salt).cast("int"))
+    salted_right = right.withColumn(
+        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_left.join(salted_right, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
+    """Skew diagnosis: the n heaviest keys with their row share —
+    run before choosing between broadcast / AQE / salting."""
+    total = df.count()
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("n_rows"))
+        .withColumn("share", F.col("n_rows") / F.lit(float(total)))
+        .orderBy(F.desc("n_rows"), F.asc(key))
+        .limit(n)
+    )

@@ -51,6 +51,15 @@ def get_spark(
 
 
 def get_local_spark(cpus: int | None = None) -> SparkSession:
-    """local[N] session for tests and bench."""
+    """local[N] session for tests and bench.
+
+    `maxPartitionBytes` is lowered locally: the test tables are single
+    ~1-20 MB parquet files, which the 128 MB cluster default would scan
+    as ONE split (serializing every scan on one core). 4 MB splits give
+    the same scan parallelism the file count of a real corpus provides.
+    """
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    return get_spark(master=f"local[{n}]", shuffle_partitions=n)
+    spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
+    return spark
