@@ -296,6 +296,12 @@ def _q_update(spark, sf):
     )
 
 
+def _q_dedup_keepers(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.keeper_list(docs, pairs)
+
+
 def _q_ivf_knn(spark, sf):
     return similarity.ivf_knn(load_table(spark, sf, "embeddings"))
 
@@ -357,6 +363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
+        "dedup_keepers": _q_dedup_keepers,
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "ivf_knn": _q_ivf_knn,

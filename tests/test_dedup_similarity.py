@@ -41,6 +41,28 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 5), f"LSH missed {missed}"
 
 
+def test_dup_clusters_transitive_closure(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    clusters = {r.doc_id: r.cluster_id for r in dedup.dup_clusters(pairs).collect()}
+    assert clusters[1] == clusters[2] == clusters[3] == 1
+    assert clusters[10] == clusters[11] == 10
+    assert clusters[20] == clusters[21] == clusters[22] == clusters[23] == 20
+
+
+def test_keeper_list(spark, sf_dir):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 10) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a long, doc_b long")
+    keep = {r.doc_id: (r.keeper_doc_id, r.is_keeper) for r in dedup.keeper_list(docs, pairs).collect()}
+    assert keep[0] == (0, True) and keep[2] == (2, True) and keep[3] == (3, True)
+    assert keep[1] == (1, True) and keep[4] == (1, False) and keep[5] == (1, False)
+
+
 def test_simhash_identical_docs_distance_zero(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     dup = docs.filter(F.col("doc_id") == 0).select(
