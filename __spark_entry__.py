@@ -91,6 +91,10 @@ def _q_tps_per_user(spark, sf):
     return monitoring.tps_per_user(load_table(spark, sf, "events"))
 
 
+def _q_sessionize(spark, sf):
+    return monitoring.sessionize(load_table(spark, sf, "events"))
+
+
 def _q_retention_filter(spark, sf):
     return monitoring.retention_filter(load_table(spark, sf, "events"))
 
@@ -333,6 +337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta": _q_lag_delta,
         "latest_per_user": _q_latest_per_user,
         "tps_per_user": _q_tps_per_user,
+        "sessionize": _q_sessionize,
         "retention_filter": _q_retention_filter,
         "drilldown_grid": _q_drilldown_grid,
         "paginate_page2": _q_paginate_page2,
@@ -474,6 +479,25 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(n_events AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0)
                     ELSE 0.0 END AS tps
         FROM g ORDER BY user_id
+    """
+
+    sql["sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+            SELECT user_id, event_id, ts,
+                   CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_no
+            FROM flagged)
+        SELECT user_id, session_no, count(*) AS n_events,
+               min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        FROM numbered GROUP BY user_id, session_no ORDER BY user_id, session_no
     """
 
     sql["retention_filter"] = """

@@ -297,6 +297,50 @@ def substring_search(df: DataFrame, cols: list[str], term: str) -> DataFrame:
     return df.filter(hay.contains(term.lower()))
 
 
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (the batch twin of
+    `session_window`): a new session starts when the gap to the
+    previous event exceeds the threshold.
+
+    lag → boundary flag → running sum = session ordinal, then one
+    aggregate per (user, session). All integer µs math — deterministic
+    in any engine. In Structured Streaming the same semantics come
+    from ``F.session_window`` with a watermark; this form also serves
+    the reference-style batch dashboards (session counts/durations per
+    user, views.py:566-572 generalized).
+    """
+    gap_us = gap_minutes * MICROS_PER_MIN
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (_us("ts") - F.lag(_us("ts")).over(w)).isNull()
+            | ((_us("ts") - F.lag(_us("ts")).over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = flagged.withColumn("session_no", F.sum("is_start").over(w_run))
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(_us("ts")).alias("start_us"),
+            F.max(_us("ts")).alias("end_us"),
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+        .orderBy("user_id", "session_no")
+    )
+
+
 def props_key_histogram(events: DataFrame) -> DataFrame:
     """JSON prop extraction + histogram (the reference ships rows to JS
     as JSON, views.py:816; here JSON work stays in the engine):
