@@ -178,6 +178,25 @@ def _q_nations_per_region(spark, sf):
     )
 
 
+def _q_shipping_priority(spark, sf):
+    return relational.shipping_priority(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+    )
+
+
+def _q_local_supplier_volume(spark, sf):
+    return relational.local_supplier_volume(
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+    )
+
+
 def _q_pricing_summary(spark, sf):
     return relational.pricing_summary(load_table(spark, sf, "lineitem"))
 
@@ -354,6 +373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_join_lookup": _q_cross_join_lookup,
         "nations_per_region": _q_nations_per_region,
         "pricing_summary": _q_pricing_summary,
+        "shipping_priority": _q_shipping_priority,
+        "local_supplier_volume": _q_local_supplier_volume,
         "cache_hit_ratio": _q_cache_hit_ratio,
         "priority_bands": _q_priority_bands,
         "net_price_ratio": _q_net_price_ratio,
@@ -610,6 +631,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE l_shipdate <= TIMESTAMP '2000-12-01'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
+    """
+
+    sql["shipping_priority"] = """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_shipdate > TIMESTAMP '2000-06-01'
+          AND o_orderdate < TIMESTAMP '2000-06-01'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    sql["local_supplier_volume"] = """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(8,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01'
+          AND r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name ASC
     """
 
     sql["cache_hit_ratio"] = """

@@ -23,6 +23,8 @@ from real_time_database_monitoring_system_spark.session import get_local_spark  
 
 HEADLINE = [
     "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
     "three_way_topk",
     "left_join_rollup",
     "downsample_5min",

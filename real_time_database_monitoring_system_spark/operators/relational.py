@@ -146,6 +146,61 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def shipping_priority(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10) -> DataFrame:
+    """Multi-join + keyed decimal aggregation + top-K (TPC-H Q3 shape,
+    generalizing the reference's join panels to revenue analytics).
+    Customer-segment filter is pushed to the broadcast dim; revenue is
+    an exact decimal sum; top-K plans TakeOrderedAndProject with the
+    group key as tiebreak."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")).cast("decimal(8,2)")
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("2000-06-01").cast("timestamp_ntz"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("2000-06-01").cast("timestamp_ntz")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(customer.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(price * disc_f).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )
+
+
+def local_supplier_volume(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """6-way join + per-nation revenue (TPC-H Q5 shape): the full
+    dimension chain region→nation→customer joins the fact chain
+    orders→lineitem→supplier with a same-nation constraint. Dims are
+    broadcast; the two fact joins shuffle on their keys; revenue is
+    decimal-exact."""
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")).cast("decimal(8,2)")
+    return (
+        lineitem.join(orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(price * disc_f).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
 def cache_hit_ratio(lineitem: DataFrame) -> DataFrame:
     """SUM-ratio aggregation (A3: cache-hit percentage
     ``SUM(blks_hit)/NULLIF(SUM(blks_hit)+SUM(blks_read),0)*100``,
