@@ -17,7 +17,13 @@ rounded to 9 dp (cosines).
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# the engine package lives next to this file; make the import robust
+# to whatever CWD the driver runs from
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -329,6 +335,10 @@ def _q_ivf_knn(spark, sf):
     return similarity.ivf_knn(load_table(spark, sf, "embeddings"))
 
 
+def _q_embedding_near_dups(spark, sf):
+    return similarity.embedding_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.9)
+
+
 def _q_streaming_rollup(spark, sf):
     return streaming_rollup.stream_rollup(spark, sf)
 
@@ -393,6 +403,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "knn_lsh": _q_knn_lsh,
         "ivf_knn": _q_ivf_knn,
+        "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_meta": _q_multimodal_meta,
         # mutation layer
         "upsert_merge": _q_upsert,
@@ -834,6 +845,19 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         QUALIFY rn <= 5
         ORDER BY q_id, rn
+    """
+
+    sql["embedding_near_dups"] = """
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
+        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_dot_product(a.vec, b.vec)
+                     / (sqrt(list_dot_product(a.vec, a.vec))
+                        * sqrt(list_dot_product(b.vec, b.vec))), 9) AS cos_sim
+        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.vec, b.vec)
+                    / (sqrt(list_dot_product(a.vec, a.vec))
+                       * sqrt(list_dot_product(b.vec, b.vec))), 9) >= 0.9
+        ORDER BY vec_a, vec_b
     """
 
     sql["multimodal_meta"] = """

@@ -91,6 +91,32 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by the coarse
+    cluster id (`label`) so the pairwise step is per-block — the
+    dedup-by-embedding member of the dedup family. At corpus scale the
+    block key comes from the IVF/LSH quantizer (see `ivf_knn`,
+    `knn_lsh`); the pair scoring is identical. Cosine rounded to 9 dp
+    for cross-engine reproducibility."""
+    emb_d = _spread(embeddings, "vec_id").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = emb_d.select("label", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb_d.select("label", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "label",
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     n_queries: int = 20,
