@@ -108,6 +108,33 @@ def stream_rollup_watermarked(
     return _run_to_memory(windowed, "append").orderBy("bucket_s")
 
 
+def stream_alerts_to_table(
+    spark: SparkSession, sf_dir: str, table: str, threshold: float = 99.0
+) -> None:
+    """T3 with a production sink: foreachBatch appends each
+    micro-batch of alerts to a managed table — the place a real
+    deployment calls the notifier (the reference emails from Python,
+    views.py:371-378). foreachBatch gives per-batch exactly-once
+    append semantics against transactional table formats; on plain
+    parquet it is at-least-once on retry, which is the documented
+    trade."""
+    src = _events_stream(spark, sf_dir)
+    alerts = src.filter(F.col("value") > threshold).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").saveAsTable(table)
+
+    q = (
+        alerts.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stream_alerts(spark: SparkSession, sf_dir: str, threshold: float = 99.0) -> DataFrame:
     """T3: threshold alert stream — the reference's Python flagging +
     email notifier (views.py:618-638, 371-378) as a streaming filter.

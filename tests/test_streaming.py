@@ -66,3 +66,21 @@ def test_stream_alerts_equals_batch_filter(spark, sf_dir):
     )
     stream = sr.stream_alerts(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_foreachbatch_alert_sink(spark, sf_dir):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    table = f"alerts_{uuid.uuid4().hex[:8]}"
+    try:
+        sr.stream_alerts_to_table(spark, sf_dir, table)
+        sunk = spark.table(table)
+        batch_n = (
+            load_table(spark, sf_dir, "events").filter(F.col("value") > 99.0).count()
+        )
+        assert sunk.count() == batch_n
+        assert "batch_id" in sunk.columns
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
