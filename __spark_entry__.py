@@ -97,6 +97,14 @@ def _q_tps_per_user(spark, sf):
     return monitoring.tps_per_user(load_table(spark, sf, "events"))
 
 
+def _q_value_percentiles(spark, sf):
+    return monitoring.value_percentiles(load_table(spark, sf, "events"))
+
+
+def _q_value_percentiles_approx(spark, sf):
+    return monitoring.value_percentiles_approx(load_table(spark, sf, "events"))
+
+
 def _q_sessionize(spark, sf):
     return monitoring.sessionize(load_table(spark, sf, "events"))
 
@@ -366,6 +374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_delta": _q_lag_delta,
         "latest_per_user": _q_latest_per_user,
         "tps_per_user": _q_tps_per_user,
+        "value_percentiles": _q_value_percentiles,
+        "value_percentiles_approx": _q_value_percentiles_approx,
         "sessionize": _q_sessionize,
         "retention_filter": _q_retention_filter,
         "drilldown_grid": _q_drilldown_grid,
@@ -511,6 +521,16 @@ def oracle_sql() -> dict[str, str]:
                     THEN CAST(n_events AS DOUBLE) / (CAST(span_us AS DOUBLE) / 1000000.0)
                     ELSE 0.0 END AS tps
         FROM g ORDER BY user_id
+    """
+
+    # approx variant is sketch-based -> rows-only check (tested
+    # against exact percentiles within rank tolerance in pytest)
+    sql["value_percentiles"] = """
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
     """
 
     sql["sessionize"] = """

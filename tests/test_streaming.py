@@ -68,6 +68,19 @@ def test_stream_alerts_equals_batch_filter(spark, sf_dir):
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
 
 
+def test_approx_percentiles_near_exact(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: (r.p50, r.p95) for r in monitoring.value_percentiles(events).collect()}
+    approx = {
+        r.event_type: (r.p50, r.p95)
+        for r in monitoring.value_percentiles_approx(events).collect()
+    }
+    for et, (e50, e95) in exact.items():
+        a50, a95 = approx[et]
+        assert abs(a50 - e50) / max(e50, 1) < 0.05
+        assert abs(a95 - e95) / max(e95, 1) < 0.05
+
+
 def test_foreachbatch_alert_sink(spark, sf_dir):
     import uuid
 
