@@ -3,10 +3,11 @@
 `entry(spark)` runs the flagship slow-session query (the reference's
 slow-query panel, `/root/reference/myapp/views.py:396-407`) on sf0.001.
 `queries()` exposes every implemented operator from SURVEY.md §2 plus
-the training-data-pipeline layer; `oracle_sql()` gives the DuckDB twin
-for each (omitted only for hash-function-dependent ops — MinHash /
-SimHash / LSH-ANN — which are verified against exact algorithms in
-tests/ instead).
+the training-data-pipeline layer (see COVERAGE.md for the full map);
+`oracle_sql()` gives the DuckDB twin for each, omitted only where the
+result is hash-function-dependent, sketch-based, or iterative
+(MinHash/SimHash/LSH-ANN/IVF/clustering/approx-percentile) — those are
+verified against exact algorithms in tests/ instead.
 
 Determinism contract (SURVEY §7): `now()` is replaced by the max event
 timestamp; interval math is integer microseconds; aggregate sums are

@@ -69,3 +69,38 @@ def decode_metadata(documents: DataFrame) -> DataFrame:
             )
 
     return payloads.select("doc_id", "payload").mapInPandas(decode_batches, DECODED_SCHEMA).orderBy("doc_id")
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_offset bigint, frame_checksum bigint"
+
+
+def sample_frames(documents: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling: the 1→N multimodal batch shape (one video
+    payload → N sampled frame rows). A real deployment decodes with
+    ffmpeg at each offset; the stub slices the payload at N evenly
+    spaced offsets and checksums each slice, so row multiplication,
+    schema, and Arrow batch handling are exercised for real. Output
+    grows N× — at scale, choose N and partition sizes together."""
+    payloads = attach_payload(documents)
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "frame_offset": [], "frame_checksum": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                step = max(1, len(data) // n_frames)
+                for i in range(n_frames):
+                    off = i * step
+                    chunk = data[off : off + step]
+                    cs = 0
+                    for b in chunk:
+                        cs = (cs * 31 + b) % 1000000007
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["frame_offset"].append(off)
+                    out["frame_checksum"].append(cs)
+            yield pd.DataFrame(out)
+
+    return payloads.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_no"
+    )

@@ -88,3 +88,14 @@ def test_multimodal_decode_shapes(spark, sf_dir):
     first = rows[0]
     assert first.payload_bytes > 0
     assert 0 <= first.fake_width < 640 and 0 <= first.fake_height < 480
+
+
+def test_multimodal_frame_sampling_multiplies_rows(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    frames = multimodal.sample_frames(docs, n_frames=4)
+    n_docs = docs.count()
+    assert frames.count() == 4 * n_docs
+    per_doc = frames.filter(frames.doc_id == 0).collect()
+    assert [r.frame_no for r in per_doc] == [0, 1, 2, 3]
+    assert per_doc[0].frame_offset == 0
+    assert all(r.frame_checksum >= 0 for r in per_doc)
