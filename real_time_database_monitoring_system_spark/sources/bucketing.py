@@ -29,6 +29,22 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_date_partitioned(
+    df: DataFrame, path: str, ts_col: str = "ts", partition_col: str = "event_date"
+) -> None:
+    """Persist a time-series feed partitioned by date — the 100 TB
+    layout for append-only feeds: each day is a directory, so
+    time-range predicates prune at the directory level before any file
+    is opened (PartitionFilters in the scan). Writers append one new
+    partition per day; compaction (`mutation.compact`) runs per
+    partition."""
+    from pyspark.sql import functions as F
+
+    df.withColumn(partition_col, F.to_date(ts_col)).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)
+
+
 def bucketed_join_ready(spark: SparkSession, left: str, right: str) -> bool:
     """True when both tables exist and bucketing will be used."""
     exists = all(spark.catalog.tableExists(t) for t in (left, right))

@@ -7,8 +7,29 @@ import uuid
 import pytest
 
 from real_time_database_monitoring_system_spark.plans import checks
-from real_time_database_monitoring_system_spark.sources.bucketing import write_bucketed
+from real_time_database_monitoring_system_spark.sources.bucketing import (
+    write_bucketed,
+    write_date_partitioned,
+)
 from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+
+def test_date_partitioned_scan_prunes(spark, sf_dir, tmp_path):
+    """Time-range filters on a date-partitioned feed must prune at the
+    partition level (PartitionFilters), not scan-and-discard."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_date")
+    write_date_partitioned(events, path)
+    back = spark.read.parquet(path)
+    one_day = back.filter(F.col("event_date") == "2024-01-15")
+    plan = checks.explain_str(one_day)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "event_date" in part_lines[0], plan
+    # and the semantics are unchanged
+    expected = events.filter(F.to_date("ts") == "2024-01-15").count()
+    assert one_day.count() == expected
 
 
 @pytest.fixture()
