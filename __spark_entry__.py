@@ -98,6 +98,10 @@ def _q_tps_per_user(spark, sf):
     return monitoring.tps_per_user(load_table(spark, sf, "events"))
 
 
+def _q_asof_join(spark, sf):
+    return monitoring.asof_join(load_table(spark, sf, "events"))
+
+
 def _q_value_percentiles(spark, sf):
     return monitoring.value_percentiles(load_table(spark, sf, "events"))
 
@@ -372,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_flags": _q_threshold_flags,
         "downsample_5min": _q_downsample_5min,
         "minute_corr_join": _q_minute_corr_join,
+        "asof_join": _q_asof_join,
         "lag_delta": _q_lag_delta,
         "latest_per_user": _q_latest_per_user,
         "tps_per_user": _q_tps_per_user,
@@ -497,6 +502,24 @@ def oracle_sql() -> dict[str, str]:
         JOIN events b ON (epoch_us(a.ts) // 60000000) = (epoch_us(b.ts) // 60000000)
         JOIN customer c ON a.user_id = c.c_custkey
         WHERE a.event_type = 'purchase' AND b.event_type = 'error'
+    """
+
+    # Spark composes the as-of join from union + carried last();
+    # DuckDB states it natively — semantics must agree exactly
+    sql["asof_join"] = """
+        WITH clicks AS (
+            SELECT user_id, ts, max(event_id) AS r_event_id,
+                   arg_max(value, event_id) AS r_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        purchases AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id, p.ts,
+               c.r_event_id AS matched_click_id,
+               c.r_value AS matched_click_value,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        ORDER BY p.event_id
     """
 
     sql["lag_delta"] = """

@@ -297,6 +297,67 @@ def substring_search(df: DataFrame, cols: list[str], term: str) -> DataFrame:
     return df.filter(hay.contains(term.lower()))
 
 
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """Per-user as-of join: each `left_type` event matched to the most
+    recent `right_type` event at-or-before it (the temporal-join
+    operator Spark lacks natively; DuckDB spells it ASOF JOIN).
+
+    Composition: tag both streams, union, and carry the latest right
+    event forward with ``last(..., ignorenulls)`` over (user, ts, tag)
+    — one shuffle on user_id, state is a single carried value per row,
+    no range-explosion join. Right side is deduped per (user, ts)
+    (keep max event_id) so ties are deterministic in any engine.
+    Equal timestamps match (right sorts before left at the same ts).
+    """
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"), F.max_by("value", "event_id").alias("r_value"))
+        .select("user_id", "ts", "r_event_id", "r_value", F.lit(0).alias("tag"))
+    )
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("l_event_id"),
+        F.lit(None).cast("bigint").alias("r_event_id"),
+        F.lit(None).cast("double").alias("r_value"),
+        F.lit(1).alias("tag"),
+    )
+    unioned = right.select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("l_event_id"), "r_event_id", "r_value", "tag"
+    ).unionByName(left)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id",
+        "ts",
+        "l_event_id",
+        "tag",
+        F.last("r_event_id", ignorenulls=True).over(w).alias("matched_click_id"),
+        F.last("r_value", ignorenulls=True).over(w).alias("matched_click_value"),
+        F.last(F.when(F.col("tag") == 0, _us("ts")), ignorenulls=True).over(w).alias("matched_us"),
+    )
+    return (
+        carried.filter(F.col("tag") == 1)
+        .select(
+            F.col("l_event_id").alias("event_id"),
+            "user_id",
+            "ts",
+            "matched_click_id",
+            "matched_click_value",
+            (_us("ts") - F.col("matched_us")).alias("gap_us"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact per-state latency/usage percentiles (p50/p95/p99) —
     the aggregation a monitoring dashboard actually wants from the
