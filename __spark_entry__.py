@@ -102,6 +102,10 @@ def _q_asof_join(spark, sf):
     return monitoring.asof_join(load_table(spark, sf, "events"))
 
 
+def _q_value_band_join(spark, sf):
+    return monitoring.value_band_join(load_table(spark, sf, "events"))
+
+
 def _q_value_percentiles(spark, sf):
     return monitoring.value_percentiles(load_table(spark, sf, "events"))
 
@@ -377,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_5min": _q_downsample_5min,
         "minute_corr_join": _q_minute_corr_join,
         "asof_join": _q_asof_join,
+        "value_band_join": _q_value_band_join,
         "lag_delta": _q_lag_delta,
         "latest_per_user": _q_latest_per_user,
         "tps_per_user": _q_tps_per_user,
@@ -520,6 +525,16 @@ def oracle_sql() -> dict[str, str]:
         FROM purchases p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND p.ts >= c.ts
         ORDER BY p.event_id
+    """
+
+    sql["value_band_join"] = """
+        WITH bands(band_id, lo, hi) AS (
+            VALUES (0, 0.0, 25.0), (1, 25.0, 50.0), (2, 50.0, 100.0),
+                   (3, 100.0, 200.0), (4, 200.0, 1000000000.0))
+        SELECT band_id, lo, hi, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY band_id, lo, hi ORDER BY band_id
     """
 
     sql["lag_delta"] = """

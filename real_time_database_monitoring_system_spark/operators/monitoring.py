@@ -358,6 +358,41 @@ def asof_join(
     )
 
 
+VALUE_BANDS: list[tuple[int, float, float]] = [
+    (0, 0.0, 25.0),
+    (1, 25.0, 50.0),
+    (2, 50.0, 100.0),
+    (3, 100.0, 200.0),
+    (4, 200.0, 1e9),
+]
+
+
+def value_band_join(events: DataFrame) -> DataFrame:
+    """Range join: match each metric row to its [lo, hi) band — the
+    range-predicate join Spark has no native operator for. The band
+    dimension is tiny and broadcast, so the non-equi condition runs as
+    a BroadcastNestedLoopJoin over 5 rows per record — no shuffle, no
+    range explosion; at scale with a LARGE range side, the standard
+    rewrite is binning both sides to an equi-key first (the approach
+    `minute_corr_join` takes for time). Mirrors the reference's
+    range-checked optimization panel (`system_optimization`
+    min/max check, index_resource.html:198-214)."""
+    spark = events.sparkSession
+    bands = spark.createDataFrame(VALUE_BANDS, "band_id int, lo double, hi double")
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("band_id")
+    )
+
+
 def value_percentiles(events: DataFrame) -> DataFrame:
     """Exact per-state latency/usage percentiles (p50/p95/p99) —
     the aggregation a monitoring dashboard actually wants from the
