@@ -80,6 +80,10 @@ def _q_downsample_5min(spark, sf):
     return monitoring.downsample_5min(load_table(spark, sf, "events"))
 
 
+def _q_rollup_cascade(spark, sf):
+    return monitoring.rollup_cascade(load_table(spark, sf, "events"))
+
+
 def _q_minute_corr_join(spark, sf):
     return monitoring.minute_corr_join(
         load_table(spark, sf, "events"), load_table(spark, sf, "customer")
@@ -379,6 +383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connection_load": _q_connection_load,
         "threshold_flags": _q_threshold_flags,
         "downsample_5min": _q_downsample_5min,
+        "rollup_cascade": _q_rollup_cascade,
         "minute_corr_join": _q_minute_corr_join,
         "asof_join": _q_asof_join,
         "value_band_join": _q_value_band_join,
@@ -497,6 +502,16 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_points,
                arg_max(value, event_id) AS last_value,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+    # the cascaded (5min -> 1h -> 1d) rollup must equal direct daily
+    # aggregation of raw events — re-aggregation decomposability
+    sql["rollup_cascade"] = """
+        SELECT ((epoch_us(ts) // 300000000) * 300 // 86400) * 86400 AS bucket_d,
+               count(*) AS n_points,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               arg_max(value, event_id) AS last_value
         FROM events GROUP BY 1 ORDER BY 1
     """
 

@@ -153,6 +153,50 @@ def downsample_5min(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
     )
 
 
+def rollup_cascade(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: 5-minute → hourly →
+    daily, each level re-aggregating the previous (the continuous-
+    aggregate pattern: at scale only the finest level reads raw data;
+    coarser levels read the level below — 288× less input for daily).
+
+    Correctness requirement of re-aggregation: every measure must be
+    decomposable — counts sum, decimal sums sum (exact, order-free),
+    last-value propagates via max_by on the monotone event_id. Doubles
+    are only produced at the output edge; the daily result is
+    bit-identical to aggregating raw events directly (the oracle does
+    exactly that)."""
+    five_min = (
+        events.withColumn("bucket_s", F.expr("unix_micros(cast(ts as timestamp)) div 300000000") * 300)
+        .groupBy("bucket_s")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_dec"),
+            F.max("event_id").alias("last_eid"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+    )
+    hourly = (
+        five_min.withColumn("bucket_h", F.expr("bucket_s div 3600") * 3600)
+        .groupBy("bucket_h")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.max("last_eid").alias("last_eid"),
+            F.max_by("last_value", "last_eid").alias("last_value"),
+        )
+    )
+    daily = (
+        hourly.withColumn("bucket_d", F.expr("bucket_h div 86400") * 86400)
+        .groupBy("bucket_d")
+        .agg(
+            F.sum("n_points").alias("n_points"),
+            F.sum("sum_dec").cast("double").alias("sum_value"),
+            F.max_by("last_value", "last_eid").alias("last_value"),
+        )
+    )
+    return daily.select("bucket_d", "n_points", "sum_value", "last_value").orderBy("bucket_d")
+
+
 def minute_corr_join(
     events: DataFrame,
     customer: DataFrame,
