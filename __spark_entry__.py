@@ -228,6 +228,24 @@ def _q_pricing_summary(spark, sf):
     return relational.pricing_summary(load_table(spark, sf, "lineitem"))
 
 
+def _q_customer_rollup(spark, sf):
+    return relational.customer_rollup(
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def _q_parts_by_brand(spark, sf):
+    return relational.parts_by_brand(load_table(spark, sf, "part"))
+
+
+def _q_top_supplier_per_nation(spark, sf):
+    return relational.top_supplier_per_nation(
+        load_table(spark, sf, "supplier"), load_table(spark, sf, "nation")
+    )
+
+
 def _q_cache_hit_ratio(spark, sf):
     return relational.cache_hit_ratio(load_table(spark, sf, "lineitem"))
 
@@ -411,6 +429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
+        "customer_rollup": _q_customer_rollup,
+        "parts_by_brand": _q_parts_by_brand,
+        "top_supplier_per_nation": _q_top_supplier_per_nation,
         "cache_hit_ratio": _q_cache_hit_ratio,
         "priority_bands": _q_priority_bands,
         "net_price_ratio": _q_net_price_ratio,
@@ -750,6 +771,32 @@ def oracle_sql() -> dict[str, str]:
           AND r_name = 'ASIA'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name ASC
+    """
+
+    sql["customer_rollup"] = """
+        SELECT r_name, n_name, count(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """
+
+    sql["parts_by_brand"] = """
+        SELECT p_brand, count(*) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_retail,
+               max(p_size) AS max_size
+        FROM part WHERE p_type LIKE '%AR%'
+        GROUP BY p_brand ORDER BY p_brand
+    """
+
+    sql["top_supplier_per_nation"] = """
+        SELECT n_name, s_suppkey, s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        QUALIFY row_number() OVER (PARTITION BY s_nationkey
+                                   ORDER BY s_acctbal DESC, s_suppkey ASC) = 1
+        ORDER BY n_name
     """
 
     sql["cache_hit_ratio"] = """

@@ -255,6 +255,56 @@ def table_catalog(tables: dict[str, DataFrame]) -> DataFrame:
     return out.orderBy("table_name")
 
 
+def customer_rollup(customer: DataFrame, nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (region → nation → grand total)
+    — the OLAP subtotal shape. One pass computes every level; the
+    engine expands grouping sets without re-scanning (contrast: the
+    reference would issue one query per level). Account balances sum
+    in exact decimal."""
+    joined = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+def parts_by_brand(part: DataFrame) -> DataFrame:
+    """LIKE-filtered keyed aggregation on the parts catalog (P7/P8 on
+    a second table): brand-level stats for one product family."""
+    return (
+        part.filter(F.col("p_type").like("%AR%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_retail"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def top_supplier_per_nation(supplier: DataFrame, nation: DataFrame) -> DataFrame:
+    """Top-1-per-group on a second table (W2 generalized): richest
+    supplier per nation via row_number, deterministic tiebreak."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        supplier.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_suppkey", "s_name", "s_acctbal")
+        .orderBy("n_name")
+    )
+
+
 def priority_bands(orders: DataFrame) -> DataFrame:
     """CASE WHEN classification (F10, views.py:553-559;
     db_helpers.py:29-33): priority → severity rank, totalprice → band,
