@@ -513,8 +513,8 @@ def oracle_sql() -> dict[str, str]:
     sql["threshold_flags"] = """
         SELECT event_id, user_id, value,
                value < 95 AS cpu_status, value < 90 AS ram_status,
-               value > 85 AS cache_status, value < 10 AS load1_status,
-               value < 15 AS load5_status
+               value > 85 AS cache_status, value < 90 AS disk_status,
+               value < 10 AS load1_status, value < 15 AS load5_status
         FROM events
     """
 

@@ -25,6 +25,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+_TS_US = "unix_micros(cast(ts as timestamp))"
+
+
+def _minute_bucket(col_name: str) -> Column:
+    """Exact integer minute bucket of a timestamp column, by name.
+
+    Integer ``div`` truncates toward zero — empirically identical to
+    DuckDB's integer ``//`` and its ns→µs timestamp conversion on BOTH
+    signs (see tests/test_dialect.py negative-epoch parity test), so
+    bucket math is cross-engine exact for pre-1970 data too."""
+    return F.expr(f"unix_micros(cast({col_name} as timestamp)) div 60000000")
+
 MICROS_PER_MIN = 60_000_000
 MICROS_PER_HOUR = 3_600_000_000
 
@@ -125,6 +137,7 @@ def threshold_flags(events: DataFrame) -> DataFrame:
         (v < 95).alias("cpu_status"),
         (v < 90).alias("ram_status"),
         (v > 85).alias("cache_status"),
+        (v < 90).alias("disk_status"),
         (v < 10).alias("load1_status"),
         (v < 15).alias("load5_status"),
     )
@@ -142,7 +155,7 @@ def downsample_5min(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
     """
     bucket_us = bucket_seconds * 1_000_000
     return (
-        events.withColumn("bucket_s", F.expr(f"unix_micros(cast(ts as timestamp)) div {bucket_us}") * bucket_seconds)
+        events.withColumn("bucket_s", F.expr(f"{_TS_US} div {bucket_us}") * bucket_seconds)
         .groupBy("bucket_s")
         .agg(
             F.count("*").alias("n_points"),
@@ -166,7 +179,7 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
     bit-identical to aggregating raw events directly (the oracle does
     exactly that)."""
     five_min = (
-        events.withColumn("bucket_s", F.expr("unix_micros(cast(ts as timestamp)) div 300000000") * 300)
+        events.withColumn("bucket_s", F.expr(f"{_TS_US} div 300000000") * 300)
         .groupBy("bucket_s")
         .agg(
             F.count("*").alias("n_points"),
@@ -210,14 +223,13 @@ def minute_corr_join(
     equi-join (SURVEY §7: prefer date_trunc semantics over string
     equality) plus a dimension hop, with the dimension broadcast.
     """
-    minute = lambda c: F.expr("unix_micros(cast(ts as timestamp)) div 60000000")  # noqa: E731
     a = events.filter(F.col("event_type") == left_type).select(
-        minute(F.col("ts")).alias("minute_b"),
+        _minute_bucket("ts").alias("minute_b"),
         F.col("event_id").alias("a_event_id"),
         F.col("user_id").alias("a_user_id"),
     )
     b = events.filter(F.col("event_type") == right_type).select(
-        minute(F.col("ts")).alias("minute_b"),
+        _minute_bucket("ts").alias("minute_b"),
         F.col("event_id").alias("b_event_id"),
     )
     return (

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 
 def upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -32,8 +34,28 @@ def upsert(target: DataFrame, updates: DataFrame, key_cols: list[str]) -> DataFr
 
 def insert_ignore(target: DataFrame, inserts: DataFrame, key_cols: list[str]) -> DataFrame:
     """M1 ``INSERT … ON CONFLICT DO NOTHING`` (views.py:33-44,
-    apps.py:7-11): only rows whose key is absent are appended."""
-    new_rows = inserts.join(target.select(*key_cols), key_cols, "left_anti")
+    apps.py:7-11): only rows whose key is absent are appended.
+
+    PG keeps exactly one row per conflicting key even when the incoming
+    batch itself repeats a key, so the batch is deduplicated on
+    `key_cols` first — with a deterministic pick (row_number over the
+    orderable non-key columns) rather than dropDuplicates, whose
+    survivor depends on partitioning."""
+    orderable = [
+        f.name
+        for f in inserts.schema.fields
+        if f.name not in key_cols and not isinstance(f.dataType, (T.MapType, T.ArrayType, T.StructType))
+    ]
+    if orderable:
+        w = Window.partitionBy(*key_cols).orderBy(*[F.col(c) for c in orderable])
+        deduped = (
+            inserts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        deduped = inserts.dropDuplicates(key_cols)
+    new_rows = deduped.join(target.select(*key_cols), key_cols, "left_anti")
     return target.unionByName(new_rows)
 
 

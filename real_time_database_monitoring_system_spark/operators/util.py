@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition to the session's default parallelism before
     CPU-heavy per-row work (shingling, hashing, scoring). The test

@@ -46,3 +46,29 @@ def test_age_micros(spark):
         "CAST('2024-01-01 00:00:00' AS TIMESTAMP_NTZ) AS b"
     )
     assert df.select(pg_dialect.age_micros("a", "b").alias("d")).first().d == 3_600_000_000
+
+
+def test_negative_epoch_bucket_parity_with_duckdb(spark):
+    """Cross-engine determinism for pre-1970 timestamps.
+
+    Both Spark's integer ``div`` and DuckDB's integer ``//`` truncate
+    toward zero (and DuckDB's ns→µs timestamp conversion truncates the
+    same way), so the engine's bucket arithmetic is exact on both sides
+    of the epoch. Guards the determinism contract the oracles rely on —
+    verified empirically here rather than assumed.
+    """
+    import duckdb
+
+    micros = [-1, -299_999_999_999, -300_000_000_001, -300_000_000_000, 1_000_000]
+    df = spark.createDataFrame([(us,) for us in micros], "us long")
+    got = sorted(
+        r.b for r in df.selectExpr("(us div 300000000) * 300 AS b").collect()
+    )
+    want = sorted(
+        r[0]
+        for r in duckdb.sql(
+            "SELECT (us // 300000000) * 300 FROM (VALUES (-1), (-299999999999),"
+            " (-300000000001), (-300000000000), (1000000)) t(us)"
+        ).fetchall()
+    )
+    assert got == want

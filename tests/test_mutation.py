@@ -28,6 +28,22 @@ def test_insert_ignore_skips_existing_keys(spark):
     assert by_id[4].username == "dan"  # new row inserted
 
 
+def test_insert_ignore_dedups_batch_internal_conflicts(spark):
+    # PG INSERT .. ON CONFLICT DO NOTHING keeps ONE row per key even
+    # when the incoming batch repeats a key; the deterministic pick is
+    # the row_number()==1 row over the orderable non-key columns.
+    users = _users(spark)
+    inserts = spark.createDataFrame(
+        [(4, "dan", "User"), (4, "dan2", "Admin"), (4, "aaron", "User")],
+        "id long, username string, role string",
+    )
+    out = mutation.insert_ignore(users, inserts, ["id"]).collect()
+    assert len(out) == 4  # exactly one id=4 row appended
+    row4 = [r for r in out if r.id == 4]
+    assert len(row4) == 1
+    assert row4[0].username == "aaron"  # min over (username, role) ordering
+
+
 def test_upsert_last_writer_wins(spark):
     users = _users(spark)
     updates = spark.createDataFrame([(2, "bob", "Admin")], "id long, username string, role string")
