@@ -72,6 +72,43 @@ def test_simhash_identical_docs_distance_zero(spark, sf_dir):
     assert any(r.doc_a == 0 and r.doc_b == 100000 and r.hamming == 0 for r in pairs)
 
 
+def test_simhash_banding_equals_allpairs(spark, sf_dir):
+    """Pigeonhole-banded candidate generation must be recall-complete:
+    the banded equi-join output is IDENTICAL to the quadratic all-pairs
+    formulation for every r (hamming <= r implies an exact match on at
+    least one of the r+1 bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.simhash_64(docs).join(docs.select("doc_id", "source"), "doc_id")
+    a = sh.select("source", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sh.select("source", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    for r in (0, 3, 6):
+        brute = sorted(
+            (row.source, row.doc_a, row.doc_b, row.hamming)
+            for row in a.join(b, "source")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select(
+                "source", "doc_a", "doc_b",
+                F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= r)
+            .collect()
+        )
+        banded = sorted(
+            (row.source, row.doc_a, row.doc_b, row.hamming)
+            for row in dedup.simhash_pairs(docs, max_hamming=r).collect()
+        )
+        assert banded == brute, f"banding lost/invented pairs at r={r}"
+
+
+def test_simhash_plan_has_no_allpairs_join(spark, sf_dir):
+    """The physical plan must be a hash/merge equi-join on the band
+    key, not a nested-loop/cartesian within source blocks."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = dedup.simhash_pairs(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {(r.q_id, r.vec_id) for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()}
