@@ -968,16 +968,47 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY q_id, rn
     """
 
-    sql["embedding_near_dups"] = """
-        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings)
-        SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round(list_dot_product(a.vec, b.vec)
-                     / (sqrt(list_dot_product(a.vec, a.vec))
-                        * sqrt(list_dot_product(b.vec, b.vec))), 9) AS cos_sim
-        FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE round(list_dot_product(a.vec, b.vec)
-                    / (sqrt(list_dot_product(a.vec, a.vec))
-                       * sqrt(list_dot_product(b.vec, b.vec))), 9) >= 0.9
+    # LSH-banded near-dup twin: the SAME deterministic ±1 hyperplanes as
+    # similarity.embedding_near_dup_pairs (generated from one source of
+    # truth), so Spark and DuckDB compute identical candidate sets and
+    # the check is hash-exact despite the approximate candidate step.
+    _nb, _nbits = similarity.NEAR_DUP_BANDS, similarity.NEAR_DUP_BITS
+    _planes = similarity.rademacher_planes(_nb * _nbits)
+
+    def _plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in p) + "]"
+
+    _band_defs = []
+    for _j in range(_nb):
+        _terms = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {_plane_lit(_planes[_j * _nbits + _i]) }) >= 0"
+            f" THEN {1 << _i} ELSE 0 END)"
+            for _i in range(_nbits)
+        )
+        _band_defs.append(f"({_terms}) AS b{_j}")
+    _banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, label, {_j} AS band_id, b{_j} AS band_val FROM sig"
+        for _j in range(_nb)
+    )
+    sql["embedding_near_dups"] = f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        sig AS (SELECT vec_id, label, vec, {", ".join(_band_defs)} FROM emb),
+        banded AS ({_banded_union}),
+        cand AS (
+            SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a
+            JOIN banded b ON a.label = b.label AND a.band_id = b.band_id
+                         AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+        SELECT c.label, c.vec_a, c.vec_b,
+               round(list_dot_product(x.vec, y.vec)
+                     / (sqrt(list_dot_product(x.vec, x.vec))
+                        * sqrt(list_dot_product(y.vec, y.vec))), 9) AS cos_sim
+        FROM cand c
+        JOIN emb x ON c.vec_a = x.vec_id
+        JOIN emb y ON c.vec_b = y.vec_id
+        WHERE round(list_dot_product(x.vec, y.vec)
+                    / (sqrt(list_dot_product(x.vec, x.vec))
+                       * sqrt(list_dot_product(y.vec, y.vec))), 9) >= 0.9
         ORDER BY vec_a, vec_b
     """
 

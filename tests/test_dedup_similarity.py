@@ -109,6 +109,39 @@ def test_simhash_plan_has_no_allpairs_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_near_dup_recall_and_plan(spark, sf_dir):
+    """The banded near-dup pairs must (a) be a subset of the exact
+    per-label pairs, (b) recover ≥90% of them (8 bands × 6 bits at
+    cos ≥ 0.9 gives ≥98% expected recall), and (c) not contain an
+    all-pairs product in the physical plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = emb_d.select("label", F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb_d.select("label", F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, "label")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(similarity.cosine(F.col("va"), F.col("vb")), 9).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .collect()
+    }
+    df = similarity.embedding_near_dup_pairs(emb, threshold=0.9)
+    banded = {(r.vec_a, r.vec_b) for r in df.collect()}
+    assert banded <= exact, "banding invented pairs"
+    if exact:
+        recall = len(banded) / len(exact)
+        assert recall >= 0.9, f"near-dup recall too low: {recall}"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     exact = {(r.q_id, r.vec_id) for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()}
