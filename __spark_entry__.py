@@ -931,6 +931,9 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 ORDER BY keeper_doc_id
     """
 
+    # mirrors dedup._kept_inverted: stop shingles (df > max(2,
+    # floor(0.5 * block_size))) are dropped from intersections AND set
+    # sizes before the co-occurrence join, exactly as in Spark.
     sql["ngram_jaccard_pairs"] = f"""
         WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
         sh AS (
@@ -938,16 +941,27 @@ def oracle_sql() -> dict[str, str]:
                    list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
                                   for i in range(1, len(toks) - 1)]) AS shingles
             FROM t WHERE len(toks) >= 3),
-        pairs AS (
-            SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   CAST(len(list_filter(a.shingles, x -> list_contains(b.shingles, x))) AS INTEGER) AS n_inter,
-                   CAST(len(a.shingles) AS INTEGER) AS n_a,
-                   CAST(len(b.shingles) AS INTEGER) AS n_b
-            FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
-        SELECT source, doc_a, doc_b,
-               CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) AS jaccard
-        FROM pairs
-        WHERE CAST(n_inter AS DOUBLE) / CAST(n_a + n_b - n_inter AS DOUBLE) >= 0.05
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        blk AS (SELECT source, count(*) AS n_docs FROM sh GROUP BY source),
+        dfc AS (SELECT source, s, count(*) AS df FROM ex GROUP BY source, s),
+        kept AS (
+            SELECT ex.doc_id, ex.source, ex.s
+            FROM ex
+            JOIN dfc ON ex.source = dfc.source AND ex.s = dfc.s
+            JOIN blk ON ex.source = blk.source
+            WHERE dfc.df <= greatest(2, CAST(floor(0.5 * blk.n_docs) AS BIGINT))),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        co AS (
+            SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM kept a JOIN kept b
+              ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3)
+        SELECT co.source, doc_a, doc_b,
+               CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+        FROM co
+        JOIN sizes sa ON co.doc_a = sa.doc_id
+        JOIN sizes sb ON co.doc_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.05
         ORDER BY doc_a, doc_b
     """
 

@@ -72,6 +72,27 @@ def test_simhash_identical_docs_distance_zero(spark, sf_dir):
     assert any(r.doc_a == 0 and r.doc_b == 100000 and r.hamming == 0 for r in pairs)
 
 
+def test_stop_shingle_cutoff_bounds_inverted_lists(spark):
+    """A boilerplate shingle shared by a whole block must be dropped
+    before the co-occurrence self-join (it would make that inverted
+    list quadratic), while genuinely duplicated docs stay discoverable."""
+    boiler = "terms of service apply to all pages"
+    docs = spark.createDataFrame(
+        [(i, f"{boiler} unique tail {i} alpha beta gamma {i}", "en", "s0", 50) for i in range(10)]
+        + [(100, f"{boiler} copied body text here", "en", "s0", 50),
+           (101, f"{boiler} copied body text here", "en", "s0", 50)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = dedup._kept_inverted(docs, shingle_k=3, max_df_frac=0.5)
+    # block has 12 docs -> cutoff = max(2, 6): the boilerplate shingles
+    # (df=12) are gone; no surviving inverted list exceeds the cutoff
+    max_list = kept.groupBy("source", "sh_h").count().agg(F.max("count")).first()[0]
+    assert max_list <= 6
+    # the planted exact-duplicate pair still surfaces with jaccard 1.0
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs.get((100, 101)) == 1.0
+
+
 def test_simhash_banding_equals_allpairs(spark, sf_dir):
     """Pigeonhole-banded candidate generation must be recall-complete:
     the banded equi-join output is IDENTICAL to the quadratic all-pairs
