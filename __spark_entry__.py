@@ -142,6 +142,15 @@ def _q_paginate_page2(spark, sf):
     return monitoring.paginate(base, ["event_id"], page=2, page_size=10)
 
 
+def _q_engine_info(spark, sf):
+    return monitoring.engine_info(load_table(spark, sf, "events"))
+
+
+def _q_paginate_keyset(spark, sf):
+    base = load_table(spark, sf, "events").select("event_id", "ts", "user_id", "value")
+    return monitoring.paginate_keyset(base, ["event_id"], after=(9,), page_size=10)
+
+
 def _q_substring_search(spark, sf):
     docs = load_table(spark, sf, "documents")
     return monitoring.substring_search(docs, ["text"], "spark merge").select(
@@ -386,6 +395,10 @@ def _q_streaming_alerts(spark, sf):
     return streaming_rollup.stream_alerts(spark, sf)
 
 
+def _q_streaming_sessions(spark, sf):
+    return streaming_rollup.stream_sessions(spark, sf)
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -414,6 +427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_filter": _q_retention_filter,
         "drilldown_grid": _q_drilldown_grid,
         "paginate_page2": _q_paginate_page2,
+        "paginate_keyset": _q_paginate_keyset,
+        "engine_info": _q_engine_info,
         "substring_search": _q_substring_search,
         "props_histogram": _q_props_histogram,
         "topk_events": _q_topk_events,
@@ -460,6 +475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rollup_5min": _q_streaming_rollup,
         "streaming_alerts": _q_streaming_alerts,
         "streaming_stateful_tracker": _q_streaming_stateful,
+        "streaming_sessions": _q_streaming_sessions,
     }
 
 
@@ -645,6 +661,19 @@ def oracle_sql() -> dict[str, str]:
     sql["paginate_page2"] = """
         SELECT event_id, ts, user_id, value FROM events
         QUALIFY row_number() OVER (ORDER BY event_id) BETWEEN 11 AND 20
+    """
+
+    sql["engine_info"] = f"""
+        SELECT '{monitoring.ENGINE_NAME}' AS engine,
+               '{monitoring.ENGINE_VERSION}' AS version,
+               max(epoch_us(ts)) AS as_of_us,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS uptime_us
+        FROM events
+    """
+
+    sql["paginate_keyset"] = """
+        SELECT event_id, ts, user_id, value FROM events
+        WHERE event_id > 9 ORDER BY event_id LIMIT 10
     """
 
     sql["substring_search"] = """
@@ -1071,6 +1100,29 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_alerts"] = """
         SELECT event_id, ts, user_id, event_type, value
         FROM events WHERE value > 99.0 ORDER BY event_id
+    """
+
+    # session windows must equal the batch sessionizer, aggregated to
+    # (user, session) grain — same CTE as `sessionize`, no session_no
+    # (streaming windows carry no ordinal)
+    sql["streaming_sessions"] = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+            SELECT user_id, event_id, ts,
+                   CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_no
+            FROM flagged)
+        SELECT user_id, min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+               count(*) AS n_events,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        FROM numbered GROUP BY user_id, session_no
+        ORDER BY user_id, start_us
     """
 
     # the stateful tracker's final state must equal the batch aggregate

@@ -136,3 +136,34 @@ def size_pretty(nbytes: Column, decimals: int = 1) -> Column:
             F.concat(F.round(col / F.lit(scale), decimals).cast("string"), F.lit(" " + unit)),
         ).otherwise(expr)
     return expr
+
+
+def interval_pretty(us: Column) -> Column:
+    """PG-style rendering of an integer-µs interval for display parity
+    with the reference's interval columns (views.py:402,414 show
+    ``now() - query_start`` to users as e.g. ``1 day 02:03:04``).
+
+    ``0 days`` is omitted, ``1 day`` is singular, larger counts plural —
+    matching PG's interval output; sub-second precision is dropped
+    (the reference's panels show whole seconds). Negative intervals
+    render as ``-`` plus the absolute value. Display-only by design:
+    engine-internal interval math stays integer µs (SURVEY §7), so this
+    never appears in oracle-checked outputs.
+    """
+    v = us.cast("bigint")
+    a = F.abs(v)
+    days = F.floor(a / F.lit(86_400_000_000)).cast("bigint")
+    rem = a % F.lit(86_400_000_000)
+    hms = F.format_string(
+        "%02d:%02d:%02d",
+        F.floor(rem / F.lit(3_600_000_000)).cast("bigint"),
+        F.floor(rem % F.lit(3_600_000_000) / F.lit(60_000_000)).cast("bigint"),
+        F.floor(rem % F.lit(60_000_000) / F.lit(1_000_000)).cast("bigint"),
+    )
+    day_part = (
+        F.when(days == 0, F.lit(""))
+        .when(days == 1, F.lit("1 day "))
+        .otherwise(F.concat(days.cast("string"), F.lit(" days ")))
+    )
+    sign = F.when(v < 0, F.lit("-")).otherwise(F.lit(""))
+    return F.concat(sign, day_part, hms)

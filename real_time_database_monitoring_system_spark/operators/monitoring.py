@@ -345,6 +345,30 @@ def paginate(df: DataFrame, order_cols: list[str], page: int, page_size: int = 1
     )
 
 
+def paginate_keyset(
+    df: DataFrame, key_cols: list[str], after: tuple | None, page_size: int = 10
+) -> DataFrame:
+    """Key-set pagination — the scale path for O5 and the default for
+    any feed bigger than a screenful.
+
+    ``WHERE key > last_seen ORDER BY key LIMIT n``: the lexicographic
+    predicate on the (unique) key tuple pushes into the scan and the
+    LIMIT becomes TakeOrderedAndProject, so each page is a bounded
+    partial top-k — no global row_number sort like offset pagination
+    (`paginate`), whose window is a single-task total order. `after` is
+    the last key tuple of the previous page (None = first page).
+    """
+    out = df
+    if after is not None:
+        # lexicographic (k1, k2, ...) > (a1, a2, ...) without tuple
+        # comparison: k1 > a1 OR (k1 = a1 AND (k2 > a2 OR ...))
+        pred = F.lit(False)
+        for col, val in reversed(list(zip(key_cols, after))):
+            pred = (F.col(col) > F.lit(val)) | ((F.col(col) == F.lit(val)) & pred)
+        out = out.filter(pred)
+    return out.orderBy(*key_cols).limit(page_size)
+
+
 def substring_search(df: DataFrame, cols: list[str], term: str) -> DataFrame:
     """Case-insensitive any-column substring filter (P12, the JS search
     box, ``cpu_usage_grid.html:201-214``): lower(concat_ws(' ', cols))
@@ -535,4 +559,27 @@ def props_key_histogram(events: DataFrame) -> DataFrame:
         .groupBy("k")
         .agg(F.count("*").alias("n"))
         .orderBy("k")
+    )
+
+
+ENGINE_NAME = "real_time_database_monitoring_system_spark"
+ENGINE_VERSION = "2.0"
+
+
+def engine_info(events: DataFrame) -> DataFrame:
+    """Engine metadata panel — the S4 function-call sources the
+    reference surfaces via ``SELECT version()`` (views.py:579-582) and
+    uptime via ``now() - pg_postmaster_start_time()`` (views.py:538-541).
+
+    Version is an engine constant; "now" is the snapshot instant (max
+    event time, as everywhere in this engine) and "start" the minimum —
+    one column-pruned min/max aggregate, no driver collect.
+    """
+    return events.agg(
+        F.min(_us("ts")).alias("started_us"), F.max(_us("ts")).alias("as_of_us")
+    ).select(
+        F.lit(ENGINE_NAME).alias("engine"),
+        F.lit(ENGINE_VERSION).alias("version"),
+        "as_of_us",
+        (F.col("as_of_us") - F.col("started_us")).alias("uptime_us"),
     )

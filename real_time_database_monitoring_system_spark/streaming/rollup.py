@@ -145,3 +145,31 @@ def stream_alerts(spark: SparkSession, sf_dir: str, threshold: float = 99.0) -> 
         "event_id", "ts", "user_id", "event_type", "value"
     )
     return _run_to_memory(alerts, "append").orderBy("event_id")
+
+
+def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Session-window aggregation — the streaming twin of
+    `operators.monitoring.sessionize` (same 30-minute inactivity gap).
+
+    ``F.session_window`` merges events per user into dynamic windows
+    that close after `gap` of silence — the stateful-streaming
+    restatement of the batch lag/cumsum sessionizer. Spark reports the
+    window end as ``last_event + gap``, so the gap is subtracted to
+    match the batch twin's ``end_us = max(event ts)``. Complete mode on
+    the replayed finite feed (production uses a watermark + append, at
+    the price of withholding trailing sessions — see
+    `stream_rollup_watermarked` for that shape)."""
+    src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    gap_us = gap_minutes * 60 * 1_000_000
+    sess = (
+        src.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(cast(w.start as timestamp))").alias("start_us"),
+            (F.expr("unix_micros(cast(w.end as timestamp))") - F.lit(gap_us)).alias("end_us"),
+            "n_events",
+        )
+        .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
+    )
+    return _run_to_memory(sess, "complete").orderBy("user_id", "start_us")

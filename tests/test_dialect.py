@@ -72,3 +72,21 @@ def test_negative_epoch_bucket_parity_with_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_interval_pretty_pg_fixtures(spark):
+    """Fixture strings follow PG's interval rendering: day part omitted
+    at 0, singular at 1, plural above; zero-padded HH:MM:SS."""
+    cases = [
+        (0, "00:00:00"),
+        (3_661_000_000, "01:01:01"),
+        (86_400_000_000, "1 day 00:00:00"),
+        (93_784_000_000, "1 day 02:03:04"),
+        (172_801_000_000, "2 days 00:00:01"),
+        (-3_661_000_000, "-01:01:01"),
+        (59_999_999, "00:00:59"),
+    ]
+    df = spark.createDataFrame([(us,) for us, _ in cases], "us long")
+    got = [r.p for r in df.select(pg_dialect.interval_pretty(F.col("us")).alias("p")).orderBy("us").collect()]
+    want = [p for _, p in sorted(cases)]
+    assert got == want

@@ -72,3 +72,21 @@ def test_codegen_covers_agg_pipeline(spark, sf_dir):
         assert checks.wholestage_codegen_spans(df) >= 1
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_paginate_keyset_plan(spark, sf_dir):
+    """Key-set pagination must be a pushed-filter scan + bounded top-k —
+    no global row_number window like offset pagination."""
+    base = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    df = monitoring.paginate_keyset(base, ["event_id"], after=(9,), page_size=10)
+    plan = checks.explain_str(df)
+    assert checks.has_take_ordered(df), "LIMIT after ORDER BY must plan TakeOrderedAndProject"
+    assert "Window" not in plan, "keyset pagination must not use a global window"
+    assert "GreaterThan(event_id,9)" in plan, "key predicate must push into the parquet scan"
+
+
+def test_paginate_keyset_matches_offset_pagination(spark, sf_dir):
+    base = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    offset = monitoring.paginate(base, ["event_id"], page=2, page_size=10).collect()
+    keyset = monitoring.paginate_keyset(base, ["event_id"], after=(9,), page_size=10).collect()
+    assert sorted(r.event_id for r in offset) == sorted(r.event_id for r in keyset)

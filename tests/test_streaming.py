@@ -97,3 +97,18 @@ def test_foreachbatch_alert_sink(spark, sf_dir):
         assert "batch_id" in sunk.columns
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_sessions_equals_batch_sessionize(spark, sf_dir):
+    """Session windows (stateful streaming) must produce exactly the
+    sessions the batch lag/cumsum sessionizer finds: same (user, start,
+    end, count) tuples, including the gap-subtraction on window end."""
+    batch = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in monitoring.sessionize(load_table(spark, sf_dir, "events")).collect()
+    }
+    stream = {
+        (r.user_id, r.start_us, r.end_us, r.n_events)
+        for r in sr.stream_sessions(spark, sf_dir).collect()
+    }
+    assert stream == batch
