@@ -39,6 +39,13 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "knn_bruteforce",
+    # round-2 breadth: newest operators, so regressions stay visible
+    "asof_join",
+    "rollup_cascade",
+    "customer_rollup",
+    "embedding_near_dups",
+    "simhash_pairs",
+    "paginate_keyset",
 ]
 
 
