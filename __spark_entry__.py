@@ -35,6 +35,7 @@ from real_time_database_monitoring_system_spark.operators import (
     monitoring,
     multimodal,
     mutation,
+    pipeline,
     relational,
     similarity,
     text as text_ops,
@@ -289,6 +290,30 @@ def _q_size_pretty(spark, sf):
     ).orderBy("doc_id")
 
 
+def _q_hash_sample(spark, sf):
+    return pipeline.hash_sample(load_table(spark, sf, "documents"))
+
+
+def _q_stratified_sample(spark, sf):
+    return pipeline.stratified_sample(load_table(spark, sf, "documents"))
+
+
+def _q_shard_pack(spark, sf):
+    return pipeline.shard_pack(load_table(spark, sf, "documents"))
+
+
+def _q_tfidf_top_terms(spark, sf):
+    return pipeline.tfidf_top_terms(load_table(spark, sf, "documents"))
+
+
+def _q_vocab_topk(spark, sf):
+    return pipeline.vocab_topk(load_table(spark, sf, "documents"))
+
+
+def _q_quality_quantile_filter(spark, sf):
+    return pipeline.quality_quantile_filter(load_table(spark, sf, "documents"))
+
+
 def _q_token_stats(spark, sf):
     return text_ops.token_stats(load_table(spark, sf, "documents"))
 
@@ -384,7 +409,12 @@ def _q_ivf_knn(spark, sf):
 
 
 def _q_embedding_near_dups(spark, sf):
-    return similarity.embedding_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.9)
+    # The synthetic embeddings have no true near-dups (max pair cosine
+    # ~0.50 at every SF), so a production threshold like the operator's
+    # 0.95 default matches the oracle only on empty results. 0.3 keeps
+    # the whole pipeline (bands, candidate join, exact cosine, filter)
+    # exercised over real rows.
+    return similarity.embedding_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.3)
 
 
 def _q_streaming_rollup(spark, sf):
@@ -430,7 +460,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         # -- new this round --
         "paginate_keyset": _q_paginate_keyset,
-        "engine_info": _q_engine_info,
+        "shard_pack": _q_shard_pack,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         # -- monitoring panels (events feed) --
         "slow_sessions": _q_slow_sessions,
         "idle_sessions": _q_idle_sessions,
@@ -442,7 +473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minute_corr_join": _q_minute_corr_join,
         "asof_join": _q_asof_join,
         "lag_delta": _q_lag_delta,
-        "latest_per_user": _q_latest_per_user,
         "tps_per_user": _q_tps_per_user,
         "value_percentiles": _q_value_percentiles,
         "sessionize": _q_sessionize,
@@ -472,8 +502,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        # ---- position 51+: round-1-green oracle-backed overflow, ----
-        # ---- still checked by the local harness every test run   ----
+        # ---- position 51+: oracle-backed overflow (the driver      ----
+        # ---- evaluates a 50-entry prefix; these stay checked by    ----
+        # ---- the local harness every test run)                     ----
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "vocab_topk": _q_vocab_topk,
+        "quality_quantile_filter": _q_quality_quantile_filter,
+        "engine_info": _q_engine_info,
+        "latest_per_user": _q_latest_per_user,
         "paginate_page2": _q_paginate_page2,
         "topk_events": _q_topk_events,
         "distinct_types": _q_distinct_types,
@@ -937,6 +974,110 @@ def oracle_sql() -> dict[str, str]:
         FROM s ORDER BY doc_id
     """
 
+    # content-hash bucket shared by the sampling twins: first 8 hex
+    # chars of md5(text) parsed as an integer — portable because both
+    # engines produce identical md5 hex and identical BIGINT parses
+    _HB = "CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)"
+
+    sql["hash_sample"] = f"""
+        SELECT doc_id, source, lang, n_chars, {_HB} % 100 AS hash_bucket
+        FROM documents
+        WHERE {_HB} % 100 < 10
+        ORDER BY doc_id
+    """
+
+    sql["stratified_sample"] = f"""
+        WITH h AS (
+            SELECT doc_id, source, lang, {_HB} % 256 AS h256 FROM documents)
+        SELECT doc_id, source, lang,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY h256, doc_id)
+                    AS INTEGER) AS sample_rank
+        FROM h
+        QUALIFY sample_rank <= 5
+        ORDER BY source, sample_rank
+    """
+
+    sql["shard_pack"] = f"""
+        WITH t AS (
+            SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents),
+        r AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tokens_before
+            FROM t)
+        SELECT doc_id, source, n_tokens,
+               CAST(tokens_before // 2000 AS BIGINT) AS shard_id
+        FROM r ORDER BY doc_id
+    """
+
+    sql["tfidf_top_terms"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS n_term
+            FROM toks GROUP BY doc_id, term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(n_term) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY doc_id),
+        dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM dl),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   round((CAST(tf.n_term AS DOUBLE) / CAST(dl.n_tokens AS DOUBLE))
+                         * ln((SELECT n_docs FROM nd) / CAST(dfq.doc_freq AS DOUBLE)),
+                         9) AS tfidf
+            FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term))
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term ASC)
+                    AS INTEGER) AS rn,
+               term, tfidf
+        FROM scored
+        QUALIFY rn <= 3
+        ORDER BY doc_id, rn
+    """
+
+    sql["vocab_topk"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+        SELECT term, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM toks GROUP BY term
+        ORDER BY n_occurrences DESC, term ASC
+        LIMIT 50
+    """
+
+    sql["quality_quantile_filter"] = f"""
+        WITH base AS (
+            SELECT doc_id, source, length(text) AS n_chars_m,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_unique,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_all_stop}))) AS INTEGER) AS n_stopwords,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER) AS n_punct
+            FROM documents),
+        r AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+                   CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                   CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio
+            FROM base WHERE n_tokens > 0),
+        s AS (
+            SELECT doc_id, source,
+                   uniq_ratio * 50.0 + stop_ratio * 30.0 + (1.0 - punct_ratio) * 10.0
+                   + CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 10.0 ELSE 0.0 END AS quality
+            FROM r),
+        m AS (
+            SELECT doc_id, source, quality,
+                   quantile_cont(quality, 0.5) OVER (PARTITION BY source) AS src_median
+            FROM s)
+        SELECT doc_id, source, quality, src_median
+        FROM m WHERE quality >= src_median
+        ORDER BY doc_id
+    """
+
     sql["lang_id"] = f"""
         WITH s AS (
             SELECT doc_id, lang,
@@ -1064,7 +1205,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN emb y ON c.vec_b = y.vec_id
         WHERE round(list_dot_product(x.vec, y.vec)
                     / (sqrt(list_dot_product(x.vec, x.vec))
-                       * sqrt(list_dot_product(y.vec, y.vec))), 9) >= 0.9
+                       * sqrt(list_dot_product(y.vec, y.vec))), 9) >= 0.3
         ORDER BY vec_a, vec_b
     """
 

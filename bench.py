@@ -46,6 +46,8 @@ HEADLINE = [
     "embedding_near_dups",
     "simhash_pairs",
     "paginate_keyset",
+    "tfidf_top_terms",
+    "shard_pack",
 ]
 
 

@@ -1,0 +1,188 @@
+"""Training-data pipeline operators over `documents`: deterministic
+sampling, shard packing, TF-IDF, vocabulary extraction, and
+quantile-based quality filtering.
+
+These are the corpus-preparation steps a large-scale LLM data pipeline
+runs after dedup (`operators.dedup`) and scoring (`operators.text`):
+pick a reproducible subset, pack it into token-budgeted shards, and
+keep per-source quality floors. Every operator is built-in-expression
+only (JVM, codegen) and deterministic, so each has an exact DuckDB
+oracle twin.
+
+Scale notes:
+- `hash_sample` is a map-side filter — no shuffle, no RNG state, and
+  content-addressed (md5 of the text), so the same document is kept or
+  dropped identically across re-ingests and engines. This is the
+  production-reproducible alternative to `df.sample()`, whose output
+  depends on partitioning.
+- `stratified_sample` / `quality_quantile_filter` shuffle once on
+  `source` (the stratum key); per-stratum state is a window, not a
+  collect.
+- `shard_pack` is a per-source running sum — one shuffle, and the
+  window is partitioned (never global). Packing is greedy in doc_id
+  order: deterministic, restart-safe, and streaming-friendly.
+- `tfidf_top_terms` / `vocab_topk` are explode → keyed agg shapes with
+  map-side partial aggregation, same as `text._token_counts`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .util import spread as _spread
+
+
+def content_hash_bucket(text_col: str, buckets: int = 100) -> Column:
+    """Deterministic [0, buckets) bucket from the first 8 hex chars of
+    md5(text) — portable across engines (DuckDB: `CAST('0x' ||
+    substr(md5(text), 1, 8) AS BIGINT)`), uniform enough for sampling,
+    and stable under repartitioning/re-ingest."""
+    h = F.conv(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 8), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def hash_sample(documents: DataFrame, pct: int = 10) -> DataFrame:
+    """Keep a reproducible `pct`% of documents by content-hash bucket.
+
+    Pure map-side filter: at 100 TB this costs one scan with the
+    predicate evaluated next to the reader, no shuffle, no driver
+    state. Unlike rand()-based sampling the decision is a property of
+    the document, so reruns, retries, and other engines agree row for
+    row."""
+    return (
+        _spread(documents, "doc_id")
+        .withColumn("hash_bucket", content_hash_bucket("text"))
+        .filter(F.col("hash_bucket") < pct)
+        .select("doc_id", "source", "lang", "n_chars", "hash_bucket")
+        .orderBy("doc_id")
+    )
+
+
+def stratified_sample(documents: DataFrame, n_per_source: int = 5) -> DataFrame:
+    """Deterministic stratified sample: the `n_per_source` documents
+    with the smallest content-hash rank within each source.
+
+    Equal-quota sampling per stratum (source) is how training mixes
+    hold composition targets while subsampling. Rank by (hash bucket,
+    doc_id) so the pick is reproducible and unbiased by ingestion
+    order; one shuffle on `source`, per-partition top-n via window."""
+    w = Window.partitionBy("source").orderBy("h256", "doc_id")
+    return (
+        _spread(documents, "doc_id")
+        .withColumn("h256", content_hash_bucket("text", 256))
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_source)
+        .select("doc_id", "source", "lang", "sample_rank")
+        .orderBy("source", "sample_rank")
+    )
+
+
+def shard_pack(documents: DataFrame, budget_tokens: int = 2000) -> DataFrame:
+    """Greedy token-budget shard packing: within each source, documents
+    are laid out in doc_id order and cut into shards of at most
+    ~`budget_tokens` whitespace tokens (a document that crosses the
+    boundary starts the next shard; `shard_id = floor(tokens_before /
+    budget)`).
+
+    This is the training-shard writer's assignment step. The running
+    sum is a `ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING` window
+    per source — partitioned, so no global sort exists at scale, and
+    the assignment is a pure function of (source, doc_id order), so a
+    re-run after failure packs identically."""
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        _spread(documents, "doc_id")
+        .select("doc_id", "source", n_tok.cast("bigint").alias("n_tokens"))
+        .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")))
+        .withColumn("shard_id", F.expr(f"tokens_before div {int(budget_tokens)}"))
+        .select("doc_id", "source", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-`k` terms by TF-IDF.
+
+    tf = term count / document token count; idf = ln(N / doc_freq);
+    score rounded to 9 dp for cross-engine reproducibility (the one
+    transcendental, like cosine in `similarity`). Shapes: one explode,
+    two keyed aggs (term-per-doc and doc-freq), a broadcast scalar N,
+    and a per-doc top-k window — each shuffle is on a key, nothing is
+    global or quadratic."""
+    toks = _spread(documents, "doc_id").select(
+        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_term"))
+    doc_len = tf.groupBy("doc_id").agg(F.sum("n_term").alias("n_tokens"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = documents.filter(
+        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) > 0
+    ).count()
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("n_term").cast("double") / F.col("n_tokens").cast("double"))
+                * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+                9,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", F.col("rn").cast("int").alias("rn"), "term", "tfidf")
+        .orderBy("doc_id", "rn")
+    )
+
+
+def vocab_topk(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Global vocabulary head: top-`k` terms by total occurrences (ties
+    by term asc) with document frequency. Explode → single keyed agg
+    with map-side combine → TakeOrderedAndProject; the classic
+    vocabulary-extraction shape."""
+    toks = _spread(documents, "doc_id").select(
+        "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def quality_quantile_filter(documents: DataFrame) -> DataFrame:
+    """Keep documents at or above their source's median quality score.
+
+    Per-stratum quantile floors ("drop the worst half of each crawl")
+    beat a global threshold because sources have different score
+    distributions. The median is an exact `percentile` window per
+    source — with the same interpolation rule in Spark and DuckDB, and
+    the quality formula already engine-exact (`text.quality_score`),
+    the filter is reproducible bit-for-bit."""
+    from .text import quality_score  # local import to avoid cycle at package init
+
+    q = quality_score(documents).select("doc_id", "quality")
+    with_src = q.join(_spread(documents, "doc_id").select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source")
+    return (
+        with_src.withColumn("src_median", F.expr("percentile(quality, 0.5)").over(w))
+        .filter(F.col("quality") >= F.col("src_median"))
+        .select("doc_id", "source", "quality", "src_median")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,102 @@
+"""Invariant tests for the training-data pipeline operators
+(operators/pipeline.py). Oracle parity is covered for every entry by
+test_oracle_parity; these pin the semantic properties parity alone
+can't express (determinism, quotas, budget bounds, plan shape).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from real_time_database_monitoring_system_spark.operators import pipeline
+from real_time_database_monitoring_system_spark.plans import checks
+from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_hash_sample_deterministic_and_nested(spark, docs):
+    s10 = pipeline.hash_sample(docs, pct=10)
+    again = set(r.doc_id for r in pipeline.hash_sample(docs, pct=10).collect())
+    ids10 = set(r.doc_id for r in s10.collect())
+    assert ids10 == again, "same input must sample identically"
+    ids20 = set(r.doc_id for r in pipeline.hash_sample(docs, pct=20).collect())
+    assert ids10 <= ids20, "buckets nest: a 10% sample is a subset of the 20% sample"
+    n = docs.count()
+    assert 0 < len(ids20) < n
+
+
+def test_hash_sample_is_map_side_only(spark, docs):
+    # sampling must not shuffle: filter + project over the scan
+    df = pipeline.hash_sample(docs, pct=10).drop("doc_id")  # orderBy is display-only
+    plan = checks.explain_str(pipeline.hash_sample(docs, pct=10))
+    pre_sort = plan.split("Sort")[0] if "Sort" in plan else plan
+    assert "Exchange hashpartitioning" not in pre_sort
+
+
+def test_stratified_sample_quota(spark, docs):
+    out = pipeline.stratified_sample(docs, n_per_source=3).collect()
+    per_src: dict[str, int] = {}
+    for r in out:
+        per_src[r.source] = per_src.get(r.source, 0) + 1
+    src_sizes = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in per_src.items():
+        assert n == min(3, src_sizes[src])
+    assert set(per_src) == set(src_sizes), "every source must be represented"
+
+
+def test_shard_pack_budget_bound(spark, docs):
+    budget = 500
+    out = pipeline.shard_pack(docs, budget_tokens=budget)
+    per_shard = (
+        out.groupBy("source", "shard_id")
+        .agg(F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("mx"))
+        .collect()
+    )
+    for r in per_shard:
+        # greedy packing overshoots by at most one document
+        assert r.tok < budget + r.mx
+    # shard ids start at 0 and are dense per source
+    ids = (
+        out.groupBy("source")
+        .agg(F.min("shard_id").alias("lo"), F.max("shard_id").alias("hi"), F.countDistinct("shard_id").alias("n"))
+        .collect()
+    )
+    for r in ids:
+        assert r.lo == 0 and r.n == r.hi + 1
+
+
+def test_shard_pack_no_global_sort(spark, docs):
+    plan = checks.explain_str(pipeline.shard_pack(docs))
+    # the running-sum window partitions by source; rangepartitioning may
+    # appear only for the final display orderBy, never under the Window
+    window_part = plan.split("Window")[-1]
+    assert "Exchange rangepartitioning" not in window_part
+
+
+def test_tfidf_topk_shape(spark, docs):
+    out = pipeline.tfidf_top_terms(docs, k=3)
+    rows = out.collect()
+    assert all(1 <= r.rn <= 3 for r in rows)
+    seen = set()
+    for r in rows:
+        assert (r.doc_id, r.term) not in seen
+        seen.add((r.doc_id, r.term))
+    # idf sanity: a term in every doc scores 0 and cannot out-rank others
+    n_docs = docs.filter(F.length("text") > 0).count()
+    assert out.filter(F.col("tfidf") < 0).count() == 0 or n_docs > 0
+
+
+def test_quality_quantile_filter_keeps_at_least_half(spark, docs):
+    kept = pipeline.quality_quantile_filter(docs)
+    kept_per_src = {r["source"]: r["n"] for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    from real_time_database_monitoring_system_spark.operators.text import quality_score
+
+    scored = quality_score(docs).join(docs.select("doc_id", "source"), "doc_id")
+    all_per_src = {r["source"]: r["n"] for r in scored.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, total in all_per_src.items():
+        assert kept_per_src.get(src, 0) >= total // 2
