@@ -122,18 +122,20 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_term"))
     doc_len = tf.groupBy("doc_id").agg(F.sum("n_term").alias("n_tokens"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
-    n_docs = documents.filter(
-        F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) > 0
-    ).count()
+    # corpus size as a broadcast scalar (the repo's injected-scalar
+    # pattern) — not a driver-side .count(), which would be an eager
+    # extra pass over the corpus
+    n_docs = doc_len.agg(F.count("*").cast("double").alias("n_docs"))
     scored = (
         tf.join(doc_len, "doc_id")
         .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             F.round(
                 (F.col("n_term").cast("double") / F.col("n_tokens").cast("double"))
-                * F.log(F.lit(float(n_docs)) / F.col("doc_freq").cast("double")),
+                * F.log(F.col("n_docs") / F.col("doc_freq").cast("double")),
                 9,
             ).alias("tfidf"),
         )
