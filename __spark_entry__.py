@@ -277,6 +277,9 @@ def _q_to_char_formats(spark, sf):
         F.date_format(
             pg_dialect.at_time_zone(F.col("o_orderdate"), "Asia/Kolkata"), "yyyy-MM-dd HH:mm:ss"
         ).alias("ts_ist"),
+        pg_dialect.to_char(F.col("o_orderdate"), "FMDD/FMMM/YYYY").alias("ts_fm"),
+        pg_dialect.to_char(F.col("o_orderdate"), "Q").alias("quarter"),
+        pg_dialect.week_of_year_pg("o_orderdate").alias("week_pg"),
     ).orderBy("o_orderkey")
 
 
@@ -425,6 +428,10 @@ def _q_streaming_alerts(spark, sf):
     return streaming_rollup.stream_alerts(spark, sf)
 
 
+def _q_streaming_dedup(spark, sf):
+    return streaming_rollup.stream_dedup(spark, sf)
+
+
 def _q_streaming_sessions(spark, sf):
     return streaming_rollup.stream_sessions(spark, sf)
 
@@ -507,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- the local harness every test run)                     ----
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "streaming_dedup": _q_streaming_dedup,
         "vocab_topk": _q_vocab_topk,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "engine_info": _q_engine_info,
@@ -914,7 +922,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey,
                strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_iso,
                strftime(o_orderdate, '%d/%m/%Y %H:%M') AS ts_eu,
-               strftime(o_orderdate + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS ts_ist
+               strftime(o_orderdate + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M:%S') AS ts_ist,
+               strftime(o_orderdate, '%-d/%-m/%Y') AS ts_fm,
+               CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+               CAST((dayofyear(o_orderdate) - 1) // 7 + 1 AS INTEGER) AS week_pg
         FROM orders ORDER BY o_orderkey
     """
 
@@ -1254,6 +1265,12 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_alerts"] = """
         SELECT event_id, ts, user_id, event_type, value
         FROM events WHERE value > 99.0 ORDER BY event_id
+    """
+
+    # the doubled replay deduped on event_id is exactly the original feed
+    sql["streaming_dedup"] = """
+        SELECT event_id, ts, user_id, event_type, value
+        FROM events ORDER BY event_id
     """
 
     # session windows must equal the batch sessionizer, aggregated to

@@ -39,10 +39,31 @@ _PG_TO_JAVA = sorted(
         ("AM", "a"),
         ("PM", "a"),
         ("TZ", "zzz"),
+        ("OF", "x"),
+        ("Q", "Q"),
+        # FM ("fill mode") strips the leading-zero padding of the atom
+        # it prefixes -> the single-letter JVM field
+        ("FMYYYY", "y"),
+        ("FMMM", "M"),
+        ("FMDDD", "D"),
+        ("FMDD", "d"),
+        ("FMHH24", "H"),
+        ("FMHH12", "h"),
+        ("FMHH", "h"),
+        ("FMMI", "m"),
+        ("FMSS", "s"),
     ],
     key=lambda kv: len(kv[0]),
     reverse=True,
 )
+
+# PG atoms with no faithful DateTimeFormatter field: WW/W are PG's
+# day-of-year/day-of-month arithmetic weeks ((doy-1)/7+1), IW is the
+# ISO week (JVM 'w' is locale-week-fields dependent), TZH/TZM are
+# split offset digits. Translating them approximately would silently
+# change values, so `to_char` refuses them; WW is provided as the
+# expression helper `week_of_year_pg` instead.
+_PG_UNSUPPORTED = ["TZH", "TZM", "IW", "WW", "W"]
 
 
 def pg_to_java_pattern(pg_pattern: str) -> str:
@@ -53,12 +74,25 @@ def pg_to_java_pattern(pg_pattern: str) -> str:
     ``YYYY:MM:DD HH24:MI`` — views.py:401,599,797) plus the common rest.
     Greedy longest-match scan; punctuation/whitespace pass through.
     """
+    # one longest-match scan over supported AND unsupported atoms, so
+    # e.g. TZH raises instead of parsing as TZ + literal H
+    candidates = sorted(
+        [(pg, java) for pg, java in _PG_TO_JAVA]
+        + [(bad, None) for bad in _PG_UNSUPPORTED],
+        key=lambda kv: len(kv[0]),
+        reverse=True,
+    )
     out: list[str] = []
     i = 0
     n = len(pg_pattern)
     while i < n:
-        for pg, java in _PG_TO_JAVA:
+        for pg, java in candidates:
             if pg_pattern.startswith(pg, i):
+                if java is None:
+                    raise ValueError(
+                        f"TO_CHAR atom {pg!r} has no faithful JVM formatter field "
+                        f"(pattern {pg_pattern!r}); for WW use pg_dialect.week_of_year_pg"
+                    )
                 out.append(java)
                 i += len(pg)
                 break
@@ -66,6 +100,14 @@ def pg_to_java_pattern(pg_pattern: str) -> str:
             out.append(pg_pattern[i])
             i += 1
     return "".join(out)
+
+
+def week_of_year_pg(ts: Column | str) -> Column:
+    """PG ``TO_CHAR(ts, 'WW')`` semantics as an expression: week 1
+    starts Jan 1, weeks are plain 7-day blocks — ``(doy - 1) / 7 + 1``
+    — unlike the JVM's locale-dependent week-of-year field."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return ((F.dayofyear(c.cast("timestamp")) - 1) / 7 + 1).cast("int")
 
 
 def _ltz(ts: Column | str) -> Column:

@@ -147,6 +147,32 @@ def stream_alerts(spark: SparkSession, sf_dir: str, threshold: float = 99.0) -> 
     return _run_to_memory(alerts, "append").orderBy("event_id")
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str, lateness: str = "10 minutes") -> DataFrame:
+    """Exactly-once ingestion dedup: the feed is replayed TWICE (a
+    union of two file streams — the standard simulation of
+    at-least-once delivery, where a source retry re-sends rows) and
+    `dropDuplicatesWithinWatermark` collapses each event_id back to a
+    single row.
+
+    This is the streaming member of the dedup family
+    (`operators.dedup` covers the batch corpus side): state per key is
+    kept only until the watermark passes its event time, so memory is
+    bounded by the lateness horizon instead of the stream's lifetime —
+    the property that makes dedup feasible on an unbounded 100 TB/day
+    feed, where a batch `dropDuplicates` would need all history.
+    Duplicate rows are byte-identical here, so which copy survives is
+    immaterial and the result is deterministic."""
+    a = _events_stream(spark, sf_dir)
+    b = _events_stream(spark, sf_dir)
+    src = a.unionByName(b).withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (
+        src.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    return _run_to_memory(deduped, "append").orderBy("event_id")
+
+
 def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Session-window aggregation — the streaming twin of
     `operators.monitoring.sessionize` (same 30-minute inactivity gap).

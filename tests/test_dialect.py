@@ -90,3 +90,32 @@ def test_interval_pretty_pg_fixtures(spark):
     got = [r.p for r in df.select(pg_dialect.interval_pretty(F.col("us")).alias("p")).orderBy("us").collect()]
     want = [p for _, p in sorted(cases)]
     assert got == want
+
+
+def test_to_char_fm_quarter_atoms(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.sql(
+        "SELECT timestamp'1996-02-03 04:05:06' AS ts, timestamp'2024-12-31 23:59:59' AS ts2"
+    )
+    row = df.select(
+        pg_dialect.to_char("ts", "FMDD/FMMM/YYYY").alias("fm"),
+        pg_dialect.to_char("ts", "FMHH24:FMMI:FMSS").alias("fmh"),
+        pg_dialect.to_char("ts", "Q").alias("q1"),
+        pg_dialect.to_char("ts2", "Q").alias("q4"),
+        pg_dialect.week_of_year_pg("ts").alias("ww"),
+        pg_dialect.week_of_year_pg("ts2").alias("ww_last"),
+    ).collect()[0]
+    assert row.fm == "3/2/1996"
+    assert row.fmh == "4:5:6"
+    assert (row.q1, row.q4) == ("1", "4")
+    # PG WW: week 1 starts Jan 1, plain 7-day blocks -> Feb 3 = doy 34 -> week 5
+    assert (row.ww, row.ww_last) == (5, 53)
+
+
+def test_to_char_unsupported_atoms_raise(spark):
+    import pytest as _pytest
+
+    for bad in ("WW", "IW", "TZH:TZM"):
+        with _pytest.raises(ValueError):
+            pg_dialect.pg_to_java_pattern(bad)

@@ -3,6 +3,8 @@ alert stream must produce exactly the batch operator's result."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from real_time_database_monitoring_system_spark.operators import monitoring
 from real_time_database_monitoring_system_spark.sources.registry import load_table
 from real_time_database_monitoring_system_spark.streaming import rollup as sr
@@ -112,3 +114,16 @@ def test_stream_sessions_equals_batch_sessionize(spark, sf_dir):
         for r in sr.stream_sessions(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_dedup_collapses_doubled_replay(spark, sf_dir):
+    """The twice-replayed feed deduped within the watermark must be
+    exactly the original feed — at-least-once in, exactly-once out."""
+    out = sr.stream_dedup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    assert out.count() == events.count()
+    assert out.select("event_id").distinct().count() == events.count()
+    # spot-check content equality on a value aggregate
+    a = out.agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s")).collect()[0].s
+    b = events.agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s")).collect()[0].s
+    assert a == b
