@@ -168,22 +168,34 @@ def vocab_topk(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
-def quality_quantile_filter(documents: DataFrame) -> DataFrame:
+def quality_quantile_filter(documents: DataFrame, exact: bool = True) -> DataFrame:
     """Keep documents at or above their source's median quality score.
 
     Per-stratum quantile floors ("drop the worst half of each crawl")
     beat a global threshold because sources have different score
-    distributions. The median is an exact `percentile` window per
-    source — with the same interpolation rule in Spark and DuckDB, and
-    the quality formula already engine-exact (`text.quality_score`),
-    the filter is reproducible bit-for-bit."""
+    distributions. The medians are computed as a small per-source
+    aggregate and broadcast-joined back — not an unframed window, which
+    would buffer and sort every source partition just to attach one
+    scalar. `exact=True` uses `percentile` (same interpolation rule as
+    DuckDB's `quantile_cont`, and the quality formula is already
+    engine-exact, so the filter is reproducible bit-for-bit — the
+    oracle-checked mode). At 100 TB exact per-group percentiles mean
+    collecting each group's values; `exact=False` swaps in
+    `approx_percentile` (t-digest sketch, mergeable map-side), the
+    production path when the floor only needs to be approximately the
+    median."""
     from .text import quality_score  # local import to avoid cycle at package init
 
     q = quality_score(documents).select("doc_id", "quality")
     with_src = q.join(_spread(documents, "doc_id").select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source")
+    med_expr = (
+        F.expr("percentile(quality, 0.5)")
+        if exact
+        else F.expr("approx_percentile(quality, 0.5, 10000)")
+    )
+    medians = with_src.groupBy("source").agg(med_expr.alias("src_median"))
     return (
-        with_src.withColumn("src_median", F.expr("percentile(quality, 0.5)").over(w))
+        with_src.join(F.broadcast(medians), "source")
         .filter(F.col("quality") >= F.col("src_median"))
         .select("doc_id", "source", "quality", "src_median")
         .orderBy("doc_id")

@@ -100,3 +100,40 @@ def test_quality_quantile_filter_keeps_at_least_half(spark, docs):
     all_per_src = {r["source"]: r["n"] for r in scored.groupBy("source").agg(F.count("*").alias("n")).collect()}
     for src, total in all_per_src.items():
         assert kept_per_src.get(src, 0) >= total // 2
+
+
+def test_quality_quantile_filter_approx_close_to_exact(spark, docs):
+    exact_ids = set(r.doc_id for r in pipeline.quality_quantile_filter(docs).collect())
+    approx_ids = set(r.doc_id for r in pipeline.quality_quantile_filter(docs, exact=False).collect())
+    # the sketch floor may shift a few boundary docs, never the bulk
+    sym = len(exact_ids ^ approx_ids)
+    assert sym <= max(5, len(exact_ids) // 10)
+
+
+def test_shard_pack_matches_python_reference(spark):
+    """Seeded randomized cross-check: the distributed running-sum
+    packing must equal the obvious sequential packer."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    doc_id = 0
+    for src in ("a", "b", "c"):
+        for _ in range(rng.randint(5, 40)):
+            n_tok = rng.randint(0, 900)
+            rows.append((doc_id, src, "w " * n_tok))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r.doc_id): (r.n_tokens, r.shard_id)
+        for r in pipeline.shard_pack(df, budget_tokens=500).collect()
+    }
+    # sequential reference
+    by_src: dict[str, list[tuple[int, int]]] = {}
+    for did, src, text in rows:
+        by_src.setdefault(src, []).append((did, len(text.split())))
+    for src, docs_ in by_src.items():
+        cum = 0
+        for did, n_tok in sorted(docs_):
+            assert got[did] == (n_tok, cum // 500), f"doc {did}"
+            cum += n_tok
