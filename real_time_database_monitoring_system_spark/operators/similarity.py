@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import materialize as _materialize
 from .util import spread as _spread
 
 
@@ -169,8 +170,10 @@ def embedding_near_dup_pairs(
     emb_d = _spread(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
-    sig = emb_d.select(
-        "vec_id", "label", "vec", *near_dup_band_cols("vec", bands, bits_per_band)
+    # materialized: both pair-join sides consume the signature table,
+    # which would otherwise compute the 48 projections twice
+    sig = _materialize(
+        emb_d.select("vec_id", "label", "vec", *near_dup_band_cols("vec", bands, bits_per_band))
     )
     band_structs = [
         F.struct(F.lit(j).alias("band_id"), F.col(f"band_{j}").alias("band_val"))
@@ -278,9 +281,11 @@ def knn_lsh(
     """
     planes = _hyperplanes(n_planes, dim)
     bits_per_band = n_planes // bands
-    emb_d = _spread(embeddings, "vec_id").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
-    ).withColumn("sig", lsh_signature("vec", planes))
+    emb_d = _materialize(
+        _spread(embeddings, "vec_id")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
+        .withColumn("sig", lsh_signature("vec", planes))
+    )
     mask = (1 << bits_per_band) - 1
     band_structs = [
         F.struct(

@@ -6,6 +6,25 @@ from pyspark.sql import DataFrame
 
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Materialize a DataFrame that several downstream subplans consume
+    (diamond-shaped reuse).
+
+    Spark expands each consumer into an independent physical subplan —
+    a self-join on an expensive intermediate (an inverted index, a
+    signature table) otherwise recomputes it per consumer, re-scanning
+    the source each time (measured: 12 scans of `documents` in the
+    n-gram Jaccard plan). `localCheckpoint(eager=True)` computes the
+    intermediate once into executor block storage and truncates the
+    lineage, so every consumer reads the materialized partitions. The
+    executor-local form trades fault-tolerance for speed (an executor
+    loss fails the job instead of recomputing); a production pipeline
+    at corpus scale would persist the same intermediate to reliable
+    storage (parquet/checkpoint dir) — the operator shape is
+    unchanged."""
+    return df.localCheckpoint(eager=True)
+
+
 def spread(df: DataFrame, *cols: str) -> DataFrame:
     """Repartition to the session's default parallelism before
     CPU-heavy per-row work (shingling, hashing, scoring). The test
