@@ -30,40 +30,66 @@ def _tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda x: x != "")
 
 
-def _token_counts(documents: DataFrame, extra_aggs: list[Column] | None = None) -> DataFrame:
-    """Tokenize ONCE via explode and aggregate all token-derived counts
-    in one keyed agg — several `size(filter(split(...)))` expressions in
-    one projection each re-tokenize the row (measured ~1.5× slower at
-    sf0.1, and the gap grows with tokens/doc). Docs with zero tokens
-    drop out (callers left-join if they must keep them)."""
-    toks = _spread(documents, "doc_id").select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+def _token_counts(
+    documents: DataFrame,
+    extra_aggs: list[Column] | None = None,
+    carry: dict[str, Column] | None = None,
+) -> DataFrame:
+    """ONE corpus scan for all token-derived counts: tokenize via
+    explode and aggregate in a single keyed agg — several
+    `size(filter(split(...)))` expressions in one projection each
+    re-tokenize the row (measured ~1.5× slower at sf0.1, and the gap
+    grows with tokens/doc).
+
+    `carry` maps output names to row-level expressions (punctuation
+    counts, lengths, ...) computed in the SAME projection before the
+    explode and carried through the agg with `first()` — so callers
+    don't need a second scan + join for per-row features.
+    `explode_outer` keeps zero-token documents (their `tok` is NULL;
+    `count("tok")` yields 0)."""
+    carry = carry or {}
+    # two selects on purpose: the explode argument must be a bare
+    # precomputed column, otherwise ExtractGenerator leaves the carried
+    # expressions in a Project ABOVE the Generate and they get
+    # re-evaluated once per exploded token instead of once per document
+    # (plan-asserted in tests/test_plans.py)
+    base = (
+        _spread(documents, "doc_id")
+        .select(
+            "doc_id",
+            *[c.alias(n) for n, c in carry.items()],
+            _tokens(F.col("text")).alias("toks"),
+        )
+        .select("doc_id", *carry.keys(), F.explode_outer("toks").alias("tok"))
     )
     aggs = [
-        F.count("*").alias("n_tokens"),
+        F.count("tok").alias("n_tokens"),
         F.countDistinct("tok").alias("n_unique"),
     ]
-    return toks.groupBy("doc_id").agg(*(aggs + (extra_aggs or [])))
+    # carried columns are functions of doc_id, so they ride as grouping
+    # keys — zero aggregate state, unlike first()-style carries
+    return base.groupBy("doc_id", *carry.keys()).agg(*(aggs + (extra_aggs or [])))
 
 
 def token_stats(documents: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens plus a BPE-ish regex token
     count (`[a-z]+|[0-9]+|[^a-z0-9\\s]` word/number/punct atoms), and
-    mean token length."""
+    mean token length. Single corpus scan: the regex counts ride the
+    tokenize pass as carried row-level columns."""
     bpe = F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
-    per_row = _spread(documents, "doc_id").select(
-        "doc_id",
-        F.size(bpe).alias("n_bpe_tokens"),
-        F.length(F.regexp_replace("text", r"\s+", "")).alias("n_nonspace_chars"),
+    counts = _token_counts(
+        documents,
+        carry={
+            "n_bpe_tokens": F.size(bpe),
+            "n_nonspace_chars": F.length(F.regexp_replace("text", r"\s+", "")),
+        },
     )
-    counts = _token_counts(documents)
     return (
-        per_row.join(counts, "doc_id", "left")
-        .select(
+        counts.select(
             "doc_id",
-            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
             "n_bpe_tokens",
-            F.coalesce("n_unique", F.lit(0)).cast("int").alias("n_unique_tokens"),
+            F.col("n_unique").cast("int").alias("n_unique_tokens"),
             "n_nonspace_chars",
         )
         .withColumn(
@@ -83,17 +109,16 @@ def quality_score(documents: DataFrame) -> DataFrame:
     reference's threshold-flagging post-processing style
     (views.py:618-638) applied to document quality."""
     stop_all = [w for ws in LANG_STOPWORDS.values() for w in ws]
-    per_row = _spread(documents, "doc_id").select(
-        "doc_id",
-        "lang",
-        F.length("text").alias("n_chars_m"),
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)).alias("n_punct"),
-    )
     counts = _token_counts(
         documents,
         [F.count(F.when(F.col("tok").isin(stop_all), 1)).alias("n_stopwords")],
+        carry={
+            "lang": F.col("lang"),
+            "n_chars_m": F.length("text"),
+            "n_punct": F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0)),
+        },
     )
-    df = per_row.join(counts, "doc_id").select(
+    df = counts.select(
         "doc_id",
         "lang",
         "n_chars_m",
@@ -136,19 +161,12 @@ def lang_id(documents: DataFrame) -> DataFrame:
             F.count(F.when(F.col("tok").isin(ws), 1)).alias(f"raw_{lg}")
             for lg, ws in LANG_STOPWORDS.items()
         ],
+        carry={"lang": F.col("lang")},
     )
-    scored = (
-        _spread(documents, "doc_id")
-        .select("doc_id", "lang")
-        .join(counts, "doc_id", "left")
-        .select(
-            "doc_id",
-            "lang",
-            *[
-                F.coalesce(f"raw_{lg}", F.lit(0)).cast("int").alias(f"score_{lg}")
-                for lg in LANG_STOPWORDS
-            ],
-        )
+    scored = counts.select(
+        "doc_id",
+        "lang",
+        *[F.col(f"raw_{lg}").cast("int").alias(f"score_{lg}") for lg in LANG_STOPWORDS],
     )
     langs = sorted(LANG_STOPWORDS)  # asc tiebreak
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])

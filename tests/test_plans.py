@@ -90,3 +90,23 @@ def test_paginate_keyset_matches_offset_pagination(spark, sf_dir):
     offset = monitoring.paginate(base, ["event_id"], page=2, page_size=10).collect()
     keyset = monitoring.paginate_keyset(base, ["event_id"], after=(9,), page_size=10).collect()
     assert sorted(r.event_id for r in offset) == sorted(r.event_id for r in keyset)
+
+
+def test_token_stats_single_scan_with_pre_explode_carries(spark, sf_dir):
+    """text._token_counts carries row-level features through the
+    tokenize pass: ONE scan of documents, and the carried regexp
+    expressions must sit BELOW the Generate (computed once per
+    document, not once per exploded token)."""
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    df = text_ops.token_stats(load_table(spark, sf_dir, "documents"))
+    tree = checks.explain_str(df, "simple")
+    assert tree.count("Scan parquet") == 1, "token_stats must scan documents once"
+    # executed-plan string shows expressions inline: the carried regexp
+    # must appear only below the Generate node
+    full = df._jdf.queryExecution().executedPlan().toString()
+    gen_idx = full.find("Generate")
+    assert gen_idx != -1
+    assert "regexp_extract_all" not in full[:gen_idx], (
+        "carried regexp must not be evaluated above the Generate (per token)"
+    )
