@@ -135,6 +135,62 @@ def stream_alerts_to_table(
     q.awaitTermination()
 
 
+def stream_rollup_incremental(
+    spark: SparkSession, sf_dir: str, table: str, bucket_seconds: int = 300
+) -> DataFrame:
+    """Continuous-aggregate maintenance (the TimescaleDB
+    continuous-aggregate / materialized-rollup shape): a windowed agg
+    in UPDATE output mode emits only the windows each micro-batch
+    changed, and foreachBatch MERGEs those rows into a persistent
+    rollup table keyed on the bucket (`mutation.upsert`,
+    last-writer-wins).
+
+    Per batch the work is O(changed windows), not O(feed) — the
+    property that lets a dashboard read a always-current rollup table
+    while the raw feed is never re-scanned. On plain parquet the merge
+    rewrites the (small) rollup table per batch and is at-least-once
+    on retry; with a transactional format (Delta/Iceberg) the same
+    foreachBatch body becomes an atomic MERGE — documented trade,
+    same as `stream_alerts_to_table`. Returns the final rollup table,
+    which equals the batch `downsample_5min` (equivalence-tested)."""
+    from ..operators.mutation import upsert
+
+    src = _events_stream(spark, sf_dir)
+    windowed = (
+        src.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", f"{bucket_seconds} seconds").alias("w"))
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            (F.expr("unix_micros(cast(w.start as timestamp)) div 1000000")).alias("bucket_s"),
+            "n_points",
+            "last_value",
+            "sum_value",
+        )
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        if s.catalog.tableExists(table):
+            merged = upsert(s.table(table), batch_df, ["bucket_s"])
+            # break lineage before overwriting the table being read
+            merged.localCheckpoint(eager=True).write.mode("overwrite").saveAsTable(table)
+        else:
+            batch_df.write.saveAsTable(table)
+
+    q = (
+        windowed.writeStream.foreachBatch(_merge)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table).orderBy("bucket_s")
+
+
 def stream_alerts(spark: SparkSession, sf_dir: str, threshold: float = 99.0) -> DataFrame:
     """T3: threshold alert stream — the reference's Python flagging +
     email notifier (views.py:618-638, 371-378) as a streaming filter.

@@ -127,3 +127,16 @@ def test_stream_dedup_collapses_doubled_replay(spark, sf_dir):
     a = out.agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s")).collect()[0].s
     b = events.agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s")).collect()[0].s
     assert a == b
+
+
+def test_incremental_rollup_table_equals_batch(spark, sf_dir):
+    """foreachBatch MERGE maintenance: after the replay, the persistent
+    rollup table must equal the batch downsample exactly."""
+    table = "rollup_incr_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        out = sr.stream_rollup_incremental(spark, sf_dir, table).collect()
+        batch = monitoring.downsample_5min(load_table(spark, sf_dir, "events")).collect()
+        assert sorted(map(tuple, batch)) == sorted(map(tuple, out))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
