@@ -317,6 +317,14 @@ def _q_quality_quantile_filter(spark, sf):
     return pipeline.quality_quantile_filter(load_table(spark, sf, "documents"))
 
 
+def _q_clean_text(spark, sf):
+    return text_ops.clean_text(load_table(spark, sf, "documents"))
+
+
+def _q_repetition_score(spark, sf):
+    return text_ops.repetition_score(load_table(spark, sf, "documents"))
+
+
 def _q_token_stats(spark, sf):
     return text_ops.token_stats(load_table(spark, sf, "documents"))
 
@@ -515,6 +523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
         "streaming_dedup": _q_streaming_dedup,
+        "clean_text": _q_clean_text,
+        "repetition_score": _q_repetition_score,
         "vocab_topk": _q_vocab_topk,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "engine_info": _q_engine_info,
@@ -1049,6 +1059,41 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rn <= 3
         ORDER BY doc_id, rn
+    """
+
+    sql["clean_text"] = r"""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   text,
+                   'https?://[^\s]+', ' ', 'g'),
+                   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', ' ', 'g'),
+                   '<[^>]*>', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean,
+               CAST(length(text) AS INTEGER) AS raw_len
+        FROM documents
+        ORDER BY doc_id
+    """
+    sql["clean_text"] = (
+        "WITH c AS (" + sql["clean_text"].replace("ORDER BY doc_id", "") + ") "
+        "SELECT doc_id, clean, raw_len, CAST(length(clean) AS INTEGER) AS clean_len "
+        "FROM c ORDER BY doc_id"
+    )
+
+    sql["repetition_score"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM toks WHERE len(t) >= 2),
+        per_bg AS (
+            SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg)
+        SELECT doc_id,
+               CAST(max(n) AS INTEGER) AS max_bigram,
+               CAST(sum(n) AS INTEGER) AS n_bigrams,
+               CAST(max(n) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS rep_ratio
+        FROM per_bg GROUP BY doc_id ORDER BY doc_id
     """
 
     sql["vocab_topk"] = f"""

@@ -177,6 +177,73 @@ def lang_id(documents: DataFrame) -> DataFrame:
     return scored.withColumn("lang_guess", guess).orderBy("doc_id")
 
 
+def clean_text(documents: DataFrame) -> DataFrame:
+    """Pre-tokenization scrub — the standard corpus-cleaning pass:
+    strip URLs, e-mail addresses, and HTML-ish tags, then collapse
+    whitespace runs. Pure map-side regexp chain (one scan, no shuffle
+    besides the display sort); every pattern is POSIX-portable so the
+    DuckDB oracle applies the identical rewrites."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace("text", r"https?://[^\s]+", " "),
+                    r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+                    " ",
+                ),
+                r"<[^>]*>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        _spread(documents, "doc_id")
+        .select(
+            "doc_id",
+            cleaned.alias("clean"),
+            F.length("text").alias("raw_len"),
+        )
+        .withColumn("clean_len", F.length("clean"))
+        .select("doc_id", "clean", "raw_len", "clean_len")
+        .orderBy("doc_id")
+    )
+
+
+def repetition_score(documents: DataFrame) -> DataFrame:
+    """Repetition quality signal: the share of the document covered by
+    its single most-frequent bigram — high values flag boilerplate /
+    degenerate repetition (the classic dedup-adjacent filter). One
+    tokenize pass, bigrams via zip_with over a shifted slice (O(tokens)
+    like `dedup._word_shingles`), then a keyed agg: max bigram count /
+    total bigrams, exact integers until one final double division."""
+    toks = _tokens(F.col("text"))
+    bigrams = F.filter(
+        F.zip_with(toks, F.slice(toks, 2, 1 << 30), lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    per_bigram = (
+        _spread(documents, "doc_id")
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        per_bigram.groupBy("doc_id")
+        .agg(F.max("n").alias("max_bigram"), F.sum("n").alias("n_bigrams"))
+        .select(
+            "doc_id",
+            F.col("max_bigram").cast("int").alias("max_bigram"),
+            F.col("n_bigrams").cast("int").alias("n_bigrams"),
+            (F.col("max_bigram").cast("double") / F.col("n_bigrams").cast("double")).alias(
+                "rep_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized text plus a
     31-polynomial rolling hash (mod 1e9+7) over characters — the

@@ -137,3 +137,34 @@ def test_shard_pack_matches_python_reference(spark):
         for did, n_tok in sorted(docs_):
             assert got[did] == (n_tok, cum // 500), f"doc {did}"
             cum += n_tok
+
+
+def test_clean_text_strips_urls_emails_tags(spark):
+    from real_time_database_monitoring_system_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "see https://example.com/x?y=1 now"),
+            (2, "mail bob.smith+tag@mail.example.org today"),
+            (3, "<div class='x'>hello</div>   world"),
+            (4, "plain    text \t stays"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean for r in clean_text(df).collect()}
+    assert got[1] == "see now"
+    assert got[2] == "mail today"
+    assert got[3] == "hello world"
+    assert got[4] == "plain text stays"
+
+
+def test_repetition_score_flags_degenerate_docs(spark):
+    from real_time_database_monitoring_system_spark.operators.text import repetition_score
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"), (2, "a quick brown fox jumps high")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_score(df).collect()}
+    assert got[1].rep_ratio == 1.0  # every bigram is "spam spam"
+    assert got[2].rep_ratio < 0.5
