@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import materialize as _materialize
 from .util import spread as _spread
 
 
@@ -119,7 +120,10 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     toks = _spread(documents, "doc_id").select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_term"))
+    # materialized: doc_len, doc_freq, and the scoring join all read tf
+    # (see util.materialize — three consumers would otherwise re-scan
+    # and re-tokenize the corpus each)
+    tf = _materialize(toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_term")))
     doc_len = tf.groupBy("doc_id").agg(F.sum("n_term").alias("n_tokens"))
     df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
     # corpus size as a broadcast scalar (the repo's injected-scalar
@@ -187,7 +191,10 @@ def quality_quantile_filter(documents: DataFrame, exact: bool = True) -> DataFra
     from .text import quality_score  # local import to avoid cycle at package init
 
     q = quality_score(documents).select("doc_id", "quality")
-    with_src = q.join(_spread(documents, "doc_id").select("doc_id", "source"), "doc_id")
+    # materialized: read by the median aggregate AND the filter join
+    with_src = _materialize(
+        q.join(_spread(documents, "doc_id").select("doc_id", "source"), "doc_id")
+    )
     med_expr = (
         F.expr("percentile(quality, 0.5)")
         if exact
