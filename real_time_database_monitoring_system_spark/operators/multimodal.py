@@ -71,6 +71,47 @@ def decode_metadata(documents: DataFrame) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(decode_batches, DECODED_SCHEMA).orderBy("doc_id")
 
 
+EMBED_DIM = 64
+EMBED_SCHEMA = "doc_id bigint, embedding array<float>"
+
+
+def featurize(documents: DataFrame, dim: int = EMBED_DIM) -> DataFrame:
+    """Feature extraction: payload → fixed-width embedding, the step
+    between decode and the ANN index (`operators.similarity`), closing
+    the multimodal → vector-search pipeline.
+
+    A real deployment runs a vision/audio encoder on the Arrow batch
+    here (the numpy call becomes `model(batch)`); the stand-in embeds
+    each payload's byte histogram projected through a deterministic
+    seeded matrix, so the Spark surface — Arrow batch shape, float32
+    array column, per-partition batching with no shuffle — is exactly
+    the production one. Output vectors are L2-normalized float32, the
+    layout `similarity.knn_bruteforce` / `ivf_knn` consume directly
+    (integration-tested)."""
+    import numpy as np
+
+    payloads = attach_payload(documents)
+    rng = np.random.default_rng(20260813)
+    proj = rng.standard_normal((256, dim)).astype("float32")
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hists = np.zeros((len(pdf), 256), dtype="float32")
+            for i, payload in enumerate(pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if data.size:
+                    hists[i] = np.bincount(data, minlength=256).astype("float32")
+            vecs = hists @ proj
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            vecs = vecs / norms
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "embedding": list(vecs)}
+            )
+
+    return payloads.select("doc_id", "payload").mapInPandas(embed_batches, EMBED_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_no int, frame_offset bigint, frame_checksum bigint"
 
 

@@ -190,3 +190,32 @@ def test_multimodal_frame_sampling_multiplies_rows(spark, sf_dir):
     assert [r.frame_no for r in per_doc] == [0, 1, 2, 3]
     assert per_doc[0].frame_offset == 0
     assert all(r.frame_checksum >= 0 for r in per_doc)
+
+
+def test_multimodal_featurize_feeds_ann(spark, sf_dir):
+    """featurize closes the multimodal -> vector-search pipeline: its
+    float32 unit vectors must slot directly into knn_bruteforce."""
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    emb = multimodal.featurize(docs)
+    # deterministic across runs
+    a = {r.doc_id: r.embedding for r in emb.collect()}
+    b = {r.doc_id: r.embedding for r in multimodal.featurize(docs).collect()}
+    assert a == b
+    # unit-norm float32 vectors of the declared width
+    import math
+
+    for v in list(a.values())[:5]:
+        assert len(v) == multimodal.EMBED_DIM
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-5
+    # ANN-ready: rename to the embeddings layout and run exact top-k
+    as_index = emb.select(
+        F.col("doc_id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        "embedding",
+    )
+    knn = similarity.knn_bruteforce(as_index, n_queries=3, k=4)
+    rows = knn.collect()
+    assert {r.q_id for r in rows} == {0, 1, 2}
+    assert all(1 <= r.rn <= 4 for r in rows)
