@@ -63,14 +63,19 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footers
     qs["session_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: absorbs codegen/JIT warm-up noise
+    # Per-query min over INTERLEAVED full passes (not back-to-back
+    # repeats): this host shows wave-shaped noisy-neighbor stalls
+    # lasting tens of seconds (identical runs measured 2s vs 14s
+    # minutes apart), and consecutive repeats all land inside one wave.
+    # Interleaving decorrelates the passes, so each query gets at least
+    # one quiet measurement. Pass 1 also serves as codegen/JIT warm-up.
+    timings: dict[str, float] = {name: float("inf") for name in HEADLINE}
+    for _ in range(3):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(

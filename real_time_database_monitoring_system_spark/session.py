@@ -23,6 +23,7 @@ def get_spark(
     app_name: str = "rtdbms-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
@@ -48,6 +49,8 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
+    if driver_memory:
+        builder = builder.config("spark.driver.memory", driver_memory)
     return builder.getOrCreate()
 
 
@@ -60,7 +63,15 @@ def get_local_spark(cpus: int | None = None) -> SparkSession:
     the same scan parallelism the file count of a real corpus provides.
     """
     n = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark(master=f"local[{n}]", shuffle_partitions=n)
+    # local mode = one JVM for driver AND executors: the 1g default
+    # heap starves 32 concurrent tasks (GC thrash, spills, and evicted
+    # localCheckpoint blocks — measured 3× total bench regression).
+    # Size it like the per-executor memory a real cluster would get.
+    spark = get_spark(
+        master=f"local[{n}]",
+        shuffle_partitions=n,
+        driver_memory=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+    )
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.files.openCostInBytes", str(512 * 1024))
     return spark
