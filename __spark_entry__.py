@@ -143,6 +143,28 @@ def _q_paginate_page2(spark, sf):
     return monitoring.paginate(base, ["event_id"], page=2, page_size=10)
 
 
+def _q_sql_bucket_panel(spark, sf):
+    """The raw-SQL surface end-to-end: registered views + SQL scalar
+    UDFs (functions/sql_udfs.py), the way the reference's users write
+    their dashboards (raw SQL, no ORM)."""
+    from real_time_database_monitoring_system_spark.functions.sql_udfs import (
+        register_sql_functions,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import register_views
+
+    register_views(spark, sf)
+    register_sql_functions(spark)
+    return spark.sql(
+        """
+        SELECT time_bucket_s(CAST(900 AS BIGINT), cast(ts AS timestamp)) AS bucket_s,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events
+        GROUP BY 1 ORDER BY 1
+        """
+    )
+
+
 def _q_engine_info(spark, sf):
     return monitoring.engine_info(load_table(spark, sf, "events"))
 
@@ -525,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _q_streaming_dedup,
         "clean_text": _q_clean_text,
         "repetition_score": _q_repetition_score,
+        "sql_bucket_panel": _q_sql_bucket_panel,
         "vocab_topk": _q_vocab_topk,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "engine_info": _q_engine_info,
@@ -1306,6 +1329,13 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["streaming_rollup_5min"] = sql["downsample_5min"]
+
+    sql["sql_bucket_panel"] = """
+        SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s,
+               count(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        FROM events GROUP BY 1 ORDER BY 1
+    """
 
     sql["streaming_alerts"] = """
         SELECT event_id, ts, user_id, event_type, value
