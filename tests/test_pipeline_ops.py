@@ -168,3 +168,51 @@ def test_repetition_score_flags_degenerate_docs(spark):
     got = {r.doc_id: r for r in repetition_score(df).collect()}
     assert got[1].rep_ratio == 1.0  # every bigram is "spam spam"
     assert got[2].rep_ratio < 0.5
+
+
+def test_operators_on_empty_and_singleton_inputs(spark):
+    """Empty and single-document corpora must flow through every
+    documents-shaped operator without errors — the failure mode is
+    windows/aggregations/clustering over nothing."""
+    from real_time_database_monitoring_system_spark.operators import dedup, text
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, "alpha beta gamma alpha beta", "en", "s0", 27)], schema)
+
+    for df, n_docs in ((empty, 0), (one, 1)):
+        assert pipeline.hash_sample(df, pct=100).count() == n_docs
+        assert pipeline.stratified_sample(df).count() == n_docs
+        assert pipeline.shard_pack(df).count() == n_docs
+        assert pipeline.vocab_topk(df).count() == (0 if n_docs == 0 else 3)
+        assert pipeline.tfidf_top_terms(df).count() <= 3 * n_docs
+        assert pipeline.quality_quantile_filter(df).count() == n_docs
+        assert text.token_stats(df).count() == n_docs
+        assert text.quality_score(df).count() == n_docs
+        assert text.lang_id(df).count() == n_docs
+        assert text.clean_text(df).count() == n_docs
+        assert text.repetition_score(df).count() == n_docs
+        assert text.fingerprint(df).count() == n_docs
+        assert dedup.exact_dedup(df).count() == n_docs
+        assert dedup.ngram_jaccard_pairs(df).count() == 0
+        assert dedup.simhash_pairs(df).count() == 0
+        # keeper_list with no duplicate evidence: everyone keeps themselves
+        keepers = dedup.keeper_list(df, dedup.ngram_jaccard_pairs(df, threshold=1.1)).collect()
+        assert len(keepers) == n_docs and all(r.is_keeper for r in keepers)
+
+
+def test_zero_token_documents_survive_text_ops(spark):
+    from real_time_database_monitoring_system_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "", "en", "s0", 0), (2, "   \t  ", "en", "s0", 6), (3, "real words here", "en", "s0", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    ts = {r.doc_id: r for r in text.token_stats(df).collect()}
+    assert set(ts) == {1, 2, 3}
+    assert ts[1].n_tokens == 0 and ts[2].n_tokens == 0 and ts[3].n_tokens == 3
+    assert ts[1].mean_token_len == 0.0
+    li = {r.doc_id: r.lang_guess for r in text.lang_id(df).collect()}
+    assert li[1] == "unknown" and li[2] == "unknown"
+    # quality_score documents its n_tokens > 0 filter
+    assert {r.doc_id for r in text.quality_score(df).collect()} == {3}
