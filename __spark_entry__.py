@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from real_time_database_monitoring_system_spark.functions import pg_dialect
 from real_time_database_monitoring_system_spark.operators import (
+    curation,
     dedup,
     monitoring,
     multimodal,
@@ -339,6 +340,43 @@ def _q_quality_quantile_filter(spark, sf):
     return pipeline.quality_quantile_filter(load_table(spark, sf, "documents"))
 
 
+def _q_decontaminate(spark, sf):
+    # benchmark = the ~2% of docs whose content-hash bucket < 2 (a
+    # deterministic stand-in for a held-out eval suite); train = rest
+    docs = load_table(spark, sf, "documents")
+    hb = curation.content_hash_bucket("text", 100)
+    return curation.decontaminate(docs.filter(hb >= 2), docs.filter(hb < 2))
+
+
+def _q_temperature_mix(spark, sf):
+    return curation.temperature_mix_weights(load_table(spark, sf, "documents"))
+
+
+def _q_temperature_sample(spark, sf):
+    return curation.temperature_sample(load_table(spark, sf, "documents"))
+
+
+def _q_length_buckets(spark, sf):
+    return curation.length_buckets(load_table(spark, sf, "documents"))
+
+
+def _q_snapshot_diff(spark, sf):
+    # new snapshot = deterministic re-crawl mutation of the corpus:
+    # docs with id%17==0 vanish, id%13==0 get revised text, id%29==0
+    # reappear under a fresh id (the 'added' class)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    revised = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text"
+    )
+    return curation.snapshot_diff(docs, revised.unionByName(added))
+
+
 def _q_clean_text(spark, sf):
     return text_ops.clean_text(load_table(spark, sf, "documents"))
 
@@ -478,10 +516,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions 1-50 hold every oracle-backed entry that has not yet
     received a driver correctness row (round 1's unchecked tail:
     mutation, streaming, ANN, multimodal) plus this round's additions
-    and the operator core. The overflow — 8 oracle-backed queries that
+    and the operator core. The overflow — oracle-backed queries that
     went green in round 1 AND remain covered by the identical local
-    harness check (tests/test_oracle_parity.py) — sits at 51-58, and
-    the 6 rows-only (hash/sketch/iteration-dependent) entries close the
+    harness check (tests/test_oracle_parity.py) — sits at 51+, and the
+    6 rows-only (hash/sketch/iteration-dependent) entries close the
     tail. Every entry keeps its oracle regardless of position."""
     return {
         # -- never driver-checked in round 1, all oracle-backed --
@@ -499,6 +537,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paginate_keyset": _q_paginate_keyset,
         "shard_pack": _q_shard_pack,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "decontaminate": _q_decontaminate,
+        "temperature_mix": _q_temperature_mix,
+        "temperature_sample": _q_temperature_sample,
+        "length_buckets": _q_length_buckets,
+        "snapshot_diff": _q_snapshot_diff,
         # -- monitoring panels (events feed) --
         "slow_sessions": _q_slow_sessions,
         "idle_sessions": _q_idle_sessions,
@@ -513,10 +556,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tps_per_user": _q_tps_per_user,
         "value_percentiles": _q_value_percentiles,
         "sessionize": _q_sessionize,
-        "retention_filter": _q_retention_filter,
-        "drilldown_grid": _q_drilldown_grid,
-        "substring_search": _q_substring_search,
-        "props_histogram": _q_props_histogram,
         "table_catalog": _q_table_catalog,
         # -- relational core (TPC-H tables) --
         "three_way_topk": _q_three_way_topk,
@@ -527,7 +566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _q_shipping_priority,
         "local_supplier_volume": _q_local_supplier_volume,
         "customer_rollup": _q_customer_rollup,
-        "parts_by_brand": _q_parts_by_brand,
         "top_supplier_per_nation": _q_top_supplier_per_nation,
         "net_price_ratio": _q_net_price_ratio,
         "to_char_formats": _q_to_char_formats,
@@ -544,6 +582,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- the local harness every test run)                     ----
         "hash_sample": _q_hash_sample,
         "stratified_sample": _q_stratified_sample,
+        "retention_filter": _q_retention_filter,
+        "drilldown_grid": _q_drilldown_grid,
+        "substring_search": _q_substring_search,
+        "props_histogram": _q_props_histogram,
+        "parts_by_brand": _q_parts_by_brand,
         "streaming_dedup": _q_streaming_dedup,
         "clean_text": _q_clean_text,
         "repetition_score": _q_repetition_score,
@@ -1082,6 +1125,96 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rn <= 3
         ORDER BY doc_id, rn
+    """
+
+    # mirrors curation.decontaminate over the same hash-bucket
+    # benchmark/train split as _q_decontaminate; Spark counts distinct
+    # 64-bit shingle hashes, the oracle distinct shingle strings —
+    # equal cardinalities absent a ~2^-32 collision
+    sql["decontaminate"] = f"""
+        WITH d AS (SELECT doc_id, text, {_HB} % 100 AS hb FROM documents),
+        tr AS (SELECT doc_id, {_TOKS} AS toks FROM d WHERE hb >= 2),
+        be AS (SELECT doc_id, {_TOKS} AS toks FROM d WHERE hb < 2),
+        tr_ex AS (
+            SELECT doc_id,
+                   unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                         for i in range(1, len(toks) - 1)])) AS s
+            FROM tr WHERE len(toks) >= 3),
+        be_ex AS (
+            SELECT doc_id AS bench_id,
+                   unnest(list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                         for i in range(1, len(toks) - 1)])) AS s
+            FROM be WHERE len(toks) >= 3)
+        SELECT tr_ex.doc_id,
+               count(DISTINCT tr_ex.s) AS n_hit_shingles,
+               count(DISTINCT be_ex.bench_id) AS n_bench_docs
+        FROM tr_ex JOIN be_ex ON tr_ex.s = be_ex.s
+        GROUP BY tr_ex.doc_id
+        ORDER BY doc_id
+    """
+
+    # the weight/rate formulas are the SAME strings the Spark plan
+    # parses (curation.WEIGHT_SQL / RATE_SQL) — bit-identical doubles
+    _W = curation.WEIGHT_SQL.format(alpha=0.5)
+    _R = curation.RATE_SQL.format(target_frac=0.5, alpha_m1=-0.5)
+    sql["temperature_mix"] = f"""
+        WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        t AS (SELECT sum(power(n_docs, {0.5!r})) AS pow_sum,
+                     CAST(sum(n_docs) AS BIGINT) AS n_total FROM c)
+        SELECT source, n_docs, {_W} AS weight, {_R} AS sample_rate
+        FROM c CROSS JOIN t
+        ORDER BY source
+    """
+
+    sql["temperature_sample"] = f"""
+        WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        t AS (SELECT sum(power(n_docs, {0.5!r})) AS pow_sum,
+                     CAST(sum(n_docs) AS BIGINT) AS n_total FROM c),
+        r AS (SELECT source, {_R} AS sample_rate FROM c CROSS JOIN t)
+        SELECT doc_id, d.source, lang, n_chars
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE {_HB} % 1000000 < CAST(floor(sample_rate * 1000000.0) AS BIGINT)
+        ORDER BY doc_id
+    """
+
+    # bucket CASEs generated from the same boundary list as the Spark
+    # plan (curation.length_bucket_case / _label_case)
+    sql["length_buckets"] = f"""
+        WITH t AS (SELECT CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+        b AS (SELECT n_tokens,
+                     {curation.length_bucket_case("n_tokens")} AS bucket_id,
+                     {curation.length_bucket_label_case("n_tokens")} AS bucket_label
+              FROM t),
+        a AS (SELECT bucket_id, bucket_label, count(*) AS n_docs,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+              FROM b GROUP BY bucket_id, bucket_label),
+        c AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM a)
+        SELECT bucket_id, bucket_label, n_docs, total_tokens,
+               round(CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)
+                   AS token_share
+        FROM a CROSS JOIN c
+        ORDER BY bucket_id
+    """
+
+    sql["snapshot_diff"] = """
+        WITH oldt AS (SELECT doc_id, text FROM documents),
+        newt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id, text
+            FROM documents WHERE doc_id % 29 = 0),
+        o AS (SELECT doc_id, md5(text) AS old_fp FROM oldt),
+        n AS (SELECT doc_id, md5(text) AS new_fp FROM newt),
+        j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_fp, new_fp
+              FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        SELECT doc_id,
+               CASE WHEN old_fp IS NULL THEN 'added'
+                    WHEN new_fp IS NULL THEN 'deleted'
+                    WHEN old_fp = new_fp THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM j ORDER BY doc_id
     """
 
     sql["clean_text"] = r"""

@@ -1,0 +1,246 @@
+"""Corpus-curation operators a training-data pipeline runs between
+dedup and shard-writing: benchmark decontamination, temperature-based
+domain mixing, sequence-length bucketing, and snapshot reconciliation.
+
+All four are deterministic, built-in-expression-only (JVM, codegen)
+designs, so each has an exact DuckDB oracle twin. Cross-engine
+arithmetic follows the repo's determinism rules: integer counts,
+explicit parenthesization for the one double formula per operator, and
+round(..., 9) at the output edge only.
+
+Scale notes:
+- `decontaminate` is an inverted-index join, never all-pairs: train
+  shingles stream map-side into a join against the (small, broadcast)
+  benchmark shingle set. The benchmark side is an eval suite — MBs,
+  not TBs — so the broadcast is structural, not an optimization hack.
+  At 100 TB the train side is one explode + one broadcast-hash-join +
+  one keyed agg: no shuffle of the corpus at all.
+- `temperature_sample` is a map-side filter after a broadcast join of
+  per-source rates (a handful of rows). The only corpus shuffle is the
+  per-source count, which partial-aggregates map-side.
+- `length_buckets` is a single scan → two keyed aggs over ~11 groups.
+- `snapshot_diff` shuffles both snapshots once on the key — the
+  standard CDC reconciliation shape; at scale the two sides co-locate
+  on the same hash partitioning, and bucketed tables would make it
+  shuffle-free (see sources/bucketing.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _word_shingles
+from .pipeline import content_hash_bucket
+from .util import materialize as _materialize
+from .util import spread as _spread
+
+
+def decontaminate(train: DataFrame, bench: DataFrame, shingle_k: int = 3) -> DataFrame:
+    """Benchmark decontamination: training documents sharing at least
+    one word ``shingle_k``-gram with any benchmark document, with hit
+    counts.
+
+    This is the standard eval-leakage sweep a pipeline runs before
+    training: exact n-gram collision against the held-out benchmark
+    suite (production sweeps use k in 8..13; the default 3 matches the
+    repo's tiny-vocabulary synthetic corpus so results are non-empty).
+    Shingles are compared by 64-bit hash (cheap long equality; a
+    cross-shingle collision needs ~2^32 distinct shingles).
+
+    Returns (doc_id, n_hit_shingles, n_bench_docs) for contaminated
+    train docs only: the distinct overlapping shingles and the distinct
+    benchmark documents hit, ordered by doc_id.
+    """
+    t = (
+        _shingle_hashes(train, shingle_k)
+        .select("doc_id", "sh_h")
+    )
+    b = (
+        _shingle_hashes(bench, shingle_k)
+        .select(F.col("doc_id").alias("bench_id"), "sh_h")
+    )
+    return (
+        t.join(F.broadcast(b), "sh_h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sh_h").alias("n_hit_shingles"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _shingle_hashes(documents: DataFrame, shingle_k: int) -> DataFrame:
+    """(doc_id, sh_h): distinct hashed word-shingles per document."""
+    return (
+        _spread(documents, "doc_id")
+        .filter(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) >= shingle_k)
+        .select("doc_id", F.explode(_word_shingles(F.col("text"), shingle_k)).alias("sh"))
+        .select("doc_id", F.xxhash64("sh").alias("sh_h"))
+    )
+
+
+# one formula string per derived column, shared verbatim between the
+# Spark plan (F.expr) and the DuckDB oracle (f-string injection) — a
+# single source of truth keeps the double arithmetic bit-identical.
+WEIGHT_SQL = "round(power(n_docs, {alpha!r}) / pow_sum, 9)"
+RATE_SQL = (
+    "round(least(CAST(1.0 AS DOUBLE), "
+    "(({target_frac!r} * n_total) * power(n_docs, {alpha_m1!r})) / pow_sum), 9)"
+)
+
+
+def temperature_mix_weights(
+    documents: DataFrame, alpha: float = 0.5, target_frac: float = 0.5
+) -> DataFrame:
+    """Per-source temperature mixing weights and sampling rates.
+
+    Domain mixing reweights source s from its natural share c_s/N to
+    w_s = c_s^alpha / sum(c^alpha) (alpha<1 upsamples small domains —
+    the multilingual/multi-domain training mix rule). The sampling rate
+    that realizes the mix at an overall keep fraction t is
+    r_s = min(1, t * N * c_s^(alpha-1) / sum(c^alpha)), so expected
+    kept docs per source ~ t * N * w_s.
+
+    One keyed count over the corpus (map-side partial agg), a 2-column
+    scalar aggregate, and a broadcast cross join — no corpus reshuffle.
+    """
+    # materialized: the totals aggregate AND the output join both read
+    # `counts` — without it each consumer re-scans the corpus
+    counts = _materialize(documents.groupBy("source").agg(F.count("*").alias("n_docs")))
+    totals = counts.agg(
+        F.expr(f"sum(power(n_docs, {alpha!r}))").alias("pow_sum"),
+        F.sum("n_docs").alias("n_total"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.expr(WEIGHT_SQL.format(alpha=alpha)).alias("weight"),
+            F.expr(
+                RATE_SQL.format(target_frac=target_frac, alpha_m1=alpha - 1.0)
+            ).alias("sample_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def temperature_sample(
+    documents: DataFrame, alpha: float = 0.5, target_frac: float = 0.5
+) -> DataFrame:
+    """Deterministic temperature resample: keep each document iff its
+    content-hash draw falls under its source's sampling rate.
+
+    The draw is `md5(text) mod 1e6` — a property of the document, so
+    reruns, retries, and other engines keep identical rows (the same
+    content-addressed rule as `pipeline.hash_sample`, here with a
+    per-source threshold). Map-side filter after a broadcast join of
+    the tiny rates table; the corpus itself never shuffles.
+    """
+    rates = temperature_mix_weights(documents, alpha, target_frac).select(
+        "source", "sample_rate"
+    )
+    return (
+        _spread(documents, "doc_id")
+        .withColumn("h1e6", content_hash_bucket("text", 1_000_000))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("h1e6") < F.expr("CAST(floor(sample_rate * 1000000.0) AS BIGINT)"))
+        .select("doc_id", "source", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+# sequence-length bucket boundaries (tokens): [lo, hi) per bucket, the
+# last bucket open-ended — the batching-efficiency histogram a trainer
+# uses to pick packing lengths.
+LENGTH_BUCKETS = [0, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def length_bucket_case(ntok_sql: str) -> str:
+    """ANSI-SQL CASE mapping a token count to its bucket id — valid
+    verbatim in both Spark SQL and DuckDB (single source of truth for
+    operator and oracle)."""
+    whens = [
+        f"WHEN {ntok_sql} < {hi} THEN {i}"
+        for i, hi in enumerate(LENGTH_BUCKETS[1:])
+    ]
+    return "CAST(CASE " + " ".join(whens) + f" ELSE {len(LENGTH_BUCKETS) - 1} END AS INT)"
+
+
+def length_bucket_label_case(ntok_sql: str) -> str:
+    """Companion CASE producing the human-readable '[lo,hi)' label."""
+    whens = [
+        f"WHEN {ntok_sql} < {hi} THEN '[{LENGTH_BUCKETS[i]},{hi})'"
+        for i, hi in enumerate(LENGTH_BUCKETS[1:])
+    ]
+    last = f"'[{LENGTH_BUCKETS[-1]},inf)'"
+    return "CASE " + " ".join(whens) + f" ELSE {last} END"
+
+
+def length_buckets(documents: DataFrame) -> DataFrame:
+    """Token-length histogram over power-of-two buckets: documents and
+    token mass per bucket, plus each bucket's share of corpus tokens.
+
+    Sequence-length distribution drives batch packing efficiency (pad
+    waste) and max-length cutoff choices. One scan computes token
+    counts; the aggregation is ~11 groups with map-side combine; the
+    corpus-total join is a broadcast scalar (the repo's injected-scalar
+    pattern, not a driver-side collect)."""
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).cast("bigint")
+    d = _spread(documents, "doc_id").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+    ).select(
+        "n_tokens",
+        F.expr(length_bucket_case("n_tokens")).alias("bucket_id"),
+        F.expr(length_bucket_label_case("n_tokens")).alias("bucket_label"),
+    )
+    # materialized: corpus total and the share join both read `agg`
+    agg = _materialize(
+        d.groupBy("bucket_id", "bucket_label").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+    corpus = agg.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return (
+        agg.crossJoin(F.broadcast(corpus))
+        .select(
+            "bucket_id",
+            "bucket_label",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "round(CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)"
+            ).alias("token_share"),
+        )
+        .orderBy("bucket_id")
+    )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Snapshot reconciliation (CDC classify): per-key status between
+    two corpus snapshots — 'added', 'deleted', 'changed' (content
+    fingerprint differs), or 'unchanged'.
+
+    The incremental-ingest primitive: a re-crawl lands as a new
+    snapshot and only added/changed documents re-enter the dedup →
+    score → pack pipeline. Content identity is md5 of the text, so the
+    comparison is a narrow (key, fingerprint) full-outer join — one
+    shuffle on the key per side; with bucketed snapshot tables
+    (sources/bucketing.py) it is shuffle-free."""
+    o = old.select(F.col(key), F.md5(F.col("text").cast("binary")).alias("old_fp"))
+    n = new.select(F.col(key), F.md5(F.col("text").cast("binary")).alias("new_fp"))
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("deleted"))
+        .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        o.join(n, key, "full_outer")
+        .select(key, status.alias("status"))
+        .orderBy(key)
+    )
