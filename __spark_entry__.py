@@ -377,6 +377,63 @@ def _q_snapshot_diff(spark, sf):
     return curation.snapshot_diff(docs, revised.unionByName(added))
 
 
+def _q_incremental_dedup(spark, sf):
+    # same deterministic re-crawl as _q_snapshot_diff, except half the
+    # re-appeared docs carry genuinely new content — exercising all
+    # three rules: key-level diff, cross-key content dedup (the other
+    # half are content-dupes of live docs and must drop), and the
+    # batch-internal min-key representative
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    revised = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.col("text"), F.lit(" brand-new"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.incremental_dedup(docs, revised.unionByName(added))
+
+
+def _q_pii_redact(spark, sf):
+    # the synthetic corpus is digit-free, so inject deterministic PII
+    # (an e-mail, a phone, an IP on fixed doc_id residues) before the
+    # scrub — the oracle mirrors the same injection
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" from host 10.0.0."), (F.col("doc_id") % 250).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text_ops.pii_redact(injected)
+
+
+def _q_corpus_stats(spark, sf):
+    return pipeline.corpus_stats(load_table(spark, sf, "documents"))
+
+
 def _q_clean_text(spark, sf):
     return text_ops.clean_text(load_table(spark, sf, "documents"))
 
@@ -542,34 +599,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_sample": _q_temperature_sample,
         "length_buckets": _q_length_buckets,
         "snapshot_diff": _q_snapshot_diff,
+        "incremental_dedup": _q_incremental_dedup,
+        "pii_redact": _q_pii_redact,
+        "corpus_stats": _q_corpus_stats,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "streaming_dedup": _q_streaming_dedup,
+        "clean_text": _q_clean_text,
+        "repetition_score": _q_repetition_score,
+        "sql_bucket_panel": _q_sql_bucket_panel,
+        "vocab_topk": _q_vocab_topk,
+        "quality_quantile_filter": _q_quality_quantile_filter,
+        "engine_info": _q_engine_info,
         # -- monitoring panels (events feed) --
         "slow_sessions": _q_slow_sessions,
-        "idle_sessions": _q_idle_sessions,
-        "session_summary": _q_session_summary,
         "connection_load": _q_connection_load,
         "threshold_flags": _q_threshold_flags,
         "downsample_5min": _q_downsample_5min,
         "rollup_cascade": _q_rollup_cascade,
-        "minute_corr_join": _q_minute_corr_join,
         "asof_join": _q_asof_join,
-        "lag_delta": _q_lag_delta,
-        "tps_per_user": _q_tps_per_user,
-        "value_percentiles": _q_value_percentiles,
         "sessionize": _q_sessionize,
-        "table_catalog": _q_table_catalog,
         # -- relational core (TPC-H tables) --
         "three_way_topk": _q_three_way_topk,
-        "left_join_rollup": _q_left_join_rollup,
-        "anti_join_no_recent": _q_anti_join,
-        "semi_join_urgent": _q_semi_join,
         "pricing_summary": _q_pricing_summary,
         "shipping_priority": _q_shipping_priority,
-        "local_supplier_volume": _q_local_supplier_volume,
         "customer_rollup": _q_customer_rollup,
         "top_supplier_per_nation": _q_top_supplier_per_nation,
         "net_price_ratio": _q_net_price_ratio,
         "to_char_formats": _q_to_char_formats,
-        "size_pretty": _q_size_pretty,
         # -- text analysis / dedup (documents) --
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
@@ -578,22 +635,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         # ---- position 51+: oracle-backed overflow (the driver      ----
-        # ---- evaluates a 50-entry prefix; these stay checked by    ----
-        # ---- the local harness every test run)                     ----
-        "hash_sample": _q_hash_sample,
-        "stratified_sample": _q_stratified_sample,
+        # ---- evaluates a 50-entry prefix; these went green in      ----
+        # ---- round 1 and stay checked by the local harness every   ----
+        # ---- test run)                                             ----
+        "idle_sessions": _q_idle_sessions,
+        "session_summary": _q_session_summary,
+        "minute_corr_join": _q_minute_corr_join,
+        "lag_delta": _q_lag_delta,
+        "value_percentiles": _q_value_percentiles,
+        "table_catalog": _q_table_catalog,
+        "anti_join_no_recent": _q_anti_join,
+        "semi_join_urgent": _q_semi_join,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "tps_per_user": _q_tps_per_user,
+        "left_join_rollup": _q_left_join_rollup,
+        "size_pretty": _q_size_pretty,
         "retention_filter": _q_retention_filter,
         "drilldown_grid": _q_drilldown_grid,
         "substring_search": _q_substring_search,
         "props_histogram": _q_props_histogram,
         "parts_by_brand": _q_parts_by_brand,
-        "streaming_dedup": _q_streaming_dedup,
-        "clean_text": _q_clean_text,
-        "repetition_score": _q_repetition_score,
-        "sql_bucket_panel": _q_sql_bucket_panel,
-        "vocab_topk": _q_vocab_topk,
-        "quality_quantile_filter": _q_quality_quantile_filter,
-        "engine_info": _q_engine_info,
         "latest_per_user": _q_latest_per_user,
         "paginate_page2": _q_paginate_page2,
         "topk_events": _q_topk_events,
@@ -1215,6 +1276,89 @@ def oracle_sql() -> dict[str, str]:
                     WHEN old_fp = new_fp THEN 'unchanged'
                     ELSE 'changed' END AS status
         FROM j ORDER BY doc_id
+    """
+
+    # same re-crawl as snapshot_diff, except half the re-appeared docs
+    # carry genuinely new content; md5 values never leave either engine
+    # (the join/anti/window all compare within-engine fingerprints)
+    sql["incremental_dedup"] = """
+        WITH oldt AS (SELECT doc_id, text FROM documents),
+        newt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN text || ' brand-new' ELSE text END AS text
+            FROM documents WHERE doc_id % 29 = 0),
+        o AS (SELECT doc_id, md5(text) AS fp FROM oldt),
+        n AS (SELECT doc_id, md5(text) AS fp FROM newt),
+        ch AS (SELECT n.doc_id AS doc_id, n.fp AS fp,
+                      CASE WHEN o.fp IS NULL THEN 'added' ELSE 'changed' END AS status
+               FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+               WHERE o.fp IS NULL OR o.fp <> n.fp),
+        r AS (SELECT doc_id, fp, status,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM ch)
+        SELECT doc_id, status FROM r
+        WHERE rn = 1 AND fp NOT IN (SELECT fp FROM o)
+        ORDER BY doc_id
+    """
+
+    # patterns injected from text.PII_PATTERNS — the same strings the
+    # Spark plan compiles (Java regex and RE2 agree on this subset)
+    _PII = {name: pat for name, pat, _ in text_ops.PII_PATTERNS}
+    _PII_REPL = {name: rep for name, _, rep in text_ops.PII_PATTERNS}
+    sql["pii_redact"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN ' from host 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                        ELSE '' END AS text
+            FROM documents),
+        red AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_PII["ip"]}')) AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS INTEGER) AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII["email"]}', '{_PII_REPL["email"]}', 'g'),
+                       '{_PII["ip"]}', '{_PII_REPL["ip"]}', 'g'),
+                       '{_PII["phone"]}', '{_PII_REPL["phone"]}', 'g') AS redacted
+            FROM inj)
+        SELECT doc_id, n_emails, n_ips, n_phones,
+               CAST(n_emails + n_ips + n_phones AS INTEGER) AS n_redactions,
+               redacted,
+               CAST(length(redacted) AS INTEGER) AS redacted_len
+        FROM red
+        ORDER BY doc_id
+    """
+
+    sql["corpus_stats"] = f"""
+        WITH rows_t AS (
+            SELECT source, lang,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_t,
+                   md5(text) AS fp
+            FROM documents),
+        a AS (SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+                     count(DISTINCT fp) AS n_distinct_texts,
+                     CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                     CAST(sum(n_chars_t) AS BIGINT) AS total_chars
+              FROM rows_t GROUP BY source),
+        c AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS corpus_tokens FROM a)
+        SELECT source, n_docs, n_langs, n_distinct_texts, total_tokens, total_chars,
+               round(CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)
+                   AS token_share,
+               round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)
+                   AS mean_doc_chars
+        FROM a CROSS JOIN c
+        ORDER BY source
     """
 
     sql["clean_text"] = r"""

@@ -220,6 +220,50 @@ def length_buckets(documents: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Incremental-ingest dedup: the documents of a new snapshot that
+    actually need to (re-)enter the processing pipeline.
+
+    A re-crawl lands as a full snapshot, but only a sliver is new work.
+    A document qualifies iff ALL of:
+      1. its key is new, or its content fingerprint changed for that
+         key ('added' / 'changed' — the `snapshot_diff` classes);
+      2. its content does not already exist in the old snapshot under
+         ANY key (a moved/re-posted document is not new work);
+      3. within the new batch, it is the minimum-key holder of its
+         fingerprint (batch-internal exact dedup — same
+         first-row-per-key rule as `mutation.insert_ignore`).
+
+    Shapes: one keyed left join old↔new (same narrow CDC join as
+    `snapshot_diff`), one left_anti on fingerprint against the old
+    content set, one fingerprint-partitioned row_number. Three shuffles
+    total, each on a join/window key, never all-pairs; with bucketed
+    snapshot tables the keyed join is shuffle-free."""
+    o = old.select(F.col(key), F.md5(F.col("text").cast("binary")).alias("fp"))
+    n = new.select(F.col(key), F.md5(F.col("text").cast("binary")).alias("fp"))
+    changed = (
+        n.join(o.select(F.col(key), F.col("fp").alias("old_fp")), key, "left")
+        .filter(F.col("old_fp").isNull() | (F.col("old_fp") != F.col("fp")))
+        .select(
+            key,
+            "fp",
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    batch_rep = changed.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("fp").orderBy(key))
+    ).filter(F.col("rn") == 1)
+    return (
+        batch_rep.join(o.select("fp").distinct(), "fp", "left_anti")
+        .select(key, "status")
+        .orderBy(key)
+    )
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
     """Snapshot reconciliation (CDC classify): per-key status between
     two corpus snapshots — 'added', 'deleted', 'changed' (content

@@ -207,3 +207,54 @@ def quality_quantile_filter(documents: DataFrame, exact: bool = True) -> DataFra
         .select("doc_id", "source", "quality", "src_median")
         .orderBy("doc_id")
     )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Dataset-card summary per source: document/token/char volumes,
+    language spread, distinct-content count, and token share.
+
+    The numbers a corpus release publishes (and a mixing strategy
+    consumes): one scan computes per-row token counts in the same
+    projection as the grouping key, then a single keyed agg over a
+    handful of sources with map-side partial aggregation — the
+    distinct-content count is `count(DISTINCT md5)` which partial-
+    aggregates per source too. The corpus-total join is a broadcast
+    scalar (the repo's injected-scalar pattern, never a collect)."""
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).cast("bigint")
+    rows = _spread(documents, "doc_id").select(
+        "source",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_t"),
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+    )
+    # materialized: the corpus-total aggregate and the share join both
+    # read the per-source rollup
+    agg = _materialize(
+        rows.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("fp").alias("n_distinct_texts"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_chars_t").alias("total_chars"),
+        )
+    )
+    corpus = agg.agg(F.sum("total_tokens").alias("corpus_tokens"))
+    return (
+        agg.crossJoin(F.broadcast(corpus))
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "n_distinct_texts",
+            "total_tokens",
+            "total_chars",
+            F.expr(
+                "round(CAST(total_tokens AS DOUBLE) / CAST(corpus_tokens AS DOUBLE), 9)"
+            ).alias("token_share"),
+            F.expr(
+                "round(CAST(total_chars AS DOUBLE) / CAST(n_docs AS DOUBLE), 9)"
+            ).alias("mean_doc_chars"),
+        )
+        .orderBy("source")
+    )

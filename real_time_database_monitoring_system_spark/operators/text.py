@@ -244,6 +244,53 @@ def repetition_score(documents: DataFrame) -> DataFrame:
     )
 
 
+# PII patterns shared verbatim between the Spark plan and the DuckDB
+# oracle (both Java regex and RE2 accept them: character classes,
+# bounded repetition, ASCII \b). Order matters: IP before phone so a
+# dotted number is claimed by the more specific 4-group pattern first.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b", "<PHONE>"),
+]
+
+
+def pii_redact(documents: DataFrame) -> DataFrame:
+    """PII scrub — the pre-training redaction pass: replace e-mail
+    addresses, IPv4 addresses, and NNN-NNN-NNNN phone numbers with
+    typed placeholders, reporting per-category hit counts.
+
+    Pure map-side: per-category counts ride the same projection as the
+    regexp_replace chain, so the corpus is scanned once and nothing
+    shuffles except the display sort. Counts are taken on the RAW text
+    (before any replacement) so categories can't steal each other's
+    matches mid-chain; the replacement chain applies in PII_PATTERNS
+    order. Production pipelines add locale-specific patterns (IBAN,
+    SSN, ...) to PII_PATTERNS — the operator shape is unchanged.
+    """
+    redacted = F.col("text")
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(f"n_{name}s")
+        )
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return (
+        _spread(documents, "doc_id")
+        .select("doc_id", *counts, redacted.alias("redacted"))
+        .withColumn(
+            "n_redactions",
+            sum(F.col(f"n_{name}s") for name, _, _ in PII_PATTERNS).cast("int"),
+        )
+        .withColumn("redacted_len", F.length("redacted"))
+        .select(
+            "doc_id", "n_emails", "n_ips", "n_phones", "n_redactions",
+            "redacted", "redacted_len",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def fingerprint(documents: DataFrame) -> DataFrame:
     """Document fingerprinting: md5 of whitespace-normalized text plus a
     31-polynomial rolling hash (mod 1e9+7) over characters — the

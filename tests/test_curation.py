@@ -170,3 +170,41 @@ def test_snapshot_diff_empty_new_is_all_deleted(spark):
     new = _docs(spark, [])
     got = curation.snapshot_diff(old, new).collect()
     assert {r.status for r in got} == {"deleted"} and len(got) == 2
+
+
+# --------------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_three_rules(spark):
+    old = _docs(
+        spark,
+        [
+            (1, "stable content", "a"),
+            (2, "will be revised", "a"),
+            (3, "moved content", "a"),
+        ],
+    )
+    new = _docs(
+        spark,
+        [
+            (1, "stable content", "a"),       # unchanged -> dropped
+            (2, "revised content", "a"),      # changed, genuinely new -> kept
+            (10, "moved content", "a"),       # added by key, old content -> dropped
+            (11, "brand new words", "a"),     # genuinely new -> kept
+            (12, "brand new words", "a"),     # batch-dupe of 11 -> dropped (min key wins)
+        ],
+    )
+    got = {r.doc_id: r.status for r in curation.incremental_dedup(old, new).collect()}
+    assert got == {2: "changed", 11: "added"}
+
+
+def test_incremental_dedup_empty_old_dedups_batch(spark):
+    old = _docs(spark, [])
+    new = _docs(spark, [(5, "x y z", "a"), (6, "x y z", "a"), (7, "p q", "a")])
+    got = {r.doc_id: r.status for r in curation.incremental_dedup(old, new).collect()}
+    assert got == {5: "added", 7: "added"}
+
+
+def test_incremental_dedup_identical_snapshots_empty(spark):
+    rows = [(i, f"text number {i}", "a") for i in range(20)]
+    old = _docs(spark, rows)
+    assert curation.incremental_dedup(old, _docs(spark, rows)).count() == 0

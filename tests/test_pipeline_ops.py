@@ -216,3 +216,46 @@ def test_zero_token_documents_survive_text_ops(spark):
     assert li[1] == "unknown" and li[2] == "unknown"
     # quality_score documents its n_tokens > 0 filter
     assert {r.doc_id for r in text.quality_score(df).collect()} == {3}
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    from real_time_database_monitoring_system_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and alice@test.org ok"),
+            (2, "server at 192.168.1.77 dialed 555-867-5309"),
+            (3, "no pii at all here"),
+            (4, "dotted phone 555.867.5309 stays distinct from 10.0.0.1"),
+        ],
+        "doc_id: bigint, text: string",
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (2, 0, 0)
+    assert got[1].redacted == "mail <EMAIL> and <EMAIL> ok"
+    assert (got[2].n_ips, got[2].n_phones) == (1, 1)
+    assert got[2].redacted == "server at <IP> dialed <PHONE>"
+    assert got[3].n_redactions == 0 and got[3].redacted == "no pii at all here"
+    # the 3-group dotted phone must not be claimed by the 4-group IP pattern
+    assert (got[4].n_ips, got[4].n_phones) == (1, 1)
+    assert got[4].redacted == "dotted phone <PHONE> stays distinct from <IP>"
+
+
+def test_corpus_stats_exact_on_fixture(spark):
+    from real_time_database_monitoring_system_spark.operators.pipeline import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1"),
+            (2, "a b c", "fr", "s1"),   # duplicate content, second lang
+            (3, "d e", "en", "s2"),
+        ],
+        "doc_id: bigint, text: string, lang: string, source: string",
+    )
+    got = {r.source: r for r in corpus_stats(df).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert (s1.n_docs, s1.n_langs, s1.n_distinct_texts) == (2, 2, 1)
+    assert (s1.total_tokens, s1.total_chars) == (6, 10)
+    assert (s2.n_docs, s2.n_langs, s2.n_distinct_texts) == (1, 1, 1)
+    assert abs(s1.token_share - 0.75) < 1e-9 and abs(s2.token_share - 0.25) < 1e-9
+    assert abs(s1.mean_doc_chars - 5.0) < 1e-9
