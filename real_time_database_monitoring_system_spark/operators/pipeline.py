@@ -209,6 +209,58 @@ def quality_quantile_filter(documents: DataFrame, exact: bool = True) -> DataFra
     )
 
 
+def chunk_documents(
+    documents: DataFrame, window: int = 32, stride: int = 24
+) -> DataFrame:
+    """Token-window chunking: split each document into `window`-token
+    chunks every `stride` tokens (overlap = window - stride) — the
+    context-window preparation step between cleaning and `shard_pack`.
+
+    Chunk starts are 0, stride, 2*stride, ... while start < n_tokens,
+    so the final chunk may be short; zero-token documents emit no
+    chunks. Shape at scale: tokenize once, precompute the start list,
+    ONE generator (posexplode of a bare precomputed column — anything
+    else re-evaluates carried columns per element), then a map-side
+    slice/join per chunk. No shuffle except the display sort; chunking
+    100 TB is embarrassingly parallel and stays in whole-stage codegen.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    base = (
+        _spread(documents, "doc_id")
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("bigint"))
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "starts",
+            F.sequence(F.lit(0), (F.col("n_tokens") - 1).cast("int"), F.lit(stride)),
+        )
+    )
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            "toks",
+            F.posexplode("starts").alias("chunk_id", "start"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("start").cast("bigint").alias("start"),
+            F.slice("toks", F.col("start") + 1, F.lit(window)).alias("chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            F.size("chunk_toks").cast("bigint").alias("chunk_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Dataset-card summary per source: document/token/char volumes,
     language spread, distinct-content count, and token share.

@@ -259,3 +259,47 @@ def test_corpus_stats_exact_on_fixture(spark):
     assert (s2.n_docs, s2.n_langs, s2.n_distinct_texts) == (1, 1, 1)
     assert abs(s1.token_share - 0.75) < 1e-9 and abs(s2.token_share - 0.25) < 1e-9
     assert abs(s1.mean_doc_chars - 5.0) < 1e-9
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: starts 0,4,8
+            (2, "only three tokens here"),              # 4 toks: one full chunk... no, starts 0
+            (3, ""),                                    # zero tokens -> no chunks
+            (4, "solo"),                                # 1 token -> one 1-token chunk
+        ],
+        "doc_id: bigint, text: string",
+    )
+    got = pipeline.chunk_documents(df, window=6, stride=4).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sorted(by_doc) == [1, 2, 4]
+    c1 = by_doc[1]
+    assert [(r.chunk_id, r.start, r.chunk_tokens) for r in c1] == [
+        (0, 0, 6), (1, 4, 6), (2, 8, 2)
+    ]
+    assert c1[0].chunk_text == "t0 t1 t2 t3 t4 t5"
+    assert c1[1].chunk_text == "t4 t5 t6 t7 t8 t9"  # overlap = window - stride
+    assert c1[2].chunk_text == "t8 t9"              # short tail kept
+    assert by_doc[2][0].chunk_tokens == 4 and len(by_doc[2]) == 1
+    assert by_doc[4][0].chunk_text == "solo"
+
+
+def test_chunk_documents_exact_multiple_no_empty_tail(spark):
+    # 8 tokens, stride 4: starts 0 and 4 only — never an empty chunk at 8
+    df = spark.createDataFrame(
+        [(1, " ".join("abcdefgh"))], "doc_id: bigint, text: string"
+    )
+    rows = pipeline.chunk_documents(df, window=4, stride=4).collect()
+    assert [(r.start, r.chunk_tokens) for r in rows] == [(0, 4), (4, 4)]
+    assert all(r.chunk_tokens > 0 for r in rows)
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id: bigint, text: string")
+    with pytest.raises(ValueError):
+        pipeline.chunk_documents(df, window=0, stride=4)
+    with pytest.raises(ValueError):
+        pipeline.chunk_documents(df, window=4, stride=0)
