@@ -567,6 +567,10 @@ def _q_streaming_sessions(spark, sf):
     return streaming_rollup.stream_sessions(spark, sf)
 
 
+def _q_streaming_join(spark, sf):
+    return streaming_rollup.stream_join_alert_context(spark, sf)
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -593,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_alerts": _q_streaming_alerts,
         "streaming_stateful_tracker": _q_streaming_stateful,
         "streaming_sessions": _q_streaming_sessions,
+        "streaming_join_alert_context": _q_streaming_join,
         "knn_bruteforce": _q_knn_bruteforce,
         "embedding_near_dups": _q_embedding_near_dups,
         "multimodal_meta": _q_multimodal_meta,
@@ -639,11 +644,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
-        "exact_dedup": _q_exact_dedup,
         # ---- position 51+: oracle-backed overflow (the driver      ----
         # ---- evaluates a 50-entry prefix; these went green in      ----
         # ---- round 1 and stay checked by the local harness every   ----
         # ---- test run)                                             ----
+        "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "idle_sessions": _q_idle_sessions,
         "session_summary": _q_session_summary,
@@ -1675,6 +1680,21 @@ def oracle_sql() -> dict[str, str]:
                max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         FROM numbered GROUP BY user_id, session_no
         ORDER BY user_id, start_us
+    """
+
+    # stream-stream interval join == the batch self-join (inner join in
+    # append mode withholds nothing; µs literals match the Spark side)
+    sql["streaming_join_alert_context"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+                   FROM events)
+        SELECT a.event_id AS alert_id, c.event_id AS ctx_id, a.user_id,
+               a.us AS alert_us, c.us AS ctx_us,
+               c.event_type AS ctx_type, a.value AS alert_value
+        FROM e a JOIN e c ON a.user_id = c.user_id
+             AND c.us >= a.us AND c.us <= a.us + 300000000
+             AND a.event_id <> c.event_id
+        WHERE a.value > 99.0
+        ORDER BY alert_id, ctx_id
     """
 
     # the stateful tracker's final state must equal the batch aggregate

@@ -229,6 +229,68 @@ def stream_dedup(spark: SparkSession, sf_dir: str, lateness: str = "10 minutes")
     return _run_to_memory(deduped, "append").orderBy("event_id")
 
 
+def stream_join_alert_context(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 99.0,
+    horizon_minutes: int = 5,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each threshold alert is joined with
+    the same user's other events in the `horizon_minutes` after it —
+    the "what did this session do right after the spike" enrichment the
+    reference answers by re-querying on page load (views.py:618-638).
+
+    Both sides carry a watermark and the join condition bounds ctx_ts
+    to [alert_ts, alert_ts + horizon], so Spark can expire join state
+    once the watermark passes an alert's horizon — the property that
+    keeps state bounded by the lateness + horizon window instead of the
+    stream's lifetime on an unbounded feed. Inner join in append mode
+    emits a match as soon as both rows have arrived (no withheld tail),
+    so the result equals the batch self-join exactly
+    (equivalence-tested and oracle-checked)."""
+    alerts = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("value") > threshold)
+        .select(
+            F.col("event_id").alias("alert_id"),
+            F.col("user_id").alias("alert_user"),
+            F.col("ts").alias("alert_ts"),
+            F.col("value").alias("alert_value"),
+        )
+        .withWatermark("alert_ts", lateness)
+    )
+    ctx = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("ctx_user"),
+            F.col("ts").alias("ctx_ts"),
+            F.col("event_type").alias("ctx_type"),
+        )
+        .withWatermark("ctx_ts", lateness)
+    )
+    joined = alerts.join(
+        ctx,
+        (F.col("alert_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("alert_ts"))
+        & (F.col("ctx_ts") <= F.col("alert_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+        & (F.col("alert_id") != F.col("ctx_id")),
+        "inner",
+    ).select(
+        "alert_id",
+        "ctx_id",
+        F.col("alert_user").alias("user_id"),
+        F.unix_micros("alert_ts").alias("alert_us"),
+        F.unix_micros("ctx_ts").alias("ctx_us"),
+        "ctx_type",
+        "alert_value",
+    )
+    return _run_to_memory(joined, "append").orderBy("alert_id", "ctx_id")
+
+
 def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Session-window aggregation — the streaming twin of
     `operators.monitoring.sessionize` (same 30-minute inactivity gap).
