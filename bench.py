@@ -48,6 +48,9 @@ HEADLINE = [
     "paginate_keyset",
     "tfidf_top_terms",
     "shard_pack",
+    "chunk_documents",
+    "corpus_stats",
+    "pii_redact",
 ]
 
 

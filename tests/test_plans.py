@@ -110,3 +110,36 @@ def test_token_stats_single_scan_with_pre_explode_carries(spark, sf_dir):
     assert "regexp_extract_all" not in full[:gen_idx], (
         "carried regexp must not be evaluated above the Generate (per token)"
     )
+
+
+def test_chunk_documents_shuffle_free_except_sort(spark, sf_dir):
+    """Chunking is embarrassingly parallel: one scan, one generator,
+    map-side slice — no aggregate/join exchange (only the spread
+    repartition and the display sort survive)."""
+    from real_time_database_monitoring_system_spark.operators import pipeline
+
+    df = pipeline.chunk_documents(load_table(spark, sf_dir, "documents"))
+    tree = checks.explain_str(df, "simple")
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Generate") == 1, "exactly one posexplode generator"
+    plan = checks.explain_str(df)
+    assert "hashpartitioning" not in plan or "REPARTITION_BY_NUM" in plan, (
+        "no keyed shuffle: the only hash exchange allowed is the spread repartition"
+    )
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all(
+        "lang" not in ln and "source" not in ln for ln in read_schema
+    ), "chunking must prune to doc_id+text"
+
+
+def test_pii_redact_single_scan_pruned(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    df = text_ops.pii_redact(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    tree = checks.explain_str(df, "simple")
+    assert tree.count("Scan parquet") == 1, "pii_redact must scan documents once"
+    plan = checks.explain_str(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("lang" not in ln for ln in read_schema)
