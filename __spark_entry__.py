@@ -538,6 +538,16 @@ def _q_dedup_keepers(spark, sf):
     return dedup.keeper_list(docs, pairs)
 
 
+def _q_dedup_keepers_best(spark, sf):
+    # quality-aware keeper selection: same pair evidence as
+    # dedup_keepers, but the per-cluster survivor is the
+    # highest-quality doc (text.quality_score), ties -> min doc_id
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    scores = text_ops.quality_score(docs).select("doc_id", "quality")
+    return dedup.keeper_list_best(docs, pairs, scores)
+
+
 def _q_ivf_knn(spark, sf):
     return similarity.ivf_knn(load_table(spark, sf, "embeddings"))
 
@@ -681,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
         "dedup_keepers": _q_dedup_keepers,
+        "dedup_keepers_best": _q_dedup_keepers_best,
         "knn_lsh": _q_knn_lsh,
         "ivf_knn": _q_ivf_knn,
     }

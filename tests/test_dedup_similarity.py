@@ -219,3 +219,36 @@ def test_multimodal_featurize_feeds_ann(spark, sf_dir):
     rows = knn.collect()
     assert {r.q_id for r in rows} == {0, 1, 2}
     assert all(1 <= r.rn <= 4 for r in rows)
+
+
+def test_keeper_list_best_prefers_quality(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 10) for i in range(6)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 4), (4, 5)], "doc_a long, doc_b long")
+    scores = spark.createDataFrame(
+        [(0, 0.1), (1, 0.2), (2, 0.3), (3, 0.4), (4, 0.9), (5, 0.9)],
+        "doc_id long, quality double",
+    )
+    got = {
+        r.doc_id: (r.keeper_doc_id, r.is_keeper)
+        for r in dedup.keeper_list_best(docs, pairs, scores).collect()
+    }
+    # cluster {1,4,5}: 4 and 5 tie at 0.9 -> min doc_id 4 wins
+    assert got[1] == (4, False) and got[4] == (4, True) and got[5] == (4, False)
+    # singletons keep themselves
+    assert got[0] == (0, True) and got[2] == (2, True) and got[3] == (3, True)
+
+
+def test_keeper_list_best_missing_scores_lose_ties(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "en", "s", 10) for i in range(3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    scores = spark.createDataFrame([(2, 0.5)], "doc_id long, quality double")
+    got = {r.doc_id: r.keeper_doc_id for r in dedup.keeper_list_best(docs, pairs, scores).collect()}
+    # only doc 2 has a score -> it is the keeper for the whole chain
+    assert got == {0: 2, 1: 2, 2: 2}
+
