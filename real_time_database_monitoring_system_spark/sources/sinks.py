@@ -36,16 +36,42 @@ def to_json_column(df: DataFrame, col_name: str = "payload") -> DataFrame:
 def write_xlsx(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
     """XLSX export (S7). Spreadsheet files are a driver-side,
     small-result format: the writer refuses unbounded inputs rather
-    than silently collecting a 100 TB table."""
-    n = df.count()
-    if n > max_rows:
-        raise ValueError(f"xlsx export capped at {max_rows} rows, got {n}; use write_csv")
-    pdf = df.toPandas()
+    than silently collecting a 100 TB table. One action: fetch
+    max_rows+1 and refuse on overflow instead of a separate count."""
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
+        raise ValueError(f"xlsx export capped at {max_rows} rows; use write_csv")
     try:
         pdf.to_excel(path, index=False)
     except (ImportError, ModuleNotFoundError):
         # no openpyxl in this container: fall back to CSV next to it
         pdf.to_csv(path + ".csv", index=False)
+
+
+def write_sharded_corpus(documents: DataFrame, path: str, budget_tokens: int = 2000) -> None:
+    """Training-shard writer: `pipeline.shard_pack` assignment joined
+    back onto the documents and written as parquet partitioned by
+    (source, shard_id) — the directory layout a training loader reads
+    shard-by-shard.
+
+    The repartition on the partition columns means each output
+    directory is produced by one task (no small-file explosion: without
+    it every input partition writes a sliver of every shard), and
+    `sortWithinPartitions` keeps doc_id order inside a shard file so a
+    loader streams documents in packing order. The assignment is
+    deterministic (pure function of source + doc_id order), so a
+    failed write re-runs to identical shards."""
+    from ..operators.pipeline import shard_pack
+
+    assign = shard_pack(documents, budget_tokens).select("doc_id", "shard_id", "n_tokens")
+    (
+        documents.join(assign, "doc_id")
+        .repartition("source", "shard_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("source", "shard_id")
+        .parquet(path)
+    )
 
 
 def append_with_timestamp(src: DataFrame, ts_col: str = "archive_timestamp") -> DataFrame:

@@ -71,3 +71,33 @@ def test_ivf_knn_recall(spark, sf_dir):
     ivf = {(r.q_id, r.vec_id) for r in similarity.ivf_knn(emb, n_queries=10, k=5, nprobe=3).collect()}
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_write_sharded_corpus_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    from real_time_database_monitoring_system_spark.operators.pipeline import shard_pack
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "shards")
+    sinks.write_sharded_corpus(docs, out, budget_tokens=2000)
+    # partition directories exist per (source, shard_id)
+    sources = [d for d in os.listdir(out) if d.startswith("source=")]
+    assert sources, "expected source= partition directories"
+    assert any(
+        d.startswith("shard_id=") for d in os.listdir(os.path.join(out, sources[0]))
+    )
+    # round-trip: partition pruning reads one shard; assignment matches
+    back = spark.read.parquet(out)
+    expect = shard_pack(docs, 2000)
+    got = {(r.doc_id): (r.source, r.shard_id) for r in back.collect()}
+    want = {(r.doc_id): (r.source, r.shard_id) for r in expect.collect()}
+    assert got == want
+    one = back.filter((F.col("source") == sources[0].split("=")[1]) & (F.col("shard_id") == 0))
+    assert one.count() > 0
+
+
+def test_write_xlsx_caps_without_counting_twice(spark, sf_dir, tmp_path):
+    import pytest as _pytest
+
+    df = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    with _pytest.raises(ValueError):
+        sinks.write_xlsx(df, str(tmp_path / "too_big.xlsx"), max_rows=5)
