@@ -336,6 +336,10 @@ def _q_vocab_topk(spark, sf):
     return pipeline.vocab_topk(load_table(spark, sf, "documents"))
 
 
+def _q_ngram_counts(spark, sf):
+    return pipeline.ngram_counts(load_table(spark, sf, "documents"), n=2, k=50)
+
+
 def _q_quality_quantile_filter(spark, sf):
     return pipeline.quality_quantile_filter(load_table(spark, sf, "documents"))
 
@@ -631,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_score": _q_repetition_score,
         "sql_bucket_panel": _q_sql_bucket_panel,
         "vocab_topk": _q_vocab_topk,
+        "ngram_counts": _q_ngram_counts,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "engine_info": _q_engine_info,
         # -- monitoring panels (events feed) --
@@ -653,11 +658,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
-        "fingerprint": _q_fingerprint,
         # ---- position 51+: oracle-backed overflow (the driver      ----
         # ---- evaluates a 50-entry prefix; these went green in      ----
         # ---- round 1 and stay checked by the local harness every   ----
         # ---- test run)                                             ----
+        "fingerprint": _q_fingerprint,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "idle_sessions": _q_idle_sessions,
@@ -1448,6 +1453,20 @@ def oracle_sql() -> dict[str, str]:
                count(DISTINCT doc_id) AS doc_freq
         FROM toks GROUP BY term
         ORDER BY n_occurrences DESC, term ASC
+        LIMIT 50
+    """
+
+    # bigram head (n=2 in _q_ngram_counts); toks[i] is 1-based and
+    # range(1, len) stops at len-1, so i+1 never overruns
+    sql["ngram_counts"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        p AS (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+              FROM t WHERE len(toks) >= 2),
+        g AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram FROM p)
+        SELECT gram, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS doc_freq
+        FROM g GROUP BY gram
+        ORDER BY n_occurrences DESC, gram ASC
         LIMIT 50
     """
 

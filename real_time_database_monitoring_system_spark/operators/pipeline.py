@@ -172,6 +172,41 @@ def vocab_topk(documents: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def ngram_counts(documents: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
+    """Corpus n-gram head: top-`k` word n-grams by occurrence count
+    (ties by gram asc) with document frequency — the language-model
+    support table (bigram/trigram statistics) next to the unigram
+    `vocab_topk`.
+
+    N-grams are built O(tokens) per row by zip_with over shifted
+    slices (same idiom as dedup shingling — the index-based transform
+    re-evaluates the tokenize subtree per element, quadratic), WITHOUT
+    the distinct: counts need every occurrence. Then explode → one
+    keyed agg with map-side combine → TakeOrderedAndProject."""
+    if n < 2:
+        raise ValueError("use vocab_topk for unigrams")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, 1 << 30)
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    grams = F.filter(out, lambda x: x.isNotNull())
+    exploded = (
+        _spread(documents, "doc_id")
+        .select("doc_id", grams.alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"))
+    )
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def quality_quantile_filter(documents: DataFrame, exact: bool = True) -> DataFrame:
     """Keep documents at or above their source's median quality score.
 
