@@ -16,7 +16,11 @@ from real_time_database_monitoring_system_spark.sources.registry import load_tab
 
 @pytest.fixture(scope="module")
 def docs(spark, sf_dir):
-    return load_table(spark, sf_dir, "documents").cache()
+    # unpersist on teardown: a lingering cache entry substitutes
+    # InMemoryTableScan for the parquet scan in later plan-shape tests
+    df = load_table(spark, sf_dir, "documents").cache()
+    yield df
+    df.unpersist()
 
 
 def test_hash_sample_deterministic_and_nested(spark, docs):
