@@ -1,0 +1,263 @@
+"""Multi-dimensional / OLAP surface: grouped subtotals (ROLLUP, CUBE,
+GROUPING SETS), the window-function long tail, set operations, pivot /
+unpivot reshaping, and fixed-width histograms.
+
+The reference dashboard renders its panels from flat GROUP BYs
+(`myapp/views.py:214-320`) and leaves subtotal rows to the frontend;
+an analytics engine serving the same dashboards at warehouse scale
+computes them in one pass with grouped subtotals instead of N queries.
+Everything here is a single declarative plan — Catalyst expands
+ROLLUP/CUBE into one Expand + one hash aggregate (one shuffle total,
+map-side partial aggs intact), windows shuffle once on their partition
+key, and pivot with an explicit value list stays a single aggregate
+with no discovery pass over the data.
+
+Cross-engine determinism follows the repo-wide rules: decimal
+accumulation for double sums (order-independent under any
+parallelism), COALESCE'd grouping keys so no engine's NULL-ordering
+default leaks into the sort, single final double division for ratios,
+and unique tiebreakers inside every window ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_ALL = "(all)"
+
+
+def rollup_totals(orders: DataFrame) -> DataFrame:
+    """Order counts/revenue by (status, priority) with ROLLUP subtotals.
+
+    One Expand node feeds one hash aggregate: Catalyst produces the
+    per-group rows, the per-status subtotals, and the grand total in a
+    single shuffle — at 100 TB this replaces three separate dashboard
+    queries (reference recomputes each panel separately,
+    myapp/views.py:214-248) with one pass over the fact table.
+    GROUPING() flags are materialized as ints and NULL keys coalesced
+    to a sentinel so the output is total-ordered without relying on
+    any engine's NULL sort default."""
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.withColumn("price_d", price)
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count("*").alias("n_orders"),
+            F.sum("price_d").cast("double").alias("revenue"),
+        )
+        .select(
+            "g_status",
+            "g_priority",
+            F.coalesce("o_orderstatus", F.lit(_ALL)).alias("status"),
+            F.coalesce("o_orderpriority", F.lit(_ALL)).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("g_status", "g_priority", "status", "priority")
+    )
+
+
+def cube_totals(documents: DataFrame) -> DataFrame:
+    """Corpus size by (source, lang) with CUBE subtotals — every
+    marginal a data-mixing decision needs (per-source, per-lang,
+    per-cell, grand total) in ONE aggregate pass instead of four.
+    Same single-Expand single-shuffle shape as :func:`rollup_totals`."""
+    return (
+        documents.cube("source", "lang")
+        .agg(
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "g_source",
+            "g_lang",
+            F.coalesce("source", F.lit(_ALL)).alias("source"),
+            F.coalesce("lang", F.lit(_ALL)).alias("lang"),
+            "n_docs",
+            "sum_chars",
+        )
+        .orderBy("g_source", "g_lang", "source", "lang")
+    )
+
+
+def grouping_sets_panel(documents: DataFrame) -> DataFrame:
+    """Exactly the dashboard's three panels — by-source, by-lang, and
+    grand total — as explicit GROUPING SETS ((source), (lang), ()):
+    the sets a UI actually shows, skipping the (source, lang) cells a
+    full CUBE would also pay for. Still one Expand + one aggregate."""
+    return (
+        documents.groupingSets(
+            [["source"], ["lang"], []],
+            "source",
+            "lang",
+        )
+        .agg(
+            F.grouping("source").cast("int").alias("g_source"),
+            F.grouping("lang").cast("int").alias("g_lang"),
+            F.count("*").alias("n_docs"),
+        )
+        .select(
+            "g_source",
+            "g_lang",
+            F.coalesce("source", F.lit(_ALL)).alias("source"),
+            F.coalesce("lang", F.lit(_ALL)).alias("lang"),
+            "n_docs",
+        )
+        .orderBy("g_source", "g_lang", "source", "lang")
+    )
+
+
+def window_suite(events: DataFrame) -> DataFrame:
+    """The window-function long tail over each user's event stream:
+    running total, 3-row moving average, quartile (ntile), rank
+    ratios (percent_rank / cume_dist), and first/last value frames.
+
+    One window spec → ONE shuffle on user_id; every function shares
+    the same sort. The ORDER BY carries event_id as a unique
+    tiebreaker so frame boundaries are identical in any engine.
+    Running/moving sums accumulate in decimal (exact, association-
+    free) and only the final division is double — windowed double
+    SUMs are evaluated by segment trees in some engines (different FP
+    association), so raw-double frames would not hash-match."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val_d = F.col("value").cast("decimal(18,2)")
+    return (
+        events.withColumn("value_d", val_d)
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            F.sum("value_d").over(w).cast("double").alias("running_total"),
+            (
+                F.sum("value_d").over(w3).cast("double")
+                / F.count("*").over(w3).cast("double")
+            ).alias("moving_avg3"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume_dist"),
+            F.first("value").over(w_all).alias("first_value"),
+            F.last("value").over(w_all).alias("last_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+def user_set_ops(events: DataFrame) -> DataFrame:
+    """INTERSECT / EXCEPT over per-type user populations, tagged and
+    unioned into one result: users who both clicked and purchased
+    (`both`), and users who clicked but never purchased
+    (`click_only`). Distinct set semantics exactly as SQL INTERSECT /
+    EXCEPT. Each leg is a shuffled distinct over a pre-filtered,
+    pruned scan — the filters push to the reader, and at scale the
+    two legs share the same hash partitioning on user_id."""
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(buyers).select(
+        F.col("user_id"), F.lit("both").alias("tag")
+    )
+    # plain EXCEPT (distinct) semantics: subtract over distinct sets
+    only = clickers.distinct().subtract(buyers.distinct()).select(
+        F.col("user_id"), F.lit("click_only").alias("tag")
+    )
+    return both.unionByName(only).orderBy("tag", "user_id")
+
+
+def pivot_event_counts(
+    events: DataFrame, cohorts: int = 10, use_native: bool = False
+) -> DataFrame:
+    """Long→wide: event counts per user-cohort with event types as
+    columns (the value list is EXPLICIT — a pivot that discovers its
+    columns from the data both double-scans and makes the schema
+    data-dependent, wrong at 100 TB).
+
+    Default path lowers the pivot to ONE conditional aggregation:
+    count(CASE event_type…) per type, map-side combinable directly on
+    the scan, a single shuffle on cohort. Spark's native
+    ``.pivot(values)`` plans a (cohort, event_type) pre-aggregate plus
+    a pivotfirst aggregate — two shuffles; harmless on aggregated
+    data, but strictly dominated here. ``use_native=True`` keeps the
+    native operator (equivalence is pinned by a test)."""
+    with_cohort = events.withColumn(
+        "cohort", (F.col("user_id") % cohorts).cast("bigint")
+    )
+    if use_native:
+        return (
+            with_cohort.groupBy("cohort")
+            .pivot("event_type", EVENT_TYPES)
+            .count()
+            .na.fill(0, EVENT_TYPES)
+            .orderBy("cohort")
+        )
+    return (
+        with_cohort.groupBy("cohort")
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+                for t in EVENT_TYPES
+            ]
+        )
+        .orderBy("cohort")
+    )
+
+
+def unpivot_summary(events: DataFrame) -> DataFrame:
+    """Wide→long: the session-summary panel (n_sessions / n_users /
+    n_hot per event type) melted to (event_type, metric, metric_value)
+    rows — the shape chart frontends and metric stores ingest.
+    Spark's native UNPIVOT (Expand node): zero extra shuffles beyond
+    the one aggregate; 3× row fan-out happens map-side."""
+    wide = events.groupBy("event_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.when(F.col("value") > 50, 1)).alias("n_hot"),
+    )
+    return (
+        wide.unpivot(
+            ["event_type"],
+            ["n_sessions", "n_users", "n_hot"],
+            "metric",
+            "metric_value",
+        )
+        .orderBy("event_type", "metric")
+    )
+
+
+def value_histogram(
+    events: DataFrame, lo: float = 0.0, hi: float = 500.0, nbins: int = 10
+) -> DataFrame:
+    """Fixed-width histogram of `value` via width_bucket: bucket 0 is
+    underflow, nbins+1 overflow, matching PG/Spark width_bucket
+    semantics. Entirely map-side expression + one aggregate on a tiny
+    key domain (≤ nbins+2 groups) — the classic scale-friendly
+    histogram: no sort, no per-row Python. Bucket edges are exact
+    doubles so the floor math is bit-identical across engines."""
+    width = (hi - lo) / nbins
+    bucket = F.width_bucket(
+        F.col("value"), F.lit(lo), F.lit(hi), F.lit(nbins)
+    ).alias("bucket")
+    return (
+        events.select(bucket, F.col("value"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn(
+            "lo_edge",
+            (F.lit(lo) + (F.col("bucket") - 1).cast("double") * F.lit(width)),
+        )
+        .orderBy("bucket")
+    )
