@@ -627,6 +627,43 @@ def _q_value_histogram(spark, sf):
     return analytics.value_histogram(load_table(spark, sf, "events"))
 
 
+# ---- round 3: corpus-pipeline additions ----
+
+
+def _q_paragraph_dedup(spark, sf):
+    """Drives paragraph_dedup over a corpus with REAL repeated
+    paragraphs, synthesized deterministically (doc i = text_i + "\\n" +
+    text_{i+1}, so every interior paragraph occurs in two documents).
+    The single-task lead() window is test-corpus synthesis, not part
+    of the operator under test."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    w = Window.orderBy("doc_id")
+    synth = (
+        docs.select(
+            "doc_id",
+            F.col("text"),
+            F.lead("text", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws("\n", "text", "nxt").alias("text"))
+    )
+    return dedup.paragraph_dedup(synth)
+
+
+def _q_cap_per_source(spark, sf):
+    return curation.cap_per_source(load_table(spark, sf, "documents"))
+
+
+def _q_assign_split(spark, sf):
+    return curation.assign_split(load_table(spark, sf, "documents"))
+
+
+def _q_shuffle_order(spark, sf):
+    return curation.shuffle_order(load_table(spark, sf, "documents"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix (CORRECTNESS_r01.json was exactly the first 50 of 61), so
@@ -649,6 +686,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_counts": _q_pivot_event_counts,
         "unpivot_summary": _q_unpivot_summary,
         "value_histogram": _q_value_histogram,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "cap_per_source": _q_cap_per_source,
+        "assign_split": _q_assign_split,
+        "shuffle_order": _q_shuffle_order,
         "upsert_merge": _q_upsert,
         "delete_where": _q_delete,
         "update_where": _q_update,
@@ -852,6 +893,61 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT event_type, 'n_hot' AS metric, n_hot AS metric_value FROM wide
         ORDER BY event_type, metric
+    """
+
+    sql["paragraph_dedup"] = """
+        WITH synth AS (
+            SELECT doc_id, text || chr(10) || lead(text) OVER (ORDER BY doc_id) AS text
+            FROM documents
+            QUALIFY lead(text) OVER (ORDER BY doc_id) IS NOT NULL),
+        paras AS (
+            SELECT doc_id,
+                   len(string_split(text, chr(10))) AS n_paras,
+                   unnest(string_split(text, chr(10))) AS para,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+            FROM synth),
+        kept AS (
+            SELECT doc_id, para, pos, n_paras,
+                   row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+            FROM paras)
+        SELECT doc_id,
+               string_agg(para, chr(10) ORDER BY pos) AS dedup_text,
+               count(*) AS n_kept,
+               CAST(max(n_paras) - count(*) AS BIGINT) AS n_dropped
+        FROM kept WHERE rn = 1
+        GROUP BY doc_id ORDER BY doc_id
+    """
+
+    sql["cap_per_source"] = """
+        SELECT doc_id, source, n_chars, CAST(rank_in_source AS INTEGER) AS rank_in_source
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY n_chars DESC, doc_id
+                   ) AS rank_in_source
+            FROM documents)
+        WHERE rank_in_source <= 10
+        ORDER BY source, rank_in_source
+    """
+
+    sql["assign_split"] = """
+        SELECT doc_id, source, bucket,
+               CASE WHEN bucket < 90 THEN 'train'
+                    WHEN bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 100 AS bucket
+            FROM documents)
+        ORDER BY doc_id
+    """
+
+    sql["shuffle_order"] = """
+        SELECT doc_id, source,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
     """
 
     sql["value_histogram"] = """

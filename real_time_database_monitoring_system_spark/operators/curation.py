@@ -288,3 +288,82 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFr
         .select(key, status.alias("status"))
         .orderBy(key)
     )
+
+
+def cap_per_source(documents: DataFrame, k: int = 10) -> DataFrame:
+    """Per-domain document cap: keep at most ``k`` documents per
+    source, preferring longer documents (n_chars DESC, doc_id
+    tiebreak). The standard anti-over-representation guard for web
+    corpora — a single crawl domain must not dominate the mixture.
+
+    One window shuffle on source; at 100 TB a skewed mega-domain is
+    still a single partition's sorted run (O(n log n) local sort, no
+    quadratic step), and since only rank ≤ k survives, a pre-filter
+    with AQE skew-split handles even a pathological domain. Selection
+    by explicit ordered rank keeps reruns byte-identical (a
+    rand()-based cap would not be)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    return (
+        documents.withColumn("rank_in_source", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_in_source") <= k)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
+        .orderBy("source", "rank_in_source")
+    )
+
+
+def assign_split(
+    documents: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/val/test assignment by keyed hash bucket:
+    md5(doc_id) % 100 → train < train_pct ≤ val < train_pct+val_pct ≤
+    test. Keyed on the stable document id (not content) so a document
+    keeps its split across content-touching pipeline runs — the
+    property that prevents silent eval-set leakage when a cleaning
+    pass rewrites text.
+
+    Pure map-side expression: no shuffle, no RNG state, agrees across
+    engines and reruns row for row (same portable md5-prefix bucket as
+    pipeline.content_hash_bucket)."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    return (
+        documents.withColumn("bucket", bucket)
+        .select(
+            "doc_id",
+            "source",
+            "bucket",
+            F.when(F.col("bucket") < train_pct, "train")
+            .when(F.col("bucket") < train_pct + val_pct, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def shuffle_order(documents: DataFrame, salt: str = "shuffle:") -> DataFrame:
+    """Deterministic global shuffle for training order: sort by
+    md5(salt || doc_id). Changing the salt reshuffles; the same salt
+    reproduces the exact order on any engine — rand()-ordered writes
+    are unrepeatable and partition-count-dependent.
+
+    The ORDER BY is a range-partitioned distributed sort (Spark
+    samples split points), which a training-shard writer needs anyway
+    for a total order; shard position within each output file is then
+    assigned per-partition at write time (see
+    sinks.write_sharded_corpus), never via a driver-side loop or a
+    single global window."""
+    key = F.md5(
+        F.concat(F.lit(salt), F.col("doc_id").cast("string")).cast("binary")
+    )
+    return documents.select("doc_id", "source", key.alias("shuffle_key")).orderBy(
+        "shuffle_key", "doc_id"
+    )

@@ -208,3 +208,46 @@ def test_incremental_dedup_identical_snapshots_empty(spark):
     rows = [(i, f"text number {i}", "a") for i in range(20)]
     old = _docs(spark, rows)
     assert curation.incremental_dedup(old, _docs(spark, rows)).count() == 0
+
+
+# ------------------------------------------------- cap / split / shuffle order
+
+def test_cap_per_source_keeps_longest_k(spark):
+    rows = [(i, "x" * (10 + i), "a") for i in range(5)] + [
+        (10 + i, "y" * 5, "b") for i in range(2)
+    ]
+    out = curation.cap_per_source(_docs(spark, rows), k=3).collect()
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source["a"]) == 3
+    # longest docs win: ids 4, 3, 2 (n_chars 14, 13, 12)
+    assert [r.doc_id for r in by_source["a"]] == [4, 3, 2]
+    assert [r.rank_in_source for r in by_source["a"]] == [1, 2, 3]
+    # under-cap source kept whole, tie on n_chars broken by doc_id
+    assert [r.doc_id for r in by_source["b"]] == [10, 11]
+
+
+def test_assign_split_partitions_and_is_stable_under_text_change(spark):
+    docs = _docs(spark, [(i, f"text {i}", "a") for i in range(200)])
+    out1 = {r.doc_id: r.split for r in curation.assign_split(docs).collect()}
+    assert set(out1.values()) == {"train", "val", "test"}
+    # every doc gets exactly one split; ~90/5/5 with hash tolerance
+    n = len(out1)
+    n_train = sum(1 for s in out1.values() if s == "train")
+    assert 0.8 * n <= n_train <= 0.97 * n
+    # rewriting text must NOT move any document between splits
+    edited = _docs(spark, [(i, f"EDITED {i} !!", "a") for i in range(200)])
+    out2 = {r.doc_id: r.split for r in curation.assign_split(edited).collect()}
+    assert out1 == out2
+
+
+def test_shuffle_order_deterministic_and_salt_sensitive(spark):
+    docs = _docs(spark, [(i, f"text {i}", "a") for i in range(100)])
+    o1 = [r.doc_id for r in curation.shuffle_order(docs).collect()]
+    o2 = [r.doc_id for r in curation.shuffle_order(docs).collect()]
+    assert o1 == o2, "same salt must reproduce the exact order"
+    assert sorted(o1) == list(range(100))
+    o3 = [r.doc_id for r in curation.shuffle_order(docs, salt="other:").collect()]
+    assert o1 != o3, "a different salt must reshuffle"
+    assert sorted(o3) == list(range(100))

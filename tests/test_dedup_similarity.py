@@ -252,3 +252,45 @@ def test_keeper_list_best_missing_scores_lose_ties(spark):
     # only doc 2 has a score -> it is the keeper for the whole chain
     assert got == {0: 2, 1: 2, 2: 2}
 
+
+
+def test_paragraph_dedup_keeps_first_occurrence_and_drops_empty_docs(spark):
+    from real_time_database_monitoring_system_spark.operators.dedup import paragraph_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\ngamma"),
+            (2, "beta\ndelta"),      # beta already seen in doc 1
+            (3, "alpha\ngamma"),     # fully duplicate -> vanishes
+            (4, "epsilon"),
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[1].dedup_text == "alpha\nbeta\ngamma"
+    assert out[1].n_kept == 3 and out[1].n_dropped == 0
+    assert out[2].dedup_text == "delta"
+    assert out[2].n_kept == 1 and out[2].n_dropped == 1
+    assert 3 not in out, "document with no surviving paragraph disappears"
+    assert out[4].dedup_text == "epsilon"
+
+
+def test_paragraph_dedup_position_order_preserved(spark):
+    from real_time_database_monitoring_system_spark.operators.dedup import paragraph_dedup
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    # doc 2 shares its MIDDLE paragraph with doc 1; the surviving
+    # paragraphs must be re-joined in original positional order
+    docs = spark.createDataFrame(
+        [(1, "shared"), (2, "first\nshared\nlast")], schema
+    )
+    out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
+    assert out[2].dedup_text == "first\nlast"
+    assert out[2].n_kept == 2 and out[2].n_dropped == 1
