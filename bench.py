@@ -51,6 +51,10 @@ HEADLINE = [
     "chunk_documents",
     "corpus_stats",
     "pii_redact",
+    # round-3 breadth: OLAP subtotals, window long tail, paragraph dedup
+    "rollup_totals",
+    "window_suite",
+    "paragraph_dedup",
 ]
 
 
