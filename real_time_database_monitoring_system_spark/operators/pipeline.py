@@ -345,3 +345,58 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def unigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Perplexity-style quality signal from a corpus-trained unigram
+    LM: per-token log p(tok) = ln(count(tok)) − ln(total_tokens),
+    document score = mean log-prob (higher = more typical text; the
+    in-container stand-in for CCNet's KenLM perplexity filter, same
+    pipeline role and same plan shape a real LM scorer would have).
+
+    Scale shape: tokenize ONCE (materialized explode shared by the
+    frequency aggregate and the scoring join); the LM is a vocab-sized
+    table — the (tok → logp) join broadcasts for real vocabularies;
+    corpus total is a broadcast scalar. One corpus shuffle total (the
+    per-doc score aggregate).
+
+    Determinism: ln() is rounded to 9 dp and accumulated in
+    decimal(28,9) — exact, order-independent sums under any
+    parallelism — with ONE double division at the edge (the repo's
+    standard cross-engine float rules).
+    """
+    toks = _materialize(
+        _spread(documents, "doc_id").select(
+            "doc_id",
+            "source",
+            F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
+                "tok"
+            ),
+        )
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    total = freq.agg(F.sum("n_tok").alias("n_total"))
+    logp = (
+        F.round(F.log(F.col("n_tok").cast("double")) - F.log(F.col("n_total").cast("double")), 9)
+        .cast("decimal(28,9)")
+        .alias("logp")
+    )
+    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total)).select(
+        "doc_id", "source", logp
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("logp").alias("sum_logp"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("sum_logp").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -317,3 +317,39 @@ def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> 
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
     )
     return _run_to_memory(sess, "complete").orderBy("user_id", "start_us")
+
+
+def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: enrich the live event feed with a batch
+    dimension table (per-user profile derived from `customer`). The
+    canonical Structured Streaming enrichment shape: the static side
+    is planned as a broadcast per micro-batch — no streaming state at
+    all (unlike stream-stream joins), no watermark needed, and the
+    static table may be re-read/refreshed between batches.
+
+    At scale: the dimension broadcast is the same plan a batch
+    enrichment would use; the stream side stays partition-local. Rows
+    with no matching profile keep NULL tier (left join) — dropping
+    them silently would make the stream lossy.
+
+    Batch twin: identical left join on the batch events table; the
+    driver checks it against the DuckDB oracle.
+    """
+    from ..sources.registry import load_table
+
+    stream = _events_stream(spark, sf_dir)
+    profile = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.when(F.col("c_acctbal") >= 5000.0, "gold")
+            .when(F.col("c_acctbal") >= 0.0, "standard")
+            .otherwise("delinquent")
+            .alias("tier"),
+        )
+    )
+    enriched = stream.join(profile, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "value", "segment", "tier"
+    )
+    return _run_to_memory(enriched, "append").orderBy("event_id")

@@ -307,3 +307,31 @@ def test_chunk_documents_rejects_bad_params(spark):
         pipeline.chunk_documents(df, window=0, stride=4)
     with pytest.raises(ValueError):
         pipeline.chunk_documents(df, window=4, stride=0)
+
+
+def test_unigram_logprob_orders_typical_above_rare(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+        ]
+    )
+    # "common common common" tokens dominate the corpus; doc 3 is all
+    # hapaxes and must score strictly lower (more surprising)
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common", "a"),
+            (2, "common common rare", "a"),
+            (3, "uniq1 uniq2 uniq3", "a"),
+        ],
+        schema,
+    )
+    out = {r.doc_id: r for r in pipeline.unigram_logprob_score(docs).collect()}
+    assert out[1].avg_logprob > out[2].avg_logprob > out[3].avg_logprob
+    assert out[1].n_tokens == 3
+    # rerun must be bit-identical (decimal accumulation, no RNG)
+    again = {r.doc_id: r for r in pipeline.unigram_logprob_score(docs).collect()}
+    assert all(out[k].avg_logprob == again[k].avg_logprob for k in out)

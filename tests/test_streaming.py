@@ -140,3 +140,25 @@ def test_incremental_rollup_table_equals_batch(spark, sf_dir):
         assert sorted(map(tuple, batch)) == sorted(map(tuple, out))
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_enrich_static_equals_batch_join(spark, sf_dir):
+    """Stream–static enrichment must equal the identical batch left
+    join row for row (the static side broadcasts per micro-batch)."""
+    out = sr.stream_enrich_static(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    profile = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") >= 5000.0, "gold")
+        .when(F.col("c_acctbal") >= 0.0, "standard")
+        .otherwise("delinquent")
+        .alias("tier"),
+    )
+    batch = events.join(profile, "user_id", "left").select(
+        "event_id", "user_id", "event_type", "value", "segment", "tier"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
+    # enrichment is total on this data (every user has a profile)
+    assert out.filter(F.col("tier").isNull()).count() == 0
