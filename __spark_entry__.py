@@ -652,6 +652,10 @@ def _q_paragraph_dedup(spark, sf):
     return dedup.paragraph_dedup(synth)
 
 
+def _q_hll_user_rollup(spark, sf):
+    return analytics.hll_user_rollup(load_table(spark, sf, "events"))
+
+
 def _q_unigram_logprob(spark, sf):
     return pipeline.unigram_logprob_score(load_table(spark, sf, "documents"))
 
@@ -791,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keepers_best": _q_dedup_keepers_best,
         "knn_lsh": _q_knn_lsh,
         "ivf_knn": _q_ivf_knn,
+        "hll_user_rollup": _q_hll_user_rollup,
     }
 
 

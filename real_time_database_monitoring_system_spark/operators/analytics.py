@@ -261,3 +261,51 @@ def value_histogram(
         )
         .orderBy("bucket")
     )
+
+
+def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Distinct users per day computed by MERGING hourly HLL sketches
+    (Datasketches `hll_sketch_agg` / `hll_union_agg`) — the only
+    distinct-count shape that survives a 100 TB rollup cascade:
+    countDistinct cannot be re-aggregated (distinct-of-distincts is
+    wrong), so classic engines re-scan the raw feed per granularity;
+    sketches make the hourly rollup the ONLY pass over raw data and
+    every coarser granularity a cheap merge of fixed-size (≤ 2^lg_k
+    registers) state. Exact countDistinct rides along here as the
+    accuracy reference.
+
+    The sketch is a deterministic fold (per-register max), so results
+    are identical under any partitioning/parallelism — safe for
+    hash-compared outputs. No DuckDB oracle: its approx_count_distinct
+    is a different HLL implementation with different estimates."""
+    hourly = (
+        events.withColumn("hour", F.date_trunc("hour", "ts"))
+        .groupBy("hour")
+        .agg(
+            F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    daily_sketch = (
+        hourly.withColumn("day", F.date_trunc("day", "hour"))
+        .groupBy("day")
+        .agg(
+            F.hll_union_agg("sk").alias("sk"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+    exact = (
+        events.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return (
+        daily_sketch.join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            "exact_users",
+            F.hll_sketch_estimate("sk").alias("est_users"),
+        )
+        .orderBy("day")
+    )

@@ -34,3 +34,23 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     input rows."""
     n = df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
+def with_observation(df: DataFrame, name: str, *metrics):
+    """Attach zero-cost pipeline health metrics to a DataFrame:
+    returns ``(df, observation)`` where the Observation collects the
+    given aggregate expressions AS THE QUERY RUNS — no second pass, no
+    extra job, no .count() re-scan. After any action on ``df``,
+    ``observation.get`` yields the metric dict.
+
+    This is how a 100 TB pipeline stage reports rows-in/rows-out,
+    null-rates, or dropped-row counts without paying for a validation
+    scan: the metrics ride the same physical plan (Spark's
+    CollectMetrics node). The reference recomputes COUNT(*) panels as
+    separate queries per page load (myapp/views.py:214-248); observed
+    metrics make every pipeline action self-reporting instead.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *metrics), obs

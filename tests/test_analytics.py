@@ -144,3 +144,28 @@ def test_histogram_mapside_and_covers_all_rows(spark, sf_dir):
     for r in rows:
         if 1 <= r.bucket <= 10:
             assert r.lo_edge <= r.min_value and r.max_value < r.lo_edge + 50.0
+
+
+def test_hll_rollup_mergeable_and_accurate(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    rows = analytics.hll_user_rollup(events).collect()
+    assert rows
+    for r in rows:
+        # lg_k=12 keeps HLL error ~1.6%; tiny cardinalities are exact
+        assert abs(r.est_users - r.exact_users) <= max(2, 0.05 * r.exact_users)
+    # mergeability: union of hourly sketches == one direct daily sketch
+    direct = {
+        r.day: r.est
+        for r in events.withColumn("day", F.date_trunc("day", "ts"))
+        .groupBy("day")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.est_users == direct[r.day], (
+            "merged hourly sketches must equal the direct daily sketch"
+        )

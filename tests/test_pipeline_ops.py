@@ -335,3 +335,26 @@ def test_unigram_logprob_orders_typical_above_rare(spark):
     # rerun must be bit-identical (decimal accumulation, no RNG)
     again = {r.doc_id: r for r in pipeline.unigram_logprob_score(docs).collect()}
     assert all(out[k].avg_logprob == again[k].avg_logprob for k in out)
+
+
+def test_with_observation_rides_the_plan(spark, docs):
+    """Observed metrics must come back from the SAME job (no extra
+    action) and reflect the post-filter row flow."""
+    from real_time_database_monitoring_system_spark.operators.util import (
+        with_observation,
+    )
+
+    filtered = docs.filter(F.col("n_chars") > 100)
+    observed, obs = with_observation(
+        filtered,
+        "stage_health",
+        F.count(F.lit(1)).alias("rows_out"),
+        F.count(F.when(F.col("lang").isNull(), 1)).alias("null_lang"),
+        F.sum("n_chars").alias("chars_out"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    metrics = obs.get
+    expected = filtered.count()
+    assert metrics["rows_out"] == expected
+    assert metrics["null_lang"] == 0
+    assert metrics["chars_out"] > 100 * expected
