@@ -97,14 +97,18 @@ SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.ts is NANOSECOND-precision parquet; Spark has no ns
-    # timestamp, so it is read as raw int64 (nanosAsLong) and truncated
-    # to µs TIMESTAMP_NTZ in load_table — the same truncation DuckDB
-    # applies, keeping both engines µs-identical.
+    # events.ts has shipped in TWO physical forms across driver data
+    # generations: nanosecond-precision int64 (Spark has no ns
+    # timestamp, so it is read as raw long via nanosAsLong and
+    # truncated to µs — the same truncation DuckDB applies) and native
+    # unadjusted µs timestamp (read directly as TIMESTAMP_NTZ). The
+    # registered schema holds the µs/NTZ form; load paths sniff one
+    # parquet footer per directory (events_ts_is_long) and swap in the
+    # long variant plus the div-1000 normalization when needed.
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
@@ -139,18 +143,63 @@ def configure_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one test table with its registered schema (no inference)."""
-    if name not in SCHEMAS:
-        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    configure_session(spark)
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ns → µs truncation (matches DuckDB), then naive timestamp
-        df = df.withColumn(
+_EVENTS_NS_SCHEMA = T.StructType(
+    [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType)
+        for f in SCHEMAS["events"].fields
+    ]
+)
+
+# One footer read per events directory, cached for the process lifetime —
+# the physical ts form is a property of the dataset, not of a query.
+_EVENTS_TS_LONG: dict[str, bool] = {}
+
+
+def events_ts_is_long(spark: SparkSession, sf_dir: str) -> bool:
+    """True when ``{sf_dir}/events.parquet`` carries ts as ns-int64
+    (legacy feed generation) rather than a native µs timestamp."""
+    cached = _EVENTS_TS_LONG.get(sf_dir)
+    if cached is None:
+        configure_session(spark)  # nanosAsLong must be set before the footer read
+        inferred = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        cached = isinstance(inferred["ts"].dataType, T.LongType)
+        _EVENTS_TS_LONG[sf_dir] = cached
+    return cached
+
+
+def events_read_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """Explicit read schema matching the physical form of events.ts."""
+    if events_ts_is_long(spark, sf_dir):
+        return _EVENTS_NS_SCHEMA
+    return SCHEMAS["events"]
+
+
+def normalize_events_ts(df: DataFrame, ts_long: bool) -> DataFrame:
+    """Bring events.ts to µs TIMESTAMP_NTZ regardless of physical form.
+
+    ns-int64 → truncating div 1000 (identical to DuckDB's ns→µs
+    truncation); native µs NTZ needs nothing.
+    """
+    if ts_long:
+        return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
     return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table with its registered schema (no inference;
+    events additionally sniffs one footer to pick its ts form)."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    configure_session(spark)
+    if name == "events":
+        ts_long = events_ts_is_long(spark, sf_dir)
+        df = spark.read.schema(events_read_schema(spark, sf_dir)).parquet(
+            f"{sf_dir}/{name}.parquet"
+        )
+        return normalize_events_ts(df, ts_long)
+    return spark.read.schema(SCHEMAS[name]).parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

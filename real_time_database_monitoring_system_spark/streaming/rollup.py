@@ -20,7 +20,12 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.registry import SCHEMAS, configure_session
+from ..sources.registry import (
+    configure_session,
+    events_read_schema,
+    events_ts_is_long,
+    normalize_events_ts,
+)
 
 _counter = itertools.count()
 
@@ -28,15 +33,15 @@ _counter = itertools.count()
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_session(spark)
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(events_read_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         # glob form: the file-stream source then resolves the sf dir as
         # basePath (a bare file path would be rejected as basePath)
         .option("basePath", sf_dir)
         .parquet(f"{sf_dir}/events.parque[t]")
     )
-    # same ns → µs truncation as the batch loader (registry.load_table)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"))
+    # same µs normalization as the batch loader (registry.load_table)
+    return normalize_events_ts(raw, events_ts_is_long(spark, sf_dir))
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:

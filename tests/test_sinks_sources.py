@@ -101,3 +101,36 @@ def test_write_xlsx_caps_without_counting_twice(spark, sf_dir, tmp_path):
     df = load_table(spark, sf_dir, "events").select("event_id", "user_id")
     with _pytest.raises(ValueError):
         sinks.write_xlsx(df, str(tmp_path / "too_big.xlsx"), max_rows=5)
+
+
+def test_events_loader_adapts_to_ts_physical_form(spark, tmp_path):
+    """The driver's feed has shipped events.ts both as ns-int64 and as
+    native µs timestamp across data generations; load_table must yield
+    byte-identical µs TIMESTAMP_NTZ rows from either physical form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    us_vals = [1704067200_000000, 1704067201_500001]
+    cols = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 11], pa.int64()),
+        "event_type": pa.array(["view", "click"], pa.string()),
+        "value": pa.array([1.5, 2.5], pa.float64()),
+        "props": pa.array(["{}", "{}"], pa.string()),
+    }
+    forms = {
+        # +999 ns exercises the truncating (not rounding) ns→µs path
+        "ns": pa.array([u * 1000 + 999 for u in us_vals], pa.timestamp("ns")),
+        "us": pa.array(us_vals, pa.timestamp("us")),
+    }
+    loaded = {}
+    for form, ts_arr in forms.items():
+        d = tmp_path / form
+        d.mkdir()
+        table = pa.table({"event_id": cols["event_id"], "ts": ts_arr, **{
+            k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(table, str(d / "events.parquet"))
+        df = load_table(spark, str(d), "events")
+        assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
+        loaded[form] = sorted(map(tuple, df.collect()))
+    assert loaded["ns"] == loaded["us"]
