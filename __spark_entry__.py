@@ -34,6 +34,7 @@ from real_time_database_monitoring_system_spark.operators import (
     analytics,
     curation,
     dedup,
+    gapfill,
     monitoring,
     multimodal,
     mutation,
@@ -664,6 +665,18 @@ def _q_streaming_enrich(spark, sf):
     return streaming_rollup.stream_enrich_static(spark, sf)
 
 
+def _q_gapfill_locf(spark, sf):
+    return gapfill.gapfill_locf(load_table(spark, sf, "events"))
+
+
+def _q_substring_dup_spans(spark, sf):
+    return dedup.substring_dup_spans(load_table(spark, sf, "documents"))
+
+
+def _q_user_day_streaks(spark, sf):
+    return analytics.user_day_streaks(load_table(spark, sf, "events"))
+
+
 def _q_cap_per_source(spark, sf):
     return curation.cap_per_source(load_table(spark, sf, "documents"))
 
@@ -742,11 +755,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_counts": _q_ngram_counts,
         "quality_quantile_filter": _q_quality_quantile_filter,
         "engine_info": _q_engine_info,
-        # -- round-1-green representatives (fresh evidence each round) --
+        # -- never driver-checked: this session's additions --
+        "gapfill_locf": _q_gapfill_locf,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "user_day_streaks": _q_user_day_streaks,
+        # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
         "exact_dedup": _q_exact_dedup,
-        # -- overflow (driver-green in round 1; identical local harness check) --
         "fingerprint": _q_fingerprint,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "idle_sessions": _q_idle_sessions,
@@ -2020,6 +2036,91 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n_events, max(value) AS max_value,
                max(event_id) AS last_event_id
         FROM events GROUP BY user_id ORDER BY user_id
+    """
+
+    # gap-filled rollup: generate_series spine per key + IGNORE NULLS
+    # LOCF window — mirrors Spark's sequence()+last(ignorenulls)
+    sql["gapfill_locf"] = """
+        WITH b AS (
+            SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+                   count(*) AS n_points, arg_max(value, event_id) AS last_value
+            FROM events GROUP BY 1, 2),
+        ext AS (
+            SELECT event_type, min(bucket_s) AS mn, max(bucket_s) AS mx
+            FROM b GROUP BY 1),
+        spine AS (
+            SELECT event_type, unnest(generate_series(mn, mx, 300)) AS bucket_s
+            FROM ext)
+        SELECT s.event_type, s.bucket_s,
+               COALESCE(b.n_points, 0) AS n_points,
+               b.last_value IS NULL AS is_gap,
+               last_value(b.last_value IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.bucket_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+        FROM spine s
+        LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_s = b.bucket_s
+        ORDER BY s.event_type, s.bucket_s
+    """
+
+    # exact substring-dup spans: positional k-shingles (k=8), windows
+    # occurring >1 time anywhere, merged per doc via gaps-and-islands.
+    # DuckDB list slices are 1-based inclusive: t[pos+1 : pos+8] is the
+    # 8-token window starting at 0-based offset pos.
+    sql["substring_dup_spans"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS t FROM documents),
+        sh0 AS (
+            SELECT doc_id,
+                   unnest(range(0, greatest(len(t) - 8 + 1, 0))) AS pos, t
+            FROM toks),
+        sh AS (
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                   array_to_string(t[pos + 1 : pos + 8], ' ') AS s
+            FROM sh0),
+        dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+        marked AS (SELECT doc_id, pos FROM sh JOIN dup USING (s)),
+        isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+            FROM marked WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        isl2 AS (
+            SELECT doc_id, pos,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS island
+            FROM isl)
+        SELECT doc_id, min(pos) AS span_start,
+               CAST(max(pos) + 8 AS INTEGER) AS span_end,
+               count(*) AS n_dup_windows
+        FROM isl2 GROUP BY doc_id, island
+        ORDER BY doc_id, span_start
+    """
+
+    # recursive-CTE streaks: DuckDB recursion with date arithmetic
+    # (day - INTERVAL / day + INTERVAL, since DuckDB lacks date_add)
+    sql["user_day_streaks"] = """
+        WITH RECURSIVE days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        streak (user_id, day, len) AS (
+            SELECT d.user_id, d.day, 1 AS len
+            FROM days d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM days p
+                WHERE p.user_id = d.user_id AND p.day = d.day - INTERVAL 1 DAY)
+            UNION ALL
+            SELECT s.user_id, d.day, s.len + 1
+            FROM streak s
+            JOIN days d
+              ON d.user_id = s.user_id AND d.day = s.day + INTERVAL 1 DAY
+        )
+        SELECT user_id,
+               count(*) AS n_active_days,
+               CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_streaks,
+               CAST(max(len) AS INTEGER) AS max_streak
+        FROM streak
+        GROUP BY user_id
+        ORDER BY user_id
     """
 
     return sql

@@ -55,6 +55,12 @@ HEADLINE = [
     "rollup_totals",
     "window_suite",
     "paragraph_dedup",
+    # gap-filled rollup + substring-span dedup (user_day_streaks stays
+    # out: ~28 recursion iterations are a fixed ~5s job-scheduling cost
+    # at ANY sf — it would dominate the total without measuring data
+    # throughput)
+    "gapfill_locf",
+    "substring_dup_spans",
 ]
 
 

@@ -309,3 +309,51 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def user_day_streaks(events: DataFrame) -> DataFrame:
+    """Longest consecutive-active-day streak per user, computed with a
+    RECURSIVE CTE (Spark 4.1 `WITH RECURSIVE`): anchor = active days
+    with no previous active day (streak starts), step = extend by the
+    next consecutive day. Each active day lands in exactly one streak
+    row, so the aggregates below are exact.
+
+    Recursion depth is bounded by the longest streak (≤ the feed's day
+    span, ~31 for a monthly window — far under Spark's recursion
+    limit), and every iteration joins two DAY-level relations
+    (#users × #days rows, already distinct-reduced from the raw feed) —
+    this is the genuinely-iterative closure shape, kept away from the
+    raw 100 TB scan by the distinct day projection. For the same
+    gaps-and-islands answer without iteration, a groupBy over
+    ``date_sub(day, dense_rank)`` is the single-pass alternative; the
+    recursive form is the capability under test here and the natural
+    one when extension logic is hierarchical rather than arithmetic.
+    """
+    spark = events.sparkSession
+    events.select(
+        "user_id", F.expr("date(cast(ts as timestamp))").alias("day")
+    ).distinct().createOrReplaceTempView("_active_days")
+    return spark.sql(
+        """
+        WITH RECURSIVE streak (user_id, day, len) AS (
+            SELECT d.user_id, d.day, 1 AS len
+            FROM _active_days d
+            WHERE NOT EXISTS (
+                SELECT 1 FROM _active_days p
+                WHERE p.user_id = d.user_id AND p.day = date_sub(d.day, 1))
+            UNION ALL
+            SELECT s.user_id, d.day, s.len + 1
+            FROM streak s
+            JOIN _active_days d
+              ON d.user_id = s.user_id AND d.day = date_add(s.day, 1)
+        )
+        SELECT user_id,
+               count(*) AS n_active_days,
+               CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_streaks,
+               max(len) AS max_streak
+        FROM streak
+        GROUP BY user_id
+        ORDER BY user_id
+        """
+    )
