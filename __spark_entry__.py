@@ -669,6 +669,10 @@ def _q_gapfill_locf(spark, sf):
     return gapfill.gapfill_locf(load_table(spark, sf, "events"))
 
 
+def _q_gapfill_interpolate(spark, sf):
+    return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
+
+
 def _q_substring_dup_spans(spark, sf):
     return dedup.substring_dup_spans(load_table(spark, sf, "documents"))
 
@@ -759,6 +763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf": _q_gapfill_locf,
         "substring_dup_spans": _q_substring_dup_spans,
         "user_day_streaks": _q_user_day_streaks,
+        # -- overflow head: oracle-backed, added after the window filled;
+        #    first candidates for the next round's rotation --
+        "gapfill_interpolate": _q_gapfill_interpolate,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2060,6 +2067,46 @@ def oracle_sql() -> dict[str, str]:
         FROM spine s
         LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_s = b.bucket_s
         ORDER BY s.event_type, s.bucket_s
+    """
+
+    # linear-interpolation gapfill: same spine, backward/forward
+    # IGNORE NULLS windows, identical expression shape + round(9)
+    sql["gapfill_interpolate"] = """
+        WITH b AS (
+            SELECT event_type, (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+                   count(*) AS n_points, arg_max(value, event_id) AS last_value
+            FROM events GROUP BY 1, 2),
+        ext AS (
+            SELECT event_type, min(bucket_s) AS mn, max(bucket_s) AS mx
+            FROM b GROUP BY 1),
+        spine AS (
+            SELECT event_type, unnest(generate_series(mn, mx, 300)) AS bucket_s
+            FROM ext),
+        j AS (
+            SELECT s.event_type, s.bucket_s,
+                   COALESCE(b.n_points, 0) AS n_points,
+                   b.last_value IS NULL AS is_gap, b.last_value AS lv
+            FROM spine s
+            LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_s = b.bucket_s),
+        w2 AS (
+            SELECT event_type, bucket_s, n_points, is_gap,
+                   last_value(lv IGNORE NULLS) OVER wb AS pv,
+                   last_value(CASE WHEN lv IS NOT NULL THEN bucket_s END
+                              IGNORE NULLS) OVER wb AS pb,
+                   first_value(lv IGNORE NULLS) OVER wf AS nv,
+                   first_value(CASE WHEN lv IS NOT NULL THEN bucket_s END
+                               IGNORE NULLS) OVER wf AS nb
+            FROM j
+            WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY event_type ORDER BY bucket_s
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        SELECT event_type, bucket_s, n_points, is_gap,
+               round(CASE WHEN NOT is_gap THEN pv
+                          ELSE pv + (nv - pv) *
+                               (CAST(bucket_s - pb AS DOUBLE) /
+                                CAST(nb - pb AS DOUBLE)) END, 9) AS value_interp
+        FROM w2 ORDER BY event_type, bucket_s
     """
 
     # exact substring-dup spans: positional k-shingles (k=8), windows

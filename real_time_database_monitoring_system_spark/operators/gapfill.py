@@ -35,18 +35,18 @@ from .monitoring import _TS_US
 from .util import materialize as _materialize
 
 
-def gapfill_locf(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
-    """Per-event-type 5-min rollup densified over each key's
-    [min, max] bucket range: gap buckets appear with ``n_points = 0``,
-    ``is_gap = true`` and the last observed value carried forward.
+def _dense_buckets(events: DataFrame, bucket_seconds: int) -> DataFrame:
+    """Shared stages 1-3: bucket aggregation (the only raw-feed scan;
+    materialized because the diamond — spine extents + the left join —
+    would otherwise re-scan and re-aggregate it), per-key sequence()
+    spine over [min, max] observed buckets, and the spine⟕buckets
+    join. Rows where ``last_value`` is NULL are the gaps.
 
     Bucket arithmetic is integer µs division (epoch-aligned, identical
-    in any engine); the carried value is max_by over the unique
-    monotone event_id, so LOCF is deterministic under ties.
+    in any engine); ``last_value`` is max_by over the unique monotone
+    event_id, so downstream fills are deterministic under ties.
     """
     bucket_us = bucket_seconds * 1_000_000
-    # materialized: consumed twice (spine extents + the left join) —
-    # without it the diamond re-scans and re-aggregates the raw feed
     buckets = _materialize(
         events.withColumn(
             "bucket_s", F.expr(f"{_TS_US} div {bucket_us}") * bucket_seconds
@@ -67,19 +67,85 @@ def gapfill_locf(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
             ).alias("bucket_s"),
         )
     )
+    return spine.join(buckets, ["event_type", "bucket_s"], "left")
+
+
+def gapfill_locf(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
+    """Per-event-type 5-min rollup densified over each key's
+    [min, max] bucket range: gap buckets appear with ``n_points = 0``,
+    ``is_gap = true`` and the last observed value carried forward.
+    """
     w = (
         Window.partitionBy("event_type")
         .orderBy("bucket_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        spine.join(buckets, ["event_type", "bucket_s"], "left")
+        _dense_buckets(events, bucket_seconds)
         .select(
             "event_type",
             "bucket_s",
             F.coalesce("n_points", F.lit(0)).alias("n_points"),
             F.col("last_value").isNull().alias("is_gap"),
             F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+def gapfill_interpolate(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
+    """Gap-filled rollup with LINEAR interpolation (the `interpolate()`
+    companion to `locf()`): each gap bucket gets the straight-line
+    value between the nearest observed buckets on either side.
+
+    Same stage shape as `gapfill_locf` (one raw-feed agg, spine, join);
+    the interpolation adds two windows over the spine — backward
+    last-observed (value, bucket) and forward first-observed — both
+    partition-parallel per key. Because each key's spine spans exactly
+    [min, max] of its OBSERVED buckets, every gap has both neighbors;
+    the formula never divides by zero on spine rows.
+
+    Determinism contract: the interpolation is a single double
+    expression with explicit casts, evaluated in the same shape by the
+    oracle, rounded to 9 places at the edge (the repo-wide float-path
+    rule).
+    """
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_s")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("last_value").isNotNull(), F.col("bucket_s"))
+    joined = _dense_buckets(events, bucket_seconds).select(
+        "event_type",
+        "bucket_s",
+        F.coalesce("n_points", F.lit(0)).alias("n_points"),
+        F.col("last_value").isNull().alias("is_gap"),
+        F.last("last_value", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wb).alias("pb"),
+        F.first("last_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("nb"),
+    )
+    interp = F.when(~F.col("is_gap"), F.col("pv")).otherwise(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (
+            (F.col("bucket_s") - F.col("pb")).cast("double")
+            / (F.col("nb") - F.col("pb")).cast("double")
+        )
+    )
+    return (
+        joined.select(
+            "event_type",
+            "bucket_s",
+            "n_points",
+            "is_gap",
+            F.round(interp, 9).alias("value_interp"),
         )
         .orderBy("event_type", "bucket_s")
     )

@@ -162,3 +162,31 @@ def test_streaks_recursion_matches_gaps_and_islands(spark, sf_dir):
         for r in islands.collect()
     }
     assert recursive == onepass
+
+
+def test_gapfill_interpolate_linear_values(spark):
+    # observations 10.0 at bucket 0 and 40.0 at bucket 3 → gaps at
+    # buckets 1, 2 interpolate to 20.0, 30.0; observed rows keep their
+    # own value
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, 1, "cpu", 10.0),
+            (1, 0, 16, 1, "cpu", 40.0),
+        ],
+    )
+    out = gapfill.gapfill_interpolate(ev).collect()
+    by_bucket = {r.bucket_s: r for r in out}
+    base = min(by_bucket)
+    assert [by_bucket[base + 300 * i].value_interp for i in range(4)] == [
+        10.0,
+        20.0,
+        30.0,
+        40.0,
+    ]
+    assert [by_bucket[base + 300 * i].is_gap for i in range(4)] == [
+        False,
+        True,
+        True,
+        False,
+    ]
