@@ -40,6 +40,7 @@ from real_time_database_monitoring_system_spark.operators import (
     mutation,
     pipeline,
     relational,
+    runtime_filter,
     similarity,
     text as text_ops,
 )
@@ -673,6 +674,29 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_bloom_semi_revenue(spark, sf):
+    """Revenue per return flag over lineitems of high-value orders,
+    with the fact side Bloom-pruned map-side before the exact semi
+    join. Exact for any (m, k) — the oracle is the plain IN-subquery."""
+    li = load_table(spark, sf, "lineitem")
+    keys = (
+        load_table(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        runtime_filter.bloom_semi_join(li, keys, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def _q_substring_dup_spans(spark, sf):
     return dedup.substring_dup_spans(load_table(spark, sf, "documents"))
 
@@ -766,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- overflow head: oracle-backed, added after the window filled;
         #    first candidates for the next round's rotation --
         "gapfill_interpolate": _q_gapfill_interpolate,
+        "bloom_semi_revenue": _q_bloom_semi_revenue,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2107,6 +2132,18 @@ def oracle_sql() -> dict[str, str]:
                                (CAST(bucket_s - pb AS DOUBLE) /
                                 CAST(nb - pb AS DOUBLE)) END, 9) AS value_interp
         FROM w2 ORDER BY event_type, bucket_s
+    """
+
+    # bloom-pruned semi join is EXACT for any (m, k): plain IN-subquery
+    sql["bloom_semi_revenue"] = """
+        SELECT l_returnflag, count(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
     """
 
     # exact substring-dup spans: positional k-shingles (k=8), windows
