@@ -42,6 +42,7 @@ from real_time_database_monitoring_system_spark.operators import (
     relational,
     runtime_filter,
     similarity,
+    sketches,
     text as text_ops,
 )
 from real_time_database_monitoring_system_spark.sources.registry import TABLES, load_table
@@ -674,6 +675,18 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_kll_value_rollup(spark, sf):
+    return sketches.kll_value_rollup(load_table(spark, sf, "events"))
+
+
+def _q_theta_user_overlap(spark, sf):
+    return sketches.theta_user_overlap(load_table(spark, sf, "events"))
+
+
+def _q_approx_topk_types(spark, sf):
+    return sketches.approx_topk_types(load_table(spark, sf, "events"))
+
+
 def _q_bloom_semi_revenue(spark, sf):
     """Revenue per return flag over lineitems of high-value orders,
     with the fact side Bloom-pruned map-side before the exact semi
@@ -791,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    first candidates for the next round's rotation --
         "gapfill_interpolate": _q_gapfill_interpolate,
         "bloom_semi_revenue": _q_bloom_semi_revenue,
+        "theta_user_overlap": _q_theta_user_overlap,
+        "approx_topk_types": _q_approx_topk_types,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -847,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": _q_knn_lsh,
         "ivf_knn": _q_ivf_knn,
         "hll_user_rollup": _q_hll_user_rollup,
+        "kll_value_rollup": _q_kll_value_rollup,
     }
 
 
@@ -2144,6 +2160,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """
+
+    # theta sketches are exact below saturation (user cardinality ≪
+    # 2^12 at oracle scale): the oracle is plain exact set algebra
+    sql["theta_user_overlap"] = """
+        WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        c AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   a.n AS users_a, b.n AS users_b
+            FROM c a JOIN c b ON a.event_type < b.event_type),
+        ov AS (
+            SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_both
+            FROM ut x JOIN ut y
+              ON x.user_id = y.user_id AND x.event_type < y.event_type
+            GROUP BY 1, 2)
+        SELECT p.type_a, p.type_b, p.users_a, p.users_b,
+               p.users_a + p.users_b - COALESCE(b.n_both, 0) AS users_union,
+               COALESCE(b.n_both, 0) AS users_both
+        FROM pairs p LEFT JOIN ov b ON p.type_a = b.ta AND p.type_b = b.tb
+        ORDER BY type_a, type_b
+    """
+
+    # approx_top_k is exact while distinct keys ≤ maxItemsTracked
+    sql["approx_topk_types"] = """
+        SELECT event_type, count(*) AS n_events
+        FROM events GROUP BY event_type
+        ORDER BY n_events DESC, event_type
     """
 
     # exact substring-dup spans: positional k-shingles (k=8), windows
