@@ -675,6 +675,10 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_range_frame_stats(spark, sf):
+    return analytics.range_frame_stats(load_table(spark, sf, "events"))
+
+
 def _q_kll_value_rollup(spark, sf):
     return sketches.kll_value_rollup(load_table(spark, sf, "events"))
 
@@ -806,6 +810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semi_revenue": _q_bloom_semi_revenue,
         "theta_user_overlap": _q_theta_user_overlap,
         "approx_topk_types": _q_approx_topk_types,
+        "range_frame_stats": _q_range_frame_stats,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2160,6 +2165,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """
+
+    # RANGE frame: DuckDB RANGE BETWEEN over the same µs ordering;
+    # decimal accumulation inside the frame, single double division
+    sql["range_frame_stats"] = """
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+        SELECT user_id, event_id, us, value,
+               count(*) OVER w AS n_10min,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   AS sum_10min,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                   / CAST(count(*) OVER w AS DOUBLE) AS avg_10min
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id
     """
 
     # theta sketches are exact below saturation (user cardinality ≪

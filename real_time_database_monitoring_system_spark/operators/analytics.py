@@ -357,3 +357,37 @@ def user_day_streaks(events: DataFrame) -> DataFrame:
         ORDER BY user_id
         """
     )
+
+
+def range_frame_stats(events: DataFrame) -> DataFrame:
+    """Per-user trailing-10-minute moving aggregates with a RANGE
+    window frame over event-time µs — the interval-based sibling of
+    `window_suite`'s ROWS frames. ROWS frames count neighbors; RANGE
+    frames bound by VALUE distance, so irregular feeds (the monitoring
+    case) get a true wall-clock window regardless of event density.
+
+    One shuffle on user_id shared by both frame aggregates.
+    Determinism: decimal accumulation inside the frame, one final
+    double division — float addition order never matters.
+    """
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-600_000_000, 0)
+    )
+    n = F.count("*").over(w)
+    total = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double")
+    return (
+        events.select("user_id", "event_id", us.alias("us"), "value")
+        .select(
+            "user_id",
+            "event_id",
+            "us",
+            "value",
+            n.alias("n_10min"),
+            total.alias("sum_10min"),
+            (total / n.cast("double")).alias("avg_10min"),
+        )
+        .orderBy("user_id", "event_id")
+    )

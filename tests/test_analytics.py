@@ -169,3 +169,24 @@ def test_hll_rollup_mergeable_and_accurate(spark, sf_dir):
         assert r.est_users == direct[r.day], (
             "merged hourly sketches must equal the direct daily sketch"
         )
+
+
+def test_range_frame_uses_wall_clock_not_row_count(spark):
+    """Rows 0s, 300s, 1200s apart: the 10-min RANGE frame at the third
+    event must contain ONLY itself (previous events are 900s+ back),
+    even though ROWS BETWEEN 1 PRECEDING would have included one."""
+    import datetime as dt
+
+    ev = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 1, 1, 0, 0, 0), 7, "view", 10.0, "{}"),
+            (2, dt.datetime(2024, 1, 1, 0, 5, 0), 7, "view", 20.0, "{}"),
+            (3, dt.datetime(2024, 1, 1, 0, 25, 0), 7, "view", 40.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_id: r for r in analytics.range_frame_stats(ev).collect()}
+    assert out[1].n_10min == 1 and out[1].avg_10min == 10.0
+    assert out[2].n_10min == 2 and out[2].avg_10min == 15.0  # 0s is exactly 5min back
+    assert out[3].n_10min == 1 and out[3].avg_10min == 40.0
