@@ -675,6 +675,10 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_variant_props_stats(spark, sf):
+    return monitoring.variant_props_stats(load_table(spark, sf, "events"))
+
+
 def _q_range_frame_stats(spark, sf):
     return analytics.range_frame_stats(load_table(spark, sf, "events"))
 
@@ -811,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_user_overlap": _q_theta_user_overlap,
         "approx_topk_types": _q_approx_topk_types,
         "range_frame_stats": _q_range_frame_stats,
+        "variant_props_stats": _q_variant_props_stats,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2165,6 +2170,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """
+
+    # VARIANT extraction: typed NULL for missing paths == JSON-path
+    # semantics; DuckDB extracts the same field from the JSON string
+    sql["variant_props_stats"] = """
+        WITH e AS (
+            SELECT event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events)
+        SELECT event_type, count(*) AS n, count(k) AS n_with_k,
+               min(k) AS min_k, max(k) AS max_k,
+               CAST(sum(k) AS BIGINT) AS sum_k
+        FROM e GROUP BY event_type ORDER BY event_type
     """
 
     # RANGE frame: DuckDB RANGE BETWEEN over the same µs ordering;

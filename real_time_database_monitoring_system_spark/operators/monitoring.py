@@ -583,3 +583,30 @@ def engine_info(events: DataFrame) -> DataFrame:
         "as_of_us",
         (F.col("as_of_us") - F.col("started_us")).alias("uptime_us"),
     )
+
+
+def variant_props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured props analytics on Spark 4's VARIANT type: the
+    JSON column is parsed ONCE per row into the binary variant encoding
+    and every typed field extraction reads that — where the classic
+    `get_json_object` path (props_histogram) re-parses the string per
+    extraction. At warehouse scale, ingest pipelines store the variant
+    column; here the parse rides in the same projection.
+
+    Typed NULL contract: `variant_get(v, path, type)` yields NULL for
+    missing paths, which `count(k)` then excludes — identical to the
+    JSON-path oracle semantics.
+    """
+    return (
+        events.select("event_type", F.parse_json(F.col("props")).alias("v"))
+        .select("event_type", F.expr("variant_get(v, '$.k', 'bigint')").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )

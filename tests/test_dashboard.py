@@ -21,3 +21,23 @@ def test_dashboard_panels_share_cached_scan(spark, sf_dir):
         assert panels["session_summary"].count() == 5
     finally:
         panels["_events"].unpersist()
+
+
+def test_variant_stats_match_json_path_and_handle_missing_keys(spark):
+    """VARIANT typed extraction must agree with the get_json_object
+    path, including typed-NULL for documents without the key."""
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    ev = spark.createDataFrame(
+        [
+            (1, "view", '{"k": 5}'),
+            (2, "view", '{"k": 7}'),
+            (3, "view", "{}"),
+            (4, "click", '{"k": 0}'),
+        ],
+        "event_id long, event_type string, props string",
+    )
+    out = {r.event_type: r for r in monitoring.variant_props_stats(ev).collect()}
+    assert (out["view"].n, out["view"].n_with_k) == (3, 2)
+    assert (out["view"].min_k, out["view"].max_k, out["view"].sum_k) == (5, 7, 12)
+    assert (out["click"].n, out["click"].n_with_k, out["click"].sum_k) == (1, 1, 0)
