@@ -190,3 +190,20 @@ def test_gapfill_interpolate_linear_values(spark):
         True,
         False,
     ]
+
+
+def test_session_operators_exchange_budgets(spark, sf_dir):
+    """Shuffle budgets for this session's operators: the gap-fills pay
+    the (materialized) bucket agg separately, so their visible plans
+    hold only spine-join + window/sort exchanges; spans pays dup-count
+    agg, rejoin, and the per-doc window; RANGE frames pay one window
+    hash plus the presentation sort."""
+    from real_time_database_monitoring_system_spark.operators import analytics as an
+    from real_time_database_monitoring_system_spark.plans import checks
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    assert checks.count_exchanges(gapfill.gapfill_locf(ev)) <= 2
+    assert checks.count_exchanges(gapfill.gapfill_interpolate(ev)) <= 2
+    assert checks.count_exchanges(dedup.substring_dup_spans(docs)) <= 3
+    assert checks.count_exchanges(an.range_frame_stats(ev)) <= 2
