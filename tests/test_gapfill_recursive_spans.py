@@ -207,3 +207,38 @@ def test_session_operators_exchange_budgets(spark, sf_dir):
     assert checks.count_exchanges(gapfill.gapfill_interpolate(ev)) <= 2
     assert checks.count_exchanges(dedup.substring_dup_spans(docs)) <= 3
     assert checks.count_exchanges(an.range_frame_stats(ev)) <= 2
+
+
+def test_session_operators_handle_empty_and_degenerate_input(spark):
+    """Empty feeds and single-row feeds must flow through every new
+    operator without error: empty → empty, singleton → one non-gap
+    bucket / no spans / one 1-day streak."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics as an,
+        runtime_filter as rf,
+        sketches,
+    )
+
+    empty = _events(spark, [])
+    one = _events(spark, [(1, 0, 1, 7, "view", 5.0)])
+    assert gapfill.gapfill_locf(empty).count() == 0
+    assert gapfill.gapfill_interpolate(empty).count() == 0
+    assert an.user_day_streaks(empty).count() == 0
+    assert an.range_frame_stats(empty).count() == 0
+    assert sketches.theta_user_overlap(empty).count() == 0
+    assert sketches.kll_value_rollup(empty).count() == 0
+
+    g = gapfill.gapfill_locf(one).collect()
+    assert len(g) == 1 and not g[0].is_gap and g[0].value_locf == 5.0
+    s = an.user_day_streaks(one).collect()
+    assert len(s) == 1 and s[0].max_streak == 1 and s[0].n_streaks == 1
+    r = an.range_frame_stats(one).collect()
+    assert len(r) == 1 and r[0].n_10min == 1
+
+    docs_empty = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.substring_dup_spans(docs_empty).count() == 0
+
+    # bloom over an empty FACT (keys non-empty) and vice versa
+    keys = one.select(F.col("event_id").alias("k"))
+    fact_empty = empty.select(F.col("event_id").alias("k"))
+    assert rf.bloom_semi_join(fact_empty, keys, "k").count() == 0
