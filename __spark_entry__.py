@@ -741,18 +741,21 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 93 oracle-backed entries. The round-2 driver
-    check has not run yet (no CORRECTNESS_r02.json), so the window =
-    the 47 oracle-backed entries with NO driver row in
+    evidence across all 102 oracle-backed entries. The round-2 driver
+    check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
+    are exactly 50 oracle-backed entries with NO driver row in
     CORRECTNESS_r01.json — the mutation trio, the streaming family,
     knn_bruteforce, embedding_near_dups and multimodal_meta called out
-    as weak in VERDICT r1, plus everything added during round 2 — and
-    3 round-1-green representatives (flagship scan-agg, custom as-of
-    join, LLM-layer dedup). Overflow at 51+ holds the remaining
-    round-1-green queries, still covered by the identical local
-    harness check (tests/test_oracle_parity.py); the 8 rows-only
+    as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
+    (51-56) holds 6 more never-checked oracle-backed entries that
+    landed after the window filled — first candidates for the round-3
+    rotation; the remaining overflow is round-1-green queries, still
+    covered by the identical local harness check
+    (tests/test_oracle_parity.py); the 9 rows-only
     (hash/sketch/iteration-dependent) entries close the tail. Every
-    entry keeps its oracle regardless of position."""
+    entry keeps its oracle regardless of position. Re-derive these
+    counts from the dict + the newest CORRECTNESS file rather than
+    trusting prose — including this one."""
     return {
         # -- never driver-checked: round-2 additions --
         "rollup_totals": _q_rollup_totals,

@@ -330,21 +330,23 @@ def user_day_streaks(events: DataFrame) -> DataFrame:
     one when extension logic is hierarchical rather than arithmetic.
     """
     spark = events.sparkSession
-    events.select(
+    days = events.select(
         "user_id", F.expr("date(cast(ts as timestamp))").alias("day")
-    ).distinct().createOrReplaceTempView("_active_days")
+    ).distinct()
+    # parameterized sql with a DataFrame argument: no temp-view catalog
+    # mutation, so concurrent callers on one session cannot collide
     return spark.sql(
         """
         WITH RECURSIVE streak (user_id, day, len) AS (
             SELECT d.user_id, d.day, 1 AS len
-            FROM _active_days d
+            FROM {days} d
             WHERE NOT EXISTS (
-                SELECT 1 FROM _active_days p
+                SELECT 1 FROM {days} p
                 WHERE p.user_id = d.user_id AND p.day = date_sub(d.day, 1))
             UNION ALL
             SELECT s.user_id, d.day, s.len + 1
             FROM streak s
-            JOIN _active_days d
+            JOIN {days} d
               ON d.user_id = s.user_id AND d.day = date_add(s.day, 1)
         )
         SELECT user_id,
@@ -355,7 +357,8 @@ def user_day_streaks(events: DataFrame) -> DataFrame:
         FROM streak
         GROUP BY user_id
         ORDER BY user_id
-        """
+        """,
+        days=days,
     )
 
 

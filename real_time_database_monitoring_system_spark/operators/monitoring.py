@@ -595,10 +595,13 @@ def variant_props_stats(events: DataFrame) -> DataFrame:
 
     Typed NULL contract: `variant_get(v, path, type)` yields NULL for
     missing paths, which `count(k)` then excludes — identical to the
-    JSON-path oracle semantics.
+    JSON-path oracle semantics. `try_parse_json` (not strict
+    `parse_json`) keeps malformed rows as NULL rather than aborting the
+    query — the lenient semantics of both the JSON-path oracle and the
+    legacy `get_json_object` path.
     """
     return (
-        events.select("event_type", F.parse_json(F.col("props")).alias("v"))
+        events.select("event_type", F.try_parse_json(F.col("props")).alias("v"))
         .select("event_type", F.expr("variant_get(v, '$.k', 'bigint')").alias("k"))
         .groupBy("event_type")
         .agg(

@@ -31,6 +31,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import materialize as _materialize
+
 _WORD = 64  # bits per map entry (long)
 
 
@@ -96,7 +98,13 @@ def bloom_semi_join(
 ) -> DataFrame:
     """Exact semi join of `fact` against `keys`' `on` column, with the
     shuffle fed only by Bloom survivors. Equivalent to
-    ``fact WHERE on IN (SELECT on FROM keys)`` for any (m, k)."""
-    bloom = bloom_build(keys, on, m_bits, k)
+    ``fact WHERE on IN (SELECT on FROM keys)`` for any (m, k).
+
+    The distinct key set is materialized once and consumed by BOTH the
+    bloom build and the exact join — keys are 'produced by an arbitrary
+    upstream pipeline' by premise, and the diamond would otherwise
+    re-run that pipeline."""
+    keyset = _materialize(keys.select(on).distinct())
+    bloom = bloom_build(keyset, on, m_bits, k)
     pruned = bloom_prune(fact, bloom, on)
-    return pruned.join(keys.select(on).distinct(), on, "left_semi")
+    return pruned.join(keyset, on, "left_semi")

@@ -86,17 +86,20 @@ def kll_value_rollup(events: DataFrame, k: int = 16384) -> DataFrame:
     )
 
 
-def theta_user_overlap(events: DataFrame, lg_k: int = 12) -> DataFrame:
+def theta_user_overlap(events: DataFrame, lg_k: int = 16) -> DataFrame:
     """Pairwise event-type audience overlap from per-type theta
     sketches over user_id: |A|, |B|, |A∪B|, |A∩B| for every unordered
     type pair — computed on sketch state, never by joining raw user
     sets. The per-type sketch table is #types rows; the pair join is a
     broadcast self-join over that tiny table.
 
-    Theta estimates are EXACT while a sketch retains < 2^lg_k entries
-    (the oracle regime: user cardinality ≪ 4096); saturated sketches
-    estimate within ~2.5% at lg_k=12 — property-tested, and the price
-    of answering intersections without raw data.
+    Theta estimates are EXACT while a sketch retains < 2^lg_k entries.
+    The default lg_k=16 keeps 65k entries — exact for every driver data
+    scale (user cardinality is ~1.5k per sf0.1, so the oracle contract
+    holds with ~40× headroom) at a few hundred KB of sketch state;
+    saturated sketches estimate within ~1% at lg_k=16
+    (property-tested at lg_k=12), the price of answering intersections
+    without raw data.
     """
     per_type = (
         events.groupBy("event_type")
@@ -126,12 +129,15 @@ def theta_user_overlap(events: DataFrame, lg_k: int = 12) -> DataFrame:
     )
 
 
-def approx_topk_types(events: DataFrame, k: int = 10, max_tracked: int = 10000) -> DataFrame:
+def approx_topk_types(events: DataFrame, k: int = 100, max_tracked: int = 10000) -> DataFrame:
     """Most frequent event types via `approx_top_k`'s bounded-memory
-    accumulate/combine sketch. EXACT while distinct keys ≤
-    `max_tracked` (the oracle regime); at production cardinalities the
-    sketch keeps counts for the heavy tail only — the point is the
-    fixed-size mergeable state, not this toy cardinality.
+    accumulate/combine sketch. Two separate exactness conditions:
+    counts are EXACT while distinct keys ≤ `max_tracked`, and the
+    result is ROW-COMPLETE (every key present, matching an unbounded
+    GROUP BY oracle) only while distinct keys ≤ `k` — hence the k=100
+    default, far above any plausible event-type cardinality. At
+    production key cardinalities the sketch keeps the heavy tail only —
+    the point is the fixed-size mergeable state.
 
     The sketch's own output order is arbitrary under count ties, so
     rows are exploded and re-sorted deterministically (count desc,

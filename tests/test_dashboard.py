@@ -34,10 +34,11 @@ def test_variant_stats_match_json_path_and_handle_missing_keys(spark):
             (2, "view", '{"k": 7}'),
             (3, "view", "{}"),
             (4, "click", '{"k": 0}'),
+            (5, "view", "not json {{"),  # malformed: NULL, never an abort
         ],
         "event_id long, event_type string, props string",
     )
     out = {r.event_type: r for r in monitoring.variant_props_stats(ev).collect()}
-    assert (out["view"].n, out["view"].n_with_k) == (3, 2)
+    assert (out["view"].n, out["view"].n_with_k) == (4, 2)
     assert (out["view"].min_k, out["view"].max_k, out["view"].sum_k) == (5, 7, 12)
     assert (out["click"].n, out["click"].n_with_k, out["click"].sum_k) == (1, 1, 0)
