@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from real_time_database_monitoring_system_spark.functions import pg_dialect
 from real_time_database_monitoring_system_spark.operators import (
     analytics,
+    anomaly,
     curation,
     dedup,
     gapfill,
@@ -675,6 +676,14 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_mad_outliers(spark, sf):
+    return anomaly.mad_outliers(load_table(spark, sf, "events"))
+
+
+def _q_seasonal_baseline(spark, sf):
+    return anomaly.seasonal_baseline(load_table(spark, sf, "events"))
+
+
 def _q_variant_props_stats(spark, sf):
     return monitoring.variant_props_stats(load_table(spark, sf, "events"))
 
@@ -741,13 +750,13 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 102 oracle-backed entries. The round-2 driver
+    evidence across all 104 oracle-backed entries. The round-2 driver
     check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
     are exactly 50 oracle-backed entries with NO driver row in
     CORRECTNESS_r01.json — the mutation trio, the streaming family,
     knn_bruteforce, embedding_near_dups and multimodal_meta called out
     as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
-    (51-56) holds 6 more never-checked oracle-backed entries that
+    (51-58) holds 8 more never-checked oracle-backed entries that
     landed after the window filled — first candidates for the round-3
     rotation; the remaining overflow is round-1-green queries, still
     covered by the identical local harness check
@@ -819,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_topk_types": _q_approx_topk_types,
         "range_frame_stats": _q_range_frame_stats,
         "variant_props_stats": _q_variant_props_stats,
+        "mad_outliers": _q_mad_outliers,
+        "seasonal_baseline": _q_seasonal_baseline,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2173,6 +2184,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
         GROUP BY l_returnflag
         ORDER BY l_returnflag
+    """
+
+    # robust z-scores: percentile_disc medians (order statistics,
+    # engine-exact); identical double expression shapes + round(9)
+    sql["mad_outliers"] = """
+        WITH med AS (
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY 1),
+        mad AS (
+            SELECT e.event_type,
+                   percentile_disc(0.5)
+                       WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        SELECT e.event_id, e.event_type, e.value, m.med, d.mad,
+               round(CASE WHEN d.mad != 0
+                          THEN abs(e.value - m.med) / (1.4826 * d.mad)
+                     END, 9) AS robust_z,
+               abs(e.value - m.med) > (3.0 * 1.4826) * d.mad AS is_outlier
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        ORDER BY e.event_id
+    """
+
+    sql["seasonal_baseline"] = """
+        WITH wb AS (
+            SELECT event_id, event_type, value,
+                   (epoch_us(ts) // 60000000) % 1440 // 60 AS tod_bucket
+            FROM events),
+        b AS (
+            SELECT event_type, tod_bucket,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS typical,
+                   count(*) AS n_baseline
+            FROM wb GROUP BY 1, 2)
+        SELECT w.event_id, w.event_type, w.tod_bucket, w.value,
+               b.typical, b.n_baseline,
+               round(CASE WHEN b.typical != 0 THEN w.value / b.typical END, 9)
+                   AS vs_typical
+        FROM wb w JOIN b USING (event_type, tod_bucket)
+        ORDER BY w.event_id
     """
 
     # VARIANT extraction: typed NULL for missing paths == JSON-path

@@ -1,0 +1,113 @@
+"""Statistical anomaly detection over the metric feed — the
+robust-statistics extension of the reference's fixed-threshold panels
+(``/root/reference/myapp/views.py:614-641`` flags cpu<95, ram<90, …):
+fixed thresholds need per-metric tuning and miss regime changes, while
+robust scores adapt to each series.
+
+Both operators follow the repo determinism rules: medians are
+`percentile_disc` order statistics (engine-exact, no interpolation),
+flags derive from exact comparisons, and the only doubles are single
+final expressions shared verbatim with the oracle.
+
+Scale shape: each is bucket/key aggregation (one shuffle, map-side
+partials) + a broadcast-sized baseline joined back to the feed. The
+baseline table is #keys (× #buckets-of-day) rows — always tiny
+relative to the feed — so the join is broadcast and the raw data is
+scanned once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 1 / Φ^{-1}(3/4): scales MAD to estimate σ under normality
+_MAD_SIGMA = 1.4826
+
+
+def mad_outliers(events: DataFrame, n_sigmas: float = 3.0) -> DataFrame:
+    """Flag metric readings whose robust z-score exceeds `n_sigmas`:
+    |value − median| > n · 1.4826 · MAD, per event_type. Median/MAD
+    resist the very outliers being hunted, where mean/stddev get
+    dragged toward them.
+
+    Two aggregation passes over the (tiny) per-type groups — median,
+    then median of absolute deviations — followed by a broadcast join
+    back to the feed; the feed itself is scanned once per pass at
+    worst, and the flag projection is map-side.
+    """
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+        )
+    )
+    baseline = med.join(mad, "event_type")
+    # NULL-guarded: a zero MAD (>50% identical readings) has no scale
+    # to score against — and ANSI mode makes the division an error,
+    # not an Infinity. The flag below needs no division and still
+    # fires on any deviation in that regime.
+    score = F.when(
+        F.col("mad") != 0,
+        F.abs(F.col("value") - F.col("med"))
+        / (F.lit(_MAD_SIGMA) * F.col("mad")),
+    )
+    return (
+        events.join(F.broadcast(baseline), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            F.round(score, 9).alias("robust_z"),
+            (F.abs(F.col("value") - F.col("med"))
+             > F.lit(n_sigmas * _MAD_SIGMA) * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def seasonal_baseline(events: DataFrame, bucket_minutes: int = 60) -> DataFrame:
+    """Compare each reading to the TYPICAL value for its time-of-day:
+    per (event_type, bucket-of-day) median over the whole feed, joined
+    back — the \"is this high for 3 AM?\" question fixed thresholds
+    cannot ask. Deviation is a single double ratio, NULL-safe when the
+    baseline median is 0.
+
+    The baseline has #types × (1440/bucket_minutes) rows — broadcast
+    by construction at any feed scale.
+    """
+    bucket = F.expr(
+        f"(unix_micros(cast(ts as timestamp)) div 60000000) % 1440 div {bucket_minutes}"
+    )
+    with_bucket = events.withColumn("tod_bucket", bucket)
+    baseline = with_bucket.groupBy("event_type", "tod_bucket").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
+            "typical"
+        ),
+        F.count("*").alias("n_baseline"),
+    )
+    return (
+        with_bucket.join(F.broadcast(baseline), ["event_type", "tod_bucket"])
+        .select(
+            "event_id",
+            "event_type",
+            "tod_bucket",
+            "value",
+            "typical",
+            "n_baseline",
+            F.round(
+                F.when(
+                    F.col("typical") != 0, F.col("value") / F.col("typical")
+                ),
+                9,
+            ).alias("vs_typical"),
+        )
+        .orderBy("event_id")
+    )

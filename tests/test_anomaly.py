@@ -1,0 +1,52 @@
+"""Robust anomaly operators: MAD flags resist the outliers they hunt;
+the seasonal baseline answers per-time-of-day, not globally."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from real_time_database_monitoring_system_spark.operators import anomaly
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1 + d, h, 0), 7, et, v, "{}")
+            for i, (d, h, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_mad_flags_extreme_value_but_not_cluster(spark):
+    # nine values near 10, one at 1000: mean/std would be dragged to
+    # ~109/~300; MAD stays ~1 and flags only the extreme
+    rows = [(0, h, "cpu", 10.0 + (h % 3)) for h in range(9)] + [(0, 9, "cpu", 1000.0)]
+    out = {r.event_id: r for r in anomaly.mad_outliers(_ev(spark, rows)).collect()}
+    assert out[9].is_outlier
+    assert not any(out[i].is_outlier for i in range(9))
+    assert out[9].robust_z > 100
+
+
+def test_mad_zero_spread_flags_any_deviation(spark):
+    rows = [(0, h, "mem", 50.0) for h in range(6)] + [(0, 6, "mem", 50.5)]
+    out = {r.event_id: r for r in anomaly.mad_outliers(_ev(spark, rows)).collect()}
+    assert out[6].is_outlier  # mad = 0 → any deviation exceeds 0
+    assert not out[0].is_outlier
+    assert out[6].robust_z is None  # no scale to score against
+
+
+def test_seasonal_baseline_is_per_time_of_day(spark):
+    # value 10 every day at 02:00, value 90 every day at 14:00 —
+    # a 90 reading at 14:00 is typical (ratio 1.0), not an anomaly,
+    # even though the GLOBAL median is far below it
+    rows = []
+    for d in range(5):
+        rows.append((d, 2, "cpu", 10.0))
+        rows.append((d, 14, "cpu", 90.0))
+    out = anomaly.seasonal_baseline(_ev(spark, rows)).collect()
+    for r in out:
+        assert r.vs_typical == 1.0
+        assert r.n_baseline == 5
+    assert {r.tod_bucket for r in out} == {2, 14}
