@@ -676,6 +676,10 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_streaming_mad_alerts(spark, sf):
+    return streaming_rollup.stream_mad_alerts(spark, sf)
+
+
 def _q_mad_outliers(spark, sf):
     return anomaly.mad_outliers(load_table(spark, sf, "events"))
 
@@ -750,13 +754,13 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 104 oracle-backed entries. The round-2 driver
+    evidence across all 105 oracle-backed entries. The round-2 driver
     check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
     are exactly 50 oracle-backed entries with NO driver row in
     CORRECTNESS_r01.json — the mutation trio, the streaming family,
     knn_bruteforce, embedding_near_dups and multimodal_meta called out
     as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
-    (51-58) holds 8 more never-checked oracle-backed entries that
+    (51-59) holds 9 more never-checked oracle-backed entries that
     landed after the window filled — first candidates for the round-3
     rotation; the remaining overflow is round-1-green queries, still
     covered by the identical local harness check
@@ -830,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_props_stats": _q_variant_props_stats,
         "mad_outliers": _q_mad_outliers,
         "seasonal_baseline": _q_seasonal_baseline,
+        "streaming_mad_alerts": _q_streaming_mad_alerts,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2206,6 +2211,25 @@ def oracle_sql() -> dict[str, str]:
         FROM events e
         JOIN med m USING (event_type)
         JOIN mad d USING (event_type)
+        ORDER BY e.event_id
+    """
+
+    # streaming flags == batch flags: stream-static joins are stateless
+    sql["streaming_mad_alerts"] = """
+        WITH med AS (
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY 1),
+        mad AS (
+            SELECT e.event_type,
+                   percentile_disc(0.5)
+                       WITHIN GROUP (ORDER BY abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m USING (event_type) GROUP BY 1)
+        SELECT e.event_id, e.event_type, e.value, m.med, d.mad
+        FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+        WHERE abs(e.value - m.med) > (3.0 * 1.4826) * d.mad
         ORDER BY e.event_id
     """
 

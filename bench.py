@@ -61,6 +61,9 @@ HEADLINE = [
     # throughput)
     "gapfill_locf",
     "substring_dup_spans",
+    # robust anomaly scoring + VARIANT extraction
+    "mad_outliers",
+    "variant_props_stats",
 ]
 
 

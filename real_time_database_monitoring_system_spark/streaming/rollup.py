@@ -358,3 +358,41 @@ def stream_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value", "segment", "tier"
     )
     return _run_to_memory(enriched, "append").orderBy("event_id")
+
+
+def stream_mad_alerts(spark: SparkSession, sf_dir: str, n_sigmas: float = 3.0) -> DataFrame:
+    """Stream–static anomaly alerting: the live feed joins the BATCH
+    robust baseline (per-type median/MAD from `operators.anomaly`) and
+    emits only readings beyond n·1.4826·MAD — the streaming deployment
+    shape for statistical monitoring: baselines are re-fit offline on
+    history (and may be refreshed between micro-batches, the
+    stream-static contract), while flagging itself is a stateless
+    map-side comparison against the tiny broadcast baseline.
+
+    Batch twin: `anomaly.mad_outliers(...).filter(is_outlier)` —
+    flag-only columns, checked against the DuckDB oracle.
+    """
+    from ..operators.anomaly import _MAD_SIGMA
+    from ..sources.registry import load_table
+
+    batch_events = load_table(spark, sf_dir, "events")
+    med = batch_events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    mad = (
+        batch_events.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("event_type")
+        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad"))
+    )
+    baseline = med.join(mad, "event_type")
+    stream = _events_stream(spark, sf_dir)
+    alerts = (
+        stream.join(F.broadcast(baseline), "event_type")
+        .filter(
+            F.abs(F.col("value") - F.col("med"))
+            > F.lit(n_sigmas * _MAD_SIGMA) * F.col("mad")
+        )
+        .select("event_id", "event_type", "value", "med", "mad")
+    )
+    return _run_to_memory(alerts, "append").orderBy("event_id")

@@ -50,3 +50,22 @@ def test_seasonal_baseline_is_per_time_of_day(spark):
         assert r.vs_typical == 1.0
         assert r.n_baseline == 5
     assert {r.tod_bucket for r in out} == {2, 14}
+
+
+def test_stream_mad_alerts_equal_batch_flags(spark, sf_dir):
+    """The stream-static alert join is stateless, so its emitted rows
+    must equal the batch operator's flagged subset exactly."""
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+    from real_time_database_monitoring_system_spark.streaming import rollup
+
+    streamed = sorted(
+        (r.event_id, r.event_type, r.value)
+        for r in rollup.stream_mad_alerts(spark, sf_dir).collect()
+    )
+    batch = sorted(
+        (r.event_id, r.event_type, r.value)
+        for r in anomaly.mad_outliers(load_table(spark, sf_dir, "events"))
+        .filter("is_outlier")
+        .collect()
+    )
+    assert streamed == batch and len(streamed) > 0
