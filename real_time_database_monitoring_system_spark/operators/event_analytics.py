@@ -1,0 +1,97 @@
+"""Sequence analytics over the event feed: ordered-step funnels and
+cohort retention — the product-analytics staples a monitoring feed
+grows into once questions shift from \"what is the value now\" to
+\"what do users do over time\".
+
+Both operators reduce the feed to per-user scalars FIRST (min
+timestamps, first-seen week) and run every later stage on those
+user-level relations — at 100 TB the raw feed is scanned once per
+funnel step (with the step filter pushed to the scan) and the
+joins/aggregations operate on #users-sized tables.
+
+Determinism: step times are integer µs minima, cohort weeks are
+integer days-since-epoch div 7 (no engine week-start conventions),
+ratios are single double divisions rounded at the edge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_TS_US = "unix_micros(cast(ts as timestamp))"
+
+
+def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """Ordered funnel: how many users performed step 1, then step 2
+    STRICTLY AFTER their first step 1, then step 3 after that — the
+    order constraint is what separates a funnel from three overlapping
+    COUNT(DISTINCT) panels.
+
+    One pass per step over the feed (step filter pushed down), each
+    reduced to a per-user min-µs scalar conditioned on the previous
+    step's time via a user-keyed join. Output: one row per step with
+    the surviving user count and the step-over-step conversion.
+    """
+    steps = steps or ["view", "click", "purchase"]
+    us = F.expr(_TS_US)
+    prev: DataFrame | None = None
+    counts: list[tuple[str, DataFrame]] = []
+    for step in steps:
+        stage = events.filter(F.col("event_type") == step).select(
+            "user_id", us.alias("us")
+        )
+        if prev is not None:
+            stage = (
+                stage.join(prev, "user_id")
+                .filter(F.col("us") > F.col("prev_us"))
+                .select("user_id", "us")
+            )
+        cur = stage.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+        counts.append((step, cur))
+        prev = cur
+    rows = None
+    for i, (step, cur) in enumerate(counts):
+        one = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step_no"), F.lit(step).alias("step"), "n_users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    # global window over a #steps-row relation — never the feed
+    w_prev = F.lag("n_users").over(Window.orderBy("step_no"))
+    return (
+        rows.withColumn(
+            "conversion",
+            F.round(
+                F.when(
+                    w_prev.isNotNull() & (w_prev != 0),
+                    F.col("n_users").cast("double") / w_prev.cast("double"),
+                ),
+                9,
+            ),
+        )
+        .orderBy("step_no")
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Retention matrix: users grouped by first-seen week (integer
+    days-since-epoch div 7 — identical in every engine, no week-start
+    convention), counted per week offset they return in. The classic
+    cohort triangle.
+
+    Feed reduces to distinct (user, week) once; first-seen week is an
+    agg over that; the matrix is a join + count over user-level rows.
+    """
+    wk = F.expr("datediff(date(cast(ts as timestamp)), date'1970-01-01') div 7")
+    user_weeks = events.select("user_id", wk.alias("wk")).distinct()
+    first = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        user_weeks.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_wk"),
+            (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_wk", "week_offset")
+    )

@@ -1,0 +1,54 @@
+"""Funnel order-constraint and cohort-offset semantics on handcrafted
+event sequences (oracle parity is covered generically)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from real_time_database_monitoring_system_spark.operators import event_analytics
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, d, h, 0), u, et, 1.0, "{}")
+            for i, (u, d, h, et) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_funnel_enforces_step_order(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 0, "view"), (1, 1, 1, "click"), (1, 1, 2, "purchase"),
+        # user 2: clicked BEFORE first view — click must not count
+        (2, 1, 1, "click"), (2, 1, 2, "view"),
+        # user 3: view then click, purchase BEFORE click — no step 3
+        (3, 1, 0, "view"), (3, 1, 2, "click"), (3, 1, 1, "purchase"),
+        # user 4: never viewed
+        (4, 1, 0, "purchase"),
+    ]
+    out = {r.step: r for r in event_analytics.funnel_counts(_ev(spark, rows)).collect()}
+    assert out["view"].n_users == 3        # users 1, 2, 3
+    assert out["click"].n_users == 2       # users 1, 3 (user 2 out of order)
+    assert out["purchase"].n_users == 1    # user 1 only
+    assert out["view"].conversion is None
+    assert abs(out["click"].conversion - 2 / 3) < 1e-9
+    assert out["purchase"].conversion == 0.5
+
+
+def test_cohort_offsets_count_returning_users(spark):
+    # weeks are epoch-aligned; Jan 2024 days 1-28 span several weeks.
+    # user 1 active day 1 and day 15 (offset 2 weeks); user 2 only day 1
+    rows = [(1, 1, 0, "view"), (1, 15, 0, "view"), (2, 1, 0, "view")]
+    out = {
+        (r.cohort_wk, r.week_offset): r.n_users
+        for r in event_analytics.cohort_retention(_ev(spark, rows)).collect()
+    }
+    offsets = sorted(k[1] for k in out)
+    assert offsets == [0, 2]
+    base = next(k[0] for k in out)
+    assert out[(base, 0)] == 2
+    assert out[(base, 2)] == 1
