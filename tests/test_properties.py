@@ -42,3 +42,75 @@ def test_idempotent_on_translated_output_separators():
     # translating a pattern twice must not mangle separators
     once = pg_to_java_pattern("YYYY-MM-DD HH24:MI:SS")
     assert once == "yyyy-MM-dd HH:mm:ss"
+
+
+# ---- Spark-backed properties (session fixture) ----
+
+
+def test_bloom_prune_superset_property_random_keys(spark):
+    """For ANY key set and any fact, bloom survivors ⊇ true matches —
+    across several (m, k) sizes including aggressively undersized."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import (
+        runtime_filter as rf,
+    )
+
+    rng = random.Random(42)
+    for trial in range(3):
+        fact_keys = [rng.randrange(0, 5000) for _ in range(400)]
+        key_keys = [rng.randrange(0, 5000) for _ in range(60)]
+        fact = spark.createDataFrame([(k,) for k in fact_keys], "k long")
+        keys = spark.createDataFrame([(k,) for k in key_keys], "k long")
+        true_match = set(fact_keys) & set(key_keys)
+        for m_bits, k in ((1 << 16, 4), (1 << 7, 1)):
+            bloom = rf.bloom_build(keys, "k", m_bits=m_bits, k=k)
+            survivors = {
+                r.k for r in rf.bloom_prune(fact, bloom, "k").distinct().collect()
+            }
+            assert true_match <= survivors
+        exact = {r.k for r in rf.bloom_semi_join(fact, keys, "k").distinct().collect()}
+        assert exact == true_match
+
+
+def test_gapfill_row_count_identity(spark):
+    """Per key, output rows == (max_bucket - min_bucket)/step + 1 and
+    non-gap rows == distinct observed buckets — for a random feed."""
+    import datetime as dt
+    import random
+
+    from real_time_database_monitoring_system_spark.operators import gapfill
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                i,
+                dt.datetime(2024, 1, 1) + dt.timedelta(minutes=rng.randrange(0, 2000)),
+                1,
+                rng.choice(["cpu", "mem"]),
+                float(rng.randrange(0, 100)),
+                "{}",
+            )
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = gapfill.gapfill_locf(ev).collect()
+    by_key: dict[str, list] = {}
+    for r in out:
+        by_key.setdefault(r.event_type, []).append(r)
+    observed: dict[str, set] = {}
+    for (i, ts, u, et, v, p) in rows:
+        observed.setdefault(et, set()).add((ts.timestamp() // 300) * 300)
+    for et, rs in by_key.items():
+        buckets = sorted(r.bucket_s for r in rs)
+        assert buckets == list(range(buckets[0], buckets[-1] + 300, 300))
+        assert sum(not r.is_gap for r in rs) == len(observed[et])
+        # LOCF: every row at/after the first observation carries a value
+        assert all(r.value_locf is not None for r in rs)
