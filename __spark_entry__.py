@@ -677,6 +677,10 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_transition_matrix(spark, sf):
+    return event_analytics.transition_matrix(load_table(spark, sf, "events"))
+
+
 def _q_curate_corpus(spark, sf):
     return pipeline.curate_corpus(load_table(spark, sf, "documents"))
 
@@ -767,13 +771,13 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 108 oracle-backed entries. The round-2 driver
+    evidence across all 109 oracle-backed entries. The round-2 driver
     check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
     are exactly 50 oracle-backed entries with NO driver row in
     CORRECTNESS_r01.json — the mutation trio, the streaming family,
     knn_bruteforce, embedding_near_dups and multimodal_meta called out
     as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
-    (51-62) holds 12 more never-checked oracle-backed entries that
+    (51-63) holds 13 more never-checked oracle-backed entries that
     landed after the window filled — first candidates for the round-3
     rotation; the remaining overflow is round-1-green queries, still
     covered by the identical local harness check
@@ -851,6 +855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": _q_funnel_counts,
         "cohort_retention": _q_cohort_retention,
         "curate_corpus": _q_curate_corpus,
+        "transition_matrix": _q_transition_matrix,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2318,6 +2323,25 @@ def oracle_sql() -> dict[str, str]:
                                CAST(lag(n_users) OVER (ORDER BY step_no) AS DOUBLE)
                      END, 9) AS conversion
         FROM c ORDER BY step_no
+    """
+
+    # Markov transitions: lead over the same unique ordering; integer
+    # window-sum denominator, single double division
+    sql["transition_matrix"] = """
+        WITH p AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        c AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM p WHERE to_type IS NOT NULL
+            GROUP BY 1, 2)
+        SELECT from_type, to_type, n_transitions,
+               round(CAST(n_transitions AS DOUBLE) /
+                     CAST(sum(n_transitions) OVER (PARTITION BY from_type)
+                          AS DOUBLE), 9) AS p
+        FROM c ORDER BY from_type, to_type
     """
 
     # cohort weeks are integer days-since-epoch // 7 in both engines

@@ -95,3 +95,39 @@ def cohort_retention(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_wk", "week_offset")
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the \"user flow\" panel: from each event type,
+    where do users go next, and with what probability.
+
+    One window shuffle on user_id (lead over the per-user µs+id
+    ordering — the unique event_id tiebreak makes consecutive pairs
+    deterministic), then a keyed count; the probability denominator is
+    an exact integer window sum over the (tiny) #types² matrix, so the
+    only double is the final division.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.expr(_TS_US), "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    total = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn(
+            "p",
+            F.round(
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(total).cast("double"),
+                9,
+            ),
+        )
+        .orderBy("from_type", "to_type")
+    )

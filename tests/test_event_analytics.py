@@ -52,3 +52,23 @@ def test_cohort_offsets_count_returning_users(spark):
     base = next(k[0] for k in out)
     assert out[(base, 0)] == 2
     assert out[(base, 2)] == 1
+
+
+def test_transition_matrix_rows_and_probs(spark):
+    # user 1: a→b→a→b ; user 2: a→a   → from 'a': {b:2, a:1}, from 'b': {a:1}
+    rows = [
+        (1, 1, 0, "a"), (1, 1, 1, "b"), (1, 1, 2, "a"), (1, 1, 3, "b"),
+        (2, 1, 0, "a"), (2, 1, 1, "a"),
+    ]
+    out = {
+        (r.from_type, r.to_type): r
+        for r in event_analytics.transition_matrix(_ev(spark, rows)).collect()
+    }
+    assert out[("a", "b")].n_transitions == 2
+    assert out[("a", "a")].n_transitions == 1
+    assert out[("b", "a")].n_transitions == 1
+    assert abs(out[("a", "b")].p - 2 / 3) < 1e-9
+    assert out[("b", "a")].p == 1.0
+    # probabilities sum to 1 per from_type
+    for ft in ("a", "b"):
+        assert abs(sum(r.p for (f, _), r in out.items() if f == ft) - 1.0) < 1e-8
