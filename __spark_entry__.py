@@ -677,6 +677,10 @@ def _q_gapfill_interpolate(spark, sf):
     return gapfill.gapfill_interpolate(load_table(spark, sf, "events"))
 
 
+def _q_conversion_latency(spark, sf):
+    return event_analytics.conversion_latency(load_table(spark, sf, "events"))
+
+
 def _q_transition_matrix(spark, sf):
     return event_analytics.transition_matrix(load_table(spark, sf, "events"))
 
@@ -771,13 +775,13 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 109 oracle-backed entries. The round-2 driver
+    evidence across all 110 oracle-backed entries. The round-2 driver
     check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
     are exactly 50 oracle-backed entries with NO driver row in
     CORRECTNESS_r01.json — the mutation trio, the streaming family,
     knn_bruteforce, embedding_near_dups and multimodal_meta called out
     as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
-    (51-63) holds 13 more never-checked oracle-backed entries that
+    (51-64) holds 14 more never-checked oracle-backed entries that
     landed after the window filled — first candidates for the round-3
     rotation; the remaining overflow is round-1-green queries, still
     covered by the identical local harness check
@@ -856,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _q_cohort_retention,
         "curate_corpus": _q_curate_corpus,
         "transition_matrix": _q_transition_matrix,
+        "conversion_latency": _q_conversion_latency,
         # -- overflow (driver-green in round 1; identical local harness check) --
         "pricing_summary": _q_pricing_summary,
         "asof_join": _q_asof_join,
@@ -2323,6 +2328,25 @@ def oracle_sql() -> dict[str, str]:
                                CAST(lag(n_users) OVER (ORDER BY step_no) AS DOUBLE)
                      END, 9) AS conversion
         FROM c ORDER BY step_no
+    """
+
+    # conversion latency: same step-conditioning as the funnel; the
+    # percentiles are order statistics over converting users
+    sql["conversion_latency"] = """
+        WITH t1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        t2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t2, min(t1.t1) AS t1
+            FROM events e JOIN t1 ON e.user_id = t1.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > t1.t1
+            GROUP BY 1),
+        lat AS (SELECT t2 - t1 AS latency_us FROM t2)
+        SELECT count(*) AS n_converted,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_us) AS p25_us,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us) AS p50_us,
+               percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us) AS p90_us
+        FROM lat
     """
 
     # Markov transitions: lead over the same unique ordering; integer

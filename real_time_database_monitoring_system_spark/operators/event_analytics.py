@@ -131,3 +131,36 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         )
         .orderBy("from_type", "to_type")
     )
+
+
+def conversion_latency(events: DataFrame, first: str = "view", then: str = "purchase") -> DataFrame:
+    """How long users take to convert: per-user µs gap between the
+    first `first`-step event and the first `then`-step event strictly
+    after it, summarized as order-statistic percentiles (p25/p50/p90)
+    plus the converting-user count. The funnel says HOW MANY convert;
+    this says HOW FAST.
+
+    Same per-user-scalar reduction shape as `funnel_counts` — the
+    summary aggregates #users rows, never the feed.
+    """
+    us = F.expr(_TS_US)
+    t1 = (
+        events.filter(F.col("event_type") == first)
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    t2 = (
+        events.filter(F.col("event_type") == then)
+        .select("user_id", us.alias("us"))
+        .join(t1, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"), F.min("t1").alias("t1"))
+    )
+    lat = t2.select((F.col("t2") - F.col("t1")).alias("latency_us"))
+    return lat.agg(
+        F.count("*").alias("n_converted"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY latency_us)").cast("long").alias("p25_us"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)").cast("long").alias("p50_us"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)").cast("long").alias("p90_us"),
+    )

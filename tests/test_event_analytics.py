@@ -72,3 +72,19 @@ def test_transition_matrix_rows_and_probs(spark):
     # probabilities sum to 1 per from_type
     for ft in ("a", "b"):
         assert abs(sum(r.p for (f, _), r in out.items() if f == ft) - 1.0) < 1e-8
+
+
+def test_conversion_latency_conditions_on_first_view(spark):
+    # user 1: view @h0, purchase @h2 → 2h latency
+    # user 2: purchase @h0 BEFORE view @h1 → not converted
+    # user 3: view @h0, purchases @h1 and @h5 → counts the FIRST (1h)
+    rows = [
+        (1, 1, 0, "view"), (1, 1, 2, "purchase"),
+        (2, 1, 1, "view"), (2, 1, 0, "purchase"),
+        (3, 1, 0, "view"), (3, 1, 1, "purchase"), (3, 1, 5, "purchase"),
+    ]
+    r = event_analytics.conversion_latency(_ev(spark, rows)).collect()[0]
+    hour_us = 3600 * 1_000_000
+    assert r.n_converted == 2
+    assert r.p25_us == 1 * hour_us
+    assert r.p90_us == 2 * hour_us
