@@ -2156,7 +2156,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ext)
         SELECT s.event_type, s.bucket_s,
                COALESCE(b.n_points, 0) AS n_points,
-               b.last_value IS NULL AS is_gap,
+               b.n_points IS NULL AS is_gap,
                last_value(b.last_value IGNORE NULLS) OVER (
                    PARTITION BY s.event_type ORDER BY s.bucket_s
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
@@ -2181,7 +2181,7 @@ def oracle_sql() -> dict[str, str]:
         j AS (
             SELECT s.event_type, s.bucket_s,
                    COALESCE(b.n_points, 0) AS n_points,
-                   b.last_value IS NULL AS is_gap, b.last_value AS lv
+                   b.n_points IS NULL AS is_gap, b.last_value AS lv
             FROM spine s
             LEFT JOIN b ON s.event_type = b.event_type AND s.bucket_s = b.bucket_s),
         w2 AS (

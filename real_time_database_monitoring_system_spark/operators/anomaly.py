@@ -21,8 +21,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .util import materialize as _materialize
+
 # 1 / Φ^{-1}(3/4): scales MAD to estimate σ under normality
 _MAD_SIGMA = 1.4826
+
+
+def mad_baseline(events: DataFrame) -> DataFrame:
+    """Per-type robust baseline: (event_type, med, mad), where med is
+    the exact `percentile_disc` median of `value` and mad the median
+    absolute deviation around it. Shared by the batch outlier flagger
+    below and the streaming alert path (`streaming.rollup.
+    stream_mad_alerts`) so the documented batch-twin contract cannot
+    drift between two copies of the statistic.
+
+    The median feeds two consumers (the MAD aggregation and the final
+    baseline join), so it is materialized — otherwise the full-feed
+    median subtree is recomputed per consumer (the repo-wide
+    diamond-materialization rule).
+    """
+    med = _materialize(
+        events.groupBy("event_type").agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+        )
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
+        )
+    )
+    return med.join(mad, "event_type")
 
 
 def mad_outliers(events: DataFrame, n_sigmas: float = 3.0) -> DataFrame:
@@ -36,18 +67,7 @@ def mad_outliers(events: DataFrame, n_sigmas: float = 3.0) -> DataFrame:
     back to the feed; the feed itself is scanned once per pass at
     worst, and the flag projection is map-side.
     """
-    med = events.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
-    )
-    mad = (
-        events.join(F.broadcast(med), "event_type")
-        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
-        .groupBy("event_type")
-        .agg(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
-        )
-    )
-    baseline = med.join(mad, "event_type")
+    baseline = mad_baseline(events)
     # NULL-guarded: a zero MAD (>50% identical readings) has no scale
     # to score against — and ANSI mode makes the division an error,
     # not an Infinity. The flag below needs no division and still

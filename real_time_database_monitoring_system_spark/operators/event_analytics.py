@@ -34,7 +34,10 @@ def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFram
     step's time via a user-keyed join. Output: one row per step with
     the surviving user count and the step-over-step conversion.
     """
-    steps = steps or ["view", "click", "purchase"]
+    if steps is None:
+        steps = ["view", "click", "purchase"]
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
     us = F.expr(_TS_US)
     prev: DataFrame | None = None
     counts: list[tuple[str, DataFrame]] = []

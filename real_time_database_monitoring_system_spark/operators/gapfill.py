@@ -86,7 +86,12 @@ def gapfill_locf(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
             "event_type",
             "bucket_s",
             F.coalesce("n_points", F.lit(0)).alias("n_points"),
-            F.col("last_value").isNull().alias("is_gap"),
+            # gap = spine left-join miss (n_points IS NULL), NOT
+            # last_value IS NULL: Spark's max_by(value, event_id) can
+            # return NULL for a bucket that HAS points if the latest
+            # reading's value is NULL, while DuckDB's arg_max skips
+            # NULL args — the n_points derivation is identical in both
+            F.col("n_points").isNull().alias("is_gap"),
             F.last("last_value", ignorenulls=True).over(w).alias("value_locf"),
         )
         .orderBy("event_type", "bucket_s")
@@ -125,7 +130,8 @@ def gapfill_interpolate(events: DataFrame, bucket_seconds: int = 300) -> DataFra
         "event_type",
         "bucket_s",
         F.coalesce("n_points", F.lit(0)).alias("n_points"),
-        F.col("last_value").isNull().alias("is_gap"),
+        # spine-miss derivation, matching gapfill_locf (see note there)
+        F.col("n_points").isNull().alias("is_gap"),
         F.last("last_value", ignorenulls=True).over(wb).alias("pv"),
         F.last(obs_bucket, ignorenulls=True).over(wb).alias("pb"),
         F.first("last_value", ignorenulls=True).over(wf).alias("nv"),

@@ -34,6 +34,10 @@ from pyspark.sql import functions as F
 from .util import materialize as _materialize
 
 _WORD = 64  # bits per map entry (long)
+# internal broadcast-column name; underscored + unlikely so a fact
+# table carrying a same-named column can't make the cross join's
+# resolution ambiguous (guarded again in bloom_prune)
+_BLOOM_COL = "__bloom_words__"
 
 
 class BloomFilter(NamedTuple):
@@ -70,7 +74,7 @@ def bloom_build(keys: DataFrame, key: str, m_bits: int = 1 << 20, k: int = 5) ->
         f"shiftleft(1L, cast(pos % {_WORD} as int)) AS bit",
     ).groupBy("word").agg(F.bit_or("bit").alias("bits"))
     one_row = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bloom_words")
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias(_BLOOM_COL)
     )
     return BloomFilter(one_row, m_bits, k)
 
@@ -81,12 +85,17 @@ def bloom_prune(fact: DataFrame, bloom: BloomFilter, key: str) -> DataFrame:
     one-row bloom side ships via broadcast nested-loop cross join; the
     probe is a map-lookup `forall` evaluated map-side in the scan
     stage."""
+    if _BLOOM_COL in fact.columns:
+        raise ValueError(
+            f"fact table already carries the internal column {_BLOOM_COL!r}; "
+            "rename it before bloom pruning"
+        )
     probe = F.expr(
         f"forall({_positions_sql(key, bloom.m_bits, bloom.k)}, p -> "
-        f"(coalesce(element_at(bloom_words, cast(p div {_WORD} as int)), 0L)"
+        f"(coalesce(element_at({_BLOOM_COL}, cast(p div {_WORD} as int)), 0L)"
         f" & shiftleft(1L, cast(p % {_WORD} as int))) != 0)"
     )
-    return fact.crossJoin(F.broadcast(bloom.words)).filter(probe).drop("bloom_words")
+    return fact.crossJoin(F.broadcast(bloom.words)).filter(probe).drop(_BLOOM_COL)
 
 
 def bloom_semi_join(

@@ -372,20 +372,10 @@ def stream_mad_alerts(spark: SparkSession, sf_dir: str, n_sigmas: float = 3.0) -
     Batch twin: `anomaly.mad_outliers(...).filter(is_outlier)` —
     flag-only columns, checked against the DuckDB oracle.
     """
-    from ..operators.anomaly import _MAD_SIGMA
+    from ..operators.anomaly import _MAD_SIGMA, mad_baseline
     from ..sources.registry import load_table
 
-    batch_events = load_table(spark, sf_dir, "events")
-    med = batch_events.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
-    )
-    mad = (
-        batch_events.join(F.broadcast(med), "event_type")
-        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
-        .groupBy("event_type")
-        .agg(F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad"))
-    )
-    baseline = med.join(mad, "event_type")
+    baseline = mad_baseline(load_table(spark, sf_dir, "events"))
     stream = _events_stream(spark, sf_dir)
     alerts = (
         stream.join(F.broadcast(baseline), "event_type")
