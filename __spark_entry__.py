@@ -775,78 +775,22 @@ def _q_shuffle_order(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
-    evidence across all 110 oracle-backed entries. The round-2 driver
-    check has not run yet (no CORRECTNESS_r02.json), so positions 1-50
-    are exactly 50 oracle-backed entries with NO driver row in
-    CORRECTNESS_r01.json — the mutation trio, the streaming family,
-    knn_bruteforce, embedding_near_dups and multimodal_meta called out
-    as weak in VERDICT r1, plus round-2 additions. The overflow HEAD
-    (51-64) holds 14 more never-checked oracle-backed entries that
-    landed after the window filled — first candidates for the round-3
-    rotation; the remaining overflow is round-1-green queries, still
-    covered by the identical local harness check
-    (tests/test_oracle_parity.py); the 9 rows-only
-    (hash/sketch/iteration-dependent) entries close the tail. Every
-    entry keeps its oracle regardless of position. Re-derive these
-    counts from the dict + the newest CORRECTNESS file rather than
-    trusting prose — including this one."""
+    evidence across all entries. Round-3 rotation: positions 1-23 are
+    every entry with NO green row across CORRECTNESS_r01+r02 (the 14
+    oracle-backed late arrivals plus the 9 rows-only sketch/ANN
+    entries, which get the driver's weaker rows-only check); new
+    round-3 queries displace window PADDING (green representatives),
+    never the never-checked block. Overflow entries are all
+    driver-green and remain covered by the identical local check
+    (tests/test_oracle_parity.py). Every entry keeps its oracle
+    regardless of position. The window invariant — no never-checked
+    entry outside the prefix — is machine-checked by
+    tests/test_registry_window.py; re-derive counts from the dict +
+    CORRECTNESS files rather than trusting prose, including this
+    one."""
     return {
-        # -- never driver-checked: round-2 additions --
-        "rollup_totals": _q_rollup_totals,
-        "cube_totals": _q_cube_totals,
-        "grouping_sets_panel": _q_grouping_sets_panel,
-        "window_suite": _q_window_suite,
-        "user_set_ops": _q_user_set_ops,
-        "pivot_event_counts": _q_pivot_event_counts,
-        "unpivot_summary": _q_unpivot_summary,
-        "value_histogram": _q_value_histogram,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "cap_per_source": _q_cap_per_source,
-        "assign_split": _q_assign_split,
-        "shuffle_order": _q_shuffle_order,
-        "streaming_enrich_static": _q_streaming_enrich,
-        "unigram_logprob": _q_unigram_logprob,
-        # -- never driver-checked: VERDICT r1 weak list --
-        "upsert_merge": _q_upsert,
-        "delete_where": _q_delete,
-        "update_where": _q_update,
-        "streaming_rollup_5min": _q_streaming_rollup,
-        "streaming_alerts": _q_streaming_alerts,
-        "streaming_stateful_tracker": _q_streaming_stateful,
-        "streaming_sessions": _q_streaming_sessions,
-        "knn_bruteforce": _q_knn_bruteforce,
-        "multimodal_meta": _q_multimodal_meta,
-        "streaming_join_alert_context": _q_streaming_join,
-        "embedding_near_dups": _q_embedding_near_dups,
-        # -- never driver-checked: round-2 pipeline/dialect layer --
-        "paginate_keyset": _q_paginate_keyset,
-        "shard_pack": _q_shard_pack,
-        "tfidf_top_terms": _q_tfidf_top_terms,
-        "decontaminate": _q_decontaminate,
-        "temperature_mix": _q_temperature_mix,
-        "temperature_sample": _q_temperature_sample,
-        "length_buckets": _q_length_buckets,
-        "snapshot_diff": _q_snapshot_diff,
-        "incremental_dedup": _q_incremental_dedup,
-        "pii_redact": _q_pii_redact,
-        "corpus_stats": _q_corpus_stats,
-        "chunk_documents": _q_chunk_documents,
-        "hash_sample": _q_hash_sample,
-        "stratified_sample": _q_stratified_sample,
-        "streaming_dedup": _q_streaming_dedup,
-        "clean_text": _q_clean_text,
-        "repetition_score": _q_repetition_score,
-        "sql_bucket_panel": _q_sql_bucket_panel,
-        "vocab_topk": _q_vocab_topk,
-        "ngram_counts": _q_ngram_counts,
-        "quality_quantile_filter": _q_quality_quantile_filter,
-        "engine_info": _q_engine_info,
-        # -- never driver-checked: this session's additions --
-        "gapfill_locf": _q_gapfill_locf,
-        "substring_dup_spans": _q_substring_dup_spans,
-        "user_day_streaks": _q_user_day_streaks,
-        # -- overflow head: oracle-backed, added after the window filled;
-        #    first candidates for the next round's rotation --
+        # -- window 1-23: every entry with NO green driver row across
+        #    CORRECTNESS_r01+r02 (14 oracle-backed + 9 rows-only) --
         "gapfill_interpolate": _q_gapfill_interpolate,
         "bloom_semi_revenue": _q_bloom_semi_revenue,
         "theta_user_overlap": _q_theta_user_overlap,
@@ -861,54 +805,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": _q_curate_corpus,
         "transition_matrix": _q_transition_matrix,
         "conversion_latency": _q_conversion_latency,
-        # -- overflow (driver-green in round 1; identical local harness check) --
-        "pricing_summary": _q_pricing_summary,
-        "asof_join": _q_asof_join,
-        "exact_dedup": _q_exact_dedup,
-        "fingerprint": _q_fingerprint,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "idle_sessions": _q_idle_sessions,
-        "session_summary": _q_session_summary,
-        "minute_corr_join": _q_minute_corr_join,
-        "lag_delta": _q_lag_delta,
-        "value_percentiles": _q_value_percentiles,
-        "table_catalog": _q_table_catalog,
-        "anti_join_no_recent": _q_anti_join,
-        "semi_join_urgent": _q_semi_join,
-        "local_supplier_volume": _q_local_supplier_volume,
-        "tps_per_user": _q_tps_per_user,
-        "left_join_rollup": _q_left_join_rollup,
-        "size_pretty": _q_size_pretty,
-        "retention_filter": _q_retention_filter,
-        "drilldown_grid": _q_drilldown_grid,
-        "substring_search": _q_substring_search,
-        "props_histogram": _q_props_histogram,
-        "parts_by_brand": _q_parts_by_brand,
-        "latest_per_user": _q_latest_per_user,
-        "paginate_page2": _q_paginate_page2,
-        "topk_events": _q_topk_events,
-        "distinct_types": _q_distinct_types,
-        "cross_join_lookup": _q_cross_join_lookup,
-        "nations_per_region": _q_nations_per_region,
-        "cache_hit_ratio": _q_cache_hit_ratio,
-        "priority_bands": _q_priority_bands,
-        "value_band_join": _q_value_band_join,
-        "slow_sessions": _q_slow_sessions,
-        "connection_load": _q_connection_load,
-        "threshold_flags": _q_threshold_flags,
-        "downsample_5min": _q_downsample_5min,
-        "rollup_cascade": _q_rollup_cascade,
-        "sessionize": _q_sessionize,
-        "three_way_topk": _q_three_way_topk,
-        "shipping_priority": _q_shipping_priority,
-        "customer_rollup": _q_customer_rollup,
-        "top_supplier_per_nation": _q_top_supplier_per_nation,
-        "net_price_ratio": _q_net_price_ratio,
-        "to_char_formats": _q_to_char_formats,
-        "token_stats": _q_token_stats,
-        "quality_score": _q_quality_score,
-        "lang_id": _q_lang_id,
-        # -- rows-only (hash/sketch/iteration-dependent; no DuckDB oracle) --
         "value_percentiles_approx": _q_value_percentiles_approx,
         "minhash_lsh_pairs": _q_minhash_lsh,
         "simhash_pairs": _q_simhash_pairs,
@@ -918,6 +814,106 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": _q_ivf_knn,
         "hll_user_rollup": _q_hll_user_rollup,
         "kll_value_rollup": _q_kll_value_rollup,
+        # -- window padding to 50: green representatives across families
+        #    (new round-3 entries should displace these, not the block above) --
+        "pricing_summary": _q_pricing_summary,
+        "slow_sessions": _q_slow_sessions,
+        "downsample_5min": _q_downsample_5min,
+        "minute_corr_join": _q_minute_corr_join,
+        "lag_delta": _q_lag_delta,
+        "topk_events": _q_topk_events,
+        "three_way_topk": _q_three_way_topk,
+        "left_join_rollup": _q_left_join_rollup,
+        "anti_join_no_recent": _q_anti_join,
+        "semi_join_urgent": _q_semi_join,
+        "to_char_formats": _q_to_char_formats,
+        "size_pretty": _q_size_pretty,
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dup_spans": _q_substring_dup_spans,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "knn_bruteforce": _q_knn_bruteforce,
+        "multimodal_meta": _q_multimodal_meta,
+        "streaming_rollup_5min": _q_streaming_rollup,
+        "streaming_sessions": _q_streaming_sessions,
+        "upsert_merge": _q_upsert,
+        "delete_where": _q_delete,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "chunk_documents": _q_chunk_documents,
+        "corpus_stats": _q_corpus_stats,
+        "gapfill_locf": _q_gapfill_locf,
+        # -- overflow: all driver-green in r01/r02; identical local harness
+        #    check still runs on every entry (tests/test_oracle_parity.py) --
+        "rollup_totals": _q_rollup_totals,
+        "cube_totals": _q_cube_totals,
+        "grouping_sets_panel": _q_grouping_sets_panel,
+        "window_suite": _q_window_suite,
+        "user_set_ops": _q_user_set_ops,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "unpivot_summary": _q_unpivot_summary,
+        "value_histogram": _q_value_histogram,
+        "cap_per_source": _q_cap_per_source,
+        "assign_split": _q_assign_split,
+        "shuffle_order": _q_shuffle_order,
+        "streaming_enrich_static": _q_streaming_enrich,
+        "unigram_logprob": _q_unigram_logprob,
+        "update_where": _q_update,
+        "streaming_alerts": _q_streaming_alerts,
+        "streaming_stateful_tracker": _q_streaming_stateful,
+        "streaming_join_alert_context": _q_streaming_join,
+        "paginate_keyset": _q_paginate_keyset,
+        "shard_pack": _q_shard_pack,
+        "decontaminate": _q_decontaminate,
+        "temperature_mix": _q_temperature_mix,
+        "temperature_sample": _q_temperature_sample,
+        "length_buckets": _q_length_buckets,
+        "snapshot_diff": _q_snapshot_diff,
+        "incremental_dedup": _q_incremental_dedup,
+        "pii_redact": _q_pii_redact,
+        "hash_sample": _q_hash_sample,
+        "stratified_sample": _q_stratified_sample,
+        "streaming_dedup": _q_streaming_dedup,
+        "clean_text": _q_clean_text,
+        "repetition_score": _q_repetition_score,
+        "sql_bucket_panel": _q_sql_bucket_panel,
+        "vocab_topk": _q_vocab_topk,
+        "ngram_counts": _q_ngram_counts,
+        "quality_quantile_filter": _q_quality_quantile_filter,
+        "engine_info": _q_engine_info,
+        "user_day_streaks": _q_user_day_streaks,
+        "asof_join": _q_asof_join,
+        "fingerprint": _q_fingerprint,
+        "idle_sessions": _q_idle_sessions,
+        "session_summary": _q_session_summary,
+        "value_percentiles": _q_value_percentiles,
+        "table_catalog": _q_table_catalog,
+        "local_supplier_volume": _q_local_supplier_volume,
+        "tps_per_user": _q_tps_per_user,
+        "retention_filter": _q_retention_filter,
+        "drilldown_grid": _q_drilldown_grid,
+        "substring_search": _q_substring_search,
+        "props_histogram": _q_props_histogram,
+        "parts_by_brand": _q_parts_by_brand,
+        "latest_per_user": _q_latest_per_user,
+        "paginate_page2": _q_paginate_page2,
+        "distinct_types": _q_distinct_types,
+        "cross_join_lookup": _q_cross_join_lookup,
+        "nations_per_region": _q_nations_per_region,
+        "cache_hit_ratio": _q_cache_hit_ratio,
+        "priority_bands": _q_priority_bands,
+        "value_band_join": _q_value_band_join,
+        "connection_load": _q_connection_load,
+        "threshold_flags": _q_threshold_flags,
+        "rollup_cascade": _q_rollup_cascade,
+        "sessionize": _q_sessionize,
+        "shipping_priority": _q_shipping_priority,
+        "customer_rollup": _q_customer_rollup,
+        "top_supplier_per_nation": _q_top_supplier_per_nation,
+        "net_price_ratio": _q_net_price_ratio,
+        "token_stats": _q_token_stats,
+        "quality_score": _q_quality_score,
+        "lang_id": _q_lang_id,
     }
 
 
