@@ -168,7 +168,80 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     exact = {(r.q_id, r.vec_id) for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()}
     approx = {(r.q_id, r.vec_id) for r in similarity.knn_lsh(emb, n_queries=10, k=5).collect()}
     recall = len(exact & approx) / len(exact)
+    # the synthetic embeddings are near-random (max pair cosine ~0.5),
+    # so this is a regression anchor, not the ANN contract — that lives
+    # in test_ann_recall_on_planted_neighbors below, where true near
+    # neighbors exist for LSH theory to apply to
     assert recall >= 0.3, f"LSH ANN recall too low: {recall}"
+
+
+def _planted_embeddings(spark):
+    """Deterministic corpus WITH ground-truth structure: 10 clusters of
+    1 query + 5 neighbors at cosine ≈0.95 (center + small noise), plus
+    200 random background vectors spread over the same labels. The
+    exact top-5 of each query is its own cluster, so recall@5 against
+    bruteforce measures whether the approximate paths find genuinely
+    similar items — the promise LSH/IVF actually make (their collision
+    guarantees apply to high-similarity pairs, not to the weak
+    neighbors of a uniformly random corpus)."""
+    import math
+    import random
+
+    rng = random.Random(4253)
+    dim = 64
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    centers = [unit([rng.gauss(0.0, 1.0) for _ in range(dim)]) for _ in range(10)]
+
+    def near(c):
+        return unit([x + rng.gauss(0.0, 0.03) for x in c])
+
+    rows = []
+    # vec_id 0..9: one query per cluster (label = cluster id)
+    for lbl, c in enumerate(centers):
+        rows.append((lbl, near(c), lbl))
+    # 5 planted neighbors per cluster
+    nid = 10
+    for lbl, c in enumerate(centers):
+        for _ in range(5):
+            rows.append((nid, near(c), lbl))
+            nid += 1
+    # random background, labels round-robin
+    for i in range(200):
+        rows.append((nid, unit([rng.gauss(0.0, 1.0) for _ in range(dim)]), i % 10))
+        nid += 1
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_ann_recall_on_planted_neighbors(spark):
+    """Quantitative ANN correctness contract (VERDICT r2 #4): on a
+    corpus with planted near neighbors, both approximate paths must
+    recover ≥90% of the exact top-5."""
+    emb = _planted_embeddings(spark)
+    exact: dict[int, set[int]] = {}
+    for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    assert len(exact) == 10
+
+    def recall(df):
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r.q_id, set()).add(r.vec_id)
+        per_q = [
+            len(exact[q] & got.get(q, set())) / len(exact[q]) for q in exact
+        ]
+        return sum(per_q) / len(per_q)
+
+    lsh = recall(similarity.knn_lsh(emb, n_queries=10, k=5))
+    assert lsh >= 0.9, f"LSH recall@5 on planted neighbors too low: {lsh}"
+    ivf = recall(similarity.ivf_knn(emb, n_queries=10, k=5, nprobe=3))
+    assert ivf >= 0.9, f"IVF recall@5 on planted neighbors too low: {ivf}"
 
 
 def test_multimodal_decode_shapes(spark, sf_dir):
