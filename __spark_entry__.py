@@ -591,6 +591,10 @@ def _q_streaming_join(spark, sf):
     return streaming_rollup.stream_join_alert_context(spark, sf)
 
 
+def _q_streaming_join_outer(spark, sf):
+    return streaming_rollup.stream_join_alert_context_outer(spark, sf)
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -816,6 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_value_rollup": _q_kll_value_rollup,
         # -- window padding to 50: green representatives across families
         #    (new round-3 entries should displace these, not the block above) --
+        # -- round-3 additions (never checked; displace padding, stay in window) --
+        "streaming_join_outer": _q_streaming_join_outer,
+        # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
         "downsample_5min": _q_downsample_5min,
@@ -842,9 +849,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "chunk_documents": _q_chunk_documents,
         "corpus_stats": _q_corpus_stats,
-        "gapfill_locf": _q_gapfill_locf,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
+        "gapfill_locf": _q_gapfill_locf,
         "rollup_totals": _q_rollup_totals,
         "cube_totals": _q_cube_totals,
         "grouping_sets_panel": _q_grouping_sets_panel,
@@ -2127,6 +2134,36 @@ def oracle_sql() -> dict[str, str]:
              AND c.us >= a.us AND c.us <= a.us + 300000000
              AND a.event_id <> c.event_id
         WHERE a.value > 99.0
+        ORDER BY alert_id, ctx_id
+    """
+
+    # left-outer stream-stream join: inner matches ∪ NULL rows for
+    # unmatched alerts whose horizon expired against the FINAL global
+    # watermark min(max alert ts, max ctx ts) − lateness (each
+    # withWatermark node tracks its own max event time, so the sparse
+    # alert side lags the feed). Unmatched alerts newer than that are
+    # withheld by the streaming query and excluded here identically.
+    sql["streaming_join_outer"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+                   FROM events),
+        a AS (SELECT event_id AS alert_id, user_id, us AS aus, value AS alert_value
+              FROM e WHERE value > 99.0),
+        m AS (SELECT a.alert_id, c.event_id AS ctx_id, a.user_id,
+                     a.aus AS alert_us, c.us AS ctx_us,
+                     c.event_type AS ctx_type, a.alert_value
+              FROM a JOIN e c ON a.user_id = c.user_id
+                   AND c.us >= a.aus AND c.us <= a.aus + 300000000
+                   AND a.alert_id <> c.event_id),
+        wm AS (SELECT LEAST((SELECT max(aus) FROM a),
+                            (SELECT max(us) FROM e)) - 600000000 AS w)
+        SELECT alert_id, ctx_id, user_id, alert_us, ctx_us, ctx_type, alert_value
+        FROM m
+        UNION ALL
+        SELECT alert_id, NULL AS ctx_id, user_id, aus AS alert_us,
+               NULL AS ctx_us, NULL AS ctx_type, alert_value
+        FROM a
+        WHERE alert_id NOT IN (SELECT alert_id FROM m)
+          AND aus + 300000000 < (SELECT w FROM wm)
         ORDER BY alert_id, ctx_id
     """
 

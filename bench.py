@@ -64,6 +64,12 @@ HEADLINE = [
     # robust anomaly scoring + VARIANT extraction
     "mad_outliers",
     "variant_props_stats",
+    # round-3 breadth: event analytics, sketches, gapfill interpolation,
+    # time-of-day baselines — visible before promotion (VERDICT r2 #5)
+    "funnel_counts",
+    "theta_user_overlap",
+    "gapfill_interpolate",
+    "seasonal_baseline",
 ]
 
 

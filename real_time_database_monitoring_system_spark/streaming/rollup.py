@@ -60,14 +60,11 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     return spark.table(name)
 
 
-def stream_rollup(spark: SparkSession, sf_dir: str, bucket_seconds: int = 300) -> DataFrame:
-    """T1/T2: event-time tumbling-window rollup of the metric feed —
-    the streaming twin of the JS 5-minute downsampler
-    (``index_resource.html:230-245``). Complete output mode: the full
-    rollup is the dashboard's state. Window starts are epoch-aligned
-    (session tz UTC), emitted as exact integer bucket seconds."""
-    src = _events_stream(spark, sf_dir)
-    windowed = (
+def _rollup_agg(src: DataFrame, bucket_seconds: int) -> DataFrame:
+    """The windowed-rollup transformation, factored out so tests can
+    drive it over sources with any file/trigger batching (the result
+    must be batch-count-independent)."""
+    return (
         src.groupBy(F.window("ts", f"{bucket_seconds} seconds").alias("w"))
         .agg(
             F.count("*").alias("n_points"),
@@ -81,7 +78,24 @@ def stream_rollup(spark: SparkSession, sf_dir: str, bucket_seconds: int = 300) -
             "sum_value",
         )
     )
-    return _run_to_memory(windowed, "complete").orderBy("bucket_s")
+
+
+def stream_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    bucket_seconds: int = 300,
+    source: DataFrame | None = None,
+) -> DataFrame:
+    """T1/T2: event-time tumbling-window rollup of the metric feed —
+    the streaming twin of the JS 5-minute downsampler
+    (``index_resource.html:230-245``). Complete output mode: the full
+    rollup is the dashboard's state. Window starts are epoch-aligned
+    (session tz UTC), emitted as exact integer bucket seconds.
+
+    `source` lets tests inject a differently-batched stream (multiple
+    files × maxFilesPerTrigger) over the same rows."""
+    src = source if source is not None else _events_stream(spark, sf_dir)
+    return _run_to_memory(_rollup_agg(src, bucket_seconds), "complete").orderBy("bucket_s")
 
 
 def stream_rollup_watermarked(
@@ -284,6 +298,78 @@ def stream_join_alert_context(
         & (F.col("ctx_ts") <= F.col("alert_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
         & (F.col("alert_id") != F.col("ctx_id")),
         "inner",
+    ).select(
+        "alert_id",
+        "ctx_id",
+        F.col("alert_user").alias("user_id"),
+        F.unix_micros("alert_ts").alias("alert_us"),
+        F.unix_micros("ctx_ts").alias("ctx_us"),
+        "ctx_type",
+        "alert_value",
+    )
+    return _run_to_memory(joined, "append").orderBy("alert_id", "ctx_id")
+
+
+def stream_join_alert_context_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 99.0,
+    horizon_minutes: int = 5,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with late-data
+    semantics: like `stream_join_alert_context`, but alerts with NO
+    follow-up activity in their horizon are still emitted (NULL ctx
+    columns) — the alerting deployment shape, where silence after a
+    spike is itself signal.
+
+    Outer-side emission is governed by the watermark: an unmatched
+    alert's NULL row appears only once the join state can be proven
+    complete, i.e. when `alert_ts + horizon` falls behind the global
+    watermark `min(max(alert_ts), max(ctx_ts)) − lateness` (each
+    withWatermark node tracks the max event time that flowed through
+    IT, so the alert side's clock lags the feed's when alerts are
+    sparse). Alerts newer than that stay withheld on a finite replay —
+    exactly the rows a live deployment could not yet decide either.
+
+    The emitted set depends only on the FINAL watermark, not on how
+    many micro-batches the files were split into (watermark
+    monotonicity: earlier evictions emit the same rows earlier), so
+    the availableNow replay is deterministic and the batch twin is
+    expressible in SQL: inner matches ∪ expired unmatched alerts —
+    oracle-checked by the driver.
+    """
+    horizon_us = horizon_minutes * 60 * 1_000_000
+    alerts = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("value") > threshold)
+        .select(
+            F.col("event_id").alias("alert_id"),
+            F.col("user_id").alias("alert_user"),
+            F.col("ts").alias("alert_ts"),
+            F.col("value").alias("alert_value"),
+        )
+        .withWatermark("alert_ts", lateness)
+    )
+    ctx = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("ctx_user"),
+            F.col("ts").alias("ctx_ts"),
+            F.col("event_type").alias("ctx_type"),
+        )
+        .withWatermark("ctx_ts", lateness)
+    )
+    joined = alerts.join(
+        ctx,
+        (F.col("alert_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("alert_ts"))
+        & (F.col("ctx_ts") <= F.col("alert_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+        & (F.col("alert_id") != F.col("ctx_id")),
+        "leftOuter",
     ).select(
         "alert_id",
         "ctx_id",

@@ -162,3 +162,66 @@ def test_stream_enrich_static_equals_batch_join(spark, sf_dir):
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, batch.collect()))
     # enrichment is total on this data (every user has a profile)
     assert out.filter(F.col("tier").isNull()).count() == 0
+
+
+def test_stream_rollup_batch_count_independent(spark, sf_dir, tmp_path):
+    """The rollup must not depend on how the files were batched into
+    triggers: 4 files × maxFilesPerTrigger ∈ {1, 2} (4 and 2 micro-
+    batches) must equal the single-file single-batch result."""
+    multi = str(tmp_path / "events_multi")
+    load_table(spark, sf_dir, "events").repartition(4).write.parquet(multi)
+    schema = spark.read.parquet(multi).schema
+    baseline = sr.stream_rollup(spark, sf_dir).collect()
+    for mfpt in (1, 2):
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", mfpt)
+            .parquet(multi)
+        )
+        got = sr.stream_rollup(spark, sf_dir, source=src).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, baseline)), (
+            f"rollup diverged at maxFilesPerTrigger={mfpt}"
+        )
+
+
+def test_stream_join_outer_matches_deterministic_model(spark, sf_dir):
+    """LEFT OUTER stream-stream join: emitted rows must equal inner
+    matches ∪ NULL rows for unmatched alerts expired against the final
+    global watermark min(max alert ts, max ctx ts) − lateness — and
+    nothing else (fresher unmatched alerts stay withheld)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("unix_micros(cast(ts as timestamp))")
+    )
+    alerts = ev.filter(F.col("value") > 99.0).select(
+        F.col("event_id").alias("alert_id"),
+        F.col("user_id").alias("au"),
+        F.col("us").alias("aus"),
+    )
+    ctx = ev.select(
+        F.col("event_id").alias("ctx_id"),
+        F.col("user_id").alias("cu"),
+        F.col("us").alias("cus"),
+    )
+    horizon, lateness = 300_000_000, 600_000_000
+    matches = alerts.join(
+        ctx,
+        (F.col("au") == F.col("cu"))
+        & (F.col("cus") >= F.col("aus"))
+        & (F.col("cus") <= F.col("aus") + horizon)
+        & (F.col("alert_id") != F.col("ctx_id")),
+    )
+    expected = {(r.alert_id, r.ctx_id) for r in matches.collect()}
+    wm = min(
+        alerts.agg(F.max("aus")).first()[0], ev.agg(F.max("us")).first()[0]
+    ) - lateness
+    matched_ids = {a for a, _ in expected}
+    for r in alerts.collect():
+        if r.alert_id not in matched_ids and r.aus + horizon < wm:
+            expected.add((r.alert_id, None))
+
+    got = {
+        (r.alert_id, r.ctx_id)
+        for r in sr.stream_join_alert_context_outer(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(c is None for _, c in got), "no outer rows emitted"
