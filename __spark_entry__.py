@@ -595,6 +595,30 @@ def _q_streaming_join_outer(spark, sf):
     return streaming_rollup.stream_join_alert_context_outer(spark, sf)
 
 
+def _q_weighted_sample(spark, sf):
+    return pipeline.weighted_sample(load_table(spark, sf, "documents"))
+
+
+def _q_sliding_rollup(spark, sf):
+    return monitoring.sliding_rollup(load_table(spark, sf, "events"))
+
+
+def _q_streaming_sliding_rollup(spark, sf):
+    return streaming_rollup.stream_sliding_rollup(spark, sf)
+
+
+def _q_pmi_pairs(spark, sf):
+    return pipeline.pmi_pairs(load_table(spark, sf, "documents"))
+
+
+def _q_dup_cluster_sizes(spark, sf):
+    return dedup.dup_cluster_sizes(load_table(spark, sf, "documents"))
+
+
+def _q_equidepth_histogram(spark, sf):
+    return analytics.equidepth_histogram(load_table(spark, sf, "events"))
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -822,6 +846,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (new round-3 entries should displace these, not the block above) --
         # -- round-3 additions (never checked; displace padding, stay in window) --
         "streaming_join_outer": _q_streaming_join_outer,
+        "weighted_sample": _q_weighted_sample,
+        "sliding_rollup": _q_sliding_rollup,
+        "streaming_sliding_rollup": _q_streaming_sliding_rollup,
+        "pmi_pairs": _q_pmi_pairs,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "equidepth_histogram": _q_equidepth_histogram,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
@@ -843,14 +873,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": _q_knn_bruteforce,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_rollup_5min": _q_streaming_rollup,
+        # -- overflow: all driver-green in r01/r02; identical local harness
+        #    check still runs on every entry (tests/test_oracle_parity.py) --
         "streaming_sessions": _q_streaming_sessions,
         "upsert_merge": _q_upsert,
         "delete_where": _q_delete,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "chunk_documents": _q_chunk_documents,
         "corpus_stats": _q_corpus_stats,
-        # -- overflow: all driver-green in r01/r02; identical local harness
-        #    check still runs on every entry (tests/test_oracle_parity.py) --
         "gapfill_locf": _q_gapfill_locf,
         "rollup_totals": _q_rollup_totals,
         "cube_totals": _q_cube_totals,
@@ -1944,6 +1974,58 @@ def oracle_sql() -> dict[str, str]:
         FROM documents GROUP BY 1 ORDER BY keeper_doc_id
     """
 
+    sql["dup_cluster_sizes"] = r"""
+        WITH c AS (
+            SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                   count(*) AS cluster_size
+            FROM documents GROUP BY 1)
+        SELECT cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+               CAST(sum(cluster_size - 1) AS BIGINT) AS n_wasted_copies
+        FROM c GROUP BY 1 ORDER BY 1
+    """
+
+    # A-ES weighted sample: identical key expression (pipeline._AES_KEY_SQL)
+    # over the DuckDB md5 twin form
+    _h32 = "CAST('0x' || substr(md5(text), 1, 8) AS BIGINT)"
+    sql["weighted_sample"] = f"""
+        SELECT doc_id, source, n_chars,
+               {pipeline._AES_KEY_SQL.format(h=_h32)} AS sample_key
+        FROM documents
+        ORDER BY sample_key DESC, doc_id LIMIT 100
+    """
+
+    # token-pair PMI in a ±2 window: position self-join replays Spark's
+    # zip_with pair generation; counts exact, casts-then-multiply and a
+    # single ln round(9), identical evaluation order
+    sql["pmi_pairs"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tokp AS (
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos, t[pos + 1] AS term
+            FROM (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM d)),
+        tc AS (SELECT term, count(*) AS c FROM tokp GROUP BY 1),
+        nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM tc),
+        pr AS (
+            SELECT CASE WHEN a.term <= b.term THEN a.term || ' ' || b.term
+                        ELSE b.term || ' ' || a.term END AS pair
+            FROM tokp a JOIN tokp b ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos <= a.pos + 2),
+        pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_pair FROM pr GROUP BY 1),
+        np AS (SELECT CAST(sum(c_pair) AS BIGINT) AS n_pair FROM pc)
+        SELECT pair, c_pair,
+               ca.c AS c_a, cb.c AS c_b,
+               round(ln((CAST(c_pair AS DOUBLE) * CAST(n_tok AS DOUBLE)
+                         * CAST(n_tok AS DOUBLE)) / (CAST(n_pair AS DOUBLE)
+                         * CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE))), 9) AS pmi
+        FROM pc
+        JOIN tc ca ON ca.term = split_part(pc.pair, ' ', 1)
+        JOIN tc cb ON cb.term = split_part(pc.pair, ' ', 2)
+        CROSS JOIN nt CROSS JOIN np
+        WHERE c_pair >= 5
+        ORDER BY pmi DESC, pair LIMIT 50
+    """
+
     # mirrors dedup._kept_inverted: stop shingles (df > max(2,
     # floor(0.5 * block_size))) are dropped from intersections AND set
     # sizes before the co-occurrence join, exactly as in Spark.
@@ -2080,6 +2162,41 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["streaming_rollup_5min"] = sql["downsample_5min"]
+
+    # hopping windows: bucket b covers starts (b-1)*300 and b*300
+    # (width 600 = 2 slides, epoch-aligned like Spark's F.window)
+    sql["sliding_rollup"] = """
+        WITH x AS (SELECT (epoch_us(ts) // 300000000) AS b, event_id, value
+                   FROM events)
+        SELECT (b - j) * 300 AS window_s,
+               count(*) AS n_points,
+               arg_max(value, event_id) AS last_value,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM x, (SELECT unnest(range(0, 2)) AS j)
+        GROUP BY 1 ORDER BY 1
+    """
+    # the streaming twin runs the identical window expression; one
+    # shared oracle pins stream == batch == SQL
+    sql["streaming_sliding_rollup"] = sql["sliding_rollup"]
+
+    # equi-depth histogram: percentile_disc boundaries (same WITHIN
+    # GROUP form as the Spark expression), upper-inclusive bucket id =
+    # #boundaries <= value, evaluated as the same array scan
+    sql["equidepth_histogram"] = """
+        WITH bounds AS (SELECT list_value(
+                 percentile_disc(0.125) WITHIN GROUP (ORDER BY value),
+                 percentile_disc(0.25)  WITHIN GROUP (ORDER BY value),
+                 percentile_disc(0.375) WITHIN GROUP (ORDER BY value),
+                 percentile_disc(0.5)   WITHIN GROUP (ORDER BY value),
+                 percentile_disc(0.625) WITHIN GROUP (ORDER BY value),
+                 percentile_disc(0.75)  WITHIN GROUP (ORDER BY value),
+                 percentile_disc(0.875) WITHIN GROUP (ORDER BY value)) AS bnds
+               FROM events)
+        SELECT CAST(len(list_filter(bnds, b -> b <= value)) AS INT) AS bucket,
+               count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        FROM events, bounds
+        GROUP BY 1 ORDER BY 1
+    """
 
     sql["sql_bucket_panel"] = """
         SELECT (epoch_us(ts) // 900000000) * 900 AS bucket_s,

@@ -263,6 +263,43 @@ def value_histogram(
     )
 
 
+def equidepth_histogram(events: DataFrame, nbins: int = 8) -> DataFrame:
+    """Equi-DEPTH histogram of `value`: bucket boundaries are exact
+    `percentile_disc` order statistics at i/nbins, so each bucket holds
+    ~1/nbins of the rows — the selectivity-estimation histogram (what
+    ANALYZE builds) and the right view of skewed distributions, where
+    the fixed-width `value_histogram` piles everything into two bars.
+
+    Shapes: ONE aggregation computes all nbins−1 boundaries as an
+    array; the one-row boundary relation broadcast-cross-joins back and
+    the bucket id is a map-side array scan (count of boundaries ≤
+    value — upper-inclusive buckets, so a run of duplicate boundary
+    values leaves intermediate buckets empty rather than double-counted
+    and the semantics stay engine-exact); then one keyed agg over ≤
+    nbins groups. The raw feed is scanned twice (boundary pass + count
+    pass), never sorted globally.
+    """
+    if nbins < 2:
+        raise ValueError("an equi-depth histogram needs at least 2 buckets")
+    qs = ", ".join(
+        f"percentile_disc({i / nbins!r}) WITHIN GROUP (ORDER BY value)"
+        for i in range(1, nbins)
+    )
+    bounds = events.agg(F.expr(f"array({qs})").alias("bnds"))
+    bucket = F.expr("CAST(size(filter(bnds, b -> b <= value)) AS INT)")
+    return (
+        events.crossJoin(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     """Distinct users per day computed by MERGING hourly HLL sketches
     (Datasketches `hll_sketch_agg` / `hll_union_agg`) — the only

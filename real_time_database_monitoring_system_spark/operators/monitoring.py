@@ -166,6 +166,45 @@ def downsample_5min(events: DataFrame, bucket_seconds: int = 300) -> DataFrame:
     )
 
 
+def sliding_rollup(
+    events: DataFrame, width_seconds: int = 600, slide_seconds: int = 300
+) -> DataFrame:
+    """Hopping (sliding) window rollup: overlapping windows of
+    `width_seconds` starting every `slide_seconds` — the smoothing the
+    tumbling `downsample_5min` can't give (each reading contributes to
+    width/slide windows, so bucket-boundary artifacts average out).
+
+    Built on `F.window(ts, width, slide)`, the same expression the
+    streaming twin runs (`streaming.rollup.stream_sliding_rollup`):
+    Spark expands each row to its width/slide covering windows
+    (a Generate, map-side) and aggregates on the window start — ONE
+    shuffle whose width is the overlap factor times the tumbling
+    rollup's, the explicit cost of smoothing. Window starts are
+    epoch-aligned under the pinned UTC session tz, emitted as exact
+    integer seconds.
+    """
+    if width_seconds % slide_seconds != 0:
+        raise ValueError("width must be a multiple of slide for aligned hops")
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            F.window("ts", f"{width_seconds} seconds", f"{slide_seconds} seconds").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.expr("unix_micros(cast(w.start as timestamp)) div 1000000").alias("window_s"),
+            "n_points",
+            "last_value",
+            "sum_value",
+        )
+        .orderBy("window_s")
+    )
+
+
 def rollup_cascade(events: DataFrame) -> DataFrame:
     """Hypertable-style multi-resolution rollup: 5-minute → hourly →
     daily, each level re-aggregating the previous (the continuous-

@@ -61,6 +61,46 @@ def hash_sample(documents: DataFrame, pct: int = 10) -> DataFrame:
     )
 
 
+# A-ES sample key, shared verbatim (modulo the md5 twin form) with the
+# DuckDB oracle: u = (h+1)/2^32+1 ∈ (0,1) from the content hash, key =
+# ln(u)/w — the Efraimidis–Spirakis u^(1/w) order under a monotone map.
+# Rounded to 9 dp for ranking (the repo float-path rule: ln differs by
+# ulps across libm implementations; 9-dp ties then break on doc_id
+# identically in both engines).
+_AES_KEY_SQL = (
+    "round(ln((CAST({h} AS DOUBLE) + 1.0) / 4294967297.0)"
+    " / greatest(CAST(n_chars AS DOUBLE), 1.0), 9)"
+)
+
+
+def weighted_sample(documents: DataFrame, k: int = 100) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k docs with inclusion
+    odds proportional to length (`n_chars`) — the Efraimidis–Spirakis
+    exponential-keys scheme: each row draws u ∈ (0,1), its key is
+    u^(1/w), and the k largest keys win. Long documents carry more
+    training tokens, so token-proportional selection is the natural
+    corpus-subsetting rule (vs doc-uniform `hash_sample`).
+
+    The draw is the content hash (a property of the document), so the
+    sample is reproducible across reruns, engines, and partitionings —
+    no rand(), no seed plumbing. Map-side key computation + global
+    top-k: Catalyst plans the limit as TakeOrderedAndProject (per-
+    partition heaps + single k-row reduction), so there is no sort and
+    no shuffle of the corpus at any scale.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
+    ).cast("bigint")
+    return (
+        _spread(documents, "doc_id")
+        .withColumn("h32", h)
+        .withColumn("sample_key", F.expr(_AES_KEY_SQL.format(h="h32")))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(k)
+        .select("doc_id", "source", "n_chars", "sample_key")
+    )
+
+
 def stratified_sample(documents: DataFrame, n_per_source: int = 5) -> DataFrame:
     """Deterministic stratified sample: the `n_per_source` documents
     with the smallest content-hash rank within each source.
@@ -203,6 +243,78 @@ def ngram_counts(documents: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
             F.countDistinct("doc_id").alias("doc_freq"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def pmi_pairs(
+    documents: DataFrame, window: int = 2, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-`k` token pairs by pointwise mutual information within a
+    ±`window` co-occurrence window — the collocation detector ("new
+    york", "machine learning") of the LM support family next to
+    `vocab_topk`/`ngram_counts`: raw pair frequency surfaces common
+    words; PMI = ln(p(a,b) / (p(a)p(b))) surfaces pairs that co-occur
+    far above chance.
+
+    Pairs are unordered (canonical least-first key). Shapes all linear:
+    pairs are built O(tokens·window) per row by zip_with over shifted
+    slices (the repo shingling idiom — no self-join on position), then
+    two keyed aggs (pair counts, unigram counts) + two broadcast
+    scalars (total tokens / total pairs). All counts are exact
+    integers; the single transcendental (ln of a product of explicit
+    double casts, fixed evaluation order) is rounded to 9 dp — counts
+    are cast to double BEFORE multiplying, since c_pair·N_tok²
+    overflows bigint on a 100 TB corpus.
+    """
+    toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    d = _spread(documents, "doc_id").select("doc_id", toks_arr.alias("toks"))
+    pair_arrays = []
+    for j in range(1, window + 1):
+        shifted = F.slice("toks", j + 1, 1 << 30)
+        pair_arrays.append(
+            F.zip_with(
+                F.col("toks"),
+                shifted,
+                lambda a, b: F.when(a <= b, F.concat(a, F.lit(" "), b)).otherwise(
+                    F.concat(b, F.lit(" "), a)
+                ),
+            )
+        )
+    pairs = d.select(
+        F.explode(
+            F.filter(F.concat(*pair_arrays), lambda x: x.isNotNull())
+        ).alias("pair")
+    )
+    # materialized diamonds: each counts table feeds its total AND a join
+    pair_counts = _materialize(pairs.groupBy("pair").agg(F.count("*").alias("c_pair")))
+    tok_counts = _materialize(
+        d.select(F.explode("toks").alias("term")).groupBy("term").agg(F.count("*").alias("c_tok"))
+    )
+    n_tok = tok_counts.agg(F.sum("c_tok").alias("n_tok"))
+    n_pair = pair_counts.agg(F.sum("c_pair").alias("n_pair"))
+    ca = tok_counts.select(F.col("term").alias("term_a"), F.col("c_tok").alias("c_a"))
+    cb = tok_counts.select(F.col("term").alias("term_b"), F.col("c_tok").alias("c_b"))
+    return (
+        pair_counts.filter(F.col("c_pair") >= min_count)
+        .withColumn("term_a", F.split("pair", " ")[0])
+        .withColumn("term_b", F.split("pair", " ")[1])
+        .join(ca, "term_a")
+        .join(cb, "term_b")
+        .crossJoin(F.broadcast(n_tok))
+        .crossJoin(F.broadcast(n_pair))
+        .select(
+            "pair",
+            "c_pair",
+            "c_a",
+            "c_b",
+            F.expr(
+                "round(ln((CAST(c_pair AS DOUBLE) * CAST(n_tok AS DOUBLE)"
+                " * CAST(n_tok AS DOUBLE)) / (CAST(n_pair AS DOUBLE)"
+                " * CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE))), 9)"
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("pair"))
         .limit(k)
     )
 

@@ -98,6 +98,37 @@ def stream_rollup(
     return _run_to_memory(_rollup_agg(src, bucket_seconds), "complete").orderBy("bucket_s")
 
 
+def stream_sliding_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    width_seconds: int = 600,
+    slide_seconds: int = 300,
+) -> DataFrame:
+    """Hopping-window streaming rollup — the streaming twin of
+    `operators.monitoring.sliding_rollup` (identical `F.window(ts,
+    width, slide)` expression, identical aggregates), in complete
+    output mode on the replayed feed. Checked against the same SQL
+    oracle as the batch operator, so stream and batch cannot drift."""
+    src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    windowed = (
+        src.groupBy(
+            F.window("ts", f"{width_seconds} seconds", f"{slide_seconds} seconds").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_points"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.expr("unix_micros(cast(w.start as timestamp)) div 1000000").alias("window_s"),
+            "n_points",
+            "last_value",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(windowed, "complete").orderBy("window_s")
+
+
 def stream_rollup_watermarked(
     spark: SparkSession, sf_dir: str, bucket_seconds: int = 300, lateness: str = "10 minutes"
 ) -> DataFrame:

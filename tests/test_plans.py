@@ -143,3 +143,28 @@ def test_pii_redact_single_scan_pruned(spark, sf_dir):
     plan = checks.explain_str(df)
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and all("lang" not in ln for ln in read_schema)
+
+
+def test_weighted_sample_take_ordered(spark, sf_dir):
+    """The A-ES top-k must be per-partition heaps + one k-row
+    reduction (TakeOrderedAndProject), never a global sort — the
+    property that keeps weighted sampling map-side at corpus scale."""
+    from real_time_database_monitoring_system_spark.operators import pipeline
+
+    df = pipeline.weighted_sample(load_table(spark, sf_dir, "documents"), k=10)
+    assert checks.has_take_ordered(df), "weighted_sample must plan TakeOrderedAndProject"
+    assert "Sort " not in checks.explain_str(df).replace("TakeOrderedAndProject", ""), (
+        "no global Sort node expected"
+    )
+
+
+def test_equidepth_histogram_broadcasts_bounds(spark, sf_dir):
+    """The one-row boundary relation must ship by broadcast; the feed
+    itself must not shuffle for the bucket assignment."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    df = analytics.equidepth_histogram(load_table(spark, sf_dir, "events"))
+    plan = checks.explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
+        "bounds must broadcast"
+    )

@@ -225,3 +225,9 @@ def test_stream_join_outer_matches_deterministic_model(spark, sf_dir):
     }
     assert got == expected
     assert any(c is None for _, c in got), "no outer rows emitted"
+
+
+def test_stream_sliding_rollup_equals_batch(spark, sf_dir):
+    batch = monitoring.sliding_rollup(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_sliding_rollup(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
