@@ -619,6 +619,18 @@ def _q_equidepth_histogram(spark, sf):
     return analytics.equidepth_histogram(load_table(spark, sf, "events"))
 
 
+def _q_active_users_rolling(spark, sf):
+    return analytics.active_users_rolling(load_table(spark, sf, "events"))
+
+
+def _q_drift_cusum(spark, sf):
+    return anomaly.drift_cusum(load_table(spark, sf, "events"))
+
+
+def _q_label_centroid_similarity(spark, sf):
+    return similarity.label_centroid_similarity(load_table(spark, sf, "embeddings"))
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -852,6 +864,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_pairs": _q_pmi_pairs,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "equidepth_histogram": _q_equidepth_histogram,
+        "active_users_rolling": _q_active_users_rolling,
+        "drift_cusum": _q_drift_cusum,
+        "label_centroid_similarity": _q_label_centroid_similarity,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
@@ -867,14 +882,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_pretty": _q_size_pretty,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "substring_dup_spans": _q_substring_dup_spans,
         "embedding_near_dups": _q_embedding_near_dups,
         "knn_bruteforce": _q_knn_bruteforce,
         "multimodal_meta": _q_multimodal_meta,
         "streaming_rollup_5min": _q_streaming_rollup,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
+        "paragraph_dedup": _q_paragraph_dedup,
+        "substring_dup_spans": _q_substring_dup_spans,
         "streaming_sessions": _q_streaming_sessions,
         "upsert_merge": _q_upsert,
         "delete_where": _q_delete,
@@ -2178,6 +2193,68 @@ def oracle_sql() -> dict[str, str]:
     # the streaming twin runs the identical window expression; one
     # shared oracle pins stream == batch == SQL
     sql["streaming_sliding_rollup"] = sql["sliding_rollup"]
+
+    # DAU / trailing-WAU: distinct user-days fan out to the 7 window
+    # ends they are visible in, exact countDistinct per end day
+    sql["active_users_rolling"] = """
+        WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+                    FROM events),
+        e AS (SELECT user_id, day + j AS end_day
+              FROM ud, (SELECT unnest(range(0, 7)) AS j)),
+        wau AS (SELECT end_day, count(DISTINCT user_id) AS wau FROM e GROUP BY 1),
+        dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        SELECT day, dau, wau,
+               round(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 9) AS stickiness
+        FROM dau JOIN wau ON day = end_day ORDER BY day
+    """
+
+    # cumulative-deviation drift vs the per-type MEDIAN: the deviation
+    # is exact decimal end to end (no division, no rounding — a
+    # mean-based variant was hash-unstable at round() half-boundaries)
+    sql["drift_cusum"] = """
+        WITH stats AS (
+            SELECT event_type,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY 1),
+        c AS (
+            SELECT event_id, event_type, value,
+                   SUM(CAST(value AS DECIMAL(18,2))) OVER w AS cum_sum,
+                   COUNT(*) OVER w AS n_seen
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT c.event_id, c.event_type, c.value, s.med,
+               CAST(cum_sum - n_seen * CAST(s.med AS DECIMAL(18,2)) AS DOUBLE)
+                   AS cum_dev,
+               abs(cum_sum - n_seen * CAST(s.med AS DECIMAL(18,2)))
+                   > CAST(500.0 AS DECIMAL(18,2)) AS is_drift
+        FROM c JOIN stats s USING (event_type) ORDER BY event_id
+    """
+
+    # per-label centroid cosine map: decimal-exact centroid components
+    # (double summation order varies; decimal does not), double cosine
+    # rounded at the edge
+    sql["label_centroid_similarity"] = """
+        WITH comp AS (
+            SELECT label, CAST(pos AS INTEGER) AS pos,
+                   embedding[pos + 1] AS x
+            FROM (SELECT label, unnest(range(0, len(embedding))) AS pos, embedding
+                  FROM embeddings)),
+        cent AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM comp GROUP BY 1, 2),
+        pairs AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.m * b.m) AS dot,
+                   sum(a.m * a.m) AS na, sum(b.m * b.m) AS nb
+            FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+            GROUP BY 1, 2)
+        SELECT label_a, label_b,
+               round(dot / (sqrt(na) * sqrt(nb)), 9) AS cos_sim
+        FROM pairs ORDER BY 1, 2
+    """
 
     # equi-depth histogram: percentile_disc boundaries (same WITHIN
     # GROUP form as the Spark expression), upper-inclusive bucket id =

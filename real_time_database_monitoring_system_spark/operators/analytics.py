@@ -263,6 +263,49 @@ def value_histogram(
     )
 
 
+def active_users_rolling(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU / trailing-WAU engagement panel: per day, the distinct
+    users active that day and over the `window_days` window ending on
+    it, plus the DAU/WAU stickiness ratio — the dashboard the
+    reference's per-request COUNT(*) panels grow into once "how many
+    now" becomes "how engaged this week".
+
+    Rolling DISTINCT cannot ride a window frame (distinct state is not
+    mergeable across frame slides), so the feed first collapses to
+    distinct (user, day) — the ONLY pass over raw data — and each
+    user-day then fans out to the `window_days` window-ends it is
+    visible in (map-side Generate, the hopping-window idiom), counted
+    with countDistinct per end day. Every later stage operates on
+    #users × #days rows, not the feed. Day arithmetic is integer µs
+    division — no calendar/week-start conventions.
+    """
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    user_days = events.select("user_id", day.alias("day")).distinct()
+    ends = user_days.select(
+        "user_id",
+        "day",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (window_days - 1))
+        ).alias("end_day"),
+    )
+    wau = ends.groupBy("end_day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = user_days.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.end_day)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 9
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
 def equidepth_histogram(events: DataFrame, nbins: int = 8) -> DataFrame:
     """Equi-DEPTH histogram of `value`: bucket boundaries are exact
     `percentile_disc` order statistics at i/nbins, so each bucket holds

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
 
@@ -88,6 +89,53 @@ def mad_outliers(events: DataFrame, n_sigmas: float = 3.0) -> DataFrame:
             F.round(score, 9).alias("robust_z"),
             (F.abs(F.col("value") - F.col("med"))
              > F.lit(n_sigmas * _MAD_SIGMA) * F.col("mad")).alias("is_outlier"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def drift_cusum(events: DataFrame, threshold: float = 500.0) -> DataFrame:
+    """Level-shift (drift) detection via cumulative deviation: per
+    event_type, the running sum of (value − series MEDIAN) in
+    event-time order. A healthy series oscillates around 0; a
+    sustained shift accumulates linearly and crosses ±`threshold` —
+    the regime-change signal point-wise scores (`mad_outliers`) cannot
+    see, because after a shift every individual reading looks locally
+    normal. (The textbook one-sided CUSUM resets at 0 and is a
+    recursion no window frame expresses; the unreset
+    cumulative-deviation form detects the same shifts and stays one
+    window expression.) The median reference keeps the whole operator
+    in the module's robust family — and, unlike the mean, it is an
+    order statistic of the 2-decimal feed, so the deviation is EXACT
+    decimal arithmetic end to end: cum_dev = running_sum(value) −
+    n_seen × median has no division, no rounding, and no float
+    boundary for engines to disagree on (a mean-based variant was
+    hash-unstable at exactly the round(…,9) half-boundary).
+
+    One agg pass for the per-type median (broadcast back), one window
+    shuffle per type — the feed is scanned twice, never sorted
+    globally.
+    """
+    stats = events.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.expr("unix_micros(cast(ts as timestamp))"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    n_seen = F.count("*").over(w)
+    cum_dev = cum_sum - n_seen * F.col("med").cast("decimal(18,2)")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            cum_dev.cast("double").alias("cum_dev"),
+            (F.abs(cum_dev) > F.lit(threshold).cast("decimal(18,2)")).alias("is_drift"),
         )
         .orderBy("event_id")
     )

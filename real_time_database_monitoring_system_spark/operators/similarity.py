@@ -211,6 +211,48 @@ def embedding_near_dup_pairs(
     )
 
 
+def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
+    """Pairwise cosine similarity between per-label centroid vectors —
+    the cluster-overlap map of the embedding space: labels whose
+    centroids sit close are candidates for merging (or for confusing
+    the IVF probe, whose lists they are).
+
+    Centroid components are EXACT decimal(18,12) sums divided once
+    into doubles (double summation order varies across engines and
+    partitionings; decimal accumulation does not — the repo sum rule).
+    The pairwise stage is a self cross join of the #labels-row centroid
+    table — quadratic only in label count, never in vectors — and the
+    cosine is the shared fold expression, rounded to 9 dp.
+    """
+    comp = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    )
+    cent = (
+        comp.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+    a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 9).alias("cos_sim"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
 def ivf_knn(
     embeddings: DataFrame,
     n_queries: int = 20,
