@@ -631,6 +631,10 @@ def _q_label_centroid_similarity(spark, sf):
     return similarity.label_centroid_similarity(load_table(spark, sf, "embeddings"))
 
 
+def _q_moment_stats(spark, sf):
+    return analytics.moment_stats(load_table(spark, sf, "events"))
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -867,6 +871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "active_users_rolling": _q_active_users_rolling,
         "drift_cusum": _q_drift_cusum,
         "label_centroid_similarity": _q_label_centroid_similarity,
+        "moment_stats": _q_moment_stats,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
@@ -885,9 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "knn_bruteforce": _q_knn_bruteforce,
         "multimodal_meta": _q_multimodal_meta,
-        "streaming_rollup_5min": _q_streaming_rollup,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
+        "streaming_rollup_5min": _q_streaming_rollup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dup_spans": _q_substring_dup_spans,
         "streaming_sessions": _q_streaming_sessions,
@@ -2193,6 +2198,23 @@ def oracle_sql() -> dict[str, str]:
     # the streaming twin runs the identical window expression; one
     # shared oracle pins stream == batch == SQL
     sql["streaming_sliding_rollup"] = sql["sliding_rollup"]
+
+    # exact moment suite: the SQL fragments are shared module constants
+    # evaluated verbatim by both engines (decimal power sums, pinned
+    # double combine order)
+    _msums = ", ".join(
+        f"{expr} AS {name}" for name, expr in analytics.MOMENT_SUMS_SQL.items()
+    )
+    _mfin = ", ".join(
+        f"{expr} AS {name}" for name, expr in analytics.MOMENT_FINAL_SQL.items()
+    )
+    sql["moment_stats"] = f"""
+        WITH sums AS (
+            SELECT event_type, {_msums}
+            FROM events GROUP BY event_type)
+        SELECT event_type, n, {_mfin}
+        FROM sums ORDER BY event_type
+    """
 
     # DAU / trailing-WAU: distinct user-days fan out to the 7 window
     # ends they are visible in, exact countDistinct per end day

@@ -263,6 +263,66 @@ def value_histogram(
     )
 
 
+# shared moment expressions (operator + oracle use the identical text):
+# per-row powers are doubles with PINNED order (p2 = v·v, p3 = p2·v,
+# p4 = p3·v), accumulated as decimal(38,10) — double accumulation is
+# order-dependent and nondeterministic under re-partitioning; decimal
+# is not. The final combine is a fixed-order double expression.
+MOMENT_SUMS_SQL = {
+    "n": "CAST(count(*) AS BIGINT)",
+    "s1": "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+    "s2": "CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE)",
+    "s3": "CAST(SUM(CAST((value * value) * value AS DECIMAL(38,10))) AS DOUBLE)",
+    "s4": "CAST(SUM(CAST(((value * value) * value) * value AS DECIMAL(38,10))) AS DOUBLE)",
+}
+MOMENT_FINAL_SQL = {
+    "mean_value": "round(s1 / n, 9)",
+    "variance": "round(s2 / n - (s1 / n) * (s1 / n), 9)",
+    # NULL-guarded: a zero-variance series has no shape to score (and
+    # the division would be IEEE NaN, whose bit pattern is not a safe
+    # cross-engine hash input)
+    "skewness": (
+        "round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0.0 THEN"
+        " (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) END, 9)"
+    ),
+    "kurtosis": (
+        "round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0.0 THEN"
+        " (s4 / n - 4.0 * (s1 / n) * (s3 / n)"
+        " + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)"
+        " - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+        " / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3.0 END, 9)"
+    ),
+}
+
+
+def moment_stats(events: DataFrame) -> DataFrame:
+    """Exact distribution-shape suite per event_type: mean, population
+    variance, skewness, and excess kurtosis from raw power sums — the
+    distribution fingerprint behind alert-threshold choices (a fat
+    right tail means a mean+3σ rule pages constantly) that
+    percentile panels don't summarize.
+
+    ONE aggregation pass computes all four power sums with map-side
+    partials (`stddev`/`skewness` builtins use running double state —
+    order-dependent, engine-specific; raw decimal sums are neither);
+    the combine runs on #types rows. The shared SQL fragments above
+    are evaluated verbatim by the DuckDB oracle, so every double op
+    happens in the same order on both engines.
+    """
+    sums = events.groupBy("event_type").agg(
+        *[F.expr(sql).alias(name) for name, sql in MOMENT_SUMS_SQL.items()]
+    )
+    return (
+        sums.select(
+            "event_type",
+            "n",
+            *[F.expr(sql).alias(name) for name, sql in MOMENT_FINAL_SQL.items()],
+        )
+        .orderBy("event_type")
+    )
+
+
 def active_users_rolling(events: DataFrame, window_days: int = 7) -> DataFrame:
     """DAU / trailing-WAU engagement panel: per day, the distinct
     users active that day and over the `window_days` window ending on

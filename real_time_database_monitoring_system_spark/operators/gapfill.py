@@ -120,10 +120,16 @@ def gapfill_interpolate(events: DataFrame, bucket_seconds: int = 300) -> DataFra
         .orderBy("bucket_s")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the forward scan ("nearest observation at or after this bucket")
+    # is expressed as a BACKWARD frame over DESCENDING order: Spark
+    # evaluates [unboundedPreceding, currentRow] frames incrementally
+    # (O(n) per partition), but a [currentRow, unboundedFollowing]
+    # frame re-scans current→end for every row — O(n²) per key, which
+    # benched at 22 s vs locf's 0.9 s on the sf0.1 spine
     wf = (
         Window.partitionBy("event_type")
-        .orderBy("bucket_s")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     obs_bucket = F.when(F.col("last_value").isNotNull(), F.col("bucket_s"))
     joined = _dense_buckets(events, bucket_seconds).select(
@@ -134,8 +140,8 @@ def gapfill_interpolate(events: DataFrame, bucket_seconds: int = 300) -> DataFra
         F.col("n_points").isNull().alias("is_gap"),
         F.last("last_value", ignorenulls=True).over(wb).alias("pv"),
         F.last(obs_bucket, ignorenulls=True).over(wb).alias("pb"),
-        F.first("last_value", ignorenulls=True).over(wf).alias("nv"),
-        F.first(obs_bucket, ignorenulls=True).over(wf).alias("nb"),
+        F.last("last_value", ignorenulls=True).over(wf).alias("nv"),
+        F.last(obs_bucket, ignorenulls=True).over(wf).alias("nb"),
     )
     interp = F.when(~F.col("is_gap"), F.col("pv")).otherwise(
         F.col("pv")
