@@ -635,6 +635,24 @@ def _q_moment_stats(spark, sf):
     return analytics.moment_stats(load_table(spark, sf, "events"))
 
 
+def _q_top_session_paths(spark, sf):
+    return event_analytics.top_session_paths(load_table(spark, sf, "events"))
+
+
+def _q_fk_integrity_audit(spark, sf):
+    return relational.fk_integrity_audit(
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "region"),
+    )
+
+
+def _q_streaming_throttled_alerts(spark, sf):
+    return streaming_rollup.stream_throttled_alerts(spark, sf)
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -872,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drift_cusum": _q_drift_cusum,
         "label_centroid_similarity": _q_label_centroid_similarity,
         "moment_stats": _q_moment_stats,
+        "top_session_paths": _q_top_session_paths,
+        "fk_integrity_audit": _q_fk_integrity_audit,
+        "streaming_throttled_alerts": _q_streaming_throttled_alerts,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
@@ -881,10 +902,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_events": _q_topk_events,
         "three_way_topk": _q_three_way_topk,
         "left_join_rollup": _q_left_join_rollup,
-        "anti_join_no_recent": _q_anti_join,
-        "semi_join_urgent": _q_semi_join,
-        "to_char_formats": _q_to_char_formats,
-        "size_pretty": _q_size_pretty,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -892,6 +909,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": _q_multimodal_meta,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
+        "anti_join_no_recent": _q_anti_join,
+        "semi_join_urgent": _q_semi_join,
+        "to_char_formats": _q_to_char_formats,
+        "size_pretty": _q_size_pretty,
         "streaming_rollup_5min": _q_streaming_rollup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dup_spans": _q_substring_dup_spans,
@@ -2198,6 +2219,80 @@ def oracle_sql() -> dict[str, str]:
     # the streaming twin runs the identical window expression; one
     # shared oracle pins stream == batch == SQL
     sql["streaming_sliding_rollup"] = sql["sliding_rollup"]
+
+    # session paths: identical sessionizer (lag gap flags + running
+    # sum), then an ordered string_agg per session — Spark's sorted
+    # struct collect with the same (us, event_id) tiebreak
+    sql["top_session_paths"] = """
+        WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+                   FROM events),
+        f AS (SELECT user_id, event_id, us, event_type,
+                     CASE WHEN us - lag(us) OVER w IS NULL
+                            OR us - lag(us) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS is_start
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        s AS (SELECT user_id, event_id, us, event_type,
+                     sum(is_start) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS session_no
+              FROM f),
+        p AS (SELECT user_id, session_no,
+                     string_agg(event_type, '>' ORDER BY us, event_id) AS path,
+                     count(*) AS path_len
+              FROM s GROUP BY 1, 2)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(max(path_len) AS BIGINT) AS path_len
+        FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25
+    """
+
+    # FK audit: NOT EXISTS per edge (matches left-anti NULL semantics —
+    # a NULL child key never matches a parent and counts as an orphan)
+    sql["fk_integrity_audit"] = """
+        SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+               (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+                   (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) = 0 AS ok
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders r WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)),
+               (SELECT count(*) FROM orders r WHERE NOT EXISTS
+                   (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)) = 0
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+               (SELECT count(*) FROM customer c WHERE NOT EXISTS
+                   (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) = 0
+        UNION ALL
+        SELECT 'nation.n_regionkey->region',
+               (SELECT count(*) FROM nation),
+               (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                   (SELECT 1 FROM region g WHERE g.r_regionkey = n.n_regionkey)),
+               (SELECT count(*) FROM nation n WHERE NOT EXISTS
+                   (SELECT 1 FROM region g WHERE g.r_regionkey = n.n_regionkey)) = 0
+        ORDER BY fk_edge
+    """
+
+    # throttled alerts: the streaming min(struct) winner equals the
+    # batch row_number-=-1 pick because (us, event_id) is unique
+    sql["streaming_throttled_alerts"] = """
+        WITH a AS (SELECT user_id, epoch_us(ts) AS us, event_id, value,
+                          (epoch_us(ts) // 600000000) * 600 AS bucket_s
+                   FROM events WHERE value > 99.0),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY user_id, bucket_s
+                                        ORDER BY us, event_id) AS rn,
+                     count(*) OVER (PARTITION BY user_id, bucket_s) AS n_alerts
+              FROM a)
+        SELECT user_id, bucket_s, us AS alert_us, event_id AS alert_id,
+               value AS alert_value, CAST(n_alerts - 1 AS BIGINT) AS n_suppressed
+        FROM r WHERE rn = 1 ORDER BY user_id, bucket_s
+    """
 
     # exact moment suite: the SQL fragments are shared module constants
     # evaluated verbatim by both engines (decimal power sums, pinned

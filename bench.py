@@ -70,6 +70,18 @@ HEADLINE = [
     "theta_user_overlap",
     "gapfill_interpolate",
     "seasonal_baseline",
+    # round-3 additions (batch; streaming twins are equivalence-tested)
+    "weighted_sample",
+    "sliding_rollup",
+    "pmi_pairs",
+    "dup_cluster_sizes",
+    "equidepth_histogram",
+    "active_users_rolling",
+    "drift_cusum",
+    "label_centroid_similarity",
+    "moment_stats",
+    "top_session_paths",
+    "fk_integrity_audit",
 ]
 
 

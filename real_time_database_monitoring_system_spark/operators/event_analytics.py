@@ -136,6 +136,64 @@ def transition_matrix(events: DataFrame) -> DataFrame:
     )
 
 
+def top_session_paths(
+    events: DataFrame, gap_minutes: int = 30, k: int = 25
+) -> DataFrame:
+    """Most common within-session event-type paths: sessionize per
+    user (same 30-min inactivity gap as `monitoring.sessionize`),
+    stitch each session's ordered event types into a `a>b>c` path
+    string, and count paths — the "what do sessions actually do"
+    pattern table that the transition matrix (one hop) cannot show.
+
+    The path is a per-(user, session) collect sorted on (µs,
+    event_id, type) structs — group-bounded state with a unique
+    tiebreak, so the string is deterministic. One window shuffle on
+    user_id (sessionizer), one group collect on (user, session), one
+    keyed count on the path, TakeOrderedAndProject for the top-k.
+    Paths are capped at the session length; a 100 TB deployment would
+    additionally cap path length (first N steps) to bound string
+    width — semantics, not scale, so not done here.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.expr(_TS_US)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_no", F.sum("is_start").over(w_run))
+    paths = (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.expr(_TS_US).alias("us"), "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("path_len"),
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def conversion_latency(events: DataFrame, first: str = "view", then: str = "purchase") -> DataFrame:
     """How long users take to convert: per-user µs gap between the
     first `first`-step event and the first `then`-step event strictly

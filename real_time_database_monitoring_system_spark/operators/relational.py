@@ -350,3 +350,50 @@ def net_price_ratio(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def fk_integrity_audit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    for each child→parent edge, the child row count and the number of
+    orphans (child keys with no parent row, anti-join semantics — a
+    NULL key never matches, so it counts as an orphan). The data-
+    quality gate a warehouse runs after every load; the reference
+    trusts PostgreSQL constraints, which parquet lakes don't have.
+
+    Each edge is one left-anti join aggregated to a single row. The
+    parent side reduces to its distinct key column first, so dimension
+    edges broadcast; the one fact⋈fact edge (lineitem→orders) shuffles
+    on the key like any large join — at scale, bucketing both tables
+    on orderkey (sources.bucketing) removes that exchange too. The 4
+    one-row results union into the audit table.
+    """
+    edges = [
+        ("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+        ("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+        ("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+        ("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in edges:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        n_rows = child.agg(F.count("*").alias("n_rows"))
+        n_orphans = child.join(keys, fk, "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        row = (
+            n_rows.crossJoin(n_orphans)
+            .select(
+                F.lit(name).alias("fk_edge"),
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("ok"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk_edge")

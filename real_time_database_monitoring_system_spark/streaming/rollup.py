@@ -413,6 +413,51 @@ def stream_join_alert_context_outer(
     return _run_to_memory(joined, "append").orderBy("alert_id", "ctx_id")
 
 
+def stream_throttled_alerts(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 99.0,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Rate-limited alerting: at most ONE alert per (user, 10-minute
+    bucket) — the notifier-side throttle every paging deployment needs
+    (the reference emails on every threshold crossing,
+    views.py:371-378; a noisy metric would page hundreds of times).
+    Suppressed duplicates are counted, not lost.
+
+    The winner per key is min(struct(µs, event_id, value)) —
+    lexicographic struct min, an AGGREGATE (usable under streaming,
+    where row_number windows are not) whose unique (µs, event_id)
+    prefix makes it deterministic and identical to the batch
+    row_number-=-1 form the oracle runs. Complete mode on the replayed
+    feed; state is one row per active (user, bucket).
+    """
+    bucket_us = bucket_seconds * 1_000_000
+    src = _events_stream(spark, sf_dir)
+    alerts = src.filter(F.col("value") > threshold).select(
+        "user_id",
+        (F.expr(f"unix_micros(cast(ts as timestamp)) div {bucket_us}") * bucket_seconds).alias(
+            "bucket_s"
+        ),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+        "event_id",
+        "value",
+    )
+    first = alerts.groupBy("user_id", "bucket_s").agg(
+        F.min(F.struct("us", "event_id", "value")).alias("f"),
+        F.count("*").alias("n_alerts"),
+    )
+    out = first.select(
+        "user_id",
+        "bucket_s",
+        F.col("f.us").alias("alert_us"),
+        F.col("f.event_id").alias("alert_id"),
+        F.col("f.value").alias("alert_value"),
+        (F.col("n_alerts") - 1).alias("n_suppressed"),
+    )
+    return _run_to_memory(out, "complete").orderBy("user_id", "bucket_s")
+
+
 def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Session-window aggregation — the streaming twin of
     `operators.monitoring.sessionize` (same 30-minute inactivity gap).
