@@ -653,6 +653,14 @@ def _q_streaming_throttled_alerts(spark, sf):
     return streaming_rollup.stream_throttled_alerts(spark, sf)
 
 
+def _q_multi_grain_rollup(spark, sf):
+    return monitoring.multi_grain_rollup(load_table(spark, sf, "events"))
+
+
+def _q_user_entropy(spark, sf):
+    return event_analytics.user_entropy(load_table(spark, sf, "events"))
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -893,15 +901,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_session_paths": _q_top_session_paths,
         "fk_integrity_audit": _q_fk_integrity_audit,
         "streaming_throttled_alerts": _q_streaming_throttled_alerts,
+        "multi_grain_rollup": _q_multi_grain_rollup,
+        "user_entropy": _q_user_entropy,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
         "downsample_5min": _q_downsample_5min,
         "minute_corr_join": _q_minute_corr_join,
-        "lag_delta": _q_lag_delta,
         "topk_events": _q_topk_events,
         "three_way_topk": _q_three_way_topk,
-        "left_join_rollup": _q_left_join_rollup,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -913,6 +921,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_urgent": _q_semi_join,
         "to_char_formats": _q_to_char_formats,
         "size_pretty": _q_size_pretty,
+        "lag_delta": _q_lag_delta,
+        "left_join_rollup": _q_left_join_rollup,
         "streaming_rollup_5min": _q_streaming_rollup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dup_spans": _q_substring_dup_spans,
@@ -2292,6 +2302,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, bucket_s, us AS alert_us, event_id AS alert_id,
                value AS alert_value, CAST(n_alerts - 1 AS BIGINT) AS n_suppressed
         FROM r WHERE rn = 1 ORDER BY user_id, bucket_s
+    """
+
+    # one-job multi-granularity rollup: 5-min partial agg, then
+    # GROUPING SETS over the partials (b5 determines b1h/b1d)
+    sql["multi_grain_rollup"] = """
+        WITH base AS (
+            SELECT (epoch_us(ts) // 300000000) * 300 AS b5,
+                   (epoch_us(ts) // 3600000000) * 3600 AS b1h,
+                   (epoch_us(ts) // 86400000000) * 86400 AS b1d,
+                   CAST(value AS DECIMAL(18,2)) AS v
+            FROM events),
+        pre AS (SELECT b5, b1h, b1d, count(*) AS n, sum(v) AS s
+                FROM base GROUP BY 1, 2, 3),
+        g AS (SELECT b5, b1h, b1d,
+                     CAST(sum(n) AS BIGINT) AS n_points,
+                     CAST(sum(s) AS DOUBLE) AS sum_value
+              FROM pre GROUP BY GROUPING SETS ((b5), (b1h), (b1d)))
+        SELECT CASE WHEN b5 IS NOT NULL THEN '5min'
+                    WHEN b1h IS NOT NULL THEN '1h' ELSE '1d' END AS grain,
+               COALESCE(b5, b1h, b1d) AS bucket_s, n_points, sum_value
+        FROM g ORDER BY grain, bucket_s
+    """
+
+    # engagement entropy: 9-dp-rounded ln accumulated in decimal
+    # (the unigram_logprob determinism pattern), one double division
+    sql["user_entropy"] = """
+        WITH c AS (SELECT user_id, event_type, count(*) AS c
+                   FROM events GROUP BY 1, 2),
+        u AS (SELECT user_id,
+                     CAST(sum(c) AS BIGINT) AS n_events,
+                     sum(CAST(c AS DECIMAL(12,0))
+                         * CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(16,9))) AS s,
+                     CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+              FROM c GROUP BY 1)
+        SELECT user_id, n_events, n_types,
+               round(round(ln(CAST(n_events AS DOUBLE)), 9)
+                     - CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE), 9) AS entropy
+        FROM u ORDER BY user_id
     """
 
     # exact moment suite: the SQL fragments are shared module constants

@@ -194,6 +194,39 @@ def top_session_paths(
     )
 
 
+def user_entropy(events: DataFrame) -> DataFrame:
+    """Per-user engagement diversity: Shannon entropy of each user's
+    event-type distribution, H = ln(n) − (Σ c·ln c)/n over exact
+    per-type counts — 0 for single-behavior users, ln(#types) for
+    uniform explorers. The segmentation feature behind "power user vs
+    bot" cuts that raw counts can't express.
+
+    Two keyed aggregations (user×type counts, then per-user combine) —
+    both with map-side partials, nothing quadratic. Determinism
+    follows `unigram_logprob_score`: each ln is rounded to 9 dp and
+    accumulated in decimal (exact, order-independent under any
+    parallelism); the single double division happens at the edge.
+    """
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    term = (
+        F.col("c").cast("decimal(12,0)")
+        * F.round(F.log(F.col("c").cast("double")), 9).cast("decimal(16,9)")
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(term).alias("s"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    h = F.round(
+        F.round(F.log(F.col("n_events").cast("double")), 9)
+        - F.col("s").cast("double") / F.col("n_events").cast("double"),
+        9,
+    )
+    return per_user.select(
+        "user_id", "n_events", "n_types", h.alias("entropy")
+    ).orderBy("user_id")
+
+
 def conversion_latency(events: DataFrame, first: str = "view", then: str = "purchase") -> DataFrame:
     """How long users take to convert: per-user µs gap between the
     first `first`-step event and the first `then`-step event strictly

@@ -205,6 +205,45 @@ def sliding_rollup(
     )
 
 
+def multi_grain_rollup(events: DataFrame) -> DataFrame:
+    """5-minute, hourly, and daily rollups in ONE job via GROUPING
+    SETS — the single-plan alternative to `rollup_cascade`'s
+    sequential re-aggregation. The feed first partial-aggregates on
+    the finest bucket tuple (b5 determines b1h/b1d, so this is the 5-min
+    rollup — ONE raw-feed shuffle with map-side combine); the Expand
+    then fans only that small table ×3 into the grain aggregate. Same
+    raw-data cost as the cascade, no intermediate tables, one job.
+    Grain is encoded in (grain, bucket_s); bucket math is integer µs
+    division at each granularity.
+    """
+    base = events.select(
+        F.expr(f"({_TS_US} div 300000000) * 300").alias("b5"),
+        F.expr(f"({_TS_US} div 3600000000) * 3600").alias("b1h"),
+        F.expr(f"({_TS_US} div 86400000000) * 86400").alias("b1d"),
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    agg = (
+        base.groupBy("b5", "b1h", "b1d")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .groupingSets([["b5"], ["b1h"], ["b1d"]], "b5", "b1h", "b1d")
+        .agg(F.sum("n").alias("n_points"), F.sum("s").cast("double").alias("sum_value"))
+    )
+    grain = (
+        F.when(F.col("b5").isNotNull(), F.lit("5min"))
+        .when(F.col("b1h").isNotNull(), F.lit("1h"))
+        .otherwise(F.lit("1d"))
+    )
+    return (
+        agg.select(
+            grain.alias("grain"),
+            F.coalesce("b5", "b1h", "b1d").alias("bucket_s"),
+            "n_points",
+            "sum_value",
+        )
+        .orderBy("grain", "bucket_s")
+    )
+
+
 def rollup_cascade(events: DataFrame) -> DataFrame:
     """Hypertable-style multi-resolution rollup: 5-minute → hourly →
     daily, each level re-aggregating the previous (the continuous-
