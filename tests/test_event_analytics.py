@@ -88,3 +88,27 @@ def test_conversion_latency_conditions_on_first_view(spark):
     assert r.n_converted == 2
     assert r.p25_us == 1 * hour_us
     assert r.p90_us == 2 * hour_us
+
+
+def test_user_entropy_degenerate_and_uniform(spark):
+    """Entropy contract on constructed users: single-behavior users
+    score exactly 0.0; a perfectly uniform two-type user scores
+    ln(2) (to the operator's 9-dp contract)."""
+    import math
+
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    rows = []
+    eid = 0
+    for _ in range(4):  # user 1: only views
+        rows.append((eid, 1, "view", "2024-01-01 00:00:00", 1.0)); eid += 1
+    for t in ("view", "click") * 3:  # user 2: 50/50
+        rows.append((eid, 2, t, "2024-01-01 00:00:00", 1.0)); eid += 1
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r.user_id: r for r in event_analytics.user_entropy(df).collect()}
+    assert out[1].entropy == 0.0 and out[1].n_types == 1
+    assert abs(out[2].entropy - math.log(2)) < 1e-8 and out[2].n_types == 2

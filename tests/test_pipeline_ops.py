@@ -380,3 +380,23 @@ def test_curate_corpus_invariants(spark, sf_dir):
     # survivors carry unique cleaned content by construction
     ids = [r.doc_id for r in a]
     assert len(ids) == len(set(ids))
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    """The A-ES keys must actually weight by length: the sampled docs'
+    mean n_chars should exceed the corpus mean (deterministic given
+    the fixed corpus), and the result must be exactly k rows with
+    unique doc_ids."""
+    from real_time_database_monitoring_system_spark.operators import pipeline
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = 50
+    sample = pipeline.weighted_sample(docs, k=k).collect()
+    assert len(sample) == k
+    assert len({r.doc_id for r in sample}) == k
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample_mean = sum(r.n_chars for r in sample) / k
+    assert sample_mean > corpus_mean, (
+        f"length-weighted sample mean {sample_mean} not above corpus mean {corpus_mean}"
+    )
