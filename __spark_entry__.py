@@ -661,6 +661,14 @@ def _q_user_entropy(spark, sf):
     return event_analytics.user_entropy(load_table(spark, sf, "events"))
 
 
+def _q_split_leakage(spark, sf):
+    return curation.split_leakage(load_table(spark, sf, "documents"))
+
+
+def _q_curation_waterfall(spark, sf):
+    return pipeline.curation_waterfall(load_table(spark, sf, "documents"))
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -903,11 +911,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_throttled_alerts": _q_streaming_throttled_alerts,
         "multi_grain_rollup": _q_multi_grain_rollup,
         "user_entropy": _q_user_entropy,
+        "split_leakage": _q_split_leakage,
+        "curation_waterfall": _q_curation_waterfall,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
-        "downsample_5min": _q_downsample_5min,
-        "minute_corr_join": _q_minute_corr_join,
         "topk_events": _q_topk_events,
         "three_way_topk": _q_three_way_topk,
         "exact_dedup": _q_exact_dedup,
@@ -923,6 +931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_pretty": _q_size_pretty,
         "lag_delta": _q_lag_delta,
         "left_join_rollup": _q_left_join_rollup,
+        "downsample_5min": _q_downsample_5min,
+        "minute_corr_join": _q_minute_corr_join,
         "streaming_rollup_5min": _q_streaming_rollup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dup_spans": _q_substring_dup_spans,
@@ -2695,6 +2705,51 @@ def oracle_sql() -> dict[str, str]:
         "{stops}",
         ", ".join(f"'{w}'" for ws in text_ops.LANG_STOPWORDS.values() for w in ws),
     )
+
+    # leakage audit: 40-char normalized-prefix fingerprints spanning
+    # >1 split (the templated-opening leak class; whole-doc hashing
+    # finds nothing on this corpus — no byte-identical cross-split docs)
+    sql["split_leakage"] = r"""
+        WITH t AS (
+            SELECT md5(substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), 1, 40))
+                       AS content_fp,
+                   doc_id,
+                   CASE WHEN b < 90 THEN 'train'
+                        WHEN b < 95 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, text,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                             % 100 AS b
+                  FROM documents)),
+        g AS (SELECT content_fp,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     list_sort(list(DISTINCT split)) AS splits,
+                     min(doc_id) AS example_doc_id
+              FROM t GROUP BY 1)
+        SELECT content_fp, n_docs, array_to_string(splits, ',') AS splits,
+               example_doc_id
+        FROM g WHERE len(splits) >= 2 ORDER BY example_doc_id
+    """
+
+    # waterfall: stage counts over the SAME CTE chain as the
+    # curate_corpus oracle (sliced at its split stage so the two can
+    # never drift), plus the retained fraction
+    _prefix = sql["curate_corpus"].split("        sp AS (")[0].rstrip().rstrip(",")
+    sql["curation_waterfall"] = _prefix + """
+        , w AS (
+            SELECT 1 AS stage_no, 'total' AS stage,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+            UNION ALL
+            SELECT 2, 'clean_join', (SELECT CAST(count(*) AS BIGINT) FROM d)
+            UNION ALL
+            SELECT 3, 'dedup_keepers', (SELECT CAST(count(*) AS BIGINT) FROM dk)
+            UNION ALL
+            SELECT 4, 'quality_floor', (SELECT CAST(count(*) AS BIGINT) FROM f))
+        SELECT stage_no, stage, n_docs,
+               round(CAST(n_docs AS DOUBLE) /
+                     (SELECT CAST(count(*) AS DOUBLE) FROM documents), 9)
+                   AS retained_frac
+        FROM w ORDER BY stage_no
+    """
 
     # ordered funnel: each step's min-µs conditioned on the previous
     sql["funnel_counts"] = """

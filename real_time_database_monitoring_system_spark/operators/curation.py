@@ -349,6 +349,67 @@ def assign_split(
     )
 
 
+def split_leakage(
+    documents: DataFrame,
+    train_pct: int = 90,
+    val_pct: int = 5,
+    prefix_chars: int | None = 40,
+) -> DataFrame:
+    """Eval-set leakage audit: content fingerprints that occur in MORE
+    THAN ONE split — a train/test pair of matching documents means the
+    eval metric is partly memorization. `assign_split` keys on doc_id
+    precisely so cleaning can't move a doc across splits; this is the
+    complementary check that two DIFFERENT doc_ids with matching
+    content didn't land on opposite sides (which only dedup, not split
+    keying, can prevent).
+
+    `prefix_chars` picks the leak class: the default fingerprints the
+    first N normalized characters — shared openings (templated or
+    boilerplate-prefixed documents), the common real-world leak that
+    whole-document hashing misses; `None` demands byte-identical
+    documents. One digest groupBy (the exact-dedup exchange)
+    collecting distinct splits per fingerprint; leaked rows are
+    fingerprints with ≥ 2 distinct splits.
+    """
+    split_col = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
+    tagged = documents.withColumn("bucket", bucket).select(
+        F.md5(norm.cast("binary")).alias("content_fp"),
+        "doc_id",
+        split_col.alias("split"),
+    )
+    return (
+        tagged.groupBy("content_fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.array_sort(F.collect_set("split")).alias("splits"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.size("splits") >= 2)
+        .select(
+            "content_fp",
+            "n_docs",
+            F.array_join("splits", ",").alias("splits"),
+            "example_doc_id",
+        )
+        .orderBy("example_doc_id")
+    )
+
+
 def shuffle_order(documents: DataFrame, salt: str = "shuffle:") -> DataFrame:
     """Deterministic global shuffle for training order: sort by
     md5(salt || doc_id). Changing the salt reshuffles; the same salt

@@ -514,6 +514,57 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     )
 
 
+def curation_waterfall(documents: DataFrame) -> DataFrame:
+    """The curation chain's survival waterfall: document counts after
+    each stage of `curate_corpus` (total → cleaned+joined →
+    exact-dedup keepers → per-source quality floor) with the retained
+    fraction — the one-table answer to "where did my corpus go",
+    which every ablation writeup needs before trusting a filter.
+
+    Reuses the exact stage operators (clean, keeper semi-join, quality
+    floor) so the waterfall can never disagree with the pipeline it
+    describes; the four counts are one-row aggregates unioned, with
+    the corpus total broadcast for the fraction. Same two materialized
+    diamonds as `curate_corpus`.
+    """
+    from .curation import assign_split as _  # noqa: F401 (chain parity)
+    from .dedup import exact_dedup
+    from .text import clean_text
+
+    cleaned = clean_text(documents).select("doc_id", F.col("clean").alias("text"))
+    docs2 = _materialize(
+        cleaned.join(documents.select("doc_id", "lang", "source"), "doc_id")
+    )
+    keepers = exact_dedup(docs2).select(F.col("keeper_doc_id").alias("doc_id"))
+    docs3 = _materialize(docs2.join(keepers, "doc_id", "left_semi"))
+    kept = quality_quantile_filter(docs3, exact=True)
+    stages = [
+        ("total", documents),
+        ("clean_join", docs2),
+        ("dedup_keepers", docs3),
+        ("quality_floor", kept),
+    ]
+    rows = None
+    for i, (name, df) in enumerate(stages):
+        one = df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(i + 1).alias("stage_no"), F.lit(name).alias("stage"), "n_docs"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    total = documents.agg(F.count("*").cast("double").alias("n_total"))
+    return (
+        rows.crossJoin(F.broadcast(total))
+        .select(
+            "stage_no",
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("n_total"), 9).alias(
+                "retained_frac"
+            ),
+        )
+        .orderBy("stage_no")
+    )
+
+
 def curate_corpus(documents: DataFrame) -> DataFrame:
     """END-TO-END curation chain — the composition proof that the
     pipeline stages snap together: clean (URL/e-mail/tag scrub) →
