@@ -669,6 +669,16 @@ def _q_curation_waterfall(spark, sf):
     return pipeline.curation_waterfall(load_table(spark, sf, "documents"))
 
 
+def _q_scd2_enrich(spark, sf):
+    return relational.scd2_enrich(
+        load_table(spark, sf, "events"), load_table(spark, sf, "customer")
+    )
+
+
+def _q_type_correlation(spark, sf):
+    return analytics.type_correlation(load_table(spark, sf, "events"))
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -913,11 +923,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_entropy": _q_user_entropy,
         "split_leakage": _q_split_leakage,
         "curation_waterfall": _q_curation_waterfall,
+        "scd2_enrich": _q_scd2_enrich,
+        "type_correlation": _q_type_correlation,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
-        "topk_events": _q_topk_events,
-        "three_way_topk": _q_three_way_topk,
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -933,6 +943,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_rollup": _q_left_join_rollup,
         "downsample_5min": _q_downsample_5min,
         "minute_corr_join": _q_minute_corr_join,
+        "topk_events": _q_topk_events,
+        "three_way_topk": _q_three_way_topk,
         "streaming_rollup_5min": _q_streaming_rollup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dup_spans": _q_substring_dup_spans,
@@ -2350,6 +2362,57 @@ def oracle_sql() -> dict[str, str]:
                round(round(ln(CAST(n_events AS DOUBLE)), 9)
                      - CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE), 9) AS entropy
         FROM u ORDER BY user_id
+    """
+
+    # SCD2 temporal enrichment: version table derived identically
+    # (midpoint split, tier upgrade), equi-join + validity-range filter
+    sql["scd2_enrich"] = """
+        WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid_us
+                   FROM events),
+        base AS (SELECT c_custkey AS user_id, c_mktsegment AS segment,
+                        CASE WHEN c_acctbal >= 5000.0 THEN 'gold'
+                             WHEN c_acctbal >= 0.0 THEN 'standard'
+                             ELSE 'delinquent' END AS tier_v1
+                 FROM customer),
+        dim AS (
+            SELECT user_id, segment, tier_v1 AS tier, 1 AS version,
+                   CAST(-4611686018427387904 AS BIGINT) AS valid_from_us,
+                   mid_us AS valid_to_us
+            FROM base, b
+            UNION ALL
+            SELECT user_id, segment,
+                   CASE WHEN tier_v1 = 'delinquent' THEN 'standard'
+                        ELSE 'gold' END,
+                   2, mid_us, CAST(4611686018427387904 AS BIGINT)
+            FROM base, b)
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS us, e.value,
+               d.segment, d.tier, d.version
+        FROM events e JOIN dim d ON e.user_id = d.user_id
+             AND epoch_us(e.ts) >= d.valid_from_us
+             AND epoch_us(e.ts) < d.valid_to_us
+        ORDER BY e.event_id
+    """
+
+    # cross-type correlation from exact sufficient statistics; the
+    # final expression is the shared module constant
+    sql["type_correlation"] = f"""
+        WITH m AS (
+            SELECT epoch_us(ts) // 3600000000 AS b, event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM events GROUP BY 1, 2),
+        p AS (SELECT a.b, a.event_type AS type_a, b2.event_type AS type_b,
+                     a.m AS ma, b2.m AS mb
+              FROM m a JOIN m b2 ON a.b = b2.b AND a.event_type < b2.event_type),
+        s AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(ma AS DECIMAL(28,10))) AS sa,
+                     sum(CAST(mb AS DECIMAL(28,10))) AS sb,
+                     sum(CAST(ma * mb AS DECIMAL(38,10))) AS sab,
+                     sum(CAST(ma * ma AS DECIMAL(38,10))) AS saa,
+                     sum(CAST(mb * mb AS DECIMAL(38,10))) AS sbb
+              FROM p GROUP BY 1, 2)
+        SELECT type_a, type_b, n, {analytics.CORR_FINAL_SQL} AS pearson_r
+        FROM s ORDER BY 1, 2
     """
 
     # exact moment suite: the SQL fragments are shared module constants

@@ -323,6 +323,71 @@ def moment_stats(events: DataFrame) -> DataFrame:
     )
 
 
+# Pearson r from sufficient statistics (n, sa, sb, sab, saa, sbb) as a
+# shared fixed-order double expression — evaluated verbatim by the
+# DuckDB oracle; NULL-guarded for constant series
+CORR_FINAL_SQL = (
+    "round(CASE WHEN (CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+    " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) > 0.0"
+    " AND (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) > 0.0 THEN"
+    " (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)"
+    " - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    " / (sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)"
+    " - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    " * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)"
+    " - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) END, 9)"
+)
+
+
+def type_correlation(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
+    """Pairwise Pearson correlation between event types' hourly mean
+    series — the "do these metrics move together" panel (cpu vs load,
+    latency vs connections) behind capacity dashboards.
+
+    Pipeline: one bucket×type aggregation over the feed (mean = exact
+    decimal sum ÷ count, the only raw scan), a type×type self-join on
+    the bucket (both sides are #buckets × #types — dashboard-sized),
+    then correlation per pair from SUFFICIENT STATISTICS: n, Σa, Σb,
+    Σab, Σa², Σb² with the products computed per-row in pinned double
+    order and accumulated in decimal — the same
+    order-independence-under-partitioning rule as `moment_stats`
+    (built-in `corr` keeps running double state and is neither).
+    Formula evaluated in one fixed-order double expression, rounded at
+    the edge; NULL when either series is constant.
+    """
+    bucket_us = bucket_seconds * 1_000_000
+    means = events.groupBy(
+        F.expr(f"unix_micros(cast(ts as timestamp)) div {bucket_us}").alias("b"),
+        "event_type",
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("m")
+    )
+    a = means.select("b", F.col("event_type").alias("type_a"), F.col("m").alias("ma"))
+    bb = means.select("b", F.col("event_type").alias("type_b"), F.col("m").alias("mb"))
+    paired = a.join(bb, "b").filter(F.col("type_a") < F.col("type_b"))
+    stats = paired.groupBy("type_a", "type_b").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ma").cast("decimal(28,10)")).alias("sa"),
+        F.sum(F.col("mb").cast("decimal(28,10)")).alias("sb"),
+        F.sum((F.col("ma") * F.col("mb")).cast("decimal(38,10)")).alias("sab"),
+        F.sum((F.col("ma") * F.col("ma")).cast("decimal(38,10)")).alias("saa"),
+        F.sum((F.col("mb") * F.col("mb")).cast("decimal(38,10)")).alias("sbb"),
+    )
+    return (
+        stats.select(
+            "type_a",
+            "type_b",
+            "n",
+            F.expr(CORR_FINAL_SQL).alias("pearson_r"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 def active_users_rolling(events: DataFrame, window_days: int = 7) -> DataFrame:
     """DAU / trailing-WAU engagement panel: per day, the distinct
     users active that day and over the `window_days` window ending on

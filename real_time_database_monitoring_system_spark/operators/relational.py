@@ -352,6 +352,76 @@ def net_price_ratio(lineitem: DataFrame) -> DataFrame:
     )
 
 
+def scd2_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension (SCD type 2) temporal join: enrich
+    each event with the dimension version that was VALID AT ITS EVENT
+    TIME — the warehouse operator behind "what tier was this customer
+    when the event happened" questions, which a plain (current-state)
+    dimension join answers wrongly for history.
+
+    The version table is derived deterministically here (two versions
+    per customer split at the feed's midpoint µs; tier upgrades in v2)
+    because the testdata ships no SCD source — the JOIN is the
+    operator under test, the versioning is fixture. Plan shape: the
+    join is an EQUI-join on the customer key with the validity range
+    as a post-join filter — a hash join Catalyst can broadcast
+    (dimension versions = 2× customers, still dimension-sized at any
+    feed scale), never a range-explosion or nested-loop join. Exactly
+    one version matches each event by construction ([from, to)
+    half-open intervals partition the timeline).
+    """
+    ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    # integer div — a double midpoint would round differently per engine
+    bounds = events.agg(
+        F.expr(
+            "(min(unix_micros(cast(ts as timestamp)))"
+            " + max(unix_micros(cast(ts as timestamp)))) div 2"
+        ).alias("mid_us")
+    )
+    base = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") >= 5000.0, "gold")
+        .when(F.col("c_acctbal") >= 0.0, "standard")
+        .otherwise("delinquent")
+        .alias("tier_v1"),
+    )
+    long_min, long_max = -(1 << 62), (1 << 62)
+    v1 = base.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "segment",
+        F.col("tier_v1").alias("tier"),
+        F.lit(1).alias("version"),
+        F.lit(long_min).alias("valid_from_us"),
+        F.col("mid_us").alias("valid_to_us"),
+    )
+    v2 = base.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        "segment",
+        # v2: everyone moves one tier up (the "slowly changing" part)
+        F.when(F.col("tier_v1") == "delinquent", "standard")
+        .otherwise("gold")
+        .alias("tier"),
+        F.lit(2).alias("version"),
+        F.col("mid_us").alias("valid_from_us"),
+        F.lit(long_max).alias("valid_to_us"),
+    )
+    dim = v1.unionByName(v2)
+    return (
+        events.select("event_id", "user_id", ts_us.alias("us"), "value")
+        .join(
+            F.broadcast(dim),
+            ["user_id"],
+        )
+        .filter(
+            (F.col("us") >= F.col("valid_from_us"))
+            & (F.col("us") < F.col("valid_to_us"))
+        )
+        .select("event_id", "user_id", "us", "value", "segment", "tier", "version")
+        .orderBy("event_id")
+    )
+
+
 def fk_integrity_audit(
     lineitem: DataFrame,
     orders: DataFrame,
