@@ -82,6 +82,12 @@ HEADLINE = [
     "moment_stats",
     "top_session_paths",
     "fk_integrity_audit",
+    "multi_grain_rollup",
+    "user_entropy",
+    "split_leakage",
+    "curation_waterfall",
+    "scd2_enrich",
+    "type_correlation",
 ]
 
 

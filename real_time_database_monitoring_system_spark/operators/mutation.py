@@ -137,6 +137,21 @@ def multi_table_transaction(
     live process, which this protocol provides in full; its PostgreSQL
     backend additionally survives crashes, which plain parquet cannot.
     """
+    def _drop_stage(stage: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        # a FAILED write can leave the managed location on disk with no
+        # catalog entry (the in-memory catalog also forgets tables
+        # across sessions while directories persist) — either would
+        # block the next attempt with LOCATION_ALREADY_EXISTS, so the
+        # location is removed physically as well
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{stage}")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+
+    for table in writes:
+        _drop_stage(f"{table}{staging_suffix}")  # stale-retry debris
     staged: list[str] = []
     try:
         for table, df in writes.items():
@@ -144,8 +159,8 @@ def multi_table_transaction(
             df.write.mode("overwrite").saveAsTable(stage)
             staged.append(table)
     except Exception:
-        for table in staged:
-            spark.sql(f"DROP TABLE IF EXISTS {table}{staging_suffix}")
+        for table in writes:
+            _drop_stage(f"{table}{staging_suffix}")
         raise
     for table in writes:
         stage = f"{table}{staging_suffix}"
@@ -153,4 +168,4 @@ def multi_table_transaction(
         spark.table(stage).localCheckpoint(eager=True).write.mode(
             "overwrite"
         ).saveAsTable(table)
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+        _drop_stage(stage)

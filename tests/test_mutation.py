@@ -77,46 +77,68 @@ def test_archive_roundtrip(spark):
     assert kept.count() == 2
 
 
+def _fresh_tables(spark, n):
+    """UUID-named managed tables (the catalog is in-memory per session
+    but warehouse directories persist, so fixed names collide with
+    leftovers from other sessions — same pattern as test_catalog)."""
+    import uuid
+
+    names = [f"txn_{uuid.uuid4().hex[:8]}" for _ in range(n)]
+    return names
+
+
 def test_multi_table_transaction_commits_both(spark):
     from real_time_database_monitoring_system_spark.operators import mutation
 
-    spark.sql("DROP TABLE IF EXISTS txn_a")
-    spark.sql("DROP TABLE IF EXISTS txn_b")
-    spark.createDataFrame([(1, "old")], "id long, v string").write.saveAsTable("txn_a")
-    spark.createDataFrame([(1, "old")], "id long, v string").write.saveAsTable("txn_b")
-    mutation.multi_table_transaction(
-        spark,
-        {
-            "txn_a": spark.createDataFrame([(1, "new"), (2, "new")], "id long, v string"),
-            "txn_b": spark.createDataFrame([(9, "new")], "id long, v string"),
-        },
-    )
-    assert spark.table("txn_a").count() == 2
-    assert {r.v for r in spark.table("txn_b").collect()} == {"new"}
-    assert not spark.catalog.tableExists("txn_a__txn_stage")
+    ta, tb = _fresh_tables(spark, 2)
+    try:
+        spark.createDataFrame([(1, "old")], "id long, v string").write.saveAsTable(ta)
+        spark.createDataFrame([(1, "old")], "id long, v string").write.saveAsTable(tb)
+        mutation.multi_table_transaction(
+            spark,
+            {
+                ta: spark.createDataFrame([(1, "new"), (2, "new")], "id long, v string"),
+                tb: spark.createDataFrame([(9, "new")], "id long, v string"),
+            },
+        )
+        assert spark.table(ta).count() == 2
+        assert {r.v for r in spark.table(tb).collect()} == {"new"}
+        assert not spark.catalog.tableExists(f"{ta}__txn_stage")
+    finally:
+        for t in (ta, tb):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
 def test_multi_table_transaction_rolls_back_on_failure(spark):
     """A failure while computing the SECOND table's result must leave
     BOTH targets untouched (the reference's transaction.atomic
-    guarantee) and no staging debris."""
+    guarantee) and no staging debris — and a RETRY after the failure
+    must succeed (failed stage writes leave catalog-less locations
+    that the rollback must physically remove)."""
     import pytest as _pytest
     from pyspark.sql import functions as F
 
     from real_time_database_monitoring_system_spark.operators import mutation
 
-    spark.sql("DROP TABLE IF EXISTS txn_c")
-    spark.sql("DROP TABLE IF EXISTS txn_d")
-    spark.createDataFrame([(1, "orig")], "id long, v string").write.saveAsTable("txn_c")
-    spark.createDataFrame([(2, "orig")], "id long, v string").write.saveAsTable("txn_d")
-    good = spark.createDataFrame([(1, "changed")], "id long, v string")
-    # raise_error only fires when the plan executes — i.e. during staging
-    bad = spark.createDataFrame([(2, "x")], "id long, v string").select(
-        "id", F.expr("raise_error('boom')").alias("v")
-    )
-    with _pytest.raises(Exception, match="boom"):
-        mutation.multi_table_transaction(spark, {"txn_c": good, "txn_d": bad})
-    assert {r.v for r in spark.table("txn_c").collect()} == {"orig"}
-    assert {r.v for r in spark.table("txn_d").collect()} == {"orig"}
-    assert not spark.catalog.tableExists("txn_c__txn_stage")
-    assert not spark.catalog.tableExists("txn_d__txn_stage")
+    tc, td = _fresh_tables(spark, 2)
+    try:
+        spark.createDataFrame([(1, "orig")], "id long, v string").write.saveAsTable(tc)
+        spark.createDataFrame([(2, "orig")], "id long, v string").write.saveAsTable(td)
+        good = spark.createDataFrame([(1, "changed")], "id long, v string")
+        # raise_error only fires when the plan executes — during staging
+        bad = spark.createDataFrame([(2, "x")], "id long, v string").select(
+            "id", F.expr("raise_error('boom')").alias("v")
+        )
+        with _pytest.raises(Exception, match="boom"):
+            mutation.multi_table_transaction(spark, {tc: good, td: bad})
+        assert {r.v for r in spark.table(tc).collect()} == {"orig"}
+        assert {r.v for r in spark.table(td).collect()} == {"orig"}
+        assert not spark.catalog.tableExists(f"{tc}__txn_stage")
+        assert not spark.catalog.tableExists(f"{td}__txn_stage")
+        # retry with a good plan must not hit LOCATION_ALREADY_EXISTS
+        fixed = spark.createDataFrame([(2, "fixed")], "id long, v string")
+        mutation.multi_table_transaction(spark, {tc: good, td: fixed})
+        assert {r.v for r in spark.table(td).collect()} == {"fixed"}
+    finally:
+        for t in (tc, td):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
