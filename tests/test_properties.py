@@ -114,3 +114,57 @@ def test_gapfill_row_count_identity(spark):
         assert sum(not r.is_gap for r in rs) == len(observed[et])
         # LOCF: every row at/after the first observation carries a value
         assert all(r.value_locf is not None for r in rs)
+
+
+def test_operators_tolerate_empty_inputs(spark):
+    """Every operator family must degrade to an empty (or all-zero
+    summary) result on an empty feed — not crash on a NULL aggregate,
+    an empty sequence(), or a missing percentile. An empty partition
+    is a routine occurrence at scale (fresh date partition, filtered
+    tenant), not an edge case."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        anomaly,
+        dedup,
+        event_analytics,
+        gapfill,
+        monitoring,
+        pipeline,
+        similarity,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import SCHEMAS
+
+    events = spark.createDataFrame([], SCHEMAS["events"])
+    docs = spark.createDataFrame([], SCHEMAS["documents"])
+    emb = spark.createDataFrame([], SCHEMAS["embeddings"])
+
+    empty_ok = [
+        ("downsample_5min", monitoring.downsample_5min(events)),
+        ("sliding_rollup", monitoring.sliding_rollup(events)),
+        ("multi_grain_rollup", monitoring.multi_grain_rollup(events)),
+        ("gapfill_locf", gapfill.gapfill_locf(events)),
+        ("gapfill_interpolate", gapfill.gapfill_interpolate(events)),
+        ("mad_outliers", anomaly.mad_outliers(events)),
+        ("drift_cusum", anomaly.drift_cusum(events)),
+        ("equidepth_histogram", analytics.equidepth_histogram(events)),
+        ("active_users_rolling", analytics.active_users_rolling(events)),
+        ("type_correlation", analytics.type_correlation(events)),
+        ("moment_stats", analytics.moment_stats(events)),
+        ("user_entropy", event_analytics.user_entropy(events)),
+        ("top_session_paths", event_analytics.top_session_paths(events)),
+        ("transition_matrix", event_analytics.transition_matrix(events)),
+        ("cohort_retention", event_analytics.cohort_retention(events)),
+        ("exact_dedup", dedup.exact_dedup(docs)),
+        ("dup_cluster_sizes", dedup.dup_cluster_sizes(docs)),
+        ("weighted_sample", pipeline.weighted_sample(docs)),
+        ("pmi_pairs", pipeline.pmi_pairs(docs)),
+        ("knn_bruteforce", similarity.knn_bruteforce(emb)),
+        ("label_centroid_similarity", similarity.label_centroid_similarity(emb)),
+    ]
+    for name, df in empty_ok:
+        assert df.count() == 0, f"{name} should be empty on empty input"
+
+    # summary-shaped operators legitimately emit rows on empty input —
+    # but the counts inside them must be zero
+    funnel = event_analytics.funnel_counts(events).collect()
+    assert [r.n_users for r in funnel] == [0, 0, 0]
