@@ -679,6 +679,10 @@ def _q_type_correlation(spark, sf):
     return analytics.type_correlation(load_table(spark, sf, "events"))
 
 
+def _q_streaming_session_paths(spark, sf):
+    return streaming_rollup.stream_session_paths(spark, sf)
+
+
 def _q_streaming_stateful(spark, sf):
     from real_time_database_monitoring_system_spark.streaming import stateful
 
@@ -925,10 +929,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_waterfall": _q_curation_waterfall,
         "scd2_enrich": _q_scd2_enrich,
         "type_correlation": _q_type_correlation,
+        "streaming_session_paths": _q_streaming_session_paths,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
-        "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "embedding_near_dups": _q_embedding_near_dups,
         "knn_bruteforce": _q_knn_bruteforce,
@@ -945,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minute_corr_join": _q_minute_corr_join,
         "topk_events": _q_topk_events,
         "three_way_topk": _q_three_way_topk,
+        "exact_dedup": _q_exact_dedup,
         "streaming_rollup_5min": _q_streaming_rollup,
         "paragraph_dedup": _q_paragraph_dedup,
         "substring_dup_spans": _q_substring_dup_spans,
@@ -2276,6 +2281,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(path_len) AS BIGINT) AS path_len
         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 25
     """
+    # the streaming session-path twin runs the identical sessionizer
+    # semantics (session_window == batch gap logic, pinned by
+    # test_streaming); one shared oracle
+    sql["streaming_session_paths"] = sql["top_session_paths"]
 
     # FK audit: NOT EXISTS per edge (matches left-anti NULL semantics —
     # a NULL child key never matches a parent and counts as an orphan)

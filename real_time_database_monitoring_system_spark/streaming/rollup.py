@@ -458,6 +458,54 @@ def stream_throttled_alerts(
     return _run_to_memory(out, "complete").orderBy("user_id", "bucket_s")
 
 
+def stream_session_paths(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, k: int = 25
+) -> DataFrame:
+    """Streaming twin of `event_analytics.top_session_paths`: the
+    per-session path strings are built by ONE streaming
+    `session_window` aggregation (a sorted struct collect — streaming
+    allows a single stateful aggregation, so the path COUNT cannot be
+    chained behind it in the same query); the #sessions-sized result
+    lands in the sink and the tiny path-frequency rollup runs as a
+    batch coda over it — the dashboard-side shape a live deployment
+    would use anyway. Session boundaries equal the batch sessionizer's
+    (`stream_sessions` pins that equivalence); the path string sorts
+    on (µs, event_id) structs, so it is deterministic under any merge
+    order of the streaming state. Checked against the SAME oracle as
+    the batch operator.
+    """
+    src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
+    sess = (
+        src.groupBy(F.session_window("ts", f"{gap_minutes} minutes").alias("w"), "user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                "event_id",
+                                "event_type",
+                            )
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path"),
+            F.count("*").alias("path_len"),
+        )
+        .select("user_id", "path", "path_len")
+    )
+    per_session = _run_to_memory(sess, "complete")
+    return (
+        per_session.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(k)
+    )
+
+
 def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
     """Session-window aggregation — the streaming twin of
     `operators.monitoring.sessionize` (same 30-minute inactivity gap).
