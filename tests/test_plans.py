@@ -168,3 +168,32 @@ def test_equidepth_histogram_broadcasts_bounds(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, (
         "bounds must broadcast"
     )
+
+
+def test_round3_operator_shuffle_budgets(spark, sf_dir):
+    """Pin each round-3 operator to its designed exchange budget —
+    a regression that adds a shuffle (lost broadcast, extra scan,
+    de-optimized window) fails here, not in the bench."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        anomaly,
+        event_analytics,
+        relational,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    budgets = [
+        # (name, df, max exchanges, must broadcast)
+        ("moment_stats", analytics.moment_stats(ev), 2, False),
+        ("drift_cusum", anomaly.drift_cusum(ev), 3, True),
+        ("scd2_enrich", relational.scd2_enrich(ev, cust), 3, True),
+        ("active_users_rolling", analytics.active_users_rolling(ev), 6, True),
+        ("type_correlation", analytics.type_correlation(ev), 4, False),
+        ("user_entropy", event_analytics.user_entropy(ev), 3, False),
+    ]
+    for name, df, max_ex, need_bcast in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        if need_bcast:
+            assert checks.has_broadcast_join(df), f"{name}: baseline/dim must broadcast"
