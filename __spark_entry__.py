@@ -6,8 +6,10 @@ slow-query panel, `/root/reference/myapp/views.py:396-407`) on sf0.001.
 the training-data-pipeline layer (see COVERAGE.md for the full map);
 `oracle_sql()` gives the DuckDB twin for each, omitted only where the
 result is hash-function-dependent, sketch-based, or iterative
-(MinHash/SimHash/LSH-ANN/IVF/clustering/approx-percentile) — those are
-verified against exact algorithms in tests/ instead.
+(MinHash/SimHash/LSH-ANN/IVF/approx-percentile) — those are verified
+against exact algorithms in tests/ instead. (K-means IS oracle-backed:
+its integer-quantized arithmetic is exact, so the unrolled-iteration
+SQL twin reproduces it bit-for-bit.)
 
 Determinism contract (SURVEY §7): `now()` is replaced by the max event
 timestamp; interval math is integer microseconds; aggregate sums are
@@ -33,6 +35,7 @@ from real_time_database_monitoring_system_spark.functions import pg_dialect
 from real_time_database_monitoring_system_spark.operators import (
     analytics,
     anomaly,
+    clustering,
     curation,
     dedup,
     event_analytics,
@@ -864,6 +867,25 @@ def _q_shuffle_order(spark, sf):
     return curation.shuffle_order(load_table(spark, sf, "documents"))
 
 
+def _q_kmeans_clusters(spark, sf):
+    """Integer-quantized Lloyd k-means (k=8, 2 iterations) over
+    embeddings; exact-deterministic, so oracle-backed despite being
+    iterative (the SQL twin unrolls the same two iterations)."""
+    return clustering.kmeans_clusters(load_table(spark, sf, "embeddings"))
+
+
+def _q_semantic_dedup(spark, sf):
+    """SemDeDup: near-dup pairs searched only within a k-means
+    cluster (cluster id = blocking key)."""
+    return clustering.semantic_dedup(load_table(spark, sf, "embeddings"))
+
+
+def _q_embedding_prototypicality(spark, sf):
+    """Distance-to-centroid pruning signal with per-cluster discrete
+    0.9-quantile tail flag."""
+    return clustering.prototypicality(load_table(spark, sf, "embeddings"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
@@ -930,15 +952,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_enrich": _q_scd2_enrich,
         "type_correlation": _q_type_correlation,
         "streaming_session_paths": _q_streaming_session_paths,
+        "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
+        "embedding_prototypicality": _q_embedding_prototypicality,
         # -- window padding (green representatives) --
         "pricing_summary": _q_pricing_summary,
         "slow_sessions": _q_slow_sessions,
-        "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "embedding_near_dups": _q_embedding_near_dups,
         "knn_bruteforce": _q_knn_bruteforce,
-        "multimodal_meta": _q_multimodal_meta,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "multimodal_meta": _q_multimodal_meta,
         "anti_join_no_recent": _q_anti_join,
         "semi_join_urgent": _q_semi_join,
         "to_char_formats": _q_to_char_formats,
@@ -2197,6 +2222,96 @@ def oracle_sql() -> dict[str, str]:
                     / (sqrt(list_dot_product(x.vec, x.vec))
                        * sqrt(list_dot_product(y.vec, y.vec))), 9) >= 0.3
         ORDER BY vec_a, vec_b
+    """
+
+    # K-means twin: the operator is iterative but EXACT (integer-
+    # quantized vectors, integer distances, grid-rounded centroids —
+    # operators/clustering.py), so the oracle simply unrolls the same
+    # two Lloyd iterations as CTEs. dist via the dot-product identity:
+    # every term ≤ ~2^46, integral, exact in DuckDB's double
+    # list_dot_product; `//` truncates toward zero exactly like
+    # Spark's `div` and clustering._tdiv.
+    # One Lloyd iteration in clustering.kmeans_fit = assign (a{i}) +
+    # centroid update (c{i}f); the final query assigns once more under
+    # the last centroids. The chain below unrolls exactly _KM_ITERS
+    # update rounds then a final assignment `af` — same structure,
+    # generated so the iteration count can't silently drift from the
+    # Spark default.
+    _KM_ITERS, _KM_K = 2, 8
+
+    def _km_assign(i: int, cents: str) -> str:
+        return f"""
+        d{i} AS (SELECT q.vec_id, q.qvec, c.cid,
+                 CAST(list_dot_product(q.qvec, q.qvec)
+                      - 2 * list_dot_product(q.qvec, c.cvec)
+                      + list_dot_product(c.cvec, c.cvec) AS BIGINT) AS dist
+               FROM q CROSS JOIN {cents} c),
+        a{i} AS (SELECT vec_id, qvec, cid, dist FROM
+                 (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dist, cid) AS rn FROM d{i})
+               WHERE rn = 1)"""
+
+    _km_parts = [
+        f"""
+        q AS (SELECT vec_id, label,
+                list_transform(embedding,
+                               x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qvec
+              FROM embeddings),
+        c0f AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qvec AS cvec
+               FROM (SELECT vec_id, qvec FROM q ORDER BY vec_id LIMIT {_KM_K}))"""
+    ]
+    for _i in range(1, _KM_ITERS + 1):
+        _km_parts.append(_km_assign(_i, f"c{_i - 1}f"))
+        _km_parts.append(
+            f"""
+        s{_i} AS (SELECT cid, pos, SUM(v) AS s, COUNT(*) AS n
+               FROM (SELECT cid, unnest(qvec) AS v,
+                            generate_subscripts(qvec, 1) AS pos FROM a{_i})
+               GROUP BY cid, pos),
+        c{_i} AS (SELECT cid, list(CAST((2*s + n) // (2*n) AS BIGINT) ORDER BY pos) AS cvec
+               FROM s{_i} GROUP BY cid),
+        c{_i}f AS (SELECT cid, cvec FROM c{_i}
+                UNION ALL
+                SELECT cid, cvec FROM c{_i - 1}f
+                WHERE cid NOT IN (SELECT cid FROM c{_i}))"""
+        )
+    _km_parts.append(_km_assign(_KM_ITERS + 1, f"c{_KM_ITERS}f"))
+    _km_chain = (
+        ",".join(_km_parts)
+        + f",\n        af AS (SELECT vec_id, qvec, cid, dist FROM a{_KM_ITERS + 1})"
+    )
+
+    sql["kmeans_clusters"] = f"""
+        WITH {_km_chain}
+        SELECT af.vec_id, q.label, CAST(af.cid AS INTEGER) AS cluster_id,
+               af.dist AS dist_sq
+        FROM af JOIN q USING (vec_id)
+        ORDER BY vec_id
+    """
+
+    sql["semantic_dedup"] = f"""
+        WITH {_km_chain}
+        SELECT CAST(x.cid AS INTEGER) AS cluster_id,
+               x.vec_id AS a_id, y.vec_id AS b_id,
+               round(list_dot_product(x.qvec, y.qvec)
+                     / (sqrt(list_dot_product(x.qvec, x.qvec))
+                        * sqrt(list_dot_product(y.qvec, y.qvec))), 9) AS cos_sim
+        FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        WHERE round(list_dot_product(x.qvec, y.qvec)
+                    / (sqrt(list_dot_product(x.qvec, x.qvec))
+                       * sqrt(list_dot_product(y.qvec, y.qvec))), 9) >= 0.3
+        ORDER BY a_id, b_id
+    """
+
+    sql["embedding_prototypicality"] = f"""
+        WITH {_km_chain},
+        thr AS (SELECT cid, quantile_disc(dist, 0.9) AS dist_p_tail
+                FROM af GROUP BY cid)
+        SELECT af.vec_id, q.label, CAST(af.cid AS INTEGER) AS cluster_id,
+               af.dist AS dist_sq, t.dist_p_tail,
+               af.dist > t.dist_p_tail AS is_peripheral
+        FROM af JOIN q USING (vec_id) JOIN thr t ON af.cid = t.cid
+        ORDER BY vec_id
     """
 
     sql["multimodal_meta"] = """

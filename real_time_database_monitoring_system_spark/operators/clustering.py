@@ -1,0 +1,258 @@
+"""Embedding clustering and cluster-blocked curation operators.
+
+K-means (Lloyd) over the `embeddings` table, plus the two curation
+operators the LLM-data literature builds on top of it:
+
+- `semantic_dedup` — SemDeDup (Abbas et al., 2023): cluster the
+  corpus, then search for near-duplicate pairs ONLY within a cluster.
+  The cluster assignment is the blocking structure that replaces the
+  all-pairs cross product; at corpus scale k grows with N so the
+  per-cluster block stays bounded.
+- `prototypicality` — SSL-prototype pruning (Sorscher et al., 2022):
+  rank each vector by distance to its own cluster centroid and flag
+  the peripheral tail, the standard "keep prototypical examples"
+  pruning signal.
+
+Determinism contract (the repo-wide oracle rule): all distance math
+runs in the INTEGER domain. Embeddings are quantized once to
+``q_i = round(x_i * 1e6)`` longs; squared L2 distances, dot products
+and centroid updates are exact integer arithmetic, so Spark and the
+DuckDB oracle agree bit-for-bit with no float-summation-order hazard.
+Centroid means round to the integer grid via ``(2*s + n) div (2*n)``
+(truncating division, identical in Spark `div`, DuckDB `//` and the
+driver-side helper below) — quantized k-means, losing 1e-6 of
+precision per coordinate per step.
+
+Plan shape (the MLlib KMeans shape, restated declaratively):
+
+- Fit: per iteration, ONE scan of the quantized table (assignment is
+  a single projected expression over k literal centroids — no join,
+  no shuffle) + ONE narrow shuffle of (cluster, dim, value) partial
+  sums (map-side combine caps each task's output at k×64 rows) + a
+  k×64-row collect to the driver. Centroids are model state, not
+  data — collecting them is the broadcast-variable pattern, not a
+  driver-side data loop.
+- Final assignment query: pure map-side (scan + project against
+  literal centroids), zero shuffles; Catalyst sees one stage.
+
+Reference parity: the reference has no ML surface at all — these
+operators are part of the training-data-pipeline layer this engine
+adds on top of the reference's monitoring queries (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .util import materialize as _materialize
+from .util import spread as _spread
+
+_SCALE = 1_000_000
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — matches Spark's
+    `div` and DuckDB's `//` for the negative numerators a centered
+    quantization can produce (Python's `//` floors instead)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, label, qvec: array<long>) with q_i = round(x_i*1e6).
+
+    Centered (sign-preserving) quantization: dot products and cosines
+    over qvec approximate the float originals to ~1e-6 while keeping
+    every downstream comparison exact-integer."""
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x * _SCALE).cast("long"),
+        ).alias("qvec"),
+    )
+
+
+def _dist_sq(qvec: Column, centroid: list[int]) -> Column:
+    """Exact squared L2 distance between a qvec column and a literal
+    centroid: Σ(a−b)² ≤ 64·(2^21)² ≪ 2^63, fold over longs."""
+    lit_c = F.array(*[F.lit(int(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(qvec, lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _best_cluster(qvec: Column, centroids: dict[int, list[int]]) -> tuple[Column, Column]:
+    """(cluster_id, dist_sq) of the nearest centroid, ties to the
+    smaller cluster id.
+
+    The argmin is `least(dist << 6 | cid)` — dist ≤ 64·(2^21)² < 2^47,
+    so the shifted key stays well inside a long and orders exactly like
+    the (dist, cid) lexicographic sort the oracle's row_number uses.
+    Single projected expression over literal centroids: no join, no
+    shuffle. (An earlier struct-based `least` lost field names to
+    struct type coercion; the integer encoding is also cheaper.)"""
+    assert len(centroids) <= 64, "encoded argmin supports ≤ 64 clusters"
+    cands = [
+        F.shiftleft(_dist_sq(qvec, cvec), 6).bitwiseOR(F.lit(cid))
+        for cid, cvec in sorted(centroids.items())
+    ]
+    best = cands[0] if len(cands) == 1 else F.least(*cands)
+    return (
+        best.bitwiseAND(F.lit(63)).cast("int"),
+        F.shiftrightunsigned(best, 6),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 2
+) -> dict[int, list[int]]:
+    """Lloyd iterations on the quantized table; returns the final
+    centroids {cluster_id: [64 longs]}.
+
+    Init is deterministic: the k smallest vec_ids seed the clusters
+    (cluster_id = seed vec_id's rank order = vec_id for the test
+    tables). A cluster that loses all members keeps its previous
+    centroid (both engines implement the same carry rule)."""
+    qv = _materialize(_spread(quantized(embeddings), "vec_id"))
+    seeds = qv.orderBy("vec_id").limit(k).select("vec_id", "qvec").collect()
+    centroids = {i: list(r["qvec"]) for i, r in enumerate(seeds)}
+    if not centroids:
+        return centroids
+    for _ in range(n_iter):
+        cid_col, _d = _best_cluster(F.col("qvec"), centroids)
+        sums = (
+            qv.select(cid_col.alias("cid"), F.posexplode("qvec").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new: dict[int, list[int]] = {}
+        for r in sums:
+            new.setdefault(r["cid"], [0] * 64)[r["pos"]] = _tdiv(
+                2 * r["s"] + r["n"], 2 * r["n"]
+            )
+        # empty clusters carry their previous centroid
+        centroids = {cid: new.get(cid, cvec) for cid, cvec in centroids.items()}
+    return centroids
+
+
+def kmeans_assign(embeddings: DataFrame, k: int = 8, n_iter: int = 2) -> DataFrame:
+    """(vec_id, label, cluster_id, dist_sq) after `n_iter` Lloyd
+    rounds. The returned plan is scan+project only — the fitted
+    centroids are baked in as literals, so the 100 TB assignment pass
+    is embarrassingly parallel with zero exchanges."""
+    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
+    qv = quantized(embeddings)
+    if not centroids:
+        return qv.select(
+            "vec_id",
+            "label",
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("long").alias("dist_sq"),
+        ).limit(0)
+    cid_col, dist_col = _best_cluster(F.col("qvec"), centroids)
+    return qv.select(
+        "vec_id",
+        "label",
+        cid_col.alias("cluster_id"),
+        dist_col.alias("dist_sq"),
+    )
+
+
+def kmeans_clusters(embeddings: DataFrame, k: int = 8, n_iter: int = 2) -> DataFrame:
+    """Driver-checked surface: full assignment ordered by vec_id."""
+    return kmeans_assign(embeddings, k=k, n_iter=n_iter).orderBy("vec_id")
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two qvec columns (≤ 64·(2^21)²)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs (a_id, b_id, cos_sim) searched
+    ONLY within a k-means cluster.
+
+    The cluster id is the blocking key: the self-join shuffles both
+    sides on cluster_id and compares a_id < b_id pairs inside each
+    block. At 100 TB, k scales with the corpus (SemDeDup uses ~10^5
+    clusters for 10^9 docs) so blocks stay bounded; a degenerate hot
+    cluster is the same skew problem as any blocked join and takes
+    the same salting fix (`operators.skew`). Cosine is computed on
+    the exact integer dots (double-exact below 2^53), rounded to 9 dp
+    before thresholding — the repo-wide cross-engine cosine rule."""
+    assign = _materialize(
+        _spread(kmeans_assign(embeddings, k=k, n_iter=n_iter), "vec_id").join(
+            quantized(embeddings).select("vec_id", "qvec"), "vec_id"
+        )
+    )
+    a = assign.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("qvec").alias("a_vec"),
+    )
+    b = assign.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("qvec").alias("b_vec"),
+    )
+    cos = F.round(
+        _int_dot(F.col("a_vec"), F.col("b_vec")).cast("double")
+        / (
+            F.sqrt(_int_dot(F.col("a_vec"), F.col("a_vec")).cast("double"))
+            * F.sqrt(_int_dot(F.col("b_vec"), F.col("b_vec")).cast("double"))
+        ),
+        9,
+    )
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("cluster_id", "a_id", "b_id", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("a_id", "b_id")
+    )
+
+
+def prototypicality(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 2, tail: float = 0.9
+) -> DataFrame:
+    """Prototype-distance pruning signal: every vector with its
+    cluster, exact distance-to-centroid, the cluster's discrete
+    `tail`-quantile of that distance, and an `is_peripheral` flag for
+    the tail beyond it (the prune-candidate set).
+
+    One map-side assignment pass + one k-row quantile aggregate
+    (exact `percentile_disc` over integer distances — no float
+    interpolation to disagree across engines) joined back broadcast."""
+    assign = _materialize(kmeans_assign(embeddings, k=k, n_iter=n_iter))
+    thr = assign.groupBy("cluster_id").agg(
+        F.expr(f"percentile_disc({tail}) WITHIN GROUP (ORDER BY dist_sq)")
+        .cast("long")  # disc picks an actual integer distance; keep it integral
+        .alias("dist_p_tail")
+    )
+    return (
+        assign.join(F.broadcast(thr), "cluster_id")
+        .select(
+            "vec_id",
+            "label",
+            "cluster_id",
+            "dist_sq",
+            "dist_p_tail",
+            (F.col("dist_sq") > F.col("dist_p_tail")).alias("is_peripheral"),
+        )
+        .orderBy("vec_id")
+    )

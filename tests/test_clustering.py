@@ -1,0 +1,113 @@
+"""K-means / SemDeDup / prototypicality correctness and plan shape.
+
+The oracle parity sweep (test_oracle_parity.py) already checks the
+three registry entries against DuckDB; the tests here pin the pieces
+the SQL twin can't see: independent-reimplementation exactness (a
+NumPy Lloyd on the same integer arithmetic), the zero-shuffle
+assignment plan, and empty-input degradation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from real_time_database_monitoring_system_spark.operators import clustering
+from real_time_database_monitoring_system_spark.plans import checks
+from real_time_database_monitoring_system_spark.sources.registry import SCHEMAS, load_table
+
+
+def _numpy_lloyd(vecs: dict[int, np.ndarray], k: int, n_iter: int):
+    """Independent reimplementation of the quantized Lloyd contract:
+    integer vectors, (dist, cid) argmin, (2s+n) trunc-div (2n) centroid
+    grid rounding, empty-cluster carry."""
+    ids = sorted(vecs)
+    cents = {i: vecs[v].copy() for i, v in enumerate(ids[:k])}
+
+    def assign():
+        out = {}
+        for v in ids:
+            best = min(
+                (int(((vecs[v] - c) ** 2).sum()), cid) for cid, c in cents.items()
+            )
+            out[v] = best
+        return out
+
+    for _ in range(n_iter):
+        a = assign()
+        sums: dict[int, np.ndarray] = {}
+        counts: dict[int, int] = {}
+        for v, (_, cid) in a.items():
+            sums[cid] = sums.get(cid, 0) + vecs[v]
+            counts[cid] = counts.get(cid, 0) + 1
+        for cid in cents:
+            if cid in sums:
+                num = 2 * sums[cid] + counts[cid]
+                den = 2 * counts[cid]
+                cents[cid] = np.sign(num) * (np.abs(num) // den)
+        cents = {c: v.astype(np.int64) for c, v in cents.items()}
+    return assign(), cents
+
+
+def test_kmeans_matches_independent_numpy_lloyd(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {
+        r["vec_id"]: np.array(r["qvec"], dtype=np.int64)
+        for r in clustering.quantized(emb).collect()
+    }
+    expect, _ = _numpy_lloyd(vecs, k=8, n_iter=2)
+    got = {
+        r["vec_id"]: (r["dist_sq"], r["cluster_id"])
+        for r in clustering.kmeans_assign(emb).collect()
+    }
+    assert got == expect
+
+
+def test_kmeans_assignment_plan_is_shuffle_free(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = clustering.kmeans_assign(emb)
+    assert checks.count_exchanges(df) == 0, (
+        "final assignment must be scan+project against literal centroids"
+    )
+
+
+def test_semantic_dedup_pairs_are_cluster_blocked_and_thresholded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in clustering.kmeans_assign(emb).collect()
+    }
+    vecs = {
+        r["vec_id"]: np.array(r["qvec"], dtype=np.float64)
+        for r in clustering.quantized(emb).collect()
+    }
+    pairs = clustering.semantic_dedup(emb).collect()
+    assert pairs, "synthetic corpus must produce at least one semantic pair"
+    for r in pairs:
+        assert r["a_id"] < r["b_id"]
+        assert assign[r["a_id"]] == assign[r["b_id"]] == r["cluster_id"]
+        a, b = vecs[r["a_id"]], vecs[r["b_id"]]
+        cos = float(a @ b) / (np.sqrt(a @ a) * np.sqrt(b @ b))
+        assert r["cos_sim"] == pytest.approx(round(cos, 9), abs=1e-9)
+        assert r["cos_sim"] >= 0.3
+
+
+def test_prototypicality_tail_is_bounded(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = clustering.prototypicality(emb).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        assert r["is_peripheral"] == (r["dist_sq"] > r["dist_p_tail"])
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rs in by_cluster.items():
+        n_flag = sum(r["is_peripheral"] for r in rs)
+        # discrete 0.9-quantile: strictly-greater tail is < 10% of the
+        # cluster (never more — disc picks an actual member value)
+        assert n_flag <= len(rs) * 0.1 + 1, f"cluster {cid} over-flagged"
+
+
+def test_clustering_tolerates_empty_input(spark):
+    emb = spark.createDataFrame([], SCHEMAS["embeddings"])
+    assert clustering.kmeans_clusters(emb).count() == 0
+    assert clustering.semantic_dedup(emb).count() == 0
+    assert clustering.prototypicality(emb).count() == 0
