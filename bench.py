@@ -88,6 +88,13 @@ HEADLINE = [
     "curation_waterfall",
     "scd2_enrich",
     "type_correlation",
+    # round-3: clustering + featurization families
+    "kmeans_clusters",
+    "semantic_dedup",
+    "embedding_prototypicality",
+    "feature_hash_embed",
+    "doc_novelty",
+    "bpe_pair_stats",
 ]
 
 

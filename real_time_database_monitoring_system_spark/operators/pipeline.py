@@ -598,3 +598,47 @@ def curate_corpus(documents: DataFrame) -> DataFrame:
         .join(kept.select("doc_id", "quality", "src_median"), "doc_id")
         .orderBy("doc_id")
     )
+
+
+def feature_hash_embed(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
+    """Hashing-trick document featurization: each token is hashed into
+    one of `n_buckets` slots (the portable md5-prefix bucket — same
+    hash both engines compute), per-doc term frequencies are
+    L2-normalized, and the vector is emitted in LONG form
+    (doc_id, bucket, tf, weight) so downstream joins/aggregations stay
+    relational (and the driver hash-compare sees scalars, not arrays).
+
+    This is the in-engine text→vector bridge (feature hashing,
+    Weinberger et al. 2009): no vocabulary state, no fit step, so it
+    maps over 100 TB as one explode + one keyed aggregation. The
+    weight is integer tf divided by the sqrt of an exact integer
+    sum-of-squares — a single final double division on exact inputs,
+    bit-equal across engines.
+
+    Shuffles: tf aggregation on (doc_id, bucket), then the norm window
+    on doc_id — both keyed, combine-friendly, never global.
+    """
+    toks = _spread(documents, "doc_id").select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % n_buckets
+    )
+    tf = toks.select("doc_id", bucket.alias("bucket")).groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("tf")
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        tf.withColumn("norm_sq", F.sum(F.col("tf") * F.col("tf")).over(w))
+        .select(
+            "doc_id",
+            F.col("bucket").cast("int").alias("bucket"),
+            "tf",
+            (F.col("tf").cast("double") / F.sqrt(F.col("norm_sq").cast("double"))).alias(
+                "weight"
+            ),
+        )
+        .orderBy("doc_id", "bucket")
+    )

@@ -308,3 +308,37 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.md5(norm.cast("binary")).alias("md5_fp"),
         rolling.alias("rolling_fp"),
     ).orderBy("doc_id")
+
+
+def bpe_pair_stats(documents: DataFrame, top_n: int = 50) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic
+    a byte-pair-encoding tokenizer's first merge step maximizes
+    (Sennrich et al. 2016). Every occurrence counts (not per-doc
+    distinct), so the output ranks exactly what BPE would merge first.
+
+    Pairs are generated per token with `transform(sequence(...))` over
+    plain `substring` — the indexed subtree is the scalar token, so
+    the NOTES.md quadratic-re-evaluation trap (indexing into a
+    *computed array*) does not apply. One explode + one keyed count +
+    TakeOrderedAndProject for the deterministic (count desc, pair asc)
+    head — map-side combine collapses each task to its distinct-pair
+    set (≤ ~1.3k for [a-z0-9]²), so the shuffle is tiny at any corpus
+    size.
+    """
+    toks = _spread(documents, "doc_id").select(
+        F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    pairs = (
+        toks.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(top_n)
+    )
