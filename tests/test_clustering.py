@@ -106,6 +106,27 @@ def test_prototypicality_tail_is_bounded(spark, sf_dir):
         assert n_flag <= len(rs) * 0.1 + 1, f"cluster {cid} over-flagged"
 
 
+def test_semantic_dedup_finds_planted_near_duplicate(spark, sf_dir):
+    """The SemDeDup blocking contract: a genuine near-duplicate
+    (cos → 1) lands in the same cluster as its original — the
+    assignment argmin moves by at most the perturbation — so the
+    within-cluster search must surface it. (Weak-similarity pairs that
+    straddle cluster boundaries are out of contract by design.)"""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.lit(0.0001)).cast("float")
+        ).alias("embedding"),
+        "label",
+    )
+    pairs = clustering.semantic_dedup(emb.unionByName(dup)).collect()
+    hit = [r for r in pairs if r["a_id"] == 0 and r["b_id"] == 100000]
+    assert hit and hit[0]["cos_sim"] >= 0.999, "planted near-dup must be found"
+
+
 def test_clustering_tolerates_empty_input(spark):
     emb = spark.createDataFrame([], SCHEMAS["embeddings"])
     assert clustering.kmeans_clusters(emb).count() == 0

@@ -197,3 +197,35 @@ def test_round3_operator_shuffle_budgets(spark, sf_dir):
         assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
         if need_bcast:
             assert checks.has_broadcast_join(df), f"{name}: baseline/dim must broadcast"
+
+
+def test_clustering_featurization_shuffle_budgets(spark, sf_dir):
+    """Same pin for the clustering/featurization families. (The
+    k-means FIT runs jobs before the plan exists; these budgets cover
+    the returned query plans — the fit's own shape is the k×64-row
+    combine documented in operators/clustering.py.)"""
+    from real_time_database_monitoring_system_spark.operators import (
+        clustering,
+        dedup,
+        pipeline,
+    )
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = [
+        # assignment itself is 0-exchange (test_clustering); the pair
+        # search adds the cluster-blocked self-join + presentation sort
+        ("semantic_dedup", clustering.semantic_dedup(emb), 3, False),
+        ("prototypicality", clustering.prototypicality(emb), 2, True),
+        ("feature_hash_embed", pipeline.feature_hash_embed(docs), 3, False),
+        ("doc_novelty", dedup.doc_novelty(docs), 3, False),
+        ("bpe_pair_stats", text_ops.bpe_pair_stats(docs), 2, False),
+    ]
+    for name, df, max_ex, need_bcast in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        if need_bcast:
+            assert checks.has_broadcast_join(df), f"{name}: quantile table must broadcast"
+    plan = text_ops.bpe_pair_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "pair head must not globally sort"
