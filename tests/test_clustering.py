@@ -127,6 +127,37 @@ def test_semantic_dedup_finds_planted_near_duplicate(spark, sf_dir):
     assert hit and hit[0]["cos_sim"] >= 0.999, "planted near-dup must be found"
 
 
+def test_kmeans_with_fewer_vectors_than_k(spark):
+    """n < k: seeds are whatever exists; every vector sits in its own
+    cluster at distance 0 (both engines implement the same LIMIT-k
+    seeding, so the oracle degrades identically)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i)] * 64, i) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = clustering.kmeans_clusters(emb).collect()
+    assert [(r["vec_id"], r["cluster_id"], r["dist_sq"]) for r in rows] == [
+        (0, 0, 0),
+        (1, 1, 0),
+        (2, 2, 0),
+    ]
+
+
+def test_tdiv_matches_duckdb_integer_division():
+    """clustering._tdiv exists because Python // floors while Spark
+    `div` and DuckDB `//` truncate toward zero; pin the three-way
+    agreement on the negative-numerator cases that bit us."""
+    import duckdb
+
+    cases = [(-7, 2), (7, 2), (-12, 4), (-1, 3), (1, 3), (-9, 2), (10**12 + 1, 7)]
+    got = [clustering._tdiv(a, b) for a, b in cases]
+    duck = [
+        duckdb.sql(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()[0]
+        for a, b in cases
+    ]
+    assert got == duck
+
+
 def test_clustering_tolerates_empty_input(spark):
     emb = spark.createDataFrame([], SCHEMAS["embeddings"])
     assert clustering.kmeans_clusters(emb).count() == 0
