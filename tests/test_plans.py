@@ -219,7 +219,10 @@ def test_clustering_featurization_shuffle_budgets(spark, sf_dir):
         ("semantic_dedup", clustering.semantic_dedup(emb), 3, False),
         ("prototypicality", clustering.prototypicality(emb), 2, True),
         ("feature_hash_embed", pipeline.feature_hash_embed(docs), 3, False),
-        ("doc_novelty", dedup.doc_novelty(docs), 3, False),
+        # spread + window-fold DF + per-doc rollup + presentation sort;
+        # the old aggregate+join-back form hid its extra index
+        # shuffles behind a checkpoint — this is the whole plan
+        ("doc_novelty", dedup.doc_novelty(docs), 4, False),
         ("bpe_pair_stats", text_ops.bpe_pair_stats(docs), 2, False),
     ]
     for name, df, max_ex, need_bcast in budgets:
