@@ -5,11 +5,12 @@ slow-query panel, `/root/reference/myapp/views.py:396-407`) on sf0.001.
 `queries()` exposes every implemented operator from SURVEY.md §2 plus
 the training-data-pipeline layer (see COVERAGE.md for the full map);
 `oracle_sql()` gives the DuckDB twin for each, omitted only where the
-result is hash-function-dependent, sketch-based, or iterative
-(MinHash/SimHash/LSH-ANN/IVF/approx-percentile) — those are verified
-against exact algorithms in tests/ instead. (K-means IS oracle-backed:
-its integer-quantized arithmetic is exact, so the unrolled-iteration
-SQL twin reproduces it bit-for-bit.)
+result is xxhash64-dependent or sketch-saturated
+(MinHash/SimHash/HLL/KLL/keepers/approx-percentile) — those are
+verified against exact algorithms in tests/ instead. (K-means, IVF-ANN
+and LSH-ANN ARE oracle-backed: integer-quantized arithmetic, decimal
+centroids and literal-embedded planes make them exactly reproducible,
+iteration and approximation notwithstanding.)
 
 Determinism contract (SURVEY §7): `now()` is replaced by the max event
 timestamp; interval math is integer microseconds; aggregate sums are
@@ -907,8 +908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     prefix, so the window rotates each round to maximize driver
     evidence across all entries. Round-3 rotation: positions 1-23 are
     every entry with NO green row across CORRECTNESS_r01+r02 (the 14
-    oracle-backed late arrivals plus the 9 rows-only sketch/ANN
-    entries, which get the driver's weaker rows-only check); new
+    oracle-backed late arrivals plus the rows-only sketch entries,
+    which get the driver's weaker rows-only check — ivf_knn and
+    knn_lsh were later upgraded to full oracles in place); new
     round-3 queries displace window PADDING (green representatives),
     never the never-checked block. Overflow entries are all
     driver-green and remain covered by the identical local check
@@ -920,7 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     one."""
     return {
         # -- window 1-23: every entry with NO green driver row across
-        #    CORRECTNESS_r01+r02 (14 oracle-backed + 9 rows-only) --
+        #    CORRECTNESS_r01+r02 (14 then-oracle-backed + 9 then-rows-only;
+        #    ivf_knn/knn_lsh since upgraded to full oracles in place) --
         "gapfill_interpolate": _q_gapfill_interpolate,
         "bloom_semi_revenue": _q_bloom_semi_revenue,
         "theta_user_overlap": _q_theta_user_overlap,
@@ -2376,6 +2379,99 @@ def oracle_sql() -> dict[str, str]:
                af.dist > t.dist_p_tail AS is_peripheral
         FROM af JOIN q USING (vec_id) JOIN thr t ON af.cid = t.cid
         ORDER BY vec_id
+    """
+
+    # IVF-ANN twin: decimal-exact per-label centroids (the
+    # label_centroid_similarity rule), round-9 probe ranking with
+    # label tiebreak, candidates only from the nprobe nearest lists,
+    # round-9 scoring with vec_id tiebreak — deterministic end to end.
+    sql["ivf_knn"] = """
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        comp AS (
+            SELECT label, CAST(pos AS INTEGER) AS pos, vec[pos + 1] AS x
+            FROM (SELECT label, unnest(range(0, len(vec))) AS pos, vec FROM emb)),
+        centc AS (
+            SELECT label, pos,
+                   CAST(SUM(CAST(x AS DECIMAL(18,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM comp GROUP BY 1, 2),
+        cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM centc GROUP BY label),
+        q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 20),
+        qc AS (
+            SELECT q.q_id, q.q_vec, c.label,
+                   round(list_dot_product(q.q_vec, c.centroid)
+                         / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                            * sqrt(list_dot_product(c.centroid, c.centroid))), 9) AS c_sim
+            FROM q CROSS JOIN cent c),
+        probes AS (
+            SELECT q_id, q_vec, label FROM
+              (SELECT *, row_number() OVER (PARTITION BY q_id
+                                            ORDER BY c_sim DESC, label ASC) AS pr FROM qc)
+            WHERE pr <= 3),
+        scored AS (
+            SELECT p.q_id, e.vec_id, e.label,
+                   round(list_dot_product(p.q_vec, e.vec)
+                         / (sqrt(list_dot_product(p.q_vec, p.q_vec))
+                            * sqrt(list_dot_product(e.vec, e.vec))), 9) AS cos_sim
+            FROM emb e JOIN probes p ON e.label = p.label
+            WHERE e.vec_id <> p.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rn,
+               vec_id, label, cos_sim
+        FROM scored
+        QUALIFY rn <= 5
+        ORDER BY q_id, rn
+    """
+
+    # LSH-ANN twin: the SAME seeded Gaussian planes as similarity.knn_lsh
+    # (one source of truth, literal-embedded — repr round-trips the exact
+    # double), so band signatures agree bit for bit and the candidate
+    # sets are identical; scoring is the shared round-9 cosine.
+    _lsh_planes = similarity._hyperplanes(12, 64)
+    _lsh_bits = 12 // 3
+
+    def _gauss_lit(p: list[float]) -> str:
+        return "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in p) + "]"
+
+    _lsh_band_defs = []
+    for _j in range(3):
+        _terms = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {_gauss_lit(_lsh_planes[_j * _lsh_bits + _i])}) >= 0"
+            f" THEN {1 << _i} ELSE 0 END)"
+            for _i in range(_lsh_bits)
+        )
+        _lsh_band_defs.append(f"({_terms}) AS b{_j}")
+    _lsh_banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, label, vec, {_j} AS band_id, b{_j} AS band_sig FROM sig"
+        for _j in range(3)
+    )
+    sql["knn_lsh"] = f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        sig AS (SELECT vec_id, label, vec, {", ".join(_lsh_band_defs)} FROM emb),
+        banded AS ({_lsh_banded_union}),
+        q AS (SELECT vec_id AS q_id, vec AS q_vec, band_id, band_sig
+              FROM banded WHERE vec_id < 20),
+        cand AS (
+            SELECT DISTINCT q.q_id, b.vec_id
+            FROM banded b
+            JOIN q ON b.band_id = q.band_id AND b.band_sig = q.band_sig
+                  AND b.vec_id <> q.q_id),
+        scored AS (
+            SELECT c.q_id, c.vec_id, e.label,
+                   round(list_dot_product(x.vec, e.vec)
+                         / (sqrt(list_dot_product(x.vec, x.vec))
+                            * sqrt(list_dot_product(e.vec, e.vec))), 9) AS cos_sim
+            FROM cand c
+            JOIN emb x ON c.q_id = x.vec_id
+            JOIN emb e ON c.vec_id = e.vec_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS INTEGER) AS rn,
+               vec_id, label, cos_sim
+        FROM scored
+        QUALIFY rn <= 5
+        ORDER BY q_id, rn
     """
 
     sql["multimodal_meta"] = """

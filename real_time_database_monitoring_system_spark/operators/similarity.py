@@ -268,15 +268,26 @@ def ivf_knn(
     vectors whose list is among their `nprobe` nearest centroids. At
     scale the big side is pre-partitioned (clustered) by list id, so a
     probe touches only those partitions.
+
+    Fully deterministic (and therefore oracle-backed): centroid
+    components are exact decimal sums divided once into doubles (the
+    `label_centroid_similarity` rule — double `avg` is summation-order
+    dependent), and the probe ranking uses the round-9 cosine with a
+    label tiebreak, the same contract the exact top-k applies.
     """
     emb_d = _spread(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
-    # centroid per list: element-wise mean via posexplode + group
+    # centroid per list: element-wise decimal-exact mean
     cent = (
         emb_d.select("label", F.posexplode("vec").alias("pos", "x"))
         .groupBy("label", "pos")
-        .agg(F.avg("x").alias("m"))
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
         .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
@@ -286,7 +297,10 @@ def ivf_knn(
     )
     # rank centroids per query, keep nprobe lists
     qc = queries.crossJoin(F.broadcast(cent)).select(
-        "q_id", "q_vec", "label", cosine(F.col("q_vec"), F.col("centroid")).alias("c_sim")
+        "q_id",
+        "q_vec",
+        "label",
+        F.round(cosine(F.col("q_vec"), F.col("centroid")), 9).alias("c_sim"),
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("c_sim"), F.asc("label"))
     probes = qc.withColumn("pr", F.row_number().over(wq)).filter(F.col("pr") <= nprobe).select(
@@ -320,6 +334,14 @@ def knn_lsh(
     computed only on candidates. At scale, both sides shuffle on
     (band_id, band_sig) — bucket sizes are data-independent in
     expectation, and no cross product exists.
+
+    Deterministic end to end, so oracle-backed: the Gaussian planes
+    are seeded Python floats embedded as literals in BOTH engines
+    (repr round-trips the exact double), the sign dots are sequential
+    folds (identical per-step IEEE rounding in Spark's aggregate and
+    DuckDB's list_dot_product — the `rademacher_planes` argument,
+    which never actually required ±1 coefficients), and scoring is the
+    round-9 cosine with unique tiebreaks.
     """
     planes = _hyperplanes(n_planes, dim)
     bits_per_band = n_planes // bands
