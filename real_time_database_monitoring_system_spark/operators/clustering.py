@@ -284,3 +284,50 @@ def prototypicality(
         )
         .orderBy("vec_id")
     )
+
+
+def cluster_id_col(embeddings_col: Column, centroids: dict[int, list[int]]) -> Column:
+    """Map-side cluster id for a raw float embedding column under
+    fitted centroids — quantization + argmin in one projected
+    expression (no join, no shuffle)."""
+    qcol = F.transform(
+        embeddings_col.cast("array<double>"),
+        lambda x: F.round(x * _SCALE).cast("long"),
+    )
+    cid, _dist = _best_cluster(qcol, centroids)
+    return cid
+
+
+def write_clustered(
+    embeddings: DataFrame, path: str, k: int = 8, n_iter: int = 2
+) -> dict[int, list[int]]:
+    """Persist the embedding table partitioned by its k-means cluster
+    id — the IVF storage layout: each inverted list is a directory, so
+    an `nprobe`-list probe opens only those directories
+    (PartitionFilters prune before any file IO) instead of scanning
+    the corpus. This is the at-rest half of `similarity.ivf_knn`'s
+    "at scale the big side is pre-partitioned by list id" contract.
+
+    Returns the fitted centroids so the prober can rank lists without
+    re-fitting. The write is one fit + one map-side assignment pass +
+    the partitioned write; re-clustering (k changes, drift) is a
+    rewrite, which is how IVF indexes rebuild anywhere."""
+    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
+    (
+        embeddings.withColumn(
+            "cluster_id", cluster_id_col(F.col("embedding"), centroids)
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+    return centroids
+
+
+def read_probed(spark, path: str, probe_clusters: list[int]) -> DataFrame:
+    """Read only the probed inverted lists from a `write_clustered`
+    layout; the isin predicate is a partition filter, so unprobed
+    lists cost nothing."""
+    return spark.read.parquet(path).filter(
+        F.col("cluster_id").isin([int(c) for c in probe_clusters])
+    )

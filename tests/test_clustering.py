@@ -158,6 +158,28 @@ def test_tdiv_matches_duckdb_integer_division():
     assert got == duck
 
 
+def test_clustered_layout_prunes_unprobed_lists(spark, sf_dir, tmp_path):
+    """The IVF storage layout: embeddings written partitioned by
+    cluster id must serve an nprobe read through PartitionFilters
+    (directory pruning), and the probed rows must be exactly the
+    assignment's members of those clusters."""
+    from real_time_database_monitoring_system_spark.plans import checks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "emb_by_cluster")
+    clustering.write_clustered(emb, path)
+    probed = clustering.read_probed(spark, path, [1, 3])
+    plan = checks.explain_str(probed)
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "cluster_id" in part_lines[0], plan
+    expect = {
+        r["vec_id"]
+        for r in clustering.kmeans_assign(emb).collect()
+        if r["cluster_id"] in (1, 3)
+    }
+    assert {r["vec_id"] for r in probed.collect()} == expect
+
+
 def test_clustering_tolerates_empty_input(spark):
     emb = spark.createDataFrame([], SCHEMAS["embeddings"])
     assert clustering.kmeans_clusters(emb).count() == 0
