@@ -180,6 +180,31 @@ def test_clustered_layout_prunes_unprobed_lists(spark, sf_dir, tmp_path):
     assert {r["vec_id"] for r in probed.collect()} == expect
 
 
+def test_semantic_pairs_compose_with_dedup_closure(spark, sf_dir):
+    """The dedup machinery is pair-source agnostic: SemDeDup pairs
+    feed dup_clusters/keeper_list exactly like MinHash or Jaccard
+    pairs. Pins the composition: transitive closure over the semantic
+    pair graph, min-id keepers, every vector accounted for once."""
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = clustering.semantic_dedup(emb).select(
+        F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"))
+    keepers = dedup.keeper_list(docs, pairs).collect()
+    assert len(keepers) == emb.count()
+    by_id = {r["doc_id"]: r for r in keepers}
+    edge = pairs.first()
+    a, b = edge["doc_a"], edge["doc_b"]
+    assert by_id[a]["keeper_doc_id"] == by_id[b]["keeper_doc_id"]
+    for r in keepers:
+        assert r["keeper_doc_id"] <= r["doc_id"]
+        assert by_id[r["keeper_doc_id"]]["is_keeper"]
+
+
 def test_clustering_tolerates_empty_input(spark):
     emb = spark.createDataFrame([], SCHEMAS["embeddings"])
     assert clustering.kmeans_clusters(emb).count() == 0
