@@ -44,6 +44,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
 from .util import spread as _spread
@@ -330,4 +331,78 @@ def read_probed(spark, path: str, probe_clusters: list[int]) -> DataFrame:
     lists cost nothing."""
     return spark.read.parquet(path).filter(
         F.col("cluster_id").isin([int(c) for c in probe_clusters])
+    )
+
+
+def cluster_quality(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 2
+) -> DataFrame:
+    """Davies–Bouldin cluster-quality diagnostics: one row per cluster
+    with its size, intra-cluster scatter S_i (mean member→centroid
+    distance), the most-confusable other cluster, and the DB ratio
+    R_i = max_j≠i (S_i + S_j) / M_ij — the model-selection signal for
+    choosing k (lower is better; mean of R_i is the DB index).
+
+    Cost shape: the 0-exchange assignment pass + ONE k-row aggregate;
+    the k×k centroid-separation table is computed driver-side from the
+    exact integer centroids (model state, not data). Determinism: the
+    per-point sqrt is rounded to 9 dp then decimal-accumulated (the
+    user_entropy rule), centroid separations are exact-integer sums
+    under one sqrt."""
+    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
+    if not centroids:
+        return embeddings.sparkSession.createDataFrame(
+            [], "cluster_id int, n_members bigint, s_intra double, "
+            "nearest_other int, r_max double"
+        )
+    assign = kmeans_assign(embeddings, k=k, n_iter=n_iter)
+    scatter = assign.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members"),
+        (
+            F.sum(
+                F.round(F.sqrt(F.col("dist_sq").cast("double")), 9).cast(
+                    "decimal(28,9)"
+                )
+            ).cast("double")
+            / F.count("*").cast("double")
+        ).alias("s_intra"),
+    )
+    sep_rows = []
+    for i, ci in centroids.items():
+        for j, cj in centroids.items():
+            if i != j:
+                m = sum((a - b) * (a - b) for a, b in zip(ci, cj)) ** 0.5
+                sep_rows.append((i, j, float(m)))
+    seps = embeddings.sparkSession.createDataFrame(
+        sep_rows, "cluster_id int, other_id int, m_sep double"
+    )
+    a = scatter.select("cluster_id", "n_members", "s_intra")
+    b = scatter.select(
+        F.col("cluster_id").alias("other_id"), F.col("s_intra").alias("s_other")
+    )
+    ratios = (
+        seps.join(F.broadcast(a), "cluster_id")
+        .join(F.broadcast(b), "other_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "s_intra",
+            "other_id",
+            F.round((F.col("s_intra") + F.col("s_other")) / F.col("m_sep"), 9).alias(
+                "r"
+            ),
+        )
+    )
+    w_best = Window.partitionBy("cluster_id").orderBy(F.desc("r"), F.asc("other_id"))
+    return (
+        ratios.withColumn("rk", F.row_number().over(w_best))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            "n_members",
+            F.round("s_intra", 9).alias("s_intra"),
+            F.col("other_id").alias("nearest_other"),
+            F.col("r").alias("r_max"),
+        )
+        .orderBy("cluster_id")
     )

@@ -205,8 +205,44 @@ def test_semantic_pairs_compose_with_dedup_closure(spark, sf_dir):
         assert by_id[r["keeper_doc_id"]]["is_keeper"]
 
 
+def test_cluster_quality_matches_numpy_davies_bouldin(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = clustering.cluster_quality(emb).collect()
+    assign = clustering.kmeans_assign(emb).collect()
+    vecs = {
+        r["vec_id"]: np.array(r["qvec"], dtype=np.int64)
+        for r in clustering.quantized(emb).collect()
+    }
+    _, cents = _numpy_lloyd(vecs, k=8, n_iter=2)
+    by_c: dict[int, list] = {}
+    for r in assign:
+        by_c.setdefault(r["cluster_id"], []).append(r)
+    s = {
+        c: sum(round(float(np.sqrt(r["dist_sq"])), 9) for r in rs) / len(rs)
+        for c, rs in by_c.items()
+    }
+    for row in rows:
+        c = row["cluster_id"]
+        assert row["n_members"] == len(by_c[c])
+        assert row["s_intra"] == pytest.approx(s[c], abs=1e-8)
+        r_best = max(
+            (
+                round(
+                    (s[c] + s[o]) / float(np.sqrt(((cents[c] - cents[o]) ** 2).sum())),
+                    9,
+                ),
+                -o,
+            )
+            for o in s
+            if o != c
+        )
+        assert row["r_max"] == pytest.approx(r_best[0], abs=1e-8)
+        assert row["nearest_other"] == -r_best[1]
+
+
 def test_clustering_tolerates_empty_input(spark):
     emb = spark.createDataFrame([], SCHEMAS["embeddings"])
     assert clustering.kmeans_clusters(emb).count() == 0
     assert clustering.semantic_dedup(emb).count() == 0
     assert clustering.prototypicality(emb).count() == 0
+    assert clustering.cluster_quality(emb).count() == 0
