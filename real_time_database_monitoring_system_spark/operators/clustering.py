@@ -290,7 +290,11 @@ def prototypicality(
 def cluster_id_col(embeddings_col: Column, centroids: dict[int, list[int]]) -> Column:
     """Map-side cluster id for a raw float embedding column under
     fitted centroids — quantization + argmin in one projected
-    expression (no join, no shuffle)."""
+    expression (no join, no shuffle). Empty centroids (a fit on an
+    empty table) degrade to a NULL cluster id, so a partitioned write
+    of an empty corpus still succeeds."""
+    if not centroids:
+        return F.lit(None).cast("int")
     qcol = F.transform(
         embeddings_col.cast("array<double>"),
         lambda x: F.round(x * _SCALE).cast("long"),
@@ -328,8 +332,20 @@ def write_clustered(
 def read_probed(spark, path: str, probe_clusters: list[int]) -> DataFrame:
     """Read only the probed inverted lists from a `write_clustered`
     layout; the isin predicate is a partition filter, so unprobed
-    lists cost nothing."""
-    return spark.read.parquet(path).filter(
+    lists cost nothing. The schema is explicit (the engine-wide
+    no-inference rule), which also makes an empty layout — a fit on
+    an empty corpus writes no files — readable instead of an
+    UNABLE_TO_INFER_SCHEMA failure."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from ..sources.registry import SCHEMAS
+
+    # StructType.add mutates in place — build a fresh copy instead of
+    # appending to the shared registry schema
+    schema = StructType(
+        list(SCHEMAS["embeddings"].fields) + [StructField("cluster_id", IntegerType())]
+    )
+    return spark.read.schema(schema).parquet(path).filter(
         F.col("cluster_id").isin([int(c) for c in probe_clusters])
     )
 

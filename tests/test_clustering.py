@@ -240,9 +240,12 @@ def test_cluster_quality_matches_numpy_davies_bouldin(spark, sf_dir):
         assert row["nearest_other"] == -r_best[1]
 
 
-def test_clustering_tolerates_empty_input(spark):
+def test_clustering_tolerates_empty_input(spark, tmp_path):
     emb = spark.createDataFrame([], SCHEMAS["embeddings"])
     assert clustering.kmeans_clusters(emb).count() == 0
     assert clustering.semantic_dedup(emb).count() == 0
     assert clustering.prototypicality(emb).count() == 0
     assert clustering.cluster_quality(emb).count() == 0
+    path = str(tmp_path / "empty_clustered")
+    assert clustering.write_clustered(emb, path) == {}
+    assert clustering.read_probed(spark, path, [0, 1]).count() == 0
