@@ -2279,7 +2279,7 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT vec_id, label,
                 list_transform(embedding,
                                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qvec
-              FROM embeddings),
+              FROM embeddings WHERE embedding IS NOT NULL),
         c0f AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qvec AS cvec
                FROM (SELECT vec_id, qvec FROM q ORDER BY vec_id LIMIT {_KM_K}))"""
     ]

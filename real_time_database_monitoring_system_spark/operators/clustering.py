@@ -65,8 +65,13 @@ def quantized(embeddings: DataFrame) -> DataFrame:
 
     Centered (sign-preserving) quantization: dot products and cosines
     over qvec approximate the float originals to ~1e-6 while keeping
-    every downstream comparison exact-integer."""
-    return embeddings.select(
+    every downstream comparison exact-integer.
+
+    NULL embeddings are dropped (matching the oracle's WHERE): a NULL
+    vector otherwise rides through as a NULL distance, where Spark's
+    null-skipping `least` and SQL's NULLS-LAST row_number would pick
+    different clusters."""
+    return embeddings.filter(F.col("embedding").isNotNull()).select(
         "vec_id",
         "label",
         F.transform(

@@ -127,6 +127,18 @@ def test_semantic_dedup_finds_planted_near_duplicate(spark, sf_dir):
     assert hit and hit[0]["cos_sim"] >= 0.999, "planted near-dup must be found"
 
 
+def test_kmeans_drops_null_embeddings(spark):
+    """NULL vectors are excluded up front (matching the oracle WHERE):
+    left in, Spark's null-skipping `least` and SQL's NULLS-LAST
+    row_number would assign them different clusters."""
+    emb = spark.createDataFrame(
+        [(0, [0.1] * 64, 1), (1, None, 2), (2, [0.2] * 64, 3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = clustering.kmeans_clusters(emb).collect()
+    assert [r["vec_id"] for r in out] == [0, 2]
+
+
 def test_kmeans_with_fewer_vectors_than_k(spark):
     """n < k: seeds are whatever exists; every vector sits in its own
     cluster at distance 0 (both engines implement the same LIMIT-k
