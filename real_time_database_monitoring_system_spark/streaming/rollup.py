@@ -413,6 +413,68 @@ def stream_join_alert_context_outer(
     return _run_to_memory(joined, "append").orderBy("alert_id", "ctx_id")
 
 
+def stream_join_alert_context_full(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 99.0,
+    horizon_minutes: int = 5,
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — completes the join
+    matrix (inner / leftOuter / fullOuter): silent alerts emit with
+    NULL ctx (as in the left-outer form) AND context events that no
+    alert explains emit with NULL alert columns — the "unattributed
+    activity" feed an auditing deployment watches alongside alerts.
+
+    Eviction semantics extend the left-outer derivation: an unmatched
+    ctx row can only be matched by alerts with `alert_ts ≤ ctx_ts`,
+    so its NULL row emits once the global watermark passes `ctx_ts`
+    itself (no horizon term on that side); unmatched alerts emit once
+    the watermark passes `alert_ts + horizon` as before. Both
+    emissions depend only on the final watermark, so the availableNow
+    replay is deterministic (model-tested in test_streaming)."""
+    alerts = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .filter(F.col("value") > threshold)
+        .select(
+            F.col("event_id").alias("alert_id"),
+            F.col("user_id").alias("alert_user"),
+            F.col("ts").alias("alert_ts"),
+            F.col("value").alias("alert_value"),
+        )
+        .withWatermark("alert_ts", lateness)
+    )
+    ctx = (
+        _events_stream(spark, sf_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select(
+            F.col("event_id").alias("ctx_id"),
+            F.col("user_id").alias("ctx_user"),
+            F.col("ts").alias("ctx_ts"),
+            F.col("event_type").alias("ctx_type"),
+        )
+        .withWatermark("ctx_ts", lateness)
+    )
+    joined = alerts.join(
+        ctx,
+        (F.col("alert_user") == F.col("ctx_user"))
+        & (F.col("ctx_ts") >= F.col("alert_ts"))
+        & (F.col("ctx_ts") <= F.col("alert_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+        & (F.col("alert_id") != F.col("ctx_id")),
+        "fullOuter",
+    ).select(
+        "alert_id",
+        "ctx_id",
+        F.coalesce("alert_user", "ctx_user").alias("user_id"),
+        F.unix_micros("alert_ts").alias("alert_us"),
+        F.unix_micros("ctx_ts").alias("ctx_us"),
+        "ctx_type",
+        "alert_value",
+    )
+    return _run_to_memory(joined, "append").orderBy("alert_id", "ctx_id")
+
+
 def stream_throttled_alerts(
     spark: SparkSession,
     sf_dir: str,

@@ -227,6 +227,55 @@ def test_stream_join_outer_matches_deterministic_model(spark, sf_dir):
     assert any(c is None for _, c in got), "no outer rows emitted"
 
 
+def test_stream_join_full_outer_matches_deterministic_model(spark, sf_dir):
+    """FULL OUTER stream-stream join: inner matches ∪ expired
+    unmatched alerts (aus + horizon < wm, as in left outer) ∪ expired
+    unmatched ctx rows — a ctx row can only be matched by alerts with
+    aus ≤ cus, so it becomes decidable once the watermark passes cus
+    itself. Nothing fresher emits."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "us", F.expr("unix_micros(cast(ts as timestamp))")
+    )
+    alerts = ev.filter(F.col("value") > 99.0).select(
+        F.col("event_id").alias("alert_id"),
+        F.col("user_id").alias("au"),
+        F.col("us").alias("aus"),
+    )
+    ctx = ev.select(
+        F.col("event_id").alias("ctx_id"),
+        F.col("user_id").alias("cu"),
+        F.col("us").alias("cus"),
+    )
+    horizon, lateness = 300_000_000, 600_000_000
+    matches = alerts.join(
+        ctx,
+        (F.col("au") == F.col("cu"))
+        & (F.col("cus") >= F.col("aus"))
+        & (F.col("cus") <= F.col("aus") + horizon)
+        & (F.col("alert_id") != F.col("ctx_id")),
+    )
+    expected = {(r.alert_id, r.ctx_id) for r in matches.collect()}
+    wm = min(
+        alerts.agg(F.max("aus")).first()[0], ev.agg(F.max("us")).first()[0]
+    ) - lateness
+    matched_alerts = {a for a, _ in expected}
+    matched_ctx = {c for _, c in expected}
+    for r in alerts.collect():
+        if r.alert_id not in matched_alerts and r.aus + horizon < wm:
+            expected.add((r.alert_id, None))
+    for r in ctx.collect():
+        if r.ctx_id not in matched_ctx and r.cus < wm:
+            expected.add((None, r.ctx_id))
+
+    got = {
+        (r.alert_id, r.ctx_id)
+        for r in sr.stream_join_alert_context_full(spark, sf_dir).collect()
+    }
+    assert got == expected
+    assert any(a is None for a, _ in got), "no right-outer rows emitted"
+    assert any(c is None for _, c in got), "no left-outer rows emitted"
+
+
 def test_stream_sliding_rollup_equals_batch(spark, sf_dir):
     batch = monitoring.sliding_rollup(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_sliding_rollup(spark, sf_dir).collect()
