@@ -1,26 +1,86 @@
-"""Generic file sources beyond parquet (SURVEY §2.1 S1-S2 generalized).
+"""Non-parquet interchange formats with the registry's no-inference rule.
 
-All readers take an explicit schema (never inference — a schema
-inference pass over a 100k-file corpus is a full extra scan) and return
-plain DataFrames, so every downstream operator is source-agnostic.
+The reference exports its grids as CSV/XLSX and ships JSON to the
+browser (SURVEY §2.1 S6–S8); a training-data pipeline additionally
+ingests JSONL drops from upstream producers. These helpers make those
+formats first-class WITHOUT giving up the engine's schema discipline:
+
+- every read takes the explicit registry schema (schema inference on
+  a 100 TB text drop is a full extra pass AND a correctness hazard —
+  a column of "123"s infers bigint until the day it doesn't);
+- malformed JSONL/CSV rows are not dropped silently and do not fail
+  the job: PERMISSIVE mode routes them to a quarantine column, and
+  `read_jsonl` returns (good, quarantined) so the pipeline can land
+  bad input in a dead-letter table with lineage (the at-scale
+  ingestion contract; FAILFAST is a one-bad-byte job killer and
+  DROPMALFORMED is silent data loss).
+- ORC round-trips with the same explicit schema — Spark carries the
+  reader/writer natively, and mixed-format lakes are the norm.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import types as T
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .registry import SCHEMAS
+
+_CORRUPT = "_corrupt_record"
 
 
-def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool = True) -> DataFrame:
-    return spark.read.schema(schema).option("header", header).csv(path)
+def _with_corrupt(schema: StructType) -> StructType:
+    return StructType(list(schema.fields) + [StructField(_CORRUPT, StringType())])
 
 
-def read_jsonl(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
-    return spark.read.schema(schema).json(path)
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """One JSON object per line (the interchange format LLM corpora
+    actually arrive in); permissive consumers re-read with
+    `read_jsonl`."""
+    df.write.mode("overwrite").json(path)
 
 
-def read_parquet(spark: SparkSession, path: str, schema: T.StructType | None = None) -> DataFrame:
-    reader = spark.read
-    if schema is not None:
-        reader = reader.schema(schema)
-    return reader.parquet(path)
+def read_jsonl(
+    spark: SparkSession, path: str, table: str
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantined) under the registry schema for `table`.
+
+    Good rows have NULL `_corrupt_record`; quarantined rows carry the
+    raw offending line for the dead-letter sink. The parsed batch is
+    cached: Spark refuses plans whose column pruning leaves ONLY the
+    internal corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN),
+    and caching is the documented pattern — it also means the two
+    consumers share one parse instead of re-reading the drop."""
+    raw = spark.read.schema(_with_corrupt(SCHEMAS[table])).json(path).cache()
+    good = raw.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    quarantined = raw.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("raw_line")
+    )
+    return good, quarantined
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """Headered CSV with full quoting — the reference's export shape
+    (index.html:338-371), writable at any scale (one file per task)."""
+    df.write.mode("overwrite").option("header", True).option(
+        "quoteAll", True
+    ).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, table: str) -> DataFrame:
+    """CSV under the registry schema — header consumed for position
+    only, types come from the schema, never inference."""
+    return (
+        spark.read.schema(SCHEMAS[table])
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str, table: str) -> DataFrame:
+    return spark.read.schema(SCHEMAS[table]).orc(path)

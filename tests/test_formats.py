@@ -1,0 +1,58 @@
+"""Interchange formats: explicit-schema round-trips + JSONL quarantine."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.sources import formats
+from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+
+def _sorted_rows(df, key):
+    return [tuple(r) for r in df.orderBy(key).collect()]
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    formats.write_jsonl(docs, path)
+    good, quarantined = formats.read_jsonl(spark, path, "documents")
+    assert quarantined.count() == 0
+    assert _sorted_rows(good, "doc_id") == _sorted_rows(docs, "doc_id")
+
+
+def test_jsonl_quarantines_malformed_lines(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(5)
+    path = tmp_path / "dirty_jsonl"
+    formats.write_jsonl(docs, str(path))
+    # drop a producer's dirty file into the same directory
+    (path / "bad.json").write_text(
+        '{"doc_id": 999999, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "{this is not json at all\n"
+        '{"doc_id": "also-not-a-long"}\n'
+    )
+    good, quarantined = formats.read_jsonl(spark, str(path), "documents")
+    bad = [r["raw_line"] for r in quarantined.collect()]
+    assert len(bad) == 2 and any("not json" in b for b in bad)
+    # the good rows include the clean files AND the valid line from the
+    # dirty file; nothing was dropped silently
+    assert good.count() == 6
+    assert good.filter(F.col("doc_id") == 999999).count() == 1
+
+
+def test_csv_roundtrip_orders(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_csv")
+    formats.write_csv(orders, path)
+    back = formats.read_csv(spark, path, "orders")
+    assert back.schema == orders.schema
+    assert _sorted_rows(back, "o_orderkey") == _sorted_rows(orders, "o_orderkey")
+
+
+def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_orc")
+    formats.write_orc(events, path)
+    back = formats.read_orc(spark, path, "events")
+    assert back.schema == events.schema
+    assert _sorted_rows(back, "event_id") == _sorted_rows(events, "event_id")
