@@ -56,3 +56,28 @@ def test_orc_roundtrip_events(spark, sf_dir, tmp_path):
     back = formats.read_orc(spark, path, "events")
     assert back.schema == events.schema
     assert _sorted_rows(back, "event_id") == _sorted_rows(events, "event_id")
+
+
+def test_explicit_schema_reads_across_file_generations(spark, sf_dir, tmp_path):
+    """Schema evolution contract: a directory holding files written
+    BEFORE a column existed and files written after reads cleanly
+    under the explicit superset schema — old rows surface NULL for the
+    new column, no mergeSchema inference pass, no failure. This is how
+    `catalog.ensure_column`-style evolution behaves at the file layer
+    on an immutable lake."""
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    path = tmp_path / "evolving"
+    # generation 1: before `quality` existed
+    docs.write.mode("overwrite").parquet(str(path / "gen=1"))
+    # generation 2: with the new column
+    docs.withColumn("quality", F.lit(0.5)).write.mode("overwrite").parquet(
+        str(path / "gen=2")
+    )
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars int, quality double")
+    back = spark.read.schema(schema).option("basePath", str(path)).parquet(
+        str(path / "gen=1"), str(path / "gen=2")
+    )
+    assert back.count() == 20
+    assert back.filter(F.col("quality").isNull()).count() == 10
+    assert back.filter(F.col("quality") == 0.5).count() == 10
