@@ -95,6 +95,15 @@ HEADLINE = [
     "feature_hash_embed",
     "doc_novelty",
     "bpe_pair_stats",
+    # round-3 late additions: range join, fuzzy linkage, containment,
+    # smoothing/normalization, profiling
+    "containment_pairs",
+    "fuzzy_prefix_match",
+    "interval_overlap_join",
+    "ewma_smooth",
+    "minmax_normalize",
+    "winsorized_stats",
+    "column_profile",
 ]
 
 

@@ -599,3 +599,37 @@ def range_frame_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def column_profile(events: DataFrame) -> DataFrame:
+    """Whole-table column profiling — per column: row count, NULL
+    count, exact distinct count. The "dataset card" primitive behind
+    schema-drift checks and ingest QA (a column whose distinct count
+    or NULL rate jumps between snapshots is the first sign of an
+    upstream break); the reference renders COUNT panels per table
+    (views.py catalog pages), this produces the per-column version in
+    one statement.
+
+    Plan shape: `stack` unpivots each row into (column, value-string)
+    pairs map-side (a Generate, no shuffle), then one keyed aggregate
+    computes all three stats. The distinct count shuffles partially-
+    deduplicated (col, value) pairs — Spark's two-phase distinct
+    aggregate — so the network carries at most the distinct set, not
+    the feed, per column. String casts are injective per type, so the
+    distinct counts equal the native-type counts while letting all six
+    columns share one unpivoted schema.
+    """
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    stack_args = ", ".join(f"'{c}', cast({c} as string)" for c in cols)
+    long = events.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, v)")
+    )
+    return (
+        long.groupBy("col_name")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("v").isNull().cast("bigint")).alias("n_nulls"),
+            F.countDistinct("v").alias("n_distinct"),
+        )
+        .orderBy("col_name")
+    )

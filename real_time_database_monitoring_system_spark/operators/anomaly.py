@@ -179,3 +179,50 @@ def seasonal_baseline(events: DataFrame, bucket_minutes: int = 60) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def winsorized_stats(events: DataFrame, lo: float = 0.05, hi: float = 0.95) -> DataFrame:
+    """Per-type winsorized summary: clip the metric at its exact
+    [p_lo, p_hi] order statistics and report the tail mass plus the
+    winsorized mean — the robust "what does this metric look like with
+    outliers tamed" panel, and the standard pre-normalization step for
+    training-feature pipelines (extreme values would otherwise own the
+    min-max range).
+
+    Determinism: the cut points are `percentile_disc` order statistics
+    (values that exist in the data — engine-exact); clipping is pure
+    comparison (`least`/`greatest`, no arithmetic); the winsorized sum
+    accumulates exact DECIMAL(18,2); the single final double division
+    produces the mean. Scale shape: one keyed aggregation for the cut
+    points (#types rows → broadcast), one feed scan for the clipped
+    aggregate — map-side partials, no window, no sort.
+    """
+    cuts = events.groupBy("event_type").agg(
+        F.expr(f"percentile_disc({lo}) WITHIN GROUP (ORDER BY value)").alias("p_lo"),
+        F.expr(f"percentile_disc({hi}) WITHIN GROUP (ORDER BY value)").alias("p_hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+    return (
+        events.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.first("p_lo").alias("p_lo"),
+            F.first("p_hi").alias("p_hi"),
+            F.sum((F.col("value") < F.col("p_lo")).cast("bigint")).alias("n_below"),
+            F.sum((F.col("value") > F.col("p_hi")).cast("bigint")).alias("n_above"),
+            F.sum(clipped.cast("decimal(18,2)")).alias("win_sum"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "p_lo",
+            "p_hi",
+            "n_below",
+            "n_above",
+            (F.col("win_sum").cast("double") / F.col("n").cast("double")).alias(
+                "win_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )

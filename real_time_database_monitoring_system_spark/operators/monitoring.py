@@ -691,3 +691,116 @@ def variant_props_stats(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def interval_overlap_join(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Interval-overlap join (range join): user sessions × per-type
+    "busy hours", matched on time-interval overlap — the operator
+    behind "which sessions were exposed to the incident window"
+    questions. Spark has no native range join, and the naive spelling
+    (cross join + overlap predicate) is a nested-loop scan of
+    sessions × windows.
+
+    Scale shape: the canonical *bucket-split equi-join*. Each session
+    interval explodes to the hour buckets it spans (`sequence`), each
+    busy-hour window lives in exactly one bucket, and the overlap
+    candidates come from a plain hash equi-join on the bucket id —
+    shuffle-bounded, never quadratic. The exact overlap predicate then
+    filters candidates. Because a window occupies a single bucket, no
+    candidate pair can appear twice, so no dedup pass is needed; with
+    variable-width windows the same plan buckets by the max window
+    width. The busy-hours side here is dimension-sized (types × hours),
+    so it is additionally broadcast — the explode side never shuffles
+    at all.
+
+    "Busy" is scale-free and division-free: an hour is busy for a type
+    when ``cnt · n_hours > 2 · total`` (integer cross-multiplication of
+    "count > 2× the type's mean hourly count") — exact in any engine.
+    Overlap is measure-positive (strict inequalities): touching
+    endpoints do not match. All µs integer math.
+    """
+    hour_us = MICROS_PER_HOUR
+    by_hour = events.groupBy(
+        "event_type", F.expr(f"{_TS_US} div {hour_us}").alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    totals = by_hour.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_hours")
+    )
+    windows = (
+        by_hour.join(totals, "event_type")
+        .filter(F.col("cnt") * F.col("n_hours") > 2 * F.col("total"))
+        .select(
+            "event_type",
+            "hr",
+            (F.col("hr") * hour_us).alias("win_start_us"),
+            ((F.col("hr") + F.lit(1)) * hour_us).alias("win_end_us"),
+            "cnt",
+        )
+    )
+    sessions = sessionize(events, gap_minutes)
+    exploded = sessions.select(
+        "user_id",
+        "session_no",
+        "start_us",
+        "end_us",
+        F.explode(
+            F.sequence(
+                F.expr("start_us div 3600000000"), F.expr("end_us div 3600000000")
+            )
+        ).alias("hr"),
+    )
+    return (
+        exploded.join(F.broadcast(windows), "hr")
+        .filter(
+            (F.col("start_us") < F.col("win_end_us"))
+            & (F.col("end_us") > F.col("win_start_us"))
+        )
+        .select(
+            "user_id",
+            "session_no",
+            "event_type",
+            "win_start_us",
+            (
+                F.least("end_us", "win_end_us")
+                - F.greatest("start_us", "win_start_us")
+            ).alias("overlap_us"),
+        )
+        .orderBy("user_id", "session_no", "event_type", "win_start_us")
+    )
+
+
+def ewma_smooth(events: DataFrame, depth: int = 8) -> DataFrame:
+    """Per-series EWMA smoothing (α = 1/2) as an exact finite window:
+    the classic time-series denoiser, truncated at ``depth`` lags so
+    the result is a deterministic rational instead of an
+    order-sensitive float recurrence. Weights are 2^(depth-1-i) for
+    lag i; the normalizer counts only lags that exist, so the series
+    head is smoothed over what it has (no warm-up bias, no NULLs).
+
+    Series key is (user_id, event_type): partitions stay bounded per
+    user at any feed size — never a whole-type global window. One
+    window shuffle; the ``depth`` lags evaluate in a single pass over
+    each sorted partition. Arithmetic: value is exact DECIMAL(18,2),
+    weights are integer powers of two, so the weighted sum is exact
+    decimal; the ONLY inexact step is the final double division, which
+    is IEEE-identical in any engine.
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    dec = F.col("value").cast("decimal(18,2)")
+    lags = [dec if i == 0 else F.lag(dec, i).over(w) for i in range(depth)]
+    num = None
+    den = None
+    for i, lagged in enumerate(lags):
+        weight = 1 << (depth - 1 - i)
+        term = F.coalesce(lagged * F.lit(weight), F.lit(0).cast("decimal(18,2)"))
+        hit = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = hit if den is None else den + hit
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        _us("ts").alias("us"),
+        "value",
+        (num.cast("double") / den.cast("double")).alias("ewma"),
+    ).orderBy("event_id")

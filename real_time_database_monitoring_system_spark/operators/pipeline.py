@@ -642,3 +642,36 @@ def feature_hash_embed(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
         )
         .orderBy("doc_id", "bucket")
     )
+
+
+def minmax_normalize(events: DataFrame) -> DataFrame:
+    """Per-type min-max feature scaling: ``(value - min) / (max - min)``
+    into [0, 1] — the featurization step before any distance-based
+    model or mixing weight. Degenerate groups (max == min) yield NULL
+    rather than a division artifact.
+
+    Determinism: min/max are order statistics (exact, order-
+    independent — never a float SUM), the subtraction of two exact
+    2-decimal doubles is exact, and the single final double division
+    is IEEE-identical in any engine. Scale shape: one map-side-partial
+    aggregation producing #types rows, broadcast back onto the feed —
+    the big side is scanned once and never shuffles or sorts (a
+    per-type window would put a whole type's feed into one partition;
+    the broadcast join keeps the plan embarrassingly parallel).
+    """
+    stats = events.groupBy("event_type").agg(
+        F.min("value").alias("v_min"), F.max("value").alias("v_max")
+    )
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("v_max") > F.col("v_min"),
+                   (F.col("value") - F.col("v_min"))
+                   / (F.col("v_max") - F.col("v_min")))
+            .alias("norm01"),
+        )
+        .orderBy("event_id")
+    )

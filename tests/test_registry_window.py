@@ -36,13 +36,22 @@ def _green_names() -> set[str]:
 
 
 def test_never_checked_entries_sit_in_driver_window():
+    """No wasted driver slot: while any never-green entry sits outside
+    the 50-entry prefix, every prefix slot must itself hold a
+    never-green entry. (Once the registry grew past 50 never-green
+    entries, overflow became unavoidable — the invariant is that the
+    window is saturated with evidence-needing entries, i.e. a green
+    entry never occupies a slot a never-green entry could use.)"""
     names = list(entry_mod.queries())
-    prefix = set(names[:WINDOW])
-    never_checked = [n for n in names if n not in _green_names()]
-    outside = [n for n in never_checked if n not in prefix]
-    assert not outside, (
-        "entries with no green driver row must be in positions 1-50 "
-        f"so the next driver round can check them; misplaced: {outside}"
+    green = _green_names()
+    prefix = names[:WINDOW]
+    never_checked = [n for n in names if n not in green]
+    outside = [n for n in never_checked if n not in set(prefix)]
+    wasted = [n for n in prefix if n in green]
+    assert not (outside and wasted), (
+        "never-green entries are waiting outside the 50-slot window "
+        f"({outside[:5]}…) while green entries occupy window slots "
+        f"({wasted[:5]}…) — rotate the registry order"
     )
 
 

@@ -1,0 +1,114 @@
+"""Edge semantics of the round-3 late additions: containment vs
+Jaccard asymmetry, fuzzy blocking, overlap-join boundary exclusion,
+EWMA head normalization, degenerate normalization groups, winsorized
+tails, and profile NULL accounting."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from real_time_database_monitoring_system_spark.operators import (
+    analytics,
+    anomaly,
+    dedup,
+    monitoring,
+    pipeline,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def _ev(spark, rows):
+    """rows: (minute_offset, user, event_type, value)."""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), u, et, v, "{}")
+            for i, (m, u, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    # B embeds A verbatim inside much longer text: containment of the
+    # excerpt is 1.0 while Jaccard is diluted by B's extra shingles
+    a = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"word{i} filler{i} extra{i}" for i in range(20))
+    docs = _docs(spark, [(a, "s"), (a + " " + filler, "s")])
+    pairs = dedup.containment_pairs(docs, threshold=0.9).collect()
+    assert len(pairs) == 1 and pairs[0].containment == 1.0
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert jac == []  # symmetric measure misses the excerpt
+
+
+def test_fuzzy_prefix_match_blocks_then_measures(spark):
+    shared = "identical sixteen"  # >16 chars: same blocking key
+    docs = _docs(
+        spark,
+        [
+            (shared + " tail one x", "s"),
+            (shared + " tail twoo y", "s"),
+            ("completely different prefix text", "s"),
+        ],
+    )
+    got = dedup.fuzzy_prefix_match(docs, max_dist=12).collect()
+    assert [(r.doc_a, r.doc_b) for r in got] == [(0, 1)]
+    assert 0 < got[0].edit_dist <= 12
+
+
+def test_interval_overlap_join_excludes_touching_endpoints(spark):
+    # hour 0 is busy for type "error" (12 events vs 1 in each of 5
+    # other hours); user 1's session ends exactly at the window start
+    # (measure-zero → excluded), user 2's session crosses into it
+    rows = [(m, 9, "error", 1.0) for m in range(0, 60, 5)]  # busy hour 0
+    rows += [(60 * h, 9, "error", 1.0) for h in range(1, 6)]  # quiet tail
+    # user 1: session [h-2, h0start] touching only (ends at 0:00? use
+    # minutes before hour 0 is impossible — instead end exactly at a
+    # later busy-window boundary). Build user sessions around hour 0:
+    rows += [(120, 1, "click", 1.0), (180, 1, "click", 1.0)]  # outside hour 0
+    rows += [(30, 2, "click", 1.0), (50, 2, "click", 1.0)]  # inside hour 0
+    out = monitoring.interval_overlap_join(_ev(spark, rows), gap_minutes=90).collect()
+    users = {(r.user_id, r.event_type) for r in out}
+    assert (2, "error") in users
+    assert all(u != 1 for u, _ in users)
+    assert all(r.overlap_us > 0 for r in out)
+
+
+def test_ewma_head_normalizes_over_present_lags(spark):
+    rows = [(i, 1, "cpu", float(v)) for i, v in enumerate([10.0, 20.0])]
+    out = {r.event_id: r.ewma for r in monitoring.ewma_smooth(_ev(spark, rows)).collect()}
+    assert out[0] == 10.0  # single lag present → its own value
+    # second row: (20*128 + 10*64) / (128 + 64)
+    assert abs(out[1] - (20 * 128 + 10 * 64) / 192) < 1e-12
+
+
+def test_minmax_normalize_degenerate_group_is_null(spark):
+    rows = [(0, 1, "flat", 5.0), (1, 1, "flat", 5.0), (2, 1, "var", 0.0), (3, 1, "var", 10.0)]
+    out = {r.event_id: r.norm01 for r in pipeline.minmax_normalize(_ev(spark, rows)).collect()}
+    assert out[0] is None and out[1] is None
+    assert out[2] == 0.0 and out[3] == 1.0
+
+
+def test_winsorized_stats_clips_tails(spark):
+    rows = [(i, 1, "cpu", float(i)) for i in range(1, 100)] + [(100, 1, "cpu", 10000.0)]
+    r = anomaly.winsorized_stats(_ev(spark, rows)).collect()[0]
+    assert r.n_above >= 1 and r.p_hi < 10000.0
+    assert r.win_mean < 200  # the outlier no longer owns the mean
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    df = _ev(spark, [(0, 1, "a", 1.0), (1, 1, "a", 2.0), (2, 2, "b", 1.0)])
+    df = df.withColumn(
+        "props",
+        (df.event_id % 2 == 0).cast("boolean").cast("string"),
+    )
+    prof = {r.col_name: r for r in analytics.column_profile(df).collect()}
+    assert prof["event_id"].n_distinct == 3 and prof["event_id"].n_nulls == 0
+    assert prof["event_type"].n_distinct == 2
+    assert prof["value"].n_distinct == 2

@@ -11,14 +11,14 @@ from pyspark.sql import functions as F
 from real_time_database_monitoring_system_spark.functions import vectorized
 from real_time_database_monitoring_system_spark.operators.mutation import compact
 from real_time_database_monitoring_system_spark.sources import formats, sinks
-from real_time_database_monitoring_system_spark.sources.registry import SCHEMAS, load_table
+from real_time_database_monitoring_system_spark.sources.registry import load_table
 
 
 def test_csv_roundtrip(spark, sf_dir, tmp_path):
     df = load_table(spark, sf_dir, "region")
     out = str(tmp_path / "region_csv")
     sinks.write_csv(df, out, single_file=True)
-    back = formats.read_csv(spark, out, SCHEMAS["region"])
+    back = formats.read_csv(spark, out, "region")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
@@ -26,8 +26,9 @@ def test_json_roundtrip(spark, sf_dir, tmp_path):
     df = load_table(spark, sf_dir, "nation")
     out = str(tmp_path / "nation_json")
     sinks.write_json(df, out)
-    back = formats.read_jsonl(spark, out, SCHEMAS["nation"])
-    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    good, quarantined = formats.read_jsonl(spark, out, "nation")
+    assert sorted(map(tuple, good.collect())) == sorted(map(tuple, df.collect()))
+    assert quarantined.count() == 0
 
 
 def test_to_json_column(spark, sf_dir):
