@@ -232,3 +232,43 @@ def test_clustering_featurization_shuffle_budgets(spark, sf_dir):
             assert checks.has_broadcast_join(df), f"{name}: quantile table must broadcast"
     plan = text_ops.bpe_pair_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "pair head must not globally sort"
+
+
+def test_late_round3_operator_shuffle_budgets(spark, sf_dir):
+    """Pin the round-3 late additions (range join, fuzzy linkage,
+    containment, smoothing/normalization, profiling) to their designed
+    exchange budgets. Budgets include the presentation sort."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        anomaly,
+        dedup,
+        monitoring,
+        pipeline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = [
+        # sessionize window + session agg + two hour aggs + sort; both
+        # window/total joins must broadcast (never shuffle the explode)
+        ("interval_overlap_join", monitoring.interval_overlap_join(ev), 5, True),
+        # one series window shuffle + presentation sort
+        ("ewma_smooth", monitoring.ewma_smooth(ev), 2, False),
+        # stats agg + broadcast back + sort: the feed itself never
+        # hash-shuffles (no per-type window)
+        ("minmax_normalize", pipeline.minmax_normalize(ev), 2, True),
+        ("winsorized_stats", anomaly.winsorized_stats(ev), 3, True),
+        # unpivot is a Generate (map-side); two-phase distinct agg + sort
+        ("column_profile", analytics.column_profile(ev), 3, False),
+        # blocking equi-join + presentation sort; never a cartesian
+        ("fuzzy_prefix_match", dedup.fuzzy_prefix_match(docs), 3, False),
+    ]
+    for name, df, max_ex, need_bcast in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        if need_bcast:
+            assert checks.has_broadcast_join(df), f"{name}: stats/window side must broadcast"
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: quadratic join strategy crept in"
+        )
