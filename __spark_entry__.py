@@ -945,6 +945,27 @@ def _q_column_profile(spark, sf):
     return analytics.column_profile(load_table(spark, sf, "events"))
 
 
+def _q_skew_profile(spark, sf):
+    """Heavy-hitter join-key diagnosis: one plan (counts + one-row
+    broadcast totals + TakeOrdered), no driver-side count action."""
+    from real_time_database_monitoring_system_spark.operators import skew
+
+    return skew.skew_profile(load_table(spark, sf, "events"), "user_id")
+
+
+def _q_temporal_split(spark, sf):
+    """Embargoed time-ordered train/eval split; percentile_disc
+    cutoff broadcast, map-side labeling."""
+    return curation.temporal_split(load_table(spark, sf, "events"))
+
+
+def _q_pagerank_transitions(spark, sf):
+    """Integer-millionth PageRank (3 iterations) on the event-type
+    transition graph; unrolled-CTE oracle generated from the same
+    iteration count."""
+    return event_analytics.pagerank_transitions(load_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
@@ -1032,6 +1053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minmax_normalize": _q_minmax_normalize,
         "winsorized_stats": _q_winsorized_stats,
         "column_profile": _q_column_profile,
+        "skew_profile": _q_skew_profile,
+        "temporal_split": _q_temporal_split,
+        "pagerank_transitions": _q_pagerank_transitions,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -3523,6 +3547,70 @@ def oracle_sql() -> dict[str, str]:
         FROM events e JOIN c USING (event_type)
         GROUP BY e.event_type, c.p_lo, c.p_hi
         ORDER BY e.event_type
+    """
+
+    sql["skew_profile"] = """
+        WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                     CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        SELECT c.user_id, c.cnt,
+               CAST(c.cnt AS DOUBLE) / CAST(t.n_rows AS DOUBLE) AS share,
+               CAST(c.cnt * t.n_keys AS DOUBLE) / CAST(t.n_rows AS DOUBLE)
+                   AS skew_ratio
+        FROM c, t
+        ORDER BY c.cnt DESC, c.user_id ASC
+        LIMIT 10
+    """
+
+    sql["temporal_split"] = """
+        WITH cut AS (
+            SELECT percentile_disc(0.8) WITHIN GROUP (ORDER BY epoch_us(ts))
+                       AS cutoff_us
+            FROM events)
+        SELECT event_id, epoch_us(ts) AS us, cut.cutoff_us,
+               CASE WHEN epoch_us(ts) <= cut.cutoff_us THEN 'train'
+                    WHEN epoch_us(ts) > cut.cutoff_us + 3600000000 THEN 'eval'
+                    ELSE 'embargo' END AS split
+        FROM events, cut
+        ORDER BY event_id
+    """
+
+    # integer-millionth PageRank, unrolled to the same n_iter as the
+    # Spark loop — the iteration chain is GENERATED, like _km_chain,
+    # so the two cannot drift
+    _pr_iters = 3
+    _pr_chain = ""
+    _prev = "r0"
+    for _i in range(1, _pr_iters + 1):
+        _pr_chain += f""",
+        c{_i} AS (
+            SELECT ew.to_type AS node,
+                   sum((p.r * 850 * ew.w) // (1000 * ew.w_out)) AS s
+            FROM {_prev} p JOIN ew ON p.node = ew.from_type GROUP BY 1),
+        r{_i} AS (
+            SELECT n2.node, n2.n,
+                   (150000 // n2.n) + coalesce(c{_i}.s, 0) AS r
+            FROM nodes2 n2 LEFT JOIN c{_i} ON n2.node = c{_i}.node)"""
+        _prev = f"r{_i}"
+    sql["pagerank_transitions"] = f"""
+        WITH pairs AS (
+            SELECT user_id, event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                       AS to_type
+            FROM events),
+        edges AS (SELECT from_type, to_type, count(*) AS w
+                  FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        outw AS (SELECT from_type, sum(w) AS w_out FROM edges GROUP BY 1),
+        ew AS (SELECT e.from_type, e.to_type, e.w, o.w_out
+               FROM edges e JOIN outw o USING (from_type)),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        nodes2 AS (SELECT node, n FROM nodes, nn),
+        r0 AS (SELECT node, n, 1000000 // n AS r FROM nodes2){_pr_chain}
+        SELECT node, CAST(r AS BIGINT) AS rank_ppm,
+               CAST(r AS DOUBLE) / 1000000.0 AS rank
+        FROM {_prev} ORDER BY node
     """
 
     # per-column profile; native-type distinct counts equal the

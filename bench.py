@@ -104,6 +104,9 @@ HEADLINE = [
     "minmax_normalize",
     "winsorized_stats",
     "column_profile",
+    "skew_profile",
+    "temporal_split",
+    "pagerank_transitions",
 ]
 
 

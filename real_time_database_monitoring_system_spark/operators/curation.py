@@ -428,3 +428,47 @@ def shuffle_order(documents: DataFrame, salt: str = "shuffle:") -> DataFrame:
     return documents.select("doc_id", "source", key.alias("shuffle_key")).orderBy(
         "shuffle_key", "doc_id"
     )
+
+
+def temporal_split(
+    events: DataFrame, train_frac: float = 0.8, embargo_minutes: int = 60
+) -> DataFrame:
+    """Leakage-safe temporal train/eval split: train is everything up
+    to the `train_frac` time quantile, eval starts only after an
+    embargo gap past the cutoff, and rows inside the gap are labeled
+    'embargo' (excluded from both). Hash splits (`assign_split`) give
+    i.i.d. partitions; models evaluated on the FUTURE need this
+    time-ordered form, and the embargo keeps trailing-window features
+    computed near the boundary from leaking eval-period signal into
+    training.
+
+    The cutoff is a `percentile_disc` order statistic on integer µs
+    (a real timestamp from the data — engine-exact, no interpolation),
+    computed in one column-pruned aggregate and broadcast back; the
+    labeling itself is a map-side comparison. One scan, zero wide
+    shuffles beyond the presentation sort.
+    """
+    # Spark's percentile_disc yields DOUBLE; µs values are < 2^53 so
+    # the bigint round-trip is exact (and matches the oracle's type)
+    cut = events.agg(
+        F.expr(
+            "cast(percentile_disc("
+            + repr(train_frac)
+            + ") WITHIN GROUP (ORDER BY unix_micros(cast(ts as timestamp))) as bigint)"
+        ).alias("cutoff_us")
+    )
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    embargo_us = embargo_minutes * 60_000_000
+    return (
+        events.crossJoin(F.broadcast(cut))
+        .select(
+            "event_id",
+            us.alias("us"),
+            "cutoff_us",
+            F.when(us <= F.col("cutoff_us"), "train")
+            .when(us > F.col("cutoff_us") + F.lit(embargo_us), "eval")
+            .otherwise("embargo")
+            .alias("split"),
+        )
+        .orderBy("event_id")
+    )

@@ -100,19 +100,14 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
-def transition_matrix(events: DataFrame) -> DataFrame:
-    """First-order Markov transition counts between consecutive event
-    types per user — the \"user flow\" panel: from each event type,
-    where do users go next, and with what probability.
-
-    One window shuffle on user_id (lead over the per-user µs+id
-    ordering — the unique event_id tiebreak makes consecutive pairs
-    deterministic), then a keyed count; the probability denominator is
-    an exact integer window sum over the (tiny) #types² matrix, so the
-    only double is the final division.
-    """
+def _transition_edges(events: DataFrame) -> DataFrame:
+    """(from_type, to_type, n_transitions): consecutive-event edges
+    per user — one window shuffle on user_id (lead over the per-user
+    µs+id ordering; the unique event_id tiebreak makes consecutive
+    pairs deterministic), then a keyed count. Shared by the Markov
+    matrix and the PageRank operator so the two read the same graph."""
     w = Window.partitionBy("user_id").orderBy(F.expr(_TS_US), "event_id")
-    pairs = (
+    return (
         events.select(
             "user_id",
             F.col("event_type").alias("from_type"),
@@ -122,6 +117,19 @@ def transition_matrix(events: DataFrame) -> DataFrame:
         .groupBy("from_type", "to_type")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+def transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types per user — the \"user flow\" panel: from each event type,
+    where do users go next, and with what probability.
+
+    One window shuffle on user_id (see `_transition_edges`), then a
+    keyed count; the probability denominator is an exact integer
+    window sum over the (tiny) #types² matrix, so the only double is
+    the final division.
+    """
+    pairs = _transition_edges(events)
     total = Window.partitionBy("from_type")
     return (
         pairs.withColumn(
@@ -258,3 +266,61 @@ def conversion_latency(events: DataFrame, first: str = "view", then: str = "purc
         F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY latency_us)").cast("long").alias("p50_us"),
         F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY latency_us)").cast("long").alias("p90_us"),
     )
+
+
+def pagerank_transitions(events: DataFrame, n_iter: int = 3) -> DataFrame:
+    """PageRank over the event-type transition graph — which states of
+    the user journey hold structural importance once indirect flows
+    are counted (a type reached mostly FROM important types outranks
+    one with the same raw in-count). The second iterative operator in
+    the repo after k-means, built on the same exactness trick: ranks
+    live in integer millionths and every update is truncating integer
+    arithmetic, so the fixed-iteration result is bit-reproducible and
+    fully oracle-backed by an unrolled-CTE SQL twin (generated from
+    the same n_iter, so the two cannot drift).
+
+    Update rule (damping 0.85, all integer `div`):
+        r'(v) = (150000 div N) + Σ_u (r(u) · 850 · w(u,v)) div (1000 · W(u))
+    where W(u) is u's total out-weight. Truncation loses ≤1 millionth
+    per term — the price of exactness; dangling-node mass is dropped
+    (the standard simplified variant), documented here.
+
+    Scale shape: the graph here is #types² (tiny), but the operator is
+    written for graphs that aren't — per iteration ONE join of the
+    rank vector to the edge list on the source key and one aggregation
+    by destination (both keyed shuffles; GraphX/Pregel does exactly
+    this dance), with the rank relation materialized per iteration to
+    truncate lineage (the k-means/`dup_clusters` rule). Edges and
+    out-weights are computed once, before the loop.
+    """
+    from .util import materialize as _materialize
+
+    edges = _transition_edges(events)
+    outw = edges.groupBy("from_type").agg(F.sum("n_transitions").alias("w_out"))
+    ew = _materialize(edges.join(outw, "from_type"))
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n"))
+    nodes = _materialize(nodes.crossJoin(F.broadcast(nn)))
+    ranks = nodes.select("node", "n", F.expr("1000000 div n").alias("r"))
+    for _ in range(n_iter):
+        contrib = (
+            ranks.join(ew, ranks.node == ew.from_type)
+            .select(
+                F.col("to_type").alias("node"),
+                F.expr("(r * 850 * n_transitions) div (1000 * w_out)").alias("term"),
+            )
+            .groupBy("node")
+            .agg(F.sum("term").alias("s"))
+        )
+        ranks = _materialize(
+            nodes.join(contrib, "node", "left").select(
+                "node",
+                "n",
+                (F.expr("150000 div n") + F.coalesce(F.col("s"), F.lit(0))).alias("r"),
+            )
+        )
+    return ranks.select(
+        "node",
+        F.col("r").alias("rank_ppm"),
+        (F.col("r").cast("double") / F.lit(1000000.0)).alias("rank"),
+    ).orderBy("node")

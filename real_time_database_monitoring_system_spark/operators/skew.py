@@ -55,3 +55,43 @@ def top_keys(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc(key))
         .limit(n)
     )
+
+
+def skew_profile(df: DataFrame, key: str, n: int = 10) -> DataFrame:
+    """Join-key skew diagnosis as ONE declarative plan: the n heaviest
+    keys with their row share and the key-space skew ratio
+    (hottest-key count ÷ mean per-key count) — the number that decides
+    between plain shuffle join, AQE skew split, and `salted_join`.
+
+    Unlike `top_keys` (which runs a separate driver-side count
+    action), everything here rides one plan: per-key counts (map-side
+    partials), a one-row global aggregate broadcast back, and a
+    TakeOrdered head. Shares and the ratio are single double divisions
+    of exact integers; ties break on the key for determinism.
+
+    The counts relation feeds two consumers (the totals row and the
+    head), so it is materialized — otherwise each branch re-scans and
+    re-aggregates the full feed (the repo diamond rule).
+    """
+    from .util import materialize as _materialize
+
+    counts = _materialize(df.groupBy(key).agg(F.count("*").alias("cnt")))
+    totals = counts.agg(
+        F.sum("cnt").alias("n_rows"), F.count("*").alias("n_keys")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col(key),
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("cnt") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+        .orderBy(F.desc("cnt"), F.asc(key))
+        .limit(n)
+    )

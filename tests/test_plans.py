@@ -272,3 +272,34 @@ def test_late_round3_operator_shuffle_budgets(spark, sf_dir):
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
             f"{name}: quadratic join strategy crept in"
         )
+
+
+def test_skew_temporal_pagerank_budgets(spark, sf_dir):
+    """Second-wave pins: diagnosis/split stay broadcast-shaped; the
+    PageRank loop's per-iteration cost is two keyed shuffles (its plan
+    is post-materialization, so assert the FINAL query instead:
+    scan-project over the checkpointed rank relation, sort only)."""
+    from real_time_database_monitoring_system_spark.operators import (
+        curation,
+        event_analytics,
+        skew,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    prof = skew.skew_profile(ev, "user_id")
+    assert checks.count_exchanges(prof) <= 2
+    # one-row totals ship as a broadcast nested-loop (the scalar-
+    # subquery pattern), not a hash join — assert the BroadcastExchange
+    assert "BroadcastExchange" in checks.explain_str(prof), "totals row must broadcast"
+    assert "TakeOrderedAndProject" in checks.explain_str(prof)
+
+    split = curation.temporal_split(ev)
+    assert checks.count_exchanges(split) <= 3
+    assert "BroadcastExchange" in checks.explain_str(split), "cutoff row must broadcast"
+
+    pr = event_analytics.pagerank_transitions(ev)
+    plan = checks.explain_str(pr)
+    assert "CartesianProduct" not in plan
+    # ranks are materialized: the returned plan must not re-run the
+    # iteration joins
+    assert checks.count_exchanges(pr) <= 1, "final rank read must be sort-only"

@@ -112,3 +112,50 @@ def test_column_profile_counts_nulls_and_distincts(spark):
     assert prof["event_id"].n_distinct == 3 and prof["event_id"].n_nulls == 0
     assert prof["event_type"].n_distinct == 2
     assert prof["value"].n_distinct == 2
+
+
+def test_skew_profile_ranks_hot_key_first(spark):
+    rows = [(0, 99, "click", 1.0)] * 0  # placeholder for clarity
+    data = [(m, 99, "click", 1.0) for m in range(8)] + [
+        (m, u, "click", 1.0) for m, u in enumerate(range(1, 5))
+    ]
+    from real_time_database_monitoring_system_spark.operators import skew
+
+    out = skew.skew_profile(_ev(spark, data), "user_id").collect()
+    assert out[0].user_id == 99 and out[0].cnt == 8
+    # 12 rows over 5 keys → hot key ratio = 8*5/12
+    assert abs(out[0].skew_ratio - 8 * 5 / 12) < 1e-12
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-12
+
+
+def test_temporal_split_embargo_separates_train_eval(spark):
+    # 100 events ten minutes apart: cutoff = p80 = minute 790; embargo
+    # covers (790, 850] → minutes 800..850; eval strictly after
+    from real_time_database_monitoring_system_spark.operators import curation
+
+    rows = [(10 * m, 1, "view", 1.0) for m in range(100)]
+    out = {r.event_id: r.split for r in curation.temporal_split(_ev(spark, rows)).collect()}
+    labels = [out[i] for i in range(100)]
+    # ordered: all train, then embargo, then eval — never interleaved
+    assert labels == sorted(labels, key=["train", "embargo", "eval"].index)
+    assert labels.count("train") == 80
+    assert labels.count("embargo") == 6  # minutes 800..850
+    assert labels.count("eval") == 14
+    assert labels[0] == "train" and labels[-1] == "eval"
+
+
+def test_pagerank_hub_outranks_spokes(spark):
+    # every user's journey funnels into "hub": spoke -> hub repeatedly
+    rows = []
+    m = 0
+    for u in range(1, 4):
+        for _ in range(5):
+            rows += [(m, u, f"spoke{u}", 1.0), (m + 1, u, "hub", 1.0)]
+            m += 2
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    ranks = {r.node: r.rank_ppm for r in
+             event_analytics.pagerank_transitions(_ev(spark, rows)).collect()}
+    assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub")
+    # mass stays bounded: total ≤ 1e6 (truncation only loses mass)
+    assert sum(ranks.values()) <= 1_000_000
