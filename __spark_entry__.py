@@ -966,6 +966,18 @@ def _q_pagerank_transitions(spark, sf):
     return event_analytics.pagerank_transitions(load_table(spark, sf, "events"))
 
 
+def _q_freshness_audit(spark, sf):
+    """Per-source latest arrival, lag vs the snapshot instant, stale
+    flag — the ingestion-health panel."""
+    return monitoring.freshness_audit(load_table(spark, sf, "events"))
+
+
+def _q_class_balance(spark, sf):
+    """Label-mix audit: per-class share + exact single-division χ²
+    against uniform."""
+    return analytics.class_balance(load_table(spark, sf, "events"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
@@ -1056,6 +1068,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _q_skew_profile,
         "temporal_split": _q_temporal_split,
         "pagerank_transitions": _q_pagerank_transitions,
+        "freshness_audit": _q_freshness_audit,
+        "class_balance": _q_class_balance,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -3611,6 +3625,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT node, CAST(r AS BIGINT) AS rank_ppm,
                CAST(r AS DOUBLE) / 1000000.0 AS rank
         FROM {_prev} ORDER BY node
+    """
+
+    sql["freshness_audit"] = """
+        WITH p AS (SELECT event_type, max(epoch_us(ts)) AS last_us,
+                          CAST(count(*) AS BIGINT) AS n_events
+                   FROM events GROUP BY 1),
+        m AS (SELECT max(epoch_us(ts)) AS as_of_us FROM events)
+        SELECT event_type, n_events, last_us,
+               m.as_of_us - last_us AS lag_us,
+               m.as_of_us - last_us > 3600000000 AS is_stale
+        FROM p, m ORDER BY event_type
+    """
+
+    # χ² numerator is pure integer arithmetic; ONE final division
+    sql["class_balance"] = """
+        WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS obs
+                   FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(obs) AS BIGINT) AS total,
+                     CAST(count(*) AS BIGINT) AS k FROM c),
+        p AS (SELECT c.event_type, c.obs, t.total, t.k,
+                     (c.obs * t.k - t.total) * (c.obs * t.k - t.total) AS dev2
+              FROM c, t),
+        s AS (SELECT CAST(sum(dev2) AS BIGINT) AS sum_dev2,
+                     CAST(min(total) AS BIGINT) AS total_,
+                     CAST(min(k) AS BIGINT) AS k_ FROM p)
+        SELECT p.event_type, p.obs,
+               CAST(p.obs AS DOUBLE) / CAST(p.total AS DOUBLE) AS share,
+               CAST(s.sum_dev2 AS DOUBLE) / CAST(s.k_ * s.total_ AS DOUBLE)
+                   AS chi2_uniform
+        FROM p, s ORDER BY p.event_type
     """
 
     # per-column profile; native-type distinct counts equal the

@@ -107,6 +107,8 @@ HEADLINE = [
     "skew_profile",
     "temporal_split",
     "pagerank_transitions",
+    "freshness_audit",
+    "class_balance",
 ]
 
 

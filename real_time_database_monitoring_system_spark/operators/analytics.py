@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import materialize as _materialize
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 _ALL = "(all)"
@@ -632,4 +634,51 @@ def column_profile(events: DataFrame) -> DataFrame:
             F.countDistinct("v").alias("n_distinct"),
         )
         .orderBy("col_name")
+    )
+
+
+def class_balance(events: DataFrame) -> DataFrame:
+    """Class-balance audit with an exact chi-square statistic against
+    the uniform distribution — the one-number answer to "is the label
+    mix drifting?" for a training feed. Per class: count and share,
+    plus the global statistic χ² = Σ(obs·k − total)² / (k·total) —
+    algebraically identical to Σ(obs−exp)²/exp with exp = total/k, but
+    with a SINGLE final division: the numerator stays exact integer
+    arithmetic, so the statistic is engine-exact. (Repeated per row as
+    a constant column to keep the output single-grain.)
+
+    One keyed count (map-side partials, materialized: the totals row
+    and the per-class output both consume it) + two one-row broadcast
+    joins; every double is a single division of exact integers.
+    """
+    counts = _materialize(
+        events.groupBy("event_type").agg(F.count("*").alias("obs"))
+    )
+    totals = counts.agg(F.sum("obs").alias("total"), F.count("*").alias("k"))
+    dev = F.col("obs") * F.col("k") - F.col("total")
+    per_class = counts.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "obs",
+        "total",
+        "k",
+        (F.col("obs").cast("double") / F.col("total").cast("double")).alias("share"),
+        (dev * dev).alias("dev2"),
+    )
+    chi = per_class.agg(
+        F.sum("dev2").alias("sum_dev2"),
+        F.first("total").alias("total_"),
+        F.first("k").alias("k_"),
+    )
+    return (
+        per_class.crossJoin(F.broadcast(chi))
+        .select(
+            "event_type",
+            "obs",
+            "share",
+            (
+                F.col("sum_dev2").cast("double")
+                / (F.col("k_") * F.col("total_")).cast("double")
+            ).alias("chi2_uniform"),
+        )
+        .orderBy("event_type")
     )

@@ -804,3 +804,34 @@ def ewma_smooth(events: DataFrame, depth: int = 8) -> DataFrame:
         "value",
         (num.cast("double") / den.cast("double")).alias("ewma"),
     ).orderBy("event_id")
+
+
+def freshness_audit(events: DataFrame, stale_minutes: int = 60) -> DataFrame:
+    """Per-source data-freshness panel: each event_type's latest
+    arrival, its lag behind the feed's snapshot instant, and a stale
+    flag — the first page of any ingestion dashboard ("which upstream
+    stopped sending?"). The reference's uptime/last-refresh panels
+    (views.py engine-info family) generalized per stream.
+
+    One column-pruned keyed aggregate (max µs + count per type) plus
+    the broadcast snapshot instant; the flag is integer comparison.
+    At 100 TB this reads two columns and ships #types rows.
+    """
+    per_type = events.groupBy("event_type").agg(
+        F.max(_us("ts")).alias("last_us"), F.count("*").alias("n_events")
+    )
+    as_of = events.agg(F.max(_us("ts")).alias("as_of_us"))
+    return (
+        per_type.crossJoin(F.broadcast(as_of))
+        .select(
+            "event_type",
+            "n_events",
+            "last_us",
+            (F.col("as_of_us") - F.col("last_us")).alias("lag_us"),
+            (
+                F.col("as_of_us") - F.col("last_us")
+                > F.lit(stale_minutes * MICROS_PER_MIN)
+            ).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

@@ -159,3 +159,25 @@ def test_pagerank_hub_outranks_spokes(spark):
     assert ranks["hub"] > max(v for k, v in ranks.items() if k != "hub")
     # mass stays bounded: total ≤ 1e6 (truncation only loses mass)
     assert sum(ranks.values()) <= 1_000_000
+
+
+def test_freshness_audit_flags_silent_source(spark):
+    # "error" stopped sending 3 hours before the snapshot instant
+    rows = [(m, 1, "click", 1.0) for m in range(0, 300, 10)]
+    rows += [(m, 2, "error", 1.0) for m in range(0, 120, 10)]
+    out = {r.event_type: r for r in monitoring.freshness_audit(_ev(spark, rows)).collect()}
+    assert out["error"].is_stale and not out["click"].is_stale
+    assert out["click"].lag_us == 0  # the freshest source defines as-of
+    assert out["error"].lag_us == (290 - 110) * 60_000_000
+
+
+def test_class_balance_chi2_zero_when_uniform(spark):
+    rows = [(m, 1, t, 1.0) for m, t in enumerate(["a", "b", "c"] * 4)]
+    out = analytics.class_balance(_ev(spark, rows)).collect()
+    assert all(r.chi2_uniform == 0.0 for r in out)
+    assert all(abs(r.share - 1 / 3) < 1e-12 for r in out)
+    # skewed mix: chi2 = sum((obs*k-total)^2)/(k*total) for obs 6,3,3
+    skewed = [(m, 1, t, 1.0) for m, t in enumerate(["a"] * 6 + ["b"] * 3 + ["c"] * 3)]
+    out2 = analytics.class_balance(_ev(spark, skewed)).collect()
+    expected = ((6 * 3 - 12) ** 2 + (3 * 3 - 12) ** 2 * 2) / (3 * 12)
+    assert all(abs(r.chi2_uniform - expected) < 1e-12 for r in out2)
