@@ -978,6 +978,12 @@ def _q_class_balance(spark, sf):
     return analytics.class_balance(load_table(spark, sf, "events"))
 
 
+def _q_streaming_freshness(spark, sf):
+    """Streaming ingestion-health panel (availableNow replay);
+    state = #types rows, shares the batch freshness_audit oracle."""
+    return streaming_rollup.stream_freshness_audit(spark, sf)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is deliberate: the driver evaluates a 50-entry
     prefix, so the window rotates each round to maximize driver
@@ -1070,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_transitions": _q_pagerank_transitions,
         "freshness_audit": _q_freshness_audit,
         "class_balance": _q_class_balance,
+        "streaming_freshness": _q_streaming_freshness,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -3498,7 +3505,7 @@ def oracle_sql() -> dict[str, str]:
                    b.hr * 3600000000 AS win_start_us,
                    (b.hr + 1) * 3600000000 AS win_end_us
             FROM by_hour b JOIN tot t ON b.event_type = t.event_type
-            WHERE b.cnt * t.n_hours > 2 * t.total)
+            WHERE b.cnt * t.n_hours * 2 > 3 * t.total)
         SELECT s.user_id, s.session_no, w.event_type, w.win_start_us,
                least(s.end_us, w.win_end_us) - greatest(s.start_us, w.win_start_us)
                    AS overlap_us
@@ -3637,6 +3644,9 @@ def oracle_sql() -> dict[str, str]:
                m.as_of_us - last_us > 3600000000 AS is_stale
         FROM p, m ORDER BY event_type
     """
+    # the streaming twin replays to the identical state, so it shares
+    # the batch oracle verbatim (same contract as streaming_session_paths)
+    sql["streaming_freshness"] = sql["freshness_audit"]
 
     # χ² numerator is pure integer arithmetic; ONE final division
     sql["class_balance"] = """

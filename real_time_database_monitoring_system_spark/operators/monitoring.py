@@ -714,10 +714,15 @@ def interval_overlap_join(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     at all.
 
     "Busy" is scale-free and division-free: an hour is busy for a type
-    when ``cnt · n_hours > 2 · total`` (integer cross-multiplication of
-    "count > 2× the type's mean hourly count") — exact in any engine.
-    Overlap is measure-positive (strict inequalities): touching
-    endpoints do not match. All µs integer math.
+    when ``cnt · n_hours · 2 > 3 · total`` (integer cross-
+    multiplication of "count > 1.5× the type's mean hourly count") —
+    exact in any engine. The 1.5 multiplier matters at scale: a dense
+    feed's hourly counts concentrate around the mean (relative
+    variance shrinks with rate), so a 2× cutoff that fires on sparse
+    test data silently selects NOTHING on production-density data —
+    found empirically when the 10× stress corpus returned zero
+    windows. Overlap is measure-positive (strict inequalities):
+    touching endpoints do not match. All µs integer math.
     """
     hour_us = MICROS_PER_HOUR
     by_hour = events.groupBy(
@@ -728,7 +733,7 @@ def interval_overlap_join(events: DataFrame, gap_minutes: int = 30) -> DataFrame
     )
     windows = (
         by_hour.join(totals, "event_type")
-        .filter(F.col("cnt") * F.col("n_hours") > 2 * F.col("total"))
+        .filter(F.col("cnt") * F.col("n_hours") * 2 > 3 * F.col("total"))
         .select(
             "event_type",
             "hr",

@@ -658,3 +658,43 @@ def stream_mad_alerts(spark: SparkSession, sf_dir: str, n_sigmas: float = 3.0) -
         .select("event_id", "event_type", "value", "med", "mad")
     )
     return _run_to_memory(alerts, "append").orderBy("event_id")
+
+
+def stream_freshness_audit(
+    spark: SparkSession, sf_dir: str, stale_minutes: int = 60
+) -> DataFrame:
+    """Streaming twin of `monitoring.freshness_audit`: the live
+    ingestion-health panel. The per-source (max event time, count)
+    state is ONE streaming aggregation — bounded at #types rows — and
+    the lag/stale projection against the global snapshot instant runs
+    as a batch coda over that tiny sink (streaming allows a single
+    stateful aggregation per query; the global max is an aggregate OF
+    the aggregate). Replayed under availableNow the state equals the
+    batch aggregate exactly, so this shares the batch operator's
+    oracle. In production the same panel updates per micro-batch and
+    "now" would be the trigger's processing time; the snapshot-instant
+    form is what makes the result reproducible (SURVEY §7 rule).
+    """
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    per_type = src.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count("*").alias("n_events"),
+    )
+    state = _run_to_memory(per_type, "complete")
+    as_of = state.agg(F.max("last_us").alias("as_of_us"))
+    return (
+        state.crossJoin(F.broadcast(as_of))
+        .select(
+            "event_type",
+            "n_events",
+            "last_us",
+            (F.col("as_of_us") - F.col("last_us")).alias("lag_us"),
+            (
+                F.col("as_of_us") - F.col("last_us")
+                > F.lit(stale_minutes * 60_000_000).cast("bigint")
+            ).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )
