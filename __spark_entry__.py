@@ -599,6 +599,10 @@ def _q_streaming_join_outer(spark, sf):
     return streaming_rollup.stream_join_alert_context_outer(spark, sf)
 
 
+def _q_streaming_join_full(spark, sf):
+    return streaming_rollup.stream_join_alert_context_full(spark, sf)
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1077,6 +1081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_audit": _q_freshness_audit,
         "class_balance": _q_class_balance,
         "streaming_freshness": _q_streaming_freshness,
+        "streaming_join_full": _q_streaming_join_full,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2978,6 +2983,42 @@ def oracle_sql() -> dict[str, str]:
         FROM a
         WHERE alert_id NOT IN (SELECT alert_id FROM m)
           AND aus + 300000000 < (SELECT w FROM wm)
+        ORDER BY alert_id, ctx_id
+    """
+
+    # FULL OUTER stream-stream join: the left-outer oracle plus expired
+    # unmatched ctx rows. A ctx row can only be matched by alerts with
+    # alert_ts ≤ ctx_ts, so it becomes decidable (and its NULL-alert row
+    # emits) once the final watermark passes ctx_ts itself — no horizon
+    # term on that side. Same watermark expression as streaming_join_outer.
+    sql["streaming_join_full"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type, value
+                   FROM events),
+        a AS (SELECT event_id AS alert_id, user_id, us AS aus, value AS alert_value
+              FROM e WHERE value > 99.0),
+        m AS (SELECT a.alert_id, c.event_id AS ctx_id, a.user_id,
+                     a.aus AS alert_us, c.us AS ctx_us,
+                     c.event_type AS ctx_type, a.alert_value
+              FROM a JOIN e c ON a.user_id = c.user_id
+                   AND c.us >= a.aus AND c.us <= a.aus + 300000000
+                   AND a.alert_id <> c.event_id),
+        wm AS (SELECT LEAST((SELECT max(aus) FROM a),
+                            (SELECT max(us) FROM e)) - 600000000 AS w)
+        SELECT alert_id, ctx_id, user_id, alert_us, ctx_us, ctx_type, alert_value
+        FROM m
+        UNION ALL
+        SELECT alert_id, NULL AS ctx_id, user_id, aus AS alert_us,
+               NULL AS ctx_us, NULL AS ctx_type, alert_value
+        FROM a
+        WHERE alert_id NOT IN (SELECT alert_id FROM m)
+          AND aus + 300000000 < (SELECT w FROM wm)
+        UNION ALL
+        SELECT NULL AS alert_id, c.event_id AS ctx_id, c.user_id,
+               NULL AS alert_us, c.us AS ctx_us,
+               c.event_type AS ctx_type, NULL AS alert_value
+        FROM e c
+        WHERE c.event_id NOT IN (SELECT ctx_id FROM m)
+          AND c.us < (SELECT w FROM wm)
         ORDER BY alert_id, ctx_id
     """
 
