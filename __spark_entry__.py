@@ -2289,6 +2289,99 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY doc_a, doc_b
     """
 
+    # connected-components closure over the SAME pair evidence the
+    # Spark query feeds keeper_list (ngram_jaccard_pairs at threshold
+    # 0.5): min-label propagation is order-independent, so DuckDB's
+    # recursive reachability closure (node → min reachable id) computes
+    # the identical cluster labels Spark reaches by iterative
+    # join+min-aggregate. Dup components are tiny (stars/short chains),
+    # so the quadratic per-component reach relation is bounded.
+    _KEEPER_PAIRS_CTE = f"""
+        t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        sh AS (
+            SELECT doc_id, source,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS shingles
+            FROM t WHERE len(toks) >= 3),
+        ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM sh),
+        blk AS (SELECT source, count(*) AS n_docs FROM sh GROUP BY source),
+        dfc AS (SELECT source, s, count(*) AS df FROM ex GROUP BY source, s),
+        kept AS (
+            SELECT ex.doc_id, ex.source, ex.s
+            FROM ex
+            JOIN dfc ON ex.source = dfc.source AND ex.s = dfc.s
+            JOIN blk ON ex.source = blk.source
+            WHERE dfc.df <= greatest(2, CAST(floor(0.5 * blk.n_docs) AS BIGINT))),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM kept GROUP BY doc_id),
+        co AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM kept a JOIN kept b
+              ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        pr AS (
+            SELECT doc_a, doc_b
+            FROM co
+            JOIN sizes sa ON co.doc_a = sa.doc_id
+            JOIN sizes sb ON co.doc_b = sb.doc_id
+            WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION ALL
+                SELECT doc_b, doc_a FROM pr),
+        reach(node, r) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT w.node, u.b FROM reach w JOIN und u ON w.r = u.a),
+        labels AS (
+            SELECT node, least(node, min(r)) AS cluster_id
+            FROM reach GROUP BY node)"""
+
+    sql["dedup_keepers"] = f"""
+        WITH RECURSIVE {_KEEPER_PAIRS_CTE}
+        SELECT d.doc_id,
+               COALESCE(l.cluster_id, d.doc_id) AS keeper_doc_id,
+               d.doc_id = COALESCE(l.cluster_id, d.doc_id) AS is_keeper
+        FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+        ORDER BY d.doc_id
+    """
+
+    # quality-aware keeper: highest quality_score wins the cluster,
+    # ties (and docs the scorer skipped, which Spark coalesces to -inf)
+    # fall back to min doc_id — row_number with NULLS LAST is the exact
+    # SQL twin of Spark's max_by(doc_id, struct(score, -doc_id)).
+    sql["dedup_keepers_best"] = f"""
+        WITH RECURSIVE {_KEEPER_PAIRS_CTE},
+        membered AS (
+            SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.node),
+        qbase AS (
+            SELECT doc_id, length(text) AS n_chars_m,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_unique,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_all_stop}))) AS INTEGER) AS n_stopwords,
+                   CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS INTEGER) AS n_punct
+            FROM documents),
+        q AS (
+            SELECT doc_id,
+                   (CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 50.0
+                   + (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 30.0
+                   + (1.0 - CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * 10.0
+                   + CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 10.0 ELSE 0.0 END AS quality
+            FROM qbase WHERE n_tokens > 0),
+        ranked AS (
+            SELECT m.doc_id, m.cluster_id,
+                   row_number() OVER (PARTITION BY m.cluster_id
+                                      ORDER BY q.quality DESC NULLS LAST,
+                                               m.doc_id ASC) AS rn
+            FROM membered m LEFT JOIN q ON m.doc_id = q.doc_id),
+        keepers AS (
+            SELECT cluster_id, doc_id AS keeper_doc_id FROM ranked WHERE rn = 1)
+        SELECT m.doc_id, k.keeper_doc_id,
+               m.doc_id = k.keeper_doc_id AS is_keeper
+        FROM membered m JOIN keepers k USING (cluster_id)
+        ORDER BY m.doc_id
+    """
+
     sql["knn_bruteforce"] = """
         WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
         q AS (SELECT vec_id AS q_id, vec AS q_vec FROM emb WHERE vec_id < 20),
