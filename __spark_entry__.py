@@ -603,6 +603,10 @@ def _q_streaming_join_full(spark, sf):
     return streaming_rollup.stream_join_alert_context_full(spark, sf)
 
 
+def _q_bm25_search(spark, sf):
+    return pipeline.bm25_search(load_table(spark, sf, "documents"))
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1082,6 +1086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_balance": _q_class_balance,
         "streaming_freshness": _q_streaming_freshness,
         "streaming_join_full": _q_streaming_join_full,
+        "bm25_search": _q_bm25_search,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -1883,6 +1888,57 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rn <= 3
         ORDER BY doc_id, rn
+    """
+
+    # BM25 retrieval twin: identical arithmetic shape to
+    # pipeline.bm25_search — per-term contribution rounded to 9 dp,
+    # accumulated as DECIMAL(20,9) (exact, order-independent), double
+    # only at the edge. Constants: k1=1.2, b=0.75 → k1+1=2.2, 1−b=0.25.
+    sql["bm25_search"] = f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (
+            SELECT doc_id, term, count(*) AS n_term
+            FROM toks GROUP BY doc_id, term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(n_term) AS BIGINT) AS n_tokens
+            FROM tf GROUP BY doc_id),
+        dfq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(SUM(n_tokens) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+               FROM dl),
+        q AS (
+            SELECT doc_id AS query_id,
+                   unnest(list_distinct({_TOKS}[1:6])) AS term
+            FROM documents WHERE doc_id < 10),
+        contrib AS (
+            SELECT q.query_id, tf.doc_id,
+                   CAST(round(
+                       ln((st.n_docs - CAST(dfq.doc_freq AS DOUBLE) + 0.5)
+                          / (CAST(dfq.doc_freq AS DOUBLE) + 0.5) + 1.0)
+                       * ((CAST(tf.n_term AS DOUBLE) * 2.2)
+                          / (CAST(tf.n_term AS DOUBLE)
+                             + 1.2 * (0.25 + 0.75 * (CAST(dl.n_tokens AS DOUBLE)
+                                                     / st.avgdl)))),
+                       9) AS DECIMAL(20,9)) AS contrib
+            FROM tf
+            JOIN q USING (term)
+            JOIN dl USING (doc_id)
+            JOIN dfq USING (term)
+            CROSS JOIN st
+            WHERE tf.doc_id <> q.query_id),
+        scored AS (
+            SELECT query_id, doc_id,
+                   CAST(SUM(contrib) AS DOUBLE) AS score
+            FROM contrib GROUP BY query_id, doc_id)
+        SELECT query_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id ASC)
+                    AS INTEGER) AS rn,
+               doc_id, score
+        FROM scored
+        QUALIFY rn <= 5
+        ORDER BY query_id, rn
     """
 
     # mirrors curation.decontaminate over the same hash-bucket

@@ -193,6 +193,114 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def bm25_search(
+    documents: DataFrame,
+    n_queries: int = 10,
+    query_len: int = 6,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-`k` retrieval over the corpus — the lexical-search
+    primitive a RAG / retrieval-augmented pipeline runs beside the
+    embedding k-NN in `similarity` (the reference's only search is a
+    LIKE substring scan, views.py substring filters; BM25 is what that
+    becomes at corpus scale).
+
+    Query set is self-contained and deterministic: the first
+    `n_queries` documents (doc_id < n_queries) contribute their first
+    `query_len` distinct tokens as query terms; the query document
+    itself is excluded from its own results, as in `knn_bruteforce`.
+
+    score(q, d) = Σ_{t∈q∩d} idf(t) · tf(t,d)·(k1+1) /
+                  (tf(t,d) + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   [Robertson/Lucene form]
+
+    Cross-engine determinism: each per-term contribution is rounded to
+    9 dp (the repo's one-transcendental rule), then accumulated as
+    DECIMAL(20,9) — an EXACT, order-independent sum — and cast to
+    double only at the edge, so Spark's arbitrary-order partial
+    aggregation and DuckDB's sequential sum agree bit-for-bit.
+
+    Scale shape: the corpus is tokenized ONCE into a materialized
+    postings relation (doc_id, term, tf) — the same diamond feeding
+    doc-lengths, doc-frequencies, and the scoring join. The query-term
+    side is tiny and broadcast, so the postings relation never
+    shuffles for the probe; only matching postings (docs sharing ≥1
+    query term) flow into the (query_id, doc_id) aggregation, and the
+    final top-k is a window over that candidate set keyed by query —
+    never over the corpus. At 100 TB this is the standard sharded
+    retrieval plan: score shards independently, merge k per query.
+    """
+    if n_queries <= 0 or query_len <= 0 or k <= 0:
+        raise ValueError("bm25_search: n_queries, query_len and k must be positive")
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    toks = _spread(documents, "doc_id").select(
+        "doc_id", F.explode(tok_arr).alias("term")
+    )
+    tf = _materialize(toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_term")))
+    doc_len = _materialize(
+        tf.groupBy("doc_id").agg(F.sum("n_term").alias("n_tokens"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    # one-row corpus stats: N and avgdl, computed over docs with ≥1
+    # token (identical population in the DuckDB twin)
+    stats = doc_len.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("n_tokens").cast("double") / F.count("*").cast("double")).alias("avgdl"),
+    )
+    qterms = (
+        documents.filter(F.col("doc_id") < n_queries)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(tok_arr, 1, query_len))).alias("term"),
+        )
+    )
+    contrib = (
+        tf.join(F.broadcast(qterms), "term")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .join(doc_len, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.col("n_docs") - F.col("doc_freq").cast("double") + F.lit(0.5))
+                    / (F.col("doc_freq").cast("double") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * (
+                    (F.col("n_term").cast("double") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("n_term").cast("double")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b)
+                            * (F.col("n_tokens").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(20,9)")
+            .alias("contrib"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("double").alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col("rn").cast("int").alias("rn"), "doc_id", "score")
+        .orderBy("query_id", "rn")
+    )
+
+
 def vocab_topk(documents: DataFrame, k: int = 50) -> DataFrame:
     """Global vocabulary head: top-`k` terms by total occurrences (ties
     by term asc) with document frequency. Explode → single keyed agg

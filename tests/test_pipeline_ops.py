@@ -400,3 +400,30 @@ def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
     assert sample_mean > corpus_mean, (
         f"length-weighted sample mean {sample_mean} not above corpus mean {corpus_mean}"
     )
+
+
+def test_bm25_ranks_planted_relevant_doc_first(spark):
+    """A document repeating every query term must outrank one sharing
+    a single term, and the query doc never retrieves itself. Corpus
+    padded with unrelated docs so idf is informative."""
+    rows = [(0, "s0", "zeta omega kappa")]
+    rows.append((1, "s0", "zeta omega kappa zeta omega kappa zeta"))
+    rows.append((2, "s0", "zeta filler filler filler filler filler"))
+    rows += [(i, "s0", "alpha beta gamma delta epsilon") for i in range(3, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = pipeline.bm25_search(docs, n_queries=1, query_len=3, k=5).collect()
+    assert all(r.query_id == 0 for r in out)
+    assert all(r.doc_id != 0 for r in out), "query doc retrieved itself"
+    ranked = [r.doc_id for r in out]
+    assert ranked[0] == 1, f"all-terms doc not first: {ranked}"
+    assert 2 in ranked and ranked.index(2) > 0
+    assert all(r.score > 0 for r in out)
+
+
+def test_bm25_rejects_bad_params(spark):
+    docs = spark.createDataFrame(
+        [(0, "s0", "a b c")], "doc_id long, source string, text string"
+    )
+    for kw in ({"n_queries": 0}, {"query_len": 0}, {"k": -1}):
+        with pytest.raises(ValueError):
+            pipeline.bm25_search(docs, **kw)
