@@ -607,6 +607,10 @@ def _q_bm25_search(spark, sf):
     return pipeline.bm25_search(load_table(spark, sf, "documents"))
 
 
+def _q_minhash_portable(spark, sf):
+    return dedup.minhash_lsh_pairs_portable(load_table(spark, sf, "documents"))
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1087,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_freshness": _q_streaming_freshness,
         "streaming_join_full": _q_streaming_join_full,
         "bm25_search": _q_bm25_search,
+        "minhash_portable_pairs": _q_minhash_portable,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -1939,6 +1944,66 @@ def oracle_sql() -> dict[str, str]:
         FROM scored
         QUALIFY rn <= 5
         ORDER BY query_id, rn
+    """
+
+    # portable MinHash+LSH twin: the SAME md5-derived affine constants
+    # as dedup.minhash_lsh_pairs_portable (one source of truth —
+    # dedup.portable_perm_params), so signatures, band keys, candidate
+    # set and exact verification are bit-identical across engines.
+    _pp = dedup.portable_perm_params()
+    _rpb = dedup.N_HASHES // dedup.BANDS
+    _min_aggs = ",\n                   ".join(
+        f"min(({a} * hi + {b} * lo + {c}) % {dedup.MINHASH_P}) AS mh_{i}"
+        for i, (a, b, c) in enumerate(_pp)
+    )
+    _band_union = "\n            UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_id, {key} AS band_key FROM sig".format(
+            bi=bi,
+            key=" || '|' || ".join(
+                f"CAST(mh_{bi * _rpb + r} AS VARCHAR)" for r in range(_rpb)
+            ),
+        )
+        for bi in range(dedup.BANDS)
+    )
+    sql["minhash_portable_pairs"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        shn AS (
+            SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS shingles
+            FROM t WHERE len(toks) >= 3),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+        hs AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+               FROM ex),
+        hx AS (SELECT doc_id, h >> 30 AS hi, h & 1073741823 AS lo FROM hs),
+        sig AS (SELECT doc_id,
+                   {_min_aggs}
+                FROM hx GROUP BY doc_id),
+        banded AS (
+            {_band_union}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, h FROM hs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sets x ON x.doc_id = c.doc_a
+            JOIN sets y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY 1, 2)
+        SELECT i.doc_a, i.doc_b,
+               CAST(n_inter AS DOUBLE)
+               / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE CAST(n_inter AS DOUBLE)
+              / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.30
+        ORDER BY doc_a, doc_b
     """
 
     # mirrors curation.decontaminate over the same hash-bucket

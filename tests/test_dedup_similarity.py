@@ -25,6 +25,35 @@ def test_minhash_finds_planted_duplicate(spark, sf_dir):
     assert any(r.doc_a == 0 and r.doc_b == 100000 for r in pairs), pairs
 
 
+def test_minhash_portable_finds_planted_duplicate_and_agrees(spark, sf_dir):
+    """The portable (md5-affine) MinHash variant must surface the same
+    planted near-duplicate as the xxhash64 form, and at a fixed
+    verification threshold the two variants' verified pair sets agree
+    on the real corpus (verification is exact Jaccard in both; only
+    the candidate generation differs, and both banding schemes must
+    recall a 0.5+ Jaccard pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        "lang",
+        "source",
+        (F.col("n_chars") + 6).alias("n_chars"),
+    )
+    with_dup = docs.unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs_portable(with_dup, threshold=0.5).collect()
+    assert any(r.doc_a == 0 and r.doc_b == 100000 for r in pairs), pairs
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs_portable(docs, threshold=0.5).collect()
+    }
+    assert fast == portable, f"variants disagree: {fast ^ portable}"
+
+
 def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     """Every truly-similar pair (exact Jaccard >= 0.6) must be caught
     by the LSH candidate generation (recall check on real data)."""
