@@ -611,6 +611,10 @@ def _q_minhash_portable(spark, sf):
     return dedup.minhash_lsh_pairs_portable(load_table(spark, sf, "documents"))
 
 
+def _q_simhash_portable(spark, sf):
+    return dedup.simhash_pairs_portable(load_table(spark, sf, "documents"))
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1092,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_join_full": _q_streaming_join_full,
         "bm25_search": _q_bm25_search,
         "minhash_portable_pairs": _q_minhash_portable,
+        "simhash_portable_pairs": _q_simhash_portable,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2003,6 +2008,47 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE CAST(n_inter AS DOUBLE)
               / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.30
+        ORDER BY doc_a, doc_b
+    """
+
+    # portable SimHash twin: 60-bit md5-prefix token hashes, the same
+    # ±1 bit sums / sign assembly / 4×15-bit pigeonhole bands /
+    # bit_count(xor) verify as dedup.simhash_pairs_portable.
+    _sh_sums = ",\n                   ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{b}"
+        for b in range(60)
+    )
+    _sh_asm = " | ".join(
+        f"(CASE WHEN s_{b} > 0 THEN CAST(1 AS BIGINT) << {b} ELSE CAST(0 AS BIGINT) END)"
+        for b in range(60)
+    )
+    _sh_bands = "\n            UNION ALL ".join(
+        f"SELECT source, doc_id, simhash, {i} AS band_id,"
+        f" (simhash >> {off}) & 32767 AS band_val FROM sig"
+        for i, off in enumerate((0, 15, 30, 45))
+    )
+    sql["simhash_portable_pairs"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+            FROM documents),
+        hx AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+               FROM tok),
+        agg AS (SELECT doc_id,
+                   {_sh_sums}
+                FROM hx GROUP BY doc_id),
+        sig AS (SELECT d.source, agg.doc_id, {_sh_asm} AS simhash
+                FROM agg JOIN documents d USING (doc_id)),
+        banded AS (
+            {_sh_bands}),
+        pairs AS (
+            SELECT DISTINCT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM banded a JOIN banded b
+              ON a.source = b.source AND a.band_id = b.band_id
+             AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        SELECT source, doc_a, doc_b, hamming
+        FROM pairs WHERE hamming <= 3
         ORDER BY doc_a, doc_b
     """
 

@@ -396,3 +396,22 @@ def test_paragraph_dedup_position_order_preserved(spark):
     out = {r.doc_id: r for r in paragraph_dedup(docs).collect()}
     assert out[2].dedup_text == "first\nlast"
     assert out[2].n_kept == 2 and out[2].n_dropped == 1
+
+
+def test_simhash_portable_finds_planted_duplicate(spark, sf_dir):
+    """The portable (md5-60-bit) SimHash must surface a planted exact
+    duplicate at hamming 0 (token-set-identical text is hamming 0
+    under ANY hash family; a one-token edit's hamming is hash-family-
+    dependent on short docs, so the exact plant is the stable probe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    pairs = dedup.simhash_pairs_portable(docs.unionByName(dup)).collect()
+    hit = [r for r in pairs if r.doc_a == 0 and r.doc_b == 100000]
+    assert hit and hit[0].hamming == 0, pairs[:5]
+    assert all(r.hamming <= 3 for r in pairs)
