@@ -615,6 +615,14 @@ def _q_simhash_portable(spark, sf):
     return dedup.simhash_pairs_portable(load_table(spark, sf, "documents"))
 
 
+def _q_attribution(spark, sf):
+    return event_analytics.attribution(load_table(spark, sf, "events"))
+
+
+def _q_source_quantile_normalize(spark, sf):
+    return pipeline.source_quantile_normalize(load_table(spark, sf, "documents"))
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1097,6 +1105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": _q_bm25_search,
         "minhash_portable_pairs": _q_minhash_portable,
         "simhash_portable_pairs": _q_simhash_portable,
+        "touch_attribution": _q_attribution,
+        "source_quantile_normalize": _q_source_quantile_normalize,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2050,6 +2060,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, doc_a, doc_b, hamming
         FROM pairs WHERE hamming <= 3
         ORDER BY doc_a, doc_b
+    """
+
+    # touch attribution twin: inner range-join candidates, last/first
+    # touch via row_number over (touch_us, touch_id) — the exact twin
+    # of Spark's max_by/min_by(struct) since touch_id is unique —
+    # then a left join back so unattributed conversions survive.
+    sql["touch_attribution"] = """
+        WITH e AS (SELECT event_id, epoch_us(ts) AS us, user_id, event_type
+                   FROM events),
+        c AS (SELECT event_id AS conv_id, user_id, us AS conv_us
+              FROM e WHERE event_type = 'purchase'),
+        t AS (SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+                     us AS touch_us
+              FROM e WHERE event_type IN ('view', 'click')),
+        m AS (SELECT c.conv_id, t.touch_id, t.touch_type, t.touch_us
+              FROM c JOIN t ON c.user_id = t.user_id
+                   AND t.touch_us <= c.conv_us
+                   AND t.touch_us > c.conv_us - 1800000000),
+        r AS (SELECT *,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY touch_us DESC, touch_id DESC) AS rl,
+                     row_number() OVER (PARTITION BY conv_id
+                                        ORDER BY touch_us ASC, touch_id ASC) AS rf,
+                     count(*) OVER (PARTITION BY conv_id) AS n_t
+              FROM m),
+        lt AS (SELECT conv_id, touch_id AS last_touch_id,
+                      touch_type AS last_touch_type, touch_us AS last_touch_us,
+                      n_t
+               FROM r WHERE rl = 1),
+        ft AS (SELECT conv_id, touch_id AS first_touch_id,
+                      touch_type AS first_touch_type, touch_us AS first_touch_us
+               FROM r WHERE rf = 1)
+        SELECT c.conv_id, c.user_id, c.conv_us,
+               lt.last_touch_id, lt.last_touch_type, lt.last_touch_us,
+               ft.first_touch_id, ft.first_touch_type, ft.first_touch_us,
+               COALESCE(lt.n_t, 0) AS n_touches
+        FROM c
+        LEFT JOIN lt USING (conv_id)
+        LEFT JOIN ft USING (conv_id)
+        ORDER BY conv_id
+    """
+
+    # per-source quantile normalization twin: the same percentile_disc
+    # cut points (exact order statistics over integer n_chars) and the
+    # same strict-> bucket chain as pipeline.source_quantile_normalize.
+    _sqn_cuts = ", ".join(
+        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY n_chars) AS c_{i - 1}"
+        for i in range(1, 10)
+    )
+    _sqn_bucket = " + ".join(
+        f"(CASE WHEN d.n_chars > c_{i} THEN 1 ELSE 0 END)" for i in range(9)
+    )
+    sql["source_quantile_normalize"] = f"""
+        WITH cuts AS (
+            SELECT source, {_sqn_cuts}
+            FROM documents GROUP BY source)
+        SELECT d.doc_id, d.source, d.n_chars,
+               CAST({_sqn_bucket} AS INTEGER) AS norm_bucket
+        FROM documents d JOIN cuts USING (source)
+        ORDER BY d.doc_id
     """
 
     # mirrors curation.decontaminate over the same hash-bucket

@@ -109,6 +109,10 @@ HEADLINE = [
     "pagerank_transitions",
     "freshness_audit",
     "class_balance",
+    # round-3 continuation: lexical retrieval (the portable dedup
+    # variants stay out — they exist for cross-engine reproducibility,
+    # not throughput; the xxhash64 forms above are the measured paths)
+    "bm25_search",
 ]
 
 

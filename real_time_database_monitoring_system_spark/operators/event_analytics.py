@@ -324,3 +324,79 @@ def pagerank_transitions(events: DataFrame, n_iter: int = 3) -> DataFrame:
         F.col("r").alias("rank_ppm"),
         (F.col("r").cast("double") / F.lit(1000000.0)).alias("rank"),
     ).orderBy("node")
+
+
+def attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    lookback_minutes: int = 30,
+) -> DataFrame:
+    """Marketing-style touch attribution: for every `conversion` event,
+    the LAST and FIRST touch event (of `touch_types`) by the same user
+    inside the lookback window ending at the conversion — the
+    complement of `conversion_latency` (which aggregates; this
+    attributes each conversion individually). Unattributed conversions
+    survive with NULL touch columns and n_touches = 0.
+
+    Shape: two pushed-down type filters over the feed, ONE user-keyed
+    range join (candidates bounded by per-user activity inside the
+    lookback window — never cross-user), a per-conversion keyed
+    aggregate (`max_by`/`min_by` over (touch_us, touch_id), map-side
+    combinable), and a left join back for the unattributed rows. No
+    window over the feed, nothing quadratic; at 100 TB the only big
+    shuffle is the user-keyed join both sides of which were already
+    filtered to the relevant event types.
+    """
+    if lookback_minutes <= 0:
+        raise ValueError("attribution: lookback_minutes must be positive")
+    if not touch_types:
+        raise ValueError("attribution: touch_types must be non-empty")
+    us = F.expr(_TS_US)
+    horizon_us = lookback_minutes * 60 * 1_000_000
+    conv = events.filter(F.col("event_type") == conversion).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        us.alias("conv_us"),
+    )
+    touch = events.filter(F.col("event_type").isin(list(touch_types))).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        us.alias("touch_us"),
+    )
+    matched = (
+        conv.join(
+            touch,
+            (F.col("user_id") == F.col("t_user"))
+            & (F.col("touch_us") <= F.col("conv_us"))
+            & (F.col("touch_us") > F.col("conv_us") - F.lit(horizon_us)),
+            "inner",
+        )
+        .groupBy("conv_id")
+        .agg(
+            F.expr(
+                "max_by(struct(touch_id, touch_type, touch_us), struct(touch_us, touch_id))"
+            ).alias("lt"),
+            F.expr(
+                "min_by(struct(touch_id, touch_type, touch_us), struct(touch_us, touch_id))"
+            ).alias("ft"),
+            F.count("*").alias("n_touches"),
+        )
+    )
+    return (
+        conv.join(matched, "conv_id", "left")
+        .select(
+            "conv_id",
+            "user_id",
+            "conv_us",
+            F.col("lt.touch_id").alias("last_touch_id"),
+            F.col("lt.touch_type").alias("last_touch_type"),
+            F.col("lt.touch_us").alias("last_touch_us"),
+            F.col("ft.touch_id").alias("first_touch_id"),
+            F.col("ft.touch_type").alias("first_touch_type"),
+            F.col("ft.touch_us").alias("first_touch_us"),
+            F.coalesce("n_touches", F.lit(0)).alias("n_touches"),
+        )
+        .orderBy("conv_id")
+    )

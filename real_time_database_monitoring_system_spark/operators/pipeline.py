@@ -783,3 +783,45 @@ def minmax_normalize(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+def source_quantile_normalize(
+    documents: DataFrame, col: str = "n_chars", buckets: int = 10
+) -> DataFrame:
+    """Quantile-normalize a per-document feature WITHIN each source so
+    heterogeneous sources become comparable (a web crawl's "long doc"
+    and a forum dump's "long doc" land in the same decile) — the
+    calibration step before cross-source quality filtering or mixing.
+
+    Scale shape: the naive formulation is `percent_rank() OVER
+    (PARTITION BY source ...)` — a per-source window that serializes
+    each source into ONE partition, i.e. a 100 TB scale-killer for any
+    large source. Instead the per-source bucket cut points come from
+    `percentile_disc` AGGREGATES (map-side combinable, #sources output
+    rows), broadcast back, and the bucket index is a map-side chain of
+    integer comparisons. Same pattern as `minmax_normalize` /
+    `winsorized_stats`. Ties sit deterministically in the lower bucket
+    (strict `>` against each cut) in both engines — exact order
+    statistics over integers, no float ambiguity."""
+    if buckets < 2:
+        raise ValueError("source_quantile_normalize: buckets must be >= 2")
+    qs = [i / buckets for i in range(1, buckets)]
+    cuts = documents.groupBy("source").agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})").alias(f"c_{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    bucket = " + ".join(
+        f"(CASE WHEN {col} > c_{i} THEN 1 ELSE 0 END)" for i in range(len(qs))
+    )
+    return (
+        documents.join(F.broadcast(cuts), "source")
+        .select(
+            "doc_id",
+            "source",
+            col,
+            F.expr(bucket).cast("int").alias("norm_bucket"),
+        )
+        .orderBy("doc_id")
+    )

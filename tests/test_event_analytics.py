@@ -112,3 +112,40 @@ def test_user_entropy_degenerate_and_uniform(spark):
     out = {r.user_id: r for r in event_analytics.user_entropy(df).collect()}
     assert out[1].entropy == 0.0 and out[1].n_types == 1
     assert abs(out[2].entropy - math.log(2)) < 1e-8 and out[2].n_types == 2
+
+
+def test_attribution_last_and_first_touch_semantics(spark):
+    """User 1: view@1h, click@2h, purchase@2h30 → last touch = click,
+    first = view (both inside the 30-min... no — use 30-min lookback:
+    only the click@2h is within 30min of 2h30? 2h30-30min = 2h, strict
+    > means click@2h is EXCLUDED, so widen: purchase@2h15). User 2
+    purchases with no prior touch → NULL columns, n_touches 0."""
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 1, "view"),      # id 0: 01:00 (outside lookback)
+            (1, 1, 2, "click"),     # id 1: 02:00 (inside)
+            (1, 1, 2, "purchase"),  # id 2: 02:00 — same-hour granularity
+            (2, 1, 5, "purchase"),  # id 3: untouched user
+            (1, 1, 3, "view"),      # id 4: AFTER the purchase — ignored
+        ],
+    )
+    out = {r.conv_id: r for r in event_analytics.attribution(ev).collect()}
+    assert set(out) == {2, 3}
+    hit = out[2]
+    # click@02:00 and purchase@02:00: touch_us <= conv_us includes it
+    assert hit.last_touch_id == 1 and hit.last_touch_type == "click"
+    assert hit.first_touch_id == 1 and hit.n_touches == 1
+    miss = out[3]
+    assert miss.last_touch_id is None and miss.first_touch_id is None
+    assert miss.n_touches == 0
+
+
+def test_attribution_rejects_bad_params(spark):
+    import pytest
+
+    ev = _ev(spark, [(1, 1, 1, "view")])
+    with pytest.raises(ValueError):
+        event_analytics.attribution(ev, lookback_minutes=0)
+    with pytest.raises(ValueError):
+        event_analytics.attribution(ev, touch_types=())

@@ -427,3 +427,29 @@ def test_bm25_rejects_bad_params(spark):
     for kw in ({"n_queries": 0}, {"query_len": 0}, {"k": -1}):
         with pytest.raises(ValueError):
             pipeline.bm25_search(docs, **kw)
+
+
+def test_source_quantile_normalize_buckets(spark, docs):
+    """Buckets are per-source, monotone in the feature, and roughly
+    balanced (exact order-statistic deciles: each bucket holds ~n/10 of
+    its source)."""
+    out = pipeline.source_quantile_normalize(docs).collect()
+    assert all(0 <= r.norm_bucket <= 9 for r in out)
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    for src, rows in by_source.items():
+        rows.sort(key=lambda r: (r.n_chars, r.doc_id))
+        buckets = [r.norm_bucket for r in rows]
+        assert buckets == sorted(buckets), f"non-monotone in {src}"
+        n = len(rows)
+        from collections import Counter
+
+        sizes = Counter(buckets)
+        # percentile_disc deciles: no bucket can exceed ~n/10 + ties
+        assert max(sizes.values()) <= n // 10 + max(
+            sum(1 for r in rows if r.n_chars == v)
+            for v in {r.n_chars for r in rows}
+        ), f"bucket blowout in {src}: {sizes}"
+    with pytest.raises(ValueError):
+        pipeline.source_quantile_normalize(docs, buckets=1)
