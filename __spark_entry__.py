@@ -623,6 +623,10 @@ def _q_source_quantile_normalize(spark, sf):
     return pipeline.source_quantile_normalize(load_table(spark, sf, "documents"))
 
 
+def _q_tokenize_to_ids(spark, sf):
+    return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1107,6 +1111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_pairs": _q_simhash_portable,
         "touch_attribution": _q_attribution,
         "source_quantile_normalize": _q_source_quantile_normalize,
+        "tokenize_to_ids": _q_tokenize_to_ids,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2120,6 +2125,27 @@ def oracle_sql() -> dict[str, str]:
                CAST({_sqn_bucket} AS INTEGER) AS norm_bucket
         FROM documents d JOIN cuts USING (source)
         ORDER BY d.doc_id
+    """
+
+    # tokenizer-application twin: same top-1000 (count DESC, term ASC)
+    # vocabulary, ids = rank, OOV → 0; per-doc ordered id lists.
+    sql["tokenize_to_ids"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+        tokp AS (
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos, t[pos + 1] AS term
+            FROM (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM d)),
+        counts AS (SELECT term, count(*) AS n FROM tokp GROUP BY term),
+        vocab AS (
+            SELECT term,
+                   CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS INTEGER) AS id
+            FROM counts
+            QUALIFY id <= 1000)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               list(COALESCE(v.id, 0) ORDER BY pos) AS token_ids
+        FROM tokp LEFT JOIN vocab v USING (term)
+        GROUP BY doc_id
+        ORDER BY doc_id
     """
 
     # mirrors curation.decontaminate over the same hash-bucket

@@ -825,3 +825,52 @@ def source_quantile_normalize(
         )
         .orderBy("doc_id")
     )
+
+
+def tokenize_to_ids(
+    documents: DataFrame, vocab_size: int = 1000, oov_id: int = 0
+) -> DataFrame:
+    """Apply a fixed vocabulary to the corpus: every document becomes
+    its ordered array of integer token ids, out-of-vocabulary tokens
+    map to `oov_id` — the tokenizer-application step between curation
+    and training-shard writing. The vocabulary is corpus-derived here
+    (top-`vocab_size` terms by frequency, ties by term) so the
+    operator is self-contained and exactly reproducible.
+
+    Scale shape: vocabulary selection is a keyed count + TakeOrdered
+    top-k (never a window over all distinct terms); id assignment is a
+    window over ONLY the ≤ vocab_size surviving rows, then broadcast.
+    The corpus-side cost is one posexplode + broadcast probe + one
+    groupBy(doc_id) reassembly shuffle carrying the token stream — at
+    production scale you would keep the exploded (doc_id, pos, id)
+    form and skip the array reassembly, which exists here for the
+    row-per-document contract. Documents with zero tokens drop out
+    (no token stream to encode), as in the oracle twin."""
+    if vocab_size <= 0:
+        raise ValueError("tokenize_to_ids: vocab_size must be positive")
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tokp = _spread(documents, "doc_id").select(
+        "doc_id", F.posexplode(tok_arr).alias("pos", "term")
+    )
+    counts = tokp.groupBy("term").agg(F.count("*").alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(vocab_size)
+    vocab = top.withColumn(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("term")))
+        .cast("int"),
+    ).select("term", "id")
+    encoded = tokp.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(int(oov_id)).cast("int")).alias("tid")
+    )
+    return (
+        encoded.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s.tid,
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )

@@ -453,3 +453,22 @@ def test_source_quantile_normalize_buckets(spark, docs):
         ), f"bucket blowout in {src}: {sizes}"
     with pytest.raises(ValueError):
         pipeline.source_quantile_normalize(docs, buckets=1)
+
+
+def test_tokenize_to_ids_roundtrip_semantics(spark):
+    """Ids are frequency-ranked (most frequent term = id 1), OOV maps
+    to 0, arrays preserve token order, and n_tokens == len(token_ids)."""
+    rows = [
+        (1, "s0", "the the the cat sat"),
+        (2, "s0", "the cat"),
+        (3, "s0", "dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.doc_id: r for r in pipeline.tokenize_to_ids(docs, vocab_size=2).collect()}
+    # counts: the=4, cat=2, sat=1, dog=1 → vocab: the=1, cat=2; rest OOV
+    assert out[1].token_ids == [1, 1, 1, 2, 0]
+    assert out[2].token_ids == [1, 2]
+    assert out[3].token_ids == [0]
+    assert all(r.n_tokens == len(r.token_ids) for r in out.values())
+    with pytest.raises(ValueError):
+        pipeline.tokenize_to_ids(docs, vocab_size=0)

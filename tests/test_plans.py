@@ -303,3 +303,48 @@ def test_skew_temporal_pagerank_budgets(spark, sf_dir):
     # ranks are materialized: the returned plan must not re-run the
     # iteration joins
     assert checks.count_exchanges(pr) <= 1, "final rank read must be sort-only"
+
+
+def test_round3_continuation_shuffle_budgets(spark, sf_dir):
+    """Pin the round-3 continuation operators (retrieval, attribution,
+    calibration, tokenizer application, portable dedup variants) to
+    their designed exchange budgets. bm25's one-row corpus-stats cross
+    join is the scalar-subquery pattern and legitimately plans as a
+    BroadcastNestedLoopJoin; everything else must avoid quadratic
+    strategies. tokenize_to_ids' global window runs over ≤ vocab_size
+    rows (post-TakeOrdered), not the corpus."""
+    from real_time_database_monitoring_system_spark.operators import (
+        dedup,
+        event_analytics,
+        pipeline,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = [
+        # postings agg + dl/df aggs + (query,doc) agg + top-k window +
+        # presentation sort; query terms and stats must broadcast
+        ("bm25_search", pipeline.bm25_search(docs), 5, True, True),
+        # user-keyed range join + per-conversion agg + sort
+        ("touch_attribution", event_analytics.attribution(ev), 3, True, False),
+        # cuts agg + presentation sort; the feed never hash-shuffles
+        ("source_quantile_normalize", pipeline.source_quantile_normalize(docs), 2, True, False),
+        # term counts + vocab rank (≤1000 rows) + doc reassembly + sort
+        ("tokenize_to_ids", pipeline.tokenize_to_ids(docs), 4, True, False),
+        # signature agg + band self-join + candidate verify + sort,
+        # over ONE materialized shingle-hash pass
+        ("minhash_portable", dedup.minhash_lsh_pairs_portable(docs), 5, False, False),
+        # banded self-join + distinct + sort over the materialized sigs
+        ("simhash_portable", dedup.simhash_pairs_portable(docs), 3, False, False),
+    ]
+    for name, df, max_ex, need_bcast, allow_bnlj in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        plan = checks.explain_str(df)
+        if need_bcast:
+            assert checks.has_broadcast_join(df), f"{name}: small side must broadcast"
+        assert "CartesianProduct" not in plan, f"{name}: cartesian crept in"
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: quadratic join strategy crept in"
+            )
