@@ -627,6 +627,26 @@ def _q_tokenize_to_ids(spark, sf):
     return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
 
 
+def _q_join_cardinality(spark, sf):
+    # predict the attribution join's size: purchases × touches per user
+    from real_time_database_monitoring_system_spark.operators import skew
+
+    ev = load_table(spark, sf, "events")
+    return skew.join_cardinality_estimate(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type").isin("view", "click")),
+        "user_id",
+    )
+
+
+def _q_latency_percentile_panel(spark, sf):
+    return monitoring.latency_percentile_panel(load_table(spark, sf, "events"))
+
+
+def _q_trending_types(spark, sf):
+    return monitoring.trending_types(load_table(spark, sf, "events"))
+
+
 def _q_weighted_sample(spark, sf):
     return pipeline.weighted_sample(load_table(spark, sf, "documents"))
 
@@ -1112,6 +1132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "touch_attribution": _q_attribution,
         "source_quantile_normalize": _q_source_quantile_normalize,
         "tokenize_to_ids": _q_tokenize_to_ids,
+        "join_cardinality": _q_join_cardinality,
+        "latency_percentile_panel": _q_latency_percentile_panel,
+        "trending_types": _q_trending_types,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2146,6 +2169,49 @@ def oracle_sql() -> dict[str, str]:
         FROM tokp LEFT JOIN vocab v USING (term)
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+
+    # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two
+    # count relations, identical arithmetic shape
+    sql["join_cardinality"] = """
+        WITH a AS (SELECT user_id, count(*) AS cnt_a FROM events
+                   WHERE event_type = 'purchase' GROUP BY 1),
+        b AS (SELECT user_id, count(*) AS cnt_b FROM events
+              WHERE event_type IN ('view', 'click') GROUP BY 1),
+        p AS (SELECT a.user_id, cnt_a * cnt_b AS pairs
+              FROM a JOIN b USING (user_id))
+        SELECT CAST(sum(pairs) AS BIGINT) AS est_rows,
+               CAST(count(*) AS BIGINT) AS n_matched_keys,
+               CAST(max(pairs) AS BIGINT) AS max_key_pairs,
+               CAST(max(pairs) AS DOUBLE) / CAST(sum(pairs) AS DOUBLE)
+                   AS top_key_share
+        FROM p
+    """
+
+    # per-bucket latency percentiles: exact order statistics, one
+    # keyed aggregate in both engines
+    sql["latency_percentile_panel"] = """
+        SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_s,
+               CAST(count(*) AS BIGINT) AS n,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+               percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99
+        FROM events GROUP BY 1 ORDER BY 1
+    """
+
+    # per-day trending types: rank over the count relation
+    sql["trending_types"] = """
+        WITH c AS (
+            SELECT epoch_us(ts) // 86400000000 AS day_no, event_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT day_no, event_type, n,
+               CAST(row_number() OVER (PARTITION BY day_no
+                                       ORDER BY n DESC, event_type ASC)
+                    AS INTEGER) AS rnk
+        FROM c
+        QUALIFY rnk <= 3
+        ORDER BY day_no, rnk
     """
 
     # mirrors curation.decontaminate over the same hash-bucket

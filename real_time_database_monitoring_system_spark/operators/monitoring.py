@@ -840,3 +840,50 @@ def freshness_audit(events: DataFrame, stale_minutes: int = 60) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def latency_percentile_panel(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
+    """Per-time-bucket p50/p95/p99 of the metric value — the latency
+    panel every monitoring deployment renders next to the mean-based
+    `downsample_5min` (reference dashboard charts mean/max only,
+    index_resource.html:230-245; percentiles are what the mean hides).
+
+    One keyed aggregate: percentile_disc is an order-statistic sketch
+    per (bucket) group with map-side partial state, so the feed is
+    scanned once and shuffles once on the bucket key. Output is
+    #buckets rows. Exact order statistics over doubles — both engines
+    select an actual element, no interpolation ambiguity."""
+    if bucket_seconds <= 0:
+        raise ValueError("latency_percentile_panel: bucket_seconds must be positive")
+    us = bucket_seconds * 1_000_000
+    bucket = F.expr(f"({_TS_US}) div {us} * {bucket_seconds}").alias("bucket_s")
+    return (
+        events.select(bucket, "value")
+        .groupBy("bucket_s")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("p99"),
+        )
+        .orderBy("bucket_s")
+    )
+
+
+def trending_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-`k` event types per day by count, with rank — the
+    "what's trending" rollup. The window ranks the per-(day, type)
+    COUNT relation (#days × #types rows), never the feed; ties break
+    on type name for determinism."""
+    if k <= 0:
+        raise ValueError("trending_types: k must be positive")
+    day = F.expr(f"({_TS_US}) div 86400000000").alias("day_no")
+    counts = events.select(day, "event_type").groupBy("day_no", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("day_no").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("day_no", "rnk")
+    )

@@ -95,3 +95,36 @@ def skew_profile(df: DataFrame, key: str, n: int = 10) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc(key))
         .limit(n)
     )
+
+
+def join_cardinality_estimate(
+    left: DataFrame, right: DataFrame, key: str, n_top: int = 10
+) -> DataFrame:
+    """Predict an equi-join's output size BEFORE running it — the
+    planning diagnostic behind the broadcast/salt/bucket decision at
+    100 TB: |A ⋈ B| = Σ_k cnt_A(k) · cnt_B(k). Returns one row with
+    the exact predicted cardinality, matched-key count, and the top
+    key's contribution (the skew share: if one key contributes most of
+    the output, `salted_join` is the answer, not AQE).
+
+    Cost: one keyed count per side (map-side partials), an inner join
+    of the two COUNT relations (#distinct-keys rows, not the feeds),
+    and a one-row aggregate. The feeds themselves are scanned once
+    each and never joined."""
+    ca = left.groupBy(key).agg(F.count("*").alias("cnt_a"))
+    cb = right.groupBy(key).agg(F.count("*").alias("cnt_b"))
+    per_key = ca.join(cb, key).select(
+        F.col(key), (F.col("cnt_a") * F.col("cnt_b")).alias("pairs")
+    )
+    return per_key.agg(
+        F.sum("pairs").alias("est_rows"),
+        F.count("*").alias("n_matched_keys"),
+        F.max("pairs").alias("max_key_pairs"),
+    ).select(
+        "est_rows",
+        "n_matched_keys",
+        "max_key_pairs",
+        (F.col("max_key_pairs").cast("double") / F.col("est_rows").cast("double")).alias(
+            "top_key_share"
+        ),
+    )

@@ -181,3 +181,48 @@ def test_class_balance_chi2_zero_when_uniform(spark):
     out2 = analytics.class_balance(_ev(spark, skewed)).collect()
     expected = ((6 * 3 - 12) ** 2 + (3 * 3 - 12) ** 2 * 2) / (3 * 12)
     assert all(abs(r.chi2_uniform - expected) < 1e-12 for r in out2)
+
+
+def test_join_cardinality_estimate_equals_actual_join_size(spark):
+    """The estimator's whole contract: Σ cnt_a·cnt_b must equal the
+    ACTUAL inner-join row count, and top_key_share must spot the hot
+    key."""
+    from real_time_database_monitoring_system_spark.operators import skew
+
+    rows = (
+        [(m, 1, "purchase", 1.0) for m in range(3)]
+        + [(m, 1, "view", 1.0) for m in range(10)]   # user 1: 3×10 = 30
+        + [(m, 2, "purchase", 1.0) for m in range(1)]
+        + [(m, 2, "click", 1.0) for m in range(2)]   # user 2: 1×2 = 2
+        + [(m, 3, "view", 1.0) for m in range(5)]    # unmatched
+    )
+    ev = _ev(spark, rows)
+    left = ev.filter(ev.event_type == "purchase")
+    right = ev.filter(ev.event_type.isin("view", "click"))
+    est = skew.join_cardinality_estimate(left, right, "user_id").first()
+    actual = left.select("user_id").join(right.select("user_id"), "user_id").count()
+    assert est.est_rows == actual == 32
+    assert est.n_matched_keys == 2
+    assert est.max_key_pairs == 30
+    assert abs(est.top_key_share - 30 / 32) < 1e-12
+
+
+def test_latency_panel_and_trending_invariants(spark):
+    ev = _ev(
+        spark,
+        [(m, 1, "view" if m % 3 else "click", float(m)) for m in range(180)],
+    )
+    panel = monitoring.latency_percentile_panel(ev).collect()
+    assert len(panel) == 3  # 180 minutes = 3 hourly buckets
+    for r in panel:
+        assert r.p50 <= r.p95 <= r.p99
+        assert r.n == 60
+    trend = monitoring.trending_types(ev, k=2).collect()
+    assert [(r.day_no, r.rnk) for r in trend] == [(19723, 1), (19723, 2)]
+    assert trend[0].event_type == "view" and trend[0].n == 120
+    import pytest
+
+    with pytest.raises(ValueError):
+        monitoring.latency_percentile_panel(ev, bucket_seconds=0)
+    with pytest.raises(ValueError):
+        monitoring.trending_types(ev, k=0)
