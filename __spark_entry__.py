@@ -21,6 +21,7 @@ rounded to 9 dp (cosines).
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 from collections.abc import Callable
@@ -627,6 +628,14 @@ def _q_tokenize_to_ids(spark, sf):
     return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
 
 
+def _q_embedding_quantize(spark, sf):
+    return similarity.embedding_quantize_int8(load_table(spark, sf, "embeddings"))
+
+
+def _q_random_projection(spark, sf):
+    return similarity.random_projection(load_table(spark, sf, "embeddings"))
+
+
 def _q_join_cardinality(spark, sf):
     # predict the attribution join's size: purchases × touches per user
     from real_time_database_monitoring_system_spark.operators import skew
@@ -1135,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": _q_join_cardinality,
         "latency_percentile_panel": _q_latency_percentile_panel,
         "trending_types": _q_trending_types,
+        "embedding_quantize_int8": _q_embedding_quantize,
+        "random_projection": _q_random_projection,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2169,6 +2180,57 @@ def oracle_sql() -> dict[str, str]:
         FROM tokp LEFT JOIN vocab v USING (term)
         GROUP BY doc_id
         ORDER BY doc_id
+    """
+
+    # int8-quantization audit twin: identical per-element arithmetic
+    # (cast→double, scale = max|x|/127, round-half-away q, error fold
+    # via list_dot_product == Spark's left-to-right aggregate)
+    sql["embedding_quantize_int8"] = """
+        WITH e AS (SELECT vec_id, label,
+                          list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        s AS (SELECT vec_id, label, x,
+                     list_max(list_transform(x, v -> abs(v)))
+                     / CAST(127.0 AS DOUBLE) AS scale
+              FROM e),
+        q AS (SELECT vec_id, label, x, scale,
+                     CASE WHEN scale = CAST(0.0 AS DOUBLE)
+                          THEN list_transform(x, v -> CAST(0.0 AS DOUBLE))
+                          ELSE list_transform(x, v -> round(v / scale, 0)) END AS qv
+              FROM s),
+        er AS (SELECT vec_id, label, scale,
+                      [abs(x[i] - qv[i] * scale) for i in range(1, len(x) + 1)] AS err
+               FROM q)
+        SELECT vec_id, label,
+               round(scale, 9) AS scale,
+               round(list_max(err), 9) AS max_abs_err,
+               round(list_dot_product(err, err) / CAST(len(err) AS DOUBLE), 9) AS mse
+        FROM er
+        ORDER BY vec_id
+    """
+
+    # JL random-projection twin: the SAME rademacher planes (one
+    # source of truth) as similarity.random_projection
+    _rp_planes = similarity.rademacher_planes(16)
+    _rp_scale = repr(1.0 / math.sqrt(16))
+
+    def _rp_plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in p) + "]"
+
+    _rp_list = ", ".join(
+        f"round(list_dot_product(vec, {_rp_plane_lit(p)})"
+        f" * CAST({_rp_scale} AS DOUBLE), 9)"
+        for p in _rp_planes
+    )
+    sql["random_projection"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        p AS (SELECT vec_id, label, [{_rp_list}] AS proj FROM e)
+        SELECT vec_id, label, CAST(pos AS INTEGER) AS dim_id,
+               proj[pos + 1] AS value
+        FROM (SELECT vec_id, label, unnest(range(0, len(proj))) AS pos, proj
+              FROM p)
+        ORDER BY vec_id, dim_id
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

@@ -14,6 +14,7 @@ array<float>`, 64-dim).
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import Column, DataFrame
@@ -379,4 +380,77 @@ def knn_lsh(
         .filter(F.col("rn") <= k)
         .select("q_id", "rn", "vec_id", "label", "cos_sim")
         .orderBy("q_id", "rn")
+    )
+
+
+def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
+    """Per-vector symmetric int8 quantization audit: scale =
+    max|x|/127, q_i = round(x_i/scale), and the reconstruction-error
+    panel (max abs error, MSE) every 100 TB embedding store runs
+    before committing to int8 — 4× less storage and bandwidth than
+    float32, and this operator is the go/no-go measurement.
+
+    Entirely map-side (one projection over the vectors, no shuffle
+    except the presentation sort): the scale is an array_max over the
+    row's own vector, not an aggregate. Determinism: elements cast to
+    double first; q uses round() (half away from zero in both
+    engines); errors fold left-to-right and round(9) at the edge —
+    the `_plane_dot_sql` convention. Zero vectors quantize to all
+    zeros with scale 0 (guarded, no division)."""
+    xd = "transform(embedding, v -> CAST(v AS DOUBLE))"
+    scale = f"array_max(transform({xd}, v -> abs(v))) / CAST(127.0 AS DOUBLE)"
+    q = (
+        f"CASE WHEN __scale = CAST(0.0 AS DOUBLE) THEN transform({xd}, v -> CAST(0.0 AS DOUBLE)) "
+        f"ELSE transform({xd}, v -> CAST(round(v / __scale, 0) AS DOUBLE)) END"
+    )
+    err = f"zip_with({xd}, transform(__q, v -> v * __scale), (x, r) -> abs(x - r))"
+    return (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .withColumn("__scale", F.expr(scale))
+        .withColumn("__q", F.expr(q))
+        .withColumn("__err", F.expr(err))
+        .select(
+            "vec_id",
+            "label",
+            F.round("__scale", 9).alias("scale"),
+            F.expr("round(array_max(__err), 9)").alias("max_abs_err"),
+            F.expr(
+                "round(aggregate(__err, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)"
+                " / CAST(size(__err) AS DOUBLE), 9)"
+            ).alias("mse"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def random_projection(embeddings: DataFrame, out_dim: int = 16) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → `out_dim` dims
+    using the SAME deterministic Rademacher planes as the LSH paths
+    (one source of truth, so the oracle embeds identical literals):
+    proj_j = ⟨x, plane_j⟩ / √out_dim. The dimensionality-reduction
+    step before ANN indexing when 64-d is still too wide at 100 TB —
+    distances are preserved within the JL distortion bound
+    (pytest-checked on pairs), at out_dim/64 the storage.
+
+    Map-side only: each output row is (vec_id, label, dim_id, value)
+    from a posexplode of one projection expression — no shuffle except
+    the presentation sort. round(9) per the float-path rule."""
+    if out_dim <= 0:
+        raise ValueError("random_projection: out_dim must be positive")
+    planes = rademacher_planes(out_dim)
+    inv_sqrt = 1.0 / math.sqrt(out_dim)
+    proj = F.array(
+        *[
+            F.expr(
+                f"round(({_plane_dot_sql('embedding', p)})"
+                f" * CAST({inv_sqrt!r} AS DOUBLE), 9)"
+            )
+            for p in planes
+        ]
+    )
+    return (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .select("vec_id", "label", F.posexplode(proj).alias("dim_id", "value"))
+        .select("vec_id", "label", F.col("dim_id").cast("int").alias("dim_id"), "value")
+        .orderBy("vec_id", "dim_id")
     )

@@ -415,3 +415,39 @@ def test_simhash_portable_finds_planted_duplicate(spark, sf_dir):
     hit = [r for r in pairs if r.doc_a == 0 and r.doc_b == 100000]
     assert hit and hit[0].hamming == 0, pairs[:5]
     assert all(r.hamming <= 3 for r in pairs)
+
+
+def test_quantize_int8_error_bounds(spark, sf_dir):
+    """Symmetric int8 with scale = max|x|/127: every element's
+    reconstruction error is at most scale/2 (round-to-nearest), so
+    max_abs_err <= scale/2 and mse <= (scale/2)^2."""
+    from real_time_database_monitoring_system_spark.operators import similarity as sim
+
+    out = sim.embedding_quantize_int8(load_table(spark, sf_dir, "embeddings")).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.max_abs_err <= r.scale / 2 + 1e-9, r
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-9, r
+
+
+def test_random_projection_preserves_distances_jl(spark, sf_dir):
+    """JL with 16 Rademacher dims: squared distances are preserved in
+    EXPECTATION; check the mean distortion over sampled pairs is small
+    even though individual pairs can deviate."""
+    from real_time_database_monitoring_system_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    proj = {}
+    for r in sim.random_projection(emb).collect():
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.dim_id] = r.value
+    import itertools
+
+    ratios = []
+    for a, b in itertools.combinations(sorted(orig), 2):
+        d_o = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_p = sum((x - y) ** 2 for x, y in zip(proj[a], proj[b]))
+        if d_o > 0:
+            ratios.append(d_p / d_o)
+    mean_ratio = sum(ratios) / len(ratios)
+    assert 0.7 < mean_ratio < 1.3, f"JL mean distortion off: {mean_ratio}"
