@@ -628,6 +628,10 @@ def _q_tokenize_to_ids(spark, sf):
     return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
 
 
+def _q_knn_projected(spark, sf):
+    return similarity.knn_projected(load_table(spark, sf, "embeddings"))
+
+
 def _q_embedding_quantize(spark, sf):
     return similarity.embedding_quantize_int8(load_table(spark, sf, "embeddings"))
 
@@ -1146,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_types": _q_trending_types,
         "embedding_quantize_int8": _q_embedding_quantize,
         "random_projection": _q_random_projection,
+        "knn_projected": _q_knn_projected,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2231,6 +2236,43 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT vec_id, label, unnest(range(0, len(proj))) AS pos, proj
               FROM p)
         ORDER BY vec_id, dim_id
+    """
+
+    # two-stage compressed-first k-NN twin: identical JL projection
+    # literals, identical shortlist metric/tiebreaks, exact cosine
+    # re-rank — approximate search, deterministic answer
+    sql["knn_projected"] = f"""
+        WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+                   FROM embeddings WHERE embedding IS NOT NULL),
+        p AS (SELECT vec_id, label, vec, [{_rp_list}] AS proj FROM e),
+        q AS (SELECT vec_id AS q_id, vec AS q_vec, proj AS q_proj
+              FROM p WHERE vec_id < 20),
+        d AS (SELECT q.q_id, p.vec_id,
+                     round(list_dot_product(
+                         [q.q_proj[i] - p.proj[i] for i in range(1, len(p.proj) + 1)],
+                         [q.q_proj[i] - p.proj[i] for i in range(1, len(p.proj) + 1)]),
+                         9) AS pdist2
+              FROM p CROSS JOIN q WHERE p.vec_id <> q.q_id),
+        cand AS (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY pdist2 ASC, vec_id ASC) AS srn
+            FROM d QUALIFY srn <= 32),
+        r AS (SELECT c.q_id, c.vec_id, p.label,
+                     round(list_dot_product(q.q_vec, p.vec)
+                           / (sqrt(list_dot_product(q.q_vec, q.q_vec))
+                              * sqrt(list_dot_product(p.vec, p.vec))), 9) AS cos_sim
+              FROM cand c
+              JOIN p ON p.vec_id = c.vec_id
+              JOIN q ON q.q_id = c.q_id)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id ASC)
+                    AS INTEGER) AS rn,
+               vec_id, label, cos_sim
+        FROM r
+        QUALIFY rn <= 5
+        ORDER BY q_id, rn
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

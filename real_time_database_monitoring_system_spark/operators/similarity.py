@@ -454,3 +454,88 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16) -> DataFrame:
         .select("vec_id", "label", F.col("dim_id").cast("int").alias("dim_id"), "value")
         .orderBy("vec_id", "dim_id")
     )
+
+
+def knn_projected(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    shortlist: int = 32,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Two-stage compressed-first k-NN: shortlist candidates by squared
+    L2 distance in the `out_dim`-d Johnson–Lindenstrauss projection
+    (4× less arithmetic per pair at out_dim=16), then re-rank the
+    shortlist by EXACT 64-d cosine — the standard memory-bandwidth-
+    bound ANN serving layout (search compressed, verify full), and the
+    composition of `random_projection` with `knn_bruteforce`'s
+    contract (same output schema).
+
+    Scale shape: the corpus is projected once into a materialized
+    relation; the projected query side broadcasts; the shortlist
+    window's WindowGroupLimit prunes to `shortlist` per partition
+    map-side, so the shuffle carries candidates, not the corpus; the
+    full-precision vectors are fetched by broadcasting the (tiny)
+    candidate list back onto the corpus — the big side never
+    shuffles. Fully deterministic (shared Rademacher planes, round(9)
+    metrics, vec_id tiebreaks), hence oracle-exact despite being an
+    approximate search."""
+    if shortlist < k:
+        raise ValueError("knn_projected: shortlist must be >= k")
+    planes = rademacher_planes(out_dim)
+    inv = 1.0 / math.sqrt(out_dim)
+    proj = F.array(
+        *[
+            F.expr(
+                f"round(({_plane_dot_sql('embedding', p)})"
+                f" * CAST({inv!r} AS DOUBLE), 9)"
+            )
+            for p in planes
+        ]
+    )
+    base = _materialize(
+        _spread(embeddings.filter(F.col("embedding").isNotNull()), "vec_id").select(
+            "vec_id",
+            "label",
+            F.col("embedding").cast("array<double>").alias("vec"),
+            proj.alias("pvec"),
+        )
+    )
+    pq = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vec").alias("q_vec"),
+        F.col("pvec").alias("q_pvec"),
+    )
+    pdist2 = F.round(
+        F.expr(
+            "aggregate(zip_with(q_pvec, pvec, (x, y) -> (x - y) * (x - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ),
+        9,
+    )
+    ws = Window.partitionBy("q_id").orderBy(F.asc("pdist2"), F.asc("vec_id"))
+    cand = (
+        base.select("vec_id", "pvec")
+        .crossJoin(F.broadcast(pq.select("q_id", "q_pvec")))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", pdist2.alias("pdist2"))
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+        .select("q_id", "vec_id")
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        base.select("vec_id", "label", "vec")
+        .join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(pq.select("q_id", "q_vec")), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 9).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "rn", "vec_id", "label", "cos_sim")
+        .orderBy("q_id", "rn")
+    )

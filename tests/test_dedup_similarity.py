@@ -451,3 +451,27 @@ def test_random_projection_preserves_distances_jl(spark, sf_dir):
             ratios.append(d_p / d_o)
     mean_ratio = sum(ratios) / len(ratios)
     assert 0.7 < mean_ratio < 1.3, f"JL mean distortion off: {mean_ratio}"
+
+
+def test_knn_projected_recall_on_planted_neighbors(spark):
+    """The compressed-first path's contract: on a corpus with genuine
+    near neighbors (cosine ≈0.95 clusters), the 16-d JL shortlist must
+    hand the exact re-ranker everything it needs — recall@5 ≥ 0.9.
+    (On the isotropic synthetic corpus recall is meaningless: top-5
+    'neighbors' there are noise-separated, the regime JL theory makes
+    no promise about.)"""
+    emb = _planted_embeddings(spark)
+    exact = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_bruteforce(emb, n_queries=10, k=5).collect()
+    }
+    proj = {
+        (r.q_id, r.vec_id)
+        for r in similarity.knn_projected(emb, n_queries=10, k=5).collect()
+    }
+    recall = len(exact & proj) / len(exact)
+    assert recall >= 0.9, f"projected-shortlist recall too low: {recall}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        similarity.knn_projected(emb, k=5, shortlist=3)
