@@ -628,6 +628,14 @@ def _q_tokenize_to_ids(spark, sf):
     return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
 
 
+def _q_pareto_contribution(spark, sf):
+    return analytics.pareto_contribution(load_table(spark, sf, "events"))
+
+
+def _q_dataset_checksum(spark, sf):
+    return analytics.dataset_checksum(load_table(spark, sf, "documents"))
+
+
 def _q_knn_projected(spark, sf):
     return similarity.knn_projected(load_table(spark, sf, "embeddings"))
 
@@ -1151,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": _q_embedding_quantize,
         "random_projection": _q_random_projection,
         "knn_projected": _q_knn_projected,
+        "pareto_contribution": _q_pareto_contribution,
+        "dataset_checksum": _q_dataset_checksum,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2273,6 +2283,34 @@ def oracle_sql() -> dict[str, str]:
         FROM r
         QUALIFY rn <= 5
         ORDER BY q_id, rn
+    """
+
+    # Pareto contribution twin: cumulative window over the count
+    # relation, single final double divisions
+    sql["pareto_contribution"] = """
+        WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM events GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        w AS (SELECT event_type, n,
+                     CAST(sum(n) OVER (ORDER BY n DESC, event_type ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS BIGINT) AS cum_n,
+                     (SELECT total FROM t) AS total
+              FROM c)
+        SELECT event_type, n,
+               CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+               CAST(cum_n AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share,
+               CAST(cum_n - n AS DOUBLE) < 0.8 * CAST(total AS DOUBLE) AS in_head
+        FROM w ORDER BY n DESC, event_type ASC
+    """
+
+    # order-independent dataset checksum twin: identical 60-bit md5
+    # content hash, XOR-aggregated
+    sql["dataset_checksum"] = """
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
+                   AS xor_checksum
+        FROM documents GROUP BY source ORDER BY source
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

@@ -682,3 +682,54 @@ def class_balance(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def pareto_contribution(events: DataFrame) -> DataFrame:
+    """Share-of-total contribution analysis per event type: count,
+    share, cumulative share (descending by count), and the 80%-head
+    flag — the Pareto panel behind "which event types are 80% of the
+    feed". The cumulative window runs over the COUNT relation (#types
+    rows), never the feed; shares are single final double divisions
+    over exact integer counts."""
+    counts = events.groupBy("event_type").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("event_type")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(w))
+        .select(
+            "event_type",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias("share"),
+            (F.col("cum_n").cast("double") / F.col("total").cast("double")).alias(
+                "cum_share"
+            ),
+            (
+                (F.col("cum_n") - F.col("n")).cast("double")
+                < F.lit(0.8) * F.col("total").cast("double")
+            ).alias("in_head"),
+        )
+        .orderBy(F.desc("n"), F.asc("event_type"))
+    )
+
+
+def dataset_checksum(documents: DataFrame) -> DataFrame:
+    """Order-independent per-source content checksum: XOR of a
+    portable 60-bit content hash (md5 hex prefix) plus exact count —
+    verify two copies of a 100 TB corpus match WITHOUT sorting or
+    shuffling rows between them; any single-document difference flips
+    the checksum. XOR partials combine map-side in any order, so the
+    aggregation is one #sources-row shuffle, and the checksum is
+    engine-portable (the oracle computes the identical value)."""
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("bigint")
+    return (
+        documents.select("source", h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.expr("bit_xor(h)").alias("xor_checksum"),
+        )
+        .orderBy("source")
+    )

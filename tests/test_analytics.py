@@ -190,3 +190,43 @@ def test_range_frame_uses_wall_clock_not_row_count(spark):
     assert out[1].n_10min == 1 and out[1].avg_10min == 10.0
     assert out[2].n_10min == 2 and out[2].avg_10min == 15.0  # 0s is exactly 5min back
     assert out[3].n_10min == 1 and out[3].avg_10min == 40.0
+
+
+def test_pareto_contribution_invariants(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import analytics
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    out = analytics.pareto_contribution(load_table(spark, sf_dir, "events")).collect()
+    assert abs(sum(r.share for r in out) - 1.0) < 1e-9
+    assert abs(out[-1].cum_share - 1.0) < 1e-9
+    # cum_share monotone, rows ordered by contribution
+    for a, b in zip(out, out[1:]):
+        assert a.n >= b.n and a.cum_share <= b.cum_share + 1e-12
+    assert out[0].in_head, "largest contributor must be in the 80% head"
+
+
+def test_dataset_checksum_detects_single_doc_change(spark, sf_dir):
+    """Any one-document difference must flip its source's checksum;
+    row order must not matter."""
+    import pyspark.sql.functions as F
+
+    from real_time_database_monitoring_system_spark.operators import analytics
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {r.source: (r.n_docs, r.xor_checksum)
+            for r in analytics.dataset_checksum(docs).collect()}
+    reordered = {r.source: (r.n_docs, r.xor_checksum)
+                 for r in analytics.dataset_checksum(docs.orderBy(F.desc("doc_id"))).collect()}
+    assert base == reordered, "checksum must be order-independent"
+    tweaked = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0, F.concat(F.col("text"), F.lit("!"))).otherwise(
+            F.col("text")
+        ),
+    )
+    changed = {r.source: (r.n_docs, r.xor_checksum)
+               for r in analytics.dataset_checksum(tweaked).collect()}
+    src0 = docs.filter(F.col("doc_id") == 0).first().source
+    assert changed[src0] != base[src0], "single-doc edit must flip the checksum"
+    assert all(changed[s] == base[s] for s in base if s != src0)
