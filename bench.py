@@ -109,10 +109,14 @@ HEADLINE = [
     "pagerank_transitions",
     "freshness_audit",
     "class_balance",
-    # round-3 continuation: lexical retrieval (the portable dedup
-    # variants stay out — they exist for cross-engine reproducibility,
-    # not throughput; the xxhash64 forms above are the measured paths)
+    # round-3 continuation: lexical retrieval, tokenizer application,
+    # attribution, compressed-first ANN (the portable dedup variants
+    # stay out — they exist for cross-engine reproducibility, not
+    # throughput; the xxhash64 forms above are the measured paths)
     "bm25_search",
+    "tokenize_to_ids",
+    "touch_attribution",
+    "knn_projected",
 ]
 
 
