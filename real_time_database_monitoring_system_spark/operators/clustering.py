@@ -129,19 +129,24 @@ def kmeans_fit(
     centroids = {i: list(r["qvec"]) for i, r in enumerate(seeds)}
     if not centroids:
         return centroids
+    # one parsed expression per dimension sum (the _plane_dot_sql py4j
+    # rule); a single groupBy(cid) with 64 sums + count shuffles k×65
+    # values total — the earlier posexplode form multiplied the feed
+    # ×64 before its (cid, pos) shuffle for the same integer sums
+    # (equivalence: Σ qvec[i] per cid is the same number either way)
+    dim_sums = [F.expr(f"sum(qvec[{i}])").alias(f"s_{i}") for i in range(64)]
     for _ in range(n_iter):
         cid_col, _d = _best_cluster(F.col("qvec"), centroids)
-        sums = (
-            qv.select(cid_col.alias("cid"), F.posexplode("qvec").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        rows = (
+            qv.select(cid_col.alias("cid"), "qvec")
+            .groupBy("cid")
+            .agg(F.count("*").alias("n"), *dim_sums)
             .collect()
         )
         new: dict[int, list[int]] = {}
-        for r in sums:
-            new.setdefault(r["cid"], [0] * 64)[r["pos"]] = _tdiv(
-                2 * r["s"] + r["n"], 2 * r["n"]
-            )
+        for r in rows:
+            n = r["n"]
+            new[r["cid"]] = [_tdiv(2 * r[f"s_{i}"] + n, 2 * n) for i in range(64)]
         # empty clusters carry their previous centroid
         centroids = {cid: new.get(cid, cvec) for cid, cvec in centroids.items()}
     return centroids
