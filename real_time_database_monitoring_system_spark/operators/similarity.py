@@ -212,6 +212,34 @@ def embedding_near_dup_pairs(
     )
 
 
+def _label_centroids(emb_d: DataFrame) -> DataFrame:
+    """#labels-row centroid table from a (label, vec: array<double>)
+    relation: element-wise decimal-exact mean in ONE grouped pass —
+    64 decimal sums + count as single parsed expressions (the
+    `_plane_dot_sql` py4j rule), array assembly in the same
+    projection. Replaces the posexplode form, which multiplied the
+    table ×64 before its (label, pos) shuffle and then paid a SECOND
+    shuffle to reassemble arrays; the sums are the same numbers, so
+    centroids are bit-identical (decimal accumulation is
+    order-independent). NULL vectors are filtered up front — the exact
+    rows posexplode silently skipped."""
+    sums = [
+        F.expr(f"sum(CAST(vec[{i}] AS DECIMAL(18,12)))").alias(f"s_{i}")
+        for i in range(64)
+    ]
+    arr = (
+        "array("
+        + ", ".join(f"CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE)" for i in range(64))
+        + ")"
+    )
+    return (
+        emb_d.filter(F.col("vec").isNotNull())
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), *sums)
+        .select("label", F.expr(arr).alias("centroid"))
+    )
+
+
 def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
     """Pairwise cosine similarity between per-label centroid vectors —
     the cluster-overlap map of the embedding space: labels whose
@@ -225,20 +253,8 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
     table — quadratic only in label count, never in vectors — and the
     cosine is the shared fold expression, rounded to 9 dp.
     """
-    comp = embeddings.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
-    )
-    cent = (
-        comp.groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
-                / F.count("*").cast("double")
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    cent = _label_centroids(
+        embeddings.select("label", F.col("embedding").cast("array<double>").alias("vec"))
     )
     a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
     b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
@@ -279,20 +295,8 @@ def ivf_knn(
     emb_d = _spread(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
-    # centroid per list: element-wise decimal-exact mean
-    cent = (
-        emb_d.select("label", F.posexplode("vec").alias("pos", "x"))
-        .groupBy("label", "pos")
-        .agg(
-            (
-                F.sum(F.col("x").cast("decimal(18,12)")).cast("double")
-                / F.count("*").cast("double")
-            ).alias("m")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select("label", F.transform("pm", lambda s: s["m"]).alias("centroid"))
-    )
+    # centroid per list: element-wise decimal-exact mean, one grouped pass
+    cent = _label_centroids(emb_d)
     queries = emb_d.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
