@@ -168,3 +168,44 @@ def test_operators_tolerate_empty_inputs(spark):
     # but the counts inside them must be zero
     funnel = event_analytics.funnel_counts(events).collect()
     assert [r.n_users for r in funnel] == [0, 0, 0]
+
+
+def test_continuation_operators_tolerate_empty_inputs(spark):
+    """Same empty-partition contract for the round-3 continuation
+    operators."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        dedup,
+        event_analytics,
+        monitoring,
+        pipeline,
+        similarity,
+        skew,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import SCHEMAS
+
+    events = spark.createDataFrame([], SCHEMAS["events"])
+    docs = spark.createDataFrame([], SCHEMAS["documents"])
+    emb = spark.createDataFrame([], SCHEMAS["embeddings"])
+
+    empty_ok = [
+        ("bm25_search", pipeline.bm25_search(docs)),
+        ("tokenize_to_ids", pipeline.tokenize_to_ids(docs)),
+        ("source_quantile_normalize", pipeline.source_quantile_normalize(docs)),
+        ("touch_attribution", event_analytics.attribution(events)),
+        ("latency_percentile_panel", monitoring.latency_percentile_panel(events)),
+        ("trending_types", monitoring.trending_types(events)),
+        ("pareto_contribution", analytics.pareto_contribution(events)),
+        ("dataset_checksum", analytics.dataset_checksum(docs)),
+        ("embedding_quantize_int8", similarity.embedding_quantize_int8(emb)),
+        ("random_projection", similarity.random_projection(emb)),
+        ("knn_projected", similarity.knn_projected(emb)),
+        ("minhash_portable", dedup.minhash_lsh_pairs_portable(docs)),
+        ("simhash_portable", dedup.simhash_pairs_portable(docs)),
+    ]
+    for name, df in empty_ok:
+        assert df.count() == 0, f"{name} should be empty on empty input"
+
+    # one-row summary: NULL estimate over zero matched keys, not a crash
+    est = skew.join_cardinality_estimate(events, events, "user_id").first()
+    assert est.n_matched_keys == 0 and est.est_rows is None
