@@ -628,6 +628,14 @@ def _q_tokenize_to_ids(spark, sf):
     return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
 
 
+def _q_streaming_value_histogram(spark, sf):
+    return streaming_rollup.stream_value_histogram(spark, sf)
+
+
+def _q_streaming_trending_types(spark, sf):
+    return streaming_rollup.stream_trending_types(spark, sf)
+
+
 def _q_pareto_contribution(spark, sf):
     return analytics.pareto_contribution(load_table(spark, sf, "events"))
 
@@ -1161,6 +1169,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_projected": _q_knn_projected,
         "pareto_contribution": _q_pareto_contribution,
         "dataset_checksum": _q_dataset_checksum,
+        "streaming_value_histogram": _q_streaming_value_histogram,
+        "streaming_trending_types": _q_streaming_trending_types,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2355,6 +2365,11 @@ def oracle_sql() -> dict[str, str]:
         QUALIFY rnk <= 3
         ORDER BY day_no, rnk
     """
+
+    # streaming twins share their batch operators' oracles verbatim
+    # (availableNow complete-mode state == the batch aggregate)
+    sql["streaming_value_histogram"] = sql["value_histogram"]
+    sql["streaming_trending_types"] = sql["trending_types"]
 
     # mirrors curation.decontaminate over the same hash-bucket
     # benchmark/train split as _q_decontaminate; Spark counts distinct

@@ -19,6 +19,7 @@ import itertools
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..sources.registry import (
     configure_session,
@@ -697,4 +698,66 @@ def stream_freshness_audit(
             ).alias("is_stale"),
         )
         .orderBy("event_type")
+    )
+
+
+def stream_value_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    lo: float = 0.0,
+    hi: float = 500.0,
+    nbins: int = 10,
+) -> DataFrame:
+    """Streaming twin of `analytics.value_histogram`: a live
+    distribution panel. State is ONE streaming aggregation bounded at
+    nbins+2 groups (count/min/max per width_bucket) — constant memory
+    at any feed size; the lo_edge projection is stateless. Replayed
+    under availableNow the state equals the batch aggregate exactly,
+    so it shares the batch operator's oracle verbatim."""
+    width = (hi - lo) / nbins
+    src = _events_stream(spark, sf_dir)
+    bucket = F.width_bucket(F.col("value"), F.lit(lo), F.lit(hi), F.lit(nbins)).alias(
+        "bucket"
+    )
+    agg = (
+        src.select(bucket, "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    return (
+        _run_to_memory(agg, "complete")
+        .withColumn(
+            "lo_edge",
+            (F.lit(lo) + (F.col("bucket") - 1).cast("double") * F.lit(width)),
+        )
+        .orderBy("bucket")
+    )
+
+
+def stream_trending_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Streaming twin of `monitoring.trending_types`: live "what's
+    trending today" panel. The per-(day, type) count is the single
+    streaming aggregation (state = #days × #types rows); the top-k
+    rank runs as a batch coda over that tiny sink (the
+    `stream_freshness_audit` pattern — streaming allows one stateful
+    aggregation per query and a rank is a second). availableNow state
+    equals the batch counts, so the batch operator's oracle is shared
+    verbatim."""
+    src = _events_stream(spark, sf_dir)
+    day = F.expr(
+        "unix_micros(cast(ts as timestamp)) div 86400000000"
+    ).alias("day_no")
+    counts = src.select(day, "event_type").groupBy("day_no", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    state = _run_to_memory(counts, "complete")
+    w = Window.partitionBy("day_no").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        state.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("day_no", "rnk")
     )

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from real_time_database_monitoring_system_spark.operators import monitoring
+from real_time_database_monitoring_system_spark.operators import analytics, monitoring
 from real_time_database_monitoring_system_spark.sources.registry import load_table
 from real_time_database_monitoring_system_spark.streaming import rollup as sr
 
@@ -279,4 +279,16 @@ def test_stream_join_full_outer_matches_deterministic_model(spark, sf_dir):
 def test_stream_sliding_rollup_equals_batch(spark, sf_dir):
     batch = monitoring.sliding_rollup(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_sliding_rollup(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_value_histogram_equals_batch(spark, sf_dir):
+    batch = analytics.value_histogram(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_value_histogram(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_trending_types_equals_batch(spark, sf_dir):
+    batch = monitoring.trending_types(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_trending_types(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
