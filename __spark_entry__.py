@@ -2141,7 +2141,8 @@ def oracle_sql() -> dict[str, str]:
         m AS (SELECT c.conv_id, t.touch_id, t.touch_type, t.touch_us
               FROM c JOIN t ON c.user_id = t.user_id
                    AND t.touch_us <= c.conv_us
-                   AND t.touch_us > c.conv_us - 1800000000),
+                   AND t.touch_us > c.conv_us - 1800000000
+                   AND t.touch_id <> c.conv_id),
         r AS (SELECT *,
                      row_number() OVER (PARTITION BY conv_id
                                         ORDER BY touch_us DESC, touch_id DESC) AS rl,

@@ -365,12 +365,15 @@ def attribution(
         F.col("event_type").alias("touch_type"),
         us.alias("touch_us"),
     )
+    # touch_id != conv_id matters only when `conversion` is also in
+    # `touch_types` (self-attribution); harmless otherwise
     matched = (
         conv.join(
             touch,
             (F.col("user_id") == F.col("t_user"))
             & (F.col("touch_us") <= F.col("conv_us"))
-            & (F.col("touch_us") > F.col("conv_us") - F.lit(horizon_us)),
+            & (F.col("touch_us") > F.col("conv_us") - F.lit(horizon_us))
+            & (F.col("touch_id") != F.col("conv_id")),
             "inner",
         )
         .groupBy("conv_id")

@@ -149,3 +149,24 @@ def test_attribution_rejects_bad_params(spark):
         event_analytics.attribution(ev, lookback_minutes=0)
     with pytest.raises(ValueError):
         event_analytics.attribution(ev, touch_types=())
+
+
+def test_attribution_no_self_attribution_with_overlapping_types(spark):
+    """When the conversion type is ALSO a touch type (repeat-purchase
+    attribution), a conversion must not attribute to itself — only to
+    the user's EARLIER purchase."""
+    ev = _ev(
+        spark,
+        [
+            (1, 1, 1, "purchase"),  # id 0: 01:00
+            (1, 1, 1, "purchase"),  # id 1: 01:00 same time, higher id
+        ],
+    )
+    out = {
+        r.conv_id: r
+        for r in event_analytics.attribution(
+            ev, conversion="purchase", touch_types=("purchase",)
+        ).collect()
+    }
+    # each attributes to the OTHER (same ts, ids differ), never itself
+    assert out[0].last_touch_id == 1 and out[1].last_touch_id == 0
