@@ -42,6 +42,7 @@ from real_time_database_monitoring_system_spark.operators import (
     dedup,
     event_analytics,
     gapfill,
+    ivm,
     monitoring,
     multimodal,
     mutation,
@@ -648,6 +649,34 @@ def _q_knn_projected(spark, sf):
     return similarity.knn_projected(load_table(spark, sf, "embeddings"))
 
 
+def _q_trend_slope(spark, sf):
+    return analytics.trend_slope_panel(load_table(spark, sf, "events"))
+
+
+def _q_source_kl(spark, sf):
+    return pipeline.source_kl_divergence(load_table(spark, sf, "documents"))
+
+
+def _q_k_anonymity(spark, sf):
+    return curation.k_anonymity_audit(load_table(spark, sf, "customer"))
+
+
+def _q_quality_logit(spark, sf):
+    return text_ops.quality_logit(load_table(spark, sf, "documents"))
+
+
+def _q_incremental_rollup(spark, sf):
+    # deterministic CDC fixture: the stored view was built when the
+    # feed held event_id % 10 != 0; the current snapshot holds
+    # event_id % 7 != 0 — so ids divisible by 7 (not 10) were deleted
+    # and ids divisible by 10 (not 7) inserted. The operator maintains
+    # the view from the diff; the oracle recomputes from scratch.
+    events = load_table(spark, sf, "events")
+    old = events.filter(F.col("event_id") % 10 != 0)
+    new = events.filter(F.col("event_id") % 7 != 0)
+    return ivm.delta_rollup_apply(old, new)
+
+
 def _q_embedding_quantize(spark, sf):
     return similarity.embedding_quantize_int8(load_table(spark, sf, "embeddings"))
 
@@ -1171,6 +1200,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_checksum": _q_dataset_checksum,
         "streaming_value_histogram": _q_streaming_value_histogram,
         "streaming_trending_types": _q_streaming_trending_types,
+        "trend_slope": _q_trend_slope,
+        "source_kl_divergence": _q_source_kl,
+        "k_anonymity_audit": _q_k_anonymity,
+        "incremental_rollup": _q_incremental_rollup,
+        "quality_logit": _q_quality_logit,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2322,6 +2356,97 @@ def oracle_sql() -> dict[str, str]:
                bit_xor(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT))
                    AS xor_checksum
         FROM documents GROUP BY source ORDER BY source
+    """
+
+    # least-squares trend panel twin: shared sufficient-sum / combine
+    # fragments (analytics.TREND_*_SQL) with the DuckDB epoch-hour form
+    _tsums = ", ".join(
+        f"{expr.format(x=analytics.TREND_X_DUCK)} AS {name}"
+        for name, expr in analytics.TREND_SUMS_SQL.items()
+    )
+    _tfin = ", ".join(
+        f"{expr} AS {name}" for name, expr in analytics.TREND_FINAL_SQL.items()
+    )
+    sql["trend_slope"] = f"""
+        WITH sums AS (
+            SELECT event_type, {_tsums}
+            FROM events GROUP BY event_type)
+        SELECT event_type, n, {_tfin}
+        FROM sums ORDER BY event_type
+    """
+
+    # KL(source ‖ corpus) twin: identical tokenization, per-term
+    # pinned-order double contribution rounded to 9 dp, DECIMAL(20,9)
+    # accumulation (the bm25 order-independence pattern)
+    sql["source_kl_divergence"] = f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOKS}) AS term FROM documents),
+        tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+               FROM toks GROUP BY source, term),
+        st AS (SELECT source, SUM(c_st) AS n_s FROM tf GROUP BY source),
+        tt AS (SELECT term, SUM(c_st) AS c_t FROM tf GROUP BY term),
+        tot AS (SELECT SUM(n_s) AS n_total FROM st),
+        contrib AS (
+            SELECT tf.source,
+                   CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))
+                     * ln((CAST(c_st AS DOUBLE) * CAST(n_total AS DOUBLE))
+                     / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 9)
+                     AS DECIMAL(20,9)) AS contrib
+            FROM tf JOIN st USING (source) JOIN tt USING (term)
+            CROSS JOIN tot)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+               CAST(SUM(contrib) AS DOUBLE) AS kl_nats
+        FROM contrib GROUP BY source ORDER BY source
+    """
+
+    # k-anonymity lattice twin: GROUPING SETS + per-set decision panel
+    sql["k_anonymity_audit"] = """
+        WITH g AS (
+            SELECT CAST(GROUPING(c_nationkey) AS INTEGER) AS g_nat,
+                   CAST(GROUPING(c_mktsegment) AS INTEGER) AS g_seg,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM customer
+            GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+                                    (c_nationkey), (c_mktsegment)))
+        SELECT CASE WHEN g_nat = 0 AND g_seg = 0 THEN 'nationkey+mktsegment'
+                    WHEN g_nat = 0 THEN 'nationkey'
+                    ELSE 'mktsegment' END AS qi_set,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               MIN(n) AS min_group_n,
+               CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               MIN(n) >= 5 AS k_anonymous
+        FROM g GROUP BY 1 ORDER BY qi_set
+    """
+
+    # logistic quality gate twin: identical feature counts, the shared
+    # pinned-order scoring expression (text.QUALITY_LOGIT_SQL), and
+    # DuckDB's 'g' regexp flag for the non-space length
+    sql["quality_logit"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_unique,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_all_stop}))) AS BIGINT) AS n_stopwords,
+                   length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace
+            FROM documents),
+        s AS (
+            SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                   {text_ops.QUALITY_LOGIT_SQL} AS keep_p
+            FROM base WHERE n_tokens > 0)
+        SELECT doc_id, n_tokens, keep_p, keep_p >= 0.5 AS keep
+        FROM s ORDER BY doc_id
+    """
+
+    # IVM twin: the oracle does the from-scratch recompute the
+    # incremental path must equal bit-for-bit (operators/ivm.py)
+    sql["incremental_rollup"] = """
+        SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE event_id % 7 <> 0
+        GROUP BY 1, 2 ORDER BY bucket_s, event_type
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

@@ -733,3 +733,83 @@ def dataset_checksum(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# shared least-squares fragments for trend_slope_panel — parameterized
+# on the engine-specific epoch-hour expression `{x}` (Spark:
+# `unix_micros(cast(ts as timestamp)) div 3600000000`; DuckDB:
+# `epoch_us(ts) // 3600000000`), everything else evaluated verbatim by
+# both engines. Per-term products are cast to DECIMAL before SUM so
+# the accumulation is exact and order-independent (bigint Σx² would
+# overflow past ~sf1; double Σ would be partial-order-dependent); the
+# combine is a pinned-order double expression.
+TREND_SUMS_SQL = {
+    "n": "CAST(count(*) AS BIGINT)",
+    "sx": "CAST(SUM(CAST(({x}) AS DECIMAL(38,0))) AS DOUBLE)",
+    "sy": "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+    "sxx": "CAST(SUM(CAST(({x}) * ({x}) AS DECIMAL(38,0))) AS DOUBLE)",
+    "sxy": (
+        "CAST(SUM(CAST(({x}) AS DECIMAL(19,0))"
+        " * CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+    ),
+    "syy": "CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE)",
+}
+# NULL-guarded: a single-hour series has no trend (x-variance 0); a
+# constant-value series has slope 0 but undefined R² (y-variance 0)
+TREND_FINAL_SQL = {
+    "slope_per_hour": (
+        "round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN"
+        " (CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - sx * sx) END, 9)"
+    ),
+    "intercept": (
+        "round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0 THEN"
+        " (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)"
+        " END, 9)"
+    ),
+    "r2": (
+        "round(CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0.0"
+        " AND CAST(n AS DOUBLE) * syy - sy * sy > 0.0 THEN"
+        " ((CAST(n AS DOUBLE) * sxy - sx * sy)"
+        " * (CAST(n AS DOUBLE) * sxy - sx * sy))"
+        " / ((CAST(n AS DOUBLE) * sxx - sx * sx)"
+        " * (CAST(n AS DOUBLE) * syy - sy * sy)) END, 9)"
+    ),
+}
+
+TREND_X_SPARK = "unix_micros(cast(ts as timestamp)) div 3600000000"
+TREND_X_DUCK = "epoch_us(ts) // 3600000000"
+
+
+def trend_slope_panel(events: DataFrame) -> DataFrame:
+    """Per-type least-squares trend of `value` against time (epoch
+    hours): slope, intercept, and R² — the "is this metric drifting,
+    and how fast" panel behind capacity forecasts, which the
+    reference's dashboards eyeball from raw time-series charts
+    (myapp/views.py chart panels) and `moment_stats` / `drift_cusum`
+    don't answer (shape and changepoints, not rate).
+
+    ONE aggregation pass computes all five sufficient sums with
+    map-side partials (the same shape as `moment_stats` — never a
+    window over the feed, never two scans); the O(1)-row combine is a
+    pinned-order double expression shared verbatim with the DuckDB
+    oracle. regr_slope/regr_corr builtins are avoided for the same
+    reason stddev is in `moment_stats`: running double state is
+    partial-order-dependent, so the result would not be reproducible
+    across partitionings, let alone engines. At 100 TB this is one
+    column-pruned scan + a #types-row shuffle."""
+    sums = events.groupBy("event_type").agg(
+        *[
+            F.expr(sql.format(x=TREND_X_SPARK)).alias(name)
+            for name, sql in TREND_SUMS_SQL.items()
+        ]
+    )
+    return (
+        sums.select(
+            "event_type",
+            "n",
+            *[F.expr(sql).alias(name) for name, sql in TREND_FINAL_SQL.items()],
+        )
+        .orderBy("event_type")
+    )

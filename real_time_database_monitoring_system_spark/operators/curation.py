@@ -472,3 +472,51 @@ def temporal_split(
         )
         .orderBy("event_id")
     )
+
+
+def k_anonymity_audit(customer: DataFrame, k: int = 5) -> DataFrame:
+    """k-anonymity audit over the customer table's quasi-identifier
+    lattice — the privacy gate a data-release / training-data pipeline
+    runs AFTER direct-identifier scrubbing (`text.pii_redact` removes
+    emails and phones; re-identification risk comes from the columns
+    that remain). A release is k-anonymous iff every quasi-identifier
+    combination matches ≥ k rows.
+
+    One Expand + ONE aggregation evaluates the whole generalization
+    lattice — GROUPING SETS ((nationkey, mktsegment), (nationkey),
+    (mktsegment)) — then an O(#groups) summary per set reports the
+    decision panel: smallest anonymity set, rows at risk (members of
+    groups below k), and whether dropping a column achieves
+    k-anonymity. At 100 TB this is one column-pruned scan + one
+    grouped shuffle; the feed is never windowed or self-joined.
+    """
+    if k <= 0:
+        raise ValueError("k_anonymity_audit: k must be positive")
+    groups = (
+        customer.groupingSets(
+            [["c_nationkey", "c_mktsegment"], ["c_nationkey"], ["c_mktsegment"]],
+            "c_nationkey",
+            "c_mktsegment",
+        )
+        .agg(
+            F.grouping("c_nationkey").cast("int").alias("g_nat"),
+            F.grouping("c_mktsegment").cast("int").alias("g_seg"),
+            F.count("*").alias("n"),
+        )
+    )
+    qi_set = (
+        F.when((F.col("g_nat") == 0) & (F.col("g_seg") == 0), "nationkey+mktsegment")
+        .when(F.col("g_nat") == 0, "nationkey")
+        .otherwise("mktsegment")
+    )
+    return (
+        groups.groupBy(qi_set.alias("qi_set"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.min("n").alias("min_group_n"),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(F.lit(0)))
+            .alias("rows_at_risk"),
+            (F.min("n") >= k).alias("k_anonymous"),
+        )
+        .orderBy("qi_set")
+    )

@@ -874,3 +874,62 @@ def tokenize_to_ids(
         )
         .orderBy("doc_id")
     )
+
+
+def source_kl_divergence(documents: DataFrame) -> DataFrame:
+    """Training-mix divergence audit: KL(source ‖ corpus) over unigram
+    distributions — "how far does each source's token mix sit from the
+    blended corpus", the quantity mix-tuning sweeps monitor when
+    re-weighting sources (a source with near-zero KL adds diversity
+    nothing; a high-KL source shifts the blend). Complements
+    `temperature_mix_weights` (which reweights by size, not content)
+    and `doc_novelty` (per-document, not per-source).
+
+    KL(p_s ‖ q) = Σ_t (c_st/N_s) · ln((c_st·N)/(N_s·c_t)) — terms
+    absent from the source contribute 0, and every source term exists
+    in the corpus by construction, so the sum is finite.
+
+    Cross-engine determinism: each per-term contribution is a
+    pinned-order double expression rounded to 9 dp (the repo's
+    one-transcendental rule, as `bm25_search`), accumulated as
+    DECIMAL(20,9) — exact and order-independent — and cast to double
+    at the edge.
+
+    Scale shape: the corpus is tokenized ONCE into a materialized
+    (source, term, c_st) relation — the diamond feeding source totals,
+    corpus term totals, and the contribution join. Source totals and
+    the one-row corpus total broadcast; the only data-sized shuffles
+    are the tf aggregation and the vocabulary-sized term join. The
+    final aggregate is #sources rows."""
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tf = _materialize(
+        _spread(documents, "doc_id")
+        .select("source", F.explode(tok_arr).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+    )
+    src_tot = tf.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    term_tot = tf.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    total = src_tot.agg(F.sum("n_s").alias("n_total"))
+    contrib = (
+        tf.join(F.broadcast(src_tot), "source")
+        .join(term_tot, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            F.expr(
+                "CAST(round((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+                " * ln((CAST(c_st AS DOUBLE) * CAST(n_total AS DOUBLE))"
+                " / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE))), 9)"
+                " AS DECIMAL(20,9))"
+            ).alias("contrib"),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("contrib").cast("double").alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

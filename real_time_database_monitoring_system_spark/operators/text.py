@@ -342,3 +342,50 @@ def bpe_pair_stats(documents: DataFrame, top_n: int = 50) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("pair").asc())
         .limit(top_n)
     )
+
+
+# fixed-weight logistic quality model, shared verbatim with the DuckDB
+# oracle: one transcendental (exp), pinned evaluation order, rounded
+# to 6 dp at the edge (no accumulation follows, so per-row rounding is
+# the only cross-engine surface). Inputs are exact ratios of integer
+# counts, so the argument of exp() is bit-identical on both engines.
+QUALITY_LOGIT_SQL = (
+    "round(1.0 / (1.0 + exp(-("
+    "-2.0 + 3.0 * (CAST(n_unique AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+    " + 2.5 * (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+    " + 0.08 * (CAST(n_tokens AS DOUBLE) / 100.0)"
+    " - 0.35 * ((CAST(n_nonspace AS DOUBLE) / CAST(n_tokens AS DOUBLE)) - 5.0)"
+    "))), 6)"
+)
+
+
+def quality_logit(documents: DataFrame) -> DataFrame:
+    """Model-based keep/drop gate: a fixed-weight logistic classifier
+    over token features — the shape of the fastText/linear quality
+    classifiers LLM pipelines apply corpus-wide (CCNet, Gopher rules),
+    one step up from `quality_score`'s additive heuristic: the output
+    is a calibrated keep probability plus the 0.5-threshold decision.
+    Weights are pinned constants (a deployed model's coefficients are
+    data, not code); scoring is pure map-side arithmetic.
+
+    Feature extraction rides ONE corpus tokenize pass
+    (`_token_counts` — uniqueness, stopword hits, and non-space length
+    in a single keyed agg); scoring adds zero shuffles. At 100 TB
+    this is exactly one scan over the corpus with codegen'd
+    expressions — no Python UDF, no model server round-trip."""
+    stop_all = [w for ws in LANG_STOPWORDS.values() for w in ws]
+    counts = _token_counts(
+        documents,
+        [F.count(F.when(F.col("tok").isin(stop_all), 1)).alias("n_stopwords")],
+        carry={"n_nonspace": F.length(F.regexp_replace("text", r"\s+", ""))},
+    )
+    return (
+        counts.filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.expr(QUALITY_LOGIT_SQL).alias("keep_p"),
+        )
+        .withColumn("keep", F.col("keep_p") >= 0.5)
+        .orderBy("doc_id")
+    )

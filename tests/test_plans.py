@@ -348,3 +348,50 @@ def test_round3_continuation_shuffle_budgets(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: quadratic join strategy crept in"
             )
+
+
+def test_wave6_shuffle_budgets(spark, sf_dir):
+    """Pin the wave-6 operators (trend regression, KL divergence,
+    k-anonymity lattice, IVM delta-apply, logistic quality gate) to
+    their designed exchange budgets. KL's one-row corpus total rides
+    the scalar-subquery BroadcastNestedLoopJoin pattern (as bm25);
+    everything else must avoid quadratic strategies. The k-anonymity
+    lattice must be ONE Expand, not three aggregates."""
+    import pyspark.sql.functions as F
+
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        curation,
+        ivm,
+        pipeline,
+    )
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    cust = load_table(spark, sf_dir, "customer")
+    old = ev.filter(F.col("event_id") % 10 != 0)
+    new = ev.filter(F.col("event_id") % 7 != 0)
+    budgets = [
+        # one sufficient-sums agg + presentation sort; NO window
+        ("trend_slope", analytics.trend_slope_panel(ev), 2, False),
+        # tf agg + spread + source/term totals + term join + final agg
+        ("source_kl", pipeline.source_kl_divergence(docs), 6, True),
+        # Expand agg + per-set summary + sort
+        ("k_anonymity", curation.k_anonymity_audit(cust), 3, False),
+        # two anti-joins + delta agg + view agg + merge join + sort
+        ("ivm_delta_apply", ivm.delta_rollup_apply(old, new), 4, False),
+        # one tokenize agg + presentation sort
+        ("quality_logit", text_ops.quality_logit(docs), 2, False),
+    ]
+    for name, df, max_ex, allow_bnlj in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian crept in"
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: quadratic join strategy crept in"
+            )
+    lattice_plan = checks.explain_str(curation.k_anonymity_audit(cust))
+    assert lattice_plan.count("Expand") >= 1

@@ -1,0 +1,119 @@
+"""Wave-6 operator semantics: least-squares trend recovery and its
+degenerate guards, the k-anonymity lattice decision panel, KL
+divergence identities, and the logistic quality gate's scoring
+contract."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from real_time_database_monitoring_system_spark.operators import (
+    analytics,
+    curation,
+    pipeline,
+)
+from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+
+def _ev(spark, rows):
+    """rows: (minute_offset, event_type, value)."""
+    return spark.createDataFrame(
+        [
+            (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m), 1, et, v, "{}")
+            for i, (m, et, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_trend_recovers_exact_line(spark):
+    # value = 2·(hour offset) + 3 → slope 2/hour, R² = 1
+    rows = [(60 * h, "lin", 2.0 * h + 3.0) for h in range(6)]
+    # constant series over many hours: slope 0, R² undefined
+    rows += [(60 * h, "flat", 7.25) for h in range(6)]
+    # single-hour series: no x-variance, whole fit undefined
+    rows += [(0, "point", 1.0), (1, "point", 9.0)]
+    out = {r.event_type: r for r in analytics.trend_slope_panel(_ev(spark, rows)).collect()}
+    assert out["lin"].slope_per_hour == 2.0 and out["lin"].r2 == 1.0
+    assert out["flat"].slope_per_hour == 0.0 and out["flat"].r2 is None
+    assert out["point"].slope_per_hour is None and out["point"].intercept is None
+
+
+def test_k_anonymity_lattice_decisions(spark):
+    # nation 1 × segment A has a singleton cell → full QI fails k=2;
+    # dropping either column generalizes every group to ≥ 2
+    rows = [
+        (1, "c1", 1, 10.0, "A"),
+        (2, "c2", 1, 10.0, "A"),
+        (3, "c3", 1, 10.0, "B"),
+        (4, "c4", 2, 10.0, "B"),
+        (5, "c5", 2, 10.0, "B"),
+        (6, "c6", 2, 10.0, "A"),
+    ]
+    cust = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey long, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    out = {r.qi_set: r for r in curation.k_anonymity_audit(cust, k=2).collect()}
+    full = out["nationkey+mktsegment"]
+    assert not full.k_anonymous and full.min_group_n == 1
+    # rows_at_risk counts MEMBERS of below-k groups: the (1,B) and
+    # (2,A) singletons
+    assert full.rows_at_risk == 2
+    assert out["nationkey"].k_anonymous and out["mktsegment"].k_anonymous
+    import pytest
+
+    with pytest.raises(ValueError):
+        curation.k_anonymity_audit(cust, k=0)
+
+
+def test_kl_zero_for_identical_mix_positive_for_skew(spark):
+    # two sources with the same token distribution → both KL = 0
+    docs = _docs(spark, [("aa bb aa cc", "s1"), ("aa bb aa cc", "s2")])
+    out = pipeline.source_kl_divergence(docs).collect()
+    assert [r.kl_nats for r in out] == [0.0, 0.0]
+    # a source with disjoint vocabulary diverges strictly
+    docs2 = _docs(spark, [("aa aa bb bb", "s1"), ("zz zz yy yy", "s2")])
+    out2 = {r.source: r.kl_nats for r in pipeline.source_kl_divergence(docs2).collect()}
+    # each source holds half the corpus mass over its exclusive terms:
+    # KL = ln(2) exactly (up to the per-term 9-dp rounding)
+    assert abs(out2["s1"] - math.log(2)) < 1e-8
+    assert abs(out2["s2"] - math.log(2)) < 1e-8
+
+
+def test_kl_nonnegative_on_testdata(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    out = pipeline.source_kl_divergence(load_table(spark, sf_dir, "documents")).collect()
+    assert out and all(r.kl_nats >= -1e-6 for r in out)
+
+
+def test_quality_logit_scoring_contract(spark):
+    docs = _docs(
+        spark,
+        [
+            ("the and is of to the and common words here now", "s"),
+            ("x", "s"),
+            ("", "s"),  # zero tokens → dropped
+        ],
+    )
+    out = pipeline  # noqa: F841  (keep import grouping honest)
+    rows = {r.doc_id: r for r in text_ops.quality_logit(docs).collect()}
+    assert 2 not in rows  # empty doc dropped
+    for r in rows.values():
+        assert 0.0 < r.keep_p < 1.0
+        assert r.keep == (r.keep_p >= 0.5)
+    # manual recomputation of doc 1 ("x": 1 token, unique, no stopword,
+    # 1 non-space char) through the published formula
+    z = -2.0 + 3.0 * 1.0 + 2.5 * 0.0 + 0.08 * (1 / 100.0) - 0.35 * (1.0 - 5.0)
+    assert abs(rows[1].keep_p - round(1.0 / (1.0 + math.exp(-z)), 6)) <= 1e-6
