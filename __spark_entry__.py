@@ -661,6 +661,14 @@ def _q_k_anonymity(spark, sf):
     return curation.k_anonymity_audit(load_table(spark, sf, "customer"))
 
 
+def _q_forget_users(spark, sf):
+    return ivm.forget_users(load_table(spark, sf, "events"))
+
+
+def _q_dup_rate_by_source(spark, sf):
+    return dedup.dup_rate_by_source(load_table(spark, sf, "documents"))
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1205,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_audit": _q_k_anonymity,
         "incremental_rollup": _q_incremental_rollup,
         "quality_logit": _q_quality_logit,
+        "forget_users_rollup": _q_forget_users,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2436,6 +2446,39 @@ def oracle_sql() -> dict[str, str]:
             FROM base WHERE n_tokens > 0)
         SELECT doc_id, n_tokens, keep_p, keep_p >= 0.5 AS keep
         FROM s ORDER BY doc_id
+    """
+
+    # right-to-be-forgotten twin: recompute with the cohort excluded
+    sql["forget_users_rollup"] = """
+        SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_s,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM events WHERE user_id % 97 <> 0
+        GROUP BY 1, 2 ORDER BY bucket_s, event_type
+    """
+
+    # per-source duplication scorecard twin: identical digest and
+    # count-relation join
+    sql["dup_rate_by_source"] = """
+        WITH ps AS (
+            SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                       AS content_fp,
+                   source, CAST(count(*) AS BIGINT) AS n_here
+            FROM documents GROUP BY 1, 2),
+        t AS (SELECT content_fp, SUM(n_here) AS n_total FROM ps GROUP BY 1),
+        j AS (SELECT source, n_here, n_total, n_total > n_here AS cross_source
+              FROM ps JOIN t USING (content_fp))
+        SELECT source,
+               CAST(SUM(n_here) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_total > 1 THEN n_here ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs,
+               CAST(SUM(CASE WHEN cross_source THEN n_here ELSE 0 END) AS BIGINT)
+                   AS n_cross_source_docs,
+               CAST(count(*) AS BIGINT) AS n_contents,
+               CAST(SUM(CASE WHEN n_total > 1 THEN n_here ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(n_here) AS DOUBLE) AS dup_rate
+        FROM j GROUP BY source ORDER BY source
     """
 
     # IVM twin: the oracle does the from-scratch recompute the

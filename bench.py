@@ -117,6 +117,13 @@ HEADLINE = [
     "tokenize_to_ids",
     "touch_attribution",
     "knn_projected",
+    # wave 6: trend regression, mix divergence, privacy lattice,
+    # incremental view maintenance, logistic quality gate
+    "trend_slope",
+    "source_kl_divergence",
+    "k_anonymity_audit",
+    "incremental_rollup",
+    "quality_logit",
 ]
 
 

@@ -104,3 +104,50 @@ def delta_rollup_apply(old: DataFrame, new: DataFrame) -> DataFrame:
         )
         .orderBy("bucket_s", "event_type")
     )
+
+
+def forget_users(events: DataFrame, modulus: int = 97) -> DataFrame:
+    """Right-to-be-forgotten cascade: remove a deletion cohort's rows
+    from the maintained rollup WITHOUT re-scanning the feed — the
+    governance twin of `delta_rollup_apply`. The reference deletes
+    users row-by-row inside a transaction (`myapp/views.py` delete
+    paths); at warehouse scale the expensive part is not the base-table
+    delete (a tombstoning rewrite) but keeping every derived aggregate
+    consistent — which COUNT/SUM self-maintainability gives for the
+    cost of the cohort's rows only.
+
+    The cohort here is the deterministic fixture `user_id % modulus ==
+    0` (a production call passes the erasure list as a predicate or a
+    broadcast-joined key table). The delta is a map-side FILTER — no
+    anti-join, since erasure requests name their rows directly — then
+    the same signed aggregation + keyed merge as `delta_rollup_apply`.
+    Groups losing all members drop from the view."""
+    if modulus <= 0:
+        raise ValueError("forget_users: modulus must be positive")
+    cohort = F.col("user_id") % modulus == 0
+    delta_agg = events.filter(cohort).groupBy(
+        F.expr(_BUCKET).alias("bucket_s"), "event_type"
+    ).agg(
+        F.count("*").alias("d_n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("d_sum"),
+    )
+    base = bucket_rollup(events)
+    merged = base.join(delta_agg, ["bucket_s", "event_type"], "left").select(
+        "bucket_s",
+        "event_type",
+        (F.col("n_events") - F.coalesce(F.col("d_n"), F.lit(0))).alias("n_events"),
+        (
+            F.col("sum_raw")
+            - F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,2)"))
+        ).alias("sum_raw"),
+    )
+    return (
+        merged.filter(F.col("n_events") > 0)
+        .select(
+            "bucket_s",
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("sum_raw").cast("double").alias("sum_value"),
+        )
+        .orderBy("bucket_s", "event_type")
+    )

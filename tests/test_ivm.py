@@ -82,3 +82,41 @@ def test_testdata_fixture_matches_recompute(spark, sf_dir):
     got = ivm.delta_rollup_apply(old, new)
     want = _direct(new)
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_forget_users_matches_recompute_and_removes_cohort(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    got = ivm.forget_users(events, modulus=97)
+    want = _direct(events.filter(F.col("user_id") % 97 != 0))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_forget_users_drops_groups_owned_by_cohort(spark):
+    # user 97 owns the whole 'error' group; after erasure it must not
+    # linger as a zero-count tombstone
+    rows = [
+        (1, 0, 97, "error", 1.0),
+        (2, 0, 1, "view", 2.0),
+        (3, 6, 97, "view", 3.0),
+        (4, 6, 2, "view", 4.0),
+    ]
+    events = spark.createDataFrame(
+        [
+            (eid, __import__("datetime").datetime(2024, 1, 1)
+             + __import__("datetime").timedelta(minutes=m), u, et, v, "{}")
+            for eid, m, u, et, v in rows
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = ivm.forget_users(events, modulus=97).collect()
+    assert all(r.event_type != "error" for r in out)
+    by_key = {(r.bucket_s, r.event_type): r for r in out}
+    assert len(by_key) == 2  # the two view buckets survive
+    assert all(r.n_events == 1 for r in out)
+    import pytest
+
+    with pytest.raises(ValueError):
+        ivm.forget_users(events, modulus=0)

@@ -117,3 +117,27 @@ def test_quality_logit_scoring_contract(spark):
     # 1 non-space char) through the published formula
     z = -2.0 + 3.0 * 1.0 + 2.5 * 0.0 + 0.08 * (1 / 100.0) - 0.35 * (1.0 - 5.0)
     assert abs(rows[1].keep_p - round(1.0 / (1.0 + math.exp(-z)), 6)) <= 1e-6
+
+
+def test_dup_rate_by_source_attributes_blame(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    docs = _docs(
+        spark,
+        [
+            ("same text", "a"),     # cross-source dup with c's copy
+            ("only in a", "a"),     # unique
+            ("internal twin", "b"),  # internal dup ×2
+            ("internal twin", "b"),
+            ("same text", "c"),     # cross-source dup with a's copy
+        ],
+    )
+    out = {r.source: r for r in dedup.dup_rate_by_source(docs).collect()}
+    a, b, c = out["a"], out["b"], out["c"]
+    assert (a.n_docs, a.n_dup_docs, a.n_cross_source_docs) == (2, 1, 1)
+    assert (b.n_docs, b.n_dup_docs, b.n_cross_source_docs) == (2, 2, 0)
+    assert (c.n_docs, c.n_dup_docs, c.n_cross_source_docs) == (1, 1, 1)
+    assert a.dup_rate == 0.5 and b.dup_rate == 1.0 and c.dup_rate == 1.0
+    # whitespace/case normalization folds near-identical bytes
+    docs2 = _docs(spark, [("A  b", "s"), ("a b ", "s")])
+    assert dedup.dup_rate_by_source(docs2).collect()[0].n_dup_docs == 2
