@@ -669,6 +669,18 @@ def _q_dup_rate_by_source(spark, sf):
     return dedup.dup_rate_by_source(load_table(spark, sf, "documents"))
 
 
+def _q_data_contract(spark, sf):
+    return curation.data_contract_audit(load_table(spark, sf, "events"))
+
+
+def _q_psi_drift(spark, sf):
+    return anomaly.psi_drift(load_table(spark, sf, "events"))
+
+
+def _q_lateral_topk(spark, sf):
+    return relational.lateral_topk(spark, sf)
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1215,6 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_logit": _q_quality_logit,
         "forget_users_rollup": _q_forget_users,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "data_contract_audit": _q_data_contract,
+        "psi_drift": _q_psi_drift,
+        "lateral_topk": _q_lateral_topk,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2447,6 +2462,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_tokens, keep_p, keep_p >= 0.5 AS keep
         FROM s ORDER BY doc_id
     """
+
+    # data-contract twin: one aggregation CTE + constant-width reshape
+    sql["data_contract_audit"] = """
+        WITH a AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_id) AS BIGINT) AS n_key,
+                   CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_key,
+                   CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user,
+                   CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_value,
+                   CAST(SUM(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS high_value,
+                   CAST(SUM(CASE WHEN event_type NOT IN
+                       ('click','error','purchase','signup','view')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_type,
+                   CAST(SUM(CASE WHEN ts < TIMESTAMP '2020-01-01'
+                       OR ts >= TIMESTAMP '2035-01-01'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS bad_ts
+            FROM events)
+        SELECT c.* FROM a, LATERAL (VALUES
+            ('event_id_not_null', CAST(null_key AS DOUBLE), null_key = 0),
+            ('event_id_unique', CAST(n - n_key AS DOUBLE), n = n_key),
+            ('event_type_in_domain', CAST(bad_type AS DOUBLE), bad_type = 0),
+            ('row_count_min_1', CAST(n AS DOUBLE), n >= 1),
+            ('ts_in_2020_2035', CAST(bad_ts AS DOUBLE), bad_ts = 0),
+            ('user_id_not_null', CAST(null_user AS DOUBLE), null_user = 0),
+            ('value_below_400', CAST(high_value AS DOUBLE), high_value = 0),
+            ('value_non_negative', CAST(neg_value AS DOUBLE), neg_value = 0)
+            ) AS c(expectation, observed, pass)
+        ORDER BY expectation
+    """
+
+    # PSI drift twin: same generated bin CASE + smoothed-term SQL
+    _psi_cuts = ", ".join(
+        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY value) AS c{i}"
+        for i in range(1, 10)
+    )
+    sql["psi_drift"] = f"""
+        WITH s AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                   FROM events),
+        tagged AS (
+            SELECT epoch_us(ts) <= (mn + mx) // 2 AS is_ref, value
+            FROM events, s),
+        cuts AS (SELECT {_psi_cuts} FROM tagged WHERE is_ref),
+        counts AS (
+            SELECT {anomaly.psi_bin_case_sql(10)} AS bin,
+                   CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_ref,
+                   CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS c_cur
+            FROM tagged, cuts GROUP BY 1),
+        t AS (SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur FROM counts)
+        SELECT CAST(bin AS INTEGER) AS bin, c_ref AS n_ref, c_cur AS n_cur,
+               {anomaly.PSI_TERM_SQL.format(nbins=10)} AS psi_term
+        FROM counts, t ORDER BY bin
+    """
+
+    # LATERAL twin: the SAME SQL text (relational.LATERAL_TOPK_SQL)
+    sql["lateral_topk"] = relational.LATERAL_TOPK_SQL
 
     # right-to-be-forgotten twin: recompute with the cohort excluded
     sql["forget_users_rollup"] = """

@@ -124,6 +124,10 @@ HEADLINE = [
     "k_anonymity_audit",
     "incremental_rollup",
     "quality_logit",
+    "data_contract_audit",
+    "psi_drift",
+    "lateral_topk",
+    "dup_rate_by_source",
 ]
 
 

@@ -226,3 +226,91 @@ def winsorized_stats(events: DataFrame, lo: float = 0.05, hi: float = 0.95) -> D
         )
         .orderBy("event_type")
     )
+
+
+def psi_bin_case_sql(nbins: int) -> str:
+    """CASE chain assigning `value` to a decile bin given cut columns
+    c1..c{nbins-1} — generated from one constant so the Spark operator
+    and the DuckDB oracle can never drift (the `_km_chain` rule)."""
+    arms = " ".join(
+        f"WHEN value <= c{i} THEN {i}" for i in range(1, nbins)
+    )
+    return f"CASE {arms} ELSE {nbins} END"
+
+
+# per-bin PSI contribution with Laplace-smoothed shares over the
+# NOMINAL bin count (so empty current-side bins stay finite), pinned
+# evaluation order, one transcendental, round(9) at the edge
+PSI_TERM_SQL = (
+    "round(((CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + {nbins} AS DOUBLE))"
+    " - (CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + {nbins} AS DOUBLE)))"
+    " * ln((CAST(c_ref + 1 AS DOUBLE) / CAST(t_ref + {nbins} AS DOUBLE))"
+    " / (CAST(c_cur + 1 AS DOUBLE) / CAST(t_cur + {nbins} AS DOUBLE))), 9)"
+)
+
+_US = "unix_micros(cast(ts as timestamp))"
+
+
+def psi_drift(events: DataFrame, nbins: int = 10) -> DataFrame:
+    """Population Stability Index between the feed's first and second
+    time halves — the standard ML-ops drift score (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 drifted) for "has the metric
+    distribution moved since the reference window". Complements
+    `drift_cusum` (WHEN a level change happened) with WHETHER the
+    distribution as a whole still matches, which catches
+    variance/shape drift CUSUM misses.
+
+    Reference bins are the reference half's own deciles
+    (`percentile_disc` order statistics — engine-exact), so the score
+    is scale-free; shares are Laplace-smoothed over the nominal bin
+    count so a bin the current half abandoned contributes a finite
+    term. Per-bin terms are round(9) pinned-order doubles; summing is
+    the consumer's one exact addition over ≤ nbins rows.
+
+    Scale shape: one min/max aggregate (broadcast), one decile
+    aggregate over the reference half (broadcast), then ONE keyed
+    count over the feed (map-side partials, ≤ nbins groups) — the feed
+    is scanned twice total (once for cuts, once for counts) and never
+    shuffled row-wise; every join is broadcast."""
+    if nbins < 2:
+        raise ValueError("psi_drift: nbins must be ≥ 2")
+    stats = _materialize(
+        events.agg(
+            F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
+        )
+    )
+    tagged = events.crossJoin(F.broadcast(stats)).select(
+        (F.expr(_US) <= F.expr("(mn + mx) div 2")).alias("is_ref"), "value"
+    )
+    cuts = _materialize(
+        tagged.filter(F.col("is_ref")).agg(
+            *[
+                F.expr(
+                    f"percentile_disc({i / nbins}) WITHIN GROUP (ORDER BY value)"
+                ).alias(f"c{i}")
+                for i in range(1, nbins)
+            ]
+        )
+    )
+    counts = (
+        tagged.crossJoin(F.broadcast(cuts))
+        .select(F.expr(psi_bin_case_sql(nbins)).alias("bin"), "is_ref")
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("c_ref").cast("bigint").alias("n_ref"),
+            F.col("c_cur").cast("bigint").alias("n_cur"),
+            F.expr(PSI_TERM_SQL.format(nbins=nbins)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )

@@ -520,3 +520,56 @@ def k_anonymity_audit(customer: DataFrame, k: int = 5) -> DataFrame:
         )
         .orderBy("qi_set")
     )
+
+
+def data_contract_audit(events: DataFrame) -> DataFrame:
+    """Declarative data-quality gate (the Deequ/Great-Expectations
+    shape): verify the feed against its published contract — nullity,
+    key uniqueness, value ranges, categorical domain, timestamp sanity
+    — and emit one decision row per expectation. This is the admission
+    check a 100 TB ingest runs BEFORE letting a batch into the lake;
+    the reference's equivalent is per-row form validation in Django.
+
+    ALL expectations evaluate in ONE aggregation pass over the feed
+    (map-side partials; the distinct-count rides the same shuffle), so
+    the audit costs one scan regardless of how many expectations the
+    contract carries. The wide→long reshape is a constant-width
+    `stack` over the single result row. Violation counts are exact
+    integers; `observed` is the violation count (or row count for the
+    volume check) cast to double at the edge.
+    """
+    domain = ["click", "error", "purchase", "signup", "view"]
+    dom = ", ".join(f"'{d}'" for d in domain)
+    a = events.agg(
+        F.count("*").alias("n"),
+        F.count_distinct("event_id").alias("n_key"),
+        F.sum(F.when(F.col("event_id").isNull(), 1).otherwise(0)).alias("null_key"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_user"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+        F.sum(F.when(F.col("value") > 400, 1).otherwise(0)).alias("high_value"),
+        F.sum(
+            F.when(~F.col("event_type").isin(domain), 1).otherwise(0)
+        ).alias("bad_type"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp_ntz"))
+                | (F.col("ts") >= F.lit("2035-01-01").cast("timestamp_ntz")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_ts"),
+    )
+    return (
+        a.selectExpr(
+            f"""stack(8,
+            'event_id_not_null', CAST(null_key AS DOUBLE), null_key = 0,
+            'event_id_unique', CAST(n - n_key AS DOUBLE), n = n_key,
+            'event_type_in_domain', CAST(bad_type AS DOUBLE), bad_type = 0,
+            'row_count_min_1', CAST(n AS DOUBLE), n >= 1,
+            'ts_in_2020_2035', CAST(bad_ts AS DOUBLE), bad_ts = 0,
+            'user_id_not_null', CAST(null_user AS DOUBLE), null_user = 0,
+            'value_below_400', CAST(high_value AS DOUBLE), high_value = 0,
+            'value_non_negative', CAST(neg_value AS DOUBLE), neg_value = 0
+            ) AS (expectation, observed, pass)"""
+        )
+        .orderBy("expectation")
+    )

@@ -467,3 +467,32 @@ def fk_integrity_audit(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("fk_edge")
+
+
+# correlated LATERAL subquery — ONE SQL text evaluated verbatim by
+# both engines (Spark 4 lateral correlated subqueries and DuckDB
+# LATERAL agree on these semantics). The per-nation LIMIT is
+# decorrelated by Catalyst into a partitioned rank, not N scans.
+LATERAL_TOPK_SQL = """
+    SELECT n.n_name, c.c_custkey, c.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer
+        WHERE c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) AS c
+    ORDER BY n.n_name, c.c_acctbal DESC, c.c_custkey
+"""
+
+
+def lateral_topk(spark, sf_dir: str):
+    """Top-2 customers by balance per nation via a correlated LATERAL
+    subquery — the "for each row of A, run this parameterized query
+    over B" surface (reference users write this as a loop of
+    parameterized cursors, views.py cursor/execute pattern; SQL
+    engines express it as LATERAL). Catalyst decorrelates the
+    correlated LIMIT into a single join + per-key rank — one plan, no
+    per-nation round trips — so at 100 TB this costs one shuffle of
+    the customer side, not #nations queries."""
+    from ..sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_TOPK_SQL)

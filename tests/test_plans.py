@@ -395,3 +395,32 @@ def test_wave6_shuffle_budgets(spark, sf_dir):
             )
     lattice_plan = checks.explain_str(curation.k_anonymity_audit(cust))
     assert lattice_plan.count("Expand") >= 1
+
+
+def test_wave7_shuffle_budgets(spark, sf_dir):
+    """Wave-7 budgets: the contract audit is one aggregation pass
+    (single-row combine + constant stack — no per-expectation scans);
+    PSI's joins are all broadcast (the one-row stats/cuts/totals ride
+    the scalar-subquery BNLJ pattern); the LATERAL top-k must
+    decorrelate into one partitioned rank (Window), never a per-outer-
+    row loop or cartesian."""
+    from real_time_database_monitoring_system_spark.operators import (
+        anomaly,
+        curation,
+        relational,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    contract = curation.data_contract_audit(ev)
+    assert checks.count_exchanges(contract) <= 2
+    assert "BroadcastNestedLoopJoin" not in checks.explain_str(contract)
+
+    psi = anomaly.psi_drift(ev)
+    assert checks.count_exchanges(psi) <= 4
+    assert "CartesianProduct" not in checks.explain_str(psi)
+
+    lat = relational.lateral_topk(spark, sf_dir)
+    plan = checks.explain_str(lat)
+    assert checks.count_exchanges(lat) <= 2
+    assert "Window" in plan, "correlated LIMIT must decorrelate to a rank"
+    assert "CartesianProduct" not in plan

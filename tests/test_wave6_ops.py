@@ -141,3 +141,77 @@ def test_dup_rate_by_source_attributes_blame(spark):
     # whitespace/case normalization folds near-identical bytes
     docs2 = _docs(spark, [("A  b", "s"), ("a b ", "s")])
     assert dedup.dup_rate_by_source(docs2).collect()[0].n_dup_docs == 2
+
+
+def test_data_contract_counts_violations_exactly(spark):
+    import datetime as _dt
+
+    rows = [
+        # duplicate key, null user, negative + oversized values, alien
+        # type, pre-2020 timestamp
+        (1, _dt.datetime(2024, 1, 1), 1, "view", 1.0),
+        (1, _dt.datetime(2024, 1, 1), 2, "view", 2.0),
+        (2, _dt.datetime(2024, 1, 1), None, "click", -3.0),
+        (3, _dt.datetime(2019, 12, 31), 4, "teleport", 500.0),
+    ]
+    events = spark.createDataFrame(
+        [(e, t, u, et, v, "{}") for e, t, u, et, v in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.expectation: r for r in curation.data_contract_audit(events).collect()}
+    got = {k: (v.observed, v["pass"]) for k, v in out.items()}
+    assert got["event_id_unique"] == (1.0, False)
+    assert got["user_id_not_null"] == (1.0, False)
+    assert got["value_non_negative"] == (1.0, False)
+    assert got["value_below_400"] == (1.0, False)
+    assert got["event_type_in_domain"] == (1.0, False)
+    assert got["ts_in_2020_2035"] == (1.0, False)
+    assert got["event_id_not_null"] == (0.0, True)
+    assert got["row_count_min_1"] == (4.0, True)
+
+
+def test_psi_zero_for_identical_halves_positive_for_shift(spark):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    # both halves draw the same 100-value pattern → every bin count
+    # matches → every smoothed term is exactly 0
+    base = [float(1 + (i * 37) % 100) for i in range(100)]
+    rows = [(m, "view", v) for m, v in enumerate(base)]
+    rows += [(10_000 + m, "view", v) for m, v in enumerate(base)]
+    out = anomaly.psi_drift(_ev(spark, rows)).collect()
+    assert sum(r.psi_term for r in out) == 0.0
+    assert sum(r.n_ref for r in out) == 100 and sum(r.n_cur for r in out) == 100
+    # second half shifted up by 100 → mass leaves the low bins: PSI > 0.25
+    rows_shift = [(m, "view", v) for m, v in enumerate(base)]
+    rows_shift += [(10_000 + m, "view", v + 100.0) for m, v in enumerate(base)]
+    out2 = anomaly.psi_drift(_ev(spark, rows_shift)).collect()
+    assert sum(r.psi_term for r in out2) > 0.25
+    import pytest
+
+    with pytest.raises(ValueError):
+        anomaly.psi_drift(_ev(spark, rows), nbins=1)
+
+
+def test_lateral_topk_equals_window_rank(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from real_time_database_monitoring_system_spark.operators import relational
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    got = relational.lateral_topk(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    want = (
+        cust.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_acctbal")
+        .orderBy("n_name", F.desc("c_acctbal"), "c_custkey")
+        .collect()
+    )
+    assert got == want
