@@ -681,6 +681,10 @@ def _q_lateral_topk(spark, sf):
     return relational.lateral_topk(spark, sf)
 
 
+def _q_streaming_contract(spark, sf):
+    return streaming_rollup.stream_contract_audit(spark, sf)
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1230,6 +1234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_contract_audit": _q_data_contract,
         "psi_drift": _q_psi_drift,
         "lateral_topk": _q_lateral_topk,
+        "streaming_contract_audit": _q_streaming_contract,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2517,6 +2522,10 @@ def oracle_sql() -> dict[str, str]:
 
     # LATERAL twin: the SAME SQL text (relational.LATERAL_TOPK_SQL)
     sql["lateral_topk"] = relational.LATERAL_TOPK_SQL
+
+    # streaming contract gate: availableNow state == batch audit, so
+    # it shares the batch oracle verbatim
+    sql["streaming_contract_audit"] = sql["data_contract_audit"]
 
     # right-to-be-forgotten twin: recompute with the cohort excluded
     sql["forget_users_rollup"] = """

@@ -761,3 +761,61 @@ def stream_trending_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
         .filter(F.col("rnk") <= k)
         .orderBy("day_no", "rnk")
     )
+
+
+def stream_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `curation.data_contract_audit`: the live
+    ingest admission gate. The stateful part is ONE streaming
+    aggregation keyed by event_id carrying per-key violation sums —
+    exact key-uniqueness on a stream requires per-key state (that IS
+    the cost of the exactness contract; production would bound it with
+    `dropDuplicatesWithinWatermark` or accept an approximate
+    uniqueness check — documented trade, the state is #keys rows).
+    The expectation panel itself is a batch coda aggregating that
+    sink, so replayed under availableNow the result equals the batch
+    audit exactly and shares its oracle verbatim."""
+    domain = ["click", "error", "purchase", "signup", "view"]
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    per_key = src.groupBy("event_id").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_user"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("neg_value"),
+        F.sum(F.when(F.col("value") > 400, 1).otherwise(0)).alias("high_value"),
+        F.sum(
+            F.when(~F.col("event_type").isin(domain), 1).otherwise(0)
+        ).alias("bad_type"),
+        F.sum(
+            F.when(
+                (F.col("ts") < F.lit("2020-01-01").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2035-01-01").cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).alias("bad_ts"),
+    )
+    state = _run_to_memory(per_key, "complete")
+    a = state.agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.col("event_id")).alias("n_key"),
+        F.sum(
+            F.when(F.col("event_id").isNull(), F.col("cnt")).otherwise(0)
+        ).alias("null_key"),
+        F.sum("null_user").alias("null_user"),
+        F.sum("neg_value").alias("neg_value"),
+        F.sum("high_value").alias("high_value"),
+        F.sum("bad_type").alias("bad_type"),
+        F.sum("bad_ts").alias("bad_ts"),
+    )
+    return a.selectExpr(
+        """stack(8,
+        'event_id_not_null', CAST(null_key AS DOUBLE), null_key = 0,
+        'event_id_unique', CAST(n - n_key AS DOUBLE), n = n_key,
+        'event_type_in_domain', CAST(bad_type AS DOUBLE), bad_type = 0,
+        'row_count_min_1', CAST(n AS DOUBLE), n >= 1,
+        'ts_in_2020_2035', CAST(bad_ts AS DOUBLE), bad_ts = 0,
+        'user_id_not_null', CAST(null_user AS DOUBLE), null_user = 0,
+        'value_below_400', CAST(high_value AS DOUBLE), high_value = 0,
+        'value_non_negative', CAST(neg_value AS DOUBLE), neg_value = 0
+        ) AS (expectation, observed, pass)"""
+    ).orderBy("expectation")

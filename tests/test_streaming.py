@@ -292,3 +292,11 @@ def test_stream_trending_types_equals_batch(spark, sf_dir):
     batch = monitoring.trending_types(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_trending_types(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_contract_audit_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import curation
+
+    batch = curation.data_contract_audit(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_contract_audit(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
