@@ -685,6 +685,10 @@ def _q_streaming_contract(spark, sf):
     return streaming_rollup.stream_contract_audit(spark, sf)
 
 
+def _q_blocking_stats(spark, sf):
+    return dedup.blocking_stats(load_table(spark, sf, "documents"))
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1235,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "psi_drift": _q_psi_drift,
         "lateral_topk": _q_lateral_topk,
         "streaming_contract_audit": _q_streaming_contract,
+        "blocking_stats": _q_blocking_stats,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2526,6 +2531,25 @@ def oracle_sql() -> dict[str, str]:
     # streaming contract gate: availableNow state == batch audit, so
     # it shares the batch oracle verbatim
     sql["streaming_contract_audit"] = sql["data_contract_audit"]
+
+    # blocking-quality twin: identical integer pair arithmetic + the
+    # shared reduction-ratio expression
+    sql["blocking_stats"] = f"""
+        WITH c AS (
+            SELECT substr(text, 1, 16) AS blk, CAST(count(*) AS BIGINT) AS c
+            FROM documents GROUP BY 1),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(c) AS BIGINT) AS n_docs,
+                   CAST(MAX(c) AS BIGINT) AS max_block,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS singleton_blocks
+            FROM c)
+        SELECT n_blocks, n_docs, max_block, candidate_pairs,
+               singleton_blocks, {dedup.BLOCKING_RR_SQL} AS reduction_ratio
+        FROM s
+    """
 
     # right-to-be-forgotten twin: recompute with the cohort excluded
     sql["forget_users_rollup"] = """

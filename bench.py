@@ -128,6 +128,7 @@ HEADLINE = [
     "psi_drift",
     "lateral_topk",
     "dup_rate_by_source",
+    "blocking_stats",
 ]
 
 

@@ -120,3 +120,31 @@ def test_forget_users_drops_groups_owned_by_cohort(spark):
 
     with pytest.raises(ValueError):
         ivm.forget_users(events, modulus=0)
+
+
+def test_random_snapshot_pairs_match_recompute(spark):
+    """Seeded randomized CDC shapes: arbitrary insert/delete mixes over
+    arbitrary bucket/type layouts must maintain exactly (the
+    self-maintainability algebra has no data-shape assumptions)."""
+    import random
+
+    for seed in (7, 41, 1337):
+        rng = random.Random(seed)
+        ids = list(range(60))
+        rows = [
+            (
+                i,
+                rng.randrange(0, 30),  # minute offset → ~6 buckets
+                rng.choice(["view", "click", "error"]),
+                round(rng.uniform(-50, 50), 2),
+            )
+            for i in ids
+        ]
+        old_ids = set(rng.sample(ids, 40))
+        new_ids = set(rng.sample(ids, 40))
+        df = _ev(spark, rows)
+        old = df.filter(F.col("event_id").isin(list(old_ids)))
+        new = df.filter(F.col("event_id").isin(list(new_ids)))
+        got = ivm.delta_rollup_apply(old, new).collect()
+        want = _direct(new).collect()
+        assert got == want, f"seed {seed}"

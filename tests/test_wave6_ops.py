@@ -215,3 +215,28 @@ def test_lateral_topk_equals_window_rank(spark, sf_dir):
         .collect()
     )
     assert got == want
+
+
+def test_blocking_stats_pair_arithmetic(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    # block 'aaaa...' holds 3 docs (3 pairs), one other block holds 2
+    # (1 pair), plus a singleton: 4 candidate pairs of C(6,2)=15 total
+    docs = _docs(
+        spark,
+        [
+            ("aaaaaaaaaaaaaaaa one", "s"),
+            ("aaaaaaaaaaaaaaaa two", "s"),
+            ("aaaaaaaaaaaaaaaa three", "s"),
+            ("bbbbbbbbbbbbbbbb one", "s"),
+            ("bbbbbbbbbbbbbbbb two", "s"),
+            ("cccccccccccccccc", "s"),
+        ],
+    )
+    r = dedup.blocking_stats(docs).collect()[0]
+    assert (r.n_blocks, r.n_docs, r.max_block) == (3, 6, 3)
+    assert (r.candidate_pairs, r.singleton_blocks) == (4, 1)
+    assert r.reduction_ratio == round(1.0 - 4.0 / 15.0, 9)
+    # the candidate count equals what the blocked join would produce
+    pairs = dedup.fuzzy_prefix_match(docs, max_dist=60).count()
+    assert pairs <= r.candidate_pairs
