@@ -689,6 +689,10 @@ def _q_blocking_stats(spark, sf):
     return dedup.blocking_stats(load_table(spark, sf, "documents"))
 
 
+def _q_bigram_logprob(spark, sf):
+    return pipeline.bigram_logprob_score(load_table(spark, sf, "documents"))
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1240,6 +1244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lateral_topk": _q_lateral_topk,
         "streaming_contract_audit": _q_streaming_contract,
         "blocking_stats": _q_blocking_stats,
+        "bigram_logprob": _q_bigram_logprob,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2531,6 +2536,36 @@ def oracle_sql() -> dict[str, str]:
     # streaming contract gate: availableNow state == batch audit, so
     # it shares the batch oracle verbatim
     sql["streaming_contract_audit"] = sql["data_contract_audit"]
+
+    # interpolated-bigram LM twin: array-side pair construction
+    # (prepend-null + zip), the shared term expression, DECIMAL
+    # accumulation
+    sql["bigram_logprob"] = f"""
+        WITH base AS (
+            SELECT doc_id, source, {_TOKS} AS l FROM documents),
+        pairs AS (
+            SELECT doc_id, source, p[1] AS prev, p[2] AS cur
+            FROM (SELECT doc_id, source,
+                         unnest(list_zip(list_prepend(NULL, l)[1:len(l)], l)) AS p
+                  FROM base WHERE len(l) > 0) t),
+        uni AS (SELECT cur AS tok, CAST(count(*) AS BIGINT) AS n_uni
+                FROM pairs GROUP BY 1),
+        bi AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c12
+               FROM pairs WHERE prev IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT SUM(n_uni) AS n_total FROM uni),
+        scored AS (
+            SELECT doc_id, source,
+                   CAST({pipeline.BIGRAM_TERM_SQL} AS DECIMAL(28,9)) AS term
+            FROM pairs
+            LEFT JOIN (SELECT tok AS cur, n_uni AS cu FROM uni) u1 USING (cur)
+            LEFT JOIN (SELECT tok AS prev, n_uni AS c1 FROM uni) u2 USING (prev)
+            LEFT JOIN bi USING (prev, cur)
+            CROSS JOIN tot)
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(term) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS avg_logprob
+        FROM scored GROUP BY doc_id, source ORDER BY doc_id
+    """
 
     # blocking-quality twin: identical integer pair arithmetic + the
     # shared reduction-ratio expression

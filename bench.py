@@ -129,6 +129,7 @@ HEADLINE = [
     "lateral_topk",
     "dup_rate_by_source",
     "blocking_stats",
+    "bigram_logprob",
 ]
 
 

@@ -933,3 +933,88 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# interpolated bigram contribution — pinned-order, one transcendental,
+# round(9); evaluated verbatim by both engines over identical
+# (prev, cur, c12, c1, cu, n_total) columns
+BIGRAM_TERM_SQL = (
+    "round(CASE WHEN prev IS NULL THEN"
+    " ln(CAST(cu AS DOUBLE) / CAST(n_total AS DOUBLE))"
+    " ELSE ln(0.7 * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE))"
+    " + 0.3 * (CAST(cu AS DOUBLE) / CAST(n_total AS DOUBLE))) END, 9)"
+)
+
+
+def bigram_logprob_score(documents: DataFrame) -> DataFrame:
+    """Interpolated-bigram LM quality signal: per-document mean of
+    ln(0.7·p(cur|prev) + 0.3·p(cur)) — the next step up from
+    `unigram_logprob_score` toward the KenLM-style perplexity filters
+    production pipelines run (CCNet): a document of common words in
+    IMPLAUSIBLE ORDER now scores low where the unigram model cannot
+    see the difference. The first token backs off to its unigram
+    probability; interpolation keeps every in-corpus bigram finite.
+
+    Scale shape: the (prev, cur) pair relation is built ARRAY-SIDE
+    (prepend-null + zip) before ONE explode — never a positional
+    self-join of the token table, which would shuffle the corpus on
+    (doc_id, pos). The unigram table broadcasts (vocab-sized); the
+    bigram-count join is the one data-sized shuffle beyond the two
+    count aggregations. Per-term round(9) → DECIMAL(28,9) accumulation
+    keeps the distributed sum exact and order-independent."""
+    toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    pairs = _materialize(
+        _spread(documents, "doc_id")
+        .select("doc_id", "source", toks_arr.alias("l"))
+        .filter(F.size("l") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(concat(array(CAST(NULL AS STRING)), l), 1, size(l))"),
+                    F.col("l"),
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id", "source", F.col("p.0").alias("prev"), F.col("p.l").alias("cur")
+        )
+    )
+    uni = pairs.groupBy(F.col("cur").alias("tok")).agg(F.count("*").alias("n_uni"))
+    bi = (
+        pairs.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("c12"))
+    )
+    total = uni.agg(F.sum("n_uni").alias("n_total"))
+    scored = (
+        pairs.join(F.broadcast(uni.withColumnRenamed("tok", "cur")
+                   .withColumnRenamed("n_uni", "cu")), "cur", "left")
+        .join(
+            F.broadcast(uni.withColumnRenamed("tok", "prev")
+                        .withColumnRenamed("n_uni", "c1")),
+            "prev",
+            "left",
+        )
+        .join(bi, ["prev", "cur"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(BIGRAM_TERM_SQL).cast("decimal(28,9)").alias("term"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_tokens"), F.sum("term").alias("s"))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            (F.col("s").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

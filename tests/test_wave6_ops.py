@@ -240,3 +240,21 @@ def test_blocking_stats_pair_arithmetic(spark):
     # the candidate count equals what the blocked join would produce
     pairs = dedup.fuzzy_prefix_match(docs, max_dist=60).count()
     assert pairs <= r.candidate_pairs
+
+
+def test_bigram_sees_word_order_unigram_cannot(spark):
+    # ten fluent docs establish the bigram stats; doc 10 re-uses the
+    # SAME multiset of tokens in scrambled order. Unigram scores the
+    # scramble identically to fluency; the bigram model must not.
+    fluent = "the cat sat on the mat"
+    scrambled = "mat the on sat cat the"
+    docs = _docs(spark, [(fluent, "s")] * 10 + [(scrambled, "s")])
+    uni = {r.doc_id: r.avg_logprob for r in
+           pipeline.unigram_logprob_score(docs).collect()}
+    bi = {r.doc_id: r.avg_logprob for r in
+          pipeline.bigram_logprob_score(docs).collect()}
+    assert uni[10] == uni[0]          # unigram is order-blind
+    assert bi[10] < bi[0]             # bigram penalizes the scramble
+    # per-doc token accounting matches the tokenizer
+    out = pipeline.bigram_logprob_score(docs).collect()
+    assert all(r.n_tokens == 6 for r in out)
