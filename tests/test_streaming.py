@@ -300,3 +300,78 @@ def test_stream_contract_audit_equals_batch(spark, sf_dir):
     batch = curation.data_contract_audit(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_contract_audit(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_resumes_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
+    """Failure-recovery contract: stop a stateful stream mid-feed and
+    restart it against the SAME checkpoint — the restarted query must
+    (a) resume from the recorded offsets instead of reprocessing the
+    feed, and (b) restore its aggregation state so the final result
+    equals the batch answer. This is the exactly-once story a 100 TB
+    ingest relies on after an executor/driver loss."""
+    import time as _time
+
+    multi = str(tmp_path / "events_multi")
+    ckpt = str(tmp_path / "ckpt")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(4).write.parquet(multi)
+    schema = spark.read.parquet(multi).schema
+    total_rows = events.count()
+
+    def agg_of(src):
+        return src.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        )
+
+    # phase 1: process at least one (but not all) micro-batches, stop
+    src1 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    q1 = (
+        agg_of(src1)
+        .writeStream.format("memory")
+        .queryName("ckpt_phase1")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        prog = q1.recentProgress
+        if prog and sum(p["numInputRows"] for p in prog) > 0:
+            break
+        _time.sleep(0.1)
+    q1.stop()
+    q1.awaitTermination()
+    done_rows = sum(p["numInputRows"] for p in q1.recentProgress)
+    assert 0 < done_rows, "phase 1 made no progress"
+
+    # phase 2: restart on the same checkpoint, drain the remainder
+    src2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    q2 = (
+        agg_of(src2)
+        .writeStream.format("memory")
+        .queryName("ckpt_phase2")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    resumed_rows = sum(p["numInputRows"] for p in q2.recentProgress)
+    # offsets were honored: the two phases together read the feed once
+    assert done_rows + resumed_rows == total_rows
+    if done_rows < total_rows:
+        assert resumed_rows < total_rows, "restart reprocessed the whole feed"
+
+    got = spark.sql("SELECT * FROM ckpt_phase2").collect()
+    want = agg_of(events).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
