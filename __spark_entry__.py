@@ -693,6 +693,10 @@ def _q_bigram_logprob(spark, sf):
     return pipeline.bigram_logprob_score(load_table(spark, sf, "documents"))
 
 
+def _q_robust_trend(spark, sf):
+    return analytics.robust_trend_panel(load_table(spark, sf, "events"))
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1245,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_contract_audit": _q_streaming_contract,
         "blocking_stats": _q_blocking_stats,
         "bigram_logprob": _q_bigram_logprob,
+        "robust_trend": _q_robust_trend,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2628,6 +2633,22 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events WHERE event_id % 7 <> 0
         GROUP BY 1, 2 ORDER BY bucket_s, event_type
+    """
+
+    # robust (bucket-median) trend twin: same shared fragments over
+    # the per-hour median relation
+    _rsums = ", ".join(
+        f"{expr.format(x='hr').replace('value', 'med')} AS {name}"
+        for name, expr in analytics.TREND_SUMS_SQL.items()
+    )
+    sql["robust_trend"] = f"""
+        WITH h AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS med
+            FROM events GROUP BY event_type, hr),
+        sums AS (SELECT event_type, {_rsums} FROM h GROUP BY event_type)
+        SELECT event_type, n AS n_hours, {_tfin}
+        FROM sums ORDER BY event_type
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

@@ -130,6 +130,7 @@ HEADLINE = [
     "dup_rate_by_source",
     "blocking_stats",
     "bigram_logprob",
+    "robust_trend",
 ]
 
 

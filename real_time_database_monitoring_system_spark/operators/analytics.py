@@ -813,3 +813,40 @@ def trend_slope_panel(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def robust_trend_panel(events: DataFrame) -> DataFrame:
+    """Outlier-resistant twin of `trend_slope_panel`: least squares
+    over PER-HOUR MEDIANS instead of raw points, so a burst of
+    anomalous readings (the exact thing `anomaly.mad_outliers` flags)
+    cannot drag the fitted drift rate — the robust-trend companion a
+    capacity forecast should quote next to the raw slope.
+
+    Two-stage, both exact: (1) one keyed aggregation reduces the feed
+    to (type, hour, percentile_disc-median) — an order statistic, so
+    the 2-decimal input values survive exactly and the reduced
+    relation is engine-identical; (2) the SAME sufficient-sums /
+    pinned-combine fragments as the raw panel (TREND_*_SQL) run over
+    that tiny relation. The feed is scanned once; stage 2 touches
+    #types × #hours rows."""
+    hours = events.groupBy(
+        "event_type", F.expr(TREND_X_SPARK).alias("hr")
+    ).agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    )
+    sums = hours.groupBy("event_type").agg(
+        *[
+            F.expr(
+                sql.format(x="hr").replace("value", "med")
+            ).alias(name)
+            for name, sql in TREND_SUMS_SQL.items()
+        ]
+    )
+    return (
+        sums.select(
+            "event_type",
+            F.col("n").alias("n_hours"),
+            *[F.expr(sql).alias(name) for name, sql in TREND_FINAL_SQL.items()],
+        )
+        .orderBy("event_type")
+    )

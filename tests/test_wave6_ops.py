@@ -258,3 +258,19 @@ def test_bigram_sees_word_order_unigram_cannot(spark):
     # per-doc token accounting matches the tokenizer
     out = pipeline.bigram_logprob_score(docs).collect()
     assert all(r.n_tokens == 6 for r in out)
+
+
+def test_robust_trend_shrugs_off_outlier_burst(spark):
+    # clean linear drift with one catastrophic outlier burst in hour 2:
+    # the raw fit bends, the bucket-median fit recovers the true slope
+    rows = []
+    for h in range(6):
+        for rep in range(5):
+            rows.append((60 * h + rep, "m", 2.0 * h + 3.0))
+    rows += [(60 * 2 + 10 + i, "m", 5000.0) for i in range(2)]  # burst
+    ev = _ev(spark, rows)
+    raw = analytics.trend_slope_panel(ev).collect()[0]
+    robust = analytics.robust_trend_panel(ev).collect()[0]
+    assert robust.slope_per_hour == 2.0 and robust.r2 == 1.0
+    assert abs(raw.slope_per_hour - 2.0) > 10.0  # the burst wrecked raw
+    assert robust.n_hours == 6
