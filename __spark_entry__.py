@@ -697,6 +697,17 @@ def _q_robust_trend(spark, sf):
     return analytics.robust_trend_panel(load_table(spark, sf, "events"))
 
 
+def _q_market_share(spark, sf):
+    return relational.market_share_panel(
+        load_table(spark, sf, "region"),
+        load_table(spark, sf, "nation"),
+        load_table(spark, sf, "customer"),
+        load_table(spark, sf, "orders"),
+        load_table(spark, sf, "lineitem"),
+        load_table(spark, sf, "supplier"),
+    )
+
+
 def _q_quality_logit(spark, sf):
     return text_ops.quality_logit(load_table(spark, sf, "documents"))
 
@@ -1250,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocking_stats": _q_blocking_stats,
         "bigram_logprob": _q_bigram_logprob,
         "robust_trend": _q_robust_trend,
+        "market_share": _q_market_share,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2649,6 +2661,32 @@ def oracle_sql() -> dict[str, str]:
         sums AS (SELECT event_type, {_rsums} FROM h GROUP BY event_type)
         SELECT event_type, n AS n_hours, {_tfin}
         FROM sums ORDER BY event_type
+    """
+
+    # market-share (Q8 shape) twin: the nation dim joins twice, the
+    # share window runs over the cell relation
+    sql["market_share"] = """
+        WITH cells AS (
+            SELECT r.r_name,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   sn.n_name AS supp_nation,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                       * CAST((1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                              AS DECIMAL(8,2))) AS revenue_raw
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            GROUP BY 1, 2, 3)
+        SELECT r_name, o_year, supp_nation,
+               CAST(revenue_raw AS DOUBLE) AS revenue,
+               CAST(revenue_raw AS DOUBLE)
+                   / CAST(SUM(revenue_raw) OVER (PARTITION BY r_name, o_year)
+                          AS DOUBLE) AS market_share
+        FROM cells ORDER BY r_name, o_year, supp_nation
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

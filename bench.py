@@ -131,6 +131,7 @@ HEADLINE = [
     "blocking_stats",
     "bigram_logprob",
     "robust_trend",
+    "market_share",
 ]
 
 

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def three_way_topk(lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 100) -> DataFrame:
@@ -496,3 +497,64 @@ def lateral_topk(spark, sf_dir: str):
 
     register_views(spark, sf_dir)
     return spark.sql(LATERAL_TOPK_SQL)
+
+
+def market_share_panel(
+    region: DataFrame,
+    nation: DataFrame,
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+) -> DataFrame:
+    """Supplier-nation market share per (customer region, order year) —
+    the TPC-H Q8 shape: the nation dimension plays TWO roles (the
+    customer side defines the MARKET, the supplier side the
+    competitor), so it joins twice under different aliases, and the
+    share denominator is the market's own total rather than a grand
+    total.
+
+    Plan: the fact chain lineitem⋈orders shuffles on the order key;
+    every dimension (customer, both nation roles, region, supplier)
+    broadcasts; revenue aggregates decimal-exact into the
+    (region, year, supplier-nation) cell relation; the share window
+    runs over that O(#regions × #years × #nations) relation, never
+    the facts. One fact shuffle + one cell-level window at any scale.
+    """
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_f = (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")).cast("decimal(8,2)")
+    cust_nat = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    supp_nat = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cells = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nat), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(
+            "r_name",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            "supp_nation",
+        )
+        .agg(F.sum(price * disc_f).alias("revenue_raw"))
+    )
+    market = Window.partitionBy("r_name", "o_year")
+    return (
+        cells.withColumn("market_raw", F.sum("revenue_raw").over(market))
+        .select(
+            "r_name",
+            "o_year",
+            "supp_nation",
+            F.col("revenue_raw").cast("double").alias("revenue"),
+            (
+                F.col("revenue_raw").cast("double")
+                / F.col("market_raw").cast("double")
+            ).alias("market_share"),
+        )
+        .orderBy("r_name", "o_year", "supp_nation")
+    )

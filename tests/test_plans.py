@@ -424,3 +424,20 @@ def test_wave7_shuffle_budgets(spark, sf_dir):
     assert checks.count_exchanges(lat) <= 2
     assert "Window" in plan, "correlated LIMIT must decorrelate to a rank"
     assert "CartesianProduct" not in plan
+
+
+def test_market_share_plan_broadcasts_dims(spark, sf_dir):
+    """Q8-shape: all five dimension joins must broadcast (the fact
+    chain is the only shuffle candidate), the share window runs over
+    the cell relation, and nothing degenerates to cartesian."""
+    from real_time_database_monitoring_system_spark.operators import relational
+
+    df = relational.market_share_panel(
+        *[load_table(spark, sf_dir, t)
+          for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")]
+    )
+    plan = checks.explain_str(df)
+    assert checks.count_exchanges(df) <= 3  # cell agg + window + sort
+    assert checks.has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -274,3 +274,20 @@ def test_robust_trend_shrugs_off_outlier_burst(spark):
     assert robust.slope_per_hour == 2.0 and robust.r2 == 1.0
     assert abs(raw.slope_per_hour - 2.0) > 10.0  # the burst wrecked raw
     assert robust.n_hours == 6
+
+
+def test_market_share_sums_to_one_per_market(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import relational
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    out = relational.market_share_panel(
+        *[load_table(spark, sf_dir, t)
+          for t in ("region", "nation", "customer", "orders", "lineitem", "supplier")]
+    ).collect()
+    assert out
+    by_market = {}
+    for r in out:
+        by_market.setdefault((r.r_name, r.o_year), []).append(r)
+    for rows in by_market.values():
+        assert abs(sum(r.market_share for r in rows) - 1.0) < 1e-9
+        assert all(r.revenue > 0 for r in rows)
