@@ -697,6 +697,10 @@ def _q_robust_trend(spark, sf):
     return analytics.robust_trend_panel(load_table(spark, sf, "events"))
 
 
+def _q_trigram_langid(spark, sf):
+    return text_ops.char_trigram_langid(load_table(spark, sf, "documents"))
+
+
 def _q_market_share(spark, sf):
     return relational.market_share_panel(
         load_table(spark, sf, "region"),
@@ -1262,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_logprob": _q_bigram_logprob,
         "robust_trend": _q_robust_trend,
         "market_share": _q_market_share,
+        "trigram_langid_eval": _q_trigram_langid,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2661,6 +2666,33 @@ def oracle_sql() -> dict[str, str]:
         sums AS (SELECT event_type, {_rsums} FROM h GROUP BY event_type)
         SELECT event_type, n AS n_hours, {_tfin}
         FROM sums ORDER BY event_type
+    """
+
+    # trigram-langid twin: train profiles, classify, and evaluate in
+    # SQL — identical ranks, weights, and tiebreaks
+    sql["trigram_langid_eval"] = """
+        WITH tri AS (
+            SELECT doc_id, lang AS lang_true, substr(text, CAST(i AS INTEGER), 3) AS tg
+            FROM documents, LATERAL unnest(range(1, len(text) - 1)) AS t(i)
+            WHERE len(text) >= 3),
+        prof AS (
+            SELECT plang, tg, 51 - rnk AS wt FROM (
+                SELECT lang_true AS plang, tg, count(*) AS n,
+                       row_number() OVER (PARTITION BY lang_true
+                                          ORDER BY count(*) DESC, tg ASC) AS rnk
+                FROM tri GROUP BY 1, 2) r
+            WHERE rnk <= 50),
+        dtg AS (SELECT DISTINCT doc_id, lang_true, tg FROM tri),
+        sc AS (
+            SELECT doc_id, lang_true, plang, CAST(SUM(wt) AS BIGINT) AS score
+            FROM dtg JOIN prof USING (tg) GROUP BY 1, 2, 3),
+        best AS (
+            SELECT doc_id, lang_true, plang AS lang_pred FROM (
+                SELECT *, row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY score DESC, plang ASC) AS rn
+                FROM sc) b WHERE rn = 1)
+        SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        FROM best GROUP BY 1, 2 ORDER BY lang_true, lang_pred
     """
 
     # market-share (Q8 shape) twin: the nation dim joins twice, the

@@ -132,6 +132,7 @@ HEADLINE = [
     "bigram_logprob",
     "robust_trend",
     "market_share",
+    "trigram_langid_eval",
 ]
 
 

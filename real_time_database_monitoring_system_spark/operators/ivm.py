@@ -56,6 +56,11 @@ def delta_rollup_apply(old: DataFrame, new: DataFrame) -> DataFrame:
          — two anti-joins, the `snapshot_diff` reconciliation shape.
          In production this relation arrives FROM the CDC stream; the
          anti-joins here double as the derivation for snapshot inputs.
+         Events are immutable facts, so the key-level diff is the
+         whole story; for mutable rows a CDC feed carries an UPDATE as
+         its (-old, +new) pair and the signed algebra below handles it
+         unchanged — only this key-diff derivation would need
+         `snapshot_diff`'s content comparison.
       2. signed aggregation: Σ sign and Σ sign·value per group over
          the delta only (COUNT and SUM are self-maintainable — no
          group ever needs the historical rows).

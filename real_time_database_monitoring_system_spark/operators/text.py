@@ -12,7 +12,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from .util import materialize as _materialize
 from .util import spread as _spread
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -388,4 +390,59 @@ def quality_logit(documents: DataFrame) -> DataFrame:
         )
         .withColumn("keep", F.col("keep_p") >= 0.5)
         .orderBy("doc_id")
+    )
+
+
+def char_trigram_langid(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Train AND evaluate a character-trigram language classifier in
+    one declarative plan, reporting the confusion matrix — the
+    Cavnar–Trenkle n-gram profile method that production language ID
+    (fastText, CLD) descends from, and a step past `lang_id`'s
+    stopword heuristic (which needs curated word lists; trigram
+    profiles are learned from the labeled corpus itself).
+
+    Train: per-language top-`k` trigram profiles (count desc, trigram
+    asc — deterministic), weight = k+1-rank. Classify: each document's
+    DISTINCT trigrams probe the profile table; the best-scoring
+    language wins (score desc, language asc). Evaluate: exact
+    (lang_true, lang_pred, n) cells.
+
+    Scale shape: the corpus is trigram-exploded ONCE into a
+    materialized relation feeding both the profile aggregation and
+    the per-doc distinct probe (diamond rule). The trained model is
+    #langs×k rows — broadcast — so classification is one map-side
+    join + one doc-keyed aggregation + a top-1 window per doc. All
+    scores are exact integers; ties break lexicographically on both
+    engines."""
+    tri_arr = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    tri = _materialize(
+        _spread(documents, "doc_id")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", F.col("lang").alias("lang_true"), tri_arr.alias("ts"))
+        .select("doc_id", "lang_true", F.explode("ts").alias("tg"))
+    )
+    w_rank = Window.partitionBy("plang").orderBy(F.desc("n"), F.asc("tg"))
+    profiles = (
+        tri.groupBy(F.col("lang_true").alias("plang"), "tg")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") <= k)
+        .select("plang", "tg", (F.lit(k + 1) - F.col("rnk")).cast("bigint").alias("wt"))
+    )
+    doc_tg = tri.select("doc_id", "lang_true", "tg").distinct()
+    scores = (
+        doc_tg.join(F.broadcast(profiles), "tg")
+        .groupBy("doc_id", "lang_true", "plang")
+        .agg(F.sum("wt").alias("score"))
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("plang"))
+    best = (
+        scores.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang_true", F.col("plang").alias("lang_pred"))
+    )
+    return (
+        best.groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
     )

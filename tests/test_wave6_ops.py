@@ -291,3 +291,24 @@ def test_market_share_sums_to_one_per_market(spark, sf_dir):
     for rows in by_market.values():
         assert abs(sum(r.market_share for r in rows) - 1.0) < 1e-9
         assert all(r.revenue > 0 for r in rows)
+
+
+def test_trigram_langid_learns_separable_profiles(spark):
+    # two "languages" with disjoint character distributions: the
+    # learned profiles must classify every doc onto the diagonal
+    la = ["aba cab bac abc", "bca cba abc acb", "cab abc bca bac"]
+    lz = ["zyx xyz yzx zxy", "xzy zxy yxz xyz", "yzx zyx xyz zyx"]
+    rows = [(i, t, "aa", "s", len(t)) for i, t in enumerate(la)]
+    rows += [(10 + i, t, "zz", "s", len(t)) for i, t in enumerate(lz)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.lang_true, r.lang_pred): r.n_docs
+           for r in text_ops.char_trigram_langid(docs, k=20).collect()}
+    assert out == {("aa", "aa"): 3, ("zz", "zz"): 3}
+    # structural invariant on real data: every doc classified exactly once
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs_sf = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cm = text_ops.char_trigram_langid(docs_sf).collect()
+    assert sum(r.n_docs for r in cm) == docs_sf.filter("length(text) >= 3").count()
