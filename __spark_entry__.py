@@ -697,6 +697,14 @@ def _q_robust_trend(spark, sf):
     return analytics.robust_trend_panel(load_table(spark, sf, "events"))
 
 
+def _q_rfm_segments(spark, sf):
+    return event_analytics.rfm_segments(load_table(spark, sf, "events"))
+
+
+def _q_period_over_period(spark, sf):
+    return monitoring.period_over_period(load_table(spark, sf, "events"))
+
+
 def _q_trigram_langid(spark, sf):
     return text_ops.char_trigram_langid(load_table(spark, sf, "documents"))
 
@@ -1267,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_trend": _q_robust_trend,
         "market_share": _q_market_share,
         "trigram_langid_eval": _q_trigram_langid,
+        "period_over_period": _q_period_over_period,
+        "rfm_segments": _q_rfm_segments,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2666,6 +2676,71 @@ def oracle_sql() -> dict[str, str]:
         sums AS (SELECT event_type, {_rsums} FROM h GROUP BY event_type)
         SELECT event_type, n AS n_hours, {_tfin}
         FROM sums ORDER BY event_type
+    """
+
+    # RFM twin: identical integer metrics, order-statistic cuts, and
+    # monotone score chains
+    sql["rfm_segments"] = """
+        WITH pu AS (
+            SELECT user_id,
+                   max(epoch_us(ts)) AS last_us,
+                   CAST(count(*) AS BIGINT) AS freq,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS mon_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        snap AS (SELECT max(last_us) AS as_of_us FROM pu),
+        base AS (SELECT pu.*, as_of_us - last_us AS rec_us FROM pu, snap),
+        cuts AS (
+            SELECT
+              CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY rec_us) AS BIGINT) AS rc1,
+              CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY rec_us) AS BIGINT) AS rc2,
+              CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY rec_us) AS BIGINT) AS rc3,
+              CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY rec_us) AS BIGINT) AS rc4,
+              CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS fc1,
+              CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS fc2,
+              CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS fc3,
+              CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY freq) AS BIGINT) AS fc4,
+              CAST(percentile_disc(0.2) WITHIN GROUP (ORDER BY mon_cents) AS BIGINT) AS mc1,
+              CAST(percentile_disc(0.4) WITHIN GROUP (ORDER BY mon_cents) AS BIGINT) AS mc2,
+              CAST(percentile_disc(0.6) WITHIN GROUP (ORDER BY mon_cents) AS BIGINT) AS mc3,
+              CAST(percentile_disc(0.8) WITHIN GROUP (ORDER BY mon_cents) AS BIGINT) AS mc4
+            FROM base),
+        scored AS (
+            SELECT user_id, rec_us, freq, mon_cents,
+                   CAST(5 - (CAST(rec_us > rc1 AS INT) + CAST(rec_us > rc2 AS INT)
+                       + CAST(rec_us > rc3 AS INT) + CAST(rec_us > rc4 AS INT)) AS INT)
+                       AS r_score,
+                   CAST(1 + CAST(freq > fc1 AS INT) + CAST(freq > fc2 AS INT)
+                       + CAST(freq > fc3 AS INT) + CAST(freq > fc4 AS INT) AS INT)
+                       AS f_score,
+                   CAST(1 + CAST(mon_cents > mc1 AS INT) + CAST(mon_cents > mc2 AS INT)
+                       + CAST(mon_cents > mc3 AS INT) + CAST(mon_cents > mc4 AS INT) AS INT)
+                       AS m_score
+            FROM base, cuts)
+        SELECT *,
+               CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+                    WHEN f_score >= 4 THEN 'loyal'
+                    WHEN r_score >= 4 THEN 'recent'
+                    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+                    ELSE 'hibernating' END AS segment
+        FROM scored ORDER BY user_id
+    """
+
+    # period-over-period twin: gap-safe integer-day self-joins
+    sql["period_over_period"] = """
+        WITH daily AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2)
+        SELECT d.event_type, CAST(d.day_no AS BIGINT) AS day_no, d.n,
+               CAST(d.n - p1.n AS DOUBLE) / CAST(p1.n AS DOUBLE) AS dod_change,
+               CAST(d.n - p7.n AS DOUBLE) / CAST(p7.n AS DOUBLE) AS wow_change
+        FROM daily d
+        LEFT JOIN daily p1 ON d.event_type = p1.event_type
+                          AND d.day_no = p1.day_no + 1
+        LEFT JOIN daily p7 ON d.event_type = p7.event_type
+                          AND d.day_no = p7.day_no + 7
+        ORDER BY d.event_type, d.day_no
     """
 
     # trigram-langid twin: train profiles, classify, and evaluate in

@@ -133,6 +133,8 @@ HEADLINE = [
     "robust_trend",
     "market_share",
     "trigram_langid_eval",
+    "period_over_period",
+    "rfm_segments",
 ]
 
 

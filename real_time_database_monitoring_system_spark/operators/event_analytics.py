@@ -403,3 +403,77 @@ def attribution(
         )
         .orderBy("conv_id")
     )
+
+
+# integer quintile score from four percentile_disc cut points — a
+# monotone comparison chain evaluated verbatim by both engines (cuts
+# are order statistics of bigint metrics, so every comparison is
+# integer-exact; ties land identically)
+_RFM_SCORE_SQL = (
+    "CAST(1 + CAST({m} > {c}1 AS INT) + CAST({m} > {c}2 AS INT)"
+    " + CAST({m} > {c}3 AS INT) + CAST({m} > {c}4 AS INT) AS INT)"
+)
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    purchase events — the standard behavioral-segmentation panel a
+    monitoring stack feeds to lifecycle campaigns: quintile-score each
+    user on how recently, how often, and how much they purchased, then
+    band the (R, F) grid into named segments.
+
+    Determinism: all three metrics are exact integers (µs recency vs
+    the snapshot instant, purchase count, cent-quantized spend), the
+    quintile cut points are `percentile_disc` order statistics over
+    the USER relation, and scoring is a monotone integer-comparison
+    chain — no floats anywhere.
+
+    Scale shape: one filtered keyed aggregation reduces the feed to
+    #purchasers rows; the snapshot instant and the 12 cut points are
+    one-row broadcast aggregates of that relation; scoring and
+    labeling are map-side. The feed is scanned once."""
+    us = F.expr(_TS_US)
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(us).alias("last_us"),
+            F.count("*").alias("freq"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("mon_cents"),
+        )
+    )
+    snap = per_user.agg(F.max("last_us").alias("as_of_us"))
+    base = per_user.crossJoin(F.broadcast(snap)).withColumn(
+        "rec_us", F.col("as_of_us") - F.col("last_us")
+    )
+    cuts = base.agg(
+        *[
+            F.expr(f"CAST(percentile_disc({q / 5}) WITHIN GROUP (ORDER BY {m}) AS BIGINT)")
+            .alias(f"{c}{q}")
+            for m, c in (("rec_us", "rc"), ("freq", "fc"), ("mon_cents", "mc"))
+            for q in (1, 2, 3, 4)
+        ]
+    )
+    scored = base.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "rec_us",
+        "freq",
+        "mon_cents",
+        # recency: smaller is better → reverse the chain
+        F.expr(
+            "CAST(5 - (CAST(rec_us > rc1 AS INT) + CAST(rec_us > rc2 AS INT)"
+            " + CAST(rec_us > rc3 AS INT) + CAST(rec_us > rc4 AS INT)) AS INT)"
+        ).alias("r_score"),
+        F.expr(_RFM_SCORE_SQL.format(m="freq", c="fc")).alias("f_score"),
+        F.expr(_RFM_SCORE_SQL.format(m="mon_cents", c="mc")).alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("r_score") >= 4, "recent")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .otherwise("hibernating")
+    )
+    return scored.withColumn("segment", segment).orderBy("user_id")

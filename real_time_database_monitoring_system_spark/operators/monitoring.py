@@ -887,3 +887,47 @@ def trending_types(events: DataFrame, k: int = 3) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .orderBy("day_no", "rnk")
     )
+
+
+def period_over_period(events: DataFrame) -> DataFrame:
+    """Day-over-day and week-over-week change panel per event type —
+    the growth-rate view every monitoring dashboard puts next to raw
+    counts (the reference charts raw daily counts only, views.py chart
+    panels; operators compare them across periods). DoD compares to
+    the PREVIOUS OBSERVED day 1 day back, WoW to 7 days back — days
+    with no traffic yield NULL changes rather than comparing against
+    the wrong period (lag is taken over a dense integer day axis via a
+    self-join, not row-offset LAG, which would silently skip gaps).
+
+    Shape: one keyed count reduces the feed to the (type, day)
+    relation; both comparisons are self-joins of that tiny relation
+    shifted by the integer day delta — never a window or join over the
+    feed. Changes are single final double divisions of exact counts."""
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = events.groupBy("event_type", day.alias("day_no")).agg(
+        F.count("*").alias("n")
+    )
+    prev1 = daily.select(
+        "event_type", (F.col("day_no") + 1).alias("day_no"), F.col("n").alias("n_dod")
+    )
+    prev7 = daily.select(
+        "event_type", (F.col("day_no") + 7).alias("day_no"), F.col("n").alias("n_wow")
+    )
+    return (
+        daily.join(prev1, ["event_type", "day_no"], "left")
+        .join(prev7, ["event_type", "day_no"], "left")
+        .select(
+            "event_type",
+            F.col("day_no").cast("bigint").alias("day_no"),
+            "n",
+            (
+                (F.col("n") - F.col("n_dod")).cast("double")
+                / F.col("n_dod").cast("double")
+            ).alias("dod_change"),
+            (
+                (F.col("n") - F.col("n_wow")).cast("double")
+                / F.col("n_wow").cast("double")
+            ).alias("wow_change"),
+        )
+        .orderBy("event_type", "day_no")
+    )

@@ -170,3 +170,25 @@ def test_attribution_no_self_attribution_with_overlapping_types(spark):
     }
     # each attributes to the OTHER (same ts, ids differ), never itself
     assert out[0].last_touch_id == 1 and out[1].last_touch_id == 0
+
+
+def test_rfm_scores_are_quintile_consistent(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    out = event_analytics.rfm_segments(load_table(spark, sf_dir, "events")).collect()
+    assert out
+    for r in out:
+        assert 1 <= r.r_score <= 5 and 1 <= r.f_score <= 5 and 1 <= r.m_score <= 5
+        assert r.rec_us >= 0 and r.freq >= 1 and r.mon_cents > 0
+    # monotonicity: a user with strictly higher spend never has a
+    # strictly lower m_score
+    rows = sorted(out, key=lambda r: r.mon_cents)
+    for a, b in zip(rows, rows[1:]):
+        assert a.m_score <= b.m_score
+    # every named segment rule is honored
+    for r in out:
+        if r.r_score >= 4 and r.f_score >= 4:
+            assert r.segment == "champion"
+        elif r.f_score >= 4:
+            assert r.segment == "loyal"

@@ -312,3 +312,20 @@ def test_trigram_langid_learns_separable_profiles(spark):
     docs_sf = load_table(spark, "/root/testdata/sf0.001", "documents")
     cm = text_ops.char_trigram_langid(docs_sf).collect()
     assert sum(r.n_docs for r in cm) == docs_sf.filter("length(text) >= 3").count()
+
+
+def test_period_over_period_is_gap_safe(spark):
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    # days 0, 1, 3 (day 2 missing): day 3's DoD must be NULL (no day 2),
+    # not a silent comparison against day 1
+    rows = []
+    rows += [(24 * 60 * 0 + i, "view", 1.0) for i in range(4)]
+    rows += [(24 * 60 * 1 + i, "view", 1.0) for i in range(8)]
+    rows += [(24 * 60 * 3 + i, "view", 1.0) for i in range(2)]
+    out = {r.day_no - 19723: r for r in
+           monitoring.period_over_period(_ev(spark, rows)).collect()}
+    assert out[0].dod_change is None and out[0].wow_change is None
+    assert out[1].dod_change == 1.0          # 4 → 8
+    assert out[3].dod_change is None         # gap: day 2 absent
+    assert out[3].wow_change is None
