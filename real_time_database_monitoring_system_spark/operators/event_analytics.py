@@ -432,8 +432,13 @@ def rfm_segments(events: DataFrame) -> DataFrame:
     #purchasers rows; the snapshot instant and the 12 cut points are
     one-row broadcast aggregates of that relation; scoring and
     labeling are map-side. The feed is scanned once."""
+    from .util import materialize as _materialize
+
     us = F.expr(_TS_US)
-    per_user = (
+    # materialized: the user relation feeds the snapshot instant, the
+    # cut points AND the scoring projection (diamond rule — without it
+    # the purchase scan+agg re-runs once per consumer)
+    per_user = _materialize(
         events.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(

@@ -441,3 +441,38 @@ def test_market_share_plan_broadcasts_dims(spark, sf_dir):
     assert checks.has_broadcast_join(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wave7_late_shuffle_budgets(spark, sf_dir):
+    """Budgets for the late wave-7 operators. bigram's one-row totals
+    ride the scalar-subquery BNLJ; rfm's user relation is materialized
+    (diamond rule — 8→4 exchanges measured) so the purchase scan runs
+    once, not once per consumer."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        event_analytics,
+        monitoring,
+        pipeline,
+    )
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = [
+        ("bigram_logprob", pipeline.bigram_logprob_score(docs), 7, True),
+        ("robust_trend", analytics.robust_trend_panel(ev), 3, False),
+        ("trigram_langid", text_ops.char_trigram_langid(docs), 7, False),
+        ("period_over_period", monitoring.period_over_period(ev), 4, False),
+        # rfm's snapshot-instant and cut-point one-row broadcasts are
+        # the scalar-subquery BNLJ pattern (as bigram's corpus totals)
+        ("rfm_segments", event_analytics.rfm_segments(ev), 4, True),
+    ]
+    for name, df, max_ex, allow_bnlj in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian crept in"
+        if not allow_bnlj:
+            assert "BroadcastNestedLoopJoin" not in plan, (
+                f"{name}: quadratic join strategy crept in"
+            )

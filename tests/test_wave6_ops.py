@@ -329,3 +329,47 @@ def test_period_over_period_is_gap_safe(spark):
     assert out[1].dod_change == 1.0          # 4 → 8
     assert out[3].dod_change is None         # gap: day 2 absent
     assert out[3].wow_change is None
+
+
+def test_wave6_7_operators_tolerate_empty_and_singleton_inputs(spark):
+    """Empty-feed robustness battery for the session's operators: no
+    crashes, and degenerate outputs are sane (empty panels, NULL
+    guards engaged) — the same contract the earlier waves pin."""
+    from real_time_database_monitoring_system_spark.operators import (
+        anomaly,
+        dedup,
+        event_analytics,
+        ivm,
+        monitoring,
+        relational,
+    )
+
+    no_ev = _ev(spark, []).filter("event_id < 0")
+    no_docs = _docs(spark, []).filter("doc_id < 0")
+    one_ev = _ev(spark, [(0, "view", 1.0)])
+    one_doc = _docs(spark, [("hello tiny world", "s")])
+
+    assert analytics.trend_slope_panel(no_ev).collect() == []
+    row = analytics.trend_slope_panel(one_ev).collect()
+    assert len(row) == 1 and row[0].slope_per_hour is None
+    assert analytics.robust_trend_panel(no_ev).collect() == []
+    assert pipeline.source_kl_divergence(no_docs).collect() == []
+    assert pipeline.source_kl_divergence(one_doc).collect()[0].kl_nats == 0.0
+    assert pipeline.bigram_logprob_score(no_docs).collect() == []
+    assert text_ops.quality_logit(no_docs).collect() == []
+    assert text_ops.char_trigram_langid(no_docs).collect() == []
+    assert dedup.dup_rate_by_source(no_docs).collect() == []
+    assert dedup.blocking_stats(no_docs).collect()[0].n_blocks == 0
+    assert ivm.delta_rollup_apply(no_ev, no_ev).collect() == []
+    assert ivm.forget_users(no_ev).collect() == []
+    assert monitoring.period_over_period(no_ev).collect() == []
+    pp = monitoring.period_over_period(one_ev).collect()
+    assert len(pp) == 1 and pp[0].dod_change is None
+    assert event_analytics.rfm_segments(no_ev).collect() == []
+    # contract/psi panels over an empty feed: the shapes stay fixed
+    from real_time_database_monitoring_system_spark.operators import curation as cur
+
+    panel = cur.data_contract_audit(no_ev).collect()
+    got = {r.expectation: r["pass"] for r in panel}
+    assert got["row_count_min_1"] is False and got["event_id_unique"] is True
+    assert anomaly.psi_drift(one_ev).collect()  # single row: no crash
