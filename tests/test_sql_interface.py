@@ -109,3 +109,31 @@ def test_reference_style_raw_sql_with_udfs(spark, sf_dir):
     )
     df = monitoring.slow_sessions(load_table(spark, sf_dir, "events"))
     assert sorted(map(tuple, sql.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_chunk_text_udtf_matches_expression_chunker(spark, sf_dir):
+    """The Python UDTF (Arrow) surface must agree row-for-row with the
+    hot-path expression chunker — the UDTF is the extension API, the
+    expression plan is the engine's own path."""
+    from real_time_database_monitoring_system_spark.functions.udtfs import register_udtfs
+    from real_time_database_monitoring_system_spark.operators import pipeline
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+        register_views,
+    )
+
+    register_views(spark, sf_dir)
+    assert "chunk_text" in register_udtfs(spark)
+    got = spark.sql(
+        """
+        SELECT doc_id, c.chunk_id, c.start, c.chunk_tokens, c.chunk_text
+        FROM documents, LATERAL chunk_text(text, 32, 24) c
+        ORDER BY doc_id, chunk_id
+        """
+    ).collect()
+    want = (
+        pipeline.chunk_documents(load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "chunk_id", "start", "chunk_tokens", "chunk_text")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
