@@ -697,6 +697,10 @@ def _q_robust_trend(spark, sf):
     return analytics.robust_trend_panel(load_table(spark, sf, "events"))
 
 
+def _q_independence_chi2(spark, sf):
+    return analytics.independence_chi2(load_table(spark, sf, "events"))
+
+
 def _q_rfm_segments(spark, sf):
     return event_analytics.rfm_segments(load_table(spark, sf, "events"))
 
@@ -1277,6 +1281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_langid_eval": _q_trigram_langid,
         "period_over_period": _q_period_over_period,
         "rfm_segments": _q_rfm_segments,
+        "independence_chi2": _q_independence_chi2,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2676,6 +2681,34 @@ def oracle_sql() -> dict[str, str]:
         sums AS (SELECT event_type, {_rsums} FROM h GROUP BY event_type)
         SELECT event_type, n AS n_hours, {_tfin}
         FROM sums ORDER BY event_type
+    """
+
+    # chi-square independence twin: exact integer diff + shared cell
+    # expression
+    sql["independence_chi2"] = f"""
+        WITH sparse AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000) % 7 AS dow,
+                   CAST(count(*) AS BIGINT) AS obs
+            FROM events GROUP BY 1, 2),
+        rm AS (SELECT event_type, SUM(obs) AS r FROM sparse GROUP BY 1),
+        cm AS (SELECT dow, SUM(obs) AS c FROM sparse GROUP BY 1),
+        t AS (SELECT SUM(obs) AS n FROM sparse),
+        cells AS (
+            SELECT s.event_type, d.dow, COALESCE(sp.obs, 0) AS obs
+            FROM (SELECT event_type FROM rm) s
+            CROSS JOIN (SELECT dow FROM cm) d
+            LEFT JOIN sparse sp USING (event_type, dow)),
+        j AS (
+            SELECT cells.event_type, cells.dow, obs, r, c, n,
+                   {analytics.CHI2_DIFF_SQL} AS diff
+            FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+            CROSS JOIN t)
+        SELECT event_type, CAST(dow AS INTEGER) AS dow, obs,
+               round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)
+                     / CAST(n AS DOUBLE), 9) AS expected,
+               {analytics.CHI2_CELL_SQL} AS chi2_term
+        FROM j ORDER BY event_type, dow
     """
 
     # RFM twin: identical integer metrics, order-statistic cuts, and

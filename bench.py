@@ -135,6 +135,7 @@ HEADLINE = [
     "trigram_langid_eval",
     "period_over_period",
     "rfm_segments",
+    "independence_chi2",
 ]
 
 

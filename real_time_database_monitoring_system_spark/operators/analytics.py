@@ -850,3 +850,67 @@ def robust_trend_panel(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# per-cell chi-square contribution for the independence test — diff is
+# exact DECIMAL (obs·N − r·c), the combine is a pinned-order double
+# expression shared verbatim with the oracle
+CHI2_CELL_SQL = (
+    "round((CAST(diff AS DOUBLE) * CAST(diff AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 9)"
+)
+CHI2_DIFF_SQL = (
+    "CAST(CAST(obs AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))"
+    " - CAST(r AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)) AS DECIMAL(38,0))"
+)
+
+
+def independence_chi2(events: DataFrame) -> DataFrame:
+    """Chi-square independence panel between event type and day-of-week
+    — "does the traffic mix depend on the weekday?", the categorical
+    coupling audit `class_balance` (one-dimensional drift) and
+    `type_correlation` (numeric series) don't cover. Each cell reports
+    observed vs expected (r·c/N) and its χ² contribution; the
+    statistic is the consumer's exact sum over ≤ #types×7 rows.
+
+    Determinism: the observed−expected difference is computed as the
+    exact integer obs·N − r·c in DECIMAL (never the fractional
+    expected), then ONE pinned-order double expression per cell with
+    round(9). Day-of-week is integer epoch-day mod 7 — no engine
+    week-start conventions.
+
+    Scale shape: one keyed count reduces the feed to the cell relation
+    (materialized — margins and output both consume it); margins and
+    the grand total are broadcast aggregates of that tiny relation."""
+    dow = F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000) % 7")
+    sparse = _materialize(
+        events.groupBy("event_type", dow.alias("dow")).agg(F.count("*").alias("obs"))
+    )
+    row_m = sparse.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    col_m = sparse.groupBy("dow").agg(F.sum("obs").alias("c"))
+    tot = sparse.agg(F.sum("obs").alias("n"))
+    # DENSE spine: a (type, dow) pair the feed never produced still
+    # has expected = r·c/N > 0 and contributes it fully to χ² — the
+    # sparse groupBy alone understates dependence exactly where it is
+    # strongest. The spine is margins × margins: O(#types × 7) rows.
+    spine = row_m.select("event_type").crossJoin(col_m.select("dow"))
+    cells = spine.join(sparse, ["event_type", "dow"], "left").select(
+        "event_type", "dow", F.coalesce("obs", F.lit(0)).alias("obs")
+    )
+    return (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("diff", F.expr(CHI2_DIFF_SQL))
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            "obs",
+            F.expr(
+                "round(CAST(r AS DOUBLE) * CAST(c AS DOUBLE)"
+                " / CAST(n AS DOUBLE), 9)"
+            ).alias("expected"),
+            F.expr(CHI2_CELL_SQL).alias("chi2_term"),
+        )
+        .orderBy("event_type", "dow")
+    )

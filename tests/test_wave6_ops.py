@@ -373,3 +373,21 @@ def test_wave6_7_operators_tolerate_empty_and_singleton_inputs(spark):
     got = {r.expectation: r["pass"] for r in panel}
     assert got["row_count_min_1"] is False and got["event_id_unique"] is True
     assert anomaly.psi_drift(one_ev).collect()  # single row: no crash
+
+
+def test_chi2_independence_identities(spark):
+    from real_time_database_monitoring_system_spark.operators import analytics as an
+
+    # perfectly independent layout: obs == expected → all terms 0
+    rows = []
+    for d in range(2):            # two weekdays
+        for t, mult in (("view", 2), ("click", 1)):
+            rows += [(24 * 60 * d + i, t, 1.0) for i in range(10 * mult)]
+    out = an.independence_chi2(_ev(spark, rows)).collect()
+    assert all(r.chi2_term == 0.0 for r in out)
+    assert all(r.obs == r.expected for r in out)
+    # perfectly dependent: each type occurs on its own day → χ² = N
+    rows2 = [(0 + i, "view", 1.0) for i in range(10)]
+    rows2 += [(24 * 60 + i, "click", 1.0) for i in range(10)]
+    out2 = an.independence_chi2(_ev(spark, rows2)).collect()
+    assert abs(sum(r.chi2_term for r in out2) - 20.0) < 1e-6
