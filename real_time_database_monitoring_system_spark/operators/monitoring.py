@@ -903,9 +903,16 @@ def period_over_period(events: DataFrame) -> DataFrame:
     relation; both comparisons are self-joins of that tiny relation
     shifted by the integer day delta — never a window or join over the
     feed. Changes are single final double divisions of exact counts."""
+    from .util import materialize as _materialize
+
     day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
-    daily = events.groupBy("event_type", day.alias("day_no")).agg(
-        F.count("*").alias("n")
+    # materialized: the daily relation feeds itself twice as the
+    # shifted comparison sides (diamond rule — otherwise the feed
+    # count re-runs once per period join)
+    daily = _materialize(
+        events.groupBy("event_type", day.alias("day_no")).agg(
+            F.count("*").alias("n")
+        )
     )
     prev1 = daily.select(
         "event_type", (F.col("day_no") + 1).alias("day_no"), F.col("n").alias("n_dod")

@@ -462,7 +462,7 @@ def test_wave7_late_shuffle_budgets(spark, sf_dir):
         ("bigram_logprob", pipeline.bigram_logprob_score(docs), 7, True),
         ("robust_trend", analytics.robust_trend_panel(ev), 3, False),
         ("trigram_langid", text_ops.char_trigram_langid(docs), 7, False),
-        ("period_over_period", monitoring.period_over_period(ev), 4, False),
+        ("period_over_period", monitoring.period_over_period(ev), 2, False),
         # rfm's snapshot-instant and cut-point one-row broadcasts are
         # the scalar-subquery BNLJ pattern (as bigram's corpus totals)
         ("rfm_segments", event_analytics.rfm_segments(ev), 4, True),
