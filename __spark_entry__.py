@@ -697,6 +697,10 @@ def _q_robust_trend(spark, sf):
     return analytics.robust_trend_panel(load_table(spark, sf, "events"))
 
 
+def _q_streaming_pop(spark, sf):
+    return streaming_rollup.stream_period_over_period(spark, sf)
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1282,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "period_over_period": _q_period_over_period,
         "rfm_segments": _q_rfm_segments,
         "independence_chi2": _q_independence_chi2,
+        "streaming_period_over_period": _q_streaming_pop,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2775,6 +2780,10 @@ def oracle_sql() -> dict[str, str]:
                           AND d.day_no = p7.day_no + 7
         ORDER BY d.event_type, d.day_no
     """
+
+    # streaming growth panel: availableNow daily state == batch daily
+    # counts, then the SHARED coda — oracle shared verbatim
+    sql["streaming_period_over_period"] = sql["period_over_period"]
 
     # trigram-langid twin: train profiles, classify, and evaluate in
     # SQL — identical ranks, weights, and tiebreaks

@@ -914,6 +914,14 @@ def period_over_period(events: DataFrame) -> DataFrame:
             F.count("*").alias("n")
         )
     )
+    return pop_from_daily(daily)
+
+
+def pop_from_daily(daily: DataFrame) -> DataFrame:
+    """The gap-safe comparison coda over a (event_type, day_no, n)
+    relation — shared by the batch operator above and the streaming
+    twin (`streaming.rollup.stream_period_over_period`), so the
+    documented batch-twin contract cannot drift between copies."""
     prev1 = daily.select(
         "event_type", (F.col("day_no") + 1).alias("day_no"), F.col("n").alias("n_dod")
     )

@@ -819,3 +819,29 @@ def stream_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         'value_non_negative', CAST(neg_value AS DOUBLE), neg_value = 0
         ) AS (expectation, observed, pass)"""
     ).orderBy("expectation")
+
+
+def stream_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `monitoring.period_over_period`: the live
+    growth dashboard. The stateful part is ONE streaming aggregation
+    over (event_type, integer epoch day) — state bounded at
+    #types×#days rows; the gap-safe DoD/WoW comparison runs as a batch
+    coda over that tiny sink via the SHARED helper
+    (`monitoring.pop_from_daily`), so the batch-twin contract cannot
+    drift between copies. Replayed under availableNow the state equals
+    the batch daily counts exactly, hence the shared oracle."""
+    from ..operators.monitoring import pop_from_daily
+
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = src.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(F.count("*").alias("n"))
+    # localCheckpoint: the coda self-joins the state relation, and a
+    # memory-sink View self-join trips conflicting-attribute analysis;
+    # the checkpointed LogicalRDD deduplicates per consumer (and is
+    # what the batch path materializes anyway)
+    state = _run_to_memory(daily, "complete").localCheckpoint()
+    return pop_from_daily(state)

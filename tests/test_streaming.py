@@ -375,3 +375,9 @@ def test_stream_resumes_from_checkpoint_exactly_once(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM ckpt_phase2").collect()
     want = agg_of(events).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_stream_period_over_period_equals_batch(spark, sf_dir):
+    batch = monitoring.period_over_period(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_period_over_period(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
