@@ -415,21 +415,28 @@ def char_trigram_langid(documents: DataFrame, k: int = 50) -> DataFrame:
     scores are exact integers; ties break lexicographically on both
     engines."""
     tri_arr = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
-    tri = _materialize(
+    # materialize the GROUPED (doc, trigram, count) relation, not the
+    # raw explode: profiles re-aggregate it (sum of per-doc counts ==
+    # raw occurrence counts) and the probe needs exactly its distinct
+    # rows — one grouped shuffle replaces a raw materialization plus a
+    # later corpus-sized DISTINCT
+    tri_counts = _materialize(
         _spread(documents, "doc_id")
         .filter(F.length("text") >= 3)
         .select("doc_id", F.col("lang").alias("lang_true"), tri_arr.alias("ts"))
         .select("doc_id", "lang_true", F.explode("ts").alias("tg"))
+        .groupBy("doc_id", "lang_true", "tg")
+        .agg(F.count("*").alias("n_tg"))
     )
     w_rank = Window.partitionBy("plang").orderBy(F.desc("n"), F.asc("tg"))
     profiles = (
-        tri.groupBy(F.col("lang_true").alias("plang"), "tg")
-        .agg(F.count("*").alias("n"))
+        tri_counts.groupBy(F.col("lang_true").alias("plang"), "tg")
+        .agg(F.sum("n_tg").alias("n"))
         .withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= k)
         .select("plang", "tg", (F.lit(k + 1) - F.col("rnk")).cast("bigint").alias("wt"))
     )
-    doc_tg = tri.select("doc_id", "lang_true", "tg").distinct()
+    doc_tg = tri_counts.select("doc_id", "lang_true", "tg")
     scores = (
         doc_tg.join(F.broadcast(profiles), "tg")
         .groupBy("doc_id", "lang_true", "plang")
