@@ -701,6 +701,10 @@ def _q_streaming_pop(spark, sf):
     return streaming_rollup.stream_period_over_period(spark, sf)
 
 
+def _q_streaming_rfm(spark, sf):
+    return streaming_rollup.stream_rfm_segments(spark, sf)
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1287,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": _q_rfm_segments,
         "independence_chi2": _q_independence_chi2,
         "streaming_period_over_period": _q_streaming_pop,
+        "streaming_rfm_segments": _q_streaming_rfm,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2763,6 +2768,10 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'hibernating' END AS segment
         FROM scored ORDER BY user_id
     """
+
+    # streaming RFM: availableNow per-user state == the batch user
+    # relation, then the SHARED coda — oracle shared verbatim
+    sql["streaming_rfm_segments"] = sql["rfm_segments"]
 
     # period-over-period twin: gap-safe integer-day self-joins
     sql["period_over_period"] = """

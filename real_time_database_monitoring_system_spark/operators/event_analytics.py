@@ -449,6 +449,15 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             .alias("mon_cents"),
         )
     )
+    return rfm_from_per_user(per_user)
+
+
+def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
+    """Quintile-scoring coda over a (user_id, last_us, freq,
+    mon_cents) relation — shared by the batch operator above and the
+    streaming twin (`streaming.rollup.stream_rfm_segments`), so the
+    batch-twin contract cannot drift. Expects `per_user` to be
+    materialized/self-join-safe (it feeds three consumers)."""
     snap = per_user.agg(F.max("last_us").alias("as_of_us"))
     base = per_user.crossJoin(F.broadcast(snap)).withColumn(
         "rec_us", F.col("as_of_us") - F.col("last_us")

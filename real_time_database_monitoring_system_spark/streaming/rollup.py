@@ -845,3 +845,34 @@ def stream_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     # what the batch path materializes anyway)
     state = _run_to_memory(daily, "complete").localCheckpoint()
     return pop_from_daily(state)
+
+
+def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_analytics.rfm_segments`: live customer
+    segmentation. The stateful part is ONE per-user streaming
+    aggregation over the purchase-filtered feed (max last-seen µs,
+    count, cent-quantized spend — state is #purchasers rows, the same
+    relation the batch op materializes); the quintile cuts and scoring
+    run as the SHARED batch coda (`event_analytics.rfm_from_per_user`)
+    over that sink. Replayed under availableNow the state equals the
+    batch per-user relation exactly, hence the shared oracle. The
+    localCheckpoint guards the coda's self-consumption of the memory
+    sink (the conflicting-references gotcha, NOTES)."""
+    from ..operators.event_analytics import rfm_from_per_user
+
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    per_user = (
+        src.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.count("*").alias("freq"),
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("mon_cents"),
+        )
+    )
+    state = _run_to_memory(per_user, "complete").localCheckpoint()
+    return rfm_from_per_user(state)
