@@ -705,6 +705,14 @@ def _q_streaming_rfm(spark, sf):
     return streaming_rollup.stream_rfm_segments(spark, sf)
 
 
+def _q_ab_test(spark, sf):
+    return event_analytics.ab_test_panel(load_table(spark, sf, "events"))
+
+
+def _q_survival_curve(spark, sf):
+    return event_analytics.survival_curve(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1292,6 +1300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "independence_chi2": _q_independence_chi2,
         "streaming_period_over_period": _q_streaming_pop,
         "streaming_rfm_segments": _q_streaming_rfm,
+        "ab_test_panel": _q_ab_test,
+        "survival_curve": _q_survival_curve,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2772,6 +2782,78 @@ def oracle_sql() -> dict[str, str]:
     # streaming RFM: availableNow per-user state == the batch user
     # relation, then the SHARED coda — oracle shared verbatim
     sql["streaming_rfm_segments"] = sql["rfm_segments"]
+
+    # Kaplan–Meier twin: identical integer lifetimes/censoring, the
+    # same decimal ln-sum window recursion, extinction flag
+    sql["survival_curve"] = """
+        WITH fm AS (SELECT max(epoch_us(ts)) AS feed_max_us FROM events),
+        pu AS (
+            SELECT (max(epoch_us(ts)) - min(epoch_us(ts))) // 86400000000
+                       AS day,
+                   CAST((SELECT feed_max_us FROM fm) - max(epoch_us(ts))
+                        < 7 * CAST(86400000000 AS BIGINT) AS INT) AS censored
+            FROM events GROUP BY user_id),
+        days AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS n_exits,
+                   CAST(SUM(1 - censored) AS BIGINT) AS n_deaths,
+                   CAST(SUM(censored) AS BIGINT) AS n_censored
+            FROM pu GROUP BY day),
+        t AS (SELECT SUM(n_exits) AS n_total FROM days),
+        r AS (
+            SELECT day, n_deaths, n_censored,
+                   n_total - COALESCE(SUM(n_exits) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_risk
+            FROM days, t),
+        s AS (
+            SELECT day, n_risk, n_deaths, n_censored,
+                   CASE WHEN n_deaths = 0 THEN CAST(0.0 AS DECIMAL(20,9))
+                        WHEN n_deaths < n_risk THEN CAST(round(ln(1.0
+                            - CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)
+                            AS DECIMAL(20,9))
+                        ELSE CAST(0.0 AS DECIMAL(20,9)) END AS ln_factor,
+                   MAX(CASE WHEN n_deaths >= n_risk THEN 1 ELSE 0 END)
+                       OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS extinct
+            FROM r),
+        c AS (
+            SELECT *, SUM(ln_factor) OVER (ORDER BY day ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ln
+            FROM s)
+        SELECT day AS lifetime_day,
+               CAST(n_risk AS BIGINT) AS n_risk, n_deaths, n_censored,
+               CASE WHEN extinct = 1 THEN 0.0
+                    ELSE round(exp(CAST(cum_ln AS DOUBLE)), 9) END AS survival
+        FROM c ORDER BY lifetime_day
+    """
+
+    # A/B panel twin: identical md5 arm assignment and the shared
+    # pooled-z expression
+    sql["ab_test_panel"] = f"""
+        WITH pu AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS converted
+            FROM events GROUP BY user_id),
+        arms AS (
+            SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 2 AS arm,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_converted
+            FROM pu GROUP BY 1),
+        a AS (SELECT n_users AS n_a, n_converted AS conv_a FROM arms WHERE arm = 0),
+        b AS (SELECT n_users AS n_b, n_converted AS conv_b FROM arms WHERE arm = 1)
+        SELECT n_a, conv_a,
+               round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS rate_a,
+               n_b, conv_b,
+               round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS rate_b,
+               round(CASE WHEN conv_a > 0 THEN
+                   (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                   / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 END, 9)
+                   AS relative_lift,
+               {event_analytics.AB_Z_SQL} AS z_stat
+        FROM a, b
+    """
 
     # period-over-period twin: gap-safe integer-day self-joins
     sql["period_over_period"] = """

@@ -136,6 +136,8 @@ HEADLINE = [
     "period_over_period",
     "rfm_segments",
     "independence_chi2",
+    "ab_test_panel",
+    "survival_curve",
 ]
 
 

@@ -491,3 +491,166 @@ def rfm_from_per_user(per_user: DataFrame) -> DataFrame:
         .otherwise("hibernating")
     )
     return scored.withColumn("segment", segment).orderBy("user_id")
+
+
+# pooled two-proportion z-statistic — pinned-order doubles over exact
+# integer counts, shared verbatim with the oracle (one sqrt, round 9;
+# NULL when a variant has no users or the pooled rate is degenerate)
+AB_Z_SQL = (
+    "round(CASE WHEN n_a > 0 AND n_b > 0"
+    " AND (conv_a + conv_b) > 0 AND (conv_a + conv_b) < (n_a + n_b) THEN"
+    " (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)"
+    "  - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    " / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    " * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    " * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) END, 9)"
+)
+
+
+def ab_test_panel(events: DataFrame) -> DataFrame:
+    """A/B experiment readout over the feed: users split
+    deterministically into control/treatment by content hash of their
+    id (the same rerun-stable assignment rule as `pipeline.
+    hash_sample` — never rand(), so the experiment is reproducible
+    across engines and reruns), outcome = did the user purchase.
+    Reports per-arm users/conversions/rate, the relative lift, and the
+    pooled two-proportion z-statistic — the decision panel an
+    experimentation stack derives from this exact query shape.
+
+    Determinism: assignment is md5-derived, conversions are exact
+    integer counts, and the lift/z combine is one pinned-order double
+    expression (single sqrt, round 9) shared verbatim with the oracle.
+
+    Scale shape: ONE scan reduces the feed to per-user (arm,
+    converted) scalars — a keyed aggregation with map-side partials —
+    then a 2-row arm aggregate and a 1-row panel. No windows, no
+    joins over the feed."""
+    arm = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        )
+    )
+    arms = (
+        per_user.select(arm.alias("arm"), "converted")
+        .groupBy("arm")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+        )
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "conv_a",
+        F.expr("round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9)").alias(
+            "rate_a"
+        ),
+        "n_b",
+        "conv_b",
+        F.expr("round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9)").alias(
+            "rate_b"
+        ),
+        F.expr(
+            "round(CASE WHEN conv_a > 0 THEN"
+            " (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            " / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 END, 9)"
+        ).alias("relative_lift"),
+        F.expr(AB_Z_SQL).alias("z_stat"),
+    )
+
+
+def survival_curve(events: DataFrame, censor_days: int = 7) -> DataFrame:
+    """Kaplan–Meier user-retention curve: survival probability by
+    lifetime day, with right-censoring for users still active near the
+    feed's end — the statistically correct "how long do users stay"
+    answer (`cohort_retention` counts returns per cohort; KM handles
+    the users whose lifetimes we have not finished observing, which
+    naive churn rates systematically bias).
+
+    A user's lifetime is last_seen − first_seen in integer days; users
+    whose last event is within `censor_days` of the feed maximum are
+    censored (they exit the at-risk set without counting as churn).
+    S(t) = Π_{t_j ≤ t} (1 − d_j / n_j) over event days.
+
+    Determinism: lifetimes/counts are exact integers; each step factor
+    enters as round(ln(1 − d/n), 9) accumulated as a DECIMAL window
+    sum over the day order (order-independent BY VALUE — decimal
+    addition is exact), with one exp at the edge; the day every
+    remaining user churns pins S to exactly 0 through a flag rather
+    than exp(-inf).
+
+    Scale shape: one keyed aggregation reduces the feed to #users
+    rows, a second to the #distinct-lifetime-days relation; the KM
+    recursion is windows over THAT tiny relation. The feed is scanned
+    once."""
+    us = F.expr(_TS_US)
+    feed_max = events.agg(F.max(us).alias("feed_max_us"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(F.min(us).alias("first_us"), F.max(us).alias("last_us"))
+        .crossJoin(F.broadcast(feed_max))
+        .select(
+            F.expr("(last_us - first_us) div 86400000000").alias("day"),
+            (
+                F.col("feed_max_us") - F.col("last_us")
+                < F.lit(censor_days) * F.lit(86_400_000_000)
+            )
+            .cast("int")
+            .alias("censored"),
+        )
+    )
+    days = per_user.groupBy("day").agg(
+        F.count("*").cast("bigint").alias("n_exits"),
+        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("n_deaths"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    total = days.agg(F.sum("n_exits").alias("n_total"))
+    w_prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    at_risk = (
+        days.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("n_exits").over(w_prior), F.lit(0)),
+        )
+        .withColumn(
+            "ln_factor",
+            F.expr(
+                "CASE WHEN n_deaths = 0 THEN CAST(0.0 AS DECIMAL(20,9))"
+                " WHEN n_deaths < n_risk THEN CAST(round(ln(1.0"
+                " - CAST(n_deaths AS DOUBLE) / CAST(n_risk AS DOUBLE)), 9)"
+                " AS DECIMAL(20,9))"
+                " ELSE CAST(0.0 AS DECIMAL(20,9)) END"
+            ),
+        )
+        .withColumn(
+            "extinct",
+            F.max(
+                F.when(F.col("n_deaths") >= F.col("n_risk"), 1).otherwise(0)
+            ).over(w_cum),
+        )
+        .withColumn("cum_ln", F.sum("ln_factor").over(w_cum))
+    )
+    return at_risk.select(
+        F.col("day").alias("lifetime_day"),
+        "n_risk",
+        "n_deaths",
+        "n_censored",
+        F.expr(
+            "CASE WHEN extinct = 1 THEN 0.0"
+            " ELSE round(exp(CAST(cum_ln AS DOUBLE)), 9) END"
+        ).alias("survival"),
+    ).orderBy("lifetime_day")

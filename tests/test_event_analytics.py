@@ -192,3 +192,69 @@ def test_rfm_scores_are_quintile_consistent(spark, sf_dir):
             assert r.segment == "champion"
         elif r.f_score >= 4:
             assert r.segment == "loyal"
+
+
+def test_ab_panel_on_planted_experiment(spark):
+    import datetime as dt
+    import hashlib
+
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    # find users for each arm by replicating the md5 assignment
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    arm0 = [u for u in range(1, 100) if arm(u) == 0][:4]
+    arm1 = [u for u in range(1, 100) if arm(u) == 1][:4]
+    rows = []
+    eid = 0
+    # arm0: 1/4 convert; arm1: 3/4 convert
+    for i, u in enumerate(arm0):
+        rows.append((eid, dt.datetime(2024, 1, 1), u,
+                     "purchase" if i == 0 else "view", 1.0, "{}")); eid += 1
+    for i, u in enumerate(arm1):
+        rows.append((eid, dt.datetime(2024, 1, 1), u,
+                     "purchase" if i < 3 else "view", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = event_analytics.ab_test_panel(events).collect()[0]
+    assert (r.n_a, r.conv_a, r.n_b, r.conv_b) == (4, 1, 4, 3)
+    assert r.rate_a == 0.25 and r.rate_b == 0.75
+    assert r.relative_lift == 2.0
+    assert r.z_stat > 1.0  # direction and magnitude sanity
+
+
+def test_survival_curve_known_km_values(spark):
+    import datetime as dt
+
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    # 4 users: lifetimes 0, 10, 20 days (churned) and one active user
+    # spanning the full 40-day window (censored at 40)
+    def u(uid, days):
+        return [
+            (uid * 100, dt.datetime(2024, 1, 1), uid, "view", 1.0, "{}"),
+            (uid * 100 + 1, dt.datetime(2024, 1, 1) + dt.timedelta(days=days),
+             uid, "view", 1.0, "{}"),
+        ]
+
+    rows = u(1, 0)[:1] + u(2, 10) + u(3, 20) + u(4, 40)
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.lifetime_day: r for r in
+           event_analytics.survival_curve(events, censor_days=7).collect()}
+    # day 0: 4 at risk, 1 death → S = 3/4; day 10: 3 at risk, 1 death
+    # → S = 1/2; day 20: 2 at risk, 1 death → S = 1/4; day 40: user 4
+    # is censored (last event at the feed max) — no death, S unchanged
+    assert out[0].n_risk == 4 and out[0].n_deaths == 1
+    assert abs(out[0].survival - 0.75) < 1e-6
+    assert abs(out[10].survival - 0.5) < 1e-6
+    assert abs(out[20].survival - 0.25) < 1e-6
+    assert out[40].n_censored == 1 and out[40].n_deaths == 0
+    assert out[40].survival == out[20].survival  # censoring moves no mass
