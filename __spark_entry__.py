@@ -713,6 +713,10 @@ def _q_survival_curve(spark, sf):
     return event_analytics.survival_curve(load_table(spark, sf, "events"))
 
 
+def _q_funnel_windowed(spark, sf):
+    return event_analytics.funnel_windowed(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1302,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_rfm_segments": _q_streaming_rfm,
         "ab_test_panel": _q_ab_test,
         "survival_curve": _q_survival_curve,
+        "funnel_windowed": _q_funnel_windowed,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2782,6 +2787,42 @@ def oracle_sql() -> dict[str, str]:
     # streaming RFM: availableNow per-user state == the batch user
     # relation, then the SHARED coda — oracle shared verbatim
     sql["streaming_rfm_segments"] = sql["rfm_segments"]
+
+    # time-boxed funnel twin: same step conditioning plus the lag
+    # bound; medians are order statistics over converting users
+    sql["funnel_windowed"] = """
+        WITH s1 AS (
+            SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t, min(s1.t) AS t_from
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t
+              AND epoch_us(e.ts) <= s1.t + CAST(43200000000 AS BIGINT)
+            GROUP BY 1),
+        s3 AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS t, min(s2.t) AS t_from
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t
+              AND epoch_us(e.ts) <= s2.t + CAST(43200000000 AS BIGINT)
+            GROUP BY 1),
+        c AS (
+            SELECT 1 AS step_no, 'view' AS step,
+                   (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users,
+                   CAST(NULL AS BIGINT) AS median_lag_us
+            UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2),
+                   (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY t - t_from) AS BIGINT) FROM s2)
+            UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+                   (SELECT CAST(percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY t - t_from) AS BIGINT) FROM s3))
+        SELECT step_no, step, n_users, median_lag_us,
+               round(CASE WHEN lag(n_users) OVER (ORDER BY step_no) != 0
+                          THEN CAST(n_users AS DOUBLE) /
+                               CAST(lag(n_users) OVER (ORDER BY step_no) AS DOUBLE)
+                     END, 9) AS conversion
+        FROM c ORDER BY step_no
+    """
 
     # Kaplan–Meier twin: identical integer lifetimes/censoring, the
     # same decimal ln-sum window recursion, extinction flag

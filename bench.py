@@ -138,6 +138,7 @@ HEADLINE = [
     "independence_chi2",
     "ab_test_panel",
     "survival_curve",
+    "funnel_windowed",
 ]
 
 

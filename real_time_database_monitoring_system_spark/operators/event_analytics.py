@@ -654,3 +654,85 @@ def survival_curve(events: DataFrame, censor_days: int = 7) -> DataFrame:
             " ELSE round(exp(CAST(cum_ln AS DOUBLE)), 9) END"
         ).alias("survival"),
     ).orderBy("lifetime_day")
+
+
+def funnel_windowed(
+    events: DataFrame,
+    steps: list[str] | None = None,
+    max_lag_minutes: int = 12 * 60,
+) -> DataFrame:
+    """Time-boxed ordered funnel: step i counts only if it happens
+    AFTER the user's step i−1 AND within `max_lag_minutes` of it — the
+    attribution-window form real funnels use (an unbounded funnel
+    credits a purchase to a view from months ago; `funnel_counts`
+    keeps the unbounded semantics for parity, this is the production
+    variant).
+
+    Same scale shape as the unbounded funnel: one pushed-filter scan
+    per step reduced to a per-user min-µs scalar conditioned on the
+    previous step via a user-keyed join; the lag bound is one more
+    integer-µs predicate on that join. Output adds the per-step median
+    lag (an order statistic over converting users)."""
+    if steps is None:
+        steps = ["view", "click", "purchase"]
+    if not steps:
+        raise ValueError("funnel_windowed needs at least one step")
+    if max_lag_minutes <= 0:
+        raise ValueError("funnel_windowed: max_lag_minutes must be positive")
+    lag_us = max_lag_minutes * 60 * 1_000_000
+    us = F.expr(_TS_US)
+    prev: DataFrame | None = None
+    stages: list[tuple[str, DataFrame]] = []
+    for step in steps:
+        stage = events.filter(F.col("event_type") == step).select(
+            "user_id", us.alias("us")
+        )
+        if prev is not None:
+            stage = (
+                stage.join(prev, "user_id")
+                .filter(
+                    (F.col("us") > F.col("prev_us"))
+                    & (F.col("us") <= F.col("prev_us") + F.lit(lag_us))
+                )
+                .select("user_id", "us", F.col("prev_us").alias("from_us"))
+            )
+            cur = stage.groupBy("user_id").agg(
+                F.min("us").alias("prev_us"), F.min("from_us").alias("from_us")
+            )
+            # median lag from the previous step among converters
+            med = cur.select((F.col("prev_us") - F.col("from_us")).alias("lag"))
+        else:
+            cur = stage.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+            med = None
+        stages.append((step, cur, med))
+        prev = cur
+    rows = None
+    for i, (step, cur, med) in enumerate(stages):
+        one = cur.agg(F.count("*").alias("n_users")).select(
+            F.lit(i + 1).alias("step_no"), F.lit(step).alias("step"), "n_users"
+        )
+        if med is not None:
+            m = med.agg(
+                F.expr(
+                    "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lag)"
+                    " AS BIGINT)"
+                ).alias("median_lag_us")
+            )
+            one = one.crossJoin(F.broadcast(m))
+        else:
+            one = one.withColumn("median_lag_us", F.lit(None).cast("bigint"))
+        rows = one if rows is None else rows.unionByName(one)
+    w_prev = F.lag("n_users").over(Window.orderBy("step_no"))
+    return (
+        rows.withColumn(
+            "conversion",
+            F.round(
+                F.when(
+                    w_prev.isNotNull() & (w_prev != 0),
+                    F.col("n_users").cast("double") / w_prev.cast("double"),
+                ),
+                9,
+            ),
+        )
+        .orderBy("step_no")
+    )

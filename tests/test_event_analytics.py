@@ -258,3 +258,35 @@ def test_survival_curve_known_km_values(spark):
     assert abs(out[20].survival - 0.25) < 1e-6
     assert out[40].n_censored == 1 and out[40].n_deaths == 0
     assert out[40].survival == out[20].survival  # censoring moves no mass
+
+
+def test_funnel_window_drops_stale_conversions(spark):
+    import datetime as dt
+
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    # user 1: view → click 10 min later (inside a 60-min window)
+    # user 2: view → click 2 days later (outside the window)
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9, 0), 1, "view", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9, 10), 1, "click", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 9, 0), 2, "view", 1.0, "{}"),
+        (4, dt.datetime(2024, 1, 3, 9, 0), 2, "click", 1.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    un = {r.step: r.n_users for r in
+          event_analytics.funnel_counts(events, ["view", "click"]).collect()}
+    wi = {r.step: r for r in
+          event_analytics.funnel_windowed(events, ["view", "click"],
+                                          max_lag_minutes=60).collect()}
+    assert un["click"] == 2          # unbounded funnel credits both
+    assert wi["click"].n_users == 1  # windowed drops the stale one
+    assert wi["click"].median_lag_us == 10 * 60 * 1_000_000
+    import pytest
+
+    with pytest.raises(ValueError):
+        event_analytics.funnel_windowed(events, ["view"], max_lag_minutes=0)
