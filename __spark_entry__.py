@@ -717,6 +717,10 @@ def _q_funnel_windowed(spark, sf):
     return event_analytics.funnel_windowed(load_table(spark, sf, "events"))
 
 
+def _q_user_features(spark, sf):
+    return event_analytics.user_feature_table(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1307,6 +1311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ab_test_panel": _q_ab_test,
         "survival_curve": _q_survival_curve,
         "funnel_windowed": _q_funnel_windowed,
+        "user_feature_table": _q_user_features,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2787,6 +2792,40 @@ def oracle_sql() -> dict[str, str]:
     # streaming RFM: availableNow per-user state == the batch user
     # relation, then the SHARED coda — oracle shared verbatim
     sql["streaming_rfm_segments"] = sql["rfm_segments"]
+
+    # feature-store twin: identical conditional aggregates and rate
+    # expressions
+    sql["user_feature_table"] = """
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   min(epoch_us(ts)) AS first_us,
+                   max(epoch_us(ts)) AS last_us,
+                   CAST(count(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT)
+                       AS active_days,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(value AS DECIMAL(18,2)) ELSE 0 END) * 100
+                       AS BIGINT) AS spend_cents
+            FROM events GROUP BY user_id),
+        s AS (SELECT max(last_us) AS as_of_us FROM pu)
+        SELECT user_id, n_events, n_types, n_view, n_click, n_purchase,
+               n_signup, n_error,
+               as_of_us - last_us AS recency_us,
+               (last_us - first_us) // 86400000000 + 1 AS span_days,
+               active_days, spend_cents,
+               round(CAST(n_events AS DOUBLE) / CAST(active_days AS DOUBLE), 9)
+                   AS events_per_active_day,
+               round(CAST(active_days AS DOUBLE)
+                   / CAST((last_us - first_us) // 86400000000 + 1 AS DOUBLE), 9)
+                   AS activity_density
+        FROM pu, s ORDER BY user_id
+    """
 
     # time-boxed funnel twin: same step conditioning plus the lag
     # bound; medians are order statistics over converting users

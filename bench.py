@@ -139,6 +139,7 @@ HEADLINE = [
     "ab_test_panel",
     "survival_curve",
     "funnel_windowed",
+    "user_feature_table",
 ]
 
 

@@ -736,3 +736,66 @@ def funnel_windowed(
         )
         .orderBy("step_no")
     )
+
+
+def user_feature_table(events: DataFrame) -> DataFrame:
+    """Feature-store materialization: the per-user feature vector a
+    churn/propensity model trains on, assembled in ONE keyed
+    aggregation — activity volume, per-type counts (conditional
+    aggregates, no pivot discovery pass), recency vs the snapshot
+    instant, active-day span, spend, and rate features. This is the
+    batch feature-engineering job every ML platform schedules against
+    the event lake; at 100 TB it is one column-pruned scan + one
+    user-keyed shuffle with map-side partials, and the output is the
+    training table itself.
+
+    Determinism: counts/µs/cent-spend are exact integers; the two
+    rate features are single final double divisions rounded at the
+    edge. The snapshot instant is the broadcast max event time (the
+    repo's now() rule)."""
+    us = F.expr(_TS_US)
+    per_user = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("event_type").cast("int").alias("n_types"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+            for t in ("view", "click", "purchase", "signup", "error")
+        ],
+        F.min(us).alias("first_us"),
+        F.max(us).alias("last_us"),
+        F.count_distinct(F.expr(f"{_TS_US} div 86400000000"))
+        .cast("bigint")
+        .alias("active_days"),
+        (F.sum(F.when(F.col("event_type") == "purchase",
+                      F.col("value").cast("decimal(18,2)")).otherwise(F.lit(0))) * 100)
+        .cast("bigint")
+        .alias("spend_cents"),
+    )
+    snap = per_user.agg(F.max("last_us").alias("as_of_us"))
+    return (
+        per_user.crossJoin(F.broadcast(snap))
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            "n_view",
+            "n_click",
+            "n_purchase",
+            "n_signup",
+            "n_error",
+            (F.col("as_of_us") - F.col("last_us")).alias("recency_us"),
+            F.expr("(last_us - first_us) div 86400000000 + 1").alias("span_days"),
+            "active_days",
+            "spend_cents",
+            F.expr(
+                "round(CAST(n_events AS DOUBLE) / CAST(active_days AS DOUBLE), 9)"
+            ).alias("events_per_active_day"),
+            F.expr(
+                "round(CAST(active_days AS DOUBLE)"
+                " / CAST((last_us - first_us) div 86400000000 + 1 AS DOUBLE), 9)"
+            ).alias("activity_density"),
+        )
+        .orderBy("user_id")
+    )

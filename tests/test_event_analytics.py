@@ -290,3 +290,27 @@ def test_funnel_window_drops_stale_conversions(spark):
 
     with pytest.raises(ValueError):
         event_analytics.funnel_windowed(events, ["view"], max_lag_minutes=0)
+
+
+def test_user_feature_table_accounting(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = event_analytics.user_feature_table(events)
+    rows = out.collect()
+    assert len(rows) == events.select("user_id").distinct().count()
+    # feature totals reconcile with the feed
+    assert sum(r.n_events for r in rows) == events.count()
+    for r in rows:
+        assert r.n_view + r.n_click + r.n_purchase + r.n_signup + r.n_error == r.n_events
+        assert 1 <= r.active_days <= r.span_days
+        assert 0.0 < r.activity_density <= 1.0
+        assert r.recency_us >= 0
+    # spend reconciles against a direct decimal sum
+    direct = events.filter(F.col("event_type") == "purchase").agg(
+        (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint").alias("s")
+    ).collect()[0].s
+    assert sum(r.spend_cents for r in rows) == direct
