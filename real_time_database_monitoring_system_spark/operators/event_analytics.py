@@ -612,10 +612,16 @@ def survival_curve(events: DataFrame, censor_days: int = 7) -> DataFrame:
             .alias("censored"),
         )
     )
-    days = per_user.groupBy("day").agg(
-        F.count("*").cast("bigint").alias("n_exits"),
-        F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("n_deaths"),
-        F.sum("censored").cast("bigint").alias("n_censored"),
+    from .util import materialize as _materialize
+
+    # materialized: the day relation feeds the grand total AND the
+    # at-risk windows (diamond rule)
+    days = _materialize(
+        per_user.groupBy("day").agg(
+            F.count("*").cast("bigint").alias("n_exits"),
+            F.sum(F.lit(1) - F.col("censored")).cast("bigint").alias("n_deaths"),
+            F.sum("censored").cast("bigint").alias("n_censored"),
+        )
     )
     total = days.agg(F.sum("n_exits").alias("n_total"))
     w_prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
@@ -679,6 +685,7 @@ def funnel_windowed(
         raise ValueError("funnel_windowed needs at least one step")
     if max_lag_minutes <= 0:
         raise ValueError("funnel_windowed: max_lag_minutes must be positive")
+    from .util import materialize as _materialize
     lag_us = max_lag_minutes * 60 * 1_000_000
     us = F.expr(_TS_US)
     prev: DataFrame | None = None
@@ -696,13 +703,19 @@ def funnel_windowed(
                 )
                 .select("user_id", "us", F.col("prev_us").alias("from_us"))
             )
-            cur = stage.groupBy("user_id").agg(
-                F.min("us").alias("prev_us"), F.min("from_us").alias("from_us")
+            # materialized: each stage feeds the next stage's join,
+            # its own count row, AND the median (diamond rule)
+            cur = _materialize(
+                stage.groupBy("user_id").agg(
+                    F.min("us").alias("prev_us"), F.min("from_us").alias("from_us")
+                )
             )
             # median lag from the previous step among converters
             med = cur.select((F.col("prev_us") - F.col("from_us")).alias("lag"))
         else:
-            cur = stage.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+            cur = _materialize(
+                stage.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+            )
             med = None
         stages.append((step, cur, med))
         prev = cur

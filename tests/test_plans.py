@@ -476,3 +476,24 @@ def test_wave7_late_shuffle_budgets(spark, sf_dir):
             assert "BroadcastNestedLoopJoin" not in plan, (
                 f"{name}: quadratic join strategy crept in"
             )
+
+
+def test_wave8_9_shuffle_budgets(spark, sf_dir):
+    """Waves 8-9: the one-row panels/snapshots ride the scalar-
+    subquery BNLJ; survival's day relation and each funnel stage are
+    materialized (diamond rule — 8→2 and 14→5 exchanges measured)."""
+    from real_time_database_monitoring_system_spark.operators import (
+        event_analytics as ea,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    budgets = [
+        ("ab_test_panel", ea.ab_test_panel(ev), 4),
+        ("survival_curve", ea.survival_curve(ev), 2),
+        ("funnel_windowed", ea.funnel_windowed(ev), 5),
+        ("user_feature_table", ea.user_feature_table(ev), 5),
+    ]
+    for name, df, max_ex in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        assert "CartesianProduct" not in checks.explain_str(df), name
