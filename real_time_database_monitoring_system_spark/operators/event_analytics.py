@@ -51,7 +51,11 @@ def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFram
                 .filter(F.col("us") > F.col("prev_us"))
                 .select("user_id", "us")
             )
-        cur = stage.groupBy("user_id").agg(F.min("us").alias("prev_us"))
+        # materialized: each stage feeds the next stage's join AND its
+        # own count row (diamond rule — 8→5 exchanges measured)
+        from .util import materialize as _materialize
+
+        cur = _materialize(stage.groupBy("user_id").agg(F.min("us").alias("prev_us")))
         counts.append((step, cur))
         prev = cur
     rows = None
