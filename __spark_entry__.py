@@ -721,6 +721,10 @@ def _q_user_features(spark, sf):
     return event_analytics.user_feature_table(load_table(spark, sf, "events"))
 
 
+def _q_streaming_user_features(spark, sf):
+    return streaming_rollup.stream_user_feature_table(spark, sf)
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1312,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve": _q_survival_curve,
         "funnel_windowed": _q_funnel_windowed,
         "user_feature_table": _q_user_features,
+        "streaming_user_features": _q_streaming_user_features,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2826,6 +2831,10 @@ def oracle_sql() -> dict[str, str]:
                    AS activity_density
         FROM pu, s ORDER BY user_id
     """
+
+    # streaming feature store: availableNow (user, type, day) state
+    # re-aggregates to the batch per-user relation — oracle shared
+    sql["streaming_user_features"] = sql["user_feature_table"]
 
     # time-boxed funnel twin: same step conditioning plus the lag
     # bound; medians are order statistics over converting users

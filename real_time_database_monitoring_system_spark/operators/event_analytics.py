@@ -790,6 +790,14 @@ def user_feature_table(events: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("spend_cents"),
     )
+    return features_from_per_user(per_user)
+
+
+def features_from_per_user(per_user: DataFrame) -> DataFrame:
+    """Snapshot + rate-feature coda over the aggregated per-user
+    relation — shared by the batch operator above and the streaming
+    twin (`streaming.rollup.stream_user_feature_table`), so the
+    batch-twin contract cannot drift."""
     snap = per_user.agg(F.max("last_us").alias("as_of_us"))
     return (
         per_user.crossJoin(F.broadcast(snap))

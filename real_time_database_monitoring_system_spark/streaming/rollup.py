@@ -876,3 +876,58 @@ def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = _run_to_memory(per_user, "complete").localCheckpoint()
     return rfm_from_per_user(state)
+
+
+def stream_user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_analytics.user_feature_table`: the
+    continuously-maintained feature store. Streaming aggregations
+    cannot hold DISTINCT aggregates (n_types, active_days), so the
+    stateful part is ONE aggregation keyed by (user, type, epoch day)
+    — distinctness becomes key existence, the same trick as
+    `stream_contract_audit`'s per-key uniqueness — and the per-user
+    feature vector plus snapshot/rate coda run batch-side over that
+    sink via the SHARED helper (`event_analytics.
+    features_from_per_user`). State is #(user, type, active-day) rows
+    — bounded by actual activity, not the cross product. availableNow
+    state equals the batch aggregate exactly, hence the shared
+    oracle."""
+    from ..operators.event_analytics import features_from_per_user
+
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    per_key = src.groupBy(
+        "user_id",
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no"),
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.min(F.unix_micros("ts")).alias("min_us"),
+        F.max(F.unix_micros("ts")).alias("max_us"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+    )
+    state = _run_to_memory(per_key, "complete").localCheckpoint()
+    per_user = state.groupBy("user_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_events"),
+        F.count_distinct("event_type").cast("int").alias("n_types"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+            for t in ("view", "click", "purchase", "signup", "error")
+        ],
+        F.min("min_us").alias("first_us"),
+        F.max("max_us").alias("last_us"),
+        F.count_distinct("day_no").cast("bigint").alias("active_days"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("sum_value")
+                ).otherwise(F.lit(0).cast("decimal(18,2)"))
+            )
+            * 100
+        )
+        .cast("bigint")
+        .alias("spend_cents"),
+    )
+    return features_from_per_user(per_user)

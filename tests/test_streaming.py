@@ -389,3 +389,11 @@ def test_stream_rfm_segments_equals_batch(spark, sf_dir):
     batch = event_analytics.rfm_segments(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_rfm_segments(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_user_features_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    batch = event_analytics.user_feature_table(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_user_feature_table(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
