@@ -725,6 +725,14 @@ def _q_streaming_user_features(spark, sf):
     return streaming_rollup.stream_user_feature_table(spark, sf)
 
 
+def _q_slo_burn(spark, sf):
+    return monitoring.slo_burn(load_table(spark, sf, "events"))
+
+
+def _q_bounce_rate(spark, sf):
+    return monitoring.bounce_rate_daily(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1317,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_windowed": _q_funnel_windowed,
         "user_feature_table": _q_user_features,
         "streaming_user_features": _q_streaming_user_features,
+        "slo_burn": _q_slo_burn,
+        "bounce_rate_daily": _q_bounce_rate,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2835,6 +2845,56 @@ def oracle_sql() -> dict[str, str]:
     # streaming feature store: availableNow (user, type, day) state
     # re-aggregates to the batch per-user relation — oracle shared
     sql["streaming_user_features"] = sql["user_feature_table"]
+
+    # SLO burn twin: identical integer day counts and pinned ratios
+    sql["slo_burn"] = """
+        WITH daily AS (
+            SELECT epoch_us(ts) // 86400000000 AS day_no,
+                   CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM events GROUP BY 1),
+        c AS (
+            SELECT *, SUM(n_errors) OVER (ORDER BY day_no ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_errors,
+                   SUM(n_total) OVER (ORDER BY day_no ROWS BETWEEN
+                      UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_total
+            FROM daily)
+        SELECT CAST(day_no AS BIGINT) AS day_no, n_total, n_errors,
+               round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+                   AS error_rate,
+               round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE)
+                   / 0.01, 9) AS burn_rate,
+               round(CAST(cum_errors AS DOUBLE)
+                   / (0.01 * CAST(cum_total AS DOUBLE)), 9) AS cum_budget_used
+        FROM c ORDER BY day_no
+    """
+
+    # bounce-rate twin: the sessionize window chain + per-day panel
+    sql["bounce_rate_daily"] = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                             OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        numbered AS (
+            SELECT user_id, event_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_no
+            FROM flagged),
+        sess AS (
+            SELECT user_id, session_no, count(*) AS n_events,
+                   min(epoch_us(ts)) // 86400000000 AS day_no
+            FROM numbered GROUP BY 1, 2)
+        SELECT day_no, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE), 9) AS bounce_rate
+        FROM sess GROUP BY day_no ORDER BY day_no
+    """
 
     # time-boxed funnel twin: same step conditioning plus the lag
     # bound; medians are order statistics over converting users

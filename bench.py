@@ -140,6 +140,8 @@ HEADLINE = [
     "survival_curve",
     "funnel_windowed",
     "user_feature_table",
+    "slo_burn",
+    "bounce_rate_daily",
 ]
 
 

@@ -946,3 +946,103 @@ def pop_from_daily(daily: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day_no")
     )
+
+
+def slo_burn(events: DataFrame, budget_pct: float = 1.0) -> DataFrame:
+    """SLO error-budget burn panel: daily error rate against a
+    `budget_pct` objective, the day's burn-rate multiple, and the
+    cumulative share of the period's budget consumed — the SRE
+    dashboard the reference's raw error counters (views.py error
+    panels) feed into once an availability objective exists.
+
+    burn_rate = error_rate / budget (1× = exactly on budget);
+    cum_budget_used = cumulative errors / (budget × cumulative total).
+
+    Determinism: counts are exact integers; each output ratio is ONE
+    pinned-order double division (the budget enters as an exact
+    rational: budget_pct/100). Scale shape: one keyed count reduces
+    the feed to #days rows; the cumulative windows run over that tiny
+    relation (single-partition by design, like the funnel panel)."""
+    if budget_pct <= 0:
+        raise ValueError("slo_burn: budget_pct must be positive")
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    daily = events.groupBy(day.alias("day_no")).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    w_cum = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
+    frac = budget_pct / 100.0
+    return (
+        daily.withColumn("cum_errors", F.sum("n_errors").over(w_cum))
+        .withColumn("cum_total", F.sum("n_total").over(w_cum))
+        .select(
+            F.col("day_no").cast("bigint").alias("day_no"),
+            "n_total",
+            "n_errors",
+            F.expr(
+                "round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 9)"
+            ).alias("error_rate"),
+            F.expr(
+                f"round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE)"
+                f" / {frac!r}, 9)"
+            ).alias("burn_rate"),
+            F.expr(
+                f"round(CAST(cum_errors AS DOUBLE)"
+                f" / ({frac!r} * CAST(cum_total AS DOUBLE)), 9)"
+            ).alias("cum_budget_used"),
+        )
+        .orderBy("day_no")
+    )
+
+
+def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Daily session bounce rate: the share of sessions containing
+    exactly one event, keyed to the session's start day — the classic
+    engagement metric layered on the same 30-minute sessionizer as
+    `sessionize` (shared semantics, so the two panels can never
+    disagree about what a session is).
+
+    One window shuffle on user_id (the sessionizer), one group per
+    (user, session), then a #days-row panel. Rates are single final
+    double divisions of exact counts."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    us = F.expr(_TS_US)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (us - F.lag(us).over(w)).isNull() | ((us - F.lag(us).over(w)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        flagged.withColumn("session_no", F.sum("is_start").over(w_run))
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(f"min({_TS_US}) div 86400000000").alias("day_no"),
+        )
+    )
+    return (
+        sessions.groupBy("day_no")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.expr(
+                "round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 9)"
+            ),
+        )
+        .orderBy("day_no")
+    )

@@ -391,3 +391,42 @@ def test_chi2_independence_identities(spark):
     rows2 += [(24 * 60 + i, "click", 1.0) for i in range(10)]
     out2 = an.independence_chi2(_ev(spark, rows2)).collect()
     assert abs(sum(r.chi2_term for r in out2) - 20.0) < 1e-6
+
+
+def test_slo_burn_budget_accounting(spark):
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    # day 0: 1 error in 100 (exactly on a 1% budget → burn 1.0);
+    # day 1: 4 errors in 100 (burn 4.0); cumulative: 5/200 → 2.5×
+    rows = [(m, "error" if m < 1 else "view", 1.0) for m in range(100)]
+    rows += [(24 * 60 + m, "error" if m < 4 else "view", 1.0) for m in range(100)]
+    out = {r.day_no - 19723: r for r in
+           monitoring.slo_burn(_ev(spark, rows)).collect()}
+    assert out[0].burn_rate == 1.0 and out[0].cum_budget_used == 1.0
+    assert out[1].burn_rate == 4.0 and out[1].cum_budget_used == 2.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        monitoring.slo_burn(_ev(spark, rows), budget_pct=0)
+
+
+def test_bounce_rate_counts_single_event_sessions(spark):
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    # user 1: two events 5 min apart (one session, not a bounce);
+    # user 2: one event (bounce); user 3: two events 2.5 h apart (two
+    # bounce sessions)
+    ev = spark.createDataFrame(
+        [
+            (1, __import__("datetime").datetime(2024, 1, 1, 9, 0), 1, "view", 1.0, "{}"),
+            (2, __import__("datetime").datetime(2024, 1, 1, 9, 5), 1, "view", 1.0, "{}"),
+            (3, __import__("datetime").datetime(2024, 1, 1, 9, 0), 2, "view", 1.0, "{}"),
+            (4, __import__("datetime").datetime(2024, 1, 1, 9, 0), 3, "view", 1.0, "{}"),
+            (5, __import__("datetime").datetime(2024, 1, 1, 11, 30), 3, "view", 1.0, "{}"),
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = monitoring.bounce_rate_daily(ev).collect()[0]
+    assert (r.n_sessions, r.n_bounces) == (4, 3)
+    assert r.bounce_rate == 0.75
