@@ -733,6 +733,14 @@ def _q_bounce_rate(spark, sf):
     return monitoring.bounce_rate_daily(load_table(spark, sf, "events"))
 
 
+def _q_trend_forecast(spark, sf):
+    return analytics.trend_forecast(load_table(spark, sf, "events"))
+
+
+def _q_streaming_slo(spark, sf):
+    return streaming_rollup.stream_slo_burn(spark, sf)
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1327,6 +1335,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_user_features": _q_streaming_user_features,
         "slo_burn": _q_slo_burn,
         "bounce_rate_daily": _q_bounce_rate,
+        "trend_forecast": _q_trend_forecast,
+        "streaming_slo_burn": _q_streaming_slo,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2868,6 +2878,29 @@ def oracle_sql() -> dict[str, str]:
                round(CAST(cum_errors AS DOUBLE)
                    / (0.01 * CAST(cum_total AS DOUBLE)), 9) AS cum_budget_used
         FROM c ORDER BY day_no
+    """
+
+    # streaming SLO: availableNow daily state == batch — shared oracle
+    sql["streaming_slo_burn"] = sql["slo_burn"]
+
+    # trend forecast twin: same TREND fragments + the projection
+    _fsums = ", ".join(
+        f"{expr.format(x=analytics.TREND_X_DUCK)} AS {name}"
+        for name, expr in analytics.TREND_SUMS_SQL.items()
+    )
+    _fslope = analytics.TREND_FINAL_SQL["slope_per_hour"]
+    _fint = analytics.TREND_FINAL_SQL["intercept"]
+    sql["trend_forecast"] = f"""
+        WITH sums AS (
+            SELECT event_type, {_fsums}
+            FROM events GROUP BY event_type),
+        hm AS (SELECT max({analytics.TREND_X_DUCK}) AS h_max FROM events)
+        SELECT event_type, n, {_fslope} AS slope_per_hour,
+               round(CASE WHEN ({_fslope}) IS NOT NULL THEN
+                   ({_fslope}) * CAST(h_max + 24 AS DOUBLE) + ({_fint})
+                   END, 9) AS forecast_value,
+               h_max + 24 AS forecast_hour
+        FROM sums, hm ORDER BY event_type
     """
 
     # bounce-rate twin: the sessionize window chain + per-day panel

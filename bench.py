@@ -142,6 +142,7 @@ HEADLINE = [
     "user_feature_table",
     "slo_burn",
     "bounce_rate_daily",
+    "trend_forecast",
 ]
 
 

@@ -914,3 +914,43 @@ def independence_chi2(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+def trend_forecast(events: DataFrame, horizon_hours: int = 24) -> DataFrame:
+    """Capacity forecast: extrapolate each type's least-squares trend
+    `horizon_hours` past the feed's last hour — the number a capacity
+    review quotes ("at current drift, value X by tomorrow"), built
+    directly on `trend_slope_panel`'s sufficient statistics (same
+    TREND fragments, so the forecast can never disagree with the
+    published slope).
+
+    The projection ŷ = slope·x_h + intercept is one more pinned-order
+    double expression over the O(#types) sums relation; x_h = global
+    max hour + horizon is a broadcast scalar. NULL where the trend
+    itself is undefined (single-hour series)."""
+    if horizon_hours <= 0:
+        raise ValueError("trend_forecast: horizon_hours must be positive")
+    sums = events.groupBy("event_type").agg(
+        *[
+            F.expr(sql.format(x=TREND_X_SPARK)).alias(name)
+            for name, sql in TREND_SUMS_SQL.items()
+        ]
+    )
+    hmax = events.agg(F.expr(f"max({TREND_X_SPARK})").alias("h_max"))
+    slope = TREND_FINAL_SQL["slope_per_hour"]
+    intercept = TREND_FINAL_SQL["intercept"]
+    return (
+        sums.crossJoin(F.broadcast(hmax))
+        .select(
+            "event_type",
+            "n",
+            F.expr(slope).alias("slope_per_hour"),
+            F.expr(
+                f"round(CASE WHEN ({slope}) IS NOT NULL THEN"
+                f" ({slope}) * CAST(h_max + {horizon_hours} AS DOUBLE)"
+                f" + ({intercept}) END, 9)"
+            ).alias("forecast_value"),
+            (F.col("h_max") + F.lit(horizon_hours)).alias("forecast_hour"),
+        )
+        .orderBy("event_type")
+    )

@@ -931,3 +931,45 @@ def stream_user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("spend_cents"),
     )
     return features_from_per_user(per_user)
+
+
+def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `monitoring.slo_burn`: the live error-budget
+    panel. ONE streaming aggregation over (epoch day) carries the
+    daily totals/errors (state = #days rows); the burn/cumulative coda
+    is batch-side over that sink. availableNow state == batch daily
+    counts, so it shares the batch oracle verbatim."""
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    daily = src.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day_no")
+    ).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    state = _run_to_memory(daily, "complete").localCheckpoint()
+    w_cum = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        state.withColumn("cum_errors", F.sum("n_errors").over(w_cum))
+        .withColumn("cum_total", F.sum("n_total").over(w_cum))
+        .select(
+            F.col("day_no").cast("bigint").alias("day_no"),
+            "n_total",
+            "n_errors",
+            F.expr(
+                "round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 9)"
+            ).alias("error_rate"),
+            F.expr(
+                "round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE)"
+                " / 0.01, 9)"
+            ).alias("burn_rate"),
+            F.expr(
+                "round(CAST(cum_errors AS DOUBLE)"
+                " / (0.01 * CAST(cum_total AS DOUBLE)), 9)"
+            ).alias("cum_budget_used"),
+        )
+        .orderBy("day_no")
+    )

@@ -397,3 +397,9 @@ def test_stream_user_features_equals_batch(spark, sf_dir):
     batch = event_analytics.user_feature_table(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_user_feature_table(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_slo_burn_equals_batch(spark, sf_dir):
+    batch = monitoring.slo_burn(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_slo_burn(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))

@@ -430,3 +430,22 @@ def test_bounce_rate_counts_single_event_sessions(spark):
     r = monitoring.bounce_rate_daily(ev).collect()[0]
     assert (r.n_sessions, r.n_bounces) == (4, 3)
     assert r.bounce_rate == 0.75
+
+
+def test_trend_forecast_extrapolates_the_exact_line(spark):
+    from real_time_database_monitoring_system_spark.operators import analytics as an
+
+    # value = 2·h + 3 over 6 hours → forecast at h_max + 24 = 2·29 + 3
+    # in RELATIVE terms; absolute hours shift both fit and projection
+    # identically, so the projected value is exact
+    rows = [(60 * h, "lin", 2.0 * h + 3.0) for h in range(6)]
+    r = an.trend_forecast(_ev(spark, rows), horizon_hours=24).collect()[0]
+    assert r.slope_per_hour == 2.0
+    # hour h in the fixture maps to absolute epoch hour; the line
+    # passes through (h_abs, value) with slope 2, so at +24h past the
+    # last point the value is last + 2·24 = 13 + 48
+    assert abs(r.forecast_value - 61.0) < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError):
+        an.trend_forecast(_ev(spark, rows), horizon_hours=0)
