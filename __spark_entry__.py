@@ -741,6 +741,14 @@ def _q_streaming_slo(spark, sf):
     return streaming_rollup.stream_slo_burn(spark, sf)
 
 
+def _q_dispersion(spark, sf):
+    return anomaly.dispersion_panel(load_table(spark, sf, "events"))
+
+
+def _q_streaming_bounce(spark, sf):
+    return streaming_rollup.stream_bounce_rate(spark, sf)
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1337,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounce_rate_daily": _q_bounce_rate,
         "trend_forecast": _q_trend_forecast,
         "streaming_slo_burn": _q_streaming_slo,
+        "dispersion_panel": _q_dispersion,
+        "streaming_bounce_rate": _q_streaming_bounce,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -2903,6 +2913,43 @@ def oracle_sql() -> dict[str, str]:
         FROM sums, hm ORDER BY event_type
     """
 
+    # dispersion twin: moment sums over the (type, bucket) count
+    # relation, pinned combines
+    sql["dispersion_panel"] = """
+        WITH c AS (
+            SELECT event_type, epoch_us(ts) // 60000000 AS b,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY 1, 2),
+        s AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_buckets,
+                   CAST(SUM(c) AS BIGINT) AS n_events,
+                   SUM(CAST(c * c AS DECIMAL(38,0))) AS s2
+            FROM c GROUP BY 1)
+        SELECT event_type, n_buckets, n_events,
+               round(CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE), 9)
+                   AS mean_per_bucket,
+               round(CASE WHEN n_buckets > 1 THEN
+                   (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                    - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                    * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
+                   / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                   END, 9) AS fano_factor,
+               CASE WHEN n_buckets <= 1 THEN 'unknown'
+                    WHEN (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                          - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                          * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
+                         / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                         > 1.5 THEN 'bursty'
+                    WHEN (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                          - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                          * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
+                         / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                         < 0.7 THEN 'regular'
+                    ELSE 'poisson_like' END AS arrival_class
+        FROM s ORDER BY event_type
+    """
+
     # bounce-rate twin: the sessionize window chain + per-day panel
     sql["bounce_rate_daily"] = """
         WITH flagged AS (
@@ -2928,6 +2975,10 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(count(*) AS DOUBLE), 9) AS bounce_rate
         FROM sess GROUP BY day_no ORDER BY day_no
     """
+
+    # streaming bounce panel: availableNow session_window state ==
+    # batch sessions (equivalence pinned) — shares the batch oracle
+    sql["streaming_bounce_rate"] = sql["bounce_rate_daily"]
 
     # time-boxed funnel twin: same step conditioning plus the lag
     # bound; medians are order statistics over converting users

@@ -143,6 +143,7 @@ HEADLINE = [
     "slo_burn",
     "bounce_rate_daily",
     "trend_forecast",
+    "dispersion_panel",
 ]
 
 

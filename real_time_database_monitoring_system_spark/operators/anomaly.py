@@ -314,3 +314,60 @@ def psi_drift(events: DataFrame, nbins: int = 10) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def dispersion_panel(events: DataFrame, bucket_seconds: int = 60) -> DataFrame:
+    """Burstiness diagnosis per event type: the index of dispersion
+    (Fano factor — variance/mean of per-bucket arrival counts) with a
+    band classification. A Poisson-like feed sits near 1; > 1 flags
+    bursty arrivals (retry storms, thundering herds) that a mean-rate
+    panel smooths over, and alert thresholds calibrated on a Poisson
+    assumption will misfire on.
+
+    Two tiny aggregations: the feed reduces once to the (type,
+    bucket) count relation (map-side partials), then the moment sums
+    run over THAT relation — counts are exact integers and the only
+    doubles are the pinned-order mean/variance/Fano combines shared
+    verbatim with the oracle. The feed is never windowed or sorted.
+
+    NOTE: only buckets with ≥1 arrival enter the statistic (the
+    zero-bucket mass would need a dense spine over the observation
+    span; with it the Fano factor drops further for sparse types) —
+    the same convention both engines apply, documented for the
+    interpretation."""
+    bucket_us = bucket_seconds * 1_000_000
+    counts = events.groupBy(
+        "event_type", F.expr(f"{_US} div {bucket_us}").alias("b")
+    ).agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(c * c AS DECIMAL(38,0))")).alias("s2"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "n_events",
+            F.expr(
+                "round(CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE), 9)"
+            ).alias("mean_per_bucket"),
+            F.expr(
+                "round(CASE WHEN n_buckets > 1 THEN"
+                " (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)"
+                "  - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))"
+                "  * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))"
+                " / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))"
+                " END, 9)"
+            ).alias("fano_factor"),
+        )
+        .withColumn(
+            "arrival_class",
+            F.when(F.col("fano_factor").isNull(), "unknown")
+            .when(F.col("fano_factor") > 1.5, "bursty")
+            .when(F.col("fano_factor") < 0.7, "regular")
+            .otherwise("poisson_like"),
+        )
+        .orderBy("event_type")
+    )

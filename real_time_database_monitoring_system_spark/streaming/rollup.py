@@ -973,3 +973,32 @@ def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_no")
     )
+
+
+def stream_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `monitoring.bounce_rate_daily`: live
+    engagement. The stateful part is the `F.session_window`
+    aggregation `stream_sessions` already uses (same 30-minute gap —
+    batch-equivalence of the sessionizer is already pinned); the
+    bounce panel is a batch coda over the session sink keyed by the
+    session's start day. availableNow sessions == batch sessions, so
+    it shares the batch panel's oracle verbatim."""
+    sessions = stream_sessions(spark, sf_dir)
+    return (
+        sessions.groupBy(
+            F.expr("start_us div 86400000000").alias("day_no")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+        )
+        .withColumn(
+            "bounce_rate",
+            F.expr(
+                "round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 9)"
+            ),
+        )
+        .orderBy("day_no")
+    )

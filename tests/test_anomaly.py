@@ -69,3 +69,33 @@ def test_stream_mad_alerts_equal_batch_flags(spark, sf_dir):
         .collect()
     )
     assert streamed == batch and len(streamed) > 0
+
+
+def test_dispersion_separates_bursty_from_regular(spark):
+    import datetime as dt
+
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    rows = []
+    eid = 0
+    # 'regular': exactly 1 event per minute for 60 minutes → Fano 0
+    for m in range(60):
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                     1, "regular", 1.0, "{}")); eid += 1
+    # 'bursty': 30 events in one minute, 1 in each of 30 others
+    for i in range(30):
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+                     1, "bursty", 1.0, "{}")); eid += 1
+    for m in range(1, 31):
+        rows.append((eid, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                     1, "bursty", 1.0, "{}")); eid += 1
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_type: r for r in anomaly.dispersion_panel(events).collect()}
+    assert out["regular"].fano_factor == 0.0
+    assert out["regular"].arrival_class == "regular"
+    assert out["bursty"].fano_factor > 10.0
+    assert out["bursty"].arrival_class == "bursty"

@@ -403,3 +403,9 @@ def test_stream_slo_burn_equals_batch(spark, sf_dir):
     batch = monitoring.slo_burn(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_slo_burn(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_bounce_rate_equals_batch(spark, sf_dir):
+    batch = monitoring.bounce_rate_daily(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_bounce_rate(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
