@@ -749,6 +749,14 @@ def _q_streaming_bounce(spark, sf):
     return streaming_rollup.stream_bounce_rate(spark, sf)
 
 
+def _q_streaming_trend(spark, sf):
+    return streaming_rollup.stream_trend_slope(spark, sf)
+
+
+def _q_topk_with_ties(spark, sf):
+    return relational.topk_with_ties(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1347,6 +1355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_slo_burn": _q_streaming_slo,
         "dispersion_panel": _q_dispersion,
         "streaming_bounce_rate": _q_streaming_bounce,
+        "streaming_trend_slope": _q_streaming_trend,
+        "topk_with_ties": _q_topk_with_ties,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -3160,6 +3170,22 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(SUM(revenue_raw) OVER (PARTITION BY r_name, o_year)
                           AS DOUBLE) AS market_share
         FROM cells ORDER BY r_name, o_year, supp_nation
+    """
+
+    # streaming trend: decimal sufficient sums are mergeable streaming
+    # state; availableNow == batch sums — oracle shared verbatim
+    sql["streaming_trend_slope"] = sql["trend_slope"]
+
+    # WITH TIES twin: DuckDB supports the ANSI clause natively — the
+    # oracle uses it directly, pinning the rank lowering to the real
+    # SQL semantics
+    sql["topk_with_ties"] = """
+        WITH ranked AS (
+            SELECT event_id, user_id, event_type, value,
+                   CAST(rank() OVER (ORDER BY value DESC) AS INTEGER) AS rnk
+            FROM events)
+        SELECT * FROM ranked WHERE rnk <= 10
+        ORDER BY value DESC, event_id ASC
     """
 
     # join-size estimator twin: Σ_k cnt_A(k)·cnt_B(k) over the two

@@ -144,6 +144,7 @@ HEADLINE = [
     "bounce_rate_daily",
     "trend_forecast",
     "dispersion_panel",
+    "topk_with_ties",
 ]
 
 

@@ -558,3 +558,28 @@ def market_share_panel(
         )
         .orderBy("r_name", "o_year", "supp_nation")
     )
+
+
+def topk_with_ties(events: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k by value WITH TIES (ANSI `FETCH FIRST k ROWS WITH TIES`):
+    every row whose rank ≤ k survives, so equal values at the boundary
+    all appear — the semantics a leaderboard needs when truncating at
+    a tie would be arbitrary. Spark has no WITH TIES clause; `rank()`
+    over the value ordering is the standard lowering (and what
+    Catalyst would desugar to).
+
+    The rank window is value-ordered with NO partition — but
+    WindowGroupLimit pushes the rank filter to the map side (each
+    partition keeps only its own rank-≤-k candidates before the
+    single-partition window), so the global sort touches a bounded
+    candidate set, not the feed. Deterministic: ties are the POINT, so
+    the final presentation sort carries event_id as tiebreaker."""
+    if k <= 0:
+        raise ValueError("topk_with_ties: k must be positive")
+    w = Window.orderBy(F.desc("value"))
+    return (
+        events.select("event_id", "user_id", "event_type", "value")
+        .withColumn("rnk", F.rank().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .orderBy(F.desc("value"), F.asc("event_id"))
+    )

@@ -1002,3 +1002,34 @@ def stream_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_no")
     )
+
+
+def stream_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.trend_slope_panel`: the live drift
+    panel. The five sufficient sums are DECIMAL aggregates — exact and
+    MERGEABLE, so they are legal streaming state (running double
+    state would not be reproducible); state is #types rows. The
+    pinned-order combine (slope/intercept/R²) runs as a batch coda
+    over the sink. availableNow state == the batch sums, hence the
+    shared oracle."""
+    from ..operators.analytics import TREND_FINAL_SQL, TREND_SUMS_SQL
+
+    src = _events_stream(spark, sf_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    x = "unix_micros(ts) div 3600000000"
+    sums = src.groupBy("event_type").agg(
+        *[
+            F.expr(sql.format(x=x)).alias(name)
+            for name, sql in TREND_SUMS_SQL.items()
+        ]
+    )
+    state = _run_to_memory(sums, "complete").localCheckpoint()
+    return (
+        state.select(
+            "event_type",
+            "n",
+            *[F.expr(sql).alias(name) for name, sql in TREND_FINAL_SQL.items()],
+        )
+        .orderBy("event_type")
+    )

@@ -409,3 +409,9 @@ def test_stream_bounce_rate_equals_batch(spark, sf_dir):
     batch = monitoring.bounce_rate_daily(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_bounce_rate(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_trend_slope_equals_batch(spark, sf_dir):
+    batch = analytics.trend_slope_panel(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_trend_slope(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))

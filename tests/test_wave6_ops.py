@@ -449,3 +449,18 @@ def test_trend_forecast_extrapolates_the_exact_line(spark):
 
     with pytest.raises(ValueError):
         an.trend_forecast(_ev(spark, rows), horizon_hours=0)
+
+
+def test_topk_with_ties_keeps_boundary_ties(spark):
+    from real_time_database_monitoring_system_spark.operators import relational
+
+    # values: 9, 8, 8, 8, 7 — top-2 WITH TIES must return 4 rows
+    # (rank of every 8 is 2); plain LIMIT 2 would drop two arbitrarily
+    rows = [(m, "view", v) for m, v in enumerate([9.0, 8.0, 8.0, 8.0, 7.0])]
+    out = relational.topk_with_ties(_ev(spark, rows), k=2).collect()
+    assert [r.value for r in out] == [9.0, 8.0, 8.0, 8.0]
+    assert {r.rnk for r in out} == {1, 2}
+    import pytest
+
+    with pytest.raises(ValueError):
+        relational.topk_with_ties(_ev(spark, rows), k=0)
