@@ -497,3 +497,33 @@ def test_wave8_9_shuffle_budgets(spark, sf_dir):
         n = checks.count_exchanges(df)
         assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
         assert "CartesianProduct" not in checks.explain_str(df), name
+
+
+def test_wave11_14_shuffle_budgets(spark, sf_dir):
+    """Waves 11-14: small-panel operators stay at their designed
+    exchange counts; the WITH TIES rank must carry WindowGroupLimit
+    (map-side candidate pruning before the single-partition window)."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        anomaly,
+        relational,
+    )
+    from real_time_database_monitoring_system_spark.operators import (
+        monitoring as mon,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    budgets = [
+        ("slo_burn", mon.slo_burn(ev), 2),
+        ("bounce_rate_daily", mon.bounce_rate_daily(ev), 3),
+        ("trend_forecast", analytics.trend_forecast(ev), 3),
+        ("dispersion_panel", anomaly.dispersion_panel(ev), 3),
+        ("topk_with_ties", relational.topk_with_ties(ev), 1),
+    ]
+    for name, df, max_ex in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        assert "CartesianProduct" not in checks.explain_str(df), name
+    assert "WindowGroupLimit" in checks.explain_str(
+        relational.topk_with_ties(ev)
+    ), "WITH TIES rank must prune map-side"
