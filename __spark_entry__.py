@@ -757,6 +757,10 @@ def _q_topk_with_ties(spark, sf):
     return relational.topk_with_ties(load_table(spark, sf, "events"))
 
 
+def _q_nearest_join(spark, sf):
+    return monitoring.nearest_event_join(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1357,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_bounce_rate": _q_streaming_bounce,
         "streaming_trend_slope": _q_streaming_trend,
         "topk_with_ties": _q_topk_with_ties,
+        "nearest_event_join": _q_nearest_join,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -3175,6 +3180,49 @@ def oracle_sql() -> dict[str, str]:
     # streaming trend: decimal sufficient sums are mergeable streaming
     # state; availableNow == batch sums — oracle shared verbatim
     sql["streaming_trend_slope"] = sql["trend_slope"]
+
+    # nearest (bidirectional as-of) twin: identical union + two-pass
+    # window carry with IGNORE NULLS
+    sql["nearest_event_join"] = """
+        WITH r AS (
+            SELECT user_id, ts, max(event_id) AS r_event_id, 0 AS tag
+            FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        l AS (
+            SELECT user_id, ts, event_id AS l_event_id,
+                   CAST(NULL AS BIGINT) AS r_event_id, 1 AS tag
+            FROM events WHERE event_type = 'purchase'),
+        u AS (
+            SELECT user_id, ts, CAST(NULL AS BIGINT) AS l_event_id,
+                   r_event_id, tag FROM r
+            UNION ALL
+            SELECT user_id, ts, l_event_id, r_event_id, tag FROM l),
+        carried AS (
+            SELECT user_id, ts, l_event_id, tag,
+                   last_value(CASE WHEN tag = 0 THEN r_event_id END IGNORE NULLS)
+                       OVER wb AS prev_id,
+                   last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER wb AS prev_us,
+                   last_value(CASE WHEN tag = 0 THEN r_event_id END IGNORE NULLS)
+                       OVER wf AS next_id,
+                   last_value(CASE WHEN tag = 0 THEN epoch_us(ts) END IGNORE NULLS)
+                       OVER wf AS next_us
+            FROM u
+            WINDOW wb AS (PARTITION BY user_id ORDER BY ts, tag
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wf AS (PARTITION BY user_id ORDER BY ts DESC, tag DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT l_event_id AS event_id, user_id,
+               CASE WHEN next_us IS NULL
+                         OR (prev_us IS NOT NULL
+                             AND epoch_us(ts) - prev_us <= next_us - epoch_us(ts))
+                    THEN prev_id ELSE next_id END AS nearest_id,
+               CASE WHEN next_us IS NULL
+                         OR (prev_us IS NOT NULL
+                             AND epoch_us(ts) - prev_us <= next_us - epoch_us(ts))
+                    THEN epoch_us(ts) - prev_us
+                    ELSE -(next_us - epoch_us(ts)) END AS signed_gap_us
+        FROM carried WHERE tag = 1 ORDER BY event_id
+    """
 
     # WITH TIES twin: DuckDB supports the ANSI clause natively — the
     # oracle uses it directly, pinning the rank lowering to the real

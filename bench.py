@@ -145,6 +145,7 @@ HEADLINE = [
     "trend_forecast",
     "dispersion_panel",
     "topk_with_ties",
+    "nearest_event_join",
 ]
 
 

@@ -1046,3 +1046,87 @@ def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("day_no")
     )
+
+
+def nearest_event_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "view",
+) -> DataFrame:
+    """Bidirectional as-of ("ASOF NEAREST") join: each `left_type`
+    event matched to the CLOSER of the latest `right_type` at-or-
+    before it and the earliest strictly-after it — the sensor-
+    alignment semantics (QuestDB's nearest join) that plain backward
+    ASOF gets wrong when the next reading is closer than a stale
+    previous one. Ties prefer the backward match (the reading that
+    already existed).
+
+    Composition: the `asof_join` union-carry, run in BOTH directions
+    in one window pass — backward via `last(ignorenulls)` over the
+    ascending (ts, tag) order, forward via the DESC-order backward
+    frame (the `gapfill` forward-scan rule: never an
+    unboundedFollowing growing frame). ONE shuffle on user_id; no
+    range join, no explosion. Right side deduped per (user, ts) with
+    max event_id so both engines resolve ties identically."""
+    right = (
+        events.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("r_event_id"))
+        .select("user_id", "ts", "r_event_id", F.lit(0).alias("tag"))
+    )
+    left = events.filter(F.col("event_type") == left_type).select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("l_event_id"),
+        F.lit(None).cast("bigint").alias("r_event_id"),
+        F.lit(1).alias("tag"),
+    )
+    unioned = right.select(
+        "user_id", "ts", F.lit(None).cast("bigint").alias("l_event_id"),
+        "r_event_id", "tag",
+    ).unionByName(left)
+    us = F.expr(_TS_US)
+    # backward: right rows at the same ts sort BEFORE left (tag 0 < 1)
+    # so equal timestamps match backward; forward: strictly later
+    # rights only (left sorts before right in the reversed order)
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "user_id",
+        "ts",
+        "l_event_id",
+        F.last(F.when(F.col("tag") == 0, F.col("r_event_id")), ignorenulls=True)
+        .over(w_back)
+        .alias("prev_id"),
+        F.last(F.when(F.col("tag") == 0, us), ignorenulls=True)
+        .over(w_back)
+        .alias("prev_us"),
+        F.last(F.when(F.col("tag") == 0, F.col("r_event_id")), ignorenulls=True)
+        .over(w_fwd)
+        .alias("next_id"),
+        F.last(F.when(F.col("tag") == 0, us), ignorenulls=True)
+        .over(w_fwd)
+        .alias("next_us"),
+        "tag",
+    ).filter(F.col("tag") == 1)
+    d_prev = us - F.col("prev_us")
+    d_next = F.col("next_us") - us
+    pick_prev = F.col("next_us").isNull() | (
+        F.col("prev_us").isNotNull() & (d_prev <= d_next)
+    )
+    return carried.select(
+        F.col("l_event_id").alias("event_id"),
+        "user_id",
+        F.when(pick_prev, F.col("prev_id")).otherwise(F.col("next_id")).alias(
+            "nearest_id"
+        ),
+        F.when(pick_prev, d_prev).otherwise(-d_next).alias("signed_gap_us"),
+    ).orderBy("event_id")

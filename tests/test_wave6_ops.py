@@ -464,3 +464,37 @@ def test_topk_with_ties_keeps_boundary_ties(spark):
 
     with pytest.raises(ValueError):
         relational.topk_with_ties(_ev(spark, rows), k=0)
+
+
+def test_nearest_join_picks_closer_side_and_breaks_ties_backward(spark):
+    import datetime as _dt
+
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    base = _dt.datetime(2024, 1, 1, 12, 0)
+    rows = [
+        # user 1: views at 11:50 and 12:03; purchase at 12:00 → next
+        # view (3 min) beats prev view (10 min): forward match
+        (1, base - _dt.timedelta(minutes=10), 1, "view"),
+        (2, base + _dt.timedelta(minutes=3), 1, "view"),
+        (3, base, 1, "purchase"),
+        # user 2: views equidistant (±5 min) → tie prefers backward
+        (4, base - _dt.timedelta(minutes=5), 2, "view"),
+        (5, base + _dt.timedelta(minutes=5), 2, "view"),
+        (6, base, 2, "purchase"),
+        # user 3: only a later view → forward is the only option
+        (7, base + _dt.timedelta(minutes=30), 3, "view"),
+        (8, base, 3, "purchase"),
+        # user 4: no views at all → NULL match
+        (9, base, 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {r.event_id: r for r in monitoring.nearest_event_join(ev).collect()}
+    assert out[3].nearest_id == 2 and out[3].signed_gap_us == -3 * 60_000_000
+    assert out[6].nearest_id == 4 and out[6].signed_gap_us == 5 * 60_000_000
+    assert out[8].nearest_id == 7 and out[8].signed_gap_us == -30 * 60_000_000
+    assert out[9].nearest_id is None and out[9].signed_gap_us is None
