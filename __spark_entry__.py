@@ -761,6 +761,10 @@ def _q_nearest_join(spark, sf):
     return monitoring.nearest_event_join(load_table(spark, sf, "events"))
 
 
+def _q_health_score(spark, sf):
+    return monitoring.health_score(load_table(spark, sf, "events"))
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1362,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_trend_slope": _q_streaming_trend,
         "topk_with_ties": _q_topk_with_ties,
         "nearest_event_join": _q_nearest_join,
+        "health_score": _q_health_score,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -3180,6 +3185,48 @@ def oracle_sql() -> dict[str, str]:
     # streaming trend: decimal sufficient sums are mergeable streaming
     # state; availableNow == batch sums — oracle shared verbatim
     sql["streaming_trend_slope"] = sql["trend_slope"]
+
+    # health scorecard twin: identical panel aggregates + pinned fold
+    sql["health_score"] = """
+        WITH pt AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   max(epoch_us(ts)) AS last_us
+            FROM events GROUP BY 1),
+        p AS (
+            SELECT SUM(n) AS n_total,
+                   SUM(CASE WHEN event_type = 'error' THEN n ELSE 0 END)
+                       AS n_errors,
+                   CAST(count(*) AS BIGINT) AS n_sources,
+                   max(last_us) AS as_of_us
+            FROM pt),
+        st AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_stale
+            FROM pt, p WHERE as_of_us - last_us > 60 * CAST(60000000 AS BIGINT))
+        SELECT CAST(n_total AS BIGINT) AS n_total,
+               CAST(n_errors AS BIGINT) AS n_errors, n_sources, n_stale,
+               round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 9)
+                   AS error_rate,
+               round(100.0
+                   - 40.0 * least(1.0, CAST(n_errors AS DOUBLE)
+                     / CAST(n_total AS DOUBLE) / 0.01)
+                   - 30.0 * (CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   - 30.0 * (CAST(n_stale AS DOUBLE) / CAST(n_sources AS DOUBLE)), 9)
+                   AS score,
+               CASE WHEN round(100.0
+                   - 40.0 * least(1.0, CAST(n_errors AS DOUBLE)
+                     / CAST(n_total AS DOUBLE) / 0.01)
+                   - 30.0 * (CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   - 30.0 * (CAST(n_stale AS DOUBLE) / CAST(n_sources AS DOUBLE)), 9)
+                   >= 90 THEN 'healthy'
+                    WHEN round(100.0
+                   - 40.0 * least(1.0, CAST(n_errors AS DOUBLE)
+                     / CAST(n_total AS DOUBLE) / 0.01)
+                   - 30.0 * (CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))
+                   - 30.0 * (CAST(n_stale AS DOUBLE) / CAST(n_sources AS DOUBLE)), 9)
+                   >= 70 THEN 'degraded'
+                    ELSE 'critical' END AS band
+        FROM p, st
+    """
 
     # nearest (bidirectional as-of) twin: identical union + two-pass
     # window carry with IGNORE NULLS

@@ -146,6 +146,7 @@ HEADLINE = [
     "dispersion_panel",
     "topk_with_ties",
     "nearest_event_join",
+    "health_score",
 ]
 
 

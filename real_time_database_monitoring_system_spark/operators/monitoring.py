@@ -1130,3 +1130,67 @@ def nearest_event_join(
         ),
         F.when(pick_prev, d_prev).otherwise(-d_next).alias("signed_gap_us"),
     ).orderBy("event_id")
+
+
+def health_score(events: DataFrame, stale_minutes: int = 60) -> DataFrame:
+    """Composite engine-health scorecard — the single number at the
+    top of the reference's dashboard (its status banner derives from
+    per-metric threshold flags, views.py:618-638), computed from the
+    SAME panel aggregates the detail views show so the headline can
+    never disagree with the drill-downs: overall error rate, stale
+    ingest sources, and error-budget burn fold into a 0-100 score
+    with a band.
+
+    score = 100 − 40·min(1, burn) − 30·err_share − 30·stale_share,
+    every input an exact ratio of integer counts, the fold one
+    pinned-order double expression.
+
+    All three inputs are O(#types)-row aggregates of ONE feed scan
+    (conditional aggregation — the scan is shared, not repeated);
+    the combine is a single-row cross join chain."""
+    us = F.expr(_TS_US)
+    per_type = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max(us).alias("last_us"),
+    )
+    panel = per_type.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("event_type") == "error", F.col("n")).otherwise(0)).alias(
+            "n_errors"
+        ),
+        F.count("*").alias("n_sources"),
+        F.max("last_us").alias("as_of_us"),
+    )
+    stale = (
+        per_type.crossJoin(F.broadcast(panel.select("as_of_us")))
+        .filter(
+            F.col("as_of_us") - F.col("last_us")
+            > F.lit(stale_minutes).cast("bigint") * F.lit(60_000_000).cast("bigint")
+        )
+        .agg(F.count("*").alias("n_stale"))
+    )
+    return (
+        panel.crossJoin(F.broadcast(stale))
+        .select(
+            "n_total",
+            "n_errors",
+            "n_sources",
+            F.col("n_stale").cast("bigint").alias("n_stale"),
+            F.expr(
+                "round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 9)"
+            ).alias("error_rate"),
+            F.expr(
+                "round(100.0"
+                " - 40.0 * least(1.0, CAST(n_errors AS DOUBLE)"
+                "   / CAST(n_total AS DOUBLE) / 0.01)"
+                " - 30.0 * (CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE))"
+                " - 30.0 * (CAST(n_stale AS DOUBLE) / CAST(n_sources AS DOUBLE)), 9)"
+            ).alias("score"),
+        )
+        .withColumn(
+            "band",
+            F.when(F.col("score") >= 90, "healthy")
+            .when(F.col("score") >= 70, "degraded")
+            .otherwise("critical"),
+        )
+    )

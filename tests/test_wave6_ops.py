@@ -498,3 +498,33 @@ def test_nearest_join_picks_closer_side_and_breaks_ties_backward(spark):
     assert out[6].nearest_id == 4 and out[6].signed_gap_us == 5 * 60_000_000
     assert out[8].nearest_id == 7 and out[8].signed_gap_us == -30 * 60_000_000
     assert out[9].nearest_id is None and out[9].signed_gap_us is None
+
+
+def test_health_score_bands_and_penalties(spark):
+    import datetime as _dt
+
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    base = _dt.datetime(2024, 1, 1, 12, 0)
+    # healthy feed: 1000 views, 1 error, everything fresh
+    rows = [(i, base, 1, "view") for i in range(1000)]
+    rows.append((2000, base, 1, "error"))
+    ev = spark.createDataFrame(
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = monitoring.health_score(ev).collect()[0]
+    assert r.band == "healthy" and r.n_stale == 0
+    # degraded: same feed but the view source went silent 2 h before
+    # the error (stale source) and errors are 5% of traffic
+    rows2 = [(i, base - _dt.timedelta(hours=2), 1, "view") for i in range(95)]
+    rows2 += [(1000 + i, base, 1, "error") for i in range(5)]
+    ev2 = spark.createDataFrame(
+        [(e, t, u, et, 1.0, "{}") for e, t, u, et in rows2],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r2 = monitoring.health_score(ev2).collect()[0]
+    assert r2.n_stale == 1 and r2.band == "critical"
+    assert r2.score < r.score
