@@ -765,6 +765,12 @@ def _q_health_score(spark, sf):
     return monitoring.health_score(load_table(spark, sf, "events"))
 
 
+def _q_streaming_funnel(spark, sf):
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    return stateful.stream_funnel(spark, sf)
+
+
 def _q_independence_chi2(spark, sf):
     return analytics.independence_chi2(load_table(spark, sf, "events"))
 
@@ -1367,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_with_ties": _q_topk_with_ties,
         "nearest_event_join": _q_nearest_join,
         "health_score": _q_health_score,
+        "streaming_funnel": _q_streaming_funnel,
         # -- overflow: all driver-green in r01/r02; identical local harness
         #    check still runs on every entry (tests/test_oracle_parity.py) --
         "pricing_summary": _q_pricing_summary,
@@ -4801,6 +4808,10 @@ def oracle_sql() -> dict[str, str]:
                      END, 9) AS conversion
         FROM c ORDER BY step_no
     """
+
+    # streaming funnel: the per-user state machine's final panel must
+    # equal the batch funnel — oracle shared verbatim
+    sql["streaming_funnel"] = sql["funnel_counts"]
 
     # conversion latency: same step-conditioning as the funnel; the
     # percentiles are order statistics over converting users

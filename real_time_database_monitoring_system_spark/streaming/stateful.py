@@ -68,3 +68,89 @@ def stream_user_tracker(spark: SparkSession, sf_dir: str) -> DataFrame:
         latest["max(max_value)"].alias("max_value"),
         latest["max(last_event_id)"].alias("last_event_id"),
     ).orderBy("user_id")
+
+
+FUNNEL_STATE_SCHEMA = "t1 bigint, t2 bigint, t3 bigint"
+FUNNEL_OUT_SCHEMA = "user_id bigint, t1 bigint, t2 bigint, t3 bigint"
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def _advance_funnel(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user ordered-funnel state machine: (t1, t2, t3) = the µs
+    instants the user completed each step under the strict order
+    constraint (step i strictly after step i−1's recorded instant;
+    −1 = not reached). Rows are processed in (ts, event_id) order
+    inside each batch; across batches correctness relies on
+    event-time-ordered arrival (true of the replay and of an in-order
+    live source — late data would need watermark+retraction, the
+    documented trade)."""
+    (user_id,) = key
+    t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        for us, et in zip(pdf["us"], pdf["event_type"], strict=True):
+            us = int(us)
+            if et == "view" and t1 < 0:
+                t1 = us
+            elif et == "click" and t1 >= 0 and us > t1 and t2 < 0:
+                t2 = us
+            elif et == "purchase" and t2 >= 0 and us > t2 and t3 < 0:
+                t3 = us
+    state.update((t1, t2, t3))
+    yield pd.DataFrame({"user_id": [user_id], "t1": [t1], "t2": [t2], "t3": [t3]})
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel via a custom per-user state machine —
+    the stateful-streaming restatement of `event_analytics.
+    funnel_counts` (whose batch plan is one join pass per step; a
+    stream cannot re-scan, so the state machine carries exactly the
+    three step instants per user). The panel coda (counts +
+    conversions) runs batch-side over the final state table and the
+    result shares the batch funnel's oracle verbatim."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    tracked = src.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(tracked, "update")
+    # update-mode: one row per key per batch; step instants only ever
+    # move from −1 to a value, so max picks the final state
+    final = out.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    rows = None
+    for i, (step, col) in enumerate(zip(_FUNNEL_STEPS, ("t1", "t2", "t3"), strict=True)):
+        one = final.agg(
+            F.sum(F.when(F.col(col) >= 0, 1).otherwise(0)).cast("bigint").alias("n_users")
+        ).select(
+            F.lit(i + 1).alias("step_no"), F.lit(step).alias("step"), "n_users"
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    w_prev = F.lag("n_users").over(Window.orderBy("step_no"))
+    return (
+        rows.withColumn(
+            "conversion",
+            F.round(
+                F.when(
+                    w_prev.isNotNull() & (w_prev != 0),
+                    F.col("n_users").cast("double") / w_prev.cast("double"),
+                ),
+                9,
+            ),
+        )
+        .orderBy("step_no")
+    )

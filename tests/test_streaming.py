@@ -415,3 +415,12 @@ def test_stream_trend_slope_equals_batch(spark, sf_dir):
     batch = analytics.trend_slope_panel(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_trend_slope(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_funnel_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    batch = event_analytics.funnel_counts(load_table(spark, sf_dir, "events")).collect()
+    stream = stateful.stream_funnel(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
