@@ -6,6 +6,14 @@ ONE JSON line:
 Each query is fully materialized with a noop sink (forces every
 exchange/aggregation; nothing is collected to the driver), timed after
 a warm-up query has absorbed JVM/codegen startup.
+
+The printed line is deliberately SMALL (< ~1 KB): at 106 headline
+queries the full per-query dict outgrew the driver's tail capture and
+truncated the r03 artifact mid-line, hiding the headline total. The
+final line therefore carries the total plus only the slowest queries;
+the complete per-query timing dict goes to BENCH_DETAIL.json next to
+this file (written before the line is printed, so the two can never
+disagree about which run they describe).
 """
 
 from __future__ import annotations
@@ -177,14 +185,35 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+                "method": "min over 3 interleaved full passes, noop sink",
+            },
+            fh,
+            indent=1,
+        )
+        fh.write("\n")
+    # short final line: total + slowest 15 only, so the driver's tail
+    # capture always sees the headline number intact
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail_file": "BENCH_DETAIL.json",
             }
         )
     )

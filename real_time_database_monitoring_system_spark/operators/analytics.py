@@ -518,6 +518,48 @@ def hll_user_rollup(events: DataFrame, lg_k: int = 12) -> DataFrame:
     )
 
 
+def hll_user_rollup_checked(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Verdict-column form of `hll_user_rollup` so a deterministic
+    engine can oracle the rollup: hashed output = the exact distinct
+    counts plus a boolean asserting the merged daily HLL estimate sits
+    inside its published bound (Datasketches HLL is EXACT in
+    list/set mode at these cardinalities and ≤~2% at 3σ for lg_k=12
+    once promoted — the 5%+floor tolerance covers both regimes with
+    margin). The raw estimate, which no other engine reproduces, stays
+    out of the hash; a deterministic oracle emits literal TRUE and any
+    estimator-contract violation hash-mismatches. Day keys are integer
+    epoch-µs buckets (the repo's cross-engine time convention), and the
+    hourly→daily sketch-merge cascade is identical to
+    `hll_user_rollup`."""
+    hour = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    hourly = events.groupBy(hour.alias("hour_bucket")).agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"),
+        F.count("*").alias("n_events"),
+    )
+    daily_sketch = hourly.groupBy(
+        F.expr("hour_bucket div 24").alias("day_bucket")
+    ).agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.sum("n_events").alias("n_events"),
+    )
+    exact = events.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day_bucket")
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    tol = F.greatest(F.lit(3.0), F.lit(0.05) * F.col("exact_users"))
+    return (
+        daily_sketch.join(exact, "day_bucket")
+        .select(
+            "day_bucket",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("exact_users")) <= tol
+            ).alias("est_in_bound"),
+        )
+        .orderBy("day_bucket")
+    )
+
+
 def user_day_streaks(events: DataFrame) -> DataFrame:
     """Longest consecutive-active-day streak per user, computed with a
     RECURSIVE CTE (Spark 4.1 `WITH RECURSIVE`): anchor = active days

@@ -584,6 +584,61 @@ def value_percentiles_approx(events: DataFrame, accuracy: int = 10000) -> DataFr
     )
 
 
+def value_percentiles_approx_checked(events: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Verdict-column form of `value_percentiles_approx`, built so a
+    deterministic engine can oracle it: the HASHED output carries the
+    exact percentiles/cardinalities plus booleans asserting the sketch
+    estimates sit inside their PUBLISHED error bounds; the raw
+    estimates (whose exact values no other engine reproduces beyond
+    the unsaturated regime) stay out of the output.
+
+    The percentile booleans are RANK bounds, not value bounds — the GK
+    summary guarantees rank(est) ∈ p·n ± n/accuracy under any merge
+    order, so `[count(<est), count(≤est)]` must intersect that window
+    (tie-robust at any scale, not just the exact regime). The
+    cardinality boolean allows 3σ of approx_count_distinct's default
+    5% rsd plus an absolute floor for tiny groups. A deterministic
+    oracle emits literal TRUE; any estimator-contract violation
+    hash-mismatches."""
+    approx = events.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {accuracy})").alias("a50"),
+        F.expr(f"approx_percentile(value, 0.95, {accuracy})").alias("a95"),
+        F.approx_count_distinct("user_id").alias("au"),
+    )
+    g = (
+        events.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.expr("percentile(value, 0.5)").alias("p50_exact"),
+            F.expr("percentile(value, 0.95)").alias("p95_exact"),
+            F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("a95")).cast("long")).alias("lt95"),
+            F.sum((F.col("value") <= F.col("a95")).cast("long")).alias("le95"),
+            F.first("au").alias("au"),
+        )
+    )
+    n = F.col("n_events").cast("double")
+    tol = n / F.lit(float(accuracy)) + F.lit(1.0)
+
+    def _rank_ok(lt: str, le: str, p: float):
+        return (F.col(lt) < F.lit(p) * n + tol) & (F.col(le) >= F.lit(p) * n - tol)
+
+    card_tol = F.greatest(F.lit(5.0), F.lit(0.15) * F.col("exact_users"))
+    return g.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        "p50_exact",
+        "p95_exact",
+        _rank_ok("lt50", "le50", 0.5).alias("p50_in_rank_bound"),
+        _rank_ok("lt95", "le95", 0.95).alias("p95_in_rank_bound"),
+        (F.abs(F.col("au") - F.col("exact_users")) <= card_tol).alias("users_in_bound"),
+    ).orderBy("event_type")
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user (the batch twin of
     `session_window`): a new session starts when the gap to the

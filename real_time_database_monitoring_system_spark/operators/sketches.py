@@ -86,6 +86,78 @@ def kll_value_rollup(events: DataFrame, k: int = 16384) -> DataFrame:
     )
 
 
+def kll_value_rollup_checked(events: DataFrame, k: int = 16384) -> DataFrame:
+    """Verdict-column form of `kll_value_rollup` so a deterministic
+    engine can oracle the merge cascade: hashed output = per-day
+    n_points + the exact discrete percentiles (percentile_disc — the
+    order-statistic semantics KLL's get_quantile implements) + three
+    booleans asserting each merged-sketch quantile lands inside KLL's
+    published normalized rank error (~0.04% at k=16384; the 0.5%+1
+    tolerance is generous). The booleans are RANK bounds computed by
+    counting values below/at the estimate — tie-robust and valid in
+    the saturated regime too, not just the exact one. A deterministic
+    oracle emits literal TRUE; any estimator-contract violation
+    hash-mismatches. The raw sketch values stay out of the hash. Day
+    keys are integer epoch-µs buckets (the repo's cross-engine time
+    convention)."""
+    hourly = events.groupBy(
+        F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hour_bucket")
+    ).agg(F.expr(f"kll_sketch_agg_double(value, {k})").alias("sk"))
+    daily = (
+        hourly.groupBy(F.expr("hour_bucket div 24").alias("day_bucket"))
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
+        .select(
+            "day_bucket",
+            F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("k50"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("k95"),
+            F.expr("kll_sketch_get_quantile_double(sk, 0.99)").alias("k99"),
+        )
+    )
+    g = (
+        events.withColumn(
+            "day_bucket", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        )
+        .join(F.broadcast(daily), "day_bucket")
+        .groupBy("day_bucket")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("exact_p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("exact_p95"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("exact_p99"),
+            *[
+                agg
+                for p, kcol in ((0.5, "k50"), (0.95, "k95"), (0.99, "k99"))
+                for agg in (
+                    F.sum((F.col("value") < F.col(kcol)).cast("long")).alias(f"lt_{kcol}"),
+                    F.sum((F.col("value") <= F.col(kcol)).cast("long")).alias(f"le_{kcol}"),
+                )
+            ],
+        )
+    )
+    n = F.col("n_points").cast("double")
+    tol = n * F.lit(0.005) + F.lit(1.0)
+
+    def _rank_ok(kcol: str, p: float):
+        # percentile_disc target rank is ceil(p*n) (inclusive); the
+        # estimate's feasible rank interval [lt+1, le] must intersect
+        # the target ± tolerance window
+        t = F.ceil(F.lit(p) * n).cast("double")
+        return (F.col(f"lt_{kcol}").cast("double") < t + tol) & (
+            F.col(f"le_{kcol}").cast("double") >= t - tol
+        )
+
+    return g.select(
+        "day_bucket",
+        "n_points",
+        "exact_p50",
+        "exact_p95",
+        "exact_p99",
+        _rank_ok("k50", 0.5).alias("p50_in_rank_bound"),
+        _rank_ok("k95", 0.95).alias("p95_in_rank_bound"),
+        _rank_ok("k99", 0.99).alias("p99_in_rank_bound"),
+    ).orderBy("day_bucket")
+
+
 def theta_user_overlap(events: DataFrame, lg_k: int = 16) -> DataFrame:
     """Pairwise event-type audience overlap from per-type theta
     sketches over user_id: |A|, |B|, |A∪B|, |A∩B| for every unordered
