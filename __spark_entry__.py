@@ -2626,7 +2626,7 @@ def oracle_sql() -> dict[str, str]:
     # least-squares trend panel twin: shared sufficient-sum / combine
     # fragments (analytics.TREND_*_SQL) with the DuckDB epoch-hour form
     _tsums = ", ".join(
-        f"{expr.format(x=analytics.TREND_X_DUCK)} AS {name}"
+        f"{expr.format(x=analytics.TREND_X_DUCK, y='value')} AS {name}"
         for name, expr in analytics.TREND_SUMS_SQL.items()
     )
     _tfin = ", ".join(
@@ -2811,13 +2811,17 @@ def oracle_sql() -> dict[str, str]:
         FROM s
     """
 
-    # right-to-be-forgotten twin: recompute with the cohort excluded
+    # right-to-be-forgotten twin: recompute with the cohort excluded.
+    # NULL-user rows are NOT in the erasure cohort, so they must be
+    # retained — a bare `user_id % 97 <> 0` would drop them (NULL
+    # predicate is not true), diverging from the operator on any feed
+    # with NULL user_id.
     sql["forget_users_rollup"] = """
         SELECT (epoch_us(ts) // 300000000) * 300 AS bucket_s,
                event_type,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        FROM events WHERE user_id % 97 <> 0
+        FROM events WHERE user_id IS NULL OR user_id % 97 <> 0
         GROUP BY 1, 2 ORDER BY bucket_s, event_type
     """
 
@@ -2858,7 +2862,7 @@ def oracle_sql() -> dict[str, str]:
     # robust (bucket-median) trend twin: same shared fragments over
     # the per-hour median relation
     _rsums = ", ".join(
-        f"{expr.format(x='hr').replace('value', 'med')} AS {name}"
+        f"{expr.format(x='hr', y='med')} AS {name}"
         for name, expr in analytics.TREND_SUMS_SQL.items()
     )
     sql["robust_trend"] = f"""
@@ -3018,7 +3022,7 @@ def oracle_sql() -> dict[str, str]:
 
     # trend forecast twin: same TREND fragments + the projection
     _fsums = ", ".join(
-        f"{expr.format(x=analytics.TREND_X_DUCK)} AS {name}"
+        f"{expr.format(x=analytics.TREND_X_DUCK, y='value')} AS {name}"
         for name, expr in analytics.TREND_SUMS_SQL.items()
     )
     _fslope = analytics.TREND_FINAL_SQL["slope_per_hour"]
@@ -3048,29 +3052,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_buckets,
                    CAST(SUM(c) AS BIGINT) AS n_events,
                    SUM(CAST(c * c AS DECIMAL(38,0))) AS s2
-            FROM c GROUP BY 1)
-        SELECT event_type, n_buckets, n_events,
-               round(CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE), 9)
-                   AS mean_per_bucket,
-               round(CASE WHEN n_buckets > 1 THEN
-                   (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
-                    - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
-                    * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
-                   / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
-                   END, 9) AS fano_factor,
-               CASE WHEN n_buckets <= 1 THEN 'unknown'
-                    WHEN (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
-                          - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
-                          * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
-                         / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
-                         > 1.5 THEN 'bursty'
-                    WHEN (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
-                          - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
-                          * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
-                         / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
-                         < 0.7 THEN 'regular'
+            FROM c GROUP BY 1),
+        f AS (
+            SELECT event_type, n_buckets, n_events,
+                   round(CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE), 9)
+                       AS mean_per_bucket,
+                   round(CASE WHEN n_buckets > 1 THEN
+                       (CAST(s2 AS DOUBLE) / CAST(n_buckets AS DOUBLE)
+                        - (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                        * (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE)))
+                       / (CAST(n_events AS DOUBLE) / CAST(n_buckets AS DOUBLE))
+                       END, 9) AS fano_factor
+            FROM s)
+        SELECT event_type, n_buckets, n_events, mean_per_bucket, fano_factor,
+               -- classify from the ROUNDED fano value, exactly as the
+               -- Spark operator does (a raw value within 5e-10 of a
+               -- threshold must band identically in both engines)
+               CASE WHEN fano_factor IS NULL THEN 'unknown'
+                    WHEN fano_factor > 1.5 THEN 'bursty'
+                    WHEN fano_factor < 0.7 THEN 'regular'
                     ELSE 'poisson_like' END AS arrival_class
-        FROM s ORDER BY event_type
+        FROM f ORDER BY event_type
     """
 
     # bounce-rate twin: the sessionize window chain + per-day panel

@@ -785,16 +785,21 @@ def dataset_checksum(documents: DataFrame) -> DataFrame:
 # the accumulation is exact and order-independent (bigint Σx² would
 # overflow past ~sf1; double Σ would be partial-order-dependent); the
 # combine is a pinned-order double expression.
+# both axes are format placeholders ({x} = time expression, {y} =
+# metric column) — a previous version substituted the y column with a
+# blind `.replace("value", ...)` over the fragments, which would
+# silently corrupt any future fragment containing that substring in
+# another role
 TREND_SUMS_SQL = {
     "n": "CAST(count(*) AS BIGINT)",
     "sx": "CAST(SUM(CAST(({x}) AS DECIMAL(38,0))) AS DOUBLE)",
-    "sy": "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)",
+    "sy": "CAST(SUM(CAST({y} AS DECIMAL(18,2))) AS DOUBLE)",
     "sxx": "CAST(SUM(CAST(({x}) * ({x}) AS DECIMAL(38,0))) AS DOUBLE)",
     "sxy": (
         "CAST(SUM(CAST(({x}) AS DECIMAL(19,0))"
-        " * CAST(value AS DECIMAL(18,2))) AS DOUBLE)"
+        " * CAST({y} AS DECIMAL(18,2))) AS DOUBLE)"
     ),
-    "syy": "CAST(SUM(CAST(value * value AS DECIMAL(38,10))) AS DOUBLE)",
+    "syy": "CAST(SUM(CAST({y} * {y} AS DECIMAL(38,10))) AS DOUBLE)",
 }
 # NULL-guarded: a single-hour series has no trend (x-variance 0); a
 # constant-value series has slope 0 but undefined R² (y-variance 0)
@@ -843,7 +848,7 @@ def trend_slope_panel(events: DataFrame) -> DataFrame:
     column-pruned scan + a #types-row shuffle."""
     sums = events.groupBy("event_type").agg(
         *[
-            F.expr(sql.format(x=TREND_X_SPARK)).alias(name)
+            F.expr(sql.format(x=TREND_X_SPARK, y="value")).alias(name)
             for name, sql in TREND_SUMS_SQL.items()
         ]
     )
@@ -878,9 +883,7 @@ def robust_trend_panel(events: DataFrame) -> DataFrame:
     )
     sums = hours.groupBy("event_type").agg(
         *[
-            F.expr(
-                sql.format(x="hr").replace("value", "med")
-            ).alias(name)
+            F.expr(sql.format(x="hr", y="med")).alias(name)
             for name, sql in TREND_SUMS_SQL.items()
         ]
     )
@@ -974,7 +977,7 @@ def trend_forecast(events: DataFrame, horizon_hours: int = 24) -> DataFrame:
         raise ValueError("trend_forecast: horizon_hours must be positive")
     sums = events.groupBy("event_type").agg(
         *[
-            F.expr(sql.format(x=TREND_X_SPARK)).alias(name)
+            F.expr(sql.format(x=TREND_X_SPARK, y="value")).alias(name)
             for name, sql in TREND_SUMS_SQL.items()
         ]
     )

@@ -1020,7 +1020,7 @@ def stream_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = "unix_micros(ts) div 3600000000"
     sums = src.groupBy("event_type").agg(
         *[
-            F.expr(sql.format(x=x)).alias(name)
+            F.expr(sql.format(x=x, y="value")).alias(name)
             for name, sql in TREND_SUMS_SQL.items()
         ]
     )

@@ -293,7 +293,7 @@ def test_market_share_sums_to_one_per_market(spark, sf_dir):
         assert all(r.revenue > 0 for r in rows)
 
 
-def test_trigram_langid_learns_separable_profiles(spark):
+def test_trigram_langid_learns_separable_profiles(spark, sf_dir):
     # two "languages" with disjoint character distributions: the
     # learned profiles must classify every doc onto the diagonal
     la = ["aba cab bac abc", "bca cba abc acb", "cab abc bca bac"]
@@ -309,7 +309,7 @@ def test_trigram_langid_learns_separable_profiles(spark):
     # structural invariant on real data: every doc classified exactly once
     from real_time_database_monitoring_system_spark.sources.registry import load_table
 
-    docs_sf = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs_sf = load_table(spark, sf_dir, "documents")
     cm = text_ops.char_trigram_langid(docs_sf).collect()
     assert sum(r.n_docs for r in cm) == docs_sf.filter("length(text) >= 3").count()
 
