@@ -782,9 +782,13 @@ def _q_health_score(spark, sf):
 
 
 def _q_streaming_funnel(spark, sf):
+    # watermarked variant: correct under out-of-order arrival across
+    # micro-batches (buffer + versioned corrections), not just on the
+    # in-order replay — the plain state machine stays as library
+    # surface (stateful.stream_funnel), equivalence-tested
     from real_time_database_monitoring_system_spark.streaming import stateful
 
-    return stateful.stream_funnel(spark, sf)
+    return stateful.stream_funnel_watermarked(spark, sf)
 
 
 def _q_independence_chi2(spark, sf):

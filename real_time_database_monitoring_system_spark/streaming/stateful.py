@@ -102,36 +102,14 @@ def _advance_funnel(
     yield pd.DataFrame({"user_id": [user_id], "t1": [t1], "t2": [t2], "t3": [t3]})
 
 
-def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming ordered funnel via a custom per-user state machine —
-    the stateful-streaming restatement of `event_analytics.
-    funnel_counts` (whose batch plan is one join pass per step; a
-    stream cannot re-scan, so the state machine carries exactly the
-    three step instants per user). The panel coda (counts +
-    conversions) runs batch-side over the final state table and the
-    result shares the batch funnel's oracle verbatim."""
+def _funnel_panel(final: DataFrame) -> DataFrame:
+    """Panel coda shared by both streaming funnels: per-step user
+    counts + step-over-step conversion over the per-user (t1,t2,t3)
+    state table. Batch-side over #users rows; shares the batch
+    funnel's oracle verbatim."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    src = _events_stream(spark, sf_dir).select(
-        "user_id",
-        "event_id",
-        "event_type",
-        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
-    )
-    tracked = src.groupBy("user_id").applyInPandasWithState(
-        _advance_funnel,
-        outputStructType=FUNNEL_OUT_SCHEMA,
-        stateStructType=FUNNEL_STATE_SCHEMA,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
-    out = _run_to_memory(tracked, "update")
-    # update-mode: one row per key per batch; step instants only ever
-    # move from −1 to a value, so max picks the final state
-    final = out.groupBy("user_id").agg(
-        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
-    )
     rows = None
     for i, (step, col) in enumerate(zip(_FUNNEL_STEPS, ("t1", "t2", "t3"), strict=True)):
         one = final.agg(
@@ -154,3 +132,156 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step_no")
     )
+
+
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ordered funnel via a custom per-user state machine —
+    the stateful-streaming restatement of `event_analytics.
+    funnel_counts` (whose batch plan is one join pass per step; a
+    stream cannot re-scan, so the state machine carries exactly the
+    three step instants per user). The panel coda (counts +
+    conversions) runs batch-side over the final state table and the
+    result shares the batch funnel's oracle verbatim.
+
+    Assumes event-time-ordered arrival ACROSS micro-batches (true of
+    the single-file replay); `stream_funnel_watermarked` removes that
+    assumption with a per-user buffer + watermark and emits
+    corrections when late data regresses a step instant."""
+    from pyspark.sql import functions as F
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    tracked = src.groupBy("user_id").applyInPandasWithState(
+        _advance_funnel,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(tracked, "update")
+    # update-mode: one row per key per batch; step instants only ever
+    # move from −1 to a value, so max picks the final state
+    final = out.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    return _funnel_panel(final)
+
+
+# watermarked funnel: committed chain + out-of-order buffer + emission
+# version, so late arrivals CORRECT earlier optimistic emissions
+# instead of silently corrupting the chain
+WM_FUNNEL_STATE_SCHEMA = (
+    "t1 bigint, t2 bigint, t3 bigint, wm bigint, ver bigint, "
+    "buf_us array<bigint>, buf_et array<string>"
+)
+WM_FUNNEL_OUT_SCHEMA = (
+    "user_id bigint, t1 bigint, t2 bigint, t3 bigint, ver bigint"
+)
+
+
+def _fold_chain(t1: int, t2: int, t3: int, events) -> tuple[int, int, int]:
+    """Advance the greedy-earliest funnel chain over (us, event_type)
+    pairs already sorted by event time — the same transition rule as
+    `_advance_funnel`."""
+    for us, et in events:
+        us = int(us)
+        if et == "view" and t1 < 0:
+            t1 = us
+        elif et == "click" and t1 >= 0 and us > t1 and t2 < 0:
+            t2 = us
+        elif et == "purchase" and t2 >= 0 and us > t2 and t3 < 0:
+            t3 = us
+    return t1, t2, t3
+
+
+def _make_watermarked_funnel(lateness_us: int):
+    def _advance(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per-user watermarked funnel: events newer than the fold
+        horizon (max event time seen for this user − lateness) stay in
+        a sorted buffer; events at or below it are folded irreversibly
+        into the committed chain. Each batch EMITS the full evaluation
+        committed⊕buffer with a monotone version, so a late in-bound
+        arrival that changes the greedy chain simply produces a newer
+        emission (the retraction mechanism — consumers take the
+        highest version per user, never a max over instants, because
+        corrections can move instants DOWN or steps back to −1).
+        Events older than the horizon when they arrive violate the
+        declared lateness bound and are dropped, the standard
+        watermark contract."""
+        (user_id,) = key
+        if state.exists:
+            t1, t2, t3, wm, ver, buf_us, buf_et = state.get
+            buf = list(zip(list(buf_us), list(buf_et), strict=True))
+        else:
+            t1, t2, t3, wm, ver, buf = -1, -1, -1, -(1 << 62), 0, []
+        horizon = wm - lateness_us
+        for pdf in batches:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for us, et in zip(pdf["us"], pdf["event_type"], strict=True):
+                us = int(us)
+                if us > wm:
+                    wm = us
+                if us > horizon:
+                    buf.append((us, et))
+        buf.sort()
+        horizon = wm - lateness_us
+        n_commit = 0
+        while n_commit < len(buf) and buf[n_commit][0] <= horizon:
+            n_commit += 1
+        t1, t2, t3 = _fold_chain(t1, t2, t3, buf[:n_commit])
+        buf = buf[n_commit:]
+        ver += 1
+        state.update(
+            (t1, t2, t3, wm, ver, [u for u, _ in buf], [e for _, e in buf])
+        )
+        p1, p2, p3 = _fold_chain(t1, t2, t3, buf)
+        yield pd.DataFrame(
+            {"user_id": [user_id], "t1": [p1], "t2": [p2], "t3": [p3], "ver": [ver]}
+        )
+
+    return _advance
+
+
+def stream_funnel_watermarked(
+    spark: SparkSession, sf_dir: str, lateness_us: int = 24 * 3600 * 1_000_000
+) -> DataFrame:
+    """Ordered funnel over an out-of-order feed: per-user watermark +
+    buffer + versioned emissions (see `_make_watermarked_funnel`).
+    Equals the batch funnel whenever every event arrives within
+    `lateness_us` of the newest event already seen for its user —
+    verified against a deliberately shuffled multi-file feed in
+    tests/test_streaming.py. State per user is the committed chain
+    plus only the not-yet-final tail of the feed (bounded by the
+    lateness window at steady state)."""
+    from pyspark.sql import functions as F
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    tracked = src.groupBy("user_id").applyInPandasWithState(
+        _make_watermarked_funnel(int(lateness_us)),
+        outputStructType=WM_FUNNEL_OUT_SCHEMA,
+        stateStructType=WM_FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(tracked, "update")
+    # corrections make instants non-monotone: take the latest VERSION
+    # per user, not a max over instants
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(F.struct("t1", "t2", "t3"), "ver").alias("s"),
+        )
+        .select("user_id", F.col("s.t1").alias("t1"), F.col("s.t2").alias("t2"), F.col("s.t3").alias("t3"))
+    )
+    return _funnel_panel(final)

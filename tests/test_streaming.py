@@ -424,3 +424,82 @@ def test_stream_funnel_equals_batch(spark, sf_dir):
     batch = event_analytics.funnel_counts(load_table(spark, sf_dir, "events")).collect()
     stream = stateful.stream_funnel(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_funnel_watermarked_survives_shuffled_feed(spark, sf_dir, tmp_path):
+    """The watermarked funnel must equal the batch funnel even when the
+    feed arrives event-time-SHUFFLED across micro-batches — the exact
+    failure mode the plain `stream_funnel` documents as out of scope.
+    The feed is split into four part files by event_id % 4 (each file
+    spans the whole time range, so with maxFilesPerTrigger=1 every
+    micro-batch after the first delivers events older than instants
+    already emitted), with a lateness bound covering the span so no
+    event is dropped."""
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    feed = str(tmp_path / "shuffled")
+    for i in range(4):
+        raw.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode("append").parquet(
+            f"{feed}/events.parquet"
+        )
+    batch = event_analytics.funnel_counts(load_table(spark, sf_dir, "events")).collect()
+    stream = stateful.stream_funnel_watermarked(
+        spark, feed, lateness_us=60 * 24 * 3600 * 1_000_000
+    ).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the stateful fn."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+
+def _drive_wm_funnel(fn, state, rows):
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["us", "event_id", "event_type"])
+    (out,) = fn((7,), iter([pdf]), state)
+    return out.iloc[0]
+
+
+def test_watermarked_funnel_commits_and_corrects():
+    """Unit-level contract: (a) a late in-bound click regresses the
+    chain and is repaired through the buffered purchase (retraction +
+    re-fold); (b) events older than the watermark horizon commit out
+    of the buffer, bounding state; (c) emission version is monotone."""
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    fn = stateful._make_watermarked_funnel(lateness_us=100)
+    st = _FakeState()
+    # batch 1: view@10, purchase@30 — optimistic chain stops at t1
+    r1 = _drive_wm_funnel(fn, st, [(10, 1, "view"), (30, 2, "purchase")])
+    assert (r1.t1, r1.t2, r1.t3, r1.ver) == (10, -1, -1, 1)
+    # batch 2: click@20 arrives LATE (in-bound: horizon = 30-100 < 20);
+    # the buffered purchase must now complete the chain
+    r2 = _drive_wm_funnel(fn, st, [(20, 3, "click")])
+    assert (r2.t1, r2.t2, r2.t3, r2.ver) == (10, 20, 30, 2)
+    # batch 3: an event far in the future pushes the horizon past the
+    # whole buffer — everything commits, buffer drains to 1 entry
+    r3 = _drive_wm_funnel(fn, st, [(500, 4, "view")])
+    t1, t2, t3, wm, ver, buf_us, buf_et = st.get
+    assert (t1, t2, t3) == (10, 20, 30)
+    assert wm == 500 and ver == 3
+    assert list(buf_us) == [500]
+    assert (r3.t1, r3.t2, r3.t3) == (10, 20, 30)
+    # batch 4: an event BELOW the horizon (500-100=400) violates the
+    # lateness bound and is dropped per the watermark contract
+    r4 = _drive_wm_funnel(fn, st, [(350, 5, "purchase")])
+    assert (r4.t1, r4.t2, r4.t3, r4.ver) == (10, 20, 30, 4)
