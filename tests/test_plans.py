@@ -527,3 +527,41 @@ def test_wave11_14_shuffle_budgets(spark, sf_dir):
     assert "WindowGroupLimit" in checks.explain_str(
         relational.topk_with_ties(ev)
     ), "WITH TIES rank must prune map-side"
+
+
+def test_round4_checked_sketch_budgets(spark, sf_dir):
+    """The verdict-column sketch forms must keep the sketch family's
+    scale shape: the rank/cardinality verification pass rides a
+    BROADCAST of the tiny estimate relation (#types / #days rows) back
+    onto the feed — never a shuffled join against raw events — so the
+    extra correctness columns cost one more keyed agg, not a second
+    wide shuffle."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        monitoring,
+        sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    budgets = [
+        # approx agg + verify agg + 2 AQE-coalesced sort legs
+        ("value_percentiles_approx_checked", monitoring.value_percentiles_approx_checked(ev), 4),
+        # hourly agg + daily merge + exact agg + day join + sort
+        ("hll_user_rollup_checked", analytics.hll_user_rollup_checked(ev), 5),
+        # hourly agg + daily merge + verify agg + sort
+        ("kll_value_rollup_checked", sketches.kll_value_rollup_checked(ev), 4),
+    ]
+    for name, df, max_ex in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the estimate relation must broadcast onto the feed in both
+    # verification joins
+    assert "BroadcastExchange" in checks.explain_str(
+        monitoring.value_percentiles_approx_checked(ev)
+    )
+    assert "BroadcastExchange" in checks.explain_str(
+        sketches.kll_value_rollup_checked(ev)
+    )
