@@ -414,7 +414,13 @@ def char_trigram_langid(documents: DataFrame, k: int = 50) -> DataFrame:
     join + one doc-keyed aggregation + a top-1 window per doc. All
     scores are exact integers; ties break lexicographically on both
     engines."""
-    tri_arr = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    # overlapping trigrams via one regex pass (lookahead captures 3
+    # code points at every position) — NOT transform(sequence, i ->
+    # substring(text, i, 3)): UTF8String.substring walks from the
+    # string start to find the code-point offset, so the indexed form
+    # is O(doc_len²) per document and measured 3× slower at sf0.1;
+    # output is bit-identical (both are code-point semantics)
+    tri_arr = F.expr(r"regexp_extract_all(text, '(?s)(?=(.{3})).', 1)")
     # materialize the GROUPED (doc, trigram, count) relation, not the
     # raw explode: profiles re-aggregate it (sum of per-doc counts ==
     # raw occurrence counts) and the probe needs exactly its distinct
