@@ -293,6 +293,38 @@ def test_market_share_sums_to_one_per_market(spark, sf_dir):
         assert all(r.revenue > 0 for r in rows)
 
 
+def test_trigram_regex_extraction_matches_indexed_substring(spark):
+    """char_trigram_langid's regexp_extract_all lookahead must produce
+    exactly the overlapping code-point trigrams of the O(n²) indexed
+    reference form — including multi-byte unicode, newlines (the (?s)
+    flag), regex metacharacters in the data, and sub-3-char edge
+    cases. Pins the round-4 perf rewrite against silent semantic
+    drift."""
+    texts = [
+        "hello world",
+        "ab",
+        "abc",
+        "a\nb\ncd",
+        "naïve café — ünïcodé",
+        "日本語のテキストです",
+        "dots... and (parens) [brackets] {braces} * + ? | ^ $",
+        "x" * 300,
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    from pyspark.sql import functions as F
+
+    ref = F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    new = F.expr(r"regexp_extract_all(text, '(?s)(?=(.{3})).', 1)")
+    rows = (
+        df.filter(F.length("text") >= 3)
+        .select("i", ref.alias("ref"), new.alias("new"))
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert list(r.ref) == list(r.new), f"text #{r.i}: {r.ref[:5]} != {r.new[:5]}"
+
+
 def test_trigram_langid_learns_separable_profiles(spark, sf_dir):
     # two "languages" with disjoint character distributions: the
     # learned profiles must classify every doc onto the diagonal
