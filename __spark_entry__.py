@@ -1253,25 +1253,71 @@ def _q_streaming_freshness(spark, sf):
     return streaming_rollup.stream_freshness_audit(spark, sf)
 
 
+def _driver_green_names() -> set[str]:
+    """Entries with a full green driver row (rows + schema + hash) in
+    any committed CORRECTNESS_r*.json next to this file. Unreadable
+    files are skipped, so a corrupt artifact degrades to 'never
+    checked' (the entry re-enters the window) rather than crashing
+    the driver contract."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green.add(name)
+    return green
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order is deliberate: the driver evaluates a 50-entry
-    prefix, so registry order IS the evidence plan. Round-4 rotation:
-    the registry is FROZEN at 213 entries and every entry is now
-    oracle-backed (the five former rows-only sketch entries were
-    converted in place to verdict-column forms with deterministic
-    DuckDB twins, so no driver slot can ever burn on a `no_oracle`
-    row again). Positions 1-50 are fifty of the 72 entries that have
-    no green row across CORRECTNESS_r01-r03; positions 51-72 are the
-    remaining twenty-two (streaming twins whose batch counterparts
-    sit inside the window, plus batch entries with green family
-    representatives), so the r04+r05 driver windows cover the whole
-    registry deterministically. Overflow entries are all driver-green
-    and remain covered by the identical local check
-    (tests/test_oracle_parity.py). The window invariant — no green
-    entry occupying a slot a never-green entry could use — is
-    machine-checked by tests/test_registry_window.py; re-derive
-    counts from the dict + CORRECTNESS files rather than trusting
-    prose, including this one."""
+    """Registry order is the evidence plan: the driver evaluates only
+    a 50-entry prefix per round, so entries without a green driver row
+    must occupy the prefix or they can never be checked.
+
+    Since round 4 the rotation is AUTOMATIC: the canonical dict below
+    encodes a curated priority order (sketch-conversion proofs and
+    VERDICT-anchor entries first), and this function stably partitions
+    it so every entry with no green row across the committed
+    CORRECTNESS_r*.json artifacts precedes every entry that already
+    has one. Each round the driver's new artifact lands in the repo,
+    and the next import re-derives the window — no manual reorder, no
+    stale-prose risk (the failure mode that cost rounds 2 and 3 their
+    rotation bookkeeping). The no-wasted-slot invariant is still
+    machine-checked independently by tests/test_registry_window.py.
+
+    The registry is FROZEN at 213 entries as of round 4 and every
+    entry is oracle-backed (the five former rows-only sketch entries
+    were converted in place to verdict-column forms, so no driver
+    slot can ever burn on a `no_oracle` row again). 72 entries were
+    never-green entering round 4; the r04 window covers 50 of them
+    and the automatic rotation puts the remaining 22 first in r05,
+    closing full-registry driver evidence. Overflow entries remain
+    covered by the identical local check (tests/test_oracle_parity.py
+    runs all 213 every time)."""
+    base = _queries_canonical()
+    green = _driver_green_names()
+    never = {n: f for n, f in base.items() if n not in green}
+    done = {n: f for n, f in base.items() if n in green}
+    return {**never, **done}
+
+
+def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Curated priority order (the tiebreak within each rotation
+    partition); `queries()` derives the driver-facing order from this
+    plus the committed CORRECTNESS artifacts."""
     return {
         # -- r04 window (50 slots): never-green oracle-backed entries only.
         #    First the five in-place sketch conversions (driver evidence

@@ -71,3 +71,43 @@ def test_correctness_rows_refer_to_registry_entries():
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         stale = set(json.load(open(path))) - names
         assert not stale, f"{os.path.basename(path)} rows not in registry: {stale}"
+
+
+def test_auto_rotation_is_a_stable_partition(monkeypatch):
+    """queries() must order never-green entries before green ones
+    while preserving the canonical dict's relative order inside each
+    class — under ANY green set, including ones future rounds will
+    produce. Simulates three rounds of driver progress."""
+    canon = list(entry_mod._queries_canonical())
+    scenarios = [
+        set(),                      # round 1: nothing checked yet
+        set(canon[:50]),            # a full window went green
+        set(canon) - set(canon[60:75]),  # only a mid-block remains
+        set(canon),                 # everything green
+    ]
+    for green in scenarios:
+        monkeypatch.setattr(entry_mod, "_driver_green_names", lambda g=green: g)
+        ordered = list(entry_mod.queries())
+        assert set(ordered) == set(canon)
+        n_never = len(canon) - len(green)
+        assert all(n not in green for n in ordered[:n_never])
+        assert all(n in green for n in ordered[n_never:])
+        assert [n for n in canon if n not in green] == ordered[:n_never]
+        assert [n for n in canon if n in green] == ordered[n_never:]
+
+
+def test_driver_green_names_survives_corrupt_artifact(tmp_path, monkeypatch):
+    """A corrupt CORRECTNESS file must degrade to 'never checked',
+    not crash the driver contract at import/call time."""
+    good = {"q1": {"rows_match": True, "schema_match": True, "hash_match": True}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
+    (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
+    import __spark_entry__ as m
+
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        return str(tmp_path) if p == os.path.abspath(m.__file__) else real_dirname(p)
+
+    monkeypatch.setattr(os.path, "dirname", fake_dirname)
+    assert m._driver_green_names() == {"q1"}
