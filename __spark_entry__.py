@@ -1271,6 +1271,10 @@ def _driver_green_names() -> set[str]:
                 data = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(data, dict):
+            # valid JSON but not the row map (truncated/repaired
+            # artifact) — same degrade-to-never-checked rule
+            continue
         for name, row in data.items():
             if (
                 isinstance(row, dict)

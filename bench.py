@@ -118,9 +118,12 @@ HEADLINE = [
     "freshness_audit",
     "class_balance",
     # round-3 continuation: lexical retrieval, tokenizer application,
-    # attribution, compressed-first ANN (the portable dedup variants
-    # stay out — they exist for cross-engine reproducibility, not
-    # throughput; the xxhash64 forms above are the measured paths)
+    # attribution, compressed-first ANN. NOTE (round 4): the
+    # minhash_lsh_pairs / simhash_pairs entries above now resolve to
+    # the PORTABLE md5 family (registry re-point for full oracle
+    # coverage), so the headline includes the portability price
+    # (~+1 s at sf0.1 for minhash vs the xxhash64 library fast path) —
+    # account for that when comparing totals against r01–r03
     "bm25_search",
     "tokenize_to_ids",
     "touch_attribution",

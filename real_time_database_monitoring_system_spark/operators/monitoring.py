@@ -600,13 +600,19 @@ def value_percentiles_approx_checked(events: DataFrame, accuracy: int = 10000) -
     5% rsd plus an absolute floor for tiny groups. A deterministic
     oracle emits literal TRUE; any estimator-contract violation
     hash-mismatches."""
-    approx = events.groupBy("event_type").agg(
+    approx = events.groupBy(F.col("event_type").alias("a_et")).agg(
         F.expr(f"approx_percentile(value, 0.5, {accuracy})").alias("a50"),
         F.expr(f"approx_percentile(value, 0.95, {accuracy})").alias("a95"),
         F.approx_count_distinct("user_id").alias("au"),
     )
     g = (
-        events.join(F.broadcast(approx), "event_type")
+        # null-SAFE join back: groupBy keeps a NULL event_type group in
+        # both engines, so the verification join must not drop it (an
+        # inner equi-join never matches NULL keys)
+        events.join(
+            F.broadcast(approx), F.col("event_type").eqNullSafe(F.col("a_et"))
+        )
+        .drop("a_et")
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -620,11 +626,12 @@ def value_percentiles_approx_checked(events: DataFrame, accuracy: int = 10000) -
             F.first("au").alias("au"),
         )
     )
-    n = F.col("n_events").cast("double")
-    tol = n / F.lit(float(accuracy)) + F.lit(1.0)
+    from .sketches import rank_window_ok
 
     def _rank_ok(lt: str, le: str, p: float):
-        return (F.col(lt) < F.lit(p) * n + tol) & (F.col(le) >= F.lit(p) * n - tol)
+        return rank_window_ok(
+            F.col(lt), F.col(le), F.col("n_events"), p, eps=1.0 / accuracy
+        )
 
     card_tol = F.greatest(F.lit(5.0), F.lit(0.15) * F.col("exact_users"))
     return g.select(

@@ -25,8 +25,25 @@ for mergeability.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def rank_window_ok(lt: Column, le: Column, n: Column, p: float, eps: float) -> Column:
+    """True iff an estimate whose feasible rank interval is
+    [lt+1, le] (lt = #values strictly below it, le = #values at or
+    below it — tie-robust) intersects the inclusive percentile target
+    rank ceil(p·n) within a normalized rank tolerance of eps·n + 1.
+
+    This is THE verdict predicate of the checked sketch forms
+    (`kll_value_rollup_checked`, `value_percentiles_approx_checked`):
+    extracted so its falsifiability is unit-testable directly — a
+    regression that degenerates it to always-TRUE turns the verdict
+    columns into constants, which only a driver round would catch."""
+    nd = n.cast("double")
+    tol = nd * F.lit(float(eps)) + F.lit(1.0)
+    t = F.ceil(F.lit(p) * nd).cast("double")
+    return (lt.cast("double") < t + tol) & (le.cast("double") >= t - tol)
 
 
 def kll_value_rollup(events: DataFrame, k: int = 16384) -> DataFrame:
@@ -104,10 +121,10 @@ def kll_value_rollup_checked(events: DataFrame, k: int = 16384) -> DataFrame:
         F.expr("unix_micros(cast(ts as timestamp)) div 3600000000").alias("hour_bucket")
     ).agg(F.expr(f"kll_sketch_agg_double(value, {k})").alias("sk"))
     daily = (
-        hourly.groupBy(F.expr("hour_bucket div 24").alias("day_bucket"))
+        hourly.groupBy(F.expr("hour_bucket div 24").alias("d_bucket"))
         .agg(F.expr("kll_merge_agg_double(sk)").alias("sk"))
         .select(
-            "day_bucket",
+            "d_bucket",
             F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("k50"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("k95"),
             F.expr("kll_sketch_get_quantile_double(sk, 0.99)").alias("k99"),
@@ -117,7 +134,11 @@ def kll_value_rollup_checked(events: DataFrame, k: int = 16384) -> DataFrame:
         events.withColumn(
             "day_bucket", F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
         )
-        .join(F.broadcast(daily), "day_bucket")
+        # null-SAFE join back: a NULL ts yields a NULL day bucket, which
+        # GROUP BY keeps in both engines — the verification join must
+        # not drop that group (inner equi-joins never match NULL keys)
+        .join(F.broadcast(daily), F.col("day_bucket").eqNullSafe(F.col("d_bucket")))
+        .drop("d_bucket")
         .groupBy("day_bucket")
         .agg(
             F.count("*").alias("n_points"),
@@ -134,16 +155,9 @@ def kll_value_rollup_checked(events: DataFrame, k: int = 16384) -> DataFrame:
             ],
         )
     )
-    n = F.col("n_points").cast("double")
-    tol = n * F.lit(0.005) + F.lit(1.0)
-
     def _rank_ok(kcol: str, p: float):
-        # percentile_disc target rank is ceil(p*n) (inclusive); the
-        # estimate's feasible rank interval [lt+1, le] must intersect
-        # the target ± tolerance window
-        t = F.ceil(F.lit(p) * n).cast("double")
-        return (F.col(f"lt_{kcol}").cast("double") < t + tol) & (
-            F.col(f"le_{kcol}").cast("double") >= t - tol
+        return rank_window_ok(
+            F.col(f"lt_{kcol}"), F.col(f"le_{kcol}"), F.col("n_points"), p, eps=0.005
         )
 
     return g.select(

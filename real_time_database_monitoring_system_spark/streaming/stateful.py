@@ -213,7 +213,13 @@ def _make_watermarked_funnel(lateness_us: int):
         corrections can move instants DOWN or steps back to −1).
         Events older than the horizon when they arrive violate the
         declared lateness bound and are dropped, the standard
-        watermark contract."""
+        watermark contract.
+
+        No per-batch pre-sort: `buf.sort()` below establishes the
+        (us, event_type) fold order, and same-instant ties are
+        outcome-invariant anyway — every transition gate is a strict
+        `us > t_prev` inequality, so two events at the same µs can
+        never chain off each other regardless of tie order."""
         (user_id,) = key
         if state.exists:
             t1, t2, t3, wm, ver, buf_us, buf_et = state.get
@@ -222,7 +228,6 @@ def _make_watermarked_funnel(lateness_us: int):
             t1, t2, t3, wm, ver, buf = -1, -1, -1, -(1 << 62), 0, []
         horizon = wm - lateness_us
         for pdf in batches:
-            pdf = pdf.sort_values(["us", "event_id"])
             for us, et in zip(pdf["us"], pdf["event_type"], strict=True):
                 us = int(us)
                 if us > wm:

@@ -48,23 +48,76 @@ def test_kll_checked_booleans_hold_and_exacts_match(spark, sf_dir):
         assert r.exact_p50 <= r.exact_p95 <= r.exact_p99
 
 
-def test_kll_checked_rank_bound_is_falsifiable(spark):
-    """The in-bound booleans must actually be able to fail — a
-    deliberately broken 'estimate' (the max value posing as the
-    median) must land outside the rank window on a spread series.
-    Guards against the verdict columns degenerating into constants."""
+def test_rank_window_predicate_is_falsifiable(spark):
+    """Drive the ACTUAL verdict predicate (`sketches.rank_window_ok`,
+    the one both checked forms call) with broken and correct
+    estimates: the max posing as the median must fail, the true
+    discrete median must pass, and boundary slack must behave. Guards
+    against the predicate degenerating into always-TRUE — which would
+    turn every verdict column into the constant the oracle emits."""
     from pyspark.sql import functions as F
 
-    df = spark.range(1000).select(
-        F.lit("t").alias("event_type"),
-        (F.col("id").cast("double")).alias("value"),
-        F.col("id").alias("user_id"),
+    # n=1000 distinct values 0..999: true p50 = 500 (ceil(0.5*1000));
+    # for value v, lt = v, le = v + 1
+    cases = [
+        # (lt, le, p, expect) at eps=0.005 → tol = 6.0, target t = 500
+        (500, 501, 0.5, True),    # exact discrete median
+        (999, 1000, 0.5, False),  # max posing as median
+        (0, 1, 0.5, False),       # min posing as median
+        (505, 506, 0.5, True),    # inside the rank window
+        (506, 507, 0.5, False),   # just outside (lt >= t + tol)
+        (949, 1000, 0.95, True),  # p95 with heavy ties still feasible
+    ]
+    df = spark.createDataFrame(
+        [(lt, le, p, exp) for lt, le, p, exp in cases],
+        "lt long, le long, p double, expect boolean",
     )
-    n = 1000
-    bad = 999.0  # claim the max is the p50
-    lt = df.filter(F.col("value") < bad).count()
-    tol = n * 0.005 + 1.0
-    assert not (lt < 0.5 * n + tol), "rank window should reject the max as a median"
+    rows = df.withColumn("n", F.lit(1000).cast("long")).collect()
+    for r in rows:
+        got = (
+            spark.range(1)
+            .select(
+                sketches.rank_window_ok(
+                    F.lit(r.lt), F.lit(r.le), F.lit(1000), float(r.p), eps=0.005
+                ).alias("ok")
+            )
+            .collect()[0]
+            .ok
+        )
+        assert got == r.expect, f"lt={r.lt} le={r.le} p={r.p}: got {got}"
+
+
+def test_checked_forms_keep_null_key_groups(spark):
+    """GROUP BY keeps NULL keys in both engines, so the checked forms'
+    verification join-back must be null-SAFE — an inner equi-join
+    would silently drop the NULL event_type / NULL ts group and
+    hash-mismatch against the oracle on any feed containing them."""
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import analytics, monitoring
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+        (2, "2024-01-01 11:00:00", 8, None, 2.0),
+        (3, None, 9, "view", 3.0),
+        (4, "2024-01-02 10:00:00", 7, None, 4.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    vpa = monitoring.value_percentiles_approx_checked(ev).collect()
+    assert any(r.event_type is None for r in vpa), "NULL event_type group dropped"
+    assert {r.event_type: r.n_events for r in vpa}[None] == 2
+
+    hll = analytics.hll_user_rollup_checked(ev).collect()
+    assert any(r.day_bucket is None for r in hll), "NULL ts group dropped (hll)"
+
+    kll = sketches.kll_value_rollup_checked(ev).collect()
+    assert any(r.day_bucket is None for r in kll), "NULL ts group dropped (kll)"
+    assert all(
+        r.p50_in_rank_bound and r.p95_in_rank_bound and r.p99_in_rank_bound for r in kll
+    )
 
 
 def test_hll_checked_and_percentile_checked_contracts(spark, sf_dir):
