@@ -46,6 +46,14 @@ def get_spark(
         # and keep broadcast threshold at default 10 MB (dimension tables
         # region/nation/supplier stay broadcast-able at any SF).
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # The default 100-entry whole-stage-codegen class cache evicts
+        # constantly once a workload carries 100+ distinct query shapes
+        # (this engine registers 213): every re-run then re-compiles
+        # every stage (~0.3-1.5 s each, measured — repeat runs never
+        # went warm in bench.py). Static conf, so it must be set at
+        # build time. Compiled-class metadata is small; 4096 entries is
+        # comfortable inside any executor/driver heap.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     if master:
         builder = builder.master(master)
