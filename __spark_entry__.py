@@ -21,6 +21,7 @@ rounded to 9 dp (cosines).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 import sys
@@ -1253,18 +1254,35 @@ def _q_streaming_freshness(spark, sf):
     return streaming_rollup.stream_freshness_audit(spark, sf)
 
 
-def _driver_green_names() -> set[str]:
-    """Entries with a full green driver row (rows + schema + hash) in
-    any committed CORRECTNESS_r*.json next to this file. Unreadable
-    files are skipped, so a corrupt artifact degrades to 'never
-    checked' (the entry re-enters the window) rather than crashing
-    the driver contract."""
+def _driver_green_names(repo_dir: str | None = None) -> frozenset[str]:
+    """Entries whose LATEST driver verdict is a full green row
+    (rows + schema + hash) across the committed CORRECTNESS_r*.json
+    artifacts next to this file.
+
+    Latest-wins, not green-latch: artifacts are folded in round order
+    (lexicographic r01 < r02 < …), so an entry that was green in an
+    early round but REGRESSED in a later one counts as never-green
+    again and the rotation puts it back in the driver window for
+    re-verification — a permanent latch would leave red evidence
+    unactionable forever while reporting full coverage.
+
+    Unreadable or non-dict files are skipped, so a corrupt artifact
+    degrades to 'not mentioned' rather than crashing the driver
+    contract. Results are memoized per directory (artifacts only
+    change between rounds, and queries() is called in per-query
+    loops by the harness)."""
+    import os
+
+    repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
+    return _driver_green_names_cached(repo)
+
+
+def _green_cache_impl(repo: str) -> frozenset[str]:
     import glob
     import json
     import os
 
-    repo = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    verdict: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -1273,17 +1291,19 @@ def _driver_green_names() -> set[str]:
             continue
         if not isinstance(data, dict):
             # valid JSON but not the row map (truncated/repaired
-            # artifact) — same degrade-to-never-checked rule
+            # artifact) — same degrade rule as unreadable files
             continue
         for name, row in data.items():
-            if (
-                isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                green.add(name)
-    return green
+            if isinstance(row, dict):
+                verdict[name] = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                )
+    return frozenset(n for n, ok in verdict.items() if ok)
+
+
+_driver_green_names_cached = functools.lru_cache(maxsize=8)(_green_cache_impl)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .sketches import rank_window_ok
+
 _TS_US = "unix_micros(cast(ts as timestamp))"
 
 
@@ -626,8 +628,6 @@ def value_percentiles_approx_checked(events: DataFrame, accuracy: int = 10000) -
             F.first("au").alias("au"),
         )
     )
-    from .sketches import rank_window_ok
-
     def _rank_ok(lt: str, le: str, p: float):
         return rank_window_ok(
             F.col(lt), F.col(le), F.col("n_events"), p, eps=1.0 / accuracy

@@ -266,9 +266,11 @@ def stream_funnel_watermarked(
     lateness window at steady state)."""
     from pyspark.sql import functions as F
 
+    # no event_id: the processor reads only (us, event_type) — its
+    # former consumer was the removed per-batch pre-sort, and carrying
+    # a dead bigint through the stateful exchange costs Arrow transfer
     src = _events_stream(spark, sf_dir).select(
         "user_id",
-        "event_id",
         "event_type",
         F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
     )

@@ -96,18 +96,30 @@ def test_auto_rotation_is_a_stable_partition(monkeypatch):
         assert [n for n in canon if n in green] == ordered[n_never:]
 
 
-def test_driver_green_names_survives_corrupt_artifact(tmp_path, monkeypatch):
-    """A corrupt CORRECTNESS file must degrade to 'never checked',
-    not crash the driver contract at import/call time."""
+def test_driver_green_names_survives_corrupt_artifact(tmp_path):
+    """A corrupt CORRECTNESS file must degrade to 'not mentioned',
+    not crash the driver contract at import/call time. Non-dict valid
+    JSON gets the same rule."""
     good = {"q1": {"rows_match": True, "schema_match": True, "hash_match": True}}
     (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(good))
     (tmp_path / "CORRECTNESS_r02.json").write_text("{not json")
-    import __spark_entry__ as m
+    (tmp_path / "CORRECTNESS_r03.json").write_text("[]")
+    assert entry_mod._driver_green_names(str(tmp_path)) == {"q1"}
 
-    real_dirname = os.path.dirname
 
-    def fake_dirname(p):
-        return str(tmp_path) if p == os.path.abspath(m.__file__) else real_dirname(p)
-
-    monkeypatch.setattr(os.path, "dirname", fake_dirname)
-    assert m._driver_green_names() == {"q1"}
+def test_driver_green_names_latest_verdict_wins(tmp_path):
+    """Green is NOT a permanent latch: an entry that regresses in a
+    later round must re-enter the never-green set (and therefore the
+    driver window) even though an old artifact has a green row — a
+    latch would leave red evidence permanently unactionable while the
+    rotation reports full coverage."""
+    g = {"rows_match": True, "schema_match": True, "hash_match": True}
+    r = {"rows_match": True, "schema_match": True, "hash_match": False}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"stays_green": g, "regresses": g})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"regresses": r, "recovers": r})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"recovers": g}))
+    assert entry_mod._driver_green_names(str(tmp_path)) == {"stays_green", "recovers"}

@@ -68,23 +68,20 @@ def test_rank_window_predicate_is_falsifiable(spark):
         (506, 507, 0.5, False),   # just outside (lt >= t + tol)
         (949, 1000, 0.95, True),  # p95 with heavy ties still feasible
     ]
-    df = spark.createDataFrame(
-        [(lt, le, p, exp) for lt, le, p, exp in cases],
-        "lt long, le long, p double, expect boolean",
-    )
-    rows = df.withColumn("n", F.lit(1000).cast("long")).collect()
-    for r in rows:
-        got = (
-            spark.range(1)
-            .select(
+    got = (
+        spark.range(1)
+        .select(
+            *[
                 sketches.rank_window_ok(
-                    F.lit(r.lt), F.lit(r.le), F.lit(1000), float(r.p), eps=0.005
-                ).alias("ok")
-            )
-            .collect()[0]
-            .ok
+                    F.lit(lt), F.lit(le), F.lit(1000), p, eps=0.005
+                ).alias(f"c{i}")
+                for i, (lt, le, p, _) in enumerate(cases)
+            ]
         )
-        assert got == r.expect, f"lt={r.lt} le={r.le} p={r.p}: got {got}"
+        .collect()[0]
+    )
+    for i, (lt, le, p, expect) in enumerate(cases):
+        assert got[f"c{i}"] == expect, f"lt={lt} le={le} p={p}: got {got[f'c{i}']}"
 
 
 def test_checked_forms_keep_null_key_groups(spark):
