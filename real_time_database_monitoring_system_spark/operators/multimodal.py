@@ -49,11 +49,13 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return n, n % 640, (n * 7) % 480, checksum
 
 
-def decode_metadata(documents: DataFrame) -> DataFrame:
-    """mapInPandas decode: Arrow batches of (doc_id, payload) → decoded
-    metadata rows. One output row per input row, schema declared up
-    front — partition-preserving, no shuffle."""
-    payloads = attach_payload(documents)
+def decode_payloads(payloads: DataFrame) -> DataFrame:
+    """mapInPandas decode over an already-payload-shaped frame
+    (doc_id, payload, …) — the entry point for RAW-FILE ingestion via
+    `sources.formats.read_binary_dir` as well as the documents-table
+    path below. Arrow batches in, decoded metadata rows out; one
+    output row per input row, schema declared up front —
+    partition-preserving, no shuffle."""
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -68,7 +70,17 @@ def decode_metadata(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return payloads.select("doc_id", "payload").mapInPandas(decode_batches, DECODED_SCHEMA).orderBy("doc_id")
+    return (
+        payloads.select("doc_id", "payload")
+        .mapInPandas(decode_batches, DECODED_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+def decode_metadata(documents: DataFrame) -> DataFrame:
+    """Documents-table decode path: text cast to an opaque binary
+    payload, then the shared `decode_payloads` mapInPandas pass."""
+    return decode_payloads(attach_payload(documents))
 
 
 EMBED_DIM = 64

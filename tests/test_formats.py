@@ -81,3 +81,43 @@ def test_explicit_schema_reads_across_file_generations(spark, sf_dir, tmp_path):
     assert back.count() == 20
     assert back.filter(F.col("quality").isNull()).count() == 10
     assert back.filter(F.col("quality") == 0.5).count() == 10
+
+
+def test_binary_dir_ingestion_feeds_multimodal_pipeline(spark, tmp_path):
+    """Raw-file ingestion closes the multimodal loop from the
+    FILESYSTEM side: binaryFile listing -> payload shape -> mapInPandas
+    decode. Glob must filter at listing time, max_bytes at the file
+    level, content must round-trip exactly, and doc_id must be a
+    deterministic function of the path (same listing -> same ids)."""
+    from real_time_database_monitoring_system_spark.operators import multimodal
+    from real_time_database_monitoring_system_spark.sources import formats
+
+    media = tmp_path / "media" / "day=1"
+    media.mkdir(parents=True)
+    payloads = {
+        "a.png": b"\x89PNG-fake-bytes-aaaaaa",
+        "b.png": b"\x89PNG-fake-bytes-bb",
+        "c.wav": b"RIFF-fake-audio",
+        "d.png": b"\x89" + b"x" * 4096,  # oversized
+    }
+    for name, data in payloads.items():
+        (media / name).write_bytes(data)
+
+    df = formats.read_binary_dir(
+        spark, str(tmp_path / "media"), glob="*.png", max_bytes=1024
+    )
+    rows = {r.media_path.rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.png", "b.png"}  # glob drops .wav, max_bytes drops d
+    assert bytes(rows["a.png"].payload) == payloads["a.png"]
+    assert all(r.media_source == "png" for r in rows.values())
+    assert all(r.payload_bytes == len(bytes(r.payload)) for r in rows.values())
+    # deterministic ids: a second listing produces identical doc_ids
+    again = {r.media_path: r.doc_id for r in formats.read_binary_dir(
+        spark, str(tmp_path / "media"), glob="*.png", max_bytes=1024).collect()}
+    assert again == {r.media_path: r.doc_id for r in rows.values()}
+
+    decoded = multimodal.decode_payloads(df).collect()
+    assert len(decoded) == 2
+    by_id = {r.doc_id: r for r in decoded}
+    for r in rows.values():
+        assert by_id[r.doc_id].payload_bytes == r.payload_bytes
