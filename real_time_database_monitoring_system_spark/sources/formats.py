@@ -127,3 +127,39 @@ def read_binary_dir(
         F.col("path").alias("media_path"),
         F.col("length").alias("payload_bytes"),
     )
+
+
+def read_text_corpus(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """One-file-one-document text corpus ingestion (the classic crawl
+    /books layout) via the built-in text source with ``wholetext`` —
+    each file becomes ONE row instead of one row per line, so document
+    boundaries survive without a fragile re-assembly groupBy over
+    (file, line_no). Returns the documents shape
+    (doc_id, text, lang, source, n_chars): deterministic
+    xxhash64(path) ids, lang left NULL for `text.char_trigram_langid`
+    / `lang_id` to fill downstream, source = the file's parent
+    directory name (the usual per-source layout).
+
+    Caveat at scale, stated not hidden: wholetext makes a file the
+    unit of parallelism AND of memory (a task materializes the whole
+    file) — right for corpora of many small/medium documents, wrong
+    for single multi-GB files, which should arrive via `read_jsonl`
+    or be split upstream."""
+    # NB: wholetext must go through the text() kwarg — the PySpark
+    # method re-sets the option from its own default (False), silently
+    # clobbering a prior .option("wholetext", ...) call
+    reader = spark.read.option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.text(path, wholetext=True).select(
+        "value", F.input_file_name().alias("path")
+    )
+    return df.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.col("value").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.element_at(F.split(F.col("path"), "/"), -2).alias("source"),
+        F.length("value").cast("long").alias("n_chars"),
+    )

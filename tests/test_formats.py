@@ -121,3 +121,31 @@ def test_binary_dir_ingestion_feeds_multimodal_pipeline(spark, tmp_path):
     by_id = {r.doc_id: r for r in decoded}
     for r in rows.values():
         assert by_id[r.doc_id].payload_bytes == r.payload_bytes
+
+
+def test_text_corpus_one_file_one_document(spark, tmp_path):
+    """wholetext ingestion: document boundaries = file boundaries
+    (newlines inside a file must NOT split it), source = parent dir,
+    and the result feeds the text operators directly."""
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+    from real_time_database_monitoring_system_spark.sources import formats
+
+    (tmp_path / "corpus" / "wiki").mkdir(parents=True)
+    (tmp_path / "corpus" / "books").mkdir(parents=True)
+    (tmp_path / "corpus" / "wiki" / "a.txt").write_text("line one\nline two\nline three")
+    (tmp_path / "corpus" / "wiki" / "b.txt").write_text("the quick brown fox")
+    (tmp_path / "corpus" / "books" / "c.txt").write_text("call me ishmael tonight")
+    (tmp_path / "corpus" / "books" / "skip.md").write_text("not a txt")
+
+    docs = formats.read_text_corpus(spark, str(tmp_path / "corpus"), glob="*.txt")
+    rows = docs.collect()
+    assert len(rows) == 3
+    by_text = {r.text: r for r in rows}
+    assert "line one\nline two\nline three" in by_text  # newlines intact
+    assert by_text["the quick brown fox"].source == "wiki"
+    assert by_text["call me ishmael tonight"].source == "books"
+    assert all(r.n_chars == len(r.text) for r in rows)
+    assert len({r.doc_id for r in rows}) == 3
+    # feeds the text operator surface unchanged
+    stats = text_ops.token_stats(docs).collect()
+    assert len(stats) == 3 and all(s.n_tokens > 0 for s in stats)
