@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .util import materialize as _materialize
+
 _TS_US = "unix_micros(cast(ts as timestamp))"
 
 
@@ -91,7 +93,10 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     agg over that; the matrix is a join + count over user-level rows.
     """
     wk = F.expr("datediff(date(cast(ts as timestamp)), date'1970-01-01') div 7")
-    user_weeks = events.select("user_id", wk.alias("wk")).distinct()
+    # diamond rule: the feed-wide distinct feeds BOTH the first-seen
+    # aggregate and the join below — materialize or it recomputes per
+    # consumer (two full distinct shuffles over the feed)
+    user_weeks = _materialize(events.select("user_id", wk.alias("wk")).distinct())
     first = user_weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
     return (
         user_weeks.join(first, "user_id")
@@ -358,10 +363,15 @@ def attribution(
         raise ValueError("attribution: touch_types must be non-empty")
     us = F.expr(_TS_US)
     horizon_us = lookback_minutes * 60 * 1_000_000
-    conv = events.filter(F.col("event_type") == conversion).select(
-        F.col("event_id").alias("conv_id"),
-        "user_id",
-        us.alias("conv_us"),
+    # diamond rule: `conv` feeds the range join AND the final left
+    # join back — materialize or the conversion filter+scan of the
+    # feed runs once per consumer
+    conv = _materialize(
+        events.filter(F.col("event_type") == conversion).select(
+            F.col("event_id").alias("conv_id"),
+            "user_id",
+            us.alias("conv_us"),
+        )
     )
     touch = events.filter(F.col("event_type").isin(list(touch_types))).select(
         F.col("user_id").alias("t_user"),
