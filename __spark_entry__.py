@@ -3260,31 +3260,40 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # A/B panel twin: identical md5 arm assignment and the shared
-    # pooled-z expression
+    # pooled-z expression. Conditional aggregation (not filter +
+    # cross join) so the panel is always exactly one row even when an
+    # arm is empty — matching the operator's always-1-row contract.
     sql["ab_test_panel"] = f"""
         WITH pu AS (
             SELECT user_id,
                    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                        AS converted
             FROM events GROUP BY user_id),
-        arms AS (
+        assigned AS (
             SELECT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
                         AS BIGINT) % 2 AS arm,
-                   CAST(count(*) AS BIGINT) AS n_users,
-                   CAST(SUM(converted) AS BIGINT) AS n_converted
-            FROM pu GROUP BY 1),
-        a AS (SELECT n_users AS n_a, n_converted AS conv_a FROM arms WHERE arm = 0),
-        b AS (SELECT n_users AS n_b, n_converted AS conv_b FROM arms WHERE arm = 1)
+                   converted
+            FROM pu),
+        arms AS (
+            SELECT CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END),
+                                 0) AS BIGINT) AS conv_a,
+                   CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+                   CAST(COALESCE(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END),
+                                 0) AS BIGINT) AS conv_b
+            FROM assigned)
         SELECT n_a, conv_a,
-               round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9) AS rate_a,
+               round(CASE WHEN n_a > 0 THEN
+                   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 9) AS rate_a,
                n_b, conv_b,
-               round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9) AS rate_b,
-               round(CASE WHEN conv_a > 0 THEN
+               round(CASE WHEN n_b > 0 THEN
+                   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 9) AS rate_b,
+               round(CASE WHEN conv_a > 0 AND n_b > 0 THEN
                    (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
                    / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 END, 9)
                    AS relative_lift,
                {event_analytics.AB_Z_SQL} AS z_stat
-        FROM a, b
+        FROM arms
     """
 
     # period-over-period twin: gap-safe integer-day self-joins
@@ -5369,7 +5378,8 @@ def oracle_sql() -> dict[str, str]:
         _pr_chain += f""",
         c{_i} AS (
             SELECT ew.to_type AS node,
-                   sum((p.r * 850 * ew.w) // (1000 * ew.w_out)) AS s
+                   sum((CAST(p.r AS HUGEINT) * 850 * ew.w)
+                       // (CAST(ew.w_out AS HUGEINT) * 1000)) AS s
             FROM {_prev} p JOIN ew ON p.node = ew.from_type GROUP BY 1),
         r{_i} AS (
             SELECT n2.node, n2.n,

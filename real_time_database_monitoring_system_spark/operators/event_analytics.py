@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .pipeline import content_hash_bucket
 from .util import materialize as _materialize
 
 _TS_US = "unix_micros(cast(ts as timestamp))"
@@ -203,6 +204,14 @@ def top_session_paths(
             F.count("*").alias("path_len"),
         )
     )
+    return paths_from_sessions(paths, k)
+
+
+def paths_from_sessions(paths: DataFrame, k: int = 25) -> DataFrame:
+    """Path-frequency coda over per-session (path, path_len) rows —
+    SHARED by `top_session_paths` and the streaming twin
+    (`streaming.rollup.stream_session_paths`) so the rollup contract
+    (count, tiebreak order, top-k) cannot drift between them."""
     return (
         paths.groupBy("path")
         .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
@@ -316,7 +325,16 @@ def pagerank_transitions(events: DataFrame, n_iter: int = 3) -> DataFrame:
             ranks.join(ew, ranks.node == ew.from_type)
             .select(
                 F.col("to_type").alias("node"),
-                F.expr("(r * 850 * n_transitions) div (1000 * w_out)").alias("term"),
+                # DECIMAL(38,0) intermediate (oracle: HUGEINT): the
+                # raw bigint product r*850*w overflows int64 once a
+                # single edge weight exceeds ~1e13 — reachable on the
+                # feed sizes this operator targets. `div` on decimals
+                # still truncates toward zero and returns bigint, so
+                # the value is bit-identical where bigint sufficed.
+                F.expr(
+                    "(CAST(r AS DECIMAL(38,0)) * 850 * n_transitions)"
+                    " div (CAST(w_out AS DECIMAL(38,0)) * 1000)"
+                ).alias("term"),
             )
             .groupBy("node")
             .agg(F.sum("term").alias("s"))
@@ -537,52 +555,55 @@ def ab_test_panel(events: DataFrame) -> DataFrame:
 
     Scale shape: ONE scan reduces the feed to per-user (arm,
     converted) scalars — a keyed aggregation with map-side partials —
-    then a 2-row arm aggregate and a 1-row panel. No windows, no
-    joins over the feed."""
-    arm = (
-        F.conv(
-            F.substring(F.md5(F.col("user_id").cast("string").cast("binary")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
+    then a single conditional-aggregation row. No windows, no joins
+    over the feed. The panel is ALWAYS exactly one row: an arm with
+    no users reports n=0 and NULL rate/lift/z (the guards in
+    `AB_Z_SQL`), never a vanished row — a filter+cross-join shape
+    would silently emit zero rows when either arm is empty."""
+    arm = content_hash_bucket(F.col("user_id").cast("string"), buckets=2)
     per_user = events.groupBy("user_id").agg(
         F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "converted"
         )
     )
-    arms = (
+    return (
         per_user.select(arm.alias("arm"), "converted")
-        .groupBy("arm")
         .agg(
-            F.count("*").alias("n_users"),
-            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.count(F.when(F.col("arm") == 0, F.lit(1))).alias("n_a"),
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("conv_a"),
+            F.count(F.when(F.col("arm") == 1, F.lit(1))).alias("n_b"),
+            F.coalesce(
+                F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("conv_b"),
         )
-    )
-    a = arms.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("n_a"), F.col("n_converted").alias("conv_a")
-    )
-    b = arms.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("n_b"), F.col("n_converted").alias("conv_b")
-    )
-    return a.crossJoin(b).select(
-        "n_a",
-        "conv_a",
-        F.expr("round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 9)").alias(
-            "rate_a"
-        ),
-        "n_b",
-        "conv_b",
-        F.expr("round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 9)").alias(
-            "rate_b"
-        ),
-        F.expr(
-            "round(CASE WHEN conv_a > 0 THEN"
-            " (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
-            " / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 END, 9)"
-        ).alias("relative_lift"),
-        F.expr(AB_Z_SQL).alias("z_stat"),
+        .select(
+            "n_a",
+            "conv_a",
+            F.expr(
+                "round(CASE WHEN n_a > 0 THEN"
+                " CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END, 9)"
+            ).alias("rate_a"),
+            "n_b",
+            "conv_b",
+            F.expr(
+                "round(CASE WHEN n_b > 0 THEN"
+                " CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END, 9)"
+            ).alias("rate_b"),
+            F.expr(
+                "round(CASE WHEN conv_a > 0 AND n_b > 0 THEN"
+                " (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+                " / (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)) - 1.0 END, 9)"
+            ).alias("relative_lift"),
+            F.expr(AB_Z_SQL).alias("z_stat"),
+        )
     )
 
 
@@ -703,7 +724,7 @@ def funnel_windowed(
     lag_us = max_lag_minutes * 60 * 1_000_000
     us = F.expr(_TS_US)
     prev: DataFrame | None = None
-    stages: list[tuple[str, DataFrame]] = []
+    stages: list[tuple[str, DataFrame, DataFrame]] = []
     for step in steps:
         stage = events.filter(F.col("event_type") == step).select(
             "user_id", us.alias("us")

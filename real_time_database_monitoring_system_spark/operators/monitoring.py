@@ -943,6 +943,14 @@ def trending_types(events: DataFrame, k: int = 3) -> DataFrame:
     counts = events.select(day, "event_type").groupBy("day_no", "event_type").agg(
         F.count("*").alias("n")
     )
+    return trending_from_daily(counts, k)
+
+
+def trending_from_daily(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank coda over per-(day_no, event_type) count rows — SHARED by
+    `trending_types` and its streaming twin
+    (`streaming.rollup.stream_trending_types`) so the rank order and
+    tiebreak cannot drift between them."""
     w = Window.partitionBy("day_no").orderBy(F.desc("n"), F.asc("event_type"))
     return (
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
@@ -1034,6 +1042,16 @@ def slo_burn(events: DataFrame, budget_pct: float = 1.0) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
     )
+    return slo_burn_from_daily(daily, budget_pct)
+
+
+def slo_burn_from_daily(daily: DataFrame, budget_pct: float = 1.0) -> DataFrame:
+    """Burn-rate coda over per-(day_no) (n_total, n_errors) rows —
+    SHARED by `slo_burn` and the streaming twin
+    (`streaming.rollup.stream_slo_burn`) so the burn math and the
+    budget parameter cannot drift between them."""
+    if budget_pct <= 0:
+        raise ValueError("slo_burn: budget_pct must be positive")
     w_cum = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
     frac = budget_pct / 100.0
     return (
@@ -1092,6 +1110,14 @@ def bounce_rate_daily(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.expr(f"min({_TS_US}) div 86400000000").alias("day_no"),
         )
     )
+    return bounce_panel_from_sessions(sessions)
+
+
+def bounce_panel_from_sessions(sessions: DataFrame) -> DataFrame:
+    """Bounce panel coda over per-session (day_no, n_events) rows —
+    SHARED by `bounce_rate_daily` and the streaming twin
+    (`streaming.rollup.stream_bounce_rate`) so the bounce definition
+    and rounding cannot drift between them."""
     return (
         sessions.groupBy("day_no")
         .agg(

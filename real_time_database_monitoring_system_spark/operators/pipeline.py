@@ -35,12 +35,17 @@ from .util import materialize as _materialize
 from .util import spread as _spread
 
 
-def content_hash_bucket(text_col: str, buckets: int = 100) -> Column:
+def content_hash_bucket(text_col: str | Column, buckets: int = 100) -> Column:
     """Deterministic [0, buckets) bucket from the first 8 hex chars of
     md5(text) — portable across engines (DuckDB: `CAST('0x' ||
     substr(md5(text), 1, 8) AS BIGINT)`), uniform enough for sampling,
-    and stable under repartitioning/re-ingest."""
-    h = F.conv(F.substring(F.md5(F.col(text_col).cast("binary")), 1, 8), 16, 10).cast("bigint")
+    and stable under repartitioning/re-ingest.
+
+    Accepts a column name or an arbitrary string Column (e.g. a cast
+    key) so every hash-bucket consumer shares this one portable-hash
+    contract instead of re-deriving the md5/substring/conv chain."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    h = F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("bigint")
     return h % buckets
 
 

@@ -110,6 +110,10 @@ def stream_sliding_rollup(
     width, slide)` expression, identical aggregates), in complete
     output mode on the replayed feed. Checked against the same SQL
     oracle as the batch operator, so stream and batch cannot drift."""
+    if width_seconds % slide_seconds != 0:
+        # same contract as the batch twin — a silently-misaligned hop
+        # here would diverge from sliding_rollup, which raises
+        raise ValueError("width must be a multiple of slide for aligned hops")
     src = _events_stream(spark, sf_dir).withColumn("ts", F.col("ts").cast("timestamp"))
     windowed = (
         src.groupBy(
@@ -207,20 +211,11 @@ def stream_rollup_incremental(
     from ..operators.mutation import upsert
 
     src = _events_stream(spark, sf_dir)
-    windowed = (
-        src.withColumn("ts", F.col("ts").cast("timestamp"))
-        .groupBy(F.window("ts", f"{bucket_seconds} seconds").alias("w"))
-        .agg(
-            F.count("*").alias("n_points"),
-            F.max_by("value", "event_id").alias("last_value"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
-        )
-        .select(
-            (F.expr("unix_micros(cast(w.start as timestamp)) div 1000000")).alias("bucket_s"),
-            "n_points",
-            "last_value",
-            "sum_value",
-        )
+    # the one shared rollup contract — any change to the aggregate
+    # (cast, tiebreak) must reach stream_rollup, this incremental
+    # variant, and the batch twin together
+    windowed = _rollup_agg(
+        src.withColumn("ts", F.col("ts").cast("timestamp")), bucket_seconds
     )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
@@ -561,12 +556,9 @@ def stream_session_paths(
         .select("user_id", "path", "path_len")
     )
     per_session = _run_to_memory(sess, "complete")
-    return (
-        per_session.groupBy("path")
-        .agg(F.count("*").alias("n_sessions"), F.max("path_len").alias("path_len"))
-        .orderBy(F.desc("n_sessions"), F.asc("path"))
-        .limit(k)
-    )
+    from ..operators.event_analytics import paths_from_sessions
+
+    return paths_from_sessions(per_session, k)
 
 
 def stream_sessions(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
@@ -755,12 +747,9 @@ def stream_trending_types(spark: SparkSession, sf_dir: str, k: int = 3) -> DataF
         F.count("*").alias("n")
     )
     state = _run_to_memory(counts, "complete")
-    w = Window.partitionBy("day_no").orderBy(F.desc("n"), F.asc("event_type"))
-    return (
-        state.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .filter(F.col("rnk") <= k)
-        .orderBy("day_no", "rnk")
-    )
+    from ..operators.monitoring import trending_from_daily
+
+    return trending_from_daily(state, k)
 
 
 def stream_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,12 +922,16 @@ def stream_user_feature_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features_from_per_user(per_user)
 
 
-def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_slo_burn(
+    spark: SparkSession, sf_dir: str, budget_pct: float = 1.0
+) -> DataFrame:
     """Streaming twin of `monitoring.slo_burn`: the live error-budget
     panel. ONE streaming aggregation over (epoch day) carries the
     daily totals/errors (state = #days rows); the burn/cumulative coda
-    is batch-side over that sink. availableNow state == batch daily
-    counts, so it shares the batch oracle verbatim."""
+    is the SHARED batch coda (`monitoring.slo_burn_from_daily`) over
+    that sink — budget parameter included, so batch and stream cannot
+    drift. availableNow state == batch daily counts, so it shares the
+    batch oracle verbatim."""
     src = _events_stream(spark, sf_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -951,28 +944,9 @@ def stream_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_errors"),
     )
     state = _run_to_memory(daily, "complete").localCheckpoint()
-    w_cum = Window.orderBy("day_no").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        state.withColumn("cum_errors", F.sum("n_errors").over(w_cum))
-        .withColumn("cum_total", F.sum("n_total").over(w_cum))
-        .select(
-            F.col("day_no").cast("bigint").alias("day_no"),
-            "n_total",
-            "n_errors",
-            F.expr(
-                "round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE), 9)"
-            ).alias("error_rate"),
-            F.expr(
-                "round(CAST(n_errors AS DOUBLE) / CAST(n_total AS DOUBLE)"
-                " / 0.01, 9)"
-            ).alias("burn_rate"),
-            F.expr(
-                "round(CAST(cum_errors AS DOUBLE)"
-                " / (0.01 * CAST(cum_total AS DOUBLE)), 9)"
-            ).alias("cum_budget_used"),
-        )
-        .orderBy("day_no")
-    )
+    from ..operators.monitoring import slo_burn_from_daily
+
+    return slo_burn_from_daily(state, budget_pct)
 
 
 def stream_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -984,23 +958,12 @@ def stream_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     session's start day. availableNow sessions == batch sessions, so
     it shares the batch panel's oracle verbatim."""
     sessions = stream_sessions(spark, sf_dir)
-    return (
-        sessions.groupBy(
-            F.expr("start_us div 86400000000").alias("day_no")
+    from ..operators.monitoring import bounce_panel_from_sessions
+
+    return bounce_panel_from_sessions(
+        sessions.select(
+            F.expr("start_us div 86400000000").alias("day_no"), "n_events"
         )
-        .agg(
-            F.count("*").cast("bigint").alias("n_sessions"),
-            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_bounces"),
-        )
-        .withColumn(
-            "bounce_rate",
-            F.expr(
-                "round(CAST(n_bounces AS DOUBLE) / CAST(n_sessions AS DOUBLE), 9)"
-            ),
-        )
-        .orderBy("day_no")
     )
 
 
@@ -1012,15 +975,16 @@ def stream_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned-order combine (slope/intercept/R²) runs as a batch coda
     over the sink. availableNow state == the batch sums, hence the
     shared oracle."""
-    from ..operators.analytics import TREND_FINAL_SQL, TREND_SUMS_SQL
+    from ..operators.analytics import TREND_FINAL_SQL, TREND_SUMS_SQL, TREND_X_SPARK
 
     src = _events_stream(spark, sf_dir).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
-    x = "unix_micros(ts) div 3600000000"
+    # TREND_X_SPARK verbatim (its cast is a no-op here): batch,
+    # stream, and oracle share one hour-bucket definition
     sums = src.groupBy("event_type").agg(
         *[
-            F.expr(sql.format(x=x, y="value")).alias(name)
+            F.expr(sql.format(x=TREND_X_SPARK, y="value")).alias(name)
             for name, sql in TREND_SUMS_SQL.items()
         ]
     )
