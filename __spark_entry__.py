@@ -1011,7 +1011,10 @@ def _q_paragraph_dedup(spark, sf):
             F.col("text"),
             F.lead("text", 1).over(w).alias("nxt"),
         )
-        .filter(F.col("nxt").isNotNull())
+        # drop NULL on BOTH sides (the oracle's || would propagate a
+        # NULL text into a NULL synth doc; concat_ws would silently
+        # skip it — filtering first makes the two identical)
+        .filter(F.col("text").isNotNull() & F.col("nxt").isNotNull())
         .select("doc_id", F.concat_ws("\n", "text", "nxt").alias("text"))
     )
     return dedup.paragraph_dedup(synth)
@@ -1800,7 +1803,8 @@ def oracle_sql() -> dict[str, str]:
         WITH synth AS (
             SELECT doc_id, text || chr(10) || lead(text) OVER (ORDER BY doc_id) AS text
             FROM documents
-            QUALIFY lead(text) OVER (ORDER BY doc_id) IS NOT NULL),
+            QUALIFY text IS NOT NULL
+                AND lead(text) OVER (ORDER BY doc_id) IS NOT NULL),
         paras AS (
             SELECT doc_id,
                    len(string_split(text, chr(10))) AS n_paras,
@@ -2876,7 +2880,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_blocks,
                    CAST(SUM(c) AS BIGINT) AS n_docs,
                    CAST(MAX(c) AS BIGINT) AS max_block,
-                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs,
+                   CAST(SUM(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+                       AS candidate_pairs,
                    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
                        AS singleton_blocks
             FROM c)
@@ -4109,7 +4114,9 @@ def oracle_sql() -> dict[str, str]:
         q AS (SELECT vec_id, label,
                 list_transform(embedding,
                                x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qvec
-              FROM embeddings WHERE embedding IS NOT NULL),
+              FROM embeddings
+              WHERE embedding IS NOT NULL
+                AND len(list_filter(embedding, x -> x IS NULL)) = 0),
         c0f AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, qvec AS cvec
                FROM (SELECT vec_id, qvec FROM q ORDER BY vec_id LIMIT {_KM_K}))"""
     ]
@@ -4597,15 +4604,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
                        / CAST(count(*) AS DOUBLE) AS m
             FROM comp GROUP BY 1, 2),
-        pairs AS (
-            SELECT a.label AS label_a, b.label AS label_b,
-                   sum(a.m * b.m) AS dot,
-                   sum(a.m * a.m) AS na, sum(b.m * b.m) AS nb
-            FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
-            GROUP BY 1, 2)
-        SELECT label_a, label_b,
-               round(dot / (sqrt(na) * sqrt(nb)), 9) AS cos_sim
-        FROM pairs ORDER BY 1, 2
+        cvec AS (
+            -- ordered centroid LIST + list_dot_product: pins the
+            -- double summation order to the same left-to-right fold
+            -- as every other cosine twin (an unordered SUM over the
+            -- join output would be engine-order-dependent)
+            SELECT label, list(m ORDER BY pos) AS centroid
+            FROM cent GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               round(list_dot_product(a.centroid, b.centroid)
+                     / (sqrt(list_dot_product(a.centroid, a.centroid))
+                        * sqrt(list_dot_product(b.centroid, b.centroid))), 9)
+                   AS cos_sim
+        FROM cvec a JOIN cvec b ON a.label < b.label
+        ORDER BY 1, 2
     """
 
     # equi-depth histogram: percentile_disc boundaries (same WITHIN

@@ -67,17 +67,42 @@ def quantized(embeddings: DataFrame) -> DataFrame:
     over qvec approximate the float originals to ~1e-6 while keeping
     every downstream comparison exact-integer.
 
-    NULL embeddings are dropped (matching the oracle's WHERE): a NULL
-    vector otherwise rides through as a NULL distance, where Spark's
-    null-skipping `least` and SQL's NULLS-LAST row_number would pick
-    different clusters."""
-    return embeddings.filter(F.col("embedding").isNotNull()).select(
-        "vec_id",
-        "label",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x * _SCALE).cast("long"),
-        ).alias("qvec"),
+    NULL embeddings AND vectors containing a NULL element are dropped
+    (matching the oracles' WHERE): either otherwise rides through as a
+    NULL distance, where Spark's null-skipping `least` and SQL's
+    NULLS-LAST row_number would pick different clusters.
+
+    Domain guard: the packed argmin in `_best_cluster` requires
+    |q_i| ≤ 2^21 (|x_i| ≲ 2.097 — any normalized or near-normalized
+    embedding). A coordinate outside that bound would silently
+    overflow the shifted distance key, so it raises instead — loud
+    failure, never garbage clusters."""
+    qv = (
+        embeddings.filter(F.col("embedding").isNotNull())
+        .filter(
+            F.forall(
+                F.col("embedding").cast("array<double>"), lambda x: x.isNotNull()
+            )
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.round(x * _SCALE).cast("long"),
+            ).alias("qvec"),
+        )
+    )
+    in_domain = F.forall(F.col("qvec"), lambda q: F.abs(q) <= F.lit(1 << 21))
+    return qv.filter(
+        F.when(in_domain, F.lit(True)).otherwise(
+            F.raise_error(
+                F.lit(
+                    "quantized: |coordinate| exceeds ~2.097 — the packed "
+                    "argmin would overflow; normalize the embeddings"
+                )
+            )
+        )
     )
 
 
@@ -160,7 +185,11 @@ def kmeans_fit(
 
 
 def kmeans_assign(
-    embeddings: DataFrame, k: int = 8, n_iter: int = 2, keep_qvec: bool = False
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    keep_qvec: bool = False,
+    centroids: dict[int, list[int]] | None = None,
 ) -> DataFrame:
     """(vec_id, label, cluster_id, dist_sq[, qvec]) after `n_iter`
     Lloyd rounds. The returned plan is scan+project only — the fitted
@@ -168,8 +197,12 @@ def kmeans_assign(
     is embarrassingly parallel with zero exchanges. `keep_qvec` lets a
     consumer that needs the vectors (the within-cluster pair search)
     carry them through the same projection instead of joining the
-    quantized table back on vec_id."""
-    centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
+    quantized table back on vec_id. `centroids` accepts a precomputed
+    fit (from `kmeans_fit` with the same params) so callers needing
+    both the model and the assignment — `cluster_quality` — pay the
+    Lloyd iterations once, not twice."""
+    if centroids is None:
+        centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
     qv = quantized(embeddings)
     extra = ["qvec"] if keep_qvec else []
     if not centroids:
@@ -388,7 +421,7 @@ def cluster_quality(
             [], "cluster_id int, n_members bigint, s_intra double, "
             "nearest_other int, r_max double"
         )
-    assign = kmeans_assign(embeddings, k=k, n_iter=n_iter)
+    assign = kmeans_assign(embeddings, k=k, n_iter=n_iter, centroids=centroids)
     scatter = assign.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),
         (

@@ -180,28 +180,35 @@ def embedding_near_dup_pairs(
         F.struct(F.lit(j).alias("band_id"), F.col(f"band_{j}").alias("band_val"))
         for j in range(bands)
     ]
+    # band rows carry ONLY ids (the minhash_lsh_pairs rule): the
+    # 512-byte vector would otherwise cross the band-join shuffle
+    # `bands`× on both sides and ride through the candidate distinct;
+    # vectors join back from the materialized signature table once
+    # per (small) candidate set instead
     banded = sig.select(
-        "vec_id", "label", "vec", F.explode(F.array(*band_structs)).alias("b")
+        "vec_id", "label", F.explode(F.array(*band_structs)).alias("b")
     ).select(
-        "vec_id", "label", "vec",
+        "vec_id", "label",
         F.col("b.band_id").alias("band_id"), F.col("b.band_val").alias("band_val"),
     )
     a = banded.select(
-        "label", "band_id", "band_val",
-        F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"),
+        "label", "band_id", "band_val", F.col("vec_id").alias("vec_a")
     )
     b = banded.select(
-        "label", "band_id", "band_val",
-        F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"),
+        "label", "band_id", "band_val", F.col("vec_id").alias("vec_b")
     )
     cand = (
         a.join(b, ["label", "band_id", "band_val"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("label", "vec_a", "vec_b", "va", "vb")
+        .select("label", "vec_a", "vec_b")
         .distinct()
     )
+    va = sig.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    vb = sig.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
     return (
-        cand.select(
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
             "label",
             "vec_a",
             "vec_b",
@@ -363,20 +370,34 @@ def knn_lsh(
         )
         for b in range(bands)
     ]
+    # band rows carry ONLY ids (the minhash_lsh_pairs rule): the
+    # vector arrays would otherwise cross the band join `bands`× per
+    # side and inflate the candidate distinct; they join back from
+    # the materialized signature table per candidate instead
     banded = emb_d.select(
-        "vec_id", "label", "vec", F.explode(F.array(*band_structs)).alias("b")
-    ).select("vec_id", "label", "vec", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
+        "vec_id", F.explode(F.array(*band_structs)).alias("b")
+    ).select("vec_id", F.col("b.band_id").alias("band_id"), F.col("b.band_sig").alias("band_sig"))
     queries = banded.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"), "band_id", "band_sig"
+        F.col("vec_id").alias("q_id"), "band_id", "band_sig"
     )
     cand = (
         banded.join(queries, ["band_id", "band_sig"])
         .filter(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "q_vec", "vec_id", "label", "vec")
+        .select("q_id", "vec_id")
         .distinct()
     )
-    scored = cand.select(
-        "q_id", "vec_id", "label", F.round(cosine(F.col("q_vec"), F.col("vec")), 9).alias("cos_sim")
+    qv = emb_d.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    scored = (
+        cand.join(emb_d.select("vec_id", "label", "vec"), "vec_id")
+        .join(F.broadcast(qv), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("q_vec"), F.col("vec")), 9).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
