@@ -581,9 +581,11 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
 
     Scale shape: tokenize ONCE (materialized explode shared by the
     frequency aggregate and the scoring join); the LM is a vocab-sized
-    table — the (tok → logp) join broadcasts for real vocabularies;
-    corpus total is a broadcast scalar. One corpus shuffle total (the
-    per-doc score aggregate).
+    table joined WITHOUT a broadcast hint — a curated vocabulary fits
+    and AQE broadcasts it at runtime, but a raw web-corpus vocab
+    (every distinct URL and typo) can reach GBs, where a forced hint
+    would OOM the driver; unhinted, AQE falls back to a shuffle join.
+    Corpus total is a broadcast scalar.
 
     Determinism: ln() is rounded to 9 dp and accumulated in
     decimal(28,9) — exact, order-independent sums under any
@@ -606,7 +608,7 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
         .cast("decimal(28,9)")
         .alias("logp")
     )
-    scored = toks.join(F.broadcast(freq), "tok").crossJoin(F.broadcast(total)).select(
+    scored = toks.join(freq, "tok").crossJoin(F.broadcast(total)).select(
         "doc_id", "source", logp
     )
     return (
@@ -963,9 +965,10 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     Scale shape: the (prev, cur) pair relation is built ARRAY-SIDE
     (prepend-null + zip) before ONE explode — never a positional
     self-join of the token table, which would shuffle the corpus on
-    (doc_id, pos). The unigram table broadcasts (vocab-sized); the
-    bigram-count join is the one data-sized shuffle beyond the two
-    count aggregations. Per-term round(9) → DECIMAL(28,9) accumulation
+    (doc_id, pos). The unigram/bigram tables join WITHOUT broadcast
+    hints (the `unigram_logprob_score` rule: a raw web-corpus vocab
+    can reach GBs — AQE broadcasts at runtime when it actually fits).
+    Per-term round(9) → DECIMAL(28,9) accumulation
     keeps the distributed sum exact and order-independent."""
     toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     pairs = _materialize(
@@ -994,11 +997,11 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     )
     total = uni.agg(F.sum("n_uni").alias("n_total"))
     scored = (
-        pairs.join(F.broadcast(uni.withColumnRenamed("tok", "cur")
-                   .withColumnRenamed("n_uni", "cu")), "cur", "left")
+        pairs.join(uni.withColumnRenamed("tok", "cur")
+                   .withColumnRenamed("n_uni", "cu"), "cur", "left")
         .join(
-            F.broadcast(uni.withColumnRenamed("tok", "prev")
-                        .withColumnRenamed("n_uni", "c1")),
+            uni.withColumnRenamed("tok", "prev")
+            .withColumnRenamed("n_uni", "c1"),
             "prev",
             "left",
         )
