@@ -3130,7 +3130,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(count(*) AS BIGINT) AS n_buckets,
                    CAST(SUM(c) AS BIGINT) AS n_events,
-                   SUM(CAST(c * c AS DECIMAL(38,0))) AS s2
+                   SUM(CAST(c AS HUGEINT) * c) AS s2
             FROM c GROUP BY 1),
         f AS (
             SELECT event_type, n_buckets, n_events,
@@ -4356,8 +4356,11 @@ def oracle_sql() -> dict[str, str]:
     # hopping windows: bucket b covers starts (b-1)*300 and b*300
     # (width 600 = 2 slides, epoch-aligned like Spark's F.window)
     sql["sliding_rollup"] = """
+        -- ts IS NOT NULL mirrors Spark's F.window, which injects an
+        -- implicit not-null filter on the time column; without it the
+        -- hop expansion would emit a NULL window_s group (twice)
         WITH x AS (SELECT (epoch_us(ts) // 300000000) AS b, event_id, value
-                   FROM events)
+                   FROM events WHERE ts IS NOT NULL)
         SELECT (b - j) * 300 AS window_s,
                count(*) AS n_points,
                arg_max(value, event_id) AS last_value,
@@ -5440,9 +5443,10 @@ def oracle_sql() -> dict[str, str]:
         t AS (SELECT CAST(sum(obs) AS BIGINT) AS total,
                      CAST(count(*) AS BIGINT) AS k FROM c),
         p AS (SELECT c.event_type, c.obs, t.total, t.k,
-                     (c.obs * t.k - t.total) * (c.obs * t.k - t.total) AS dev2
+                     CAST(c.obs * t.k - t.total AS HUGEINT)
+                         * (c.obs * t.k - t.total) AS dev2
               FROM c, t),
-        s AS (SELECT CAST(sum(dev2) AS BIGINT) AS sum_dev2,
+        s AS (SELECT CAST(sum(dev2) AS HUGEINT) AS sum_dev2,
                      CAST(min(total) AS BIGINT) AS total_,
                      CAST(min(k) AS BIGINT) AS k_ FROM p)
         SELECT p.event_type, p.obs,

@@ -359,14 +359,18 @@ def type_correlation(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame
     the edge; NULL when either series is constant.
     """
     bucket_us = bucket_seconds * 1_000_000
-    means = events.groupBy(
-        F.expr(f"unix_micros(cast(ts as timestamp)) div {bucket_us}").alias("b"),
-        "event_type",
-    ).agg(
-        (
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
-            / F.count("*").cast("double")
-        ).alias("m")
+    # diamond rule: the hourly-means aggregate feeds BOTH sides of the
+    # self-join — materialize or the feed scan+aggregate runs twice
+    means = _materialize(
+        events.groupBy(
+            F.expr(f"unix_micros(cast(ts as timestamp)) div {bucket_us}").alias("b"),
+            "event_type",
+        ).agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("m")
+        )
     )
     a = means.select("b", F.col("event_type").alias("type_a"), F.col("m").alias("ma"))
     bb = means.select("b", F.col("event_type").alias("type_b"), F.col("m").alias("mb"))
@@ -573,8 +577,10 @@ def user_day_streaks(events: DataFrame) -> DataFrame:
     row, so the aggregates below are exact.
 
     Recursion depth is bounded by the longest streak (≤ the feed's day
-    span, ~31 for a monthly window — far under Spark's recursion
-    limit), and every iteration joins two DAY-level relations
+    span; `registry.configure_session` raises
+    spark.sql.cteRecursionLevelLimit to 100k so a bot active 100+
+    straight days aborts nothing), and every iteration joins two
+    DAY-level relations
     (#users × #days rows, already distinct-reduced from the raw feed) —
     this is the genuinely-iterative closure shape, kept away from the
     raw 100 TB scan by the distinct day projection. For the same
@@ -709,7 +715,9 @@ def class_balance(events: DataFrame) -> DataFrame:
         "total",
         "k",
         (F.col("obs").cast("double") / F.col("total").cast("double")).alias("share"),
-        (dev * dev).alias("dev2"),
+        # DECIMAL(38,0) square (oracle: HUGEINT) — dev ~ obs·k can
+        # reach 1e12 on large feeds, where the bigint square overflows
+        (dev.cast("decimal(38,0)") * dev).alias("dev2"),
     )
     chi = per_class.agg(
         F.sum("dev2").alias("sum_dev2"),

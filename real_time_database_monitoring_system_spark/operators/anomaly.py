@@ -344,7 +344,9 @@ def dispersion_panel(events: DataFrame, bucket_seconds: int = 60) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_buckets"),
             F.sum("c").cast("bigint").alias("n_events"),
-            F.sum(F.expr("CAST(c * c AS DECIMAL(38,0))")).alias("s2"),
+            # cast an OPERAND, not the product: c*c in bigint already
+            # overflows at c > ~3e9 before the outer cast can widen it
+            F.sum(F.expr("CAST(c AS DECIMAL(38,0)) * c")).alias("s2"),
         )
         .select(
             "event_type",

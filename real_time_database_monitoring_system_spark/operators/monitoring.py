@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .sketches import rank_window_ok
+from .util import materialize as _materialize
 
 _TS_US = "unix_micros(cast(ts as timestamp))"
 
@@ -301,7 +302,12 @@ def minute_corr_join(
     string equality plus a pid hop to live sessions, DISTINCT
     (views.py:793-799). Restated as an exact integer minute-bucket
     equi-join (SURVEY §7: prefer date_trunc semantics over string
-    equality) plus a dimension hop, with the dimension broadcast.
+    equality) plus a dimension hop. The customer hop is UNHINTED:
+    unlike region/nation, customer scales with the user population
+    (1e9 rows on a large deployment), so a forced broadcast would OOM
+    — the optimizer broadcasts from statistics while it fits
+    (plan-asserted at test SFs) and falls back to a shuffle join
+    beyond that.
     """
     a = events.filter(F.col("event_type") == left_type).select(
         _minute_bucket("ts").alias("minute_b"),
@@ -314,7 +320,7 @@ def minute_corr_join(
     )
     return (
         a.join(b, "minute_b")
-        .join(F.broadcast(customer), a.a_user_id == customer.c_custkey)
+        .join(customer, a.a_user_id == customer.c_custkey)
         .select("minute_b", "a_event_id", "b_event_id", "c_name")
         .distinct()
         .orderBy("minute_b", "a_event_id", "b_event_id")
@@ -472,9 +478,18 @@ def asof_join(
     no range-explosion join. Right side is deduped per (user, ts)
     (keep max event_id) so ties are deterministic in any engine.
     Equal timestamps match (right sorts before left at the same ts).
+
+    NULL-ts right rows are excluded: Spark's ASC window default is
+    NULLS FIRST, so an unfiltered NULL-ts click would be carried into
+    every purchase before the user's first real click — the oracle's
+    ASOF condition (p.ts >= c.ts) never matches a NULL. A NULL-ts
+    LEFT row needs no filter: it sorts before any right row, carries
+    nothing, and emits with a NULL match — exactly the ASOF LEFT JOIN
+    result.
     """
     right = (
         events.filter(F.col("event_type") == right_type)
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id", "ts")
         .agg(F.max("event_id").alias("r_event_id"), F.max_by("value", "event_id").alias("r_value"))
         .select("user_id", "ts", "r_event_id", "r_value", F.lit(0).alias("tag"))
@@ -880,14 +895,18 @@ def freshness_audit(events: DataFrame, stale_minutes: int = 60) -> DataFrame:
     stopped sending?"). The reference's uptime/last-refresh panels
     (views.py engine-info family) generalized per stream.
 
-    One column-pruned keyed aggregate (max µs + count per type) plus
-    the broadcast snapshot instant; the flag is integer comparison.
-    At 100 TB this reads two columns and ships #types rows.
+    ONE column-pruned keyed aggregate (max µs + count per type); the
+    snapshot instant is max(last_us) over the #types-row relation —
+    the same value as a feed-wide max without a second scan (the
+    `health_score` rule). The flag is integer comparison. At 100 TB
+    this reads two columns once and ships #types rows.
     """
-    per_type = events.groupBy("event_type").agg(
-        F.max(_us("ts")).alias("last_us"), F.count("*").alias("n_events")
+    per_type = _materialize(
+        events.groupBy("event_type").agg(
+            F.max(_us("ts")).alias("last_us"), F.count("*").alias("n_events")
+        )
     )
-    as_of = events.agg(F.max(_us("ts")).alias("as_of_us"))
+    as_of = per_type.agg(F.max("last_us").alias("as_of_us"))
     return (
         per_type.crossJoin(F.broadcast(as_of))
         .select(

@@ -141,6 +141,11 @@ def configure_session(spark: SparkSession) -> None:
     nanosAsLong (the only way Spark can read ns-precision parquet)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # recursive-CTE depth = the longest consecutive-day streak in
+    # user_day_streaks; the 100-level default aborts on any feed with
+    # a user active 100+ straight days (bots, monitors). 100k bounds a
+    # ~274-year streak while still stopping a genuinely runaway query.
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "100000")
 
 
 _EVENTS_NS_SCHEMA = T.StructType(
