@@ -643,7 +643,17 @@ def _q_source_quantile_normalize(spark, sf):
 
 
 def _q_tokenize_to_ids(spark, sf):
-    return pipeline.tokenize_to_ids(load_table(spark, sf, "documents"))
+    # Driver-shape contract: the harness canonicalizer hashes pandas
+    # values and crashes on list cells (r04's only red row), so the
+    # registry entry flattens `token_ids` to a comma-joined string.
+    # The array-typed API remains `pipeline.tokenize_to_ids`.
+    return pipeline.tokenize_to_ids(load_table(spark, sf, "documents")).select(
+        "doc_id",
+        "n_tokens",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids_csv"
+        ),
+    )
 
 
 def _q_streaming_value_histogram(spark, sf):
@@ -1284,9 +1294,19 @@ def _green_cache_impl(repo: str) -> frozenset[str]:
     import glob
     import json
     import os
+    import re
+
+    def _round_key(path: str) -> tuple[int, str]:
+        # Latest-wins fold must follow NUMERIC round order: lexicographic
+        # sorting puts r4 after r10–r39 and r100 before r99, letting a
+        # stale artifact silently override a newer verdict (ADVICE r4).
+        m = re.search(r"_r(\d+)", os.path.basename(path))
+        return (int(m.group(1)) if m else -1, path)
 
     verdict: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+    for path in sorted(
+        glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_key
+    ):
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -2579,7 +2599,8 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY id <= 1000)
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_tokens,
-               list(COALESCE(v.id, 0) ORDER BY pos) AS token_ids
+               array_to_string(list(COALESCE(v.id, 0) ORDER BY pos), ',')
+                   AS token_ids_csv
         FROM tokp LEFT JOIN vocab v USING (term)
         GROUP BY doc_id
         ORDER BY doc_id

@@ -633,6 +633,11 @@ def value_percentiles_approx_checked(events: DataFrame, accuracy: int = 10000) -
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
+            # rank-bound target: NON-NULL value count. percentile() and
+            # the lt/le counters all skip NULL values, so using count(*)
+            # here would inflate the target rank whenever a group has
+            # NULL values and falsely redden a correct sketch (ADVICE r4).
+            F.count("value").alias("n_values"),
             F.countDistinct("user_id").alias("exact_users"),
             F.expr("percentile(value, 0.5)").alias("p50_exact"),
             F.expr("percentile(value, 0.95)").alias("p95_exact"),
@@ -645,7 +650,7 @@ def value_percentiles_approx_checked(events: DataFrame, accuracy: int = 10000) -
     )
     def _rank_ok(lt: str, le: str, p: float):
         return rank_window_ok(
-            F.col(lt), F.col(le), F.col("n_events"), p, eps=1.0 / accuracy
+            F.col(lt), F.col(le), F.col("n_values"), p, eps=1.0 / accuracy
         )
 
     card_tol = F.greatest(F.lit(5.0), F.lit(0.15) * F.col("exact_users"))

@@ -142,6 +142,11 @@ def kll_value_rollup_checked(events: DataFrame, k: int = 16384) -> DataFrame:
         .groupBy("day_bucket")
         .agg(
             F.count("*").alias("n_points"),
+            # rank-bound target: NON-NULL value count — percentile_disc
+            # and the lt/le counters skip NULL values, so count(*) would
+            # shift the target rank on NULL-bearing groups and falsely
+            # redden a correct sketch (ADVICE r4)
+            F.count("value").alias("n_values"),
             F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("exact_p50"),
             F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("exact_p95"),
             F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)").alias("exact_p99"),
@@ -157,7 +162,7 @@ def kll_value_rollup_checked(events: DataFrame, k: int = 16384) -> DataFrame:
     )
     def _rank_ok(kcol: str, p: float):
         return rank_window_ok(
-            F.col(f"lt_{kcol}"), F.col(f"le_{kcol}"), F.col("n_points"), p, eps=0.005
+            F.col(f"lt_{kcol}"), F.col(f"le_{kcol}"), F.col("n_values"), p, eps=0.005
         )
 
     return g.select(

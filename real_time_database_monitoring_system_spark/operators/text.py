@@ -418,8 +418,14 @@ def char_trigram_langid(documents: DataFrame, k: int = 50) -> DataFrame:
     # code points at every position) — NOT transform(sequence, i ->
     # substring(text, i, 3)): UTF8String.substring walks from the
     # string start to find the code-point offset, so the indexed form
-    # is O(doc_len²) per document and measured 3× slower at sf0.1;
-    # output is bit-identical (both are code-point semantics)
+    # is O(doc_len²) per document and measured 3× slower at sf0.1.
+    # Output is identical for docs of >=3 code points (both code-point
+    # semantics); on SHORTER docs the forms differ — the indexed form's
+    # sequence(1, len-2) descends to [1, 0] and emits padded
+    # sub-'trigrams', the regex form emits none. The regex behavior is
+    # the correct one (matches the oracle's len>=3 filter) and is
+    # pinned by the short-doc case in
+    # tests/test_wave6_ops.py::test_trigram_regex_extraction_matches_indexed_substring.
     tri_arr = F.expr(r"regexp_extract_all(text, '(?s)(?=(.{3})).', 1)")
     # materialize the GROUPED (doc, trigram, count) relation, not the
     # raw explode: profiles re-aggregate it (sum of per-doc counts ==

@@ -123,7 +123,16 @@ def read_binary_dir(
     return df.select(
         F.xxhash64("path").alias("doc_id"),
         F.col("content").alias("payload"),
-        F.element_at(F.split(F.col("path"), r"\."), -1).alias("media_source"),
+        # extension of the BASENAME only: splitting the full path on '.'
+        # would return the whole path for dotless filenames, or a
+        # directory fragment when only a directory name contains a dot
+        # (day=1.5/img). No-extension basenames yield NULL (ADVICE r4).
+        F.nullif(
+            F.regexp_extract(
+                F.element_at(F.split(F.col("path"), "/"), -1), r"\.([^.]+)$", 1
+            ),
+            F.lit(""),
+        ).alias("media_source"),
         F.col("path").alias("media_path"),
         F.col("length").alias("payload_bytes"),
     )

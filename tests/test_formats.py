@@ -122,6 +122,21 @@ def test_binary_dir_ingestion_feeds_multimodal_pipeline(spark, tmp_path):
     for r in rows.values():
         assert by_id[r.doc_id].payload_bytes == r.payload_bytes
 
+    # media_source must come from the BASENAME's extension only: a
+    # dotless filename yields NULL (not the whole path), and a dot in
+    # a DIRECTORY name (day=1.5/) must not leak a directory fragment
+    # as the extension (ADVICE r4).
+    weird = tmp_path / "weird" / "day=1.5"
+    weird.mkdir(parents=True)
+    (weird / "noext").write_bytes(b"raw-blob")
+    (weird / "clip.mp4").write_bytes(b"fake-mp4")
+    wrows = {
+        r.media_path.rsplit("/", 1)[-1]: r
+        for r in formats.read_binary_dir(spark, str(tmp_path / "weird")).collect()
+    }
+    assert wrows["noext"].media_source is None
+    assert wrows["clip.mp4"].media_source == "mp4"
+
 
 def test_text_corpus_one_file_one_document(spark, tmp_path):
     """wholetext ingestion: document boundaries = file boundaries

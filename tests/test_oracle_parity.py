@@ -22,6 +22,29 @@ def test_query_matches_oracle(spark, duck, sf_dir, name):
     assert not problems, f"{name}: {problems}"
 
 
+@pytest.mark.parametrize("name", QUERY_NAMES)
+def test_no_complex_toplevel_columns(spark, sf_dir, name):
+    """Driver-shape contract: the harness canonicalizer hashes pandas
+    cell values and crashes on list/dict cells (`TypeError: unhashable
+    type` — r04's only red row, tokenize_to_ids). Every registry
+    output must therefore be flat: no top-level array/map/struct
+    column. Operators keep their typed APIs; the `queries()` wrapper
+    is where flattening (array_join/to_json) belongs. Schema-only —
+    no job runs."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = queries()[name](spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: complex top-level columns {bad} would crash the "
+        "driver canonicalizer — flatten in the queries() wrapper"
+    )
+
+
 def test_entry_smoke(spark):
     from __spark_entry__ import entry
 

@@ -117,6 +117,41 @@ def test_checked_forms_keep_null_key_groups(spark):
     )
 
 
+def test_checked_rank_target_ignores_null_values(spark):
+    """The rank-bound target n must be the NON-NULL value count:
+    percentile()/percentile_disc and the lt/le counters all skip NULL
+    values, so a count(*) target shifts the expected rank by the NULL
+    fraction and falsely reddens a correct sketch once that fraction
+    exceeds the eps tolerance (ADVICE r4). Regression feed: one group
+    where half the values are NULL — far beyond any eps."""
+    from real_time_database_monitoring_system_spark.operators import monitoring
+
+    rows = []
+    for i in range(200):
+        # 100 real values 1..100, 100 NULLs, all in one group
+        rows.append(
+            (i, "2024-01-01 10:00:00", i % 7, "click",
+             float(i + 1) if i < 100 else None)
+        )
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    vpa = monitoring.value_percentiles_approx_checked(ev).collect()
+    assert len(vpa) == 1
+    assert vpa[0].n_events == 200  # hashed column stays count(*)
+    assert vpa[0].p50_in_rank_bound and vpa[0].p95_in_rank_bound
+
+    kll = sketches.kll_value_rollup_checked(ev).collect()
+    assert len(kll) == 1
+    assert kll[0].n_points == 200
+    assert (
+        kll[0].p50_in_rank_bound
+        and kll[0].p95_in_rank_bound
+        and kll[0].p99_in_rank_bound
+    )
+
+
 def test_hll_checked_and_percentile_checked_contracts(spark, sf_dir):
     from real_time_database_monitoring_system_spark.operators import analytics, monitoring
 

@@ -323,6 +323,17 @@ def test_trigram_regex_extraction_matches_indexed_substring(spark):
     assert rows
     for r in rows:
         assert list(r.ref) == list(r.new), f"text #{r.i}: {r.ref[:5]} != {r.new[:5]}"
+    # Sub-3-char docs are where the forms deliberately DIFFER: the old
+    # indexed form descends sequence(1, len-2) into [1, 0] and emits
+    # padded sub-'trigrams', while the regex form (correctly, matching
+    # the oracle's len>=3 semantics) emits an empty array. Pin the new
+    # behavior so round-over-round hashes can't drift on short docs.
+    short = (
+        df.filter(F.length("text") < 3).select("i", new.alias("new")).collect()
+    )
+    assert short, "fixture must include a sub-3-char doc"
+    for r in short:
+        assert list(r.new) == [], f"text #{r.i}: expected no trigrams, got {r.new}"
 
 
 def test_trigram_langid_learns_separable_profiles(spark, sf_dir):
