@@ -14,14 +14,45 @@ def materialize(df: DataFrame) -> DataFrame:
     a self-join on an expensive intermediate (an inverted index, a
     signature table) otherwise recomputes it per consumer, re-scanning
     the source each time (measured: 12 scans of `documents` in the
-    n-gram Jaccard plan). `localCheckpoint(eager=True)` computes the
-    intermediate once into executor block storage and truncates the
-    lineage, so every consumer reads the materialized partitions. The
-    executor-local form trades fault-tolerance for speed (an executor
-    loss fails the job instead of recomputing); a production pipeline
-    at corpus scale would persist the same intermediate to reliable
-    storage (parquet/checkpoint dir) — the operator shape is
-    unchanged."""
+    n-gram Jaccard plan). Materializing computes the intermediate once
+    and truncates the lineage, so every consumer reads the
+    materialized partitions.
+
+    Durability is a CONFIG SWITCH, not a footnote
+    (``spark.graft.materialize.mode``):
+
+    - ``local`` (default): ``localCheckpoint(eager=True)`` into
+      executor block storage — fastest, but an executor loss fails the
+      job instead of recomputing (lineage is truncated and the blocks
+      are gone with the executor).
+    - ``reliable``: ``checkpoint(eager=True)`` to the cluster's
+      configured checkpoint dir (``sc.setCheckpointDir`` — HDFS/S3 in
+      production), surviving executor loss. If no checkpoint dir is
+      set, one is created under the session's warehouse dir so the
+      mode works out of the box on local runs.
+
+    Both modes return the same rows by construction (one deterministic
+    computation of the same plan, then a scan of the stored
+    partitions); tests/test_plans.py pins the parity. A 100 TB
+    pipeline run sets ``reliable`` + an object-store checkpoint dir;
+    the operator shape is identical either way."""
+    spark = df.sparkSession
+    mode = spark.conf.get("spark.graft.materialize.mode", "local")
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            import os
+            import tempfile
+
+            base = spark.conf.get(
+                "spark.sql.warehouse.dir", tempfile.gettempdir()
+            ).removeprefix("file:")
+            sc.setCheckpointDir(os.path.join(base, ".graft-checkpoints"))
+        return df.checkpoint(eager=True)
+    if mode != "local":
+        raise ValueError(
+            f"spark.graft.materialize.mode must be 'local' or 'reliable', got {mode!r}"
+        )
     return df.localCheckpoint(eager=True)
 
 

@@ -574,3 +574,40 @@ def test_session_codegen_cache_sized_for_query_surface(spark):
     stage — measured as a 15% headline total regression. Static conf,
     so it can only be set at session build time; pin it here."""
     assert int(spark.conf.get("spark.sql.codegen.cache.maxEntries")) >= 1024
+
+
+def test_materialize_reliable_mode_parity(spark, sf_dir):
+    """The materialization durability switch must not change results:
+    `local` (localCheckpoint — executor-loss fragile, fast) and
+    `reliable` (checkpoint dir — survives executor loss) are the SAME
+    computation stored differently, so a diamond-heavy operator must
+    emit identical rows under both. This is the test that keeps the
+    100 TB durability story from being a docstring footnote."""
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = lambda rows: sorted(tuple(r) for r in rows)  # noqa: E731
+
+    assert spark.conf.get("spark.graft.materialize.mode", "local") == "local"
+    local_rows = key(dedup.ngram_jaccard_pairs(docs).collect())
+    spark.conf.set("spark.graft.materialize.mode", "reliable")
+    try:
+        reliable_rows = key(dedup.ngram_jaccard_pairs(docs).collect())
+    finally:
+        spark.conf.set("spark.graft.materialize.mode", "local")
+    assert local_rows == reliable_rows
+    assert local_rows, "parity fixture must be non-empty"
+
+
+def test_materialize_rejects_unknown_mode(spark, sf_dir):
+    import pytest as _pytest
+
+    from real_time_database_monitoring_system_spark.operators.util import materialize
+
+    docs = load_table(spark, sf_dir, "documents")
+    spark.conf.set("spark.graft.materialize.mode", "ram")
+    try:
+        with _pytest.raises(ValueError, match="materialize.mode"):
+            materialize(docs.limit(1))
+    finally:
+        spark.conf.set("spark.graft.materialize.mode", "local")
