@@ -1594,7 +1594,41 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality_score": _q_quality_score,
         "lang_id": _q_lang_id,
+        # -- round-5 additions (placed LAST in canonical order so the
+        #    23 pre-round-5 never-green entries keep window priority;
+        #    23 + 6 = 29 never-green ≤ 50, so full-registry driver
+        #    coverage still closes this round). --
+        "benford_audit": _q_benford_audit,
+        "value_concentration": _q_value_concentration,
+        "ks_drift": _q_ks_drift,
+        "acf_panel": _q_acf_panel,
+        "vocab_growth": _q_vocab_growth,
+        "edit_distance_pairs": _q_edit_distance_pairs,
     }
+
+
+def _q_benford_audit(spark, sf):
+    return analytics.benford_audit(load_table(spark, sf, "events"))
+
+
+def _q_value_concentration(spark, sf):
+    return analytics.value_concentration(load_table(spark, sf, "events"))
+
+
+def _q_ks_drift(spark, sf):
+    return anomaly.ks_drift(load_table(spark, sf, "events"))
+
+
+def _q_acf_panel(spark, sf):
+    return anomaly.acf_panel(load_table(spark, sf, "events"))
+
+
+def _q_vocab_growth(spark, sf):
+    return text_ops.vocab_growth(load_table(spark, sf, "documents"))
+
+
+def _q_edit_distance_pairs(spark, sf):
+    return dedup.edit_distance_pairs(load_table(spark, sf, "documents"))
 
 
 # --------------------------------------------------------------------------
@@ -5488,5 +5522,235 @@ def oracle_sql() -> dict[str, str]:
         FROM events"""
         for c in _prof_cols
     ) + "\n        ORDER BY col_name"
+
+    # Benford twin: identical cents→string first-digit bucketing, the
+    # same dense #types×9 spine, shared expectation/deviation literals
+    # (analytics.BENFORD_EXPECTED_SQL / BENFORD_DEV_SQL)
+    _cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    sql["benford_audit"] = f"""
+        WITH base AS (
+            SELECT event_type,
+                   CASE WHEN value IS NOT NULL AND {_cents} > 0 THEN
+                        CAST(substr(CAST({_cents} AS VARCHAR), 1, 1) AS INTEGER)
+                   END AS digit
+            FROM events),
+        cells AS (
+            SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+            FROM base GROUP BY 1, 2),
+        totals AS (
+            SELECT event_type,
+                   SUM(CASE WHEN digit IS NOT NULL THEN n ELSE 0 END) AS t,
+                   SUM(CASE WHEN digit IS NULL THEN n ELSE 0 END) AS n_excluded
+            FROM cells GROUP BY 1),
+        spine AS (
+            SELECT t.event_type, CAST(d.range AS INTEGER) AS digit
+            FROM (SELECT event_type FROM totals) t CROSS JOIN range(1, 10) d),
+        grid AS (
+            SELECT s.event_type, s.digit, COALESCE(c.n, 0) AS n_obs
+            FROM spine s LEFT JOIN cells c USING (event_type, digit))
+        SELECT g.event_type, g.digit, g.n_obs,
+               round(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE), 9) AS share,
+               round({analytics.BENFORD_EXPECTED_SQL}, 9) AS expected,
+               {analytics.BENFORD_DEV_SQL} AS dev,
+               CAST(n_excluded AS BIGINT) AS n_excluded
+        FROM grid g JOIN totals USING (event_type)
+        ORDER BY event_type, digit
+    """
+
+    # Gini twin: exact cents, permutation-invariant rank weight, the
+    # shared GINI_SQL final expression
+    sql["value_concentration"] = f"""
+        WITH pu AS (
+            SELECT event_type, user_id,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1, 2),
+        ranked AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents, user_id) AS rnk
+            FROM pu),
+        agg AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(SUM(rnk * cents) AS BIGINT) AS w,
+                   CAST(MAX(cents) AS BIGINT) AS max_cents
+            FROM ranked GROUP BY 1)
+        SELECT event_type, n AS n_users, s AS total_cents,
+               CASE WHEN s > 0 THEN {analytics.GINI_SQL} END AS gini,
+               CASE WHEN s > 0 THEN
+                   round(CAST(max_cents AS DOUBLE) / CAST(s AS DOUBLE), 9)
+               END AS top_user_share
+        FROM agg ORDER BY event_type
+    """
+
+    # KS twin: same integer midpoint split, HUGEINT ECDF cross-products
+    # (exact, as Spark's DECIMAL(38,0)), shared KS_STAT_SQL division
+    sql["ks_drift"] = f"""
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        tagged AS (
+            SELECT event_type, value,
+                   epoch_us(ts) <= (mn + mx) // 2 AS is_ref
+            FROM events, st WHERE value IS NOT NULL),
+        pv AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS d_ref,
+                   SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS d_cur
+            FROM tagged GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(d_ref) AS n_ref, SUM(d_cur) AS n_cur
+                FROM pv GROUP BY 1),
+        ecdf AS (
+            SELECT event_type,
+                   SUM(d_ref) OVER w AS c_ref,
+                   SUM(d_cur) OVER w AS c_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        gaps AS (
+            SELECT e.event_type, n_ref, n_cur,
+                   abs(CAST(c_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(c_cur AS HUGEINT) * CAST(n_ref AS HUGEINT)) AS gap
+            FROM ecdf e JOIN tot USING (event_type)),
+        mx AS (
+            SELECT event_type, CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   MAX(gap) AS ks_num
+            FROM gaps GROUP BY 1)
+        SELECT event_type, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {anomaly.KS_STAT_SQL} END
+                   AS ks_d
+        FROM mx ORDER BY event_type
+    """
+
+    # ACF twin: same dense per-type day spine, HUGEINT scaled
+    # deviations (n·y − S — exact, as Spark's DECIMAL(38,0)), shared
+    # ACF_SQL final division; lags via lead() in one window pass
+    _acf_max_lag = 7
+    _acf_num_cols = ",\n                   ".join(
+        f"SUM(CASE WHEN y_{k} IS NOT NULL THEN"
+        f" (CAST(n AS HUGEINT) * y - CAST(s AS HUGEINT))"
+        f" * (CAST(n AS HUGEINT) * y_{k} - CAST(s AS HUGEINT))"
+        f" ELSE CAST(0 AS HUGEINT) END) AS num_{k}"
+        for k in range(1, _acf_max_lag + 1)
+    )
+    _acf_leads = ",\n                   ".join(
+        f"lead(y, {k}) OVER (PARTITION BY event_type ORDER BY day) AS y_{k}"
+        for k in range(1, _acf_max_lag + 1)
+    )
+    _acf_unpivot = " UNION ALL ".join(
+        f"SELECT event_type, {k} AS lag, n, den, num_{k} AS num FROM agg"
+        for k in range(1, _acf_max_lag + 1)
+    )
+    sql["acf_panel"] = f"""
+        WITH counts AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+                 FROM counts GROUP BY 1),
+        dense AS (
+            SELECT sp.event_type, sp.day, COALESCE(c.y, 0) AS y
+            FROM (SELECT event_type,
+                         unnest(generate_series(d0, d1)) AS day
+                  FROM span) sp
+            LEFT JOIN counts c USING (event_type, day)),
+        st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                      CAST(SUM(y) AS BIGINT) AS s
+               FROM dense GROUP BY 1),
+        leads AS (
+            SELECT event_type, y,
+                   {_acf_leads}
+            FROM dense),
+        agg AS (
+            SELECT l.event_type, first(n) AS n,
+                   SUM((CAST(n AS HUGEINT) * y - CAST(s AS HUGEINT))
+                       * (CAST(n AS HUGEINT) * y - CAST(s AS HUGEINT))) AS den,
+                   {_acf_num_cols}
+            FROM leads l JOIN st USING (event_type)
+            GROUP BY 1),
+        stacked AS ({_acf_unpivot})
+        SELECT event_type, CAST(lag AS INTEGER) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               CASE WHEN den > 0 THEN {anomaly.ACF_SQL} END AS acf
+        FROM stacked WHERE lag < n
+        ORDER BY event_type, lag
+    """
+
+    # Heaps-law twin: same arithmetic doc_id-range buckets, first-doc
+    # vocabulary attribution, dense bucket spine, running totals
+    sql["vocab_growth"] = f"""
+        WITH bounds AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+                        FROM documents),
+        toks AS (
+            SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+        tf AS (
+            SELECT CAST(((doc_id - mn) * 20) // (mx - mn + 1) AS INTEGER)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS new_terms
+            FROM (SELECT term, min(doc_id) AS doc_id FROM toks GROUP BY term),
+                 bounds
+            GROUP BY 1),
+        dt AS (
+            SELECT CAST(((doc_id - mn) * 20) // (mx - mn + 1) AS INTEGER)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS bucket_tokens
+            FROM (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+                 bounds
+            GROUP BY 1),
+        spine AS (SELECT CAST(range AS INTEGER) AS bucket FROM range(0, 20)),
+        pb AS (
+            SELECT s.bucket,
+                   COALESCE(dt.n_docs, 0) AS n_docs,
+                   COALESCE(dt.bucket_tokens, 0) AS bucket_tokens,
+                   COALESCE(tf.new_terms, 0) AS new_terms
+            FROM spine s LEFT JOIN dt USING (bucket) LEFT JOIN tf USING (bucket)),
+        cum AS (
+            SELECT bucket, n_docs, bucket_tokens, new_terms,
+                   SUM(bucket_tokens) OVER w AS cum_tokens,
+                   SUM(new_terms) OVER w AS cum_vocab
+            FROM pb
+            WINDOW w AS (ORDER BY bucket
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT bucket, n_docs, bucket_tokens, new_terms,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens,
+               CAST(cum_vocab AS BIGINT) AS cum_vocab,
+               CASE WHEN cum_tokens > 0 THEN
+                   round(CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 9)
+               END AS ttr
+        FROM cum ORDER BY bucket
+    """
+
+    # Edit-distance twin: identical ASCII-cleaned prefixes (the domain
+    # where DuckDB's byte-level and Spark's code-point Levenshtein
+    # provably coincide), same hot-key cutoff and verify filter.
+    # regexp_replace needs the 'g' flag (DuckDB replaces first match
+    # only by default; Spark replaces all)
+    sql["edit_distance_pairs"] = """
+        WITH probes AS (
+            SELECT doc_id,
+                   substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          1, 12) AS bkey,
+                   substr(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                          1, 32) AS probe
+            FROM documents),
+        kept AS (
+            SELECT * FROM probes
+            WHERE bkey NOT IN (
+                SELECT bkey FROM probes GROUP BY bkey HAVING count(*) > 1000)),
+        pairs AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS edit_dist,
+                   greatest(length(a.probe), length(b.probe)) AS cmp_len
+            FROM kept a JOIN kept b ON a.bkey = b.bkey AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, edit_dist,
+               CASE WHEN cmp_len > 0 THEN
+                   round(1.0 - CAST(edit_dist AS DOUBLE) / CAST(cmp_len AS DOUBLE), 9)
+               ELSE CAST(1.0 AS DOUBLE) END AS similarity
+        FROM pairs WHERE edit_dist <= 6
+        ORDER BY a_id, b_id
+    """
 
     return sql

@@ -158,6 +158,14 @@ HEADLINE = [
     "topk_with_ties",
     "nearest_event_join",
     "health_score",
+    # round-5 additions: distribution audits, exact KS drift,
+    # autocorrelation, Heaps-law growth, blocked edit-distance join
+    "benford_audit",
+    "value_concentration",
+    "ks_drift",
+    "acf_panel",
+    "vocab_growth",
+    "edit_distance_pairs",
 ]
 
 

@@ -1012,3 +1012,147 @@ def trend_forecast(events: DataFrame, horizon_hours: int = 24) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Benford first-digit expectations, log10(1 + 1/d) rounded to 9 dp.
+# Computed ONCE in Python and injected as literals into BOTH engines'
+# expressions — the repo's one-transcendental rule: no engine ever
+# evaluates log10 itself, so there is nothing to disagree about.
+BENFORD_EXPECTED = {
+    d: round(__import__("math").log10(1.0 + 1.0 / d), 9) for d in range(1, 10)
+}
+BENFORD_EXPECTED_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN CAST({p} AS DOUBLE)" for d, p in BENFORD_EXPECTED.items())
+    + " END"
+)
+# observed share minus expectation, one pinned-order double expression
+BENFORD_DEV_SQL = (
+    "round(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE)"
+    f" - ({BENFORD_EXPECTED_SQL}), 9)"
+)
+
+
+def benford_audit(events: DataFrame) -> DataFrame:
+    """First-significant-digit audit of `value` against Benford's law,
+    per event type — the classic fabricated-/synthetic-data smell test
+    (a feed whose amounts were invented or truncated drifts from
+    log10(1+1/d); organic multiplicative amounts follow it). Reports
+    every digit cell: observed count, observed share, Benford
+    expectation, deviation.
+
+    Determinism: the first significant digit is taken from the exact
+    DECIMAL cents integer rendered as a string — `substr(cast(cents))`
+    — never from float log10/pow arithmetic, so both engines bucket
+    identically down to the last cent. Expectations are shared Python
+    literals (BENFORD_EXPECTED_SQL); shares and deviations are single
+    pinned-order double divisions rounded to 9 dp.
+
+    Dense spine: a digit an event type never produced is exactly the
+    signal (share 0 vs expectation ~0.3 for digit 1), so the output is
+    always #types × 9 rows, zeros included — same rule as
+    `independence_chi2`'s dense cell grid.
+
+    Scale shape: one keyed count reduces the feed to ≤ #types×9 cells
+    (map-side partials); totals and the spine are broadcast joins over
+    that tiny relation. Non-positive and NULL values are excluded
+    (they have no significant digit) but counted in `n_excluded` on
+    every row of their type so the audit can't silently ignore a
+    corrupt feed."""
+    cents = "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    base = events.select(
+        "event_type",
+        F.expr(
+            f"CASE WHEN value IS NOT NULL AND {cents} > 0 THEN"
+            f" CAST(substring(CAST({cents} AS STRING), 1, 1) AS INT) END"
+        ).alias("digit"),
+    )
+    cells = _materialize(
+        base.groupBy("event_type", "digit").agg(F.count("*").alias("n"))
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum(F.when(F.col("digit").isNotNull(), F.col("n")).otherwise(0)).alias("t"),
+        F.sum(F.when(F.col("digit").isNull(), F.col("n")).otherwise(0)).alias(
+            "n_excluded"
+        ),
+    )
+    digits = cells.sparkSession.range(1, 10).select(F.col("id").cast("int").alias("digit"))
+    spine = totals.select("event_type").crossJoin(F.broadcast(digits))
+    return (
+        spine.join(cells, ["event_type", "digit"], "left")
+        .select("event_type", "digit", F.coalesce("n", F.lit(0)).alias("n_obs"))
+        .join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "digit",
+            "n_obs",
+            F.expr("round(CAST(n_obs AS DOUBLE) / CAST(t AS DOUBLE), 9)").alias(
+                "share"
+            ),
+            F.expr(f"round({BENFORD_EXPECTED_SQL}, 9)").alias("expected"),
+            F.expr(BENFORD_DEV_SQL).alias("dev"),
+            F.col("n_excluded").cast("bigint").alias("n_excluded"),
+        )
+        .orderBy("event_type", "digit")
+    )
+
+
+# Gini from the rank-weighted sum: exact integers until one final
+# division. W = Σ rank·x (ties share a value, so any tie order gives
+# the same W), n = #users, s = Σx in cents.
+GINI_SQL = (
+    "round((2.0 * CAST(w AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))"
+    " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 9)"
+)
+
+
+def value_concentration(events: DataFrame) -> DataFrame:
+    """Spend-concentration panel per event type: Gini coefficient and
+    top-user share over per-user total value — "is this revenue line
+    broad-based or three whales?", the inequality audit
+    `pareto_contribution` (top-k cumulative shares) summarizes into
+    one scale-free number. Gini 0 = perfectly even, →1 = one user
+    carries everything.
+
+    Determinism: per-user totals are exact DECIMAL cents; the Lorenz
+    rank weight uses row_number over (cents, user_id) — ties hold
+    equal cents, so Σ rank·cents is permutation-invariant and both
+    engines produce the same integer W regardless of their sort
+    implementation. One pinned-order double expression (GINI_SQL,
+    shared with the oracle twin) at the edge.
+
+    Scale shape: the feed reduces to one row per (type, user) —
+    map-side partial sums into a keyed aggregate — then the rank
+    window shuffles ONLY that relation, partitioned by type (the
+    standard skew caveat applies to a degenerate single-type feed;
+    `operators.skew` has the salting fix). The final aggregate is
+    #types rows."""
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.expr(
+            "CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "user_id")
+    ranked = per_user.select(
+        "event_type", "cents", F.row_number().over(w).alias("rnk")
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("s"),
+            F.sum(F.col("rnk") * F.col("cents")).alias("w"),
+            F.max("cents").alias("max_cents"),
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.col("s").cast("bigint").alias("total_cents"),
+            F.expr(f"CASE WHEN s > 0 THEN {GINI_SQL} END").alias("gini"),
+            F.expr(
+                "CASE WHEN s > 0 THEN"
+                " round(CAST(max_cents AS DOUBLE) / CAST(s AS DOUBLE), 9) END"
+            ).alias("top_user_share"),
+        )
+        .orderBy("event_type")
+    )

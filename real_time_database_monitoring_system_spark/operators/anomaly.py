@@ -373,3 +373,197 @@ def dispersion_panel(events: DataFrame, bucket_seconds: int = 60) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# KS statistic from the integer ECDF-gap numerator: at each distinct
+# value v, |ECDF_ref(v) − ECDF_cur(v)| = |c_ref·n_cur − c_cur·n_ref| /
+# (n_ref·n_cur) — the numerator is exact (DECIMAL products so a
+# trillion-row half can't overflow a BIGINT), the single division
+# happens once on the per-type maximum.
+KS_STAT_SQL = (
+    "round(CAST(ks_num AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 9)"
+)
+
+
+def ks_drift(events: DataFrame) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift per event type between the
+    feed's first and second time halves (the `psi_drift` split
+    convention): D = max |ECDF_ref − ECDF_cur| over `value`. PSI needs
+    a bin choice and saturates on shape changes inside a bin; KS is
+    bin-free and exact — the complementary drift detector an ML-ops
+    suite runs next to it.
+
+    Determinism: the ECDF gap is computed on INTEGER cross-products
+    (c_ref·n_cur − c_cur·n_ref, DECIMAL(38,0) accumulation) at each
+    distinct value; the max of integers is exact, and the one double
+    division (KS_STAT_SQL, shared with the oracle) happens per type on
+    that max. The midpoint split is integer epoch-µs.
+
+    Scale shape: the feed reduces to one row per (type, distinct
+    value) with both halves' counts in ONE keyed aggregate; the
+    running ECDF is a window partitioned by type over that reduced
+    relation (never the raw feed); half totals are a #types-row
+    broadcast. A type whose half is empty reports NULL (no
+    distribution to compare) rather than a fake 1.0."""
+    stats = _materialize(
+        events.agg(
+            F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
+        )
+    )
+    tagged = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "value",
+            (F.expr(_US) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+        )
+    )
+    per_value = tagged.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("d_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("d_cur"),
+    )
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = per_value.select(
+        "event_type",
+        F.sum("d_ref").over(w).alias("c_ref"),
+        F.sum("d_cur").over(w).alias("c_cur"),
+    )
+    gaps = ecdf.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        F.abs(
+            F.col("c_ref").cast("decimal(20,0)") * F.col("n_cur").cast("decimal(18,0)")
+            - F.col("c_cur").cast("decimal(20,0)") * F.col("n_ref").cast("decimal(18,0)")
+        ).alias("gap"),
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.max("gap").cast("decimal(38,0)").alias("ks_num"),
+        )
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.expr(
+                f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {KS_STAT_SQL} END"
+            ).alias("ks_d"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ACF with the mean cleared of fractions: multiplying each deviation
+# by n turns (y_t − ȳ) into the integer n·y_t − S, and the n² factors
+# cancel between numerator and denominator — so r_k is a ratio of two
+# exact integers, divided once and rounded.
+ACF_SQL = "round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9)"
+
+
+def acf_panel(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Autocorrelation of the daily event-count series per type, lags
+    1..`max_lag` — the periodicity detector behind "is this metric
+    weekly-seasonal?": a spike at lag 7 says weekday structure, slow
+    decay says trend, flat ≈0 says noise. `seasonal_baseline` ASSUMES
+    a daily shape and subtracts it; this panel MEASURES which lags
+    carry structure, so the two compose (run acf_panel to pick the
+    season, seasonal_baseline to exploit it).
+
+    r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² over the DENSE daily
+    series — missing days are real zeros (a gap IS anticorrelation
+    with busy days), densified per type from the type's own [min,max]
+    day span. Deviations are exact integers scaled by n (ACF_SQL note
+    above); DECIMAL(38,0) accumulation keeps a decade-long series of
+    billion-event days inside range. A constant series has den = 0
+    and reports NULL (undefined), not a crash or a fake 1.
+
+    Scale shape: the feed reduces to (type, day) counts in one keyed
+    aggregate; the dense spine is sequence()-exploded per type (≤
+    #types × span rows); lags come from `max_lag` lead columns in ONE
+    window pass partitioned by type (no self-join per lag); the final
+    aggregate is #types × max_lag rows."""
+    if max_lag < 1:
+        raise ValueError("acf_panel: max_lag must be ≥ 1")
+    day = F.expr(f"{_US} div 86400000000")
+    counts = events.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    span = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = (
+        span.select(
+            "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    with_leads = dense.select(
+        "event_type",
+        "y",
+        *[F.lead("y", k).over(w).alias(f"y_{k}") for k in range(1, max_lag + 1)],
+    ).join(F.broadcast(stats), "event_type")
+    dev = "CAST(n AS DECIMAL(19,0)) * {col} - CAST(s AS DECIMAL(19,0))"
+    d0 = dev.format(col="y")
+    per_lag = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN y_{k} IS NOT NULL THEN"
+                f" CAST(({d0}) * ({dev.format(col=f'y_{k}')}) AS DECIMAL(38,0))"
+                " ELSE CAST(0 AS DECIMAL(38,0)) END"
+            )
+        ).alias(f"num_{k}")
+        for k in range(1, max_lag + 1)
+    ]
+    agg = with_leads.groupBy("event_type").agg(
+        F.first("n").alias("n"),
+        F.sum(F.expr(f"CAST(({d0}) * ({d0}) AS DECIMAL(38,0))")).alias("den"),
+        *per_lag,
+    )
+    lag_structs = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("lag"), F.col(f"num_{k}").alias("num")
+            )
+            for k in range(1, max_lag + 1)
+        ]
+    )
+    return (
+        agg.select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            "den",
+            F.explode(lag_structs).alias("l"),
+        )
+        .select(
+            "event_type",
+            F.col("l.lag").alias("lag"),
+            "n_days",
+            "den",
+            F.col("l.num").alias("num"),
+        )
+        .select(
+            "event_type",
+            "lag",
+            "n_days",
+            F.expr(f"CASE WHEN den > 0 THEN {ACF_SQL} END").alias("acf"),
+        )
+        .filter(F.col("lag") < F.col("n_days"))
+        .orderBy("event_type", "lag")
+    )

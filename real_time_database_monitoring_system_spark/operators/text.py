@@ -465,3 +465,93 @@ def char_trigram_langid(documents: DataFrame, k: int = 50) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_docs"))
         .orderBy("lang_true", "lang_pred")
     )
+
+
+def vocab_growth(documents: DataFrame, n_buckets: int = 20) -> DataFrame:
+    """Heaps'-law curve of the corpus: cumulative distinct vocabulary
+    vs cumulative token count along doc_id order, bucketed — "is this
+    corpus still contributing new vocabulary, or has it saturated?",
+    the curve a data-mix review reads before paying to ingest more of
+    a source (V(n) ≈ K·n^β keeps climbing for diverse text; a
+    templated crawl flattens early). The type-token ratio per bucket
+    is the same signal normalized.
+
+    A term's contribution point is its FIRST document (min doc_id) —
+    so cum_vocab at bucket b counts exactly the distinct terms seen in
+    buckets ≤ b, without ever holding a growing distinct-set state.
+    Buckets are fixed doc_id ranges ((doc_id−mn)·B div span) — pure
+    arithmetic, no global row-numbering window, cluster-safe on an
+    unsorted corpus.
+
+    Scale shape: one tokenize pass reduces to (term → first_doc,
+    n_uses) via a keyed min/count aggregate (map-side partials); doc
+    token counts reduce to per-bucket sums the same way. Only the
+    ≤ `n_buckets` bucket rows enter the running-total window (single
+    partition over ≤ B rows — bounded by construction, not by data).
+    Empty buckets (sparse doc_id ranges) surface with zero deltas so
+    the curve's x-axis stays honest."""
+    if n_buckets < 1:
+        raise ValueError("vocab_growth: n_buckets must be ≥ 1")
+    toks = _spread(documents, "doc_id").select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    )
+    bounds = documents.agg(
+        F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
+    )
+    bucket_of = (
+        f"CAST(((doc_id - mn) * {n_buckets}) div (mx - mn + 1) AS INT)"
+    )
+    term_first = (
+        toks.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr(bucket_of).alias("bucket"))
+        .agg(F.count("*").alias("new_terms"))
+    )
+    doc_tokens = (
+        toks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_tok"))
+        .crossJoin(F.broadcast(bounds))
+        .groupBy(F.expr(bucket_of).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bucket_tokens"))
+    )
+    spine = documents.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    per_bucket = (
+        spine.join(doc_tokens, "bucket", "left")
+        .join(term_first, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+            F.coalesce("bucket_tokens", F.lit(0)).cast("bigint").alias(
+                "bucket_tokens"
+            ),
+            F.coalesce("new_terms", F.lit(0)).cast("bigint").alias("new_terms"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            "new_terms",
+            F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+            F.sum("new_terms").over(w).alias("cum_vocab"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "bucket_tokens",
+            "new_terms",
+            "cum_tokens",
+            "cum_vocab",
+            F.expr(
+                "CASE WHEN cum_tokens > 0 THEN"
+                " round(CAST(cum_vocab AS DOUBLE) / CAST(cum_tokens AS DOUBLE), 9)"
+                " END"
+            ).alias("ttr"),
+        )
+        .orderBy("bucket")
+    )
