@@ -420,9 +420,14 @@ def ks_drift(events: DataFrame) -> DataFrame:
             (F.expr(_US) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
         )
     )
-    per_value = tagged.groupBy("event_type", "value").agg(
-        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("d_ref"),
-        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("d_cur"),
+    # diamond rule: the per-value count relation feeds both the half
+    # totals and the ECDF window — materialize or the feed is scanned
+    # (and the split-tagging recomputed) twice
+    per_value = _materialize(
+        tagged.groupBy("event_type", "value").agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("d_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("d_cur"),
+        )
     )
     totals = per_value.groupBy("event_type").agg(
         F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
@@ -497,13 +502,19 @@ def acf_panel(events: DataFrame, max_lag: int = 7) -> DataFrame:
     if max_lag < 1:
         raise ValueError("acf_panel: max_lag must be ≥ 1")
     day = F.expr(f"{_US} div 86400000000")
-    counts = events.groupBy("event_type", day.alias("day")).agg(
-        F.count("*").alias("y")
+    # diamond rule: the (type, day) count relation feeds the span
+    # aggregate AND the densify join — materialize so the feed reduces
+    # exactly once; likewise the dense series feeds the moment
+    # aggregate AND the lead window
+    counts = _materialize(
+        events.groupBy("event_type", day.alias("day")).agg(
+            F.count("*").alias("y")
+        )
     )
     span = counts.groupBy("event_type").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1")
     )
-    dense = (
+    dense = _materialize(
         span.select(
             "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day")
         )

@@ -492,8 +492,17 @@ def vocab_growth(documents: DataFrame, n_buckets: int = 20) -> DataFrame:
     the curve's x-axis stays honest."""
     if n_buckets < 1:
         raise ValueError("vocab_growth: n_buckets must be ≥ 1")
-    toks = _spread(documents, "doc_id").select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("term")
+    # diamond rule: ONE tokenize pass, reduced to the grouped
+    # (doc_id, term, n) relation before materializing — it feeds both
+    # the per-term first-doc aggregate and the per-doc token totals
+    # (the raw exploded stream would be corpus-sized; the grouped form
+    # is bounded by per-doc distinct terms, the same trade
+    # char_trigram_langid makes)
+    tf_dt = _materialize(
+        _spread(documents, "doc_id")
+        .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
     )
     bounds = documents.agg(
         F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx")
@@ -502,15 +511,15 @@ def vocab_growth(documents: DataFrame, n_buckets: int = 20) -> DataFrame:
         f"CAST(((doc_id - mn) * {n_buckets}) div (mx - mn + 1) AS INT)"
     )
     term_first = (
-        toks.groupBy("term")
+        tf_dt.groupBy("term")
         .agg(F.min("doc_id").alias("doc_id"))
         .crossJoin(F.broadcast(bounds))
         .groupBy(F.expr(bucket_of).alias("bucket"))
         .agg(F.count("*").alias("new_terms"))
     )
     doc_tokens = (
-        toks.groupBy("doc_id")
-        .agg(F.count("*").alias("n_tok"))
+        tf_dt.groupBy("doc_id")
+        .agg(F.sum("n").alias("n_tok"))
         .crossJoin(F.broadcast(bounds))
         .groupBy(F.expr(bucket_of).alias("bucket"))
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("bucket_tokens"))

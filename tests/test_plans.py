@@ -611,3 +611,46 @@ def test_materialize_rejects_unknown_mode(spark, sf_dir):
             materialize(docs.limit(1))
     finally:
         spark.conf.set("spark.graft.materialize.mode", "local")
+
+
+def test_round5_operator_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the round-5 operators — the plans you'd
+    want at 100×: each reduces the feed in ONE keyed aggregate and
+    does all later work on broadcast-sized or per-key relations.
+    BroadcastNestedLoopJoin appears ONLY as the deliberate tiny-side
+    cross joins (the 1-row bounds/stats scalar join and the
+    #types×9-digit Benford spine — bounded by construction, not by
+    data); CartesianProduct must never appear."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        anomaly,
+        dedup as dedup_ops,
+        text as text_ops,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = [
+        # cells agg + spine/total joins (AQE-coalesced)
+        ("benford_audit", analytics.benford_audit(ev), 4),
+        # per-user agg + rank window + final agg/sort
+        ("value_concentration", analytics.value_concentration(ev), 4),
+        # per-value agg (materialized) + ECDF window + per-type max
+        ("ks_drift", anomaly.ks_drift(ev), 4),
+        # day agg (materialized) + lead window + per-type agg + sort
+        ("acf_panel", anomaly.acf_panel(ev), 4),
+        # grouped tokenize (materialized) + two bucket aggs + spine
+        # joins + the ≤n_buckets running-total window
+        ("vocab_growth", text_ops.vocab_growth(docs), 8),
+        # blocked self-join on bkey + anti join + sort
+        ("edit_distance_pairs", dedup_ops.edit_distance_pairs(docs), 4),
+    ]
+    for name, df, max_ex in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan, name
+    # the hot-key guard must be a broadcast ANTI join (never a shuffled
+    # join over the blocked index)
+    plan = checks.explain_str(dedup_ops.edit_distance_pairs(docs))
+    assert "BroadcastExchange" in plan
