@@ -1604,6 +1604,10 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_panel": _q_acf_panel,
         "vocab_growth": _q_vocab_growth,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "changepoint_detect": _q_changepoint_detect,
+        "theil_sen_trend": _q_theil_sen_trend,
+        "zipf_fit": _q_zipf_fit,
+        "pca_power_iter": _q_pca_power_iter,
     }
 
 
@@ -1629,6 +1633,22 @@ def _q_vocab_growth(spark, sf):
 
 def _q_edit_distance_pairs(spark, sf):
     return dedup.edit_distance_pairs(load_table(spark, sf, "documents"))
+
+
+def _q_changepoint_detect(spark, sf):
+    return anomaly.changepoint_detect(load_table(spark, sf, "events"))
+
+
+def _q_theil_sen_trend(spark, sf):
+    return anomaly.theil_sen_trend(load_table(spark, sf, "events"))
+
+
+def _q_zipf_fit(spark, sf):
+    return text_ops.zipf_fit(load_table(spark, sf, "documents"))
+
+
+def _q_pca_power_iter(spark, sf):
+    return clustering.pca_power_iter(load_table(spark, sf, "embeddings"))
 
 
 # --------------------------------------------------------------------------
@@ -5751,6 +5771,163 @@ def oracle_sql() -> dict[str, str]:
                ELSE CAST(1.0 AS DOUBLE) END AS similarity
         FROM pairs WHERE edit_dist <= 6
         ORDER BY a_id, b_id
+    """
+
+    # shared dense daily-count spine for the two series twins below
+    _dense_days = """
+        counts AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        span AS (SELECT event_type, min(day) AS d0, max(day) AS d1,
+                        SUM(y) AS s
+                 FROM counts GROUP BY 1),
+        dense AS (
+            SELECT sp.event_type, sp.day, COALESCE(c.y, 0) AS y
+            FROM (SELECT event_type,
+                         unnest(generate_series(d0, d1)) AS day
+                  FROM span) sp
+            LEFT JOIN counts c USING (event_type, day))"""
+
+    # level-shift twin: same prefix sums, shared score expression,
+    # same (score desc, day asc) argmax tiebreak on the rounded score
+    sql["changepoint_detect"] = f"""
+        WITH {_dense_days},
+        pre AS (
+            SELECT event_type, day,
+                   SUM(y) OVER w AS s1,
+                   CAST(row_number() OVER w2 AS BIGINT) AS n1
+            FROM dense
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY event_type ORDER BY day)),
+        cands AS (
+            SELECT p.event_type, p.day,
+                   (d1 - d0 + 1) AS n, s1, n1,
+                   s - s1 AS s2, (d1 - d0 + 1) - n1 AS n2
+            FROM pre p JOIN span USING (event_type)
+            WHERE n1 < (d1 - d0 + 1)),
+        scored AS (
+            SELECT *, {anomaly.CHANGEPOINT_SCORE_SQL} AS score FROM cands),
+        best AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY score DESC, day ASC) AS rk
+            FROM scored)
+        SELECT event_type, CAST(n AS BIGINT) AS n_days,
+               CAST(day AS BIGINT) AS break_day, score,
+               round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9) AS mean_before,
+               round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 9) AS mean_after
+        FROM best WHERE rk = 1 ORDER BY event_type
+    """
+
+    # Theil–Sen twin: identical double pairwise slopes (exact-integer
+    # operands — IEEE-identical division), percentile_disc median
+    sql["theil_sen_trend"] = f"""
+        WITH {_dense_days},
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                       AS slope
+            FROM dense a JOIN dense b
+              ON a.event_type = b.event_type AND a.day < b.day)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               percentile_disc(0.5) WITHIN GROUP (ORDER BY slope) AS sen_slope
+        FROM pairs GROUP BY 1 ORDER BY 1
+    """
+
+    # Zipf twin: same (count desc, term asc) rank, one-transcendental
+    # 9-dp ln values, DECIMAL sums, the SHARED trend combine
+    _zdec = "CAST(round({e}, 9) AS DECIMAL(25,9))"
+    sql["zipf_fit"] = f"""
+        WITH tf AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS n_term
+            FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY 1, 2),
+        ranked AS (
+            SELECT source,
+                   round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+                   round(ln(CAST(n_term AS DOUBLE)), 9) AS y
+            FROM (SELECT source, n_term,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n_term DESC, term ASC)
+                             AS rnk
+                  FROM tf)
+            WHERE rnk <= 100),
+        sums AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM({_zdec.format(e='x')}) AS DOUBLE) AS sx,
+                   CAST(SUM({_zdec.format(e='y')}) AS DOUBLE) AS sy,
+                   CAST(SUM({_zdec.format(e='x * x')}) AS DOUBLE) AS sxx,
+                   CAST(SUM({_zdec.format(e='x * y')}) AS DOUBLE) AS sxy,
+                   CAST(SUM({_zdec.format(e='y * y')}) AS DOUBLE) AS syy
+            FROM ranked GROUP BY 1)
+        SELECT source, n AS n_terms,
+               {analytics.TREND_FINAL_SQL["slope_per_hour"]} AS zipf_slope,
+               {analytics.TREND_FINAL_SQL["r2"]} AS r2
+        FROM sums ORDER BY source
+    """
+
+    # power-iteration twin: generated-identical left-associated chains
+    # (same evaluation order → bit-identical doubles), HUGEINT sums as
+    # the exact mirror of Spark's DECIMAL(38,0). DuckDB lists are
+    # 1-indexed, hence qvec[d+1].
+    _pca_sumq = " + ".join(f"qvec[{d + 1}]" for d in range(64))
+    _pca_s1 = ",\n               ".join(
+        f"SUM(CAST(qvec[{d + 1}] * ({_pca_sumq}) AS HUGEINT)) AS s1_{d}"
+        for d in range(64)
+    )
+    _pca_n1 = " + ".join(
+        f"CAST(s1_{d} AS DOUBLE) * CAST(s1_{d} AS DOUBLE)" for d in range(64)
+    )
+    # each chain is computed ONCE in its own CTE — repeating the
+    # 64-term chains inside 64 column expressions made the twin's
+    # expression tree quadratic in dims and OOM'd the planner
+    _pca_v1 = ",\n               ".join(
+        f"CASE WHEN nn1 > 0.0 THEN"
+        f" round(CAST(s1_{d} AS DOUBLE) / sqrt(nn1), 6) END AS v1_{d}"
+        for d in range(64)
+    )
+    _pca_dot1 = " + ".join(f"qvec[{d + 1}] * v1_{d}" for d in range(64))
+    _pca_s2 = ",\n               ".join(
+        f"SUM(qvec[{d + 1}] * idot) AS s2_{d}" for d in range(64)
+    )
+    _pca_n2 = " + ".join(
+        f"CAST(s2_{d} AS DOUBLE) * CAST(s2_{d} AS DOUBLE)" for d in range(64)
+    )
+    _pca_out = " UNION ALL ".join(
+        f"SELECT {d} AS dim, CASE WHEN nn2 > 0.0 THEN"
+        f" round(CAST(s2_{d} AS DOUBLE) / sqrt(nn2), 9) END AS loading"
+        f" FROM s2, n2"
+        for d in range(64)
+    )
+    sql["pca_power_iter"] = f"""
+        WITH q AS (
+            SELECT list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+                       AS qvec
+            FROM embeddings
+            WHERE embedding IS NOT NULL
+              AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+        s1 AS (
+            SELECT {_pca_s1}
+            FROM q),
+        n1 AS (SELECT {_pca_n1} AS nn1 FROM s1),
+        v1 AS (
+            SELECT {_pca_v1}
+            FROM s1, n1),
+        rowdots AS (
+            SELECT qvec,
+                   CAST(round(round({_pca_dot1}, 6) * 1000000.0, 0) AS HUGEINT)
+                       AS idot
+            FROM q, v1),
+        s2 AS (
+            SELECT {_pca_s2}
+            FROM rowdots),
+        n2 AS (SELECT {_pca_n2} AS nn2 FROM s2),
+        stacked AS ({_pca_out})
+        SELECT CAST(dim AS INTEGER) AS dim, loading
+        FROM stacked ORDER BY dim
     """
 
     return sql

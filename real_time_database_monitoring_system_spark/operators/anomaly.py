@@ -578,3 +578,173 @@ def acf_panel(events: DataFrame, max_lag: int = 7) -> DataFrame:
         .filter(F.col("lag") < F.col("n_days"))
         .orderBy("event_type", "lag")
     )
+
+
+# best split of a series into two level segments: the explained sum of
+# squares S1²/n1 + S2²/n2, compared across candidate breakpoints on a
+# common 9-dp scale (exact integer inputs, one pinned division each)
+CHANGEPOINT_SCORE_SQL = (
+    "round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " + CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 9)"
+)
+
+
+def changepoint_detect(events: DataFrame) -> DataFrame:
+    """Single best level-shift breakpoint of the daily count series
+    per event type (binary-segmentation step 1): the split day that
+    maximizes the two-segment explained sum of squares — WHERE the
+    level changed, the localization `drift_cusum` (whether/when a
+    cumulative drift crossed a threshold) doesn't answer. A capacity
+    review reads this as "traffic stepped on day X: before-mean →
+    after-mean".
+
+    For a split after day k: SSE-optimal means maximizing
+    S1²/n1 + S2²/n2 (S = segment sum, n = segment length — the Σy²
+    term is split-invariant). Both segment sums come from ONE prefix
+    sum per type over the dense daily series; scores are the shared
+    CHANGEPOINT_SCORE_SQL pinned-order expression; the argmax
+    tiebreak is (score desc, day asc) — deterministic in both engines
+    on the 9-dp-rounded score.
+
+    Scale shape: the feed reduces to (type, day) counts in one keyed
+    aggregate (materialized — the prefix window and the total both
+    consume it); candidates are the ≤ span-days rows per type; the
+    argmax is a WindowGroupLimit-prunable rank. Types with a single
+    day have no split and drop out."""
+    day = F.expr(f"{_US} div 86400000000")
+    counts = _materialize(
+        events.groupBy("event_type", day.alias("day")).agg(
+            F.count("*").alias("y")
+        )
+    )
+    span = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"),
+        F.sum("y").alias("s"), F.count("*").alias("_nk"),
+    )
+    dense = (
+        span.select("event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    pre = dense.select(
+        "event_type",
+        "day",
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s1"),
+        F.row_number().over(w).alias("n1"),
+    )
+    cands = (
+        pre.join(
+            F.broadcast(
+                span.select(
+                    "event_type", "s", (F.col("d1") - F.col("d0") + 1).alias("n")
+                )
+            ),
+            "event_type",
+        )
+        .filter(F.col("n1") < F.col("n"))  # a split needs both segments
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "s1",
+            "n1",
+            (F.col("s") - F.col("s1")).alias("s2"),
+            (F.col("n") - F.col("n1")).alias("n2"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "s1",
+            "n1",
+            "s2",
+            "n2",
+            F.expr(CHANGEPOINT_SCORE_SQL).alias("score"),
+        )
+    )
+    rank_w = Window.partitionBy("event_type").orderBy(
+        F.desc("score"), F.asc("day")
+    )
+    return (
+        cands.withColumn("rk", F.row_number().over(rank_w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("day").cast("bigint").alias("break_day"),
+            "score",
+            F.expr("round(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE), 9)").alias(
+                "mean_before"
+            ),
+            F.expr("round(CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE), 9)").alias(
+                "mean_after"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def theil_sen_trend(events: DataFrame) -> DataFrame:
+    """Theil–Sen slope of the daily count series per event type: the
+    MEDIAN of all pairwise slopes (y_j−y_i)/(j−i) — the
+    breakdown-point-robust complement to `trend_slope_panel` (least
+    squares, outlier-sensitive) and `robust_trend` (bucket-median
+    pre-smoothing, still least squares after). One corrupted day
+    moves OLS arbitrarily; Theil–Sen tolerates ~29% corruption.
+
+    Determinism: each pairwise slope is ONE double division of exact
+    integers (IEEE-identical in both engines); the median is
+    percentile_disc — an order statistic that picks an actual slope
+    value, never an interpolated float.
+
+    Scale shape: the feed reduces to the dense (type, day, y)
+    relation first; the pair stage is a self-join of THAT relation on
+    the type key — O(span²) per type, bounded by the calendar (a
+    decade is ~13M pairs/type), never by feed volume. The final
+    aggregate is #types rows."""
+    day = F.expr(f"{_US} div 86400000000")
+    counts = _materialize(
+        events.groupBy("event_type", day.alias("day")).agg(
+            F.count("*").alias("y")
+        )
+    )
+    span = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    dense = _materialize(
+        span.select("event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    a = dense.select(
+        "event_type", F.col("day").alias("di"), F.col("y").alias("yi")
+    )
+    b = dense.select(
+        "event_type", F.col("day").alias("dj"), F.col("y").alias("yj")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("di") < F.col("dj"))
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(yj - yi AS DOUBLE) / CAST(dj - di AS DOUBLE)"
+            ).alias("slope"),
+        )
+    )
+    return (
+        pairs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias(
+                "sen_slope"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "sen_slope",
+        )
+        .orderBy("event_type")
+    )

@@ -472,3 +472,107 @@ def cluster_quality(
         )
         .orderBy("cluster_id")
     )
+
+
+def _pca_chain(terms: list[str]) -> str:
+    """Left-associated sum chain — BOTH engines parse `a + b + c` into
+    the same evaluation order, so generated-identical text guarantees
+    bit-identical double folds."""
+    return " + ".join(terms)
+
+
+def pca_power_iter(embeddings: DataFrame, dims: int = 64) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding
+    Gram matrix by TWO unrolled power-iteration steps, entirely
+    in-engine — the distributed linear-algebra primitive behind
+    embedding-drift monitoring and whitening ("which direction holds
+    the corpus' variance, and how much moved since yesterday").
+    Never materializes the 64×64 covariance: each step is the matvec
+    X·(Xᵀv) as one row-wise dot + one 64-sum aggregate, the classic
+    two-pass trick that scales to any row count at fixed state.
+
+    Engine-exactness (the reason two FIXED steps, not
+    iterate-to-convergence): v₀ = 1 (scale cancels in normalization),
+    so step 1's per-row dot Σ_d q_d is an exact integer and the
+    per-dim sums S1_d are exact DECIMAL/HUGEINT. v₁ is rounded to
+    6 dp; step 2's per-row dot is then EXACT in doubles (6-dp values
+    scaled by 2^21-bounded integers stay under 2^53), re-scaled to an
+    exact integer micro-dot, so S2_d is again exact integer
+    accumulation — order-independent under any partitioning. Both
+    normalizations are generated left-associated 64-term chains
+    (identical text on both engines) with one sqrt each, rounded at
+    the edge. A rank-deficient corpus (zero norm) yields NULL
+    loadings, not a crash.
+
+    Scale shape: the quantized relation is materialized once and
+    scanned twice (once per step); each step is map-side projection +
+    ONE 64-column aggregate; v₁ rides back as a broadcast 1-row
+    relation. Nothing row-wise ever shuffles."""
+    if dims != 64:
+        raise ValueError("pca_power_iter: the engine's embedding width is 64")
+    qv = _materialize(quantized(embeddings).select("vec_id", "qvec"))
+    sumq = _pca_chain([f"qvec[{d}]" for d in range(dims)])
+    s1 = qv.agg(
+        *[
+            F.expr(
+                f"SUM(CAST(qvec[{d}] * ({sumq}) AS DECIMAL(38,0)))"
+            ).alias(f"s1_{d}")
+            for d in range(dims)
+        ]
+    )
+    norm1 = _pca_chain(
+        [f"CAST(s1_{d} AS DOUBLE) * CAST(s1_{d} AS DOUBLE)" for d in range(dims)]
+    )
+    v1 = s1.select(
+        *[
+            F.expr(
+                f"CASE WHEN ({norm1}) > 0.0 THEN"
+                f" round(CAST(s1_{d} AS DOUBLE) / sqrt({norm1}), 6) END"
+            ).alias(f"v1_{d}")
+            for d in range(dims)
+        ]
+    )
+    dot1 = _pca_chain([f"qvec[{d}] * v1_{d}" for d in range(dims)])
+    # the per-row micro-dot is projected ONCE, then 64 sums read it —
+    # not re-derived inside every aggregate expression (the twin's
+    # planner materializes each copy; one projection keeps both plans
+    # linear in dims instead of quadratic)
+    s2 = (
+        qv.crossJoin(F.broadcast(v1))
+        .select(
+            "qvec",
+            F.expr(
+                f"CAST(round(round({dot1}, 6) * 1000000.0, 0)"
+                " AS DECIMAL(38,0))"
+            ).alias("idot"),
+        )
+        .agg(
+            *[
+                F.expr(f"SUM(qvec[{d}] * idot)").alias(f"s2_{d}")
+                for d in range(dims)
+            ]
+        )
+    )
+    norm2 = _pca_chain(
+        [f"CAST(s2_{d} AS DOUBLE) * CAST(s2_{d} AS DOUBLE)" for d in range(dims)]
+    )
+    loadings = s2.select(
+        *[
+            F.expr(
+                f"CASE WHEN ({norm2}) > 0.0 THEN"
+                f" round(CAST(s2_{d} AS DOUBLE) / sqrt({norm2}), 9) END"
+            ).alias(f"l_{d}")
+            for d in range(dims)
+        ]
+    )
+    dim_structs = F.array(
+        *[
+            F.struct(F.lit(d).alias("dim"), F.col(f"l_{d}").alias("loading"))
+            for d in range(dims)
+        ]
+    )
+    return (
+        loadings.select(F.explode(dim_structs).alias("x"))
+        .select(F.col("x.dim").alias("dim"), F.col("x.loading").alias("loading"))
+        .orderBy("dim")
+    )

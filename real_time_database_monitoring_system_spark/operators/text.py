@@ -564,3 +564,60 @@ def vocab_growth(documents: DataFrame, n_buckets: int = 20) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def zipf_fit(documents: DataFrame, top_n: int = 100) -> DataFrame:
+    """Zipf's-law fit per source: least-squares slope of ln(frequency)
+    against ln(rank) over the source's `top_n` terms — natural text
+    sits near slope −1; templated/generated text (the thing a corpus
+    audit wants flagged) bends away from it. Completes the corpus
+    statistical-law pair with `vocab_growth` (Heaps).
+
+    Determinism: ln is evaluated once per term and rounded to 9 dp
+    (the repo's one-transcendental rule); x, y and their 9-dp-rounded
+    products accumulate as DECIMAL — order-independent under any
+    partitioning — and the final combine is the SHARED
+    `analytics.TREND_FINAL_SQL` expression, so this fit literally
+    cannot drift from the trend panel's arithmetic. Rank ties break
+    (count desc, term asc) — deterministic in both engines.
+
+    Scale shape: one tokenize pass reduces to the (source, term)
+    count relation; the top-n rank is a per-source window over that
+    relation (WindowGroupLimit prunes to top_n map-side); the fit
+    consumes ≤ #sources × top_n rows. The corpus is never shuffled
+    row-wise."""
+    from .analytics import TREND_FINAL_SQL
+
+    if top_n < 3:
+        raise ValueError("zipf_fit: top_n must be ≥ 3")
+    tf = (
+        _spread(documents, "doc_id")
+        .select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n_term"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_term"), F.asc("term"))
+    ranked = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            "source",
+            F.expr("round(ln(CAST(rnk AS DOUBLE)), 9)").alias("x"),
+            F.expr("round(ln(CAST(n_term AS DOUBLE)), 9)").alias("y"),
+        )
+    )
+    dec = "CAST(round({e}, 9) AS DECIMAL(25,9))"
+    sums = ranked.groupBy("source").agg(
+        F.expr("CAST(count(*) AS BIGINT)").alias("n"),
+        F.expr(f"CAST(SUM({dec.format(e='x')}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({dec.format(e='y')}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({dec.format(e='x * x')}) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM({dec.format(e='x * y')}) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(SUM({dec.format(e='y * y')}) AS DOUBLE)").alias("syy"),
+    )
+    return sums.select(
+        "source",
+        F.col("n").alias("n_terms"),
+        F.expr(TREND_FINAL_SQL["slope_per_hour"]).alias("zipf_slope"),
+        F.expr(TREND_FINAL_SQL["r2"]).alias("r2"),
+    ).orderBy("source")

@@ -184,3 +184,96 @@ def test_edit_distance_cleaning_pins_ascii_domain(spark):
     ]
     out = dedup.edit_distance_pairs(_docs(spark, rows)).collect()
     assert len(out) == 1 and out[0].edit_dist == 0 and out[0].similarity == 1.0
+
+
+def test_changepoint_locates_planted_level_shift(spark):
+    # 10 days at ~2 events/day then 10 days at ~8/day: the best split
+    # must be the boundary (day index 9, i.e. the last low day)
+    rows = []
+    eid = 0
+    for d in range(20):
+        n_ev = 2 if d < 10 else 8
+        for _ in range(n_ev):
+            rows.append((eid, f"2024-01-{d+1:02d} 12:00:00", 1, "a", 1.0))
+            eid += 1
+    out = anomaly.changepoint_detect(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    base_day = 19723  # 2024-01-01 epoch day
+    assert r.break_day == base_day + 9
+    assert r.mean_before == 2.0 and r.mean_after == 8.0
+    assert r.n_days == 20
+
+
+def test_changepoint_single_day_type_drops_out(spark):
+    rows = [(1, "2024-01-01 10:00:00", 1, "only", 1.0)]
+    assert anomaly.changepoint_detect(_events(spark, rows)).collect() == []
+
+
+def test_theil_sen_ignores_single_outlier_day(spark):
+    # perfect slope-2 line over 15 days with ONE corrupted day: OLS
+    # would move; the pairwise median must stay exactly 2.0
+    rows = []
+    eid = 0
+    for d in range(15):
+        n_ev = 2 * d + 1 if d != 7 else 500
+        for _ in range(n_ev):
+            rows.append((eid, f"2024-01-{d+1:02d} 12:00:00", 1, "a", 1.0))
+            eid += 1
+    out = anomaly.theil_sen_trend(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0].sen_slope == 2.0
+    assert out[0].n_pairs == 15 * 14 // 2
+
+
+def test_zipf_fit_flags_uniform_vs_skewed(spark):
+    # geometric frequencies (true Zipf-ish) vs perfectly uniform: the
+    # skewed source must fit a steep negative slope, the uniform one a
+    # ~0 slope (every term equal -> y constant)
+    rows = []
+    did = 0
+    for i in range(8):  # term i appears 2^(8-i) times
+        for _ in range(2 ** (8 - i)):
+            rows.append((did, f"s{i}", "en", "skew", 2))
+            did += 1
+    for i in range(8):
+        for _ in range(10):
+            rows.append((did, f"u{i}", "en", "unif", 2))
+            did += 1
+    out = {r.source: r for r in text.zipf_fit(_docs(spark, rows)).collect()}
+    assert out["skew"].zipf_slope < -1.5 and out["skew"].r2 > 0.9
+    assert abs(out["unif"].zipf_slope) < 1e-9
+    assert out["skew"].n_terms == 8 and out["unif"].n_terms == 8
+
+
+def test_pca_power_iter_recovers_dominant_axis(spark):
+    # vectors concentrated on axis 3 with small noise on axis 10: the
+    # dominant loading must sit on dim 3 with |loading| ~ 1
+    rows = []
+    for i in range(50):
+        v = [0.0] * 64
+        v[3] = 1.0
+        v[10] = 0.01 * (i % 5)
+        rows.append((i, v, "a"))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label string"
+    )
+    from real_time_database_monitoring_system_spark.operators import clustering
+
+    out = clustering.pca_power_iter(emb).collect()
+    assert len(out) == 64
+    by_dim = {r.dim: r.loading for r in out}
+    assert abs(by_dim[3]) > 0.999
+    assert all(
+        abs(by_dim[d]) < 0.03 for d in range(64) if d not in (3, 10)
+    )
+
+
+def test_pca_power_iter_empty_input_yields_null_loadings(spark):
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, label string"
+    )
+    from real_time_database_monitoring_system_spark.operators import clustering
+
+    out = clustering.pca_power_iter(emb).collect()
+    assert len(out) == 64 and all(r.loading is None for r in out)
