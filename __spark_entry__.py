@@ -1270,14 +1270,29 @@ def _q_streaming_freshness(spark, sf):
 def _driver_green_names(repo_dir: str | None = None) -> frozenset[str]:
     """Entries whose LATEST driver verdict is a full green row
     (rows + schema + hash) across the committed CORRECTNESS_r*.json
-    artifacts next to this file.
+    artifacts next to this file. Thin set view over
+    `_driver_green_rounds` for callers that only need membership."""
+    return frozenset(_driver_green_rounds(repo_dir))
 
-    Latest-wins, not green-latch: artifacts are folded in round order
-    (lexicographic r01 < r02 < …), so an entry that was green in an
-    early round but REGRESSED in a later one counts as never-green
-    again and the rotation puts it back in the driver window for
+
+def _driver_green_rounds(repo_dir: str | None = None) -> dict[str, int]:
+    """Map each entry whose LATEST driver verdict is a full green row
+    (rows + schema + hash) to the ROUND NUMBER of that verdict, folding
+    the committed CORRECTNESS_r*.json artifacts next to this file.
+
+    Latest-wins, not green-latch: artifacts are folded in numeric
+    round order, so an entry that was green in an early round but
+    REGRESSED in a later one drops out of the map (never-green again)
+    and the rotation puts it back in the driver window for
     re-verification — a permanent latch would leave red evidence
     unactionable forever while reporting full coverage.
+
+    The round number is the staleness signal for the green partition:
+    once every entry is green, `queries()` cycles driver evidence by
+    re-checking the entries whose proof is OLDEST first, so a silent
+    regression in the registry tail surfaces within ~registry/50
+    rounds instead of hiding forever behind a fixed canonical order
+    (VERDICT r5 finding #2).
 
     Unreadable or non-dict files are skipped, so a corrupt artifact
     degrades to 'not mentioned' rather than crashing the driver
@@ -1287,10 +1302,10 @@ def _driver_green_names(repo_dir: str | None = None) -> frozenset[str]:
     import os
 
     repo = repo_dir or os.path.dirname(os.path.abspath(__file__))
-    return _driver_green_names_cached(repo)
+    return _driver_green_rounds_cached(repo)
 
 
-def _green_cache_impl(repo: str) -> frozenset[str]:
+def _green_cache_impl(repo: str) -> dict[str, int]:
     import glob
     import json
     import os
@@ -1303,10 +1318,11 @@ def _green_cache_impl(repo: str) -> frozenset[str]:
         m = re.search(r"_r(\d+)", os.path.basename(path))
         return (int(m.group(1)) if m else -1, path)
 
-    verdict: dict[str, bool] = {}
+    verdict: dict[str, tuple[int, bool]] = {}
     for path in sorted(
         glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")), key=_round_key
     ):
+        rnd = _round_key(path)[0]
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -1318,15 +1334,18 @@ def _green_cache_impl(repo: str) -> frozenset[str]:
             continue
         for name, row in data.items():
             if isinstance(row, dict):
-                verdict[name] = bool(
-                    row.get("rows_match")
-                    and row.get("schema_match")
-                    and row.get("hash_match")
+                verdict[name] = (
+                    rnd,
+                    bool(
+                        row.get("rows_match")
+                        and row.get("schema_match")
+                        and row.get("hash_match")
+                    ),
                 )
-    return frozenset(n for n, ok in verdict.items() if ok)
+    return {n: rnd for n, (rnd, ok) in verdict.items() if ok}
 
 
-_driver_green_names_cached = functools.lru_cache(maxsize=8)(_green_cache_impl)
+_driver_green_rounds_cached = functools.lru_cache(maxsize=8)(_green_cache_impl)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1345,20 +1364,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotation bookkeeping). The no-wasted-slot invariant is still
     machine-checked independently by tests/test_registry_window.py.
 
-    The registry is FROZEN at 213 entries as of round 4 and every
-    entry is oracle-backed (the five former rows-only sketch entries
-    were converted in place to verdict-column forms, so no driver
-    slot can ever burn on a `no_oracle` row again). 72 entries were
-    never-green entering round 4; the r04 window covers 50 of them
-    and the automatic rotation puts the remaining 22 first in r05,
-    closing full-registry driver evidence. Overflow entries remain
-    covered by the identical local check (tests/test_oracle_parity.py
-    runs all 213 every time)."""
+    Since round 6 the GREEN partition additionally rotates by
+    STALENESS: green entries are ordered by the round of their latest
+    green verdict (oldest proof first), with canonical order as the
+    tiebreak. With the full registry green (round 5 closed coverage),
+    a fixed canonical order would make the driver re-check the same
+    50 entries forever while a regression in the tail hid
+    indefinitely; oldest-first cycles the whole registry through
+    driver evidence every ~registry/50 rounds, and a regressed entry
+    re-enters the never-green prefix immediately (latest-wins fold).
+
+    Every entry is oracle-backed (the five former rows-only sketch
+    entries were converted in place to verdict-column forms, so no
+    driver slot can ever burn on a `no_oracle` row again). Round 5
+    closed full-registry driver evidence (223/223 green across
+    r01–r05); growth resumed in round 6 under the same discipline —
+    new entries are never-green, so they take the window prefix and
+    get same-round driver evidence. Overflow entries remain covered
+    by the identical local check (tests/test_oracle_parity.py runs
+    the full registry every time)."""
     base = _queries_canonical()
-    green = _driver_green_names()
-    never = {n: f for n, f in base.items() if n not in green}
-    done = {n: f for n, f in base.items() if n in green}
-    return {**never, **done}
+    rounds = _driver_green_rounds()
+    idx = {n: i for i, n in enumerate(base)}
+    never = [n for n in base if n not in rounds]
+    done = sorted((n for n in base if n in rounds), key=lambda n: (rounds[n], idx[n]))
+    return {n: base[n] for n in (*never, *done)}
 
 
 def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

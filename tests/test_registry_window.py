@@ -77,7 +77,9 @@ def test_auto_rotation_is_a_stable_partition(monkeypatch):
     """queries() must order never-green entries before green ones
     while preserving the canonical dict's relative order inside each
     class — under ANY green set, including ones future rounds will
-    produce. Simulates three rounds of driver progress."""
+    produce. Simulates three rounds of driver progress. (All greens
+    share one round here so staleness cannot reorder them — the
+    staleness tiebreak has its own test below.)"""
     canon = list(entry_mod._queries_canonical())
     scenarios = [
         set(),                      # round 1: nothing checked yet
@@ -86,7 +88,8 @@ def test_auto_rotation_is_a_stable_partition(monkeypatch):
         set(canon),                 # everything green
     ]
     for green in scenarios:
-        monkeypatch.setattr(entry_mod, "_driver_green_names", lambda g=green: g)
+        rounds = {n: 1 for n in green}
+        monkeypatch.setattr(entry_mod, "_driver_green_rounds", lambda r=rounds: r)
         ordered = list(entry_mod.queries())
         assert set(ordered) == set(canon)
         n_never = len(canon) - len(green)
@@ -94,6 +97,60 @@ def test_auto_rotation_is_a_stable_partition(monkeypatch):
         assert all(n in green for n in ordered[n_never:])
         assert [n for n in canon if n not in green] == ordered[:n_never]
         assert [n for n in canon if n in green] == ordered[n_never:]
+
+
+def test_green_partition_rotates_by_staleness(monkeypatch):
+    """Once entries are green, the green partition must order by the
+    round of each entry's latest green verdict — OLDEST PROOF FIRST,
+    canonical order as tiebreak — so driver evidence cycles through
+    the whole registry instead of re-checking a fixed 50 forever
+    (VERDICT r5 finding #2: a tail regression could otherwise hide
+    indefinitely)."""
+    canon = list(entry_mod._queries_canonical())
+    # interleave rounds so staleness order differs from canonical order
+    rounds = {n: (5 - (i % 5)) for i, n in enumerate(canon)}
+    never = set(canon[10:20])
+    for n in never:
+        del rounds[n]
+    monkeypatch.setattr(entry_mod, "_driver_green_rounds", lambda r=rounds: r)
+    ordered = list(entry_mod.queries())
+    n_never = len(never)
+    assert set(ordered[:n_never]) == never
+    tail = ordered[n_never:]
+    idx = {n: i for i, n in enumerate(canon)}
+    assert tail == sorted(tail, key=lambda n: (rounds[n], idx[n]))
+    # oldest-round entries really do come first
+    assert rounds[tail[0]] == min(rounds.values())
+    assert rounds[tail[-1]] == max(rounds.values())
+
+
+def test_live_window_holds_stalest_green_entries():
+    """Against the real committed artifacts: if every registry entry
+    is green, the 50-entry driver window must contain exactly the
+    entries whose green proof is oldest (no fresher-proven entry may
+    occupy a slot a staler one needs)."""
+    rounds = entry_mod._driver_green_rounds(REPO)
+    names = list(entry_mod.queries())
+    in_registry = {n: r for n, r in rounds.items() if n in set(names)}
+    never = [n for n in names if n not in in_registry]
+    if never:
+        # growth in progress — the saturation test above already
+        # covers the prefix; staleness only orders the green tail
+        start = len(never)
+    else:
+        start = 0
+    window = names[start : start + max(0, WINDOW - start)]
+    if not window:
+        return
+    worst_in_window = max(in_registry[n] for n in window)
+    outside = [n for n in names[start + len(window):] if n in in_registry]
+    if outside:
+        best_outside = min(in_registry[n] for n in outside)
+        assert worst_in_window <= best_outside, (
+            "driver window holds an entry proven in round "
+            f"{worst_in_window} while a staler (round {best_outside}) "
+            "entry waits outside — staleness rotation broken"
+        )
 
 
 def test_driver_green_names_survives_corrupt_artifact(tmp_path):
