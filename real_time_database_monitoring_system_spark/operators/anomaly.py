@@ -619,7 +619,7 @@ def changepoint_detect(events: DataFrame) -> DataFrame:
     )
     span = counts.groupBy("event_type").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1"),
-        F.sum("y").alias("s"), F.count("*").alias("_nk"),
+        F.sum("y").alias("s"),
     )
     dense = (
         span.select("event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day"))

@@ -48,6 +48,13 @@ def materialize(df: DataFrame) -> DataFrame:
                 "spark.sql.warehouse.dir", tempfile.gettempdir()
             ).removeprefix("file:")
             sc.setCheckpointDir(os.path.join(base, ".graft-checkpoints"))
+        # Reliable checkpoints are files, not executor blocks. Their
+        # lifecycle is handled by the ContextCleaner: session.get_spark
+        # sets spark.cleaner.referenceTracking.cleanCheckpoints=true at
+        # builder time (the cleaner reads it once at SparkContext
+        # construction), so each checkpoint's files are deleted when
+        # its RDD is garbage-collected instead of accumulating for the
+        # life of a long-running session (ADVICE r5).
         return df.checkpoint(eager=True)
     if mode != "local":
         raise ValueError(

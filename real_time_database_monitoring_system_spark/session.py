@@ -54,6 +54,14 @@ def get_spark(
         # build time. Compiled-class metadata is small; 4096 entries is
         # comfortable inside any executor/driver heap.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # materialize()'s `reliable` mode writes checkpoint FILES (not
+        # executor blocks); without this the ContextCleaner never
+        # deletes them and a long-running session checkpointing per
+        # operator accumulates disk unboundedly. Read once by the
+        # ContextCleaner at SparkContext construction, so it must be a
+        # builder-time conf. With it, each checkpoint's files are
+        # removed as soon as its RDD is garbage-collected.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     if master:
         builder = builder.master(master)
