@@ -34,18 +34,135 @@ def to_json_column(df: DataFrame, col_name: str = "payload") -> DataFrame:
 
 
 def write_xlsx(df: DataFrame, path: str, max_rows: int = 100_000) -> None:
-    """XLSX export (S7). Spreadsheet files are a driver-side,
-    small-result format: the writer refuses unbounded inputs rather
-    than silently collecting a 100 TB table. One action: fetch
-    max_rows+1 and refuse on overflow instead of a separate count."""
+    """XLSX export (S7), stdlib-only. The reference exports the grid
+    as a real .xlsx via SheetJS in the browser
+    (``cpu_usage_grid.html:216-240``); this writer produces the same
+    artifact engine-side with no dependency beyond ``zipfile``: xlsx
+    is zipped OOXML, and a single-sheet workbook needs only four XML
+    parts plus the sheet itself.
+
+    Spreadsheet files are a driver-side, small-result format: the
+    writer refuses unbounded inputs rather than silently collecting a
+    100 TB table. One action: fetch max_rows+1 and refuse on overflow
+    instead of a separate count.
+
+    Cell typing mirrors SheetJS's grid export: finite numbers become
+    numeric cells (``t="n"``), NULL/NaN become empty cells, everything
+    else (strings, timestamps, booleans) becomes an inline string —
+    inline strings rather than a sharedStrings part keep the writer a
+    single streaming pass. Zip entries carry a fixed timestamp so
+    re-exports of the same result are byte-identical (reproducible
+    artifacts)."""
     pdf = df.limit(max_rows + 1).toPandas()
     if len(pdf) > max_rows:
         raise ValueError(f"xlsx export capped at {max_rows} rows; use write_csv")
-    try:
-        pdf.to_excel(path, index=False)
-    except (ImportError, ModuleNotFoundError):
-        # no openpyxl in this container: fall back to CSV next to it
-        pdf.to_csv(path + ".csv", index=False)
+    with open(path, "wb") as fh:
+        fh.write(_xlsx_bytes(list(pdf.columns), pdf.itertuples(index=False)))
+
+
+_XLSX_STATIC_PARTS = {
+    "[Content_Types].xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        "</Types>"
+    ),
+    "_rels/.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    ),
+    "xl/workbook.xml": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+        ' xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+        "</workbook>"
+    ),
+    "xl/_rels/workbook.xml.rels": (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    ),
+}
+
+
+def _col_letter(i: int) -> str:
+    """0-based column index → spreadsheet letters (0→A, 25→Z, 26→AA)."""
+    out = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def _xlsx_cell(ref: str, value) -> str:
+    import math as _math
+    import numbers
+    from decimal import Decimal
+    from xml.sax.saxutils import escape
+
+    if value is None:
+        return ""
+    if isinstance(value, bool):
+        # bool is an int subclass; render as text like the JS grid does
+        return f'<c r="{ref}" t="inlineStr"><is><t>{value}</t></is></c>'
+    # numbers.Integral/Real (not bare int/float) so numpy scalars from
+    # pandas itertuples (np.int64, np.float64) land in numeric cells
+    if isinstance(value, numbers.Integral):
+        return f'<c r="{ref}"><v>{int(value)}</v></c>'
+    if isinstance(value, numbers.Real):
+        f = float(value)
+        return "" if not _math.isfinite(f) else f'<c r="{ref}"><v>{f!r}</v></c>'
+    if isinstance(value, Decimal):
+        return "" if not value.is_finite() else f'<c r="{ref}"><v>{value}</v></c>'
+    return (
+        f'<c r="{ref}" t="inlineStr"><is>'
+        f'<t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    )
+
+
+def _xlsx_bytes(columns: list[str], rows) -> bytes:
+    import io
+    import zipfile
+
+    body = io.StringIO()
+    body.write(
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        "<sheetData>"
+    )
+    letters = [_col_letter(i) for i in range(len(columns))]
+    body.write("<row r=\"1\">")
+    for letter, name in zip(letters, columns):
+        body.write(_xlsx_cell(f"{letter}1", str(name)))
+    body.write("</row>")
+    r = 1
+    for row in rows:
+        r += 1
+        body.write(f'<row r="{r}">')
+        for letter, value in zip(letters, row):
+            # pandas NaN/NaT surface as float('nan')/pd.NaT; both fail
+            # self-equality and must become empty cells, not "nan" text
+            if value is None or value != value:
+                continue
+            body.write(_xlsx_cell(f"{letter}{r}", value))
+        body.write("</row>")
+    body.write("</sheetData></worksheet>")
+
+    buf = io.BytesIO()
+    stamp = (1980, 1, 1, 0, 0, 0)  # fixed → byte-identical re-exports
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in _XLSX_STATIC_PARTS.items():
+            zf.writestr(zipfile.ZipInfo(name, stamp), content)
+        zf.writestr(zipfile.ZipInfo("xl/worksheets/sheet1.xml", stamp), body.getvalue())
+    return buf.getvalue()
 
 
 def write_sharded_corpus(documents: DataFrame, path: str, budget_tokens: int = 2000) -> None:

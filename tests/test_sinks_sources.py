@@ -48,6 +48,94 @@ def test_xlsx_cap(spark, sf_dir, tmp_path):
     assert any(p.startswith("r2.xlsx") for p in os.listdir(tmp_path))
 
 
+def _read_xlsx_grid(path):
+    """Unzip the OOXML and return the sheet as a list of row dicts
+    keyed by cell ref — stdlib-only, mirroring what any spreadsheet
+    app parses."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        names = set(zf.namelist())
+        # a valid single-sheet package: all four structural parts present
+        for part in (
+            "[Content_Types].xml",
+            "_rels/.rels",
+            "xl/workbook.xml",
+            "xl/_rels/workbook.xml.rels",
+            "xl/worksheets/sheet1.xml",
+        ):
+            assert part in names, f"missing OOXML part {part}"
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    rows = []
+    for row in sheet.iter(f"{ns}row"):
+        cells = {}
+        for c in row.iter(f"{ns}c"):
+            if c.get("t") == "inlineStr":
+                cells[c.get("r")] = c.find(f"{ns}is/{ns}t").text
+            else:
+                cells[c.get("r")] = c.find(f"{ns}v").text
+        rows.append(cells)
+    return rows
+
+
+def test_write_xlsx_produces_real_ooxml(spark, sf_dir, tmp_path):
+    """S7 parity: the export is genuine zipped OOXML (reference SheetJS
+    grid export, cpu_usage_grid.html:216-240) — headers in row 1,
+    strings as inline strings, numbers as numeric cells, verified by
+    unzipping and parsing the sheet XML with the stdlib."""
+    df = load_table(spark, sf_dir, "region").orderBy("r_regionkey")
+    expect = df.collect()
+    out = str(tmp_path / "region.xlsx")
+    sinks.write_xlsx(df, out)
+    grid = _read_xlsx_grid(out)
+    header = grid[0]
+    assert header["A1"] == "r_regionkey"
+    assert header["B1"] == "r_name"
+    assert len(grid) == len(expect) + 1
+    for i, want in enumerate(expect, start=2):
+        assert grid[i - 1][f"A{i}"] == str(want.r_regionkey)
+        assert grid[i - 1][f"B{i}"] == want.r_name
+    # deterministic artifact: same result → byte-identical file
+    out2 = str(tmp_path / "region_again.xlsx")
+    sinks.write_xlsx(df, out2)
+    assert open(out, "rb").read() == open(out2, "rb").read()
+
+
+def test_xlsx_cell_typing_and_escaping(tmp_path):
+    """NULL/NaN → empty cell; XML-special and multibyte text survive;
+    floats keep full precision; booleans render as text; wide frames
+    cross the Z→AA column boundary correctly."""
+    import pandas as pd
+
+    cols = [f"c{i}" for i in range(28)]
+    row1 = ["<&>\"'", 3.5, None, float("nan"), True] + list(range(23))
+    row2 = ["héllo\nworld", -1, 2.25, 0, False] + [None] * 23
+    pdf = pd.DataFrame([row1, row2], columns=cols)
+
+    class _FakeDF:
+        def limit(self, n):
+            return self
+
+        def toPandas(self):
+            return pdf
+
+    out = str(tmp_path / "typed.xlsx")
+    sinks.write_xlsx(_FakeDF(), out)
+    grid = _read_xlsx_grid(out)
+    assert grid[0]["AA1"] == "c26" and grid[0]["AB1"] == "c27"
+    r1, r2 = grid[1], grid[2]
+    assert r1["A2"] == "<&>\"'"
+    assert float(r1["B2"]) == 3.5
+    assert "C2" not in r1 and "D2" not in r1  # None / NaN omitted
+    assert r1["E2"] == "True"
+    assert r2["A3"] == "héllo\nworld"
+    assert float(r2["C3"]) == 2.25
+    assert r2["E3"] == "False"
+    assert "F3" not in r2  # trailing None block omitted
+
+
 def test_compact_reduces_partitions(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem").repartition(16)
     assert compact(df, 4).rdd.getNumPartitions() == 4
