@@ -429,6 +429,20 @@ def ks_drift(events: DataFrame) -> DataFrame:
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("d_cur"),
         )
     )
+    return ks_from_value_counts(per_value)
+
+
+def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Finish the two-sample KS statistic from the reduced
+    ``(event_type, value, d_ref, d_cur)`` relation — the shared core
+    between batch `ks_drift` and its streaming twin
+    (`streaming.rollup.stream_ks_drift`), so the statistic cannot
+    drift between two copies (the `mad_baseline` sharing rule).
+
+    The input feeds two consumers (half totals + the ECDF window), so
+    callers pass a MATERIALIZED relation (batch materializes the
+    grouped counts; the streaming twin's memory-sink state is already
+    stored)."""
     totals = per_value.groupBy("event_type").agg(
         F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
     )
@@ -617,6 +631,17 @@ def changepoint_detect(events: DataFrame) -> DataFrame:
             F.count("*").alias("y")
         )
     )
+    return changepoint_from_daily(counts)
+
+
+def changepoint_from_daily(counts: DataFrame) -> DataFrame:
+    """Finish the level-shift search from the reduced
+    ``(event_type, day, y)`` daily-count relation — the shared core
+    between batch `changepoint_detect` and its streaming twin
+    (`streaming.rollup.stream_changepoint`), mirroring the
+    `ks_from_value_counts` split. The input feeds two consumers (span
+    stats + the dense-series join), so callers pass a MATERIALIZED
+    relation."""
     span = counts.groupBy("event_type").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1"),
         F.sum("y").alias("s"),

@@ -264,6 +264,85 @@ def incremental_dedup(old: DataFrame, new: DataFrame, key: str = "doc_id") -> Da
     )
 
 
+def incremental_dedup_near(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental-ingest dedup with a NEAR-duplicate rule: the
+    documents of a new snapshot that need to (re-)enter the pipeline,
+    where a doc is dropped not only if its exact content already lives
+    in the old snapshot (`incremental_dedup`'s three rules) but also
+    if it is a MinHash-verified near-duplicate (word-``shingle_k``-gram
+    Jaccard ≥ ``threshold``) of ANY old document — the rule that makes
+    a re-crawl drop lightly-edited re-posts, boilerplate re-wraps, and
+    its own revisions, not just byte-identical copies.
+
+    Composition, not new machinery: the exact pass is
+    `incremental_dedup` verbatim; the near pass runs the portable
+    MinHash family (`dedup.portable_shingle_hashes` /
+    `portable_bands`) over BOTH sides, joins band keys new↔old for
+    candidates, and verifies exact Jaccard on the shared 60-bit
+    shingle-key sets — so the whole decision is bit-reproducible in
+    any engine (the `minhash_lsh_pairs_portable` contract).
+
+    Bounds at scale: the near pass only signs the exact-pass SURVIVORS
+    on the new side (a re-crawl's sliver, not the snapshot); the old
+    side is one signature pass over the corpus — in production it is
+    precomputed once and reused across re-crawls (signatures are
+    content-addressed). Candidates are band-equality matches only —
+    never all-pairs — and the exact verify runs on candidates only.
+    Near-dup checking WITHIN the new batch would need transitive
+    clustering (`dedup.dup_clusters`); this operator scopes the near
+    rule to new↔old, the documented incremental contract.
+
+    Docs with fewer than ``shingle_k`` tokens have no signature and
+    cannot match the near rule — the exact rule still applies to them.
+    Returns (key, status) for kept docs, ordered by key."""
+    from .dedup import portable_bands, portable_shingle_hashes
+
+    # diamond: the exact-pass survivors feed the near pass AND the
+    # final anti-join — materialize or the CDC join/window re-runs
+    surv = _materialize(incremental_dedup(old, new, key))
+    new_docs = new.join(surv.select(key), key).select(
+        F.col(key).alias("doc_id"), "text"
+    )
+    old_docs = old.select(F.col(key).alias("doc_id"), "text")
+    hs_new = portable_shingle_hashes(new_docs, shingle_k)
+    hs_old = portable_shingle_hashes(old_docs, shingle_k)
+    cand = (
+        portable_bands(hs_new)
+        .withColumnRenamed("doc_id", "new_id")
+        .join(
+            portable_bands(hs_old).withColumnRenamed("doc_id", "old_id"),
+            ["band_id", "band_key"],
+        )
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sets_new = hs_new.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias("hs_n")
+    )
+    sets_old = hs_old.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("h")).alias("hs_o")
+    )
+    verified = cand.join(
+        sets_new.select(F.col("doc_id").alias("new_id"), "hs_n"), "new_id"
+    ).join(sets_old.select(F.col("doc_id").alias("old_id"), "hs_o"), "old_id")
+    inter = F.size(F.array_intersect("hs_n", "hs_o"))
+    union = F.size("hs_n") + F.size("hs_o") - inter
+    near = (
+        verified.filter(
+            inter.cast("double") / union.cast("double") >= F.lit(threshold)
+        )
+        .select(F.col("new_id").alias(key))
+        .distinct()
+    )
+    return surv.join(near, key, "left_anti").orderBy(key)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:
     """Snapshot reconciliation (CDC classify): per-key status between
     two corpus snapshots — 'added', 'deleted', 'changed' (content

@@ -243,7 +243,54 @@ def _label_centroids(emb_d: DataFrame) -> DataFrame:
         emb_d.filter(F.col("vec").isNotNull())
         .groupBy("label")
         .agg(F.count("*").alias("n"), *sums)
-        .select("label", F.expr(arr).alias("centroid"))
+        .select("label", "n", F.expr(arr).alias("centroid"))
+    )
+
+
+def embedding_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Per-label embedding-distribution drift between two corpus
+    snapshots: cosine similarity and L2 distance between each label's
+    OLD and NEW centroid, with both sample sizes — the embedding-space
+    twin of the scalar drift detectors (`anomaly.psi_drift`/`ks_drift`
+    watch a value distribution; this watches where each class's mass
+    sits in representation space). A retrain gate reads `cos_sim`
+    dropping (or `l2_shift` growing) for a label as "this class's
+    inputs moved — revalidate before serving".
+
+    Determinism: centroids are the `_label_centroids` decimal-exact
+    means; cosine is the shared fold expression; L2 comes from the
+    same three dot products (‖a−b‖² = a·a − 2a·b + b·b, clamped at 0
+    against last-ulp negatives) so both engines fold doubles in the
+    identical order — one round(…, 9) each at the output edge.
+
+    Scale shape: one grouped pass per snapshot (map-side decimal
+    partials, #labels-row outputs), then a #labels-row join — the feed
+    is never joined or shuffled against itself. Labels present in only
+    one snapshot have no drift to measure and drop out (inner join)."""
+
+    def _prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            "label", F.col("embedding").cast("array<double>").alias("vec")
+        )
+
+    co = _label_centroids(_prep(old)).select(
+        "label", F.col("n").alias("n_old"), F.col("centroid").alias("c_old")
+    )
+    cn = _label_centroids(_prep(new)).select(
+        "label", F.col("n").alias("n_new"), F.col("centroid").alias("c_new")
+    )
+    a, b = F.col("c_old"), F.col("c_new")
+    l2_sq = _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+    return (
+        co.join(cn, "label")
+        .select(
+            "label",
+            "n_old",
+            "n_new",
+            F.round(cosine(a, b), 9).alias("cos_sim"),
+            F.round(F.sqrt(F.greatest(l2_sq, F.lit(0.0))), 9).alias("l2_shift"),
+        )
+        .orderBy("label")
     )
 
 

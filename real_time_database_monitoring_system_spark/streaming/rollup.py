@@ -997,3 +997,70 @@ def stream_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.ks_drift`: the live distribution-
+    drift monitor. Exact two-sample KS needs the per-distinct-value
+    counts on both sides of the feed's temporal midpoint, and the
+    midpoint itself is only known once the feed is seen — so the
+    streaming state is the ONE aggregation keyed by
+    (event_type, value, event-µs): exactness over a stream costs
+    per-distinct-row state, the same documented trade as
+    `stream_contract_audit` (production would bound it by bucketing
+    values or windowing the reference sample). NULL-valued events stay
+    in the state because the batch op derives the midpoint from the
+    WHOLE feed before dropping them.
+
+    The coda over that sink is pure batch: midpoint from state
+    min/max, ref/cur tagging, reduce to per-value half counts, then
+    `ks_from_value_counts` — the SAME core as the batch operator, so
+    replayed under availableNow the result equals `ks_drift` exactly
+    and shares its oracle verbatim."""
+    from ..operators.anomaly import ks_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy(
+        "event_type", "value", us.alias("us")
+    ).agg(F.count("*").alias("n"))
+    state = _run_to_memory(state_agg, "complete")
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = (
+        state.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "value",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("d_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("d_cur"),
+        )
+    )
+    # same diamond as the batch op: per_value feeds totals + the ECDF
+    return ks_from_value_counts(materialize(per_value))
+
+
+def stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.changepoint_detect`: the live
+    level-shift monitor ("traffic stepped on day X"). The per-(type,
+    day) count is the single streaming aggregation — state is
+    #types × #days rows, constant-bounded like `stream_trending_types`
+    — and the breakpoint search runs as a batch coda via
+    `changepoint_from_daily`, the SAME core as the batch operator.
+    availableNow state == the batch daily counts, hence the shared
+    oracle verbatim."""
+    from ..operators.anomaly import changepoint_from_daily
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    counts = src.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    return changepoint_from_daily(materialize(_run_to_memory(counts, "complete")))
