@@ -1638,7 +1638,84 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_sen_trend": _q_theil_sen_trend,
         "zipf_fit": _q_zipf_fit,
         "pca_power_iter": _q_pca_power_iter,
+        # -- round-6 additions (growth resumed after round 5 closed
+        #    full-registry coverage; never-green entries take the
+        #    window prefix automatically, the staleness rotation fills
+        #    the remaining slots with the oldest-proven entries). --
+        "incremental_dedup_near": _q_incremental_dedup_near,
+        "decontaminate_13gram": _q_decontaminate_13gram,
+        "jaccard_threshold_curve": _q_jaccard_threshold_curve,
+        "embedding_drift": _q_embedding_drift,
+        "streaming_ks_drift": _q_streaming_ks_drift,
+        "streaming_changepoint": _q_streaming_changepoint,
     }
+
+
+def _q_incremental_dedup_near(spark, sf):
+    # the incremental_dedup re-crawl, with the added block split three
+    # ways to exercise every decision path of the near rule:
+    # id%3==0 → token-REVERSED text (genuinely different shingles →
+    # kept as 'added'); id%3==1 → ' brand-new' appended (near-dup of
+    # the still-live source doc → dropped by the NEAR rule, kept by
+    # the exact rule — the delta this entry proves); id%3==2 → verbatim
+    # text (exact content dupe → dropped by the exact rule)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    revised = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    reversed_toks = F.array_join(
+        F.reverse(F.filter(F.split("text", r"\s+"), lambda x: x != "")), " "
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, reversed_toks)
+        .when(
+            F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" brand-new"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return curation.incremental_dedup_near(docs, revised.unionByName(added))
+
+
+def _q_decontaminate_13gram(spark, sf):
+    # the production 13-gram operating point (the default-3 entry
+    # `decontaminate` matches the tiny synthetic vocabulary); the
+    # benchmark is a deterministic excerpt suite — tokens 4..23 of
+    # every 7th doc — so exact 13-gram leakage provably exists
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 16)).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, 20), " ").alias("text"),
+    )
+    return curation.decontaminate(docs, bench, shingle_k=13)
+
+
+def _q_jaccard_threshold_curve(spark, sf):
+    return dedup.jaccard_threshold_curve(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+
+def _q_embedding_drift(spark, sf):
+    # snapshots = vec_id parity halves of the embedding table (the
+    # deterministic stand-in for two ingest generations)
+    emb = load_table(spark, sf, "embeddings")
+    return similarity.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0), emb.filter(F.col("vec_id") % 2 == 1)
+    )
+
+
+def _q_streaming_ks_drift(spark, sf):
+    return streaming_rollup.stream_ks_drift(spark, sf)
+
+
+def _q_streaming_changepoint(spark, sf):
+    return streaming_rollup.stream_changepoint(spark, sf)
 
 
 def _q_benford_audit(spark, sf):
@@ -1758,6 +1835,51 @@ def _minhash_portable_oracle(threshold: float, shingle_k: int) -> str:
               / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
         ORDER BY doc_a, doc_b
     """
+
+
+def _portable_sig_ctes(p: str, src: str, shingle_k: int) -> str:
+    """CTE block computing the portable-MinHash pipeline for a
+    ``(doc_id, text)`` source CTE ``src``, with every CTE name
+    prefixed by ``p`` so two sides (e.g. old/new snapshots) can run
+    the identical pipeline in one statement. Emits ``{p}hs`` (60-bit
+    shingle keys — the exact-verification input) and ``{p}banded``
+    (band keys). Shares `dedup.portable_perm_params` with the Spark
+    operators — one source of truth for the affine constants."""
+    pp = dedup.portable_perm_params()
+    rpb = dedup.N_HASHES // dedup.BANDS
+    min_aggs = ",\n                   ".join(
+        f"min(({a} * hi + {b} * lo + {c}) % {dedup.MINHASH_P}) AS mh_{i}"
+        for i, (a, b, c) in enumerate(pp)
+    )
+    band_union = "\n            UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_id, {key} AS band_key FROM {p}sig".format(
+            bi=bi,
+            p=p,
+            key=" || '|' || ".join(
+                f"CAST(mh_{bi * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for bi in range(dedup.BANDS)
+    )
+    shingle_expr = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(shingle_k)
+    )
+    return f"""{p}tok AS (SELECT doc_id, {_TOKS} AS toks FROM {src}),
+        {p}shn AS (
+            SELECT doc_id,
+                   list_distinct([{shingle_expr}
+                                  for i in range(1, len(toks) - {shingle_k - 2})]) AS shingles
+            FROM {p}tok WHERE len(toks) >= {shingle_k}),
+        {p}ex AS (SELECT doc_id, unnest(shingles) AS s FROM {p}shn),
+        {p}hs AS (SELECT doc_id,
+                         CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+                  FROM {p}ex),
+        {p}hx AS (SELECT doc_id, h >> 30 AS hi, h & 1073741823 AS lo FROM {p}hs),
+        {p}sig AS (SELECT doc_id,
+                   {min_aggs}
+                   FROM {p}hx GROUP BY doc_id),
+        {p}banded AS (
+            {band_union})"""
 
 
 def _simhash_portable_oracle(max_hamming: int) -> str:
@@ -5959,5 +6081,160 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(dim AS INTEGER) AS dim, loading
         FROM stacked ORDER BY dim
     """
+
+    # ---- round-6 entries ----
+
+    # near-dup incremental dedup: the exact CDC pass (incremental_dedup
+    # oracle verbatim) composed with the portable-MinHash cross
+    # pipeline (shared _portable_sig_ctes) new-survivors ↔ old corpus
+    sql["incremental_dedup_near"] = f"""
+        WITH oldt AS (SELECT doc_id, text FROM documents),
+        newt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN array_to_string(list_reverse({_TOKS}), ' ')
+                        WHEN doc_id % 3 = 1 THEN text || ' brand-new'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 29 = 0),
+        o AS (SELECT doc_id, md5(text) AS fp FROM oldt),
+        n AS (SELECT doc_id, md5(text) AS fp FROM newt),
+        ch AS (SELECT n.doc_id AS doc_id, n.fp AS fp,
+                      CASE WHEN o.fp IS NULL THEN 'added' ELSE 'changed' END AS status
+               FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+               WHERE o.fp IS NULL OR o.fp <> n.fp),
+        r AS (SELECT doc_id, fp, status,
+                     row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM ch),
+        surv AS (SELECT doc_id, status FROM r
+                 WHERE rn = 1 AND fp NOT IN (SELECT fp FROM o)),
+        sn AS (SELECT s.doc_id, t.text FROM surv s
+               JOIN newt t ON s.doc_id = t.doc_id),
+        {_portable_sig_ctes('nw_', 'sn', 3)},
+        {_portable_sig_ctes('od_', 'oldt', 3)},
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                 FROM nw_banded a JOIN od_banded b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key),
+        nsets AS (SELECT DISTINCT doc_id, h FROM nw_hs),
+        osets AS (SELECT DISTINCT doc_id, h FROM od_hs),
+        nsz AS (SELECT doc_id, count(*) AS n FROM nsets GROUP BY doc_id),
+        osz AS (SELECT doc_id, count(*) AS n FROM osets GROUP BY doc_id),
+        inter AS (SELECT c.new_id, c.old_id, count(*) AS n_inter
+                  FROM cand c
+                  JOIN nsets x ON x.doc_id = c.new_id
+                  JOIN osets y ON y.doc_id = c.old_id AND y.h = x.h
+                  GROUP BY 1, 2),
+        near AS (SELECT DISTINCT i.new_id
+                 FROM inter i
+                 JOIN nsz ON i.new_id = nsz.doc_id
+                 JOIN osz ON i.old_id = osz.doc_id
+                 WHERE CAST(n_inter AS DOUBLE)
+                       / CAST(nsz.n + osz.n - n_inter AS DOUBLE) >= 0.5)
+        SELECT doc_id, status FROM surv
+        WHERE doc_id NOT IN (SELECT new_id FROM near)
+        ORDER BY doc_id
+    """
+
+    # 13-gram decontamination against the deterministic excerpt suite
+    _g13 = " || ' ' || ".join(
+        f"toks[i+{j}]" if j else "toks[i]" for j in range(13)
+    )
+    sql["decontaminate_13gram"] = f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        be AS (SELECT doc_id + 20000000 AS doc_id, toks[4:23] AS toks
+               FROM d WHERE doc_id % 7 = 0 AND len(toks) >= 16),
+        tr_ex AS (
+            SELECT doc_id,
+                   unnest(list_distinct([{_g13}
+                                         for i in range(1, len(toks) - 11)])) AS s
+            FROM d WHERE len(toks) >= 13),
+        be_ex AS (
+            SELECT doc_id AS bench_id,
+                   unnest(list_distinct([{_g13}
+                                         for i in range(1, len(toks) - 11)])) AS s
+            FROM be WHERE len(toks) >= 13)
+        SELECT tr_ex.doc_id,
+               count(DISTINCT tr_ex.s) AS n_hit_shingles,
+               count(DISTINCT be_ex.bench_id) AS n_bench_docs
+        FROM tr_ex JOIN be_ex ON tr_ex.s = be_ex.s
+        GROUP BY tr_ex.doc_id
+        ORDER BY doc_id
+    """
+
+    # Jaccard histogram over all LSH candidates; the bucket id is pure
+    # integer math ((10·|∩|) div |∪|) so bucket edges are engine-exact
+    sql["jaccard_threshold_curve"] = f"""
+        WITH src AS (SELECT doc_id, text FROM documents),
+        {_portable_sig_ctes('c_', 'src', 3)},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM c_banded a JOIN c_banded b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, h FROM c_hs),
+        sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+                  FROM cand c
+                  JOIN sets x ON x.doc_id = c.doc_a
+                  JOIN sets y ON y.doc_id = c.doc_b AND y.h = x.h
+                  GROUP BY 1, 2),
+        j AS (SELECT (10 * n_inter) // (sa.n + sb.n - n_inter) AS bucket
+              FROM inter i
+              JOIN sz sa ON i.doc_a = sa.doc_id
+              JOIN sz sb ON i.doc_b = sb.doc_id)
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(bucket AS DOUBLE) / 10.0 AS jaccard_lo,
+               count(*) AS n_pairs
+        FROM j GROUP BY bucket ORDER BY bucket
+    """
+
+    # embedding drift: per-(half, label) decimal-exact centroids (the
+    # label_centroid_similarity cvec pattern), cosine + L2 from the
+    # same three ordered-fold dot products as the Spark expression
+    sql["embedding_drift"] = """
+        WITH halves AS (
+            SELECT label, embedding, vec_id % 2 AS half
+            FROM embeddings WHERE embedding IS NOT NULL),
+        cnt AS (SELECT half, label, count(*) AS n
+                FROM halves GROUP BY 1, 2),
+        comp AS (
+            SELECT half, label, CAST(pos AS INTEGER) AS pos,
+                   embedding[pos + 1] AS x
+            FROM (SELECT half, label,
+                         unnest(range(0, len(embedding))) AS pos, embedding
+                  FROM halves)),
+        cent AS (
+            SELECT half, label, pos,
+                   CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,12))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS m
+            FROM comp GROUP BY 1, 2, 3),
+        cvec AS (
+            SELECT half, label, list(m ORDER BY pos) AS centroid
+            FROM cent GROUP BY 1, 2)
+        SELECT a.label,
+               CAST(ca.n AS BIGINT) AS n_old,
+               CAST(cb.n AS BIGINT) AS n_new,
+               round(list_dot_product(a.centroid, b.centroid)
+                     / (sqrt(list_dot_product(a.centroid, a.centroid))
+                        * sqrt(list_dot_product(b.centroid, b.centroid))), 9)
+                   AS cos_sim,
+               round(sqrt(greatest(
+                     list_dot_product(a.centroid, a.centroid)
+                     - 2.0 * list_dot_product(a.centroid, b.centroid)
+                     + list_dot_product(b.centroid, b.centroid), 0.0)), 9)
+                   AS l2_shift
+        FROM cvec a
+        JOIN cvec b ON a.label = b.label AND a.half = 0 AND b.half = 1
+        JOIN cnt ca ON ca.label = a.label AND ca.half = 0
+        JOIN cnt cb ON cb.label = b.label AND cb.half = 1
+        ORDER BY a.label
+    """
+
+    # streaming twins replay the same feed through the same cores —
+    # batch oracles shared verbatim (the streaming_freshness pattern)
+    sql["streaming_ks_drift"] = sql["ks_drift"]
+    sql["streaming_changepoint"] = sql["changepoint_detect"]
 
     return sql
