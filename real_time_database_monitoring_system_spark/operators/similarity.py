@@ -219,7 +219,7 @@ def embedding_near_dup_pairs(
     )
 
 
-def _label_centroids(emb_d: DataFrame) -> DataFrame:
+def _label_centroids(emb_d: DataFrame, dim: int = 64) -> DataFrame:
     """#labels-row centroid table from a (label, vec: array<double>)
     relation: element-wise decimal-exact mean in ONE grouped pass —
     64 decimal sums + count as single parsed expressions (the
@@ -232,11 +232,11 @@ def _label_centroids(emb_d: DataFrame) -> DataFrame:
     rows posexplode silently skipped."""
     sums = [
         F.expr(f"sum(CAST(vec[{i}] AS DECIMAL(18,12)))").alias(f"s_{i}")
-        for i in range(64)
+        for i in range(dim)
     ]
     arr = (
         "array("
-        + ", ".join(f"CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE)" for i in range(64))
+        + ", ".join(f"CAST(s_{i} AS DOUBLE) / CAST(n AS DOUBLE)" for i in range(dim))
         + ")"
     )
     return (
@@ -247,7 +247,7 @@ def _label_centroids(emb_d: DataFrame) -> DataFrame:
     )
 
 
-def embedding_drift(old: DataFrame, new: DataFrame) -> DataFrame:
+def embedding_drift(old: DataFrame, new: DataFrame, dim: int = 64) -> DataFrame:
     """Per-label embedding-distribution drift between two corpus
     snapshots: cosine similarity and L2 distance between each label's
     OLD and NEW centroid, with both sample sizes — the embedding-space
@@ -273,10 +273,10 @@ def embedding_drift(old: DataFrame, new: DataFrame) -> DataFrame:
             "label", F.col("embedding").cast("array<double>").alias("vec")
         )
 
-    co = _label_centroids(_prep(old)).select(
+    co = _label_centroids(_prep(old), dim).select(
         "label", F.col("n").alias("n_old"), F.col("centroid").alias("c_old")
     )
-    cn = _label_centroids(_prep(new)).select(
+    cn = _label_centroids(_prep(new), dim).select(
         "label", F.col("n").alias("n_new"), F.col("centroid").alias("c_new")
     )
     a, b = F.col("c_old"), F.col("c_new")

@@ -654,3 +654,54 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
     # join over the blocked index)
     plan = checks.explain_str(dedup_ops.edit_distance_pairs(docs))
     assert "BroadcastExchange" in plan
+
+
+def test_round6_operator_shuffle_budgets(spark, sf_dir):
+    """Exchange budgets for the round-6 operators. The near-dedup and
+    curve plans inherit the portable-MinHash posture (banded
+    candidates only, broadcast small sides, no CartesianProduct);
+    embedding_drift is two grouped passes + a #labels-row join;
+    13-gram decontamination is the inverted-index join with the
+    benchmark side broadcast."""
+    from real_time_database_monitoring_system_spark.operators import (
+        curation,
+        dedup as dedup_ops,
+        similarity,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 16)).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, 20), " ").alias("text"),
+    )
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" x"))).otherwise(
+            F.col("text")
+        ),
+    )
+    budgets = [
+        # CDC join/window + band join + verify joins + final sort
+        ("incremental_dedup_near", curation.incremental_dedup_near(docs, new), 7),
+        # train shingle agg + broadcast bench join + keyed agg + sort
+        ("decontaminate_13gram", curation.decontaminate(docs, bench, 13), 6),
+        # sig agg + band self-join + verify joins + bucket agg + sort
+        ("jaccard_threshold_curve", dedup_ops.jaccard_threshold_curve(docs), 7),
+        # one grouped pass per snapshot + #labels-row join + sort
+        (
+            "embedding_drift",
+            similarity.embedding_drift(
+                emb.filter(F.col("vec_id") % 2 == 0),
+                emb.filter(F.col("vec_id") % 2 == 1),
+            ),
+            4,
+        ),
+    ]
+    for name, df, max_ex in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan, name

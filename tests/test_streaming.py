@@ -503,3 +503,19 @@ def test_watermarked_funnel_commits_and_corrects():
     # lateness bound and is dropped per the watermark contract
     r4 = _drive_wm_funnel(fn, st, [(350, 5, "purchase")])
     assert (r4.t1, r4.t2, r4.t3, r4.ver) == (10, 20, 30, 4)
+
+
+def test_stream_ks_drift_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    batch = anomaly.ks_drift(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_ks_drift(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_changepoint_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    batch = anomaly.changepoint_detect(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_changepoint(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
