@@ -166,6 +166,13 @@ HEADLINE = [
     "acf_panel",
     "vocab_growth",
     "edit_distance_pairs",
+    # round-6 additions: near-dup incremental ingest, 13-gram eval
+    # decontamination, LSH threshold curve, embedding drift (streaming
+    # twins are equivalence-tested, per the round-3 convention)
+    "incremental_dedup_near",
+    "decontaminate_13gram",
+    "jaccard_threshold_curve",
+    "embedding_drift",
 ]
 
 
