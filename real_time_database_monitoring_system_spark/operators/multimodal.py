@@ -34,6 +34,21 @@ def attach_payload(documents: DataFrame) -> DataFrame:
     )
 
 
+_CHK_P = 1_000_000_007
+_POW31: list[int] = [1]  # ascending powers of 31 mod _CHK_P, grown on demand
+
+
+def _pow31_desc(n: int):
+    """numpy array of 31^(n-1), …, 31^1, 31^0 (mod p). The scalar
+    growth loop runs once per new maximum length and is cached, so the
+    per-payload cost is a slice + reverse, not O(len) Python."""
+    import numpy as np
+
+    while len(_POW31) < n:
+        _POW31.append((_POW31[-1] * 31) % _CHK_P)
+    return np.array(_POW31[n - 1 :: -1], dtype=np.int64)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for an image decode.
 
@@ -41,11 +56,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
         raise NotImplementedError("decode requires Pillow/ffmpeg")
     The fake derives metadata purely from the byte content so the
     pipeline is testable end-to-end and oracle-checkable.
-    """
+
+    The checksum is the Horner fold Σ b_i·31^(n−1−i) mod p, computed
+    as a vectorized numpy reduction (bit-identical to the byte loop by
+    the polynomial identity; each term < p and int64 holds the sum for
+    any payload under ~9 GB, far beyond an Arrow batch row)."""
+    import numpy as np
+
     n = len(payload)
-    checksum = 0
-    for b in payload:
-        checksum = (checksum * 31 + b) % 1000000007
+    if n == 0:
+        return 0, 0, 0, 0
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    checksum = int(((arr * _pow31_desc(n)) % _CHK_P).sum() % _CHK_P)
     return n, n % 640, (n * 7) % 480, checksum
 
 
