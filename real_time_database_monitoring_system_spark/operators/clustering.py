@@ -512,10 +512,17 @@ def pca_power_iter(embeddings: DataFrame, dims: int = 64) -> DataFrame:
         raise ValueError("pca_power_iter: the engine's embedding width is 64")
     qv = _materialize(quantized(embeddings).select("vec_id", "qvec"))
     sumq = _pca_chain([f"qvec[{d}]" for d in range(dims)])
-    s1 = qv.agg(
+    # the per-row sum is projected ONCE and the 64 aggregates read the
+    # projected column — embedding the 64-term chain inside each of the
+    # 64 SUM expressions generates 64×64-term methods that overflow
+    # janino's 64 KB method limit (whole-stage codegen fails, the
+    # aggregate runs interpreted, and every stage pays repeated failed
+    # compiles: measured 15.7 s → ~1 s at sf0.1). Same arithmetic
+    # (BIGINT product, DECIMAL(38,0) accumulation), same values.
+    s1 = qv.select("qvec", F.expr(f"({sumq})").alias("rowsum")).agg(
         *[
             F.expr(
-                f"SUM(CAST(qvec[{d}] * ({sumq}) AS DECIMAL(38,0)))"
+                f"SUM(CAST(qvec[{d}] * rowsum AS DECIMAL(38,0)))"
             ).alias(f"s1_{d}")
             for d in range(dims)
         ]
@@ -523,11 +530,13 @@ def pca_power_iter(embeddings: DataFrame, dims: int = 64) -> DataFrame:
     norm1 = _pca_chain(
         [f"CAST(s1_{d} AS DOUBLE) * CAST(s1_{d} AS DOUBLE)" for d in range(dims)]
     )
-    v1 = s1.select(
+    # norm chains likewise project once (64 copies of a 64-term chain
+    # is the same codegen blowup, just on a 1-row relation)
+    v1 = s1.select("*", F.expr(f"({norm1})").alias("n1sq")).select(
         *[
             F.expr(
-                f"CASE WHEN ({norm1}) > 0.0 THEN"
-                f" round(CAST(s1_{d} AS DOUBLE) / sqrt({norm1}), 6) END"
+                f"CASE WHEN n1sq > 0.0 THEN"
+                f" round(CAST(s1_{d} AS DOUBLE) / sqrt(n1sq), 6) END"
             ).alias(f"v1_{d}")
             for d in range(dims)
         ]
@@ -556,11 +565,11 @@ def pca_power_iter(embeddings: DataFrame, dims: int = 64) -> DataFrame:
     norm2 = _pca_chain(
         [f"CAST(s2_{d} AS DOUBLE) * CAST(s2_{d} AS DOUBLE)" for d in range(dims)]
     )
-    loadings = s2.select(
+    loadings = s2.select("*", F.expr(f"({norm2})").alias("n2sq")).select(
         *[
             F.expr(
-                f"CASE WHEN ({norm2}) > 0.0 THEN"
-                f" round(CAST(s2_{d} AS DOUBLE) / sqrt({norm2}), 9) END"
+                f"CASE WHEN n2sq > 0.0 THEN"
+                f" round(CAST(s2_{d} AS DOUBLE) / sqrt(n2sq), 9) END"
             ).alias(f"l_{d}")
             for d in range(dims)
         ]

@@ -213,6 +213,66 @@ def clean_text(documents: DataFrame) -> DataFrame:
     )
 
 
+C4_MIN_WORDS = 5
+C4_MAX_WORD_CHARS = 1000
+
+
+def c4_rule_filter(documents: DataFrame) -> DataFrame:
+    """C4-style heuristic cleaning rules as an auditable keep/drop
+    panel: one boolean per rule plus the final ``keep`` conjunction —
+    the hard-rule complement of the soft `quality_score`/`quality_logit`
+    scorers (a curation pipeline runs the rules first, then scores the
+    survivors). Rules are the document-level adaptation of the C4
+    paper's line filters:
+
+    - ``has_min_words``: ≥ 5 tokens;
+    - ``has_terminal_punct``: trimmed text ends in . ! ? or " ;
+    - ``no_braces``: no '{' or '}' (code/markup leak signal);
+    - ``no_lorem``: no 'lorem ipsum' (case-insensitive);
+    - ``no_policy_boilerplate``: none of the C4 stop-phrases
+      ('javascript', 'cookie policy', 'terms of use', 'privacy
+      policy') in the lowered text;
+    - ``no_long_word``: longest token ≤ 1000 chars (minified-blob
+      signal).
+
+    All rules are single-scan vectorized built-ins (contains/regexp/
+    array-fold) — one projection, no shuffle before the final sort;
+    at 100 TB this is a pure map stage. Returns (doc_id, n_tokens,
+    the six rule booleans, keep) ordered by doc_id."""
+    toks = _tokens(F.col("text"))
+    low = F.lower("text")
+    trimmed = F.rtrim(F.col("text"))
+    rules = {
+        "has_min_words": F.size(toks) >= C4_MIN_WORDS,
+        "has_terminal_punct": trimmed.rlike(r'[.!?"]$'),
+        "no_braces": ~F.col("text").contains("{") & ~F.col("text").contains("}"),
+        "no_lorem": ~low.contains("lorem ipsum"),
+        "no_policy_boilerplate": (
+            ~low.contains("javascript")
+            & ~low.contains("cookie policy")
+            & ~low.contains("terms of use")
+            & ~low.contains("privacy policy")
+        ),
+        "no_long_word": F.aggregate(
+            toks, F.lit(0), lambda acc, t: F.greatest(acc, F.length(t))
+        )
+        <= C4_MAX_WORD_CHARS,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return (
+        _spread(documents, "doc_id")
+        .select(
+            "doc_id",
+            F.size(toks).cast("int").alias("n_tokens"),
+            *[expr.alias(name) for name, expr in rules.items()],
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def repetition_score(documents: DataFrame) -> DataFrame:
     """Repetition quality signal: the share of the document covered by
     its single most-frequent bigram — high values flag boilerplate /
