@@ -1648,7 +1648,42 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": _q_embedding_drift,
         "streaming_ks_drift": _q_streaming_ks_drift,
         "streaming_changepoint": _q_streaming_changepoint,
+        "winnow_overlap_pairs": _q_winnow_overlap_pairs,
+        "c4_rule_filter": _q_c4_rule_filter,
     }
+
+
+def _q_winnow_overlap_pairs(spark, sf):
+    return dedup.winnow_overlap_pairs(
+        load_table(spark, sf, "documents").select("doc_id", "text")
+    )
+
+
+def _q_c4_rule_filter(spark, sf):
+    # the synthetic corpus is punctuation-free lowercase prose, so
+    # every rule would report one constant value; inject deterministic
+    # violations on fixed residues (the pii_redact pattern) so each
+    # rule fires on a known subset — the oracle mirrors the injection
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" lorem ipsum dolor")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit(" read our privacy policy")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0, F.lit(" {code}")).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 17 == 0,
+                F.concat(F.lit(" "), F.expr("repeat('x', 1200)")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".")).otherwise(F.lit("")),
+        ),
+    )
+    return text_ops.c4_rule_filter(injected)
 
 
 def _q_incremental_dedup_near(spark, sf):
@@ -6236,5 +6271,71 @@ def oracle_sql() -> dict[str, str]:
     # batch oracles shared verbatim (the streaming_freshness pattern)
     sql["streaming_ks_drift"] = sql["ks_drift"]
     sql["streaming_changepoint"] = sql["changepoint_detect"]
+
+    # winnowing: same 60-bit md5 k-gram keys as the portable family;
+    # window minima are VALUE minima so tie handling cannot diverge;
+    # hot fingerprints (df > 50) dropped before the self-join
+    sql["winnow_overlap_pairs"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      for i in range(1, len(toks) - 1)] AS grams
+              FROM t WHERE len(toks) >= 3),
+        h AS (SELECT doc_id,
+                     list_transform(grams,
+                         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+              FROM g),
+        wn AS (SELECT doc_id,
+                      CASE WHEN len(hs) >= 4
+                           THEN [list_min(hs[j:j+3])
+                                 for j in range(1, len(hs) - 2)]
+                           ELSE [list_min(hs)] END AS wins
+               FROM h),
+        fps AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wn),
+        dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+        kept AS (SELECT f.doc_id, f.fp
+                 FROM fps f JOIN dfreq USING (fp) WHERE df <= 50)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*) AS n_shared
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2
+        ORDER BY 1, 2
+    """
+
+    # C4 rules over the injected fixture; list_max of an empty token
+    # list is NULL in DuckDB where Spark's greatest-fold yields 0 —
+    # coalesce pins the agreement
+    sql["c4_rule_filter"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0 THEN ' lorem ipsum dolor' ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN ' read our privacy policy' ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0 THEN ' {{code}}' ELSE '' END ||
+                   CASE WHEN doc_id % 17 = 0 THEN ' ' || repeat('x', 1200) ELSE '' END ||
+                   CASE WHEN doc_id % 3 = 0 THEN '.' ELSE '' END AS text
+            FROM documents),
+        r AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+                   len({_TOKS}) >= 5 AS has_min_words,
+                   regexp_matches(rtrim(text), '[.!?"]$') AS has_terminal_punct,
+                   NOT contains(text, '{{') AND NOT contains(text, '}}')
+                       AS no_braces,
+                   NOT contains(lower(text), 'lorem ipsum') AS no_lorem,
+                   NOT contains(lower(text), 'javascript')
+                   AND NOT contains(lower(text), 'cookie policy')
+                   AND NOT contains(lower(text), 'terms of use')
+                   AND NOT contains(lower(text), 'privacy policy')
+                       AS no_policy_boilerplate,
+                   coalesce(list_max(list_transform({_TOKS}, t -> length(t))), 0)
+                       <= 1000 AS no_long_word
+            FROM inj)
+        SELECT doc_id, n_tokens, has_min_words, has_terminal_punct,
+               no_braces, no_lorem, no_policy_boilerplate, no_long_word,
+               has_min_words AND has_terminal_punct AND no_braces
+               AND no_lorem AND no_policy_boilerplate AND no_long_word AS keep
+        FROM r ORDER BY doc_id
+    """
 
     return sql

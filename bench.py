@@ -173,6 +173,9 @@ HEADLINE = [
     "decontaminate_13gram",
     "jaccard_threshold_curve",
     "embedding_drift",
+    "winnow_overlap_pairs",
+    "c4_rule_filter",
+    "pca_power_iter",  # promoted after the r6 codegen fix (15.7→2.3 s)
 ]
 
 

@@ -656,6 +656,26 @@ def test_round5_operator_shuffle_budgets(spark, sf_dir):
     assert "BroadcastExchange" in plan
 
 
+def test_round6_late_shuffle_budgets(spark, sf_dir):
+    """Winnowing = fingerprint index self-join (df agg + broadcast
+    anti hot-guard + pair agg + sort); C4 rules are a pure map stage
+    (spread + final sort only)."""
+    from real_time_database_monitoring_system_spark.operators import (
+        dedup as dedup_ops,
+        text as text_ops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = dedup_ops.winnow_overlap_pairs(docs)
+    assert checks.count_exchanges(w) <= 5
+    plan = checks.explain_str(w)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan  # hot-fingerprint anti join
+    c = text_ops.c4_rule_filter(docs)
+    assert checks.count_exchanges(c) <= 2  # spread + final sort
+    assert "CartesianProduct" not in checks.explain_str(c)
+
+
 def test_round6_operator_shuffle_budgets(spark, sf_dir):
     """Exchange budgets for the round-6 operators. The near-dedup and
     curve plans inherit the portable-MinHash posture (banded

@@ -148,3 +148,74 @@ def test_embedding_drift_clamps_last_ulp_negative(spark):
         dim=3,
     ).collect()
     assert len(out) == 1 and out[0].l2_shift == 0.0
+
+
+def test_winnow_guarantee_and_hot_cutoff(spark):
+    """The winnowing contract: a shared token run of ≥ w+k−1 (=6)
+    tokens guarantees ≥1 shared fingerprint; disjoint docs share none;
+    a fingerprint present in > max_df docs is dropped before the
+    self-join (boilerplate guard)."""
+    shared_run = "alpha beta gamma delta epsilon zeta"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared_run} one two three four five six"),
+            (2, f"seven eight nine ten eleven {shared_run}"),
+            (3, "totally unrelated words that overlap with nothing else"),
+        ],
+    )
+    pairs = dedup.winnow_overlap_pairs(docs, min_shared=1)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert not any(3 in p for p in got)
+    # hot cutoff: 5 docs all containing the same block; max_df=4 kills
+    # every fingerprint of the block → no pairs survive
+    hot = _docs(spark, [(i, shared_run) for i in range(5)])
+    assert dedup.winnow_overlap_pairs(hot, min_shared=1, max_df=4).count() == 0
+    assert dedup.winnow_overlap_pairs(hot, min_shared=1, max_df=10).count() == 10
+
+
+def test_winnow_density_below_full_shingling(spark):
+    """Winnowing must select strictly fewer fingerprints than full
+    shingling on a long doc (~2/(w+1) density) — the point of the
+    algorithm at scale."""
+    words = " ".join(f"tok{i}" for i in range(200))
+    docs = _docs(spark, [(1, words)])
+    from real_time_database_monitoring_system_spark.operators.dedup import (
+        portable_shingle_hashes,
+    )
+
+    n_full = portable_shingle_hashes(docs).count()
+    # reuse the operator's fingerprint stage via a min_shared=1 probe
+    # of doc vs itself-copy: count distinct fps by running the public
+    # op on two copies and reading n_shared (= shared fingerprints)
+    two = _docs(spark, [(1, words), (2, words)])
+    n_fp = dedup.winnow_overlap_pairs(two, min_shared=1).first().n_shared
+    assert n_fp < n_full * 0.6, (n_fp, n_full)
+
+
+def test_c4_rules_fire_individually(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "This sentence is long enough and ends properly."),
+            (2, "Too short."),                            # min_words fails
+            (3, "this one has no terminal punctuation at all"),
+            (4, "some code block here { return x; } done."),
+            (5, "classic filler lorem ipsum dolor sit amet friend."),
+            (6, "please enable javascript to view this site today."),
+            (7, "short words then " + "x" * 1500 + " end."),
+        ],
+    )
+    from real_time_database_monitoring_system_spark.operators.text import (
+        c4_rule_filter,
+    )
+
+    out = {r.doc_id: r for r in c4_rule_filter(docs).collect()}
+    assert out[1].keep
+    assert not out[2].has_min_words and not out[2].keep
+    assert not out[3].has_terminal_punct and out[3].has_min_words
+    assert not out[4].no_braces and out[4].has_terminal_punct
+    assert not out[5].no_lorem
+    assert not out[6].no_policy_boilerplate
+    assert not out[7].no_long_word
