@@ -1650,7 +1650,12 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_changepoint": _q_streaming_changepoint,
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "c4_rule_filter": _q_c4_rule_filter,
+        "ann_recall_audit": _q_ann_recall_audit,
     }
+
+
+def _q_ann_recall_audit(spark, sf):
+    return similarity.ann_recall_audit(load_table(spark, sf, "embeddings"))
 
 
 def _q_winnow_overlap_pairs(spark, sf):
@@ -6336,6 +6341,26 @@ def oracle_sql() -> dict[str, str]:
                has_min_words AND has_terminal_punct AND no_braces
                AND no_lorem AND no_policy_boilerplate AND no_long_word AS keep
         FROM r ORDER BY doc_id
+    """
+
+    # ANN recall audit: both sub-pipelines are the entries' own oracle
+    # texts embedded verbatim as CTEs — the audit proves the exact pair
+    # the production operators serve, not a re-derivation
+    sql["ann_recall_audit"] = f"""
+        WITH exact_k AS ({sql["knn_bruteforce"]}),
+        ivf_k AS ({sql["ivf_knn"]}),
+        base AS (SELECT q_id, count(*) AS n_exact FROM exact_k GROUP BY q_id),
+        hits AS (SELECT e.q_id, count(*) AS n_hits
+                 FROM exact_k e JOIN ivf_k v
+                   ON e.q_id = v.q_id AND e.vec_id = v.vec_id
+                 GROUP BY e.q_id)
+        SELECT b.q_id,
+               CAST(b.n_exact AS BIGINT) AS n_exact,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               round(CAST(coalesce(h.n_hits, 0) AS DOUBLE)
+                     / CAST(b.n_exact AS DOUBLE), 9) AS recall
+        FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
+        ORDER BY b.q_id
     """
 
     return sql

@@ -611,3 +611,47 @@ def knn_projected(
         .select("q_id", "rn", "vec_id", "label", "cos_sim")
         .orderBy("q_id", "rn")
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    n_queries: int = 20,
+    k: int = 5,
+    nprobe: int = 3,
+) -> DataFrame:
+    """Recall@k of the IVF probe against the exact brute-force top-k,
+    per query — the self-auditing quality metric an ANN deployment
+    publishes next to its index (the number the `nprobe`/`bits` sizing
+    knobs are turned against). Composes the two existing operators
+    verbatim, so the audit measures EXACTLY what the production pair
+    serves: both sides share the round-9 cosine and unique tiebreaks,
+    making the metric deterministic and oracle-checkable (most ANN
+    recall numbers are sampled estimates; this one is exact).
+
+    Scale shape: both sub-plans are the operators' own (broadcast
+    query set, bounded probes); the audit adds a (q_id, vec_id) join
+    of two k·n_queries-row relations and two tiny aggregates. At
+    production scale the same audit runs over a sampled query set —
+    the knob is n_queries, the plan is unchanged.
+
+    Returns (q_id, n_exact, n_hits, recall) ordered by q_id."""
+    exact = knn_bruteforce(embeddings, n_queries, k).select("q_id", "vec_id")
+    approx = ivf_knn(embeddings, n_queries, k, nprobe).select("q_id", "vec_id")
+    base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    hits = exact.join(approx, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        base.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double"),
+                9,
+            ).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
