@@ -219,3 +219,20 @@ def test_c4_rules_fire_individually(spark):
     assert not out[5].no_lorem
     assert not out[6].no_policy_boilerplate
     assert not out[7].no_long_word
+
+
+def test_ann_recall_audit_perfect_when_all_lists_probed(spark, sf_dir):
+    """With nprobe ≥ #labels the IVF candidate set equals the full
+    table, so recall@k must be exactly 1.0 for every query; with the
+    default narrow probe it stays within [0, 1] and n_hits ≤ n_exact."""
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_labels = emb.select("label").distinct().count()
+    full = similarity.ann_recall_audit(emb, n_queries=5, k=3, nprobe=n_labels)
+    rows = full.collect()
+    assert rows and all(r.recall == 1.0 and r.n_hits == r.n_exact for r in rows)
+    narrow = similarity.ann_recall_audit(emb, n_queries=5, k=3, nprobe=1).collect()
+    assert all(0.0 <= r.recall <= 1.0 and r.n_hits <= r.n_exact for r in narrow)
