@@ -1651,11 +1651,20 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap_pairs": _q_winnow_overlap_pairs,
         "c4_rule_filter": _q_c4_rule_filter,
         "ann_recall_audit": _q_ann_recall_audit,
+        "frame_samples": _q_frame_samples,
     }
 
 
 def _q_ann_recall_audit(spark, sf):
     return similarity.ann_recall_audit(load_table(spark, sf, "embeddings"))
+
+
+def _q_frame_samples(spark, sf):
+    # the 1→N multimodal batch shape (video payload → sampled frames);
+    # the deterministic slice+checksum stand-in is oracle-expressible
+    # because the corpus is ASCII (byte offset == char offset — the
+    # same equivalence multimodal_meta already pins)
+    return multimodal.sample_frames(load_table(spark, sf, "documents"))
 
 
 def _q_winnow_overlap_pairs(spark, sf):
@@ -6361,6 +6370,31 @@ def oracle_sql() -> dict[str, str]:
                      / CAST(b.n_exact AS DOUBLE), 9) AS recall
         FROM base b LEFT JOIN hits h ON b.q_id = h.q_id
         ORDER BY b.q_id
+    """
+
+    # frame sampling: same ascii-fold checksum formula as
+    # multimodal_meta over each payload slice; list_prepend(0) seeds
+    # the fold so empty slices reduce to 0 instead of erroring
+    sql["frame_samples"] = """
+        SELECT d.doc_id,
+               CAST(i AS INTEGER) AS frame_no,
+               CAST(i * step AS BIGINT) AS frame_offset,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           list_filter(
+                               string_split(substring(text,
+                                   CAST(i * step + 1 AS INTEGER),
+                                   CAST(step AS INTEGER)), ''),
+                               c -> c <> ''),
+                           c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007)
+                   AS frame_checksum
+        FROM (SELECT doc_id, text,
+                     greatest(1, length(text) // 4) AS step
+              FROM documents) d
+        CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
+        ORDER BY doc_id, frame_no
     """
 
     return sql

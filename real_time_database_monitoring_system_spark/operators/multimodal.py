@@ -49,26 +49,31 @@ def _pow31_desc(n: int):
     return np.array(_POW31[n - 1 :: -1], dtype=np.int64)
 
 
+def _poly_checksum(payload: bytes) -> int:
+    """Horner fold Σ b_i·31^(n−1−i) mod p as a vectorized numpy
+    reduction — bit-identical to the byte loop by the polynomial
+    identity; each term < p and int64 holds the sum for any payload
+    under ~9 GB, far beyond an Arrow batch row. Shared by the decode
+    stand-in and the frame sampler (one checksum definition, one
+    oracle formula)."""
+    import numpy as np
+
+    n = len(payload)
+    if n == 0:
+        return 0
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    return int(((arr * _pow31_desc(n)) % _CHK_P).sum() % _CHK_P)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for an image decode.
 
     A real deployment plugs Pillow/ffmpeg here:
         raise NotImplementedError("decode requires Pillow/ffmpeg")
     The fake derives metadata purely from the byte content so the
-    pipeline is testable end-to-end and oracle-checkable.
-
-    The checksum is the Horner fold Σ b_i·31^(n−1−i) mod p, computed
-    as a vectorized numpy reduction (bit-identical to the byte loop by
-    the polynomial identity; each term < p and int64 holds the sum for
-    any payload under ~9 GB, far beyond an Arrow batch row)."""
-    import numpy as np
-
+    pipeline is testable end-to-end and oracle-checkable."""
     n = len(payload)
-    if n == 0:
-        return 0, 0, 0, 0
-    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
-    checksum = int(((arr * _pow31_desc(n)) % _CHK_P).sum() % _CHK_P)
-    return n, n % 640, (n * 7) % 480, checksum
+    return n, n % 640, (n * 7) % 480, _poly_checksum(payload)
 
 
 def decode_payloads(payloads: DataFrame) -> DataFrame:
@@ -166,14 +171,10 @@ def sample_frames(documents: DataFrame, n_frames: int = 4) -> DataFrame:
                 step = max(1, len(data) // n_frames)
                 for i in range(n_frames):
                     off = i * step
-                    chunk = data[off : off + step]
-                    cs = 0
-                    for b in chunk:
-                        cs = (cs * 31 + b) % 1000000007
                     out["doc_id"].append(doc_id)
                     out["frame_no"].append(i)
                     out["frame_offset"].append(off)
-                    out["frame_checksum"].append(cs)
+                    out["frame_checksum"].append(_poly_checksum(data[off : off + step]))
             yield pd.DataFrame(out)
 
     return payloads.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA).orderBy(
