@@ -1652,7 +1652,15 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rule_filter": _q_c4_rule_filter,
         "ann_recall_audit": _q_ann_recall_audit,
         "frame_samples": _q_frame_samples,
+        "resize_payloads": _q_resize_payloads,
     }
+
+
+def _q_resize_payloads(spark, sf):
+    # resize/thumbnail stand-in: stride-sampled payload metadata —
+    # integer-exact stride math + the shared polynomial checksum over
+    # the sampled bytes (ASCII corpus: byte offset == char offset)
+    return multimodal.resize_payloads(load_table(spark, sf, "documents"))
 
 
 def _q_ann_recall_audit(spark, sf):
@@ -6395,6 +6403,30 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) d
         CROSS JOIN (SELECT unnest(range(0, 4)) AS i)
         ORDER BY doc_id, frame_no
+    """
+
+    # resize stand-in: every stride-th character (stride = ⌈n/64⌉,
+    # pure integer math), same seeded ascii-fold checksum
+    sql["resize_payloads"] = """
+        WITH b AS (SELECT doc_id, text, length(text) AS n,
+                          greatest(1, (length(text) + 63) // 64) AS stride
+                   FROM documents)
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS orig_bytes,
+               CAST(stride AS BIGINT) AS stride,
+               CAST(CASE WHEN n = 0 THEN 0
+                         ELSE (n + stride - 1) // stride END AS BIGINT)
+                   AS resized_bytes,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(
+                           [i for i in range(1, n + 1) if (i - 1) % stride = 0],
+                           i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1))
+                                     AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007)
+                   AS resized_checksum
+        FROM b
+        ORDER BY doc_id
     """
 
     return sql

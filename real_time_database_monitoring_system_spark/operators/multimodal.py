@@ -180,3 +180,53 @@ def sample_frames(documents: DataFrame, n_frames: int = 4) -> DataFrame:
     return payloads.select("doc_id", "payload").mapInPandas(frame_batches, FRAME_SCHEMA).orderBy(
         "doc_id", "frame_no"
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_bytes bigint, stride bigint, "
+    "resized_bytes bigint, resized_checksum bigint"
+)
+
+
+def resize_payloads(documents: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize/downsample: payload → stride-sampled payload of
+    ≤ target_bytes (every stride-th byte), with the audit metadata a
+    pipeline stores next to the thumbnail. A real deployment calls the
+    image library's resampler on the Arrow batch; the stand-in's
+    stride slice keeps the Spark surface (1→1 mapInPandas, binary in,
+    deterministic reduced artifact out) and is oracle-expressible:
+    stride = ⌈n/target⌉ in pure integer math, checksum = the shared
+    `_poly_checksum` polynomial over the sampled bytes.
+
+    Pure map stage (partition-preserving, no shuffle); at 100 TB the
+    resize IS the pipeline's bandwidth reducer — output size is
+    bounded by target_bytes per row regardless of input size."""
+
+    payloads = attach_payload(documents)
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "orig_bytes": [],
+                "stride": [],
+                "resized_bytes": [],
+                "resized_checksum": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                stride = max(1, (n + target_bytes - 1) // target_bytes)
+                resized = data[::stride]
+                out["doc_id"].append(doc_id)
+                out["orig_bytes"].append(n)
+                out["stride"].append(stride)
+                out["resized_bytes"].append(len(resized))
+                out["resized_checksum"].append(_poly_checksum(resized))
+            yield pd.DataFrame(out)
+
+    return (
+        payloads.select("doc_id", "payload")
+        .mapInPandas(resize_batches, RESIZE_SCHEMA)
+        .orderBy("doc_id")
+    )

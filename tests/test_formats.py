@@ -164,3 +164,26 @@ def test_text_corpus_one_file_one_document(spark, tmp_path):
     # feeds the text operator surface unchanged
     stats = text_ops.token_stats(docs).collect()
     assert len(stats) == 3 and all(s.n_tokens > 0 for s in stats)
+
+
+def test_resize_payloads_stride_and_bounds(spark):
+    """Stride-sample contract: output ≤ target_bytes per row, exact
+    ⌈n/stride⌉ sizes, first byte always kept, empty payload → 0."""
+    from real_time_database_monitoring_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 200, "en", "s", 200), (2, "xyz", "en", "s", 3), (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r.doc_id: r for r in multimodal.resize_payloads(docs, target_bytes=64).collect()}
+    assert out[1].orig_bytes == 200 and out[1].stride == 4  # ceil(200/64)
+    assert out[1].resized_bytes == 50 and out[1].resized_bytes <= 64
+    assert out[2].stride == 1 and out[2].resized_bytes == 3
+    assert out[3].resized_bytes == 0 and out[3].resized_checksum == 0
+    # checksum equals the shared polynomial over the sampled bytes
+    from real_time_database_monitoring_system_spark.operators.multimodal import (
+        _poly_checksum,
+    )
+
+    assert out[2].resized_checksum == _poly_checksum(b"xyz")
+    assert out[1].resized_checksum == _poly_checksum(("a" * 200).encode()[::4])
