@@ -1653,7 +1653,12 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall_audit": _q_ann_recall_audit,
         "frame_samples": _q_frame_samples,
         "resize_payloads": _q_resize_payloads,
+        "sequence_pack": _q_sequence_pack,
     }
+
+
+def _q_sequence_pack(spark, sf):
+    return pipeline.sequence_pack(load_table(spark, sf, "documents"))
 
 
 def _q_resize_payloads(spark, sf):
@@ -6427,6 +6432,43 @@ def oracle_sql() -> dict[str, str]:
                    AS resized_checksum
         FROM b
         ORDER BY doc_id
+    """
+
+    # GPT-style sequence packing: (source, doc_id)-ordered stream with
+    # one EOS per doc; global offset = per-source cumsum + source
+    # prefix (mirrors the Spark two-level distributed cumsum)
+    sql["sequence_pack"] = f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CAST(len({_TOKS}) + 1 AS BIGINT) AS n_tokens
+            FROM documents),
+        local AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(coalesce(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS before_in_source
+            FROM d),
+        totals AS (SELECT source, SUM(n_tokens) AS src_total
+                   FROM local GROUP BY source),
+        prefix AS (
+            SELECT source,
+                   CAST(coalesce(SUM(src_total) OVER (
+                       ORDER BY source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS src_prefix
+            FROM totals),
+        o AS (
+            SELECT l.doc_id, l.source, l.n_tokens,
+                   p.src_prefix + l.before_in_source AS stream_offset
+            FROM local l JOIN prefix p ON l.source = p.source)
+        SELECT doc_id, source, n_tokens, stream_offset,
+               CAST(stream_offset // 512 AS BIGINT) AS seq_first,
+               CAST((stream_offset + n_tokens - 1) // 512 AS BIGINT) AS seq_last,
+               CAST((stream_offset + n_tokens - 1) // 512
+                    - stream_offset // 512 + 1 AS BIGINT) AS n_seqs
+        FROM o
+        ORDER BY source, doc_id
     """
 
     return sql

@@ -1026,3 +1026,71 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def sequence_pack(documents: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Pack the corpus' concatenated token stream into fixed-length
+    training sequences (GPT-style packing: documents are laid end to
+    end with one EOS each, the stream is cut every ``seq_len`` tokens,
+    and documents may span cuts). Reports, per document, its global
+    stream offset and the sequence span it lands in — the assignment a
+    training loader and an attention-mask builder both consume.
+
+    The global stream offset is a DISTRIBUTED two-level cumulative
+    sum, never a global window: a per-source window cumsum (doc_id
+    order — the `shard_pack` partitioned shape) plus a #sources-row
+    prefix relation broadcast back. A naive
+    ``Window.orderBy(doc_id)`` with no partition key would funnel the
+    whole corpus through ONE task; the two-level form keeps every
+    stage partitioned at any scale, and the assignment stays a pure
+    function of (source, doc_id) order — deterministic re-runs after
+    failure, as with `shard_pack`.
+
+    Returns (doc_id, source, n_tokens, stream_offset, seq_first,
+    seq_last, n_seqs) ordered by (source, doc_id); n_tokens counts the
+    appended EOS."""
+    if seq_len <= 0:
+        raise ValueError("sequence_pack: seq_len must be positive")
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    per_doc = _spread(documents, "doc_id").select(
+        "doc_id", "source", (n_tok + F.lit(1)).cast("bigint").alias("n_tokens")
+    )
+    w_src = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # diamond: the in-source offsets feed both the per-source totals
+    # and the final projection
+    local = _materialize(
+        per_doc.withColumn(
+            "before_in_source",
+            F.coalesce(F.sum("n_tokens").over(w_src), F.lit(0).cast("bigint")),
+        )
+    )
+    totals = local.groupBy("source").agg(F.sum("n_tokens").alias("src_total"))
+    w_prefix = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = totals.withColumn(
+        "src_prefix",
+        F.coalesce(F.sum("src_total").over(w_prefix), F.lit(0).cast("bigint")),
+    ).select("source", "src_prefix")
+    out = local.join(F.broadcast(prefix), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("src_prefix") + F.col("before_in_source")).alias("stream_offset"),
+    )
+    first = F.expr(f"stream_offset div {int(seq_len)}")
+    last = F.expr(f"(stream_offset + n_tokens - 1) div {int(seq_len)}")
+    return (
+        out.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "stream_offset",
+            first.cast("bigint").alias("seq_first"),
+            last.cast("bigint").alias("seq_last"),
+            (last - first + 1).cast("bigint").alias("n_seqs"),
+        )
+        .orderBy("source", "doc_id")
+    )

@@ -472,3 +472,33 @@ def test_tokenize_to_ids_roundtrip_semantics(spark):
     assert all(r.n_tokens == len(r.token_ids) for r in out.values())
     with pytest.raises(ValueError):
         pipeline.tokenize_to_ids(docs, vocab_size=0)
+
+
+def test_sequence_pack_contiguous_and_boundary_spans(spark):
+    """The packed stream must be gapless (offset = previous offset +
+    previous length within the (source, doc_id) order), EOS counted,
+    and span arithmetic exact at a sequence boundary."""
+    from real_time_database_monitoring_system_spark.operators.pipeline import (
+        sequence_pack,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["a"] * 7), "en", "s1", 13),   # 8 with EOS
+            (2, " ".join(["b"] * 3), "en", "s1", 5),    # 4 with EOS
+            (3, " ".join(["c"] * 9), "en", "s2", 17),   # 10 with EOS
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = sequence_pack(docs, seq_len=10).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # stream order: s1 docs then s2; offsets gapless
+    assert by_id[1].stream_offset == 0 and by_id[1].n_tokens == 8
+    assert by_id[2].stream_offset == 8
+    assert by_id[3].stream_offset == 12
+    # doc 2 occupies [8, 12) → crosses the cut at 10 → spans seqs 0-1
+    assert (by_id[2].seq_first, by_id[2].seq_last, by_id[2].n_seqs) == (0, 1, 2)
+    # doc 3 occupies [12, 22) → spans seqs 1-2
+    assert (by_id[3].seq_first, by_id[3].seq_last, by_id[3].n_seqs) == (1, 2, 2)
+    # total stream length = sum of per-doc lengths
+    assert sum(r.n_tokens for r in rows) == 22
