@@ -176,6 +176,11 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "c4_rule_filter",
     "pca_power_iter",  # promoted after the r6 codegen fix (15.7→2.3 s)
+    "sequence_pack",
+    "frame_samples",
+    "resize_payloads",
+    # ann_recall_audit stays out: it re-runs knn_bruteforce + ivf_knn,
+    # both already timed individually above
 ]
 
 
