@@ -209,3 +209,78 @@ def test_continuation_operators_tolerate_empty_inputs(spark):
     # one-row summary: NULL estimate over zero matched keys, not a crash
     est = skew.join_cardinality_estimate(events, events, "user_id").first()
     assert est.n_matched_keys == 0 and est.est_rows is None
+
+
+# ---- round-6 cross-operator invariants (Spark-backed, deterministic
+# corpora derived from the sf tables — no per-example Spark jobs, so
+# these are plain tests asserting algebraic properties, not @given) ----
+
+
+def test_near_dedup_result_is_subset_of_exact_dedup(spark, sf_dir):
+    """incremental_dedup_near can only DROP more than incremental_dedup
+    (the near rule is a further filter), never keep something the
+    exact pass dropped, and statuses must agree on the intersection."""
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import curation
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.concat("text", F.lit(" tail"))).otherwise(
+            F.col("text")
+        ),
+    )
+    exact = {(r.doc_id, r.status) for r in curation.incremental_dedup(docs, new).collect()}
+    near = {(r.doc_id, r.status) for r in curation.incremental_dedup_near(docs, new).collect()}
+    assert near <= exact
+
+
+def test_jaccard_curve_mass_equals_candidate_pairs_above_threshold(spark, sf_dir):
+    """The curve's cumulative mass from bucket b up must equal the
+    pair count minhash_lsh_pairs_portable returns at threshold b/10 —
+    same pipeline, so the histogram must tie out exactly (modulo pairs
+    sitting exactly on a bucket edge, handled by integer-exact bucket
+    ids: bucket ≥ b ⟺ jaccard ≥ b/10 cannot disagree when both sides
+    share the integer (10·∩) div ∪ definition and >= on doubles)."""
+    from real_time_database_monitoring_system_spark.operators import dedup
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    curve = {r.bucket: r.n_pairs for r in dedup.jaccard_threshold_curve(docs).collect()}
+    # threshold 0.8: buckets 8, 9, 10 (integer bucket b ⟹ J ≥ b/10
+    # exactly when (10·∩) div ∪ ≥ 8 ⟹ ∩/∪ ≥ 0.8)
+    from_curve = sum(n for b, n in curve.items() if b >= 8)
+    pairs = dedup.minhash_lsh_pairs_portable(docs, threshold=0.8).count()
+    assert from_curve == pairs
+
+
+def test_winnow_fingerprints_subset_of_full_shingle_hashes(spark, sf_dir):
+    """Every winnowed fingerprint is the 60-bit hash of a real k-gram
+    of its doc: the fingerprint relation must be a subset of the full
+    portable shingle-hash relation (algorithm selects, never invents)."""
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators import dedup
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    )
+    full = dedup.portable_shingle_hashes(docs).select("doc_id", "h").distinct()
+    # reconstruct the operator's fingerprint stage output via the
+    # public pair op at min_shared=1 against a disjoint renamed copy
+    # is indirect; instead re-derive fingerprints with the same code
+    # path by calling the internal stage through winnow_overlap_pairs'
+    # building blocks: a doc paired with itself-copy shares exactly
+    # its fingerprint set
+    two = docs.unionByName(
+        docs.select((F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"), "text")
+    )
+    pairs = dedup.winnow_overlap_pairs(two, min_shared=1, max_df=1 << 30)
+    self_pairs = pairs.filter(F.col("doc_b") == F.col("doc_a") + 10_000_000)
+    # each self-pair's n_shared = #fingerprints of that doc ≤ #distinct shingles
+    full_counts = {r.doc_id: r.n for r in full.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    for r in self_pairs.collect():
+        assert r.n_shared <= full_counts[r.doc_a], r
