@@ -1654,7 +1654,32 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_samples": _q_frame_samples,
         "resize_payloads": _q_resize_payloads,
         "sequence_pack": _q_sequence_pack,
+        "cramers_v": _q_cramers_v,
+        "mutual_information": _q_mutual_information,
+        "welch_ttest": _q_welch_ttest,
+        "mannwhitney_u": _q_mannwhitney_u,
+        "xcorr_panel": _q_xcorr_panel,
     }
+
+
+def _q_xcorr_panel(spark, sf):
+    return anomaly.xcorr_panel(load_table(spark, sf, "events"))
+
+
+def _q_cramers_v(spark, sf):
+    return analytics.cramers_v_stat(load_table(spark, sf, "events"))
+
+
+def _q_mutual_information(spark, sf):
+    return analytics.mutual_information_stat(load_table(spark, sf, "events"))
+
+
+def _q_welch_ttest(spark, sf):
+    return analytics.welch_ttest(load_table(spark, sf, "events"))
+
+
+def _q_mannwhitney_u(spark, sf):
+    return analytics.mannwhitney_u(load_table(spark, sf, "events"))
 
 
 def _q_sequence_pack(spark, sf):
@@ -6469,6 +6494,190 @@ def oracle_sql() -> dict[str, str]:
                     - stream_offset // 512 + 1 AS BIGINT) AS n_seqs
         FROM o
         ORDER BY source, doc_id
+    """
+
+    # lagged cross-correlation: global dense day grid (zeros are real),
+    # arithmetic day shift per lag, HUGEINT sufficient sums (exact, as
+    # Spark's DECIMAL(38,0)), shared CORR_FINAL_SQL division
+    sql["xcorr_panel"] = f"""
+        WITH counts AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2),
+        span AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+        types AS (SELECT DISTINCT event_type FROM counts),
+        dense AS (
+            SELECT t.event_type, g.day, coalesce(c.y, 0) AS y
+            FROM types t
+            CROSS JOIN span s
+            CROSS JOIN unnest(generate_series(s.d0, s.d1)) AS g(day)
+            LEFT JOIN counts c
+              ON c.event_type = t.event_type AND c.day = g.day),
+        b_shift AS (
+            SELECT event_type AS type_b, y AS yb, u.l AS lag,
+                   day - u.l AS day
+            FROM dense CROSS JOIN unnest(generate_series(0, 7)) AS u(l)),
+        paired AS (
+            SELECT a.event_type AS type_a, b.type_b, b.lag,
+                   a.y AS ya, b.yb
+            FROM dense a JOIN b_shift b ON a.day = b.day
+            WHERE a.event_type <> b.type_b),
+        stats AS (
+            SELECT type_a, type_b, lag, count(*) AS n,
+                   SUM(CAST(ya AS HUGEINT)) AS sa,
+                   SUM(CAST(yb AS HUGEINT)) AS sb,
+                   SUM(CAST(ya AS HUGEINT) * CAST(yb AS HUGEINT)) AS sab,
+                   SUM(CAST(ya AS HUGEINT) * CAST(ya AS HUGEINT)) AS saa,
+                   SUM(CAST(yb AS HUGEINT) * CAST(yb AS HUGEINT)) AS sbb
+            FROM paired GROUP BY 1, 2, 3)
+        SELECT type_a, type_b, CAST(lag AS INTEGER) AS lag,
+               CAST(n AS BIGINT) AS n_days,
+               {analytics.CORR_FINAL_SQL} AS xcorr
+        FROM stats WHERE lag < n
+        ORDER BY type_a, type_b, lag
+    """
+
+    # -- association + two-sample testing panel: shared pinned-order
+    #    term strings interpolated from the analytics module so the
+    #    two engines can never drift --
+    _cells_cte = """
+        cells AS (
+            SELECT event_type,
+                   (epoch_us(ts) // 86400000000) % 7 AS dow,
+                   count(*) AS obs
+            FROM events GROUP BY 1, 2),
+        rm AS (SELECT event_type, sum(obs) AS r FROM cells GROUP BY 1),
+        cm AS (SELECT dow, sum(obs) AS c FROM cells GROUP BY 1),
+        tot AS (SELECT sum(obs) AS n,
+                       count(DISTINCT event_type) AS n_types,
+                       count(DISTINCT dow) AS n_dows
+                FROM cells)
+    """
+
+    sql["cramers_v"] = f"""
+        WITH {_cells_cte},
+        terms AS (
+            SELECT CAST({analytics.CHI2V_TERM_SQL} AS DECIMAL(38,9)) AS t,
+                   n, n_types, n_dows
+            FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+            CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_types AS INTEGER) AS n_types,
+               CAST(n_dows AS INTEGER) AS n_dows,
+               CAST(CAST(sum(t) AS DECIMAL(30,9))
+                    - CAST(n AS DECIMAL(20,0)) AS DOUBLE) AS chi2,
+               CAST((n_types - 1) * (n_dows - 1) AS INTEGER) AS dof,
+               round(sqrt(greatest(CAST(CAST(sum(t) AS DECIMAL(30,9))
+                              - CAST(n AS DECIMAL(20,0)) AS DOUBLE), 0.0)
+                     / (CAST(n AS DOUBLE)
+                        * CAST(least(n_types - 1, n_dows - 1) AS DOUBLE))), 9)
+                   AS cramers_v
+        FROM terms GROUP BY n, n_types, n_dows
+    """
+
+    sql["mutual_information"] = f"""
+        WITH {_cells_cte},
+        mi AS (
+            SELECT sum(CAST({analytics.MI_TERM_SQL} AS DECIMAL(38,9))) AS mi,
+                   count(*) AS n_cells
+            FROM cells JOIN rm USING (event_type) JOIN cm USING (dow)
+            CROSS JOIN tot),
+        hr AS (SELECT sum(CAST({analytics.ENT_TERM_SQL} AS DECIMAL(38,9)))
+                   AS h_type
+               FROM (SELECT r AS m FROM rm) CROSS JOIN tot),
+        hc AS (SELECT sum(CAST({analytics.ENT_TERM_SQL} AS DECIMAL(38,9)))
+                   AS h_dow
+               FROM (SELECT c AS m FROM cm) CROSS JOIN tot)
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_cells AS BIGINT) AS n_cells,
+               CAST(mi AS DOUBLE) AS mi_nats,
+               CAST(h_type AS DOUBLE) AS h_type,
+               CAST(h_dow AS DOUBLE) AS h_dow,
+               round(CASE WHEN h_type > 0 AND h_dow > 0 THEN
+                     CAST(mi AS DOUBLE)
+                     / sqrt(CAST(h_type AS DOUBLE) * CAST(h_dow AS DOUBLE))
+                     END, 9) AS nmi
+        FROM mi CROSS JOIN hr CROSS JOIN hc CROSS JOIN tot
+    """
+
+    _welch_var_ref = analytics.WELCH_VAR_SQL.format(n="n", sx="sx", sxx="sxx")
+    sql["welch_ttest"] = f"""
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        sides AS (
+            SELECT event_type,
+                   epoch_us(ts) <= (mn + mx) // 2 AS is_ref,
+                   count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS sx,
+                   sum(CAST(CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2))
+                            AS DECIMAL(38,4))) AS sxx
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        ref AS (SELECT event_type, n AS n_ref,
+                       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                           AS mean_ref,
+                       {_welch_var_ref} AS var_ref
+                FROM sides WHERE is_ref),
+        cur AS (SELECT event_type, n AS n_cur,
+                       round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9)
+                           AS mean_cur,
+                       {_welch_var_ref} AS var_cur
+                FROM sides WHERE NOT is_ref)
+        SELECT event_type,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cur AS BIGINT) AS n_cur,
+               mean_ref, mean_cur, var_ref, var_cur,
+               CASE WHEN var_ref + var_cur > 0
+                    THEN {analytics.WELCH_T_SQL} END AS t_stat,
+               CASE WHEN var_ref + var_cur > 0
+                    THEN {analytics.WELCH_DF_SQL} END AS welch_df
+        FROM ref JOIN cur USING (event_type)
+        WHERE n_ref >= 2 AND n_cur >= 2
+        ORDER BY event_type
+    """
+
+    sql["mannwhitney_u"] = f"""
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        pv AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS c_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        ranked AS (
+            SELECT event_type, c_ref, c_cur, c_ref + c_cur AS t,
+                   SUM(c_ref + c_cur) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - (c_ref + c_cur) AS cum_before
+            FROM pv),
+        agg AS (
+            SELECT event_type,
+                   SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(2 * cum_before + t + 1 AS HUGEINT)) AS r2_ref,
+                   SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                       * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie_cube
+            FROM ranked GROUP BY 1),
+        fin AS (
+            SELECT event_type,
+                   CAST(n_ref AS BIGINT) AS n_ref,
+                   CAST(n_cur AS BIGINT) AS n_cur,
+                   r2_ref - CAST(n_ref AS HUGEINT)
+                       * CAST(n_ref + 1 AS HUGEINT) AS u2,
+                   n_ref + n_cur AS nt,
+                   tie_cube
+            FROM agg WHERE n_ref >= 1 AND n_cur >= 1)
+        SELECT event_type, n_ref, n_cur,
+               CAST(CAST(u2 AS DECIMAL(28,1)) / 2 AS DECIMAL(28,1)) AS u_stat,
+               CAST(tie_cube AS DECIMAL(38,0)) AS tie_cube,
+               CASE WHEN nt > 1 AND tie_cube <
+                         CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)
+                         * CAST(nt AS HUGEINT) - CAST(nt AS HUGEINT)
+                    THEN {analytics.MWU_Z_SQL} END AS z_score
+        FROM fin ORDER BY event_type
     """
 
     return sql

@@ -181,6 +181,12 @@ HEADLINE = [
     "resize_payloads",
     # ann_recall_audit stays out: it re-runs knn_bruteforce + ivf_knn,
     # both already timed individually above
+    # round-6 wave 2: association/two-sample statistics + lead-lag
+    "cramers_v",
+    "mutual_information",
+    "welch_ttest",
+    "mannwhitney_u",
+    "xcorr_panel",
 ]
 
 

@@ -1156,3 +1156,391 @@ def value_concentration(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -- round-6 association + two-sample testing panel ------------------
+
+_US_A = "unix_micros(cast(ts as timestamp))"
+
+# χ² via the algebraic identity χ² = Σ N·obs²/(r·c) − N over OBSERVED
+# cells only (empty cells contribute obs² = 0 and the identity already
+# accounts for their expected mass) — per-cell term pinned-order,
+# round(9), evaluated verbatim by the DuckDB oracle
+CHI2V_TERM_SQL = (
+    "round(CAST(n AS DOUBLE) * CAST(obs AS DOUBLE) * CAST(obs AS DOUBLE)"
+    " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE)), 9)"
+)
+
+# per-cell mutual-information contribution (nats); only observed cells
+# carry mass (0·ln 0 = 0), one transcendental, pinned order, round(9)
+MI_TERM_SQL = (
+    "round((CAST(obs AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(obs AS DOUBLE) * CAST(n AS DOUBLE)"
+    " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))), 9)"
+)
+
+# marginal entropy contribution −(m/N)·ln(m/N), same rules
+ENT_TERM_SQL = (
+    "round(-(CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln(CAST(m AS DOUBLE) / CAST(n AS DOUBLE)), 9)"
+)
+
+
+def _type_dow_margins(events: DataFrame):
+    """Shared contingency core for the association panel: the sparse
+    (event_type, epoch-day-mod-7) cell counts — ONE keyed count over
+    the feed, map-side partials, ≤ #types×7 groups — plus its margins
+    and grand total, all tiny derived aggregates of the materialized
+    cell relation (the diamond rule: cells feed margins AND terms)."""
+    dow = F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000) % 7")
+    cells = _materialize(
+        events.groupBy("event_type", dow.alias("dow")).agg(
+            F.count("*").alias("obs")
+        )
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
+    col_m = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
+    tot = cells.agg(
+        F.sum("obs").alias("n"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.count_distinct("dow").alias("n_dows"),
+    )
+    return cells, row_m, col_m, tot
+
+
+def cramers_v_stat(events: DataFrame) -> DataFrame:
+    """Effect-size companion to `independence_chi2`: Cramér's V for
+    the event-type × day-of-week table — the [0, 1] association
+    strength a reviewer can compare across tables of different size,
+    where raw χ² only answers "significant or not" (at warehouse N,
+    everything is significant; V says whether it MATTERS). One row:
+    N, table dimensions, χ², degrees of freedom, V.
+
+    χ² uses the identity Σ N·obs²/(r·c) − N over observed cells, so no
+    dense spine is needed and every input to the per-cell double term
+    is an exact integer; terms are round(9) pinned-order doubles
+    accumulated in DECIMAL, and the closing N subtraction is exact
+    decimal arithmetic. V = sqrt(χ² / (N·min(rows−1, cols−1))) is one
+    final pinned expression over already-rounded values — the DuckDB
+    oracle evaluates the identical strings.
+
+    Scale shape: one keyed count reduces the feed (map-side partials);
+    everything downstream operates on ≤ #types×7 rows with broadcast
+    margins. No second feed scan, no row-wise shuffle."""
+    cells, row_m, col_m, tot = _type_dow_margins(events)
+    terms = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(CHI2V_TERM_SQL).cast("decimal(38,9)").alias("t"),
+            "n",
+            "n_types",
+            "n_dows",
+        )
+    )
+    # the closing subtraction narrows both operands first: DECIMAL
+    # (38,9) − BIGINT would need precision 39, and Spark resolves that
+    # overflow by DROPPING THE SCALE to 8 — silently truncating the
+    # 9th decimal. (30,9) − (20,0) fits in (31,9) on both engines.
+    chi2_sql = (
+        "CAST(CAST(s AS DECIMAL(30,9)) - CAST(n AS DECIMAL(20,0)) AS DOUBLE)"
+    )
+    return (
+        terms.groupBy("n", "n_types", "n_dows")
+        .agg(F.sum("t").alias("s"))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_types").cast("int").alias("n_types"),
+            F.col("n_dows").cast("int").alias("n_dows"),
+            F.expr(chi2_sql).alias("chi2"),
+            F.expr(
+                "CAST((n_types - 1) * (n_dows - 1) AS INT)"
+            ).alias("dof"),
+            F.expr(
+                f"round(sqrt(greatest({chi2_sql}, 0.0)"
+                " / (CAST(n AS DOUBLE)"
+                " * CAST(least(n_types - 1, n_dows - 1) AS DOUBLE))), 9)"
+            ).alias("cramers_v"),
+        )
+    )
+
+
+def mutual_information_stat(events: DataFrame) -> DataFrame:
+    """Mutual information (nats) between event type and day-of-week,
+    with both marginal entropies and the normalized MI
+    (MI / sqrt(H_type·H_dow)) — the information-theoretic twin of
+    `cramers_v_stat`: V measures deviation from independence in χ²
+    units, NMI in bits-of-shared-structure units, and the two
+    disagree exactly when the dependence is concentrated in rare
+    cells — which is why drift reviews want both. One row.
+
+    Only observed cells contribute (0·ln 0 = 0), so the sparse
+    contingency relation is the whole computation; per-cell and
+    per-margin terms are round(9) pinned-order doubles accumulated in
+    DECIMAL, and the final NMI divides already-rounded sums. The
+    DuckDB oracle evaluates the identical term strings.
+
+    Scale shape: identical to `cramers_v_stat` — one keyed feed count,
+    then arithmetic over ≤ #types×7 rows."""
+    cells, row_m, col_m, tot = _type_dow_margins(events)
+    mi = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(F.expr(MI_TERM_SQL).cast("decimal(38,9)")).alias("mi"),
+            F.count("*").alias("n_cells"),
+        )
+    )
+    h_row = (
+        row_m.withColumnRenamed("r", "m")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(F.expr(ENT_TERM_SQL).cast("decimal(38,9)")).alias("h_type"))
+    )
+    h_col = (
+        col_m.withColumnRenamed("c", "m")
+        .crossJoin(F.broadcast(tot.select("n")))
+        .agg(F.sum(F.expr(ENT_TERM_SQL).cast("decimal(38,9)")).alias("h_dow"))
+    )
+    return (
+        mi.crossJoin(F.broadcast(h_row))
+        .crossJoin(F.broadcast(h_col))
+        .crossJoin(F.broadcast(tot.select("n")))
+        .select(
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_cells").cast("bigint").alias("n_cells"),
+            F.expr("CAST(mi AS DOUBLE)").alias("mi_nats"),
+            F.expr("CAST(h_type AS DOUBLE)").alias("h_type"),
+            F.expr("CAST(h_dow AS DOUBLE)").alias("h_dow"),
+            F.expr(
+                "round(CASE WHEN h_type > 0 AND h_dow > 0 THEN"
+                " CAST(mi AS DOUBLE)"
+                " / sqrt(CAST(h_type AS DOUBLE) * CAST(h_dow AS DOUBLE))"
+                " END, 9)"
+            ).alias("nmi"),
+        )
+    )
+
+
+# Welch finals over the per-side exact sums (n, sx DECIMAL(28,2),
+# sxx DECIMAL(38,4) — value has 2 dp, so x² has exactly 4): sample
+# variance and mean as pinned round(9) doubles, then t and the
+# Welch–Satterthwaite df from the ALREADY-ROUNDED columns so both
+# engines compose identical doubles
+WELCH_VAR_SQL = (
+    "round((CAST({sxx} AS DOUBLE)"
+    " - CAST({sx} AS DOUBLE) * CAST({sx} AS DOUBLE) / CAST({n} AS DOUBLE))"
+    " / CAST({n} - 1 AS DOUBLE), 9)"
+)
+WELCH_T_SQL = (
+    "round((mean_ref - mean_cur)"
+    " / sqrt(var_ref / CAST(n_ref AS DOUBLE)"
+    " + var_cur / CAST(n_cur AS DOUBLE)), 9)"
+)
+WELCH_DF_SQL = (
+    "round(pow(var_ref / CAST(n_ref AS DOUBLE)"
+    " + var_cur / CAST(n_cur AS DOUBLE), 2.0)"
+    " / (pow(var_ref / CAST(n_ref AS DOUBLE), 2.0)"
+    " / CAST(n_ref - 1 AS DOUBLE)"
+    " + pow(var_cur / CAST(n_cur AS DOUBLE), 2.0)"
+    " / CAST(n_cur - 1 AS DOUBLE)), 9)"
+)
+
+
+def welch_ttest(events: DataFrame) -> DataFrame:
+    """Per-type Welch two-sample t-test between the feed's first and
+    second time halves — "did this metric's MEAN shift, and by how
+    many standard errors?", the parametric companion to `ks_drift`
+    (whole-distribution) and `drift_cusum` (when): Welch quantifies
+    the mean shift per event type without assuming equal variances,
+    which half-split telemetry never has.
+
+    Exactness: per-side sufficient statistics are n, Σx as
+    DECIMAL(28,2) and Σx² as DECIMAL(38,4) — `value` carries two
+    decimals, so both sums are EXACT integers in disguise and
+    order-independent under any partitioning (built-in `var_samp`
+    keeps running double state and is neither). Mean/variance are
+    single pinned round(9) expressions over those sums; t and the
+    Welch–Satterthwaite df compose the already-rounded columns. NULL
+    values drop (a mean test has no NULL semantics); the midpoint is
+    derived from the WHOLE feed first, the `psi_drift` convention.
+
+    Scale shape: one min/max aggregate (broadcast back), then ONE
+    keyed aggregation over the feed with map-side partials into
+    #types×2 groups. Output #types rows."""
+    stats = _materialize(
+        events.agg(
+            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
+        )
+    )
+    sides = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            (F.expr(_US_A) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            F.col("value").cast("decimal(18,2)").alias("x"),
+        )
+        .groupBy("event_type", "is_ref")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum(F.expr("CAST(x * x AS DECIMAL(38,4))")).alias("sxx"),
+        )
+    )
+    ref = sides.filter(F.col("is_ref")).select(
+        "event_type",
+        F.col("n").alias("n_ref"),
+        F.expr("round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9)").alias(
+            "mean_ref"
+        ),
+        F.expr(WELCH_VAR_SQL.format(n="n", sx="sx", sxx="sxx")).alias("var_ref"),
+    )
+    cur = sides.filter(~F.col("is_ref")).select(
+        "event_type",
+        F.col("n").alias("n_cur"),
+        F.expr("round(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 9)").alias(
+            "mean_cur"
+        ),
+        F.expr(WELCH_VAR_SQL.format(n="n", sx="sx", sxx="sxx")).alias("var_cur"),
+    )
+    return (
+        ref.join(cur, "event_type")
+        .filter((F.col("n_ref") >= 2) & (F.col("n_cur") >= 2))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            "mean_ref",
+            "mean_cur",
+            "var_ref",
+            "var_cur",
+            F.expr(
+                "CASE WHEN var_ref + var_cur > 0 THEN " + WELCH_T_SQL + " END"
+            ).alias("t_stat"),
+            F.expr(
+                "CASE WHEN var_ref + var_cur > 0 THEN " + WELCH_DF_SQL + " END"
+            ).alias("welch_df"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Mann–Whitney z from exact integers: u2 = 2·U_ref, the doubled U so
+# midrank halves stay integral; tie_cube = Σ(t³−t) over tied value
+# groups; variance with tie correction, one sqrt, round(9)
+MWU_Z_SQL = (
+    "round((CAST(u2 AS DOUBLE) - CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
+    " / (2.0 * sqrt((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0)"
+    " * ((CAST(nt AS DOUBLE) + 1.0)"
+    " - CAST(tie_cube AS DOUBLE)"
+    " / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0))))), 9)"
+)
+
+
+def mannwhitney_u(events: DataFrame) -> DataFrame:
+    """Per-type Mann–Whitney U (rank-sum) test between the feed's two
+    time halves — the distribution-free twin of `welch_ttest`: detects
+    a location shift without assuming normality, which telemetry
+    values (heavy-tailed, spiky) routinely violate. Reports the exact
+    U statistic and the tie-corrected normal-approximation z.
+
+    Exactness end-to-end: ranks come from the per-distinct-value
+    count relation — cum_before = running Σ counts, doubled midrank
+    2·r = 2·cum_before + t + 1 is an INTEGER, so 2·U_ref =
+    Σ c_ref·2r − n_ref(n_ref+1) is exact BIGINT arithmetic, as is the
+    tie term Σ(t³−t). The only doubles are the final z (one pinned
+    round(9) expression) and U = u2/2 emitted as DECIMAL(28,1). NULLs
+    drop (rank tests have no NULL order); midpoint from the whole
+    feed, the `psi_drift` convention.
+
+    Scale shape: one keyed count to (type, value, side) — the state is
+    bounded by distinct values per type, the `ks_drift` trade — then a
+    per-type window over that REDUCED relation (never the feed) and a
+    #types-row final join."""
+    stats = _materialize(
+        events.agg(
+            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
+        )
+    )
+    per_value = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "value",
+            (F.expr(_US_A) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_value.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        (F.col("c_ref") + F.col("c_cur")).alias("t"),
+        (
+            F.sum(F.col("c_ref") + F.col("c_cur")).over(w)
+            - (F.col("c_ref") + F.col("c_cur"))
+        ).alias("cum_before"),
+    )
+    # doubled rank sums and tie cubes accumulate in DECIMAL(38,0):
+    # Σ c_ref·2r is O(n·N) and t³ is cubic in the hottest value's
+    # count — both overflow BIGINT at warehouse row counts (the
+    # `acf_panel` HUGEINT/DECIMAL(38,0) rule)
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"),
+        F.sum("c_cur").alias("n_cur"),
+        F.sum(
+            F.expr(
+                "CAST(c_ref AS DECIMAL(38,0))"
+                " * CAST(2 * cum_before + t + 1 AS DECIMAL(38,0))"
+            )
+        ).alias("r2_ref"),
+        F.sum(
+            F.expr(
+                "CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))"
+                " * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))"
+            )
+        ).alias("tie_cube"),
+    )
+    return (
+        agg.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.expr(
+                "CAST(r2_ref - CAST(n_ref AS DECIMAL(38,0))"
+                " * CAST(n_ref + 1 AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            ).alias("u2"),
+            (F.col("n_ref") + F.col("n_cur")).alias("nt"),
+            F.col("tie_cube").cast("decimal(38,0)").alias("tie_cube"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr("CAST(CAST(u2 AS DECIMAL(28,1)) / 2 AS DECIMAL(28,1))").alias(
+                "u_stat"
+            ),
+            "tie_cube",
+            F.expr(
+                "CASE WHEN nt > 1 AND tie_cube <"
+                " CAST(nt AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0))"
+                " * CAST(nt AS DECIMAL(38,0)) - CAST(nt AS DECIMAL(38,0)) THEN "
+                + MWU_Z_SQL
+                + " END"
+            ).alias("z_score"),
+        )
+        .orderBy("event_type")
+    )

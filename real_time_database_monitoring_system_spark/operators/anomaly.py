@@ -773,3 +773,85 @@ def theil_sen_trend(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def xcorr_panel(events: DataFrame, max_lag: int = 7) -> DataFrame:
+    """Lagged cross-correlation between every ordered PAIR of event
+    types' daily count series, lags 0..`max_lag` — the lead/lag
+    detector behind "errors rise two days after signups spike":
+    `acf_panel` measures a series against ITSELF, `type_correlation`
+    measures contemporaneous coupling; this panel answers which metric
+    LEADS which, and by how many days. Row (a, b, k) correlates
+    a's count on day d with b's on day d+k, so a positive spike at
+    k > 0 means a leads b.
+
+    Both series live on the GLOBAL dense day grid (missing days are
+    real zeros, the `acf_panel` densify rule) so every pair correlates
+    over an identical, gap-free window of n = span−k days. Counts are
+    integers, so all six sufficient statistics (n, Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate EXACTLY in DECIMAL(38,0) — order-independent under
+    any partitioning — and the only double arithmetic is the shared
+    pinned `CORR_FINAL_SQL` expression both engines evaluate verbatim
+    (NULL for a constant side, never a fake correlation).
+
+    Scale shape: ONE keyed count reduces the feed to (type, day); the
+    dense grid is a sequence()-explode of the broadcast global span
+    (≤ #types × span rows); lag alignment is an arithmetic day shift
+    exploded from a literal sequence — no per-lag self-join over the
+    feed — and the pair join runs on the #types×span×(max_lag+1)
+    reduction. Output ≤ #types·(#types−1)·(max_lag+1) rows."""
+    if max_lag < 0:
+        raise ValueError("xcorr_panel: max_lag must be ≥ 0")
+    from .analytics import CORR_FINAL_SQL
+
+    day = F.expr(f"{_US} div 86400000000")
+    counts = _materialize(
+        events.groupBy("event_type", day.alias("day")).agg(
+            F.count("*").alias("y")
+        )
+    )
+    # global span: cross-correlation needs one COMMON grid, not each
+    # type's own (a type that starts late has real zeros before)
+    span = counts.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    types = counts.select("event_type").distinct()
+    dense = _materialize(
+        types.crossJoin(F.broadcast(span))
+        .select("event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day"))
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+    a = dense.select(
+        F.col("event_type").alias("type_a"), "day", F.col("y").alias("ya")
+    )
+    b_shift = dense.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("y").alias("yb"),
+        F.explode(F.expr(f"sequence(0, {max_lag})")).alias("lag"),
+    ).select("type_b", "yb", "lag", F.expr("day - lag").alias("day"))
+    paired = a.join(b_shift, "day").filter(F.col("type_a") != F.col("type_b"))
+    stats = paired.groupBy("type_a", "type_b", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ya").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("yb").cast("decimal(38,0)")).alias("sb"),
+        F.sum(
+            F.expr("CAST(CAST(ya AS DECIMAL(19,0)) * yb AS DECIMAL(38,0))")
+        ).alias("sab"),
+        F.sum(
+            F.expr("CAST(CAST(ya AS DECIMAL(19,0)) * ya AS DECIMAL(38,0))")
+        ).alias("saa"),
+        F.sum(
+            F.expr("CAST(CAST(yb AS DECIMAL(19,0)) * yb AS DECIMAL(38,0))")
+        ).alias("sbb"),
+    )
+    return (
+        stats.filter(F.col("lag") < F.col("n"))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("lag").cast("int").alias("lag"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.expr(CORR_FINAL_SQL).alias("xcorr"),
+        )
+        .orderBy("type_a", "type_b", "lag")
+    )

@@ -725,3 +725,37 @@ def test_round6_operator_shuffle_budgets(spark, sf_dir):
         assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
         plan = checks.explain_str(df)
         assert "CartesianProduct" not in plan, name
+
+
+def test_round6_wave2_stat_budgets(spark, sf_dir):
+    """Association + two-sample panel: ONE feed-scale exchange each
+    (the keyed count/sufficient-stats aggregate); every further
+    exchange operates on the ≤ #types×7 (or per-distinct-value)
+    reduction, margins broadcast, never a CartesianProduct."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    ev = load_table(spark, sf_dir, "events")
+    budgets = [
+        # cells agg + margins/total aggs + final group
+        ("cramers_v", analytics.cramers_v_stat(ev), 6),
+        # cells agg + three entropy/MI aggregates + their margins
+        ("mutual_information", analytics.mutual_information_stat(ev), 12),
+        # min/max agg + one keyed sufficient-stats agg + sort
+        ("welch_ttest", analytics.welch_ttest(ev), 4),
+        # min/max agg + per-value count + window/final agg + sort
+        ("mannwhitney_u", analytics.mannwhitney_u(ev), 4),
+    ]
+    for name, df, budget in budgets:
+        n = checks.count_exchanges(df)
+        plan = checks.explain_str(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastExchange" in plan, name
+    # xcorr: feed count + pair-grid join/agg + sort, all on the
+    # #types×span reduction (the broadcasts sit behind the densify
+    # materialize, so only the exchange budget is visible here)
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    df = anomaly.xcorr_panel(ev)
+    assert checks.count_exchanges(df) <= 5
+    assert "CartesianProduct" not in checks.explain_str(df)

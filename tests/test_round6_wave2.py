@@ -1,0 +1,171 @@
+"""Behavior tests for the round-6 wave-2 statistics operators:
+Cramér's V, mutual information, Welch's t, and Mann–Whitney U —
+planted contingency tables and two-sample fixtures whose statistics
+are hand-computable in closed form, covering perfect association,
+exact independence, tie degeneracy, and the NULL guards."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.operators import analytics
+
+_DAY = 86_400
+
+
+def _events(spark, rows):
+    """rows = (epoch_secs, event_type, value); ts derived via
+    timestamp_seconds so the fixture is timezone-unambiguous."""
+    return (
+        spark.createDataFrame(rows, "secs long, event_type string, value double")
+        .withColumn("ts", F.timestamp_seconds("secs"))
+        .drop("secs")
+    )
+
+
+def test_cramers_v_perfect_association(spark):
+    """Type X only on dow 0, type Y only on dow 1 → χ² = N, V = 1."""
+    rows = [(0, "X", 1.0)] * 10 + [(_DAY, "Y", 1.0)] * 10
+    out = analytics.cramers_v_stat(_events(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n, r.n_types, r.n_dows, r.dof) == (20, 2, 2, 1)
+    assert abs(r.chi2 - 20.0) < 1e-9
+    assert r.cramers_v == 1.0
+
+
+def test_cramers_v_exact_independence(spark):
+    """Uniform 2×2 table → χ² = 0, V = 0."""
+    rows = [
+        (d * _DAY, t, 1.0) for d in (0, 1) for t in ("X", "Y") for _ in range(5)
+    ]
+    r = analytics.cramers_v_stat(_events(spark, rows)).collect()[0]
+    assert abs(r.chi2) < 1e-9
+    assert r.cramers_v == 0.0
+
+
+def test_mutual_information_perfect_and_independent(spark):
+    """Perfect 2×2 coupling: MI = H_type = H_dow = ln 2 (as the sum of
+    two round(9) halves), NMI = 1; the uniform table gives MI 0."""
+    perfect = [(0, "X", 1.0)] * 10 + [(_DAY, "Y", 1.0)] * 10
+    r = analytics.mutual_information_stat(_events(spark, perfect)).collect()[0]
+    ln2_from_halves = 0.693147180  # 2 × round(ln2 / 2, 9)
+    assert (r.n, r.n_cells) == (20, 2)
+    assert abs(r.mi_nats - ln2_from_halves) < 1e-12
+    assert abs(r.h_type - ln2_from_halves) < 1e-12
+    assert r.nmi == 1.0
+    indep = [
+        (d * _DAY, t, 1.0) for d in (0, 1) for t in ("X", "Y") for _ in range(5)
+    ]
+    r0 = analytics.mutual_information_stat(_events(spark, indep)).collect()[0]
+    assert abs(r0.mi_nats) < 1e-12
+    assert r0.nmi == 0.0
+
+
+def test_welch_ttest_closed_form(spark):
+    """ref = {1,3} (mean 2, s² 2), cur = {5,9} (mean 7, s² 8):
+    t = −5/√5, df = 25/17 — both to the op's round(9)."""
+    rows = [
+        (0, "a", 1.0),
+        (3600, "a", 3.0),
+        (10 * 3600, "a", 5.0),
+        (11 * 3600, "a", 9.0),
+    ]
+    r = analytics.welch_ttest(_events(spark, rows)).collect()[0]
+    assert (r.n_ref, r.n_cur) == (2, 2)
+    assert (r.mean_ref, r.mean_cur) == (2.0, 7.0)
+    assert (r.var_ref, r.var_cur) == (2.0, 8.0)
+    assert r.t_stat == -2.236067977
+    assert r.welch_df == 1.470588235
+
+
+def test_welch_ttest_null_values_and_small_sides_drop(spark):
+    """NULL values vanish before the midpoint split is applied to
+    values (but not before the ts range is fixed), and a side with
+    n < 2 removes the type from the panel entirely."""
+    rows = [
+        (0, "a", 1.0),
+        (3600, "a", None),
+        (10 * 3600, "a", 5.0),
+        (11 * 3600, "a", 9.0),
+    ]
+    out = analytics.welch_ttest(_events(spark, rows)).collect()
+    assert out == []
+
+
+def test_mannwhitney_closed_form_and_tie_guard(spark):
+    """Separated samples {1,2} vs {3,4}: U = 0, z = −4/(2·√(5/3));
+    four identical values: U = n₁n₂/2 and the tie guard nulls z."""
+    sep = [
+        (0, "a", 1.0),
+        (3600, "a", 2.0),
+        (10 * 3600, "a", 3.0),
+        (11 * 3600, "a", 4.0),
+    ]
+    r = analytics.mannwhitney_u(_events(spark, sep)).collect()[0]
+    assert (r.n_ref, r.n_cur) == (2, 2)
+    assert r.u_stat == Decimal("0.0")
+    assert r.tie_cube == Decimal("0")
+    assert r.z_score == -1.549193338
+    tied = [
+        (0, "a", 7.0),
+        (3600, "a", 7.0),
+        (10 * 3600, "a", 7.0),
+        (11 * 3600, "a", 7.0),
+    ]
+    rt = analytics.mannwhitney_u(_events(spark, tied)).collect()[0]
+    assert rt.u_stat == Decimal("2.0")
+    assert rt.tie_cube == Decimal("60")
+    assert rt.z_score is None
+
+
+def test_association_panel_shares_one_contingency_shape(spark, sf_dir):
+    """Both association stats agree on the table dimensions and N over
+    the same sf events — the shared `_type_dow_margins` core."""
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    v = analytics.cramers_v_stat(ev).collect()[0]
+    m = analytics.mutual_information_stat(ev).collect()[0]
+    assert v.n == m.n
+    assert v.n_types * v.n_dows >= m.n_cells
+    assert 0.0 <= v.cramers_v <= 1.0
+    assert m.mi_nats >= -1e-9
+    assert m.nmi is None or -1e-9 <= m.nmi <= 1.0 + 1e-9
+
+
+def test_xcorr_detects_planted_lead(spark):
+    """B's daily count series is A's shifted by +2 days (cyclically,
+    so the global dense grid has no boundary zeros): the (A, B) panel
+    row at lag 2 must be exactly 1.0, and no other (A, B) lag may
+    reach it. Types never correlate with themselves in this panel."""
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    pattern = [1, 2, 3, 1, 2, 3, 1, 2, 3, 1]
+    rows = []
+    for d in range(10):
+        rows += [(d * _DAY + i, "A", 1.0) for i in range(pattern[d])]
+        rows += [(d * _DAY + 1000 + i, "B", 1.0) for i in range(pattern[(d - 2) % 10])]
+    out = anomaly.xcorr_panel(_events(spark, rows)).collect()
+    assert {(r.type_a, r.type_b) for r in out} == {("A", "B"), ("B", "A")}
+    ab = {r.lag: r.xcorr for r in out if r.type_a == "A" and r.type_b == "B"}
+    assert ab[2] == 1.0
+    assert all(v < 1.0 for k, v in ab.items() if k != 2 and v is not None)
+    # every row's n shrinks with the lag on the common grid
+    for r in out:
+        assert r.n_days == 10 - r.lag
+
+
+def test_xcorr_constant_side_is_null(spark):
+    """A constant series has zero variance — the correlation must be
+    NULL (the CORR_FINAL_SQL guard), never NaN or a fake value."""
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    rows = []
+    for d in range(5):
+        rows += [(d * _DAY, "C", 1.0)]          # constant 1/day
+        rows += [(d * _DAY + 10 + i, "V", 1.0) for i in range(d + 1)]
+    out = anomaly.xcorr_panel(_events(spark, rows), max_lag=2).collect()
+    assert out and all(r.xcorr is None for r in out)
