@@ -1659,7 +1659,17 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest": _q_welch_ttest,
         "mannwhitney_u": _q_mannwhitney_u,
         "xcorr_panel": _q_xcorr_panel,
+        "cooccurrence_edges": _q_cooccurrence_edges,
+        "type_triangles": _q_type_triangles,
     }
+
+
+def _q_cooccurrence_edges(spark, sf):
+    return event_analytics.cooccurrence_edges(load_table(spark, sf, "events"))
+
+
+def _q_type_triangles(spark, sf):
+    return event_analytics.type_triangles(load_table(spark, sf, "events"))
 
 
 def _q_xcorr_panel(spark, sf):
@@ -6535,6 +6545,54 @@ def oracle_sql() -> dict[str, str]:
                {analytics.CORR_FINAL_SQL} AS xcorr
         FROM stats WHERE lag < n
         ORDER BY type_a, type_b, lag
+    """
+
+    # co-occurrence graph: one distinct, user-keyed pair expansion
+    # (bounded per-user fanout), exact integer overlaps
+    sql["cooccurrence_edges"] = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        counts AS (SELECT event_type, count(*) AS n_users
+                   FROM ut GROUP BY 1),
+        edges AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS shared_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2)
+        SELECT type_a, type_b,
+               CAST(ca.n_users AS BIGINT) AS users_a,
+               CAST(cb.n_users AS BIGINT) AS users_b,
+               CAST(shared_users AS BIGINT) AS shared_users,
+               round(CAST(shared_users AS DOUBLE)
+                     / CAST(ca.n_users + cb.n_users - shared_users
+                            AS DOUBLE), 9) AS jaccard
+        FROM edges
+        JOIN counts ca ON ca.event_type = type_a
+        JOIN counts cb ON cb.event_type = type_b
+        ORDER BY type_a, type_b
+    """
+
+    # ordered triangle enumeration (a < b < c exactly once); support =
+    # bottleneck pairwise overlap
+    sql["type_triangles"] = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        edges AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*) AS shared_users
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+            HAVING count(*) >= 2)
+        SELECT ab.type_a, ab.type_b, bc.type_b AS type_c,
+               CAST(ab.shared_users AS BIGINT) AS w_ab,
+               CAST(bc.shared_users AS BIGINT) AS w_bc,
+               CAST(ac.shared_users AS BIGINT) AS w_ac,
+               CAST(least(ab.shared_users, bc.shared_users,
+                          ac.shared_users) AS BIGINT) AS support
+        FROM edges ab
+        JOIN edges bc ON bc.type_a = ab.type_b
+        JOIN edges ac ON ac.type_a = ab.type_a AND ac.type_b = bc.type_b
+        ORDER BY 1, 2, 3
     """
 
     # -- association + two-sample testing panel: shared pinned-order

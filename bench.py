@@ -187,6 +187,9 @@ HEADLINE = [
     "welch_ttest",
     "mannwhitney_u",
     "xcorr_panel",
+    "cooccurrence_edges",
+    # type_triangles stays out: it re-runs the cooccurrence edge core
+    # already timed above and adds only a T^2-row join
 ]
 
 

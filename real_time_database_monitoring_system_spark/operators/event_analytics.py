@@ -855,3 +855,120 @@ def features_from_per_user(per_user: DataFrame) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _type_edges(events: DataFrame):
+    """Shared core of the behavioral co-occurrence graph: nodes are
+    event types, an edge (a < b) carries the number of users who did
+    BOTH. The only feed-scale work is ONE distinct on (user, type);
+    the self-join runs on that reduction keyed by user, where each
+    user contributes at most #types rows per side — the pair fanout is
+    ≤ T(T−1)/2 per user, LINEAR in users for the bounded type
+    vocabulary (documented; a high-cardinality node set would need the
+    `ngram_jaccard_pairs` hot-key cutoffs instead). Returns the
+    materialized (user, type) relation and the edge relation."""
+    ut = _materialize(events.select("user_id", "event_type").distinct())
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    edges = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("shared_users"))
+    )
+    return ut, edges
+
+
+def cooccurrence_edges(events: DataFrame) -> DataFrame:
+    """Event-type co-occurrence graph: for every pair of types, how
+    many users did both, each side's own audience, and the Jaccard
+    audience overlap — the "do clickers also purchase?" panel behind
+    funnel design, and the graph `type_triangles` mines. Complements
+    `transition_matrix` (SEQUENTIAL next-step structure) with
+    unordered set co-membership.
+
+    Jaccard = shared / (a + b − shared) over exact distinct-user
+    counts — one pinned round(9) division; everything upstream is
+    integer. Per-type audience sizes broadcast onto the ≤ T²/2 edge
+    rows.
+
+    Scale shape: one distinct (the `user_set_ops` shuffle), a
+    user-keyed self-join on the reduction with bounded per-user
+    fanout, and a ≤ T²/2-row aggregate. No feed self-join, no
+    CartesianProduct."""
+    ut, edges = _type_edges(events)
+    counts = ut.groupBy("event_type").agg(
+        F.count("*").alias("n_users")
+    )
+    ca = counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("users_a")
+    )
+    cb = counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("users_b")
+    )
+    return (
+        edges.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("users_a").cast("bigint").alias("users_a"),
+            F.col("users_b").cast("bigint").alias("users_b"),
+            F.col("shared_users").cast("bigint").alias("shared_users"),
+            F.expr(
+                "round(CAST(shared_users AS DOUBLE)"
+                " / CAST(users_a + users_b - shared_users AS DOUBLE), 9)"
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def type_triangles(events: DataFrame, min_shared: int = 2) -> DataFrame:
+    """Triangles of the co-occurrence graph: triples of event types
+    whose audiences pairwise overlap by ≥ `min_shared` users — the
+    behavioral-cluster detector ("view + click + purchase form one
+    journey; error sits outside it"). The classic ordered triangle
+    enumeration: edges carry a < b, so joining ab ⋈ bc ⋈ ac yields
+    each triangle exactly once with a < b < c, no dedup pass.
+
+    `support` is the weakest pairwise overlap (the bottleneck edge) —
+    exact integer min.
+
+    Scale shape: inherits `_type_edges`' single feed-scale distinct;
+    the triangle join runs on the ≤ T²/2-row edge relation, broadcast
+    both times (T is the bounded type vocabulary). Output ≤ C(T,3)
+    rows."""
+    _, edges = _type_edges(events)
+    strong = _materialize(
+        edges.filter(F.col("shared_users") >= F.lit(int(min_shared)))
+    )
+    ab = strong.select(
+        F.col("type_a").alias("ta"),
+        F.col("type_b").alias("tb"),
+        F.col("shared_users").alias("w_ab"),
+    )
+    bc = strong.select(
+        F.col("type_a").alias("tb"),
+        F.col("type_b").alias("tc"),
+        F.col("shared_users").alias("w_bc"),
+    )
+    ac = strong.select(
+        F.col("type_a").alias("ta"),
+        F.col("type_b").alias("tc"),
+        F.col("shared_users").alias("w_ac"),
+    )
+    return (
+        ab.join(F.broadcast(bc), "tb")
+        .join(F.broadcast(ac), ["ta", "tc"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            F.col("tc").alias("type_c"),
+            F.col("w_ab").cast("bigint").alias("w_ab"),
+            F.col("w_bc").cast("bigint").alias("w_bc"),
+            F.col("w_ac").cast("bigint").alias("w_ac"),
+            F.expr("CAST(least(w_ab, w_bc, w_ac) AS BIGINT)").alias("support"),
+        )
+        .orderBy("type_a", "type_b", "type_c")
+    )

@@ -759,3 +759,15 @@ def test_round6_wave2_stat_budgets(spark, sf_dir):
     df = anomaly.xcorr_panel(ev)
     assert checks.count_exchanges(df) <= 5
     assert "CartesianProduct" not in checks.explain_str(df)
+    # co-occurrence graph: one feed-scale distinct; pair join keyed on
+    # user over the reduction; audience counts broadcast
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    e = event_analytics.cooccurrence_edges(ev)
+    pe = checks.explain_str(e)
+    assert checks.count_exchanges(e) <= 5
+    assert "CartesianProduct" not in pe and "BroadcastExchange" in pe
+    t = event_analytics.type_triangles(ev)
+    pt = checks.explain_str(t)
+    assert checks.count_exchanges(t) <= 2  # edge relation materialized
+    assert "CartesianProduct" not in pt and "BroadcastExchange" in pt

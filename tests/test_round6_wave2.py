@@ -169,3 +169,52 @@ def test_xcorr_constant_side_is_null(spark):
         rows += [(d * _DAY + 10 + i, "V", 1.0) for i in range(d + 1)]
     out = anomaly.xcorr_panel(_events(spark, rows), max_lag=2).collect()
     assert out and all(r.xcorr is None for r in out)
+
+
+def _typed_events(spark, pairs):
+    """pairs = (user_id, event_type); ts/value irrelevant to the graph."""
+    return spark.createDataFrame(
+        [(u, t, 1_000_000 * u, 1.0) for u, t in pairs],
+        "user_id long, event_type string, secs long, value double",
+    ).withColumn("ts", F.timestamp_seconds("secs")).drop("secs")
+
+
+def test_cooccurrence_edges_exact_counts(spark):
+    """u1={A,B,C}, u2={A,B}, u3={A,C}, u4={D}: edge weights and
+    Jaccard overlaps are hand-countable; duplicate events per
+    (user, type) must not inflate anything."""
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    pairs = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"), (2, "B"),   # duplicate (2, B) event
+        (3, "A"), (3, "C"),
+        (4, "D"),
+    ]
+    out = event_analytics.cooccurrence_edges(_typed_events(spark, pairs)).collect()
+    got = {(r.type_a, r.type_b): (r.shared_users, r.users_a, r.users_b, r.jaccard)
+           for r in out}
+    assert got == {
+        ("A", "B"): (2, 3, 2, round(2 / 3, 9)),
+        ("A", "C"): (2, 3, 2, round(2 / 3, 9)),
+        ("B", "C"): (1, 2, 2, round(1 / 3, 9)),
+    }
+
+
+def test_type_triangles_support_threshold(spark):
+    """The A-B-C triangle exists at min_shared=1 with support 1 (the
+    B-C bottleneck) and vanishes at min_shared=2; D never joins."""
+    from real_time_database_monitoring_system_spark.operators import event_analytics
+
+    pairs = [
+        (1, "A"), (1, "B"), (1, "C"),
+        (2, "A"), (2, "B"),
+        (3, "A"), (3, "C"),
+        (4, "D"),
+    ]
+    ev = _typed_events(spark, pairs)
+    tri = event_analytics.type_triangles(ev, min_shared=1).collect()
+    assert [(r.type_a, r.type_b, r.type_c, r.support) for r in tri] == [
+        ("A", "B", "C", 1)
+    ]
+    assert event_analytics.type_triangles(ev, min_shared=2).collect() == []
