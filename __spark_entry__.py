@@ -1661,7 +1661,73 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xcorr_panel": _q_xcorr_panel,
         "cooccurrence_edges": _q_cooccurrence_edges,
         "type_triangles": _q_type_triangles,
+        "gopher_rule_filter": _q_gopher_rule_filter,
+        "oov_rate": _q_oov_rate,
+        "line_dedup": _q_line_dedup,
     }
+
+
+def _q_gopher_rule_filter(spark, sf):
+    # the synthetic corpus is uniform lowercase prose (word-count is
+    # the ONLY rule with natural variety), so inject deterministic
+    # violations on fixed residues, the c4_rule_filter pattern: %6 →
+    # symbol soup ('#'/'...'), %10 → 30 numeric tokens (alpha ratio),
+    # %9 → five 120-char tokens (mean word length). The stopword rule
+    # varies naturally ('the'/'a' appear ~1.7×/doc, short docs miss
+    # them). The oracle mirrors the injection verbatim.
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 6 == 0, F.lit(" ### ### ... ...")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit(" " + " ".join(["12345"] * 30)),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.expr(
+                    "concat(' ', repeat('z', 120), ' ', repeat('z', 120),"
+                    " ' ', repeat('z', 120), ' ', repeat('z', 120),"
+                    " ' ', repeat('z', 120))"
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text_ops.gopher_rule_filter(injected)
+
+
+def _q_oov_rate(spark, sf):
+    # vocab_size 16 against the synthetic corpus' 31-term vocabulary:
+    # roughly half the token mass lands out-of-vocab, so every source
+    # reports a meaningful, distinct rate at every SF
+    return text_ops.oov_rate(load_table(spark, sf, "documents"))
+
+
+def _q_line_dedup(spark, sf):
+    # the corpus has no newlines; cut deterministic 8-token lines
+    # (regexp, mirrored in the oracle) and append two boilerplate
+    # lines on fixed residues (%4, %6) — both exceed max_docs=20 at
+    # every SF and must vanish from every document that carries them
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.regexp_replace("text", r"((?:\S+\s+){7}\S+)\s+", "$1\n"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("\nall rights reserved worldwide"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return dedup.line_dedup(injected)
 
 
 def _q_cooccurrence_edges(spark, sf):
@@ -6545,6 +6611,130 @@ def oracle_sql() -> dict[str, str]:
                {analytics.CORR_FINAL_SQL} AS xcorr
         FROM stats WHERE lag < n
         ORDER BY type_a, type_b, lag
+    """
+
+    # Gopher rules over the injected fixture; every ratio rule is an
+    # integer cross-multiplication on both engines
+    sql["gopher_rule_filter"] = f"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 6 = 0 THEN ' ### ### ... ...'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 10 = 0
+                        THEN ' ' || repeat('12345 ', 29) || '12345'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 9 = 0
+                        THEN ' ' || repeat('z', 120) || ' ' || repeat('z', 120)
+                             || ' ' || repeat('z', 120) || ' ' || repeat('z', 120)
+                             || ' ' || repeat('z', 120)
+                        ELSE '' END AS text
+            FROM documents),
+        s AS (
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS INTEGER) AS n_words,
+                   coalesce(list_sum(list_transform({_TOKS},
+                       t -> CAST(length(t) AS BIGINT))), 0) AS total_chars,
+                   (length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) // 3
+                       AS n_symbols,
+                   len(list_filter({_TOKS},
+                       t -> regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+                   (CASE WHEN list_contains({_TOKS}, 'the') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'a') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'of') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'and') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'to') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'in') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'that') THEN 1 ELSE 0 END
+                    + CASE WHEN list_contains({_TOKS}, 'with') THEN 1 ELSE 0 END)
+                       AS n_stop
+            FROM inj),
+        r AS (
+            SELECT doc_id, n_words, total_chars, n_symbols, n_alpha, n_stop,
+                   n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+                   total_chars >= 3 * n_words
+                   AND total_chars <= 10 * n_words
+                   AND n_words > 0 AS mean_word_len_ok,
+                   10 * n_symbols <= n_words AS symbol_ratio_ok,
+                   5 * n_alpha >= 4 * n_words AS alpha_ratio_ok,
+                   n_stop >= 2 AS has_stopwords
+            FROM s)
+        SELECT doc_id, n_words,
+               round(CASE WHEN n_words > 0 THEN
+                     CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                     END, 9) AS mean_word_len,
+               word_count_ok, mean_word_len_ok, symbol_ratio_ok,
+               alpha_ratio_ok, has_stopwords,
+               word_count_ok AND mean_word_len_ok AND symbol_ratio_ok
+               AND alpha_ratio_ok AND has_stopwords AS keep
+        FROM r ORDER BY doc_id
+    """
+
+    # OOV audit: vocabulary = top-16 by (count DESC, term ASC); exact
+    # integer mass sums, one pinned division
+    sql["oov_rate"] = f"""
+        WITH tfc AS (
+            SELECT source, term, count(*) AS c_st
+            FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY 1, 2),
+        tot AS (SELECT term, sum(c_st) AS c_t FROM tfc GROUP BY 1),
+        vocab AS (SELECT term FROM tot ORDER BY c_t DESC, term LIMIT 16),
+        src AS (SELECT source, sum(c_st) AS n_tokens, count(*) AS n_terms
+                FROM tfc GROUP BY 1),
+        oov AS (SELECT source, sum(c_st) AS n_oov,
+                       count(*) AS n_oov_terms
+                FROM tfc WHERE term NOT IN (SELECT term FROM vocab)
+                GROUP BY 1)
+        SELECT s.source,
+               CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               CAST(s.n_terms AS BIGINT) AS n_terms,
+               CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+               CAST(coalesce(o.n_oov_terms, 0) AS BIGINT) AS n_oov_terms,
+               round(CAST(coalesce(o.n_oov, 0) AS DOUBLE)
+                     / CAST(s.n_tokens AS DOUBLE), 9) AS oov_rate
+        FROM src s LEFT JOIN oov o USING (source)
+        ORDER BY s.source
+    """
+
+    # boilerplate-line removal over the injected line fixture: lines
+    # in > 20 distinct docs vanish everywhere; reassembly preserves
+    # line order; row count is input-stable
+    sql["line_dedup"] = r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   regexp_replace(text, '((?:\S+\s+){7}\S+)\s+',
+                                  '\1' || chr(10), 'g')
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN chr(10) || 'subscribe to our newsletter today'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN chr(10) || 'all rights reserved worldwide'
+                           ELSE '' END AS text
+            FROM documents),
+        base AS (SELECT doc_id,
+                        len(string_split(text, chr(10))) AS n_lines
+                 FROM inj),
+        e2 AS (
+            SELECT doc_id, u.line AS line, u.pos AS pos
+            FROM (SELECT doc_id,
+                         unnest(list_transform(string_split(text, chr(10)),
+                             (x, i) -> struct_pack(line := x, pos := i))) AS u
+                  FROM inj)),
+        dfq AS (SELECT line, count(DISTINCT doc_id) AS df
+                FROM e2 GROUP BY 1),
+        kept AS (SELECT e2.doc_id, e2.line, e2.pos
+                 FROM e2 JOIN dfq USING (line) WHERE df <= 20),
+        k AS (SELECT doc_id, count(*) AS n_kept,
+                     string_agg(line, chr(10) ORDER BY pos) AS txt
+              FROM kept GROUP BY 1)
+        SELECT b.doc_id,
+               CAST(b.n_lines AS BIGINT) AS n_lines,
+               CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(b.n_lines - coalesce(k.n_kept, 0) AS BIGINT) AS n_dropped,
+               coalesce(k.txt, '') AS clean_text
+        FROM base b LEFT JOIN k USING (doc_id)
+        ORDER BY b.doc_id
     """
 
     # co-occurrence graph: one distinct, user-keyed pair expansion

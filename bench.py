@@ -190,6 +190,9 @@ HEADLINE = [
     "cooccurrence_edges",
     # type_triangles stays out: it re-runs the cooccurrence edge core
     # already timed above and adds only a T^2-row join
+    "gopher_rule_filter",
+    "oov_rate",
+    "line_dedup",
 ]
 
 

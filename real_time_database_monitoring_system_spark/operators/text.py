@@ -681,3 +681,156 @@ def zipf_fit(documents: DataFrame, top_n: int = 100) -> DataFrame:
         F.expr(TREND_FINAL_SQL["slope_per_hour"]).alias("zipf_slope"),
         F.expr(TREND_FINAL_SQL["r2"]).alias("r2"),
     ).orderBy("source")
+
+
+# Gopher (MassiveText) rule constants — the published operating
+# points; integer cross-multiplied forms below keep every rule exact
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN = 3       # 3 ≤ mean word length ≤ 10
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_SYMBOL_RATIO_10X = 1   # (# '#' + # '…') / words ≤ 0.1
+GOPHER_ALPHA_RATIO_5X = 4     # ≥ 80% of words contain a letter
+GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "that", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rule_filter(documents: DataFrame) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021,
+    MassiveText §A1.1) as an auditable keep/drop panel — the
+    statistics-based complement of `c4_rule_filter`'s phrase rules:
+    C4 looks for KNOWN bad content, Gopher for DEGENERATE SHAPE
+    (too short/long, symbol soup, non-linguistic token mix).
+
+    Every ratio rule is an integer cross-multiplication, so the panel
+    is EXACT end-to-end — no double compares anywhere:
+
+    - ``word_count_ok``: 50 ≤ words ≤ 100 000;
+    - ``mean_word_len_ok``: 3·n ≤ Σ len(token) ≤ 10·n;
+    - ``symbol_ratio_ok``: 10·(#'#' + #'...') ≤ n;
+    - ``alpha_ratio_ok``: 5·(words with ≥ 1 letter) ≥ 4·n;
+    - ``has_stopwords``: ≥ 2 distinct tokens from the fixed 8-word
+      stopword list (membership sum, not list-intersect, so both
+      engines count identically).
+
+    The reported mean_word_len is the one display double (round(9),
+    NULL for empty docs) — rules never read it.
+
+    Scale shape: single-scan vectorized projection (tokenize once,
+    array folds) + final sort; a pure map stage at 100 TB, exactly
+    like `c4_rule_filter`."""
+    toks = _tokens(F.col("text"))
+    n_words = F.size(toks)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    n_hash = F.length("text") - F.length(F.expr("replace(text, '#', '')"))
+    n_ellipsis = (
+        F.length("text") - F.length(F.expr("replace(text, '...', '')"))
+    ) / F.lit(3)
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    n_stop = None
+    for sw in GOPHER_STOPWORDS:
+        term = F.when(F.array_contains(toks, sw), 1).otherwise(0)
+        n_stop = term if n_stop is None else (n_stop + term)
+    stats = _spread(documents, "doc_id").select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        total_chars.alias("total_chars"),
+        (n_hash + n_ellipsis.cast("long")).alias("n_symbols"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+    )
+    rules = {
+        "word_count_ok": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "mean_word_len_ok": (
+            F.col("total_chars") >= GOPHER_MIN_MEAN_LEN * F.col("n_words")
+        )
+        & (F.col("total_chars") <= GOPHER_MAX_MEAN_LEN * F.col("n_words"))
+        & (F.col("n_words") > 0),
+        "symbol_ratio_ok": F.lit(10) * F.col("n_symbols")
+        <= F.col("n_words"),
+        "alpha_ratio_ok": F.lit(5) * F.col("n_alpha")
+        >= F.lit(4) * F.col("n_words"),
+        "has_stopwords": F.col("n_stop") >= GOPHER_MIN_STOPWORDS,
+    }
+    keep = None
+    for expr in rules.values():
+        keep = expr if keep is None else (keep & expr)
+    return (
+        stats.select(
+            "doc_id",
+            "n_words",
+            F.expr(
+                "round(CASE WHEN n_words > 0 THEN"
+                " CAST(total_chars AS DOUBLE) / CAST(n_words AS DOUBLE)"
+                " END, 9)"
+            ).alias("mean_word_len"),
+            *[expr.alias(name) for name, expr in rules.items()],
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oov_rate(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus' own
+    top-`vocab_size` token vocabulary — the tokenizer-fit audit a
+    training pipeline runs before committing to a vocab: a source
+    whose tokens fall outside the head vocabulary will fragment into
+    subwords (cost) or unknowns (quality loss). Complements
+    `source_kl_divergence` (distribution distance) with the blunt
+    operational number ("12% of src7's tokens aren't in the top-V").
+
+    The vocabulary is deterministic: top `vocab_size` terms by
+    (corpus count DESC, term ASC) — the same total-order tiebreak
+    every ranked entry uses. OOV mass and token totals are exact
+    integer sums; the rate is one pinned round(9) division.
+
+    Scale shape: ONE tokenize+explode pass reduced to the (source,
+    term, count) relation (materialized — it feeds the vocabulary,
+    the totals, and the OOV sum); the vocabulary relation is
+    vocab_size rows and broadcasts into a left anti join; final
+    aggregate is #sources rows."""
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tf = _materialize(
+        _spread(documents, "doc_id")
+        .select("source", F.explode(tok_arr).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+    )
+    term_tot = tf.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    # top-V via orderBy+limit → TakeOrderedAndProject (map-side heaps,
+    # no single-partition global window over the vocabulary relation)
+    vocab = (
+        term_tot.orderBy(F.col("c_t").desc(), F.col("term"))
+        .limit(int(vocab_size))
+        .select("term")
+    )
+    oov = tf.join(F.broadcast(vocab), "term", "left_anti")
+    per_src = tf.groupBy("source").agg(
+        F.sum("c_st").alias("n_tokens"),
+        F.count("*").alias("n_terms"),
+    )
+    per_oov = oov.groupBy("source").agg(
+        F.sum("c_st").alias("n_oov"),
+        F.count("*").alias("n_oov_terms"),
+    )
+    return (
+        per_src.join(per_oov, "source", "left")
+        .select(
+            "source",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.col("n_terms").cast("bigint").alias("n_terms"),
+            F.coalesce("n_oov", F.lit(0)).cast("bigint").alias("n_oov"),
+            F.coalesce("n_oov_terms", F.lit(0))
+            .cast("bigint")
+            .alias("n_oov_terms"),
+            F.expr(
+                "round(CAST(coalesce(n_oov, 0) AS DOUBLE)"
+                " / CAST(n_tokens AS DOUBLE), 9)"
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

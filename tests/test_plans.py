@@ -771,3 +771,24 @@ def test_round6_wave2_stat_budgets(spark, sf_dir):
     pt = checks.explain_str(t)
     assert checks.count_exchanges(t) <= 2  # edge relation materialized
     assert "CartesianProduct" not in pt and "BroadcastExchange" in pt
+    # text trio: gopher is a pure map stage; oov's vocabulary must be
+    # a distributed top-K (TakeOrderedAndProject) feeding a broadcast
+    # anti join; line_dedup = distinct + line window + (doc,line) anti
+    # + reassembly, all on the exploded reduction
+    from real_time_database_monitoring_system_spark.operators import (
+        dedup as dedup_ops,
+        text as text_ops,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = text_ops.gopher_rule_filter(docs.select("doc_id", "text"))
+    assert checks.count_exchanges(g) <= 2  # spread + final sort
+    assert "CartesianProduct" not in checks.explain_str(g)
+    o = text_ops.oov_rate(docs)
+    po = checks.explain_str(o)
+    assert checks.count_exchanges(o) <= 5
+    assert "TakeOrderedAndProject" in po, "vocab top-K must not be a window"
+    assert "BroadcastExchange" in po and "CartesianProduct" not in po
+    ld = dedup_ops.line_dedup(docs.select("doc_id", "text"))
+    assert checks.count_exchanges(ld) <= 5
+    assert "CartesianProduct" not in checks.explain_str(ld)

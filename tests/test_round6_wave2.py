@@ -218,3 +218,95 @@ def test_type_triangles_support_threshold(spark):
         ("A", "B", "C", 1)
     ]
     assert event_analytics.type_triangles(ev, min_shared=2).collect() == []
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_gopher_rules_fire_individually(spark):
+    """One planted doc per rule: each violation flips exactly its own
+    rule while the others hold."""
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    base = "the a " + " ".join(["word"] * 48)          # 50 words, all rules pass
+    rows = [
+        (1, base),
+        (2, "the a " + " ".join(["word"] * 8)),        # 10 words: count fails
+        (3, base + " ### ### ### ### ### ###"),        # 18 '#': symbol fails
+        (4, base + " " + " ".join(["123"] * 20)),      # 20/70 numeric: alpha fails
+        (5, base + " " + "z" * 600),                   # mean len 15.6: mean fails
+        (6, " ".join(["word"] * 50)),                  # no stopwords
+    ]
+    out = {r.doc_id: r for r in text_ops.gopher_rule_filter(_docs(spark, rows)).collect()}
+    assert out[1].keep
+    assert not out[2].word_count_ok and out[2].mean_word_len_ok
+    assert not out[3].symbol_ratio_ok and out[3].word_count_ok
+    assert not out[4].alpha_ratio_ok and out[4].symbol_ratio_ok
+    assert not out[5].mean_word_len_ok and out[5].alpha_ratio_ok
+    assert not out[6].has_stopwords and out[6].alpha_ratio_ok
+    for d in (2, 3, 4, 5, 6):
+        assert not out[d].keep
+
+
+def test_gopher_mean_rule_is_exact_at_boundary(spark):
+    """mean == 10 exactly must PASS (≤ bound, integer cross-multiply,
+    no double drift): 50 words of 10 chars each."""
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    # 50 words ('the', 'a', 48 fillers) padded to exactly 500 chars:
+    # mean = 10.0 must pass the ≤ 10 bound exactly
+    exact = " ".join(["the", "a", "b" * 26] + ["abcdefghij"] * 47)
+    out = text_ops.gopher_rule_filter(_docs(spark, [(1, exact)])).collect()[0]
+    assert out.n_words == 50
+    assert out.mean_word_len == 10.0
+    assert out.mean_word_len_ok and out.keep
+
+
+def test_oov_rate_vocab_and_tiebreak(spark):
+    """Top-1 vocab of a 14-x corpus is 'x'; per-source OOV mass is
+    exact. Equal counts break ties by term ASC."""
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    rows = [
+        (1, " ".join(["x"] * 9 + ["y"]), "s1"),
+        (2, " ".join(["x"] * 5 + ["z"] * 5), "s2"),
+    ]
+    docs = _docs(spark, rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in text_ops.oov_rate(docs, vocab_size=1).collect()}
+    assert (out["s1"].n_tokens, out["s1"].n_oov, out["s1"].oov_rate) == (10, 1, 0.1)
+    assert (out["s2"].n_tokens, out["s2"].n_oov, out["s2"].oov_rate) == (10, 5, 0.5)
+    tie = _docs(
+        spark,
+        [(1, "b b b a a a", "s")],
+        "doc_id long, text string, source string",
+    )
+    t = text_ops.oov_rate(tie, vocab_size=1).collect()[0]
+    assert t.n_oov == 3  # vocab = {'a'} (count tie → term ASC), 'b' is OOV
+
+
+def test_line_dedup_drops_hot_lines_everywhere(spark):
+    """A line in 5 > max_docs=3 docs vanishes from ALL of them (not
+    first-kept like paragraph_dedup); rare lines keep every occurrence
+    in order; an all-boilerplate doc survives with empty text."""
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    rows = [(i, f"u{i}a\ncommon\nu{i}b") for i in range(1, 6)] + [(6, "common")]
+    out = {r.doc_id: r for r in dedup.line_dedup(_docs(spark, rows), max_docs=3).collect()}
+    assert len(out) == 6
+    for i in range(1, 6):
+        assert out[i].clean_text == f"u{i}a\nu{i}b"
+        assert (out[i].n_lines, out[i].n_kept, out[i].n_dropped) == (3, 2, 1)
+    assert (out[6].n_kept, out[6].clean_text) == (0, "")
+
+
+def test_line_dedup_threshold_counts_distinct_docs(spark):
+    """df counts DISTINCT documents: one doc repeating a line 10 times
+    contributes 1 to df, and a line in exactly max_docs docs stays."""
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    rows = [(1, "\n".join(["rep"] * 10)), (2, "rep\nother"), (3, "solo")]
+    out = {r.doc_id: r for r in dedup.line_dedup(_docs(spark, rows), max_docs=2).collect()}
+    assert out[1].n_kept == 10          # df('rep') = 2 ≤ 2 → kept everywhere
+    assert out[2].clean_text == "rep\nother"
+    assert out[3].clean_text == "solo"
