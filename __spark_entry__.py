@@ -1664,7 +1664,17 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rule_filter": _q_gopher_rule_filter,
         "oov_rate": _q_oov_rate,
         "line_dedup": _q_line_dedup,
+        "js_divergence": _q_js_divergence,
+        "countmin_types": _q_countmin_types,
     }
+
+
+def _q_js_divergence(spark, sf):
+    return pipeline.js_divergence(load_table(spark, sf, "documents"))
+
+
+def _q_countmin_types(spark, sf):
+    return sketches.countmin_types(load_table(spark, sf, "events"))
 
 
 def _q_gopher_rule_filter(spark, sf):
@@ -6611,6 +6621,61 @@ def oracle_sql() -> dict[str, str]:
                {analytics.CORR_FINAL_SQL} AS xcorr
         FROM stats WHERE lag < n
         ORDER BY type_a, type_b, lag
+    """
+
+    # Jensen–Shannon vs rest-of-corpus: union-support spine, shared
+    # JS_TERM_SQL halves, decimal accumulation
+    sql["js_divergence"] = f"""
+        WITH tfc AS (
+            SELECT source, term, count(*) AS c_st
+            FROM (SELECT source, unnest({_TOKS}) AS term FROM documents)
+            GROUP BY 1, 2),
+        st AS (SELECT source, sum(c_st) AS n_s FROM tfc GROUP BY 1),
+        tt AS (SELECT term, sum(c_st) AS c_t FROM tfc GROUP BY 1),
+        tot AS (SELECT sum(n_s) AS n_total FROM st),
+        rows_ AS (
+            SELECT sp.source,
+                   coalesce(f.c_st, 0) AS c_st,
+                   st.n_s,
+                   tt.c_t - coalesce(f.c_st, 0) AS c_rest,
+                   tot.n_total - st.n_s AS n_rest
+            FROM tt CROSS JOIN (SELECT source FROM st) sp
+            LEFT JOIN tfc f ON f.source = sp.source AND f.term = tt.term
+            JOIN st ON st.source = sp.source
+            CROSS JOIN tot
+            WHERE tot.n_total - st.n_s > 0)
+        SELECT source,
+               CAST(sum(CASE WHEN c_st > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_terms_src,
+               CAST(sum(CAST({pipeline.JS_TERM_SQL} AS DECIMAL(38,9)))
+                    AS DOUBLE) AS js_nats,
+               round(sqrt(greatest(
+                   CAST(sum(CAST({pipeline.JS_TERM_SQL} AS DECIMAL(38,9)))
+                        AS DOUBLE), 0.0)), 9) AS js_distance
+        FROM rows_ GROUP BY source ORDER BY source
+    """
+
+    # Count-Min audit: identical md5 placement on both engines, bucket
+    # totals over the #types reduction, min-fold, one-sided verdict
+    sql["countmin_types"] = """
+        WITH exact AS (SELECT event_type, count(*) AS exact_n
+                       FROM events GROUP BY 1),
+        hashed AS (
+            SELECT event_type, exact_n, d.d,
+                   CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                        || event_type), 1, 15) AS BIGINT) % 64 AS bucket
+            FROM exact CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d),
+        cells AS (SELECT d, bucket, sum(exact_n) AS cell_total
+                  FROM hashed GROUP BY 1, 2)
+        SELECT h.event_type,
+               CAST(first(h.exact_n) AS BIGINT) AS exact_n,
+               CAST(min(c.cell_total) AS BIGINT) AS cm_estimate,
+               CAST(min(c.cell_total) - first(h.exact_n) AS BIGINT)
+                   AS overshoot,
+               min(c.cell_total) >= first(h.exact_n) AS never_under
+        FROM hashed h JOIN cells c ON c.d = h.d AND c.bucket = h.bucket
+        GROUP BY h.event_type
+        ORDER BY h.event_type
     """
 
     # Gopher rules over the injected fixture; every ratio rule is an

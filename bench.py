@@ -193,6 +193,8 @@ HEADLINE = [
     "gopher_rule_filter",
     "oov_rate",
     "line_dedup",
+    "js_divergence",
+    "countmin_types",
 ]
 
 

@@ -1094,3 +1094,97 @@ def sequence_pack(documents: DataFrame, seq_len: int = 512) -> DataFrame:
         )
         .orderBy("source", "doc_id")
     )
+
+
+# per-term Jensen–Shannon contribution over (c_st, n_s, c_rest,
+# n_rest): both KL halves against the mixture m = (p+q)/2, absent
+# sides contribute 0 (0·ln 0 = 0), pinned order, round(9) — evaluated
+# verbatim by the DuckDB oracle
+JS_TERM_SQL = (
+    "round("
+    "CASE WHEN c_st > 0 THEN"
+    " 0.5 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    " * ln((CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    " / (0.5 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)"
+    " + CAST(c_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))))"
+    " ELSE 0.0 END"
+    " + CASE WHEN c_rest > 0 THEN"
+    " 0.5 * (CAST(c_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))"
+    " * ln((CAST(c_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))"
+    " / (0.5 * (CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE)"
+    " + CAST(c_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))))"
+    " ELSE 0.0 END, 9)"
+)
+
+
+def js_divergence(documents: DataFrame) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between each source's unigram
+    distribution and the REST of the corpus — the symmetric, bounded
+    [0, ln 2] companion to `source_kl_divergence`: KL(source ‖ corpus)
+    rewards a source for matching a blend it is itself part of (a
+    dominant source looks artificially close), while JS against the
+    complement measures what the source actually ADDS. The number
+    mix-tuning reports as "distinctiveness".
+
+    Terms absent from one side contribute only the other KL half
+    (0·ln 0 = 0), and the mixture m = (p+q)/2 is strictly positive on
+    the union support, so every term is finite with no smoothing.
+    Per-term contributions are the shared pinned `JS_TERM_SQL`
+    round(9) doubles accumulated in DECIMAL; js_distance is the
+    metric form √JS of the already-summed value.
+
+    Scale shape: the corpus tokenizes ONCE into the materialized
+    (source, term, c_st) relation (the `source_kl_divergence`
+    diamond); the union support is the (vocabulary × #sources) spine —
+    bounded by vocab size times the handful of sources, shuffled on
+    term, never row-wise on the feed; source totals broadcast; the
+    final aggregate is #sources rows. Sources with an empty complement
+    (single-source corpus) are excluded (JS vs nothing is undefined)."""
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tf = _materialize(
+        _spread(documents, "doc_id")
+        .select("source", F.explode(tok_arr).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+    )
+    src_tot = tf.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    term_tot = tf.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    total = src_tot.agg(F.sum("n_s").alias("n_total"))
+    spine = term_tot.crossJoin(F.broadcast(src_tot.select("source")))
+    rows = (
+        spine.join(tf, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            F.coalesce("c_st", F.lit(0)).alias("c_st"),
+            "c_t",
+        )
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "c_st",
+            "n_s",
+            (F.col("c_t") - F.col("c_st")).alias("c_rest"),
+            (F.col("n_total") - F.col("n_s")).alias("n_rest"),
+        )
+        .filter(F.col("n_rest") > 0)
+    )
+    return (
+        rows.groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("c_st") > 0, 1).otherwise(0)).alias(
+                "n_terms_src"
+            ),
+            F.sum(F.expr(JS_TERM_SQL).cast("decimal(38,9)")).alias("js"),
+        )
+        .select(
+            "source",
+            F.col("n_terms_src").cast("bigint").alias("n_terms_src"),
+            F.expr("CAST(js AS DOUBLE)").alias("js_nats"),
+            F.expr(
+                "round(sqrt(greatest(CAST(js AS DOUBLE), 0.0)), 9)"
+            ).alias("js_distance"),
+        )
+        .orderBy("source")
+    )

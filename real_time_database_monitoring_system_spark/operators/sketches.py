@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import materialize as _materialize
+
 
 def rank_window_ok(lt: Column, le: Column, n: Column, p: float, eps: float) -> Column:
     """True iff an estimate whose feasible rank interval is
@@ -244,4 +246,72 @@ def approx_topk_types(events: DataFrame, k: int = 100, max_tracked: int = 10000)
             F.col("entry.count").alias("n_events"),
         )
         .orderBy(F.desc("n_events"), "event_type")
+    )
+
+
+def countmin_types(
+    events: DataFrame, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-Min sketch audit over event-type frequencies: the CMS
+    estimate (min over `depth` hash rows of the hashed bucket's total)
+    next to the exact count, with the overshoot — the verdict-column
+    form every sketch entry here uses (`hll_user_rollup_checked`),
+    proving the one-sided CMS guarantee estimate ≥ exact on real data.
+    CMS is the sketch a streaming pipeline keeps when even
+    approx_top_k's candidate map is too much state: depth×width
+    counters, mergeable by addition, point-queryable.
+
+    The hash family is the repo's portable md5 form (60-bit prefix →
+    mod width, salted by the row index), so the DuckDB oracle computes
+    the identical placement and the entire audit is integer-exact.
+
+    Scale shape: ONE keyed count reduces the feed to #types rows;
+    hashing, bucket totals (depth×width cells max) and the min-fold
+    all run on that reduction — the sketch materialization costs
+    nothing beyond the count every frequency query already does.
+    Output #types rows."""
+    if depth < 1 or width < 1:
+        raise ValueError("countmin_types: depth and width must be ≥ 1")
+    exact = _materialize(
+        events.groupBy("event_type").agg(F.count("*").alias("exact_n"))
+    )
+    hashed = exact.select(
+        "event_type",
+        "exact_n",
+        F.explode(F.expr(f"sequence(0, {depth - 1})")).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col("d"), F.col("event_type"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(int(width)),
+        ),
+    )
+    cells = hashed.groupBy("d", "bucket").agg(
+        F.sum("exact_n").alias("cell_total")
+    )
+    return (
+        hashed.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_n").alias("exact_n"),
+            F.min("cell_total").alias("cm_estimate"),
+        )
+        .select(
+            "event_type",
+            F.col("exact_n").cast("bigint").alias("exact_n"),
+            F.col("cm_estimate").cast("bigint").alias("cm_estimate"),
+            (F.col("cm_estimate") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overshoot"),
+            (F.col("cm_estimate") >= F.col("exact_n")).alias("never_under"),
+        )
+        .orderBy("event_type")
     )

@@ -792,3 +792,18 @@ def test_round6_wave2_stat_budgets(spark, sf_dir):
     ld = dedup_ops.line_dedup(docs.select("doc_id", "text"))
     assert checks.count_exchanges(ld) <= 5
     assert "CartesianProduct" not in checks.explain_str(ld)
+    # js: one tf reduction + vocabulary-keyed spine joins, totals
+    # broadcast; cms: one feed count, everything else on #types rows
+    from real_time_database_monitoring_system_spark.operators import (
+        pipeline as pipeline_ops,
+        sketches as sketch_ops,
+    )
+
+    j = pipeline_ops.js_divergence(docs)
+    pj = checks.explain_str(j)
+    assert checks.count_exchanges(j) <= 8
+    assert "CartesianProduct" not in pj and "BroadcastExchange" in pj
+    c = sketch_ops.countmin_types(ev)
+    pc = checks.explain_str(c)
+    assert checks.count_exchanges(c) <= 4
+    assert "CartesianProduct" not in pc and "BroadcastExchange" in pc

@@ -310,3 +310,55 @@ def test_line_dedup_threshold_counts_distinct_docs(spark):
     assert out[1].n_kept == 10          # df('rep') = 2 ≤ 2 → kept everywhere
     assert out[2].clean_text == "rep\nother"
     assert out[3].clean_text == "solo"
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    """Two sources with identical unigram mixes → JS = 0; disjoint
+    vocabularies → JS = ln 2 (as the sum of two round(9) halves); a
+    single-source corpus has no complement and yields no rows."""
+    from real_time_database_monitoring_system_spark.operators import pipeline
+
+    same = _docs(
+        spark,
+        [(1, "x x y", "s1"), (2, "x x y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in pipeline.js_divergence(same).collect()}
+    assert out["s1"].js_nats == 0.0 and out["s2"].js_nats == 0.0
+    disjoint = _docs(
+        spark,
+        [(1, "x x", "s1"), (2, "y y", "s2")],
+        "doc_id long, text string, source string",
+    )
+    d = {r.source: r for r in pipeline.js_divergence(disjoint).collect()}
+    ln2_halves = 0.693147180  # 2 × round(0.5·ln 2, 9)
+    for s in ("s1", "s2"):
+        assert abs(d[s].js_nats - ln2_halves) < 1e-12
+        assert d[s].n_terms_src == 1
+    solo = _docs(
+        spark, [(1, "x y", "only")], "doc_id long, text string, source string"
+    )
+    assert pipeline.js_divergence(solo).collect() == []
+
+
+def test_countmin_one_sided_and_full_collision(spark):
+    """width=1 forces every type into one bucket: the estimate must be
+    the TOTAL event count for every type (exact worst case); a single
+    type sketches exactly; the guarantee estimate ≥ exact always
+    holds."""
+    from real_time_database_monitoring_system_spark.operators import sketches
+
+    pairs = [(u, t) for u, t in [(1, "A"), (2, "A"), (3, "B"), (4, "C")]]
+    ev = _typed_events(spark, pairs)
+    worst = {r.event_type: r for r in sketches.countmin_types(ev, width=1).collect()}
+    assert all(r.cm_estimate == 4 for r in worst.values())
+    assert worst["A"].overshoot == 2 and worst["C"].overshoot == 3
+    assert all(r.never_under for r in worst.values())
+    single = sketches.countmin_types(
+        _typed_events(spark, [(1, "A"), (2, "A")])
+    ).collect()[0]
+    assert (single.exact_n, single.cm_estimate, single.overshoot) == (2, 2, 0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sketches.countmin_types(ev, depth=0)
