@@ -855,3 +855,78 @@ def xcorr_panel(events: DataFrame, max_lag: int = 7) -> DataFrame:
         )
         .orderBy("type_a", "type_b", "lag")
     )
+
+
+def psi_from_value_counts(per_value: DataFrame, nbins: int = 10) -> DataFrame:
+    """`psi_drift`'s scoring core re-rooted on a per-distinct-value
+    half-count relation (value, d_ref, d_cur) — the shape a streaming
+    aggregation maintains (the `ks_from_value_counts` pattern), with
+    NULL-value rows carried through (the batch op bins NULLs into the
+    overflow bin, and the midpoint derives from the whole feed).
+
+    The reference deciles are recovered EXACTLY from the counts:
+    percentile_disc(i/nbins) is the smallest value whose cumulative
+    reference count reaches ceil(i·N_ref/nbins) — pure integer
+    arithmetic, so this core and the batch operator's percentile_disc
+    agree bin-for-bin and the streaming twin shares the batch oracle
+    verbatim (pinned by `test_round6_wave2.py`'s parity test).
+
+    Scale note: the running-count window is a single partition over
+    the DISTINCT VALUES relation — bounded by value cardinality, the
+    same documented trade `ks_from_value_counts` makes (production
+    bounds it by quantizing values)."""
+    if nbins < 2:
+        raise ValueError("psi_from_value_counts: nbins must be ≥ 2")
+    per_value = _materialize(per_value)
+    nn = per_value.filter(F.col("value").isNotNull())
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = nn.select(
+        "value",
+        F.sum("d_ref").over(w).alias("cum_ref"),
+    )
+    tref = nn.agg(F.sum("d_ref").alias("t_ref_nn"))
+    cuts = _materialize(
+        cum.crossJoin(F.broadcast(tref)).agg(
+            *[
+                F.min(
+                    F.when(
+                        (F.col("t_ref_nn") > 0)
+                        & (
+                            F.col("cum_ref")
+                            >= F.expr(
+                                f"({i} * t_ref_nn + {nbins} - 1) div {nbins}"
+                            )
+                        ),
+                        F.col("value"),
+                    )
+                ).alias(f"c{i}")
+                for i in range(1, nbins)
+            ]
+        )
+    )
+    counts = (
+        per_value.crossJoin(F.broadcast(cuts))
+        .select(
+            F.expr(psi_bin_case_sql(nbins)).alias("bin"),
+            "d_ref",
+            "d_cur",
+        )
+        .groupBy("bin")
+        .agg(F.sum("d_ref").alias("c_ref"), F.sum("d_cur").alias("c_cur"))
+    )
+    totals = counts.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("c_ref").cast("bigint").alias("n_ref"),
+            F.col("c_cur").cast("bigint").alias("n_cur"),
+            F.expr(PSI_TERM_SQL.format(nbins=nbins)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
