@@ -6986,10 +6986,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, n_ref, n_cur,
                CAST(CAST(u2 AS DECIMAL(28,1)) / 2 AS DECIMAL(28,1)) AS u_stat,
                CAST(tie_cube AS DECIMAL(38,0)) AS tie_cube,
-               CASE WHEN nt > 1 AND tie_cube <
-                         CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)
-                         * CAST(nt AS HUGEINT) - CAST(nt AS HUGEINT)
-                    THEN {analytics.MWU_Z_SQL} END AS z_score
+               CAST(u2 - CAST(n_ref AS HUGEINT)
+                    * CAST(n_cur AS HUGEINT) AS DECIMAL(38,0)) AS z_num,
+               CAST(CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)
+                    * CAST(nt AS HUGEINT) - CAST(nt AS HUGEINT)
+                    - tie_cube AS DECIMAL(38,0)) AS tie_term
         FROM fin ORDER BY event_type
     """
 

@@ -1427,16 +1427,19 @@ def welch_ttest(events: DataFrame) -> DataFrame:
     )
 
 
-# Mann–Whitney z from exact integers: u2 = 2·U_ref, the doubled U so
-# midrank halves stay integral; tie_cube = Σ(t³−t) over tied value
-# groups; variance with tie correction, one sqrt, round(9)
-MWU_Z_SQL = (
-    "round((CAST(u2 AS DOUBLE) - CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
-    " / (2.0 * sqrt((CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) / 12.0)"
-    " * ((CAST(nt AS DOUBLE) + 1.0)"
-    " - CAST(tie_cube AS DOUBLE)"
-    " / (CAST(nt AS DOUBLE) * (CAST(nt AS DOUBLE) - 1.0))))), 9)"
-)
+# Mann–Whitney verdict columns are EXACT integers — round 6's only
+# red driver row was this entry's z emitted as round(9) of one sqrt
+# expression: a last-ULP difference between engines flips the 9th
+# digit (the sibling round(9) Welch columns compose already-rounded
+# doubles and survived; a fresh sqrt of large exact products did
+# not). The driver-proof form is the one the sketch entries use —
+# emit the exact DECIMAL(38,0) components and leave the one sqrt to
+# the consumer:
+#   z_num    = u2 − n_ref·n_cur            (doubled, mean-centred U)
+#   tie_term = (nt³ − nt) − Σ(t³ − t)      (tie-corrected var numerator)
+#   z        = z_num · sqrt(3·nt·(nt−1) / (n_ref·n_cur·tie_term))
+# tie_term = 0 ⟺ every value tied (z undefined) — the old CASE guard
+# becomes a plain exact zero.
 
 
 def mannwhitney_u(events: DataFrame) -> DataFrame:
@@ -1444,16 +1447,23 @@ def mannwhitney_u(events: DataFrame) -> DataFrame:
     time halves — the distribution-free twin of `welch_ttest`: detects
     a location shift without assuming normality, which telemetry
     values (heavy-tailed, spiky) routinely violate. Reports the exact
-    U statistic and the tie-corrected normal-approximation z.
+    U statistic plus the exact integer components of the
+    tie-corrected normal-approximation z — the consumer computes
+    z = z_num · sqrt(3·nt·(nt−1) / (n_ref·n_cur·tie_term)); emitting
+    z itself as a double was round 6's only driver hash mismatch
+    (engine-dependent last ULP under round(9) of a fresh sqrt).
 
     Exactness end-to-end: ranks come from the per-distinct-value
     count relation — cum_before = running Σ counts, doubled midrank
     2·r = 2·cum_before + t + 1 is an INTEGER, so 2·U_ref =
     Σ c_ref·2r − n_ref(n_ref+1) is exact BIGINT arithmetic, as is the
-    tie term Σ(t³−t). The only doubles are the final z (one pinned
-    round(9) expression) and U = u2/2 emitted as DECIMAL(28,1). NULLs
-    drop (rank tests have no NULL order); midpoint from the whole
-    feed, the `psi_drift` convention.
+    tie term Σ(t³−t). There are NO doubles in the output: U = u2/2 is
+    DECIMAL(28,1), z_num and tie_term are DECIMAL(38,0). NULLs drop
+    (rank tests have no NULL order); midpoint from the whole feed,
+    the `psi_drift` convention. tie_term keeps n_ref·n_cur OUT of
+    the product (it would push the magnitude to n⁵ and overflow
+    DECIMAL(38,0) around n ≈ 10⁷); as emitted it is O(n³), exact to
+    n ≈ 2·10¹².
 
     Scale shape: one keyed count to (type, value, side) — the state is
     bounded by distinct values per type, the `ks_drift` trade — then a
@@ -1535,12 +1545,14 @@ def mannwhitney_u(events: DataFrame) -> DataFrame:
             ),
             "tie_cube",
             F.expr(
-                "CASE WHEN nt > 1 AND tie_cube <"
-                " CAST(nt AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0))"
-                " * CAST(nt AS DECIMAL(38,0)) - CAST(nt AS DECIMAL(38,0)) THEN "
-                + MWU_Z_SQL
-                + " END"
-            ).alias("z_score"),
+                "CAST(u2 - CAST(n_ref AS DECIMAL(38,0))"
+                " * CAST(n_cur AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+            ).alias("z_num"),
+            F.expr(
+                "CAST(CAST(nt AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0))"
+                " * CAST(nt AS DECIMAL(38,0)) - CAST(nt AS DECIMAL(38,0))"
+                " - tie_cube AS DECIMAL(38,0))"
+            ).alias("tie_term"),
         )
         .orderBy("event_type")
     )

@@ -6,6 +6,7 @@ exact independence, tie degeneracy, and the NULL guards."""
 
 from __future__ import annotations
 
+import math
 from decimal import Decimal
 
 from pyspark.sql import functions as F
@@ -96,8 +97,10 @@ def test_welch_ttest_null_values_and_small_sides_drop(spark):
 
 
 def test_mannwhitney_closed_form_and_tie_guard(spark):
-    """Separated samples {1,2} vs {3,4}: U = 0, z = −4/(2·√(5/3));
-    four identical values: U = n₁n₂/2 and the tie guard nulls z."""
+    """Separated samples {1,2} vs {3,4}: U = 0, and the exact verdict
+    components reproduce z = z_num·√(3·nt·(nt−1)/(n_ref·n_cur·tie_term))
+    = −4·√(36/240) = −1.549193…; four identical values: U = n₁n₂/2 and
+    tie_term collapses to the exact zero that marks z undefined."""
     sep = [
         (0, "a", 1.0),
         (3600, "a", 2.0),
@@ -108,7 +111,12 @@ def test_mannwhitney_closed_form_and_tie_guard(spark):
     assert (r.n_ref, r.n_cur) == (2, 2)
     assert r.u_stat == Decimal("0.0")
     assert r.tie_cube == Decimal("0")
-    assert r.z_score == -1.549193338
+    assert r.z_num == Decimal("-4")
+    assert r.tie_term == Decimal("60")
+    z = float(r.z_num) * math.sqrt(
+        3.0 * 4 * 3 / (float(r.n_ref) * float(r.n_cur) * float(r.tie_term))
+    )
+    assert abs(z - (-1.5491933384829668)) < 1e-12
     tied = [
         (0, "a", 7.0),
         (3600, "a", 7.0),
@@ -118,7 +126,8 @@ def test_mannwhitney_closed_form_and_tie_guard(spark):
     rt = analytics.mannwhitney_u(_events(spark, tied)).collect()[0]
     assert rt.u_stat == Decimal("2.0")
     assert rt.tie_cube == Decimal("60")
-    assert rt.z_score is None
+    assert rt.z_num == Decimal("0")
+    assert rt.tie_term == Decimal("0")
 
 
 def test_association_panel_shares_one_contingency_shape(spark, sf_dir):
