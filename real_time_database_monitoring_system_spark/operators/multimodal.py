@@ -41,12 +41,23 @@ _POW31: list[int] = [1]  # ascending powers of 31 mod _CHK_P, grown on demand
 def _pow31_desc(n: int):
     """numpy array of 31^(n-1), …, 31^1, 31^0 (mod p). The scalar
     growth loop runs once per new maximum length and is cached, so the
-    per-payload cost is a slice + reverse, not O(len) Python."""
+    per-payload cost is a slice + reverse, not O(len) Python.
+
+    Thread-safe by copy-extend-swap: growth happens on a LOCAL copy of
+    the cache and lands via one atomic module-global rebind, so two
+    threads racing the extension can at worst duplicate work, never
+    interleave appends into a corrupt power table (Spark Python
+    workers are single-threaded processes today, but the helper is
+    importable from any host code)."""
     import numpy as np
 
-    while len(_POW31) < n:
-        _POW31.append((_POW31[-1] * 31) % _CHK_P)
-    return np.array(_POW31[n - 1 :: -1], dtype=np.int64)
+    pows = _POW31
+    if len(pows) < n:
+        pows = pows.copy()
+        while len(pows) < n:
+            pows.append((pows[-1] * 31) % _CHK_P)
+        globals()["_POW31"] = pows
+    return np.array(pows[n - 1 :: -1], dtype=np.int64)
 
 
 def _poly_checksum(payload: bytes) -> int:

@@ -10,6 +10,8 @@ documented as a driver-side small-result export.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -102,11 +104,27 @@ def _col_letter(i: int) -> str:
     return out
 
 
+# Characters XML 1.0 forbids outright (escape() passes them through,
+# producing a sheet readers reject): C0 controls except \t \n \r, plus
+# DEL..0x9F and the non-characters U+FFFE/U+FFFF. OOXML's convention
+# is the _xHHHH_ escape; a literal "_xHHHH_" must itself be escaped as
+# _x005F_xHHHH_ so decoding round-trips.
+_XML_BAD = re.compile(
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f-\x9f￾￿]|_(?=x[0-9A-Fa-f]{4}_)"
+)
+
+
+def _xlsx_text(s: str) -> str:
+    from xml.sax.saxutils import escape
+
+    s = _XML_BAD.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+    return escape(s)
+
+
 def _xlsx_cell(ref: str, value) -> str:
     import math as _math
     import numbers
     from decimal import Decimal
-    from xml.sax.saxutils import escape
 
     if value is None:
         return ""
@@ -124,7 +142,7 @@ def _xlsx_cell(ref: str, value) -> str:
         return "" if not value.is_finite() else f'<c r="{ref}"><v>{value}</v></c>'
     return (
         f'<c r="{ref}" t="inlineStr"><is>'
-        f'<t xml:space="preserve">{escape(str(value))}</t></is></c>'
+        f'<t xml:space="preserve">{_xlsx_text(str(value))}</t></is></c>'
     )
 
 

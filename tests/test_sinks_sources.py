@@ -136,6 +136,34 @@ def test_xlsx_cell_typing_and_escaping(tmp_path):
     assert "F3" not in r2  # trailing None block omitted
 
 
+def test_xlsx_control_chars_escape_ooxml_style(tmp_path):
+    """XML-illegal control characters (U+0000–U+0008, U+000B, DEL)
+    must not reach sheet1.xml raw — they render via OOXML's _xHHHH_
+    convention and the sheet stays parseable; a literal _xHHHH_ in the
+    data is protected as _x005F_xHHHH_ so decoding round-trips."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [["a\x00b\x08c", "bell\x07", "_x0007_ literal", "tab\tok\nline"]],
+        columns=["w", "x", "y", "z"],
+    )
+
+    class _FakeDF:
+        def limit(self, n):
+            return self
+
+        def toPandas(self):
+            return pdf
+
+    out = str(tmp_path / "ctrl.xlsx")
+    sinks.write_xlsx(_FakeDF(), out)
+    grid = _read_xlsx_grid(out)  # ET.fromstring rejects raw controls
+    assert grid[1]["A2"] == "a_x0000_b_x0008_c"
+    assert grid[1]["B2"] == "bell_x0007_"
+    assert grid[1]["C2"] == "_x005F_x0007_ literal"
+    assert grid[1]["D2"] == "tab\tok\nline"  # \t \n are XML-legal
+
+
 def test_compact_reduces_partitions(spark, sf_dir):
     df = load_table(spark, sf_dir, "lineitem").repartition(16)
     assert compact(df, 4).rdd.getNumPartitions() == 4
