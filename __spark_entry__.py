@@ -1666,7 +1666,23 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": _q_line_dedup,
         "js_divergence": _q_js_divergence,
         "countmin_types": _q_countmin_types,
+        # -- round-7 additions --
+        "gopher_repetition": _q_gopher_repetition,
+        "gopher_line_repetition": _q_gopher_line_repetition,
+        "tokenizer_fertility": _q_tokenizer_fertility,
     }
+
+
+def _q_gopher_repetition(spark, sf):
+    return text_ops.gopher_repetition(load_table(spark, sf, "documents"))
+
+
+def _q_gopher_line_repetition(spark, sf):
+    return text_ops.gopher_line_repetition(load_table(spark, sf, "documents"))
+
+
+def _q_tokenizer_fertility(spark, sf):
+    return text_ops.tokenizer_fertility(load_table(spark, sf, "documents"))
 
 
 def _q_js_divergence(spark, sf):
@@ -6992,6 +7008,120 @@ def oracle_sql() -> dict[str, str]:
                     * CAST(nt AS HUGEINT) - CAST(nt AS HUGEINT)
                     - tie_cube AS DECIMAL(38,0)) AS tie_term
         FROM fin ORDER BY event_type
+    """
+
+    # ---- round-7 additions ----
+
+    # Gopher n-gram repetition: grams joined by single spaces, char
+    # mass = cnt·length(gram); top = most frequent, count ties to the
+    # larger mass; rows only where the doc has >= n tokens
+    sql["gopher_repetition"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        base AS (SELECT doc_id, toks,
+                        CAST(length(array_to_string(toks, ' ')) AS BIGINT)
+                            AS total_chars
+                 FROM t),
+        p AS (SELECT doc_id, total_chars, n, toks,
+                     unnest(range(1, len(toks) - n + 2)) AS i
+              FROM base, (VALUES (2),(3),(4)) tn(n)
+              WHERE len(toks) >= n),
+        g AS (SELECT doc_id, total_chars, CAST(n AS INT) AS n,
+                     array_to_string(toks[i : i + n - 1], ' ') AS gram
+              FROM p),
+        pg AS (SELECT doc_id, total_chars, n, gram, count(*) AS cnt,
+                      count(*) * CAST(length(gram) AS BIGINT) AS mass
+               FROM g GROUP BY 1, 2, 3, 4),
+        win AS (SELECT *, max(cnt) OVER (PARTITION BY doc_id, n) AS top_cnt
+                FROM pg)
+        SELECT doc_id, n, total_chars,
+               CAST(max(top_cnt) AS BIGINT) AS top_cnt,
+               CAST(max(CASE WHEN cnt = top_cnt THEN mass END) AS BIGINT)
+                   AS top_mass,
+               CAST(COALESCE(sum(CASE WHEN cnt >= 2 THEN mass END), 0) AS BIGINT)
+                   AS dup_mass,
+               CAST(max(CASE WHEN cnt = top_cnt THEN mass END) AS DOUBLE)
+                   / CAST(total_chars AS DOUBLE) AS top_frac,
+               CAST(COALESCE(sum(CASE WHEN cnt >= 2 THEN mass END), 0) AS DOUBLE)
+                   / CAST(total_chars AS DOUBLE) AS dup_frac
+        FROM win GROUP BY doc_id, n, total_chars
+        ORDER BY doc_id, n
+    """
+
+    # within-doc duplicate line/paragraph fractions: a unit occurring
+    # c times contributes c-1 dup occurrences and (c-1)·len dup chars
+    sql["gopher_line_repetition"] = r"""
+        WITH lu AS (
+            SELECT doc_id, u, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '\n')) AS u
+                FROM documents) GROUP BY 1, 2),
+        lagg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS line_units,
+                   CAST(sum(c * length(u)) AS BIGINT) AS line_chars,
+                   CAST(sum(c - 1) AS BIGINT) AS line_dup_units,
+                   CAST(sum((c - 1) * length(u)) AS BIGINT) AS line_dup_chars
+            FROM lu GROUP BY 1),
+        pu AS (
+            SELECT doc_id, u, count(*) AS c FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '\n\n')) AS u
+                FROM documents) GROUP BY 1, 2),
+        pagg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS para_units,
+                   CAST(sum(c * length(u)) AS BIGINT) AS para_chars,
+                   CAST(sum(c - 1) AS BIGINT) AS para_dup_units,
+                   CAST(sum((c - 1) * length(u)) AS BIGINT) AS para_dup_chars
+            FROM pu GROUP BY 1)
+        SELECT l.doc_id, line_units, line_dup_units, line_dup_chars,
+               para_units, para_dup_units, para_dup_chars,
+               CAST(line_dup_units AS DOUBLE) / CAST(line_units AS DOUBLE)
+                   AS line_dup_frac,
+               CASE WHEN line_chars > 0 THEN
+                    CAST(line_dup_chars AS DOUBLE) / CAST(line_chars AS DOUBLE)
+                    END AS line_dup_char_frac,
+               CAST(para_dup_units AS DOUBLE) / CAST(para_units AS DOUBLE)
+                   AS para_dup_frac,
+               CASE WHEN para_chars > 0 THEN
+                    CAST(para_dup_chars AS DOUBLE) / CAST(para_chars AS DOUBLE)
+                    END AS para_dup_char_frac
+        FROM lagg l JOIN pagg p ON l.doc_id = p.doc_id
+        ORDER BY l.doc_id
+    """
+
+    # byte-fallback fertility vs the corpus top-64 vocabulary (the
+    # oov_rate vocabulary rule); strlen = UTF-8 bytes in DuckDB,
+    # octet_length in Spark
+    sql["tokenizer_fertility"] = f"""
+        WITH ds AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars
+            FROM documents GROUP BY 1),
+        tf AS (SELECT source, term, count(*) AS c_st FROM (
+                   SELECT source, unnest({_TOKS}) AS term FROM documents)
+               GROUP BY 1, 2),
+        tt AS (SELECT term, sum(c_st) AS c_t FROM tf GROUP BY 1),
+        vocab AS (SELECT term FROM tt ORDER BY c_t DESC, term ASC LIMIT 64),
+        pieces AS (
+            SELECT tf.source,
+                   CAST(sum(c_st) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN v.term IS NOT NULL THEN c_st ELSE 0 END)
+                        AS BIGINT) AS n_invocab,
+                   CAST(sum(CASE WHEN v.term IS NOT NULL THEN c_st
+                                 ELSE c_st * length(tf.term) END) AS BIGINT)
+                       AS n_pieces
+            FROM tf LEFT JOIN vocab v ON tf.term = v.term
+            GROUP BY 1)
+        SELECT ds.source, n_docs, n_tokens, n_invocab, n_pieces,
+               total_bytes, total_chars,
+               round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+                   AS fertility,
+               round(CAST(total_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE), 9)
+                   AS bytes_per_piece,
+               round(CAST(total_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)
+                   AS bytes_per_token
+        FROM ds JOIN pieces ON ds.source = pieces.source
+        ORDER BY ds.source
     """
 
     return sql

@@ -834,3 +834,254 @@ def oov_rate(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def gopher_repetition(documents: DataFrame) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021, MassiveText §A1.1):
+    per document and n ∈ {2, 3, 4}, the character mass of the TOP
+    (most frequent) n-gram and of ALL DUPLICATED n-grams — the two
+    ratio families the Gopher repetition rules threshold. Completes
+    the `gopher_rule_filter` panel (shape rules) with its repetition
+    half; distinct from `repetition_score` (bigram count share, not
+    character mass).
+
+    Pinned definitions (both engines compute them identically):
+    tokens are whitespace words; an n-gram's char length is
+    `length(gram)` with grams joined by single spaces; `total_chars`
+    is the length of the whole token stream joined by single spaces —
+    so every ratio is a pure integer/integer division.
+    ``top_cnt`` = max occurrence count; ``top_mass`` = cnt·len of the
+    most frequent gram, count ties broken toward the LARGER mass (a
+    deterministic total order — equal count and equal mass make the
+    choice irrelevant); ``dup_mass`` = Σ cnt·len over grams with
+    cnt ≥ 2. A document emits a row for n only if it has ≥ n tokens.
+
+    Scale shape: ONE tokenize pass; all three n-gram families come
+    from chained O(tokens) zip_with shifts (never slice-per-position,
+    the `regexp_extract_all` shingle lesson) into a single explode ~3×
+    the token stream; one (doc, n, gram) count; the top/dup reduction
+    runs a max-window over the ALREADY-REDUCED per-gram relation and
+    one final (doc, n) aggregate. No all-pairs step, no feed-scale
+    window."""
+    toks = _tokens(F.col("text"))
+    base = _spread(documents, "doc_id").select(
+        "doc_id",
+        F.length(F.array_join(toks, " ")).cast("bigint").alias("total_chars"),
+        toks.alias("toks"),
+    )
+    big = 1 << 30
+    g2 = F.zip_with(
+        F.col("toks"),
+        F.slice(F.col("toks"), 2, big),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g3 = F.zip_with(
+        g2, F.slice(F.col("toks"), 3, big), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+    g4 = F.zip_with(
+        g3, F.slice(F.col("toks"), 4, big), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+
+    def _tagged(garr, n):
+        return F.transform(
+            F.filter(garr, lambda x: x.isNotNull()),
+            lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("gram")),
+        )
+
+    grams = F.concat(_tagged(g2, 2), _tagged(g3, 3), _tagged(g4, 4))
+    # explode argument precomputed in its own projection (the
+    # _token_counts ExtractGenerator rule)
+    ex = base.select("doc_id", "total_chars", grams.alias("grams")).select(
+        "doc_id", "total_chars", F.explode("grams").alias("s")
+    )
+    per_gram = (
+        ex.select(
+            "doc_id", "total_chars", F.col("s.n").alias("n"), F.col("s.gram").alias("gram")
+        )
+        .groupBy("doc_id", "total_chars", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "total_chars",
+            "n",
+            "cnt",
+            (F.col("cnt") * F.length("gram").cast("bigint")).alias("mass"),
+        )
+    )
+    w = Window.partitionBy("doc_id", "n")
+    return (
+        per_gram.withColumn("top_cnt", F.max("cnt").over(w))
+        .groupBy("doc_id", "n", "total_chars")
+        .agg(
+            F.max("top_cnt").cast("bigint").alias("top_cnt"),
+            F.max(F.when(F.col("cnt") == F.col("top_cnt"), F.col("mass")))
+            .cast("bigint")
+            .alias("top_mass"),
+            F.coalesce(
+                F.sum(F.when(F.col("cnt") >= 2, F.col("mass"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("dup_mass"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "total_chars",
+            "top_cnt",
+            "top_mass",
+            "dup_mass",
+            (F.col("top_mass").cast("double") / F.col("total_chars").cast("double")).alias(
+                "top_frac"
+            ),
+            (F.col("dup_mass").cast("double") / F.col("total_chars").cast("double")).alias(
+                "dup_frac"
+            ),
+        )
+        .orderBy("doc_id", "n")
+    )
+
+
+def gopher_line_repetition(documents: DataFrame) -> DataFrame:
+    """WITHIN-document line/paragraph repetition (the other half of
+    Gopher's repetition rules): per document, the fraction of lines
+    (split on '\\n') and paragraphs (split on '\\n\\n') that are exact
+    repeats of an earlier one, by count and by character mass.
+    Cross-document repetition is `line_dedup` / `paragraph_dedup`
+    territory; this is the per-document degenerate-structure signal
+    (chat logs, scraped tickers, copy-paste loops).
+
+    Pinned definitions: a unit occurring c times contributes c−1
+    duplicate occurrences and (c−1)·length(unit) duplicate chars;
+    denominators are the unit count and Σ length(unit) (separator
+    chars excluded — both engines agree by construction). Empty units
+    (consecutive separators) count like any unit. Fractions are single
+    integer/integer double divisions.
+
+    Scale shape: two posexplode-free explodes (line and paragraph)
+    each reduced immediately to per-(doc, unit) counts, then one
+    (doc) aggregate per family joined on doc_id — bounded by document
+    size, no windows, no joins wider than #docs."""
+
+    def _family(unit_col, prefix):
+        ex = _spread(documents, "doc_id").select(
+            "doc_id", F.explode(F.split("text", unit_col)).alias("u")
+        )
+        per_u = ex.groupBy("doc_id", "u").agg(F.count("*").alias("c"))
+        return per_u.groupBy("doc_id").agg(
+            F.sum("c").cast("bigint").alias(f"{prefix}_units"),
+            F.sum(F.col("c") * F.length("u").cast("bigint"))
+            .cast("bigint")
+            .alias(f"{prefix}_chars"),
+            F.sum(F.col("c") - 1).cast("bigint").alias(f"{prefix}_dup_units"),
+            F.sum((F.col("c") - 1) * F.length("u").cast("bigint"))
+            .cast("bigint")
+            .alias(f"{prefix}_dup_chars"),
+        )
+    lines = _family("\n", "line")
+    paras = _family("\n\n", "para")
+    return (
+        lines.join(paras, "doc_id")
+        .select(
+            "doc_id",
+            "line_units",
+            "line_dup_units",
+            "line_dup_chars",
+            "para_units",
+            "para_dup_units",
+            "para_dup_chars",
+            (F.col("line_dup_units").cast("double") / F.col("line_units").cast("double")).alias(
+                "line_dup_frac"
+            ),
+            F.when(
+                F.col("line_chars") > 0,
+                F.col("line_dup_chars").cast("double") / F.col("line_chars").cast("double"),
+            ).alias("line_dup_char_frac"),
+            (F.col("para_dup_units").cast("double") / F.col("para_units").cast("double")).alias(
+                "para_dup_frac"
+            ),
+            F.when(
+                F.col("para_chars") > 0,
+                F.col("para_dup_chars").cast("double") / F.col("para_chars").cast("double"),
+            ).alias("para_dup_char_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tokenizer_fertility(documents: DataFrame, vocab_size: int = 64) -> DataFrame:
+    """Tokenizer fertility / compression audit per source against the
+    corpus' own top-``vocab_size`` vocabulary (the `tokenize_to_ids` /
+    `oov_rate` vocabulary rule: count DESC, term ASC): models the
+    byte-fallback tokenizer every modern stack ships — an in-vocab
+    word costs ONE piece, an out-of-vocab word falls back to its
+    ``length(term)`` byte pieces — and reports pieces/word (fertility)
+    and bytes/piece (compression) per source. `oov_rate` gives the
+    blunt OOV share; this prices it: a source can have modest OOV yet
+    terrible fertility when its OOV words are long.
+
+    All sums are exact integers (piece counts, UTF-8 byte totals via
+    octet_length); the three ratios are single pinned round(9)
+    divisions.
+
+    Scale shape: the doc-level byte/char totals aggregate straight off
+    the scan (no explode); the token side reuses the `oov_rate` shape
+    — one tokenize+explode reduced to (source, term, count),
+    vocabulary = TakeOrdered top-V broadcast into the piece-cost join;
+    final relation is #sources rows."""
+    doc_side = _spread(documents, "doc_id").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("bigint").alias("total_bytes"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    tf = _materialize(
+        _spread(documents, "doc_id")
+        .select("source", F.explode(tok_arr).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("c_st"))
+    )
+    term_tot = tf.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    vocab = (
+        term_tot.orderBy(F.col("c_t").desc(), F.col("term"))
+        .limit(int(vocab_size))
+        .select("term", F.lit(True).alias("in_vocab"))
+    )
+    pieces = (
+        tf.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab"), F.col("c_st")).otherwise(0))
+            .cast("bigint")
+            .alias("n_invocab"),
+            F.sum(
+                F.when(F.col("in_vocab"), F.col("c_st")).otherwise(
+                    F.col("c_st") * F.length("term").cast("bigint")
+                )
+            )
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+    )
+    return (
+        doc_side.join(pieces, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_invocab",
+            "n_pieces",
+            "total_bytes",
+            "total_chars",
+            F.expr(
+                "round(CAST(n_pieces AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)"
+            ).alias("fertility"),
+            F.expr(
+                "round(CAST(total_bytes AS DOUBLE) / CAST(n_pieces AS DOUBLE), 9)"
+            ).alias("bytes_per_piece"),
+            F.expr(
+                "round(CAST(total_bytes AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9)"
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("source")
+    )

@@ -1,0 +1,84 @@
+"""Behavior tests for the round-7 operators: Gopher repetition
+signals (n-gram and line/paragraph), tokenizer fertility, transitive
+incremental near-dedup, exact stratified sampling, boilerplate-line
+panels — planted fixtures with hand-computable truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.operators import (
+    curation,
+    dedup,
+    pipeline,
+    text as text_ops,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _docs_src(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_gopher_repetition_closed_form(spark):
+    """'a b a b c': bigrams {a b:2, b a:1, b c:1} → top 'a b' cnt 2
+    mass 2·3=6; dup_mass 6; total_chars 9. Trigrams all unique →
+    dup 0, top_cnt 1, ties on cnt=1 resolve to max mass: 'b a b' has
+    len 5 like the others → top_mass 5. 4-grams: two, each len 7."""
+    out = text_ops.gopher_repetition(_docs(spark, [(1, "a b a b c")])).collect()
+    by_n = {r.n: r for r in out}
+    assert sorted(by_n) == [2, 3, 4]
+    r2 = by_n[2]
+    assert (r2.total_chars, r2.top_cnt, r2.top_mass, r2.dup_mass) == (9, 2, 6, 6)
+    assert r2.top_frac == 6 / 9 and r2.dup_frac == 6 / 9
+    r3 = by_n[3]
+    assert (r3.top_cnt, r3.top_mass, r3.dup_mass) == (1, 5, 0)
+    r4 = by_n[4]
+    assert (r4.top_cnt, r4.top_mass, r4.dup_mass) == (1, 7, 0)
+
+
+def test_gopher_repetition_short_docs_emit_only_valid_n(spark):
+    """A 2-token doc emits only the n=2 row; a 1-token doc emits
+    nothing (no n-grams exist)."""
+    out = text_ops.gopher_repetition(
+        _docs(spark, [(1, "x y"), (2, "solo")])
+    ).collect()
+    assert [(r.doc_id, r.n) for r in out] == [(1, 2)]
+
+
+def test_gopher_line_repetition_closed_form(spark):
+    """'x\\nx\\ny\\n\\nx\\nx\\ny': lines = [x,x,y,'',x,x,y] → 7 units,
+    dups: x occurs 4× (+3), y 2× (+1) → 4 dup units, dup chars 3+1=4
+    over 6 line chars; paragraphs = ['x\\nx\\ny'] × 2 → 2 units, 1 dup
+    (5 of 10 chars)."""
+    out = text_ops.gopher_line_repetition(
+        _docs(spark, [(1, "x\nx\ny\n\nx\nx\ny")])
+    ).collect()
+    r = out[0]
+    assert (r.line_units, r.line_dup_units, r.line_dup_chars) == (7, 4, 4)
+    assert r.line_dup_frac == 4 / 7
+    assert r.line_dup_char_frac == 4 / 6
+    assert (r.para_units, r.para_dup_units, r.para_dup_chars) == (2, 1, 5)
+    assert r.para_dup_frac == 0.5
+    assert r.para_dup_char_frac == 0.5
+
+
+def test_tokenizer_fertility_byte_fallback_model(spark):
+    """vocab_size=1 keeps only the most frequent term ('aa', count 2,
+    ties none): src1 = 'aa aa bbb' → 3 tokens, 2 in-vocab, pieces =
+    2 + 3 = 5; bytes = 9 ('aa aa bbb'). src2 = 'cccc' → 1 token, 0
+    in-vocab, 4 pieces."""
+    out = text_ops.tokenizer_fertility(
+        _docs_src(spark, [(1, "aa aa bbb", "s1"), (2, "cccc", "s2")]),
+        vocab_size=1,
+    ).collect()
+    by_src = {r.source: r for r in out}
+    r1 = by_src["s1"]
+    assert (r1.n_tokens, r1.n_invocab, r1.n_pieces, r1.total_bytes) == (3, 2, 5, 9)
+    assert r1.fertility == round(5 / 3, 9)
+    r2 = by_src["s2"]
+    assert (r2.n_tokens, r2.n_invocab, r2.n_pieces, r2.total_bytes) == (1, 0, 4, 4)
+    assert r2.fertility == 4.0 and r2.bytes_per_piece == 1.0
