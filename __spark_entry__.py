@@ -1667,6 +1667,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "js_divergence": _q_js_divergence,
         "countmin_types": _q_countmin_types,
         # -- round-7 additions --
+        "incremental_dedup_near_transitive": _q_incremental_dedup_near_transitive,
         "gopher_repetition": _q_gopher_repetition,
         "gopher_line_repetition": _q_gopher_line_repetition,
         "tokenizer_fertility": _q_tokenizer_fertility,
@@ -1868,6 +1869,46 @@ def _q_incremental_dedup_near(spark, sf):
         .alias("text"),
     )
     return curation.incremental_dedup_near(docs, revised.unionByName(added))
+
+
+def _q_incremental_dedup_near_transitive(spark, sf):
+    # the incremental_dedup_near re-crawl plus planted WITHIN-BATCH
+    # near-dup clusters: every %31 doc contributes TWO token-reversed
+    # mirrors (' alpha' / ' beta' suffixes) — reversal breaks every
+    # shingle vs the old corpus (both survive the new↔old near rule as
+    # 'added') while the two mirrors share all but their trailing
+    # shingles (near each other for any non-tiny doc), so transitive
+    # clustering must keep exactly the min-key mirror per cluster
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    revised = docs.filter(F.col("doc_id") % 17 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        ).otherwise(F.col("text")),
+    )
+    reversed_toks = F.array_join(
+        F.reverse(F.filter(F.split("text", r"\s+"), lambda x: x != "")), " "
+    )
+    added = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, reversed_toks)
+        .when(
+            F.col("doc_id") % 3 == 1, F.concat(F.col("text"), F.lit(" brand-new"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    mirrors = docs.filter(F.col("doc_id") % 31 == 0)
+    mirror_a = mirrors.select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.concat(reversed_toks, F.lit(" alpha")).alias("text"),
+    )
+    mirror_b = mirrors.select(
+        (F.col("doc_id") + F.lit(30_000_000)).alias("doc_id"),
+        F.concat(reversed_toks, F.lit(" beta")).alias("text"),
+    )
+    new = revised.unionByName(added).unionByName(mirror_a).unionByName(mirror_b)
+    return curation.incremental_dedup_near_transitive(docs, new)
 
 
 def _q_decontaminate_13gram(spark, sf):
@@ -7011,6 +7052,98 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ---- round-7 additions ----
+
+    # incremental_dedup_near's full pipeline + within-batch transitive
+    # near-dup collapse: kept docs sign again, band self-join a<b,
+    # exact-Jaccard verify, recursive min-label closure (the
+    # dedup_keepers reach CTE), keep only cluster minima
+    sql["incremental_dedup_near_transitive"] = f"""
+        WITH RECURSIVE oldt AS (SELECT doc_id, text FROM documents),
+        newt AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 13 = 0 THEN text || ' rev2' ELSE text END AS text
+            FROM documents WHERE doc_id % 17 <> 0
+            UNION ALL
+            SELECT doc_id + 10000000 AS doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN array_to_string(list_reverse({_TOKS}), ' ')
+                        WHEN doc_id % 3 = 1 THEN text || ' brand-new'
+                        ELSE text END AS text
+            FROM documents WHERE doc_id % 29 = 0
+            UNION ALL
+            SELECT doc_id + 20000000 AS doc_id,
+                   array_to_string(list_reverse({_TOKS}), ' ') || ' alpha' AS text
+            FROM documents WHERE doc_id % 31 = 0
+            UNION ALL
+            SELECT doc_id + 30000000 AS doc_id,
+                   array_to_string(list_reverse({_TOKS}), ' ') || ' beta' AS text
+            FROM documents WHERE doc_id % 31 = 0),
+        o AS (SELECT doc_id, md5(text) AS fp FROM oldt),
+        n AS (SELECT doc_id, md5(text) AS fp FROM newt),
+        ch AS (SELECT n.doc_id AS doc_id, n.fp AS fp,
+                      CASE WHEN o.fp IS NULL THEN 'added' ELSE 'changed' END AS status
+               FROM n LEFT JOIN o ON n.doc_id = o.doc_id
+               WHERE o.fp IS NULL OR o.fp <> n.fp),
+        rr AS (SELECT doc_id, fp, status,
+                      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+               FROM ch),
+        surv AS (SELECT doc_id, status FROM rr
+                 WHERE rn = 1 AND fp NOT IN (SELECT fp FROM o)),
+        sn AS (SELECT s.doc_id, t.text FROM surv s
+               JOIN newt t ON s.doc_id = t.doc_id),
+        {_portable_sig_ctes('nw_', 'sn', 3)},
+        {_portable_sig_ctes('od_', 'oldt', 3)},
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+                 FROM nw_banded a JOIN od_banded b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key),
+        nsets AS (SELECT DISTINCT doc_id, h FROM nw_hs),
+        osets AS (SELECT DISTINCT doc_id, h FROM od_hs),
+        nsz AS (SELECT doc_id, count(*) AS n FROM nsets GROUP BY doc_id),
+        osz AS (SELECT doc_id, count(*) AS n FROM osets GROUP BY doc_id),
+        inter AS (SELECT c.new_id, c.old_id, count(*) AS n_inter
+                  FROM cand c
+                  JOIN nsets x ON x.doc_id = c.new_id
+                  JOIN osets y ON y.doc_id = c.old_id AND y.h = x.h
+                  GROUP BY 1, 2),
+        near AS (SELECT DISTINCT i.new_id
+                 FROM inter i
+                 JOIN nsz ON i.new_id = nsz.doc_id
+                 JOIN osz ON i.old_id = osz.doc_id
+                 WHERE CAST(n_inter AS DOUBLE)
+                       / CAST(nsz.n + osz.n - n_inter AS DOUBLE) >= 0.5),
+        kept AS (SELECT doc_id, status FROM surv
+                 WHERE doc_id NOT IN (SELECT new_id FROM near)),
+        c2 AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM nw_banded a JOIN nw_banded b
+                 ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+               WHERE a.doc_id IN (SELECT doc_id FROM kept)
+                 AND b.doc_id IN (SELECT doc_id FROM kept)),
+        i2 AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+               FROM c2 c
+               JOIN nsets x ON x.doc_id = c.doc_a
+               JOIN nsets y ON y.doc_id = c.doc_b AND y.h = x.h
+               GROUP BY 1, 2),
+        pr AS (SELECT i.doc_a, i.doc_b
+               FROM i2 i
+               JOIN nsz a ON i.doc_a = a.doc_id
+               JOIN nsz b ON i.doc_b = b.doc_id
+               WHERE CAST(n_inter AS DOUBLE)
+                     / CAST(a.n + b.n - n_inter AS DOUBLE) >= 0.5),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION ALL
+                SELECT doc_b, doc_a FROM pr),
+        reach(node, rb) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT w.node, u.b FROM reach w JOIN und u ON w.rb = u.a),
+        labels AS (
+            SELECT node, least(node, min(rb)) AS cluster_id
+            FROM reach GROUP BY node)
+        SELECT doc_id, status FROM kept
+        WHERE doc_id NOT IN (SELECT node FROM labels WHERE cluster_id <> node)
+        ORDER BY doc_id
+    """
 
     # Gopher n-gram repetition: grams joined by single spaces, char
     # mass = cnt·length(gram); top = most frequent, count ties to the

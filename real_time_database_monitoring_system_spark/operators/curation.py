@@ -294,9 +294,10 @@ def incremental_dedup_near(
     precomputed once and reused across re-crawls (signatures are
     content-addressed). Candidates are band-equality matches only —
     never all-pairs — and the exact verify runs on candidates only.
-    Near-dup checking WITHIN the new batch would need transitive
+    Near-dup checking WITHIN the new batch needs transitive
     clustering (`dedup.dup_clusters`); this operator scopes the near
-    rule to new↔old, the documented incremental contract.
+    rule to new↔old — `incremental_dedup_near_transitive` below adds
+    the within-batch collapse on top.
 
     Docs with fewer than ``shingle_k`` tokens have no signature and
     cannot match the near rule — the exact rule still applies to them.
@@ -341,6 +342,51 @@ def incremental_dedup_near(
         .distinct()
     )
     return surv.join(near, key, "left_anti").orderBy(key)
+
+
+def incremental_dedup_near_transitive(
+    old: DataFrame,
+    new: DataFrame,
+    key: str = "doc_id",
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """`incremental_dedup_near` plus the within-batch collapse that
+    operator documents as out of scope: after the exact and new↔old
+    near rules, the surviving batch may still contain near-duplicates
+    OF EACH OTHER (a re-crawl picking up several mirrors of the same
+    page in one snapshot). This composes the survivors with
+    `dedup.minhash_lsh_pairs_portable` (same portable MinHash family,
+    same threshold/shingle operating point) and
+    `dedup.dup_clusters`' bounded connected components: each
+    within-batch near-dup cluster keeps only its minimum-key member.
+
+    Composition, not new machinery: pass 1 is
+    `incremental_dedup_near` verbatim; pass 2 runs banded candidates +
+    exact-Jaccard verify over ONLY the pass-1 survivors (a re-crawl's
+    sliver, so the self-join side is small by construction); the CC
+    label IS the minimum reachable key, so "keeper = own label" needs
+    no extra ranking. Iteration count is bounded by near-dup component
+    diameter (stars/short chains — the `dup_clusters` contract).
+
+    Returns (key, status) for kept documents, ordered by key."""
+    from .dedup import dup_clusters, minhash_lsh_pairs_portable
+
+    kept = _materialize(
+        incremental_dedup_near(old, new, key, threshold, shingle_k)
+    )
+    kept_docs = new.join(kept.select(key), key).select(
+        F.col(key).alias("doc_id"), "text"
+    )
+    pairs = minhash_lsh_pairs_portable(
+        kept_docs, threshold=threshold, shingle_k=shingle_k
+    )
+    losers = (
+        dup_clusters(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select(F.col("doc_id").alias(key))
+    )
+    return kept.join(losers, key, "left_anti").orderBy(key)
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, key: str = "doc_id") -> DataFrame:

@@ -66,6 +66,31 @@ def test_gopher_line_repetition_closed_form(spark):
     assert r.para_dup_char_frac == 0.5
 
 
+def test_incremental_dedup_near_transitive_collapses_batch_clusters(spark):
+    """Three within-batch mirrors of one novel page (suffix variants)
+    survive the old↔new rules but form a near-dup chain; the
+    transitive collapse keeps only the min key. An unrelated novel doc
+    and a near-dup-of-old doc exercise the inherited rules."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel = "one red two blue three green four yellow five purple six"
+    old = _docs(spark, [(1, base)])
+    new = _docs(
+        spark,
+        [
+            (10, novel + " va"),  # cluster keeper (min key)
+            (11, novel + " vb"),  # near 10 → dropped
+            (12, novel + " vc"),  # near 11 (and 10) → dropped
+            (20, base + " tail"),  # near-dup of OLD → dropped by pass 1
+            (30, "totally different words with no overlap at all here"),
+        ],
+    )
+    out = curation.incremental_dedup_near_transitive(old, new).collect()
+    assert [(r.doc_id, r.status) for r in out] == [
+        (10, "added"),
+        (30, "added"),
+    ]
+
+
 def test_tokenizer_fertility_byte_fallback_model(spark):
     """vocab_size=1 keeps only the most frequent term ('aa', count 2,
     ties none): src1 = 'aa aa bbb' → 3 tokens, 2 in-vocab, pieces =
