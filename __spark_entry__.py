@@ -1671,7 +1671,27 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": _q_gopher_repetition,
         "gopher_line_repetition": _q_gopher_line_repetition,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        "stratified_sample_exact": _q_stratified_sample_exact,
+        "pack_efficiency": _q_pack_efficiency,
+        "seqlen_histogram": _q_seqlen_histogram,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
     }
+
+
+def _q_stratified_sample_exact(spark, sf):
+    return pipeline.stratified_sample_exact(load_table(spark, sf, "documents"))
+
+
+def _q_pack_efficiency(spark, sf):
+    return pipeline.pack_efficiency(load_table(spark, sf, "documents"))
+
+
+def _q_seqlen_histogram(spark, sf):
+    return pipeline.seqlen_histogram(load_table(spark, sf, "documents"))
+
+
+def _q_vocab_coverage_curve(spark, sf):
+    return text_ops.vocab_coverage_curve(load_table(spark, sf, "documents"))
 
 
 def _q_gopher_repetition(spark, sf):
@@ -7219,6 +7239,84 @@ def oracle_sql() -> dict[str, str]:
                     END AS para_dup_char_frac
         FROM lagg l JOIN pagg p ON l.doc_id = p.doc_id
         ORDER BY l.doc_id
+    """
+
+    # exact proportional stratified sample: the oracle states the
+    # CONTRACT (k_s smallest by (id-hash, doc_id) per source) that the
+    # Spark two-phase bucket selection implements distributively
+    sql["stratified_sample_exact"] = """
+        WITH b AS (
+            SELECT doc_id, source,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS h
+            FROM documents),
+        r AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY source) AS n_s
+            FROM b)
+        SELECT doc_id, source FROM r
+        WHERE rn <= (n_s * 20 + 99) // 100
+        ORDER BY doc_id
+    """
+
+    sql["pack_efficiency"] = f"""
+        WITH t AS (
+            SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents),
+        r AS (
+            SELECT doc_id, source, n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                        AS BIGINT) AS tokens_before
+            FROM t),
+        s AS (SELECT doc_id, source, n_tokens,
+                     CAST(tokens_before // 2000 AS BIGINT) AS shard_id
+              FROM r)
+        SELECT source, shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+               CAST(sum(n_tokens) AS DOUBLE) / 2000.0 AS fill_ratio
+        FROM s GROUP BY 1, 2 ORDER BY source, shard_id
+    """
+
+    # power-of-two length buckets via base-2 digit count (bin()) — an
+    # integer property, no log2 double anywhere
+    sql["seqlen_histogram"] = f"""
+        WITH t AS (
+            SELECT source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+            FROM documents)
+        SELECT source,
+               CAST(length(bin(n_tokens)) AS INT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(n_tokens) AS min_tokens,
+               max(n_tokens) AS max_tokens,
+               CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+        FROM t GROUP BY 1, 2 ORDER BY source, len_bucket
+    """
+
+    sql["vocab_coverage_curve"] = f"""
+        WITH tf AS (
+            SELECT term, count(*) AS c_t FROM (
+                SELECT unnest({_TOKS}) AS term FROM documents)
+            GROUP BY 1),
+        tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS total_occ FROM tf),
+        ranked AS (
+            SELECT term, c_t,
+                   CAST(row_number() OVER (ORDER BY c_t DESC, term ASC) AS INT)
+                       AS k,
+                   CAST(sum(c_t) OVER (ORDER BY c_t DESC, term ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS covered_occ
+            FROM tf)
+        SELECT k, term AS term_at_k, covered_occ, total_occ,
+               CAST(covered_occ AS DOUBLE) / CAST(total_occ AS DOUBLE)
+                   AS coverage
+        FROM ranked, tot
+        WHERE k IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+        ORDER BY k
     """
 
     # byte-fallback fertility vs the corpus top-64 vocabulary (the

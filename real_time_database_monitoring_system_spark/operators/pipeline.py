@@ -125,6 +125,108 @@ def stratified_sample(documents: DataFrame, n_per_source: int = 5) -> DataFrame:
     )
 
 
+def stratified_sample_exact(
+    documents: DataFrame, pct: int = 20, n_buckets: int = 64
+) -> DataFrame:
+    """PROPORTIONAL stratified sample with exact per-stratum counts:
+    per source, exactly ``k_s = ceil(pct·n_s/100)`` documents — the
+    ``k_s`` smallest by (id-hash, doc_id) — fully deterministic across
+    reruns, engines, and partitionings. `stratified_sample` takes a
+    fixed quota per source; `hash_sample` is proportional but only
+    APPROXIMATELY (a hash-bucket filter's count varies stratum to
+    stratum); training-mix recipes that promise "exactly 20% of every
+    source" need this operator.
+
+    Scale shape — a distributed order-statistic selection, NOT a
+    per-source window over the corpus (one giant source would
+    serialize into a single partition): (1) one map-combinable
+    (source, hash-bucket) histogram over ``n_buckets`` uniform ranges
+    of the 32-bit id hash; (2) cumulative bucket math on that
+    #sources×n_buckets relation decides, per bucket, how many rows to
+    take; (3) buckets fully below the cut pass with a broadcast-join
+    FILTER (no window at all — the overwhelming mass of the sample);
+    only the ONE boundary bucket per source is ranked, a window over
+    ~n_s/n_buckets rows. The id hash is `assign_split`'s md5-prefix —
+    a property of the document id, so the sample survives
+    content-rewriting pipeline runs."""
+    if not 0 < pct <= 100:
+        raise ValueError("stratified_sample_exact: pct must be in (0, 100]")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    width = (1 << 32) // int(n_buckets)
+    base = _spread(documents, "doc_id").select(
+        "doc_id", "source", h.alias("h")
+    ).withColumn("b", F.expr(f"h div {width}"))
+    # base is re-derived (not materialized) on the probe side: the
+    # hash is a pure function of doc_id, so recomputation is exact
+    hist = base.groupBy("source", "b").agg(F.count("*").alias("cnt"))
+    w_src = Window.partitionBy("source")
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    plan = (
+        hist.withColumn("n_s", F.sum("cnt").over(w_src))
+        .withColumn("cum_before", F.coalesce(F.sum("cnt").over(w_cum), F.lit(0)))
+        .withColumn("k_s", F.expr(f"(n_s * {int(pct)} + 99) div 100"))
+        .withColumn(
+            "take",
+            F.greatest(
+                F.lit(0).cast("bigint"),
+                F.least(F.col("cnt"), F.col("k_s") - F.col("cum_before")),
+            ),
+        )
+        .filter(F.col("take") > 0)
+        .select("source", "b", "cnt", "take")
+    )
+    joined = base.join(F.broadcast(plan), ["source", "b"])
+    full = joined.filter(F.col("take") == F.col("cnt")).select("doc_id", "source")
+    w_part = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    partial = (
+        joined.filter(F.col("take") < F.col("cnt"))
+        .withColumn("rn", F.row_number().over(w_part))
+        .filter(F.col("rn") <= F.col("take"))
+        .select("doc_id", "source")
+    )
+    return full.unionByName(partial).orderBy("doc_id")
+
+
+def pack_efficiency(documents: DataFrame, budget_tokens: int = 2000) -> DataFrame:
+    """Shard packing efficiency audit over `shard_pack`'s assignment:
+    per (source, shard), the document count, token total, and fill
+    ratio against the budget — the padding-waste report a training-
+    shard writer checks before committing a layout (chronic under-fill
+    means the budget is mis-sized for the corpus's document lengths;
+    the boundary-crossing rule makes the last doc spill, so fill can
+    exceed 1.0 and the report shows by how much).
+
+    Pure composition: `shard_pack`'s per-source running-sum window,
+    then one (source, shard_id) aggregate — no new shuffle shape; the
+    fill ratio is the single final double division."""
+    packed = shard_pack(documents, budget_tokens)
+    return (
+        packed.groupBy("source", "shard_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+        )
+        .select(
+            "source",
+            "shard_id",
+            "n_docs",
+            "shard_tokens",
+            (
+                F.col("shard_tokens").cast("double") / F.lit(float(budget_tokens))
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "shard_id")
+    )
+
+
 def shard_pack(documents: DataFrame, budget_tokens: int = 2000) -> DataFrame:
     """Greedy token-budget shard packing: within each source, documents
     are laid out in doc_id order and cut into shards of at most
@@ -1187,4 +1289,37 @@ def js_divergence(documents: DataFrame) -> DataFrame:
             ).alias("js_distance"),
         )
         .orderBy("source")
+    )
+
+
+def seqlen_histogram(documents: DataFrame) -> DataFrame:
+    """Per-source power-of-two document-length histogram (whitespace
+    tokens): bucket b holds docs with 2^(b-1) <= n_tokens < 2^b (b =
+    binary digit count; empty docs land in bucket 1 with n = 0's
+    binary rendering '0') — the sequence-length profile a packing /
+    context-window plan is sized from (`shard_pack` budgets, padding
+    estimates, truncation loss).
+
+    The bucket is an INTEGER property (digit count of the base-2
+    rendering) — no log2 double anywhere, so bucket edges are exact in
+    both engines. One tokenize scan into a (source, bucket) aggregate;
+    output is #sources × ~20 rows."""
+    n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
+    return (
+        _spread(documents, "doc_id")
+        .select(
+            "source",
+            n_tok.cast("bigint").alias("n_tokens"),
+            F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("int").alias(
+                "len_bucket"
+            ),
+        )
+        .groupBy("source", "len_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.sum("n_tokens").cast("bigint").alias("bucket_tokens"),
+        )
+        .orderBy("source", "len_bucket")
     )

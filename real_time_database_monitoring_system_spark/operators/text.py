@@ -1085,3 +1085,52 @@ def tokenizer_fertility(documents: DataFrame, vocab_size: int = 64) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+def vocab_coverage_curve(documents: DataFrame, max_k: int = 1024) -> DataFrame:
+    """Vocabulary coverage curve: for k = 1, 2, 4, …, ``max_k``, the
+    fraction of all token OCCURRENCES covered by the top-k terms — the
+    tokenizer-sizing report (`oov_rate` prices ONE operating point;
+    this sweeps the whole head so the vocab-size knee is visible).
+    Rows exist for powers of two ≤ the corpus' distinct-term count;
+    ``term_at_k`` is the k-th term itself under the house total order
+    (count DESC, term ASC).
+
+    Exactness: cumulative sums of exact integer counts; coverage is
+    the single final double division.
+
+    Scale shape: one tokenize+explode reduced to (term, count); top-k
+    via orderBy+limit (TakeOrderedAndProject — map-side heaps, never
+    a global window over the distinct-term relation); the
+    rank/cumsum window runs over ≤ max_k rows; the one-row total
+    broadcasts into the final projection."""
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    term_tot = _materialize(
+        _spread(documents, "doc_id")
+        .select(F.explode(tok_arr).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c_t"))
+    )
+    total = term_tot.agg(F.sum("c_t").cast("bigint").alias("total_occ"))
+    order = [F.col("c_t").desc(), F.col("term").asc()]
+    top = term_tot.orderBy(*order).limit(int(max_k))
+    w_rank = Window.orderBy(*order)
+    w_cum = w_rank.rowsBetween(Window.unboundedPreceding, 0)
+    ks = [k for k in (1 << i for i in range(31)) if k <= max_k]
+    return (
+        top.withColumn("k", F.row_number().over(w_rank).cast("int"))
+        .withColumn("covered_occ", F.sum("c_t").over(w_cum).cast("bigint"))
+        .filter(F.col("k").isin(ks))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.col("term").alias("term_at_k"),
+            "covered_occ",
+            "total_occ",
+            (
+                F.col("covered_occ").cast("double")
+                / F.col("total_occ").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )

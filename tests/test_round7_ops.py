@@ -6,6 +6,7 @@ panels — planted fixtures with hand-computable truth."""
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from real_time_database_monitoring_system_spark.operators import (
     curation,
@@ -107,3 +108,104 @@ def test_tokenizer_fertility_byte_fallback_model(spark):
     r2 = by_src["s2"]
     assert (r2.n_tokens, r2.n_invocab, r2.n_pieces, r2.total_bytes) == (1, 0, 4, 4)
     assert r2.fertility == 4.0 and r2.bytes_per_piece == 1.0
+
+
+def test_stratified_sample_exact_counts_and_order_contract(spark, sf_dir):
+    """Exactly ceil(pct·n_s/100) rows per source, and the selection is
+    the k_s smallest by (md5-prefix hash of doc_id, doc_id) — checked
+    against a direct window-rank recomputation."""
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pipeline.stratified_sample_exact(docs, pct=20)
+    got = {(r.doc_id, r.source) for r in out.collect()}
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    ref = (
+        docs.select("doc_id", "source", h.alias("h"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("source").orderBy("h", "doc_id")),
+        )
+        .withColumn(
+            "n_s",
+            F.count("*").over(Window.partitionBy("source")),
+        )
+        .filter(F.col("rn") <= (F.col("n_s") * 20 + 99) / 100)
+    )
+    want = {(r.doc_id, r.source) for r in ref.select("doc_id", "source").collect()}
+    assert got == want
+    per_src = {
+        r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    tot = {
+        r.source: r.n
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for s, n in tot.items():
+        assert per_src[s] == -(-n * 20 // 100)  # ceil
+
+
+def test_stratified_sample_exact_tiny_strata(spark):
+    """pct=50 over a 1-doc and a 3-doc source keeps ceil: 1 and 2."""
+    docs = _docs_src(
+        spark,
+        [(1, "a", "s1"), (2, "b", "s2"), (3, "c", "s2"), (4, "d", "s2")],
+    )
+    out = pipeline.stratified_sample_exact(docs, pct=50).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, 0)
+        by_src[r.source] += 1
+    assert by_src == {"s1": 1, "s2": 2}
+
+
+def test_pack_efficiency_rollup(spark):
+    """Budget 5: docs of 3,3,4 tokens in one source → shards 0 (3),
+    1 (3+4? no: tokens_before 3 → shard 0? 3 div 5 = 0 → doc2 shard 0;
+    doc3 tokens_before 6 → shard 1). Shard 0: 2 docs 6 tokens, fill
+    1.2; shard 1: 1 doc 4 tokens, fill 0.8."""
+    docs = _docs_src(
+        spark, [(1, "a b c", "s"), (2, "d e f", "s"), (3, "g h i j", "s")]
+    )
+    out = pipeline.pack_efficiency(docs, budget_tokens=5).collect()
+    assert [(r.shard_id, r.n_docs, r.shard_tokens, r.fill_ratio) for r in out] == [
+        (0, 2, 6, 1.2),
+        (1, 1, 4, 0.8),
+    ]
+
+
+def test_seqlen_histogram_integer_buckets(spark):
+    """Token counts 0,1,2,3,4 land in buckets 1,1,2,2,3 (binary digit
+    count; 0 renders '0' → bucket 1)."""
+    docs = _docs_src(
+        spark,
+        [
+            (1, "", "s"),
+            (2, "a", "s"),
+            (3, "a b", "s"),
+            (4, "a b c", "s"),
+            (5, "a b c d", "s"),
+        ],
+    )
+    out = pipeline.seqlen_histogram(docs).collect()
+    assert [(r.len_bucket, r.n_docs, r.min_tokens, r.max_tokens) for r in out] == [
+        (1, 2, 0, 1),
+        (2, 2, 2, 3),
+        (3, 1, 4, 4),
+    ]
+
+
+def test_vocab_coverage_curve_closed_form(spark):
+    """Counts a:4, b:2, c:1, d:1 → k=1 covers 4/8, k=2 covers 6/8,
+    k=4 covers 8/8; ranks 3 (not a power of two) and >4 absent."""
+    docs = _docs(spark, [(1, "a a a a b b c d")])
+    out = text_ops.vocab_coverage_curve(docs).collect()
+    assert [(r.k, r.term_at_k, r.covered_occ, r.coverage) for r in out] == [
+        (1, "a", 4, 0.5),
+        (2, "b", 6, 0.75),
+        (4, "d", 8, 1.0),
+    ]
