@@ -1675,6 +1675,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_efficiency": _q_pack_efficiency,
         "seqlen_histogram": _q_seqlen_histogram,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "boilerplate_lines": _q_boilerplate_lines,
+        "streaming_line_boilerplate": _q_streaming_line_boilerplate,
     }
 
 
@@ -1699,7 +1701,60 @@ def _q_gopher_repetition(spark, sf):
 
 
 def _q_gopher_line_repetition(spark, sf):
-    return text_ops.gopher_line_repetition(load_table(spark, sf, "documents"))
+    # the synthetic corpus is single-line; plant line/paragraph
+    # structure deterministically (the gopher_rule_filter injection
+    # pattern): %4 docs gain a repeated line, %6 a unique extra line,
+    # %8 a repeated paragraph — so both dup families provably fire
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("\nrepeat me\nrepeat me")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 6 == 0, F.lit("\nonce only")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 8 == 0, F.lit("\n\nsame para\n\nsame para")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text_ops.gopher_line_repetition(injected)
+
+
+def _inject_boilerplate(docs):
+    # deterministic boilerplate lines for the hot-line panel entries:
+    # a "subscribe" line on every 5th doc (df = n/5) and a copyright
+    # footer on every 7th (df = n/7) — both far over the threshold at
+    # every sf, while genuine body lines stay df = 1
+    return docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\n(c) example corp all rights reserved"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _q_boilerplate_lines(spark, sf):
+    return dedup.boilerplate_lines(
+        _inject_boilerplate(load_table(spark, sf, "documents"))
+    )
+
+
+def _q_streaming_line_boilerplate(spark, sf):
+    return streaming_rollup.stream_line_boilerplate(
+        spark, sf, mutate=_inject_boilerplate
+    )
 
 
 def _q_tokenizer_fertility(spark, sf):
@@ -7203,10 +7258,23 @@ def oracle_sql() -> dict[str, str]:
     # within-doc duplicate line/paragraph fractions: a unit occurring
     # c times contributes c-1 dup occurrences and (c-1)·len dup chars
     sql["gopher_line_repetition"] = r"""
-        WITH lu AS (
+        WITH inj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 4 = 0
+                           THEN chr(10) || 'repeat me' || chr(10) || 'repeat me'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 6 = 0
+                           THEN chr(10) || 'once only' ELSE '' END
+                   || CASE WHEN doc_id % 8 = 0
+                           THEN chr(10) || chr(10) || 'same para'
+                                || chr(10) || chr(10) || 'same para'
+                           ELSE '' END AS text
+            FROM documents),
+        lu AS (
             SELECT doc_id, u, count(*) AS c FROM (
                 SELECT doc_id, unnest(string_split_regex(text, '\n')) AS u
-                FROM documents) GROUP BY 1, 2),
+                FROM inj) GROUP BY 1, 2),
         lagg AS (
             SELECT doc_id,
                    CAST(sum(c) AS BIGINT) AS line_units,
@@ -7217,7 +7285,7 @@ def oracle_sql() -> dict[str, str]:
         pu AS (
             SELECT doc_id, u, count(*) AS c FROM (
                 SELECT doc_id, unnest(string_split_regex(text, '\n\n')) AS u
-                FROM documents) GROUP BY 1, 2),
+                FROM inj) GROUP BY 1, 2),
         pagg AS (
             SELECT doc_id,
                    CAST(sum(c) AS BIGINT) AS para_units,
@@ -7318,6 +7386,35 @@ def oracle_sql() -> dict[str, str]:
         WHERE k IN (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
         ORDER BY k
     """
+
+    # hot-line panel over the injected boilerplate; the streaming twin
+    # replays the same injected corpus through the (line, doc) state
+    # and shares this oracle verbatim
+    _boiler_sql = r"""
+        WITH inj AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'subscribe to our newsletter today'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN chr(10) || '(c) example corp all rights reserved'
+                           ELSE '' END AS text
+            FROM documents),
+        ex AS (SELECT doc_id, unnest(string_split_regex(text, '\n')) AS line
+               FROM inj),
+        agg AS (
+            SELECT line,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM ex GROUP BY 1)
+        SELECT line, doc_freq, n_occurrences,
+               n_occurrences * CAST(length(line) AS BIGINT) AS chars_mass
+        FROM agg WHERE doc_freq > 20
+        ORDER BY doc_freq DESC, line
+    """
+    sql["boilerplate_lines"] = _boiler_sql
+    sql["streaming_line_boilerplate"] = _boiler_sql
 
     # byte-fallback fertility vs the corpus top-64 vocabulary (the
     # oov_rate vocabulary rule); strlen = UTF-8 bytes in DuckDB,

@@ -1064,3 +1064,67 @@ def stream_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("y")
     )
     return changepoint_from_daily(materialize(_run_to_memory(counts, "complete")))
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `documents` table replayed as a file stream — the corpus-
+    ingest twin of `_events_stream` for the curation-side streaming
+    operators (a live pipeline would read the crawler's landing
+    directory or a Kafka topic with the same schema)."""
+    configure_session(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("basePath", sf_dir)
+        .parquet(f"{sf_dir}/documents.parque[t]")
+    )
+
+
+def stream_line_boilerplate(
+    spark: SparkSession,
+    sf_dir: str,
+    max_docs: int = 20,
+    mutate=None,
+) -> DataFrame:
+    """Streaming twin of `dedup.boilerplate_lines`: the live hot-line
+    monitor a continuously-ingesting curation pipeline runs so new
+    boilerplate (a template change upstream) is caught as it appears,
+    not at the next batch sweep.
+
+    Streaming state is the (line, doc_id) pair-count aggregation —
+    bounded by distinct (line, doc) pairs, the `stream_dedup` /
+    `stream_contract_audit` documented trade (production bounds it
+    with a watermark over ingest time + state TTL). The coda over the
+    availableNow sink is the SAME reduction the batch panel runs —
+    doc_freq = count of distinct docs (already distinct in state),
+    occurrences = Σ pair counts — so the result equals
+    `boilerplate_lines` exactly and shares its oracle verbatim.
+
+    ``mutate`` is the entry-layer plug point (the registry injects
+    deterministic boilerplate, since the synthetic corpus is
+    single-line)."""
+    src = _documents_stream(spark, sf_dir)
+    if mutate is not None:
+        src = mutate(src)
+    pairs = src.select(
+        "doc_id", F.explode(F.split("text", "\n")).alias("line")
+    ).groupBy("line", "doc_id").agg(F.count("*").alias("n"))
+    state = _run_to_memory(pairs, "complete")
+    return (
+        state.groupBy("line")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_freq"),
+            F.sum("n").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("doc_freq") > F.lit(int(max_docs)))
+        .select(
+            "line",
+            "doc_freq",
+            "n_occurrences",
+            (F.col("n_occurrences") * F.length("line").cast("bigint")).alias(
+                "chars_mass"
+            ),
+        )
+        .orderBy(F.col("doc_freq").desc(), F.col("line"))
+    )

@@ -209,3 +209,18 @@ def test_vocab_coverage_curve_closed_form(spark):
         (2, "b", 6, 0.75),
         (4, "d", 8, 1.0),
     ]
+
+
+def test_boilerplate_lines_threshold_and_mass(spark):
+    """25 docs share 'hot line' (df 25 > 20); 'warm' appears in 20
+    docs (not > 20 → excluded); occurrences count every copy: doc 0
+    carries 'hot line' twice → 26 occurrences, mass 26·8."""
+    rows = []
+    for i in range(25):
+        extra = "\nhot line\nhot line" if i == 0 else "\nhot line"
+        warm = "\nwarm" if i < 20 else ""
+        rows.append((i, f"body {i}" + extra + warm))
+    out = dedup.boilerplate_lines(_docs(spark, rows), max_docs=20).collect()
+    assert [(r.line, r.doc_freq, r.n_occurrences, r.chars_mass) for r in out] == [
+        ("hot line", 25, 26, 26 * 8)
+    ]

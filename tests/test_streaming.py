@@ -519,3 +519,19 @@ def test_stream_changepoint_equals_batch(spark, sf_dir):
     batch = anomaly.changepoint_detect(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_changepoint(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_line_boilerplate_equals_batch(spark, sf_dir):
+    """availableNow replay of the injected corpus through the
+    (line, doc) state equals dedup.boilerplate_lines row for row."""
+    import __spark_entry__ as entry
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    batch = dedup.boilerplate_lines(
+        entry._inject_boilerplate(load_table(spark, sf_dir, "documents"))
+    ).collect()
+    stream = sr.stream_line_boilerplate(
+        spark, sf_dir, mutate=entry._inject_boilerplate
+    ).collect()
+    assert len(batch) >= 2  # both planted lines cross the threshold
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
