@@ -1677,7 +1677,17 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "boilerplate_lines": _q_boilerplate_lines,
         "streaming_line_boilerplate": _q_streaming_line_boilerplate,
+        "streaming_psi_drift": _q_streaming_psi_drift,
+        "streaming_mannwhitney": _q_streaming_mannwhitney,
     }
+
+
+def _q_streaming_psi_drift(spark, sf):
+    return streaming_rollup.stream_psi_drift(spark, sf)
+
+
+def _q_streaming_mannwhitney(spark, sf):
+    return streaming_rollup.stream_mannwhitney(spark, sf)
 
 
 def _q_stratified_sample_exact(spark, sf):
@@ -7127,6 +7137,11 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # ---- round-7 additions ----
+
+    # streaming twins: availableNow state == the batch reduction, so
+    # the batch oracles apply verbatim (the streaming_ks_drift rule)
+    sql["streaming_psi_drift"] = sql["psi_drift"]
+    sql["streaming_mannwhitney"] = sql["mannwhitney_u"]
 
     # incremental_dedup_near's full pipeline + within-batch transitive
     # near-dup collapse: kept docs sign again, band self-join a<b,

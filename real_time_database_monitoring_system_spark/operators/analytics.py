@@ -1488,6 +1488,15 @@ def mannwhitney_u(events: DataFrame) -> DataFrame:
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
         )
     )
+    return mwu_from_value_counts(per_value)
+
+
+def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Mann–Whitney core over an already-reduced (event_type, value,
+    c_ref, c_cur) half-count relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_mannwhitney` (the
+    `ks_from_value_counts` pattern: exactness over a stream costs
+    per-distinct-value state, and the coda is the SAME arithmetic)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("value")

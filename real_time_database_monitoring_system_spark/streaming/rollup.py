@@ -1128,3 +1128,117 @@ def stream_line_boilerplate(
         )
         .orderBy(F.col("doc_freq").desc(), F.col("line"))
     )
+
+
+def stream_psi_drift(spark: SparkSession, sf_dir: str, nbins: int = 10) -> DataFrame:
+    """Streaming twin of `anomaly.psi_drift`: the live distribution-
+    stability monitor. Like `stream_ks_drift`, exactness costs
+    per-distinct-(value, event-µs) state — the feed midpoint AND the
+    reference deciles are only known once the feed is seen. The coda
+    reduces state to per-distinct-value half counts and replicates
+    `percentile_disc` EXACTLY with integer cross-multiplication
+    (cum·nbins ≥ i·n ⟺ cume_dist ≥ i/nbins — the SQL-standard
+    definition, no doubles near the cut), then reuses the batch bin
+    CASE and PSI term verbatim, so the availableNow result equals
+    `psi_drift` and shares its oracle. NULL values ride to the ELSE
+    bin exactly as the batch CASE sends them; the decile window runs
+    over the DISTINCT-VALUE relation only (the `ks_drift` ECDF
+    trade)."""
+    from ..operators.anomaly import PSI_TERM_SQL, psi_bin_case_sql
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy("value", us.alias("us")).agg(F.count("*").alias("n"))
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = materialize(
+        state.crossJoin(F.broadcast(stats))
+        .select(
+            "value",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("vc_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("vc_cur"),
+        )
+    )
+    nn = per_value.filter(F.col("value").isNotNull())
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cum = nn.select("value", "vc_ref").withColumn(
+        "cum_ref", F.sum("vc_ref").over(w)
+    )
+    tot = nn.agg(F.sum("vc_ref").alias("t_nn"))
+    cuts = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            *[
+                F.min(
+                    F.when(
+                        F.col("cum_ref") * nbins >= F.col("t_nn") * i,
+                        F.col("value"),
+                    )
+                ).alias(f"c{i}")
+                for i in range(1, nbins)
+            ]
+        )
+    )
+    counts = (
+        per_value.crossJoin(F.broadcast(materialize(cuts)))
+        .select(F.expr(psi_bin_case_sql(nbins)).alias("bin"), "vc_ref", "vc_cur")
+        .groupBy("bin")
+        .agg(F.sum("vc_ref").alias("c_ref"), F.sum("vc_cur").alias("c_cur"))
+    )
+    totals = counts.agg(
+        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
+    )
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            F.col("c_ref").cast("bigint").alias("n_ref"),
+            F.col("c_cur").cast("bigint").alias("n_cur"),
+            F.expr(PSI_TERM_SQL.format(nbins=nbins)).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.mannwhitney_u`: the live
+    distribution-free location-shift monitor. State is the one
+    (event_type, value, event-µs) count aggregation (the
+    `stream_ks_drift` trade); the coda reduces it to per-distinct-
+    value half counts and hands them to `mwu_from_value_counts` — the
+    SAME exact-integer core as the batch operator, so the availableNow
+    result equals `mannwhitney_u` and shares its oracle verbatim.
+    NULL values drop in the coda exactly where the batch op drops
+    them (after the whole-feed midpoint is fixed)."""
+    from ..operators.analytics import mwu_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy("event_type", "value", us.alias("us")).agg(
+        F.count("*").alias("n")
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = (
+        state.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "value",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_cur"),
+        )
+    )
+    return mwu_from_value_counts(per_value)

@@ -535,3 +535,21 @@ def test_stream_line_boilerplate_equals_batch(spark, sf_dir):
     ).collect()
     assert len(batch) >= 2  # both planted lines cross the threshold
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_psi_drift_equals_batch(spark, sf_dir):
+    """The integer cross-multiplication decile replication + shared
+    bin CASE reproduce anomaly.psi_drift exactly under availableNow."""
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    batch = anomaly.psi_drift(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_psi_drift(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_mannwhitney_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    batch = analytics.mannwhitney_u(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_mannwhitney(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
