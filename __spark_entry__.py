@@ -1679,6 +1679,11 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_line_boilerplate": _q_streaming_line_boilerplate,
         "streaming_psi_drift": _q_streaming_psi_drift,
         "streaming_mannwhitney": _q_streaming_mannwhitney,
+        "streaming_welch": _q_streaming_welch,
+        "char_entropy": _q_char_entropy,
+        "lang_mismatch_audit": _q_lang_mismatch_audit,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        "payload_dedup": _q_payload_dedup,
     }
 
 
@@ -1688,6 +1693,43 @@ def _q_streaming_psi_drift(spark, sf):
 
 def _q_streaming_mannwhitney(spark, sf):
     return streaming_rollup.stream_mannwhitney(spark, sf)
+
+
+def _q_streaming_welch(spark, sf):
+    return streaming_rollup.stream_welch(spark, sf)
+
+
+def _q_char_entropy(spark, sf):
+    return text_ops.char_entropy(load_table(spark, sf, "documents"))
+
+
+def _q_lang_mismatch_audit(spark, sf):
+    return text_ops.lang_mismatch_audit(load_table(spark, sf, "documents"))
+
+
+def _q_cross_source_dup_matrix(spark, sf):
+    # cross-source mirrors planted deterministically: every 23rd doc
+    # is re-hosted VERBATIM under the next source ('mirror-of-<src>')
+    # with a new id — the global (unblocked) banding must pair each
+    # original with its foreign-source mirror
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    mirrored = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+        "text",
+        F.concat(F.lit("mirror-of-"), F.col("source")).alias("source"),
+    )
+    return dedup.cross_source_dup_matrix(docs.unionByName(mirrored))
+
+
+def _q_payload_dedup(spark, sf):
+    # exact payload duplicates planted: every 11th doc's payload is
+    # re-ingested under a new id; the content address must collapse
+    # each copy onto the original (min doc_id keeper, 2 copies)
+    docs = load_table(spark, sf, "documents")
+    copies = docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(40_000_000)
+    )
+    return multimodal.payload_dedup(docs.unionByName(copies))
 
 
 def _q_stratified_sample_exact(spark, sf):
@@ -7142,6 +7184,124 @@ def oracle_sql() -> dict[str, str]:
     # the batch oracles apply verbatim (the streaming_ks_drift rule)
     sql["streaming_psi_drift"] = sql["psi_drift"]
     sql["streaming_mannwhitney"] = sql["mannwhitney_u"]
+    sql["streaming_welch"] = sql["welch_ttest"]
+
+    # per-character entropy: ENT-style pinned round(9) per-count term,
+    # exact DECIMAL(28,9) accumulation, one pinned final composition
+    sql["char_entropy"] = """
+        WITH ex AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ''), c -> c <> '')) AS ch
+            FROM documents),
+        pc AS (SELECT doc_id, ch, count(*) AS c FROM ex GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_chars,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)),
+                                       9) AS DECIMAL(28,9))) AS DECIMAL(28,9))
+                       AS s_clnc
+            FROM pc GROUP BY doc_id)
+        SELECT doc_id, n_chars, n_distinct, s_clnc,
+               round(ln(CAST(n_chars AS DOUBLE))
+                     - CAST(s_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
+                   AS entropy_nats
+        FROM agg ORDER BY doc_id
+    """
+
+    sql["lang_mismatch_audit"] = f"""
+        WITH s AS (
+            SELECT doc_id, source, lang,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_stoplist('en')}))) AS INTEGER) AS score_en,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_stoplist('de')}))) AS INTEGER) AS score_de,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_stoplist('es')}))) AS INTEGER) AS score_es,
+                   CAST(len(list_filter({_TOKS}, x -> x IN ({_stoplist('fr')}))) AS INTEGER) AS score_fr
+            FROM documents),
+        g AS (SELECT *, greatest(score_de, score_en, score_es, score_fr) AS best
+              FROM s),
+        ided AS (
+            SELECT doc_id, source, lang,
+                   CASE WHEN best = 0 THEN 'unknown'
+                        WHEN score_de = best THEN 'de'
+                        WHEN score_en = best THEN 'en'
+                        WHEN score_es = best THEN 'es'
+                        WHEN score_fr = best THEN 'fr' END AS lang_guess
+            FROM g)
+        SELECT source, lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match,
+               CAST(sum(CASE WHEN lang_guess = 'unknown' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unknown,
+               CAST(count(*)
+                    - sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN lang_guess = 'unknown' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conflict,
+               CAST(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS match_rate
+        FROM ided GROUP BY 1, 2 ORDER BY source, lang
+    """
+
+    sql["cross_source_dup_matrix"] = f"""
+        WITH mir AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 50000000 AS doc_id, text,
+                   'mirror-of-' || source AS source
+            FROM documents WHERE doc_id % 23 = 0),
+        {_portable_sig_ctes('mp_', 'mir', 4)},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM mp_banded a JOIN mp_banded b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, h FROM mp_hs),
+        sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+        it AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+               FROM cand c
+               JOIN sets x ON x.doc_id = c.doc_a
+               JOIN sets y ON y.doc_id = c.doc_b AND y.h = x.h
+               GROUP BY 1, 2),
+        pr AS (SELECT i.doc_a, i.doc_b,
+                      CAST(n_inter AS DOUBLE)
+                      / CAST(a.n + b.n - n_inter AS DOUBLE) AS jaccard
+               FROM it i
+               JOIN sz a ON i.doc_a = a.doc_id
+               JOIN sz b ON i.doc_b = b.doc_id
+               WHERE CAST(n_inter AS DOUBLE)
+                     / CAST(a.n + b.n - n_inter AS DOUBLE) >= 0.5),
+        lab AS (SELECT least(sa.source, sb.source) AS source_a,
+                       greatest(sa.source, sb.source) AS source_b,
+                       CAST(round(jaccard, 9) AS DECIMAL(28,9)) AS j9
+                FROM pr
+                JOIN mir sa ON pr.doc_a = sa.doc_id
+                JOIN mir sb ON pr.doc_b = sb.doc_id)
+        SELECT source_a, source_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(j9) AS DECIMAL(28,9)) AS sum_jaccard,
+               CAST(sum(j9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_jaccard
+        FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b
+    """
+
+    sql["payload_dedup"] = """
+        WITH u AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 40000000 AS doc_id, text
+            FROM documents WHERE doc_id % 11 = 0),
+        m AS (SELECT doc_id,
+                     CAST(length(text) AS BIGINT) AS payload_bytes,
+                     list_reduce(
+                         list_transform(
+                             list_filter(string_split(text, ''), c -> c <> ''),
+                             c -> CAST(ascii(c) AS BIGINT)),
+                         (acc, x) -> (acc * 31 + x) % 1000000007) AS checksum
+              FROM u)
+        SELECT min(doc_id) AS keeper_doc_id, payload_bytes, checksum,
+               CAST(count(*) AS BIGINT) AS n_copies,
+               CAST((count(*) - 1) * payload_bytes AS BIGINT)
+                   AS reclaimable_bytes
+        FROM m GROUP BY payload_bytes, checksum ORDER BY keeper_doc_id
+    """
 
     # incremental_dedup_near's full pipeline + within-batch transitive
     # near-dup collapse: kept docs sign again, band self-join a<b,

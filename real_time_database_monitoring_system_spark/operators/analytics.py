@@ -1389,6 +1389,15 @@ def welch_ttest(events: DataFrame) -> DataFrame:
             F.sum(F.expr("CAST(x * x AS DECIMAL(38,4))")).alias("sxx"),
         )
     )
+    return welch_from_sides(sides)
+
+
+def welch_from_sides(sides: DataFrame) -> DataFrame:
+    """Welch finals over an (event_type, is_ref, n, sx, sxx)
+    sufficient-statistics relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_welch` (sums are exact
+    decimals, so HOW the sides were accumulated — row explode or
+    per-distinct-value state — cannot change a digit)."""
     ref = sides.filter(F.col("is_ref")).select(
         "event_type",
         F.col("n").alias("n_ref"),

@@ -241,3 +241,37 @@ def resize_payloads(documents: DataFrame, target_bytes: int = 64) -> DataFrame:
         .mapInPandas(resize_batches, RESIZE_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+def payload_dedup(documents: DataFrame) -> DataFrame:
+    """Exact multimodal dedup by decoded content address: payloads
+    grouped on (checksum, byte length) — the binary-column twin of
+    `dedup.exact_dedup`, for corpora where the payload is an opaque
+    image/audio blob no text normalizer can touch. The keeper is the
+    minimum doc_id; n_copies counts the redundant bytes a dedup pass
+    reclaims. The (checksum, length) pair is the content address: a
+    cross-content collision needs equal length AND equal 31-ary
+    polynomial fold mod 1e9+7.
+
+    Scale shape: the decode is the existing Arrow `mapInPandas` pass
+    (partition-preserving); dedup is ONE hash groupBy on the
+    (checksum, length) key with map-side partials — the exact_dedup
+    exchange, nothing more."""
+    meta = decode_metadata(documents)
+    return (
+        meta.groupBy("checksum", "payload_bytes")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+        .select(
+            "keeper_doc_id",
+            "payload_bytes",
+            "checksum",
+            "n_copies",
+            ((F.col("n_copies") - 1) * F.col("payload_bytes")).alias(
+                "reclaimable_bytes"
+            ),
+        )
+        .orderBy("keeper_doc_id")
+    )

@@ -1134,3 +1134,96 @@ def vocab_coverage_curve(documents: DataFrame, max_k: int = 1024) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the
+    lowest-level degenerate-content detector: natural prose sits
+    around 3–4.2 nats, base64/hex blobs higher, repeated-character
+    and template junk far lower. Complements the token-level quality
+    panels (`quality_score`, `gopher_rule_filter`), which a single-
+    token pathological blob can slip past.
+
+    H = ln(n) − (Σ c·ln c)/n over per-character counts c. The per-
+    character term is the repo's one-transcendental pinned round(9)
+    double (`ENT_TERM_SQL` rules), accumulated as exact DECIMAL(28,9)
+    (order-independent), and the final composition is a single pinned
+    expression — cross-engine reproducible end to end.
+
+    Scale shape: one character explode ((?s). — the
+    `char_trigram_langid` cost, ~chars rows) reduced immediately to
+    (doc, char) counts — state bounded by alphabet × docs — then one
+    doc-keyed aggregate. No windows, no joins."""
+    ex = _spread(documents, "doc_id").select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '(?s).', 0)").alias("chars"),
+    ).select("doc_id", F.explode("chars").alias("ch"))
+    per_char = ex.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_distinct"),
+            F.sum(
+                F.expr(
+                    "CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)), 9)"
+                    " AS DECIMAL(28,9))"
+                )
+            ).alias("s_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct",
+            F.col("s_clnc").cast("decimal(28,9)").alias("s_clnc"),
+            F.expr(
+                "round(ln(CAST(n_chars AS DOUBLE))"
+                " - CAST(s_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)"
+            ).alias("entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lang_mismatch_audit(documents: DataFrame) -> DataFrame:
+    """Metadata-vs-content agreement audit: per (source, declared
+    lang), how often the content-based `lang_id` guess agrees with the
+    crawler's `lang` metadata — the standard curation check before
+    trusting declared language for mixing/filtering (mislabeled
+    ingests and template-English pages show up as low agreement
+    pockets). 'unknown' guesses (no stopword hits, or languages the
+    tiny heuristic doesn't model) are reported separately from hard
+    disagreements.
+
+    Pure composition: `lang_id` (one tokenize scan) reduced to a
+    (source, lang) keyed aggregate of exact integer counts + single
+    double divisions; output #sources × #langs rows."""
+    ided = lang_id(documents).select("doc_id", "lang", "lang_guess")
+    src = documents.select("doc_id", "source")
+    return (
+        ided.join(src, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_match"),
+            F.sum(F.when(F.col("lang_guess") == "unknown", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unknown"),
+        )
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "n_match",
+            "n_unknown",
+            (F.col("n_docs") - F.col("n_match") - F.col("n_unknown")).alias(
+                "n_conflict"
+            ),
+            (F.col("n_match").cast("double") / F.col("n_docs").cast("double")).alias(
+                "match_rate"
+            ),
+        )
+        .orderBy("source", "lang")
+    )

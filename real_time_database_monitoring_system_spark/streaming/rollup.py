@@ -1242,3 +1242,49 @@ def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mwu_from_value_counts(per_value)
+
+
+def stream_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.welch_ttest`: the live mean-shift
+    monitor. State is the (event_type, value, event-µs) count
+    aggregation (the `stream_ks_drift` trade — the midpoint needs the
+    whole feed); the coda rebuilds each side's exact decimal
+    sufficient statistics from the per-distinct-value counts
+    (n = Σc, Σx = Σ value·c, Σx² = Σ value²·c — exact decimal
+    arithmetic, so identical to the batch row-wise sums digit for
+    digit) and hands them to `welch_from_sides`, the SAME finals as
+    the batch operator. availableNow result == `welch_ttest`, oracle
+    shared verbatim. NULL values stay in state (the batch midpoint is
+    fixed before they drop) and are filtered in the coda."""
+    from ..operators.analytics import welch_from_sides
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy("event_type", "value", us.alias("us")).agg(
+        F.count("*").alias("cnt")
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    sides = (
+        state.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            F.col("value").cast("decimal(18,2)").alias("x"),
+            "cnt",
+        )
+        .groupBy("event_type", "is_ref")
+        .agg(
+            F.sum("cnt").alias("n"),
+            F.sum(F.expr("x * CAST(cnt AS DECIMAL(20,0))")).alias("sx"),
+            F.sum(
+                F.expr(
+                    "CAST(CAST(x * x AS DECIMAL(38,4))"
+                    " * CAST(cnt AS DECIMAL(20,0)) AS DECIMAL(38,4))"
+                )
+            ).alias("sxx"),
+        )
+    )
+    return welch_from_sides(sides)

@@ -224,3 +224,70 @@ def test_boilerplate_lines_threshold_and_mass(spark):
     assert [(r.line, r.doc_freq, r.n_occurrences, r.chars_mass) for r in out] == [
         ("hot line", 25, 26, 26 * 8)
     ]
+
+
+def test_char_entropy_closed_form(spark):
+    """'aab': counts {a:2, b:1} → H = ln3 − (2·ln2)/3; 'zzzz' → 0."""
+    import math
+
+    out = {
+        r.doc_id: r
+        for r in text_ops.char_entropy(_docs(spark, [(1, "aab"), (2, "zzzz")])).collect()
+    }
+    r1 = out[1]
+    assert (r1.n_chars, r1.n_distinct) == (3, 2)
+    want = round(math.log(3.0) - round(2 * math.log(2.0), 9) / 3.0, 9)
+    assert r1.entropy_nats == want
+    r2 = out[2]
+    assert (r2.n_chars, r2.n_distinct) == (4, 1)
+    assert r2.entropy_nats == 0.0
+
+
+def test_lang_mismatch_audit_counts(spark):
+    """Declared 'en' with English stopwords matches; declared 'de'
+    with English text conflicts; stopword-free text is unknown."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and ate", "en", "s"),
+            (2, "the dog is in the house that is", "de", "s"),
+            (3, "qqq www zzz", "fr", "s"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {(r.source, r.lang): r for r in text_ops.lang_mismatch_audit(docs).collect()}
+    assert out[("s", "en")].n_match == 1
+    assert out[("s", "de")].n_conflict == 1
+    assert out[("s", "fr")].n_unknown == 1
+
+
+def test_cross_source_dup_matrix_finds_foreign_mirror(spark):
+    """A verbatim re-host under another source lands in one matrix
+    cell with jaccard 1; unrelated docs produce no pairs."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "srcA"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta", "srcB"),
+            (3, "one two three four five six seven eight nine", "srcA"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dedup.cross_source_dup_matrix(docs).collect()
+    assert [(r.source_a, r.source_b, r.n_pairs, r.avg_jaccard) for r in out] == [
+        ("srcA", "srcB", 1, 1.0)
+    ]
+
+
+def test_payload_dedup_content_address(spark):
+    """Identical payloads under different ids collapse to the min-id
+    keeper with the byte mass of the redundant copies."""
+    from real_time_database_monitoring_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "same bytes", "x", "s"), (7, "same bytes", "x", "s"), (3, "other", "x", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = multimodal.payload_dedup(docs).collect()
+    assert [(r.keeper_doc_id, r.n_copies, r.reclaimable_bytes) for r in out] == [
+        (1, 2, 10),
+        (3, 1, 0),
+    ]

@@ -553,3 +553,13 @@ def test_stream_mannwhitney_equals_batch(spark, sf_dir):
     batch = analytics.mannwhitney_u(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_mannwhitney(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_welch_equals_batch(spark, sf_dir):
+    """Per-distinct-value decimal sufficient statistics reproduce the
+    batch row-wise sums digit for digit under availableNow."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    batch = analytics.welch_ttest(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_welch(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
