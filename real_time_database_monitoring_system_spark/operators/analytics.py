@@ -283,10 +283,15 @@ MOMENT_FINAL_SQL = {
     # NULL-guarded: a zero-variance series has no shape to score (and
     # the division would be IEEE NaN, whose bit pattern is not a safe
     # cross-engine hash input)
+    # x^1.5 spelled x·sqrt(x): *, / and sqrt are IEEE correctly-rounded
+    # (bit-identical on any conforming engine given identical inputs);
+    # pow is NOT (libm-dependent last ULP) and never belongs in a
+    # hashed emission
     "skewness": (
         "round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0.0 THEN"
         " (s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))"
-        " / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) END, 9)"
+        " / ((s2 / n - (s1 / n) * (s1 / n))"
+        " * sqrt(s2 / n - (s1 / n) * (s1 / n))) END, 9)"
     ),
     "kurtosis": (
         "round(CASE WHEN s2 / n - (s1 / n) * (s1 / n) > 0.0 THEN"
@@ -1338,12 +1343,20 @@ WELCH_T_SQL = (
     " / sqrt(var_ref / CAST(n_ref AS DOUBLE)"
     " + var_cur / CAST(n_cur AS DOUBLE)), 9)"
 )
+# squares spelled x·x, not pow(x, 2.0): pow is not IEEE
+# correctly-rounded (JVM Math.pow is 1-ulp, libm varies), so a hashed
+# emission built on it is one libm away from a red driver row; plain
+# multiplication is correctly-rounded and bit-identical cross-engine
 WELCH_DF_SQL = (
-    "round(pow(var_ref / CAST(n_ref AS DOUBLE)"
-    " + var_cur / CAST(n_cur AS DOUBLE), 2.0)"
-    " / (pow(var_ref / CAST(n_ref AS DOUBLE), 2.0)"
+    "round(((var_ref / CAST(n_ref AS DOUBLE)"
+    " + var_cur / CAST(n_cur AS DOUBLE))"
+    " * (var_ref / CAST(n_ref AS DOUBLE)"
+    " + var_cur / CAST(n_cur AS DOUBLE)))"
+    " / ((var_ref / CAST(n_ref AS DOUBLE))"
+    " * (var_ref / CAST(n_ref AS DOUBLE))"
     " / CAST(n_ref - 1 AS DOUBLE)"
-    " + pow(var_cur / CAST(n_cur AS DOUBLE), 2.0)"
+    " + (var_cur / CAST(n_cur AS DOUBLE))"
+    " * (var_cur / CAST(n_cur AS DOUBLE))"
     " / CAST(n_cur - 1 AS DOUBLE)), 9)"
 )
 
