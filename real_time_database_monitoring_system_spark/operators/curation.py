@@ -302,6 +302,16 @@ def incremental_dedup_near(
     Docs with fewer than ``shingle_k`` tokens have no signature and
     cannot match the near rule — the exact rule still applies to them.
     Returns (key, status) for kept docs, ordered by key."""
+    kept, _ = _incremental_near_core(old, new, key, threshold, shingle_k)
+    return kept.orderBy(key)
+
+
+def _incremental_near_core(old, new, key, threshold, shingle_k):
+    """`incremental_dedup_near` body, additionally returning the
+    new-side signature relation so `incremental_dedup_near_transitive`
+    can run its within-batch pass WITHOUT a third signing scan (the
+    hashes relation is per-document — slicing it to the kept ids is
+    identical to re-signing the kept docs)."""
     from .dedup import portable_bands, portable_shingle_hashes
 
     # diamond: the exact-pass survivors feed the near pass AND the
@@ -341,7 +351,7 @@ def incremental_dedup_near(
         .select(F.col("new_id").alias(key))
         .distinct()
     )
-    return surv.join(near, key, "left_anti").orderBy(key)
+    return surv.join(near, key, "left_anti"), hs_new
 
 
 def incremental_dedup_near_transitive(
@@ -364,23 +374,23 @@ def incremental_dedup_near_transitive(
     Composition, not new machinery: pass 1 is
     `incremental_dedup_near` verbatim; pass 2 runs banded candidates +
     exact-Jaccard verify over ONLY the pass-1 survivors (a re-crawl's
-    sliver, so the self-join side is small by construction); the CC
+    sliver, so the self-join side is small by construction) — and over
+    pass 1's ALREADY-MATERIALIZED signature relation sliced to the
+    kept ids, so the batch is signed once, not twice (signatures are
+    per-document: the slice is identical to re-signing). The CC
     label IS the minimum reachable key, so "keeper = own label" needs
     no extra ranking. Iteration count is bounded by near-dup component
     diameter (stars/short chains — the `dup_clusters` contract).
 
     Returns (key, status) for kept documents, ordered by key."""
-    from .dedup import dup_clusters, minhash_lsh_pairs_portable
+    from .dedup import dup_clusters, minhash_lsh_pairs_from_hashes
 
-    kept = _materialize(
-        incremental_dedup_near(old, new, key, threshold, shingle_k)
+    kept1, hs_new = _incremental_near_core(old, new, key, threshold, shingle_k)
+    kept = _materialize(kept1)
+    hs_kept = hs_new.join(
+        kept.select(F.col(key).alias("doc_id")), "doc_id"
     )
-    kept_docs = new.join(kept.select(key), key).select(
-        F.col(key).alias("doc_id"), "text"
-    )
-    pairs = minhash_lsh_pairs_portable(
-        kept_docs, threshold=threshold, shingle_k=shingle_k
-    )
+    pairs = minhash_lsh_pairs_from_hashes(hs_kept, threshold=threshold)
     losers = (
         dup_clusters(pairs)
         .filter(F.col("cluster_id") != F.col("doc_id"))
