@@ -1684,6 +1684,12 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch_audit": _q_lang_mismatch_audit,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "payload_dedup": _q_payload_dedup,
+        "split_embedding_leakage": _q_split_embedding_leakage,
+        "distinct_ngram_ratio": _q_distinct_ngram_ratio,
+        "pii_density_by_source": _q_pii_density_by_source,
+        "simhash_distance_hist": _q_simhash_distance_hist,
+        "sample_skew_audit": _q_sample_skew_audit,
+        "streaming_moment_stats": _q_streaming_moment_stats,
     }
 
 
@@ -1730,6 +1736,57 @@ def _q_payload_dedup(spark, sf):
         "doc_id", F.col("doc_id") + F.lit(40_000_000)
     )
     return multimodal.payload_dedup(docs.unionByName(copies))
+
+
+def _q_split_embedding_leakage(spark, sf):
+    return similarity.split_embedding_leakage(load_table(spark, sf, "embeddings"))
+
+
+def _q_distinct_ngram_ratio(spark, sf):
+    return text_ops.distinct_ngram_ratio(load_table(spark, sf, "documents"))
+
+
+def _q_pii_density_by_source(spark, sf):
+    # same deterministic PII injection as pii_redact (the corpus is
+    # digit-free); the oracle mirrors it
+    docs = load_table(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-867-5309")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(
+                    F.lit(" from host 10.0.0."),
+                    (F.col("doc_id") % 250).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return text_ops.pii_density_by_source(injected)
+
+
+def _q_simhash_distance_hist(spark, sf):
+    return dedup.simhash_distance_hist(load_table(spark, sf, "documents"))
+
+
+def _q_sample_skew_audit(spark, sf):
+    return pipeline.sample_skew_audit(load_table(spark, sf, "documents"))
+
+
+def _q_streaming_moment_stats(spark, sf):
+    return streaming_rollup.stream_moment_stats(spark, sf)
 
 
 def _q_stratified_sample_exact(spark, sf):
@@ -7185,6 +7242,7 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_psi_drift"] = sql["psi_drift"]
     sql["streaming_mannwhitney"] = sql["mannwhitney_u"]
     sql["streaming_welch"] = sql["welch_ttest"]
+    sql["streaming_moment_stats"] = sql["moment_stats"]
 
     # per-character entropy: ENT-style pinned round(9) per-count term,
     # exact DECIMAL(28,9) accumulation, one pinned final composition
@@ -7301,6 +7359,119 @@ def oracle_sql() -> dict[str, str]:
                CAST((count(*) - 1) * payload_bytes AS BIGINT)
                    AS reclaimable_bytes
         FROM m GROUP BY payload_bytes, checksum ORDER BY keeper_doc_id
+    """
+
+    # paraphrase-level cross-split leakage: the embedding_near_dups
+    # pair relation (nested verbatim) + the assign_split md5-bucket
+    # rule on each side, rolled up per unordered split pair
+    _SPB = "CAST('0x' || substr(md5(CAST({v} AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+    _SPLIT_CASE = (
+        "CASE WHEN " + _SPB + " < 90 THEN 'train'"
+        " WHEN " + _SPB + " < 95 THEN 'val' ELSE 'test' END"
+    )
+    sql["split_embedding_leakage"] = f"""
+        WITH pr AS ({sql["embedding_near_dups"]}),
+        lab AS (SELECT cos_sim,
+                       {_SPLIT_CASE.format(v="vec_a")} AS sp_a,
+                       {_SPLIT_CASE.format(v="vec_b")} AS sp_b
+                FROM pr)
+        SELECT least(sp_a, sp_b) AS split_a,
+               greatest(sp_a, sp_b) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(cos_sim AS DECIMAL(28,9))) AS DECIMAL(28,9))
+                   AS sum_cos_sim,
+               CAST(sum(CAST(cos_sim AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_cos_sim,
+               CAST(max(CAST(cos_sim AS DECIMAL(28,9))) AS DOUBLE)
+                   AS max_cos_sim
+        FROM lab WHERE sp_a <> sp_b
+        GROUP BY 1, 2 ORDER BY split_a, split_b
+    """
+
+    sql["distinct_ngram_ratio"] = f"""
+        WITH t AS (SELECT source, {_TOKS} AS toks FROM documents),
+        p AS (SELECT source, n, toks,
+                     unnest(range(1, len(toks) - n + 2)) AS i
+              FROM t, (VALUES (1),(2),(3)) tn(n)
+              WHERE len(toks) >= n),
+        g AS (SELECT source, CAST(n AS INT) AS n,
+                     array_to_string(toks[i : i + n - 1], ' ') AS gram
+              FROM p),
+        pg AS (SELECT source, n, gram, count(*) AS cnt
+               FROM g GROUP BY 1, 2, 3)
+        SELECT source, n,
+               CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+               CAST(count(*) AS BIGINT) AS distinct_ngrams,
+               CAST(count(*) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+                   AS distinct_ratio
+        FROM pg GROUP BY source, n ORDER BY source, n
+    """
+
+    sql["pii_density_by_source"] = f"""
+        WITH inj AS (
+            SELECT source,
+                   text ||
+                   CASE WHEN doc_id % 7 = 0
+                        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN ' from host 10.0.0.' || CAST(doc_id % 250 AS VARCHAR)
+                        ELSE '' END AS text
+            FROM documents),
+        per AS (
+            SELECT source,
+                   CAST(length(text) AS BIGINT) AS chars,
+                   CAST(len(regexp_extract_all(text, '{_PII["email"]}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_PII["ip"]}')) AS INTEGER) AS n_ips,
+                   CAST(len(regexp_extract_all(text, '{_PII["phone"]}')) AS INTEGER) AS n_phones
+            FROM inj)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_emails) AS BIGINT) AS n_emails,
+               CAST(sum(n_ips) AS BIGINT) AS n_ips,
+               CAST(sum(n_phones) AS BIGINT) AS n_phones,
+               CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+               CAST(sum(CASE WHEN n_emails + n_ips + n_phones > 0
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS doc_pii_rate,
+               round(CAST(sum(n_emails) + sum(n_ips) + sum(n_phones) AS DOUBLE)
+                     * 10000.0 / CAST(sum(chars) AS DOUBLE), 9)
+                   AS hits_per_10k_chars
+        FROM per GROUP BY source ORDER BY source
+    """
+
+    # the portable-simhash oracle generator at the histogram's wider
+    # radius, nested verbatim, reduced to the per-distance panel
+    sql["simhash_distance_hist"] = f"""
+        WITH p AS ({_simhash_portable_oracle(8)})
+        SELECT hamming,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(count(*)) OVER (ORDER BY hamming
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum_pairs
+        FROM p GROUP BY hamming ORDER BY hamming
+    """
+
+    sql["sample_skew_audit"] = f"""
+        WITH s AS (SELECT source, {_HB} % 100 AS hb FROM documents),
+        a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_pop,
+                     CAST(sum(CASE WHEN hb < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_sample
+              FROM s GROUP BY source)
+        SELECT source, n_pop, n_sample,
+               round(CAST(n_sample AS DOUBLE) / CAST(n_pop AS DOUBLE), 9)
+                   AS sample_rate,
+               round(CAST(n_pop AS DOUBLE) * (CAST(10 AS DOUBLE) / 100.0), 9)
+                   AS expected,
+               round((CAST(n_sample AS DOUBLE)
+                      - CAST(n_pop AS DOUBLE) * (CAST(10 AS DOUBLE) / 100.0))
+                     / sqrt(CAST(n_pop AS DOUBLE) * (CAST(10 AS DOUBLE) / 100.0)
+                            * (1.0 - (CAST(10 AS DOUBLE) / 100.0))), 9)
+                   AS std_residual
+        FROM a ORDER BY source
     """
 
     # incremental_dedup_near's full pipeline + within-batch transitive

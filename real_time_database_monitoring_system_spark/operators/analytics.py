@@ -320,6 +320,15 @@ def moment_stats(events: DataFrame) -> DataFrame:
     sums = events.groupBy("event_type").agg(
         *[F.expr(sql).alias(name) for name, sql in MOMENT_SUMS_SQL.items()]
     )
+    return moments_from_sums(sums)
+
+
+def moments_from_sums(sums: DataFrame) -> DataFrame:
+    """MOMENT_FINAL_SQL combine over an (event_type, n, s1..s4) power-
+    sum relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_moment_stats` (the sums are exact
+    decimals-as-doubles, so HOW they were accumulated — row explode or
+    per-distinct-value counts — cannot change a digit)."""
     return (
         sums.select(
             "event_type",

@@ -1323,3 +1323,52 @@ def seqlen_histogram(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "len_bucket")
     )
+
+
+def sample_skew_audit(documents: DataFrame, pct: int = 10) -> DataFrame:
+    """Sampling-bias audit for `hash_sample`: per source, the
+    population count, the sampled count, the realized rate, the
+    expected count, and the binomial standardized residual
+    (n_sample − n·p)/√(n·p·(1−p)) — the check that a hash-bucket
+    sample did not systematically over/under-represent a source
+    (|resid| ≳ 3 on a big source means the hash and the source are
+    correlated, e.g. near-identical templated documents hashing into
+    the same buckets). Run it before trusting any sampled eval.
+
+    Composition: the `hash_sample` predicate re-applied as a
+    conditional count inside ONE (source) keyed aggregate over a
+    single corpus scan — the sample is NOT re-materialized and the
+    audit can never disagree with the operator (same
+    `content_hash_bucket` expression). Exact integer counts; the
+    expected/residual are fixed-order double expressions of those
+    integers (/, *, sqrt — correctly-rounded ops only)."""
+    p_expr = f"CAST({pct} AS DOUBLE) / 100.0"
+    per_src = (
+        _spread(documents, "doc_id")
+        .withColumn("hash_bucket", content_hash_bucket("text"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pop"),
+            F.sum(F.when(F.col("hash_bucket") < pct, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_sample"),
+        )
+    )
+    return (
+        per_src.select(
+            "source",
+            "n_pop",
+            "n_sample",
+            F.expr(
+                "round(CAST(n_sample AS DOUBLE) / CAST(n_pop AS DOUBLE), 9)"
+            ).alias("sample_rate"),
+            F.expr(
+                f"round(CAST(n_pop AS DOUBLE) * ({p_expr}), 9)"
+            ).alias("expected"),
+            F.expr(
+                f"round((CAST(n_sample AS DOUBLE) - CAST(n_pop AS DOUBLE) * ({p_expr}))"
+                f" / sqrt(CAST(n_pop AS DOUBLE) * ({p_expr}) * (1.0 - ({p_expr}))), 9)"
+            ).alias("std_residual"),
+        )
+        .orderBy("source")
+    )

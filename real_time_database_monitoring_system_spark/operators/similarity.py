@@ -655,3 +655,78 @@ def ann_recall_audit(
         )
         .orderBy("q_id")
     )
+
+
+def split_embedding_leakage(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """SEMANTIC train/eval leakage audit: near-duplicate embedding
+    pairs whose members land in DIFFERENT hash-bucket splits, rolled
+    up per unordered split pair. `curation.split_leakage` catches
+    byte/prefix-level leaks; 13-gram decontamination catches verbatim
+    n-gram overlap — this is the third rung, paraphrase-level leakage
+    that only embedding similarity sees (the reason eval suites report
+    "decontaminated by embedding similarity" alongside n-gram rules).
+
+    Pure composition: `embedding_near_dup_pairs` (sign-LSH banded
+    candidates, exact round(9) cosine — never all-pairs) + the
+    `assign_split` md5(id)-bucket rule on each side + a ≤3×3-row
+    rollup. avg_cos_sim sums the already-round(9) cosines as exact
+    DECIMAL(28,9) (order-independent) with one final division;
+    max_cos_sim is a max over already-rounded values. A clean corpus
+    split shows zero rows at a production threshold — the audit's
+    pass state."""
+    pairs = embedding_near_dup_pairs(embeddings, threshold=threshold)
+
+    def _split(id_col: str) -> Column:
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100
+        )
+        return (
+            F.when(bucket < train_pct, "train")
+            .when(bucket < train_pct + val_pct, "val")
+            .otherwise("test")
+        )
+
+    labeled = pairs.select(
+        "vec_a",
+        "vec_b",
+        "cos_sim",
+        _split("vec_a").alias("sp_a"),
+        _split("vec_b").alias("sp_b"),
+    ).filter(F.col("sp_a") != F.col("sp_b"))
+    return (
+        labeled.select(
+            F.least("sp_a", "sp_b").alias("split_a"),
+            F.greatest("sp_a", "sp_b").alias("split_b"),
+            F.col("cos_sim").cast("decimal(28,9)").alias("c9"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("c9").cast("decimal(28,9)").alias("sum_cos_sim"),
+            F.max("c9").cast("double").alias("max_cos_sim"),
+        )
+        .select(
+            "split_a",
+            "split_b",
+            "n_pairs",
+            "sum_cos_sim",
+            (
+                F.col("sum_cos_sim").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("avg_cos_sim"),
+            "max_cos_sim",
+        )
+        .orderBy("split_a", "split_b")
+    )

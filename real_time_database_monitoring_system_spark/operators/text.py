@@ -1227,3 +1227,118 @@ def lang_mismatch_audit(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def distinct_ngram_ratio(documents: DataFrame) -> DataFrame:
+    """Corpus diversity panel: per source and n ∈ {1, 2, 3}, the
+    distinct-n ratio (distinct n-grams / total n-grams) — the standard
+    corpus-level diversity statistic (distinct-1/2 of Li et al. 2016):
+    templated or machine-generated sources collapse toward 0 while
+    diverse prose stays high, so the panel ranks sources for mix
+    re-weighting before any model sees them. Complements
+    `gopher_repetition` (per-document repetition mass) with the
+    cross-document view — a source of UNIQUE documents that all share
+    phrasing looks clean per-doc and collapses here.
+
+    Scale shape: ONE tokenize pass; 2/3-grams from chained O(tokens)
+    zip_with shifts (never slice-per-position); one (source, n, gram)
+    count with map-side partials, then a (source, n) reduction of
+    exact integers — total = Σ cnt, distinct = row count. Ratio is a
+    single double division of exact integers. Output 3×#sources rows;
+    no windows, no joins."""
+    toks = _tokens(F.col("text"))
+    base = _spread(documents, "doc_id").select("source", toks.alias("toks"))
+    big = 1 << 30
+    g2 = F.zip_with(
+        F.col("toks"),
+        F.slice(F.col("toks"), 2, big),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    g3 = F.zip_with(
+        g2, F.slice(F.col("toks"), 3, big), lambda a, b: F.concat(a, F.lit(" "), b)
+    )
+
+    def _tagged(garr, n):
+        return F.transform(
+            F.filter(garr, lambda x: x.isNotNull()),
+            lambda g: F.struct(F.lit(n).cast("int").alias("n"), g.alias("gram")),
+        )
+
+    grams = F.concat(_tagged(F.col("toks"), 1), _tagged(g2, 2), _tagged(g3, 3))
+    ex = base.select("source", grams.alias("grams")).select(
+        "source", F.explode("grams").alias("s")
+    )
+    per_gram = (
+        ex.select("source", F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .groupBy("source", "n", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        per_gram.groupBy("source", "n")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("total_ngrams"),
+            F.count("*").cast("bigint").alias("distinct_ngrams"),
+        )
+        .select(
+            "source",
+            "n",
+            "total_ngrams",
+            "distinct_ngrams",
+            (
+                F.col("distinct_ngrams").cast("double")
+                / F.col("total_ngrams").cast("double")
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def pii_density_by_source(documents: DataFrame) -> DataFrame:
+    """Per-source PII exposure report: document counts, per-category
+    hit totals (the `PII_PATTERNS` classes `pii_redact` scrubs), the
+    fraction of documents carrying ANY hit, and hits per 10k
+    characters — the triage table that decides which ingest gets the
+    expensive locale-specific PII pass and which source is dropped
+    outright (a source where half the pages carry e-mail addresses is
+    a forum dump, not prose).
+
+    Scale shape: the per-document counts ride ONE map-side projection
+    (the `pii_redact` scan without paying for the redacted text);
+    everything else is a single (source) keyed aggregate of exact
+    integers with map-side partials. Densities are single double
+    divisions of exact integers at the #sources-row edge."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(f"n_{name}s")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    per_doc = _spread(documents, "doc_id").select(
+        "source", F.length("text").cast("bigint").alias("chars"), *counts
+    )
+    hit_cols = [f"n_{name}s" for name, _, _ in PII_PATTERNS]
+    any_hit = sum(F.col(c) for c in hit_cols) > 0
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        *[F.sum(c).cast("bigint").alias(c) for c in hit_cols],
+        F.sum(F.when(any_hit, 1).otherwise(0)).cast("bigint").alias("n_docs_with_pii"),
+    )
+    total_hits = sum(F.col(c) for c in hit_cols)
+    return (
+        agg.select(
+            "source",
+            "n_docs",
+            "n_chars",
+            *hit_cols,
+            "n_docs_with_pii",
+            (
+                F.col("n_docs_with_pii").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("doc_pii_rate"),
+            F.round(
+                total_hits.cast("double") * F.lit(10000.0)
+                / F.col("n_chars").cast("double"),
+                9,
+            ).alias("hits_per_10k_chars"),
+        )
+        .orderBy("source")
+    )

@@ -1288,3 +1288,47 @@ def stream_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return welch_from_sides(sides)
+
+
+def stream_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.moment_stats`: live distribution-
+    shape monitoring (mean/variance/skew/kurtosis per type). State is
+    the (event_type, value) count relation — bounded by distinct
+    values per type, the standard exactness trade for moment tracking
+    (a production variant buckets values). The coda rebuilds the four
+    exact decimal power sums from the counts: per-distinct-value
+    powers are the IDENTICAL pinned double products the batch operator
+    computes per row (v·v, (v·v)·v, ((v·v)·v)·v, each rounded into a
+    decimal ONCE), multiplied by integer counts — operand precisions
+    chosen so p1+p2+1 ≤ 38 and Spark's decimal-multiply keeps scale 10
+    with NO precision-loss rounding. Sums therefore equal the batch
+    row-wise sums digit for digit, and `moments_from_sums` is the
+    SAME finals. availableNow == batch; oracle shared verbatim.
+    NULL values stay in state (they count toward n, as in the batch
+    count(*)) and are excluded from the power sums by SUM semantics."""
+    from ..operators.analytics import moments_from_sums
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = src.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    c10 = "CAST(cnt AS DECIMAL(10,0))"
+    sums = state.groupBy("event_type").agg(
+        F.expr("CAST(SUM(cnt) AS BIGINT)").alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))"
+            f" * {c10}) AS DOUBLE)"
+        ).alias("s1"),
+        F.expr(
+            f"CAST(SUM(CAST(value * value AS DECIMAL(27,10)) * {c10}) AS DOUBLE)"
+        ).alias("s2"),
+        F.expr(
+            "CAST(SUM(CAST((value * value) * value AS DECIMAL(27,10))"
+            f" * {c10}) AS DOUBLE)"
+        ).alias("s3"),
+        F.expr(
+            "CAST(SUM(CAST(((value * value) * value) * value AS DECIMAL(27,10))"
+            f" * {c10}) AS DOUBLE)"
+        ).alias("s4"),
+    )
+    return moments_from_sums(sums)

@@ -291,3 +291,91 @@ def test_payload_dedup_content_address(spark):
         (1, 2, 10),
         (3, 1, 0),
     ]
+
+
+def test_distinct_ngram_ratio_closed_form(spark):
+    """'a a a a' → 1-grams 4 total/1 distinct; 2-grams 3/1; 3-grams
+    2/1. 'a b c' → 3/3, 2/2, 1/1."""
+    out = text_ops.distinct_ngram_ratio(
+        _docs_src(spark, [(1, "a a a a", "rep"), (2, "a b c", "div")])
+    ).collect()
+    got = {(r.source, r.n): (r.total_ngrams, r.distinct_ngrams, r.distinct_ratio) for r in out}
+    assert got[("rep", 1)] == (4, 1, 0.25)
+    assert got[("rep", 2)] == (3, 1, 1 / 3)
+    assert got[("rep", 3)] == (2, 1, 0.5)
+    assert got[("div", 1)] == (3, 3, 1.0)
+    assert got[("div", 2)] == (2, 2, 1.0)
+    assert got[("div", 3)] == (1, 1, 1.0)
+
+
+def test_pii_density_by_source_counts(spark):
+    """Two docs in one source: one with an email + an IP, one clean →
+    totals 1/1/0, docs-with-pii 1 of 2."""
+    docs = _docs_src(
+        spark,
+        [
+            (1, "write to a@b.com from 10.0.0.1 thanks", "s"),
+            (2, "nothing sensitive here", "s"),
+        ],
+    )
+    r = text_ops.pii_density_by_source(docs).collect()[0]
+    assert (r.n_docs, r.n_emails, r.n_ips, r.n_phones) == (2, 1, 1, 0)
+    assert r.n_docs_with_pii == 1 and r.doc_pii_rate == 0.5
+
+
+def test_simhash_distance_hist_identical_docs(spark):
+    """Two identical docs → one pair at hamming 0; cum matches."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "s"),
+            (2, "alpha beta gamma delta epsilon", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dedup.simhash_distance_hist(docs).collect()
+    assert [(r.hamming, r.n_pairs, r.cum_pairs) for r in out] == [(0, 1, 1)]
+
+
+def test_sample_skew_audit_counts_match_operator(spark, sf_dir):
+    """The audit's n_sample per source must equal what hash_sample
+    actually keeps — same predicate, single scan."""
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    audit = {r.source: r for r in pipeline.sample_skew_audit(docs).collect()}
+    kept = {
+        r.source: r.n
+        for r in pipeline.hash_sample(docs).groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, r in audit.items():
+        assert r.n_sample == kept.get(src, 0)
+        assert r.n_pop >= r.n_sample
+
+
+def test_split_embedding_leakage_clean_and_leaky(spark):
+    """Two identical vectors: ids chosen so one pair crosses splits
+    (cos 1.0 reported), and a same-split control pair produces no
+    row."""
+    from real_time_database_monitoring_system_spark.operators import similarity
+
+    # md5-bucket splits: find ids in train and test deterministically
+    import hashlib
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 90 else ("val" if b < 95 else "test")
+
+    train_ids = [i for i in range(1, 200) if split_of(i) == "train"]
+    test_ids = [i for i in range(1, 200) if split_of(i) == "test"]
+    a, b, c, d = train_ids[0], test_ids[0], train_ids[1], train_ids[2]
+    vec = [1.0] + [0.0] * 63
+    other = [0.0, 1.0] + [0.0] * 62
+    emb = spark.createDataFrame(
+        [(a, 0, vec), (b, 0, vec), (c, 0, other), (d, 0, other)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = similarity.split_embedding_leakage(emb, threshold=0.9)
+    rows = out.collect()
+    assert [(r.split_a, r.split_b, r.n_pairs, r.max_cos_sim) for r in rows] == [
+        ("test", "train", 1, 1.0)
+    ]

@@ -563,3 +563,13 @@ def test_stream_welch_equals_batch(spark, sf_dir):
     batch = analytics.welch_ttest(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_welch(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_moment_stats_equals_batch(spark, sf_dir):
+    """Per-distinct-value decimal power sums reproduce the batch
+    row-wise sums digit for digit under availableNow."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    batch = analytics.moment_stats(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_moment_stats(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
