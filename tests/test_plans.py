@@ -807,3 +807,55 @@ def test_round6_wave2_stat_budgets(spark, sf_dir):
     pc = checks.explain_str(c)
     assert checks.count_exchanges(c) <= 4
     assert "CartesianProduct" not in pc and "BroadcastExchange" in pc
+
+
+def test_round7_operator_shuffle_budgets(spark, sf_dir):
+    """Freeze the round-7 operators' plan posture: bounded exchange
+    counts, no CartesianProduct anywhere, broadcasts where a small
+    side exists."""
+    from real_time_database_monitoring_system_spark.operators import (
+        dedup as dedup_ops,
+        multimodal,
+        pipeline as pipeline_ops,
+        similarity,
+        text as text_ops,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    # char explode → (doc,char) counts → doc aggregate: two keyed
+    # exchanges + the edge sort, no joins at all
+    ce = text_ops.char_entropy(docs)
+    pce = checks.explain_str(ce)
+    assert checks.count_exchanges(ce) <= 3, pce
+    assert "CartesianProduct" not in pce and "Join" not in pce
+    # diversity panel: same shape per n, one (source,n,gram) count +
+    # one (source,n) reduction + sort
+    dn = text_ops.distinct_ngram_ratio(docs)
+    pdn = checks.explain_str(dn)
+    assert checks.count_exchanges(dn) <= 4, pdn  # spread + gram count + reduction + sort
+    assert "CartesianProduct" not in pdn and "Join" not in pdn
+    # PII rollup: ONE map-side scan + one keyed aggregate + sort
+    pd = text_ops.pii_density_by_source(docs)
+    ppd = checks.explain_str(pd)
+    assert checks.count_exchanges(pd) <= 3, ppd  # spread + agg + sort
+    assert "CartesianProduct" not in ppd and "Join" not in ppd
+    # skew audit shares hash_sample's predicate inside one aggregate
+    sk = pipeline_ops.sample_skew_audit(docs)
+    psk = checks.explain_str(sk)
+    assert checks.count_exchanges(sk) <= 3, psk  # spread + agg + sort
+    assert "CartesianProduct" not in psk and "Join" not in psk
+    # content-address dedup: decode map stage + ONE hash groupBy
+    pl = multimodal.payload_dedup(docs)
+    ppl = checks.explain_str(pl)
+    assert checks.count_exchanges(pl) <= 3, ppl  # decode + groupBy + sort
+    assert "CartesianProduct" not in ppl
+    # banded relations only — never all-pairs
+    for name, df in [
+        ("cross_source_dup_matrix", dedup_ops.cross_source_dup_matrix(docs)),
+        ("simhash_distance_hist", dedup_ops.simhash_distance_hist(docs)),
+        ("split_embedding_leakage", similarity.split_embedding_leakage(emb)),
+    ]:
+        plan = checks.explain_str(df)
+        assert "CartesianProduct" not in plan, name
