@@ -1690,6 +1690,11 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_distance_hist": _q_simhash_distance_hist,
         "sample_skew_audit": _q_sample_skew_audit,
         "streaming_moment_stats": _q_streaming_moment_stats,
+        "cdc_chunk_dedup": _q_cdc_chunk_dedup,
+        "bloom_fpr_audit": _q_bloom_fpr_audit,
+        "template_prefix_groups": _q_template_prefix_groups,
+        "contamination_by_source": _q_contamination_by_source,
+        "negative_samples": _q_negative_samples,
     }
 
 
@@ -1787,6 +1792,63 @@ def _q_sample_skew_audit(spark, sf):
 
 def _q_streaming_moment_stats(spark, sf):
     return streaming_rollup.stream_moment_stats(spark, sf)
+
+
+# the CDC demo payload: every 9th doc carries this SAME segment at a
+# DIFFERENT offset (its own text precedes it); interior chunk
+# boundaries re-align inside the segment, so its interior chunks dedup
+# across docs even though no fixed-offset scheme would line them up
+_CDC_SEG = (
+    " the quick brown fox jumps over the lazy dog again and again while"
+    " the pipeline measures content defined chunk realignment across"
+    " shifted duplicate payloads planted in every ninth document of the"
+    " corpus so that interior boundaries settle identically once the"
+    " rolling window has fully entered the shared segment and the chunk"
+    " stream re-synchronizes independent of each carrier document"
+)
+
+
+def _q_cdc_chunk_dedup(spark, sf):
+    docs = load_table(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 9 == 0, F.concat("text", F.lit(_CDC_SEG))
+        ).otherwise(F.col("text")),
+    )
+    return dedup.cdc_chunk_dedup(injected)
+
+
+def _q_bloom_fpr_audit(spark, sf):
+    return sketches.bloom_fpr_audit(load_table(spark, sf, "events"))
+
+
+def _q_template_prefix_groups(spark, sf):
+    # templates planted: every 5th doc opens with the same CMS header
+    docs = load_table(spark, sf, "documents")
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("TEMPLATE HEADER v1 all rights reserved "), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    return text_ops.template_prefix_groups(injected)
+
+
+def _q_contamination_by_source(spark, sf):
+    # the decontaminate_13gram benchmark suite, rolled up per source
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    bench = docs.filter((F.col("doc_id") % 7 == 0) & (F.size(toks) >= 16)).select(
+        (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+        F.array_join(F.slice(toks, 4, 20), " ").alias("text"),
+    )
+    return curation.contamination_by_source(docs, bench, shingle_k=13)
+
+
+def _q_negative_samples(spark, sf):
+    return similarity.negative_samples(load_table(spark, sf, "embeddings"))
 
 
 def _q_stratified_sample_exact(spark, sf):
@@ -7472,6 +7534,135 @@ def oracle_sql() -> dict[str, str]:
                             * (1.0 - (CAST(10 AS DOUBLE) / 100.0))), 9)
                    AS std_residual
         FROM a ORDER BY source
+    """
+
+    # content-defined chunking: grams substring(i, 8) → 60-bit md5
+    # hash; cut at gram-end where h % 64 = 0 plus doc end; chunks
+    # between consecutive cuts; dup = not the first (doc_id, start)
+    # occurrence of the chunk md5
+    sql["cdc_chunk_dedup"] = f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   text || CASE WHEN doc_id % 9 = 0 THEN '{_CDC_SEG}'
+                                ELSE '' END AS text
+            FROM documents),
+        d AS (SELECT doc_id, source, text, length(text) AS len
+              FROM base WHERE length(text) > 0),
+        g AS (SELECT doc_id, i + 7 AS cut,
+                     CAST('0x' || substr(md5(substr(text, i, 8)), 1, 15)
+                          AS BIGINT) AS h
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, len - 6)) AS i
+                    FROM d)),
+        cuts AS (SELECT doc_id, cut FROM g WHERE h % 64 = 0
+                 UNION SELECT doc_id, len AS cut FROM d),
+        pr AS (SELECT doc_id, cut,
+                      COALESCE(lag(cut) OVER (PARTITION BY doc_id
+                                              ORDER BY cut), 0) AS prev
+               FROM cuts),
+        ch AS (SELECT pr.doc_id, d.source, prev + 1 AS start,
+                      substr(d.text, prev + 1, cut - prev) AS chunk
+               FROM pr JOIN d ON pr.doc_id = d.doc_id),
+        att AS (SELECT source, CAST(length(chunk) AS BIGINT) AS clen,
+                       row_number() OVER (PARTITION BY md5(chunk)
+                                          ORDER BY doc_id, start) AS rn
+                FROM ch)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(clen) AS BIGINT) AS chunk_chars,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_occurrences,
+               CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT)
+                   AS dup_chars,
+               CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(clen) AS DOUBLE) AS dup_ratio
+        FROM att GROUP BY source ORDER BY source
+    """
+
+    sql["bloom_fpr_audit"] = """
+        WITH u AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS u FROM events),
+        ref AS (SELECT u FROM u WHERE u % 2 = 0),
+        probe AS (SELECT u FROM u WHERE u % 2 = 1),
+        bits AS (SELECT DISTINCT
+                     CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                             || CAST(u AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 1024 AS bit
+                 FROM ref, (VALUES (0),(1),(2),(3)) t(j)),
+        pb AS (SELECT u,
+                     CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                                             || CAST(u AS VARCHAR)), 1, 8)
+                          AS BIGINT) % 1024 AS bit
+               FROM probe, (VALUES (0),(1),(2),(3)) t(j)),
+        fp AS (SELECT u FROM pb JOIN bits USING (bit)
+               GROUP BY u HAVING count(*) = 4),
+        c AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM ref) AS n_ref_users,
+                     (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probe_users,
+                     (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+                     (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_false_positives)
+        SELECT n_ref_users, n_probe_users, n_bits_set, n_false_positives,
+               round(CAST(n_false_positives AS DOUBLE)
+                     / CAST(n_probe_users AS DOUBLE), 9) AS fpr_observed,
+               round(((CAST(n_bits_set AS DOUBLE) / 1024.0)
+                      * (CAST(n_bits_set AS DOUBLE) / 1024.0))
+                     * ((CAST(n_bits_set AS DOUBLE) / 1024.0)
+                        * (CAST(n_bits_set AS DOUBLE) / 1024.0)), 9)
+                   AS fpr_expected
+        FROM c
+    """
+
+    sql["template_prefix_groups"] = r"""
+        WITH inj AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 5 = 0
+                        THEN 'TEMPLATE HEADER v1 all rights reserved ' || text
+                        ELSE text END AS text
+            FROM documents),
+        n AS (SELECT doc_id, source,
+                     substr(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                            1, 40) AS prefix,
+                     CAST(length(text) AS BIGINT) AS chars
+              FROM inj)
+        SELECT source, prefix,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(doc_id) AS example_doc_id,
+               CAST(sum(chars) AS BIGINT) AS total_chars
+        FROM n GROUP BY source, prefix
+        HAVING count(*) >= 3
+        ORDER BY source, prefix
+    """
+
+    sql["contamination_by_source"] = f"""
+        WITH h AS ({sql["decontaminate_13gram"]}),
+        per AS (SELECT d.source, h.n_hit_shingles
+                FROM documents d LEFT JOIN h ON d.doc_id = h.doc_id)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_hit_shingles IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+               CAST(sum(COALESCE(n_hit_shingles, 0)) AS BIGINT)
+                   AS n_hit_shingles,
+               CAST(sum(CASE WHEN n_hit_shingles IS NOT NULL
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS contamination_rate
+        FROM per GROUP BY source ORDER BY source
+    """
+
+    sql["negative_samples"] = """
+        WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label
+                   FROM embeddings WHERE vec_id % 97 = 0),
+        c AS (SELECT vec_id AS neg_id, label AS neg_label FROM embeddings),
+        j AS (SELECT anchor_id, anchor_label, neg_id, neg_label,
+                     md5(CAST(anchor_id AS VARCHAR) || '|'
+                         || CAST(neg_id AS VARCHAR)) AS sample_key
+              FROM c JOIN a ON neg_label <> anchor_label),
+        r AS (SELECT *,
+                     CAST(row_number() OVER (PARTITION BY anchor_id
+                              ORDER BY sample_key, neg_id) AS INTEGER)
+                         AS neg_rank
+              FROM j)
+        SELECT anchor_id, anchor_label, neg_rank, neg_id, neg_label, sample_key
+        FROM r WHERE neg_rank <= 5
+        ORDER BY anchor_id, neg_rank
     """
 
     # incremental_dedup_near's full pipeline + within-batch transitive

@@ -708,3 +708,46 @@ def data_contract_audit(events: DataFrame) -> DataFrame:
         )
         .orderBy("expectation")
     )
+
+
+def contamination_by_source(
+    train: DataFrame, bench: DataFrame, shingle_k: int = 13
+) -> DataFrame:
+    """Per-source contamination report: how much of each ingest
+    source collides with the benchmark suite at the production
+    13-gram operating point — the table that turns `decontaminate`'s
+    per-document verdicts into the ingest-level decision ("source X
+    is 4% benchmark text: quarantine the source, don't just drop the
+    hits").
+
+    Pure composition: `decontaminate` verbatim (broadcast benchmark
+    shingle sets, distinct-hit counting) left-joined back to the
+    train-side source column, reduced to one #sources-row aggregate
+    of exact integers with a single double division."""
+    hits = decontaminate(train, bench, shingle_k).select(
+        "doc_id", "n_hit_shingles"
+    )
+    per = train.select("doc_id", "source").join(hits, "doc_id", "left")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_hit_shingles").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.sum(F.coalesce("n_hit_shingles", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit_shingles"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_contaminated",
+            "n_hit_shingles",
+            (
+                F.col("n_contaminated").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )

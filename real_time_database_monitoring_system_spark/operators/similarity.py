@@ -730,3 +730,44 @@ def split_embedding_leakage(
         )
         .orderBy("split_a", "split_b")
     )
+
+
+def negative_samples(
+    embeddings: DataFrame, k: int = 5, anchor_mod: int = 97
+) -> DataFrame:
+    """Deterministic hard-negative assignment for contrastive
+    training: for each anchor vector (a sparse deterministic subset,
+    vec_id ≡ 0 mod ``anchor_mod``), the ``k`` candidates with a
+    DIFFERENT label ranked by the md5 of the (anchor, candidate) pair
+    — reproducible pseudo-random negatives with no RNG state, so a
+    re-run, a retry, or another engine assigns the identical batch
+    (the `hash_sample` determinism rule applied to pair sampling).
+
+    Scale shape: the anchor relation is tiny by construction and
+    BROADCAST against one candidate scan; ranking is a per-anchor
+    window over #anchors × corpus rows — bounded by the anchor batch
+    size, which is the knob production tunes (anchors stream through
+    in batches; the corpus is scanned once per batch, not per
+    anchor)."""
+    anchors = embeddings.select(
+        F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
+    ).filter(F.col("anchor_id") % anchor_mod == 0)
+    cands = embeddings.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    key = F.md5(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("neg_id").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy("sample_key", "neg_id")
+    return (
+        cands.join(F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label"))
+        .withColumn("sample_key", key)
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label", "sample_key")
+        .orderBy("anchor_id", "neg_rank")
+    )

@@ -315,3 +315,76 @@ def countmin_types(
         )
         .orderBy("event_type")
     )
+
+
+def bloom_fpr_audit(
+    events: DataFrame, m_bits: int = 1024, k_hashes: int = 4
+) -> DataFrame:
+    """Bloom-filter false-positive audit in the repo's verdict-column
+    sketch form (`countmin_types` convention): build a deterministic
+    Bloom filter over one membership set, probe it with a DISJOINT
+    set, and report the observed false-positive rate next to the
+    fill-factor prediction — the table that sizes m and k before a
+    runtime filter ships (`runtime_filter`'s semi-join is the
+    production consumer).
+
+    Membership set = even user_ids, probe set = odd (deterministic,
+    disjoint by construction, so every probe hit IS a false
+    positive). Bit j of user u is the md5-prefix integer of 'j:u'
+    mod m — portable, engine-identical. fpr_expected is the standard
+    fill^k approximation computed as fixed-order MULTIPLICATIONS
+    ((f·f)·(f·f) for k=4) — never pow(), the transcendental-emission
+    rule.
+
+    Scale shape: both sides reduce to DISTINCT user relations first;
+    the filter itself is ≤ m rows and BROADCAST to the probe side —
+    the feed is never joined to itself. Output: one verdict row."""
+    if k_hashes != 4:
+        raise ValueError("bloom_fpr_audit: the pinned emission is k=4")
+    users = events.select(F.col("user_id").cast("bigint").alias("u")).distinct()
+    js = F.explode(F.expr(f"sequence(0, {k_hashes - 1})")).alias("j")
+    bit = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("j").cast("string"), F.lit(":"), F.col("u").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m_bits
+    )
+    ref = users.filter(F.col("u") % 2 == 0)
+    probe = users.filter(F.col("u") % 2 == 1)
+    bits = _materialize(
+        ref.select("u", js).select(bit.alias("bit")).distinct()
+    )
+    probe_bits = probe.select("u", js).select("u", bit.alias("bit"))
+    hits = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("u")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == k_hashes)
+    )
+    counts = (
+        ref.agg(F.count("*").alias("n_ref"))
+        .crossJoin(probe.agg(F.count("*").alias("n_probe")))
+        .crossJoin(bits.agg(F.count("*").alias("n_bits_set")))
+        .crossJoin(hits.agg(F.count("*").alias("n_false_positives")))
+    )
+    return counts.select(
+        F.col("n_ref").cast("bigint").alias("n_ref_users"),
+        F.col("n_probe").cast("bigint").alias("n_probe_users"),
+        F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
+        F.col("n_false_positives").cast("bigint").alias("n_false_positives"),
+        F.expr(
+            "round(CAST(n_false_positives AS DOUBLE) / CAST(n_probe AS DOUBLE), 9)"
+        ).alias("fpr_observed"),
+        F.expr(
+            f"round(((CAST(n_bits_set AS DOUBLE) / {m_bits}.0)"
+            f" * (CAST(n_bits_set AS DOUBLE) / {m_bits}.0))"
+            f" * ((CAST(n_bits_set AS DOUBLE) / {m_bits}.0)"
+            f" * (CAST(n_bits_set AS DOUBLE) / {m_bits}.0)), 9)"
+        ).alias("fpr_expected"),
+    )

@@ -1342,3 +1342,39 @@ def pii_density_by_source(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def template_prefix_groups(
+    documents: DataFrame, prefix_chars: int = 40, min_docs: int = 3
+) -> DataFrame:
+    """Templated-page detector: groups of ≥ ``min_docs`` documents
+    within one source sharing the same first-``prefix_chars``
+    normalized characters — the common CMS/template signature
+    (identical headers, navigation dumps, generated-page openings).
+    `curation.split_leakage` uses the same prefix fingerprint to
+    catch CROSS-SPLIT pairs; this is the within-source census that
+    decides whether a source needs a template-stripping pass at all.
+    The prefix itself is emitted (not just its hash) so the report is
+    actionable by a human.
+
+    One normalize projection + one (source, prefix) count with
+    map-side partials + a HAVING filter; output rows bounded by the
+    number of real templates."""
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    return (
+        _spread(documents, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.substring(norm, 1, prefix_chars).alias("prefix"),
+            F.length("text").cast("bigint").alias("chars"),
+        )
+        .groupBy("source", "prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy("source", "prefix")
+    )

@@ -859,3 +859,40 @@ def test_round7_operator_shuffle_budgets(spark, sf_dir):
     ]:
         plan = checks.explain_str(df)
         assert "CartesianProduct" not in plan, name
+
+
+def test_round7_wave3_plan_budgets(spark, sf_dir):
+    """Wave-3 plan posture: CDC/bloom/negatives stay off cartesian
+    products; small sides broadcast."""
+    from real_time_database_monitoring_system_spark.operators import (
+        curation as curation_ops,
+        dedup as dedup_ops,
+        similarity,
+        sketches as sketch_ops,
+        text as text_ops,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    emb = load_table(spark, sf_dir, "embeddings")
+    cdc = dedup_ops.cdc_chunk_dedup(docs)
+    pc = checks.explain_str(cdc)
+    assert "CartesianProduct" not in pc
+    bl = sketch_ops.bloom_fpr_audit(ev)
+    pb = checks.explain_str(bl)
+    assert "CartesianProduct" not in pb and "BroadcastExchange" in pb
+    tp = text_ops.template_prefix_groups(docs)
+    pt = checks.explain_str(tp)
+    assert checks.count_exchanges(tp) <= 3, pt  # spread + agg + sort
+    assert "CartesianProduct" not in pt and "Join" not in pt
+    co = curation_ops.contamination_by_source(
+        docs, docs.limit(5).select("doc_id", "text")
+    )
+    pco = checks.explain_str(co)
+    assert "CartesianProduct" not in pco and "BroadcastExchange" in pco
+    ns = similarity.negative_samples(emb)
+    pns = checks.explain_str(ns)
+    # theta join on label inequality against the tiny broadcast anchor
+    # relation — a BroadcastNestedLoopJoin, never a shuffled cartesian
+    assert "CartesianProduct" not in pns and "BroadcastNestedLoopJoin" in pns

@@ -379,3 +379,113 @@ def test_split_embedding_leakage_clean_and_leaky(spark):
     assert [(r.split_a, r.split_b, r.n_pairs, r.max_cos_sim) for r in rows] == [
         ("test", "train", 1, 1.0)
     ]
+
+
+def test_cdc_chunk_realignment(spark):
+    """The CDC property: the same payload embedded after DIFFERENT
+    prefixes still produces shared interior chunks (dup_chars > 0),
+    which fixed-offset chunking could never align."""
+    payload = (
+        "content defined chunking realigns interior boundaries after "
+        "any insertion because the cut decision depends only on the "
+        "local window of characters and not on absolute offsets, so "
+        "downstream chunks re-synchronize immediately and dedup sees "
+        "the shared payload regardless of where each carrier placed it"
+    ) * 2
+    docs = spark.createDataFrame(
+        [
+            (1, "short prefix " + payload, "s"),
+            (2, "a completely different and much longer document opening " + payload, "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    r = dedup.cdc_chunk_dedup(docs).collect()[0]
+    assert r.n_dup_occurrences > 0 and r.dup_chars > 0
+    assert r.chunk_chars == sum(len(t) for t in [
+        "short prefix " + payload,
+        "a completely different and much longer document opening " + payload,
+    ])
+
+
+def test_cdc_chunks_partition_text(spark):
+    """Chunks tile each document exactly: Σ chunk length = doc length
+    and every boundary obeys the h %% divisor rule or is the doc end."""
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 30, "s")], "doc_id long, text string, source string"
+    )
+    r = dedup.cdc_chunk_dedup(docs).collect()[0]
+    assert r.chunk_chars == 300
+
+
+def test_bloom_fpr_audit_verdict_columns(spark):
+    """Disjoint build/probe sets: every probe hit is a false positive;
+    fill^4 prediction composes correctly-rounded ops only."""
+    from real_time_database_monitoring_system_spark.operators import sketches
+
+    ev = spark.createDataFrame(
+        [(i, i % 40) for i in range(200)], "event_id long, user_id long"
+    )
+    r = sketches.bloom_fpr_audit(ev).collect()[0]
+    assert r.n_ref_users == 20 and r.n_probe_users == 20
+    assert 0 < r.n_bits_set <= 80  # ≤ 4 bits per ref user
+    assert 0.0 <= r.fpr_observed <= 1.0
+    p = r.n_bits_set / 1024.0
+    assert r.fpr_expected == round((p * p) * (p * p), 9)
+
+
+def test_template_prefix_groups_threshold(spark):
+    """Three docs sharing a 40-char opening group; two do not."""
+    tpl = "identical opening line shared by the template pages "
+    docs = _docs_src(
+        spark,
+        [
+            (1, tpl + "one", "s"),
+            (2, tpl + "two", "s"),
+            (3, tpl + "three", "s"),
+            (4, "unique doc four", "s"),
+            (5, "unique doc five", "s"),
+        ],
+    )
+    out = text_ops.template_prefix_groups(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_docs, r.example_doc_id) == (3, 1)
+    assert r.prefix == tpl[:40]
+
+
+def test_contamination_by_source_rollup(spark):
+    """One source ships a benchmark excerpt verbatim, one is clean."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu"
+    docs = _docs_src(
+        spark,
+        [
+            (1, "intro words " + bench_text + " trailing words", "dirty"),
+            (2, "totally unrelated prose about nothing at all here", "dirty"),
+            (3, "another clean document with its own words only", "clean"),
+        ],
+    )
+    bench = _docs(spark, [(100, bench_text)])
+    out = {r.source: r for r in curation.contamination_by_source(docs, bench).collect()}
+    assert out["dirty"].n_contaminated == 1 and out["dirty"].n_docs == 2
+    assert out["dirty"].contamination_rate == 0.5
+    assert out["clean"].n_contaminated == 0 and out["clean"].n_hit_shingles == 0
+
+
+def test_negative_samples_contract(spark):
+    """Exactly k negatives per anchor, never the anchor's own label,
+    deterministically ordered by the pair hash."""
+    from real_time_database_monitoring_system_spark.operators import similarity
+
+    emb = spark.createDataFrame(
+        [(i, i % 3, [float(i)]) for i in range(97, 97 * 4 + 1)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    out = similarity.negative_samples(emb, k=4).collect()
+    by_anchor = {}
+    for r in out:
+        assert r.neg_label != r.anchor_label
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for a, rows in by_anchor.items():
+        assert [r.neg_rank for r in sorted(rows, key=lambda r: r.neg_rank)] == [1, 2, 3, 4]
+        keys = [r.sample_key for r in sorted(rows, key=lambda r: r.neg_rank)]
+        assert keys == sorted(keys)
