@@ -195,6 +195,32 @@ HEADLINE = [
     "line_dedup",
     "js_divergence",
     "countmin_types",
+    # round-7 additions (streaming twins equivalence-tested; the
+    # composition entries incremental_dedup_near_transitive and
+    # contamination_by_source stay out — they re-run the
+    # incremental_dedup_near / decontaminate_13gram cores already
+    # timed above)
+    "gopher_repetition",
+    "gopher_line_repetition",
+    "tokenizer_fertility",
+    "stratified_sample_exact",
+    "pack_efficiency",
+    "seqlen_histogram",
+    "vocab_coverage_curve",
+    "boilerplate_lines",
+    "char_entropy",
+    "lang_mismatch_audit",
+    "cross_source_dup_matrix",
+    "payload_dedup",
+    "split_embedding_leakage",
+    "distinct_ngram_ratio",
+    "pii_density_by_source",
+    "simhash_distance_hist",
+    "sample_skew_audit",
+    "cdc_chunk_dedup",
+    "bloom_fpr_audit",
+    "template_prefix_groups",
+    "negative_samples",
 ]
 
 
@@ -225,22 +251,34 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
-    with open(detail_path, "w") as fh:
-        json.dump(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "method": "min over 3 interleaved full passes, noop sink",
-            },
-            fh,
-            indent=1,
-        )
-        fh.write("\n")
+    repo = os.path.dirname(os.path.abspath(__file__))
+    payload = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "method": "min over 3 interleaved full passes, noop sink",
+    }
+    # BENCH_DETAIL.json is mutable (latest run); a per-round archive
+    # copy keeps cross-round per-query comparisons out of git
+    # archaeology. The round number is 1 + the highest BENCH_r*.json
+    # the driver has recorded (the driver writes r{N} AFTER the round's
+    # bench run, so at run time max-existing is N-1).
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    this_round = (max(rounds) if rounds else 0) + 1
+    for detail_path in (
+        os.path.join(repo, "BENCH_DETAIL.json"),
+        os.path.join(repo, f"BENCH_DETAIL_r{this_round:02d}.json"),
+    ):
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
     # short final line: total + slowest 15 only, so the driver's tail
     # capture always sees the headline number intact
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
