@@ -180,3 +180,16 @@ def test_driver_green_names_latest_verdict_wins(tmp_path):
     )
     (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({"recovers": g}))
     assert entry_mod._driver_green_names(str(tmp_path)) == {"stays_green", "recovers"}
+
+
+def test_bench_headline_names_are_registry_entries():
+    """Every bench.py HEADLINE name must be a live queries() entry
+    (a rename/removal would make the driver's bench run crash), and
+    the list must be duplicate-free (a duplicate double-counts one
+    query in the headline total)."""
+    import bench
+
+    qs = entry_mod._queries_canonical()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
