@@ -284,3 +284,53 @@ def test_winnow_fingerprints_subset_of_full_shingle_hashes(spark, sf_dir):
     full_counts = {r.doc_id: r.n for r in full.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
     for r in self_pairs.collect():
         assert r.n_shared <= full_counts[r.doc_a], r
+
+
+def test_cdc_chunks_tile_every_document(spark):
+    """CDC invariant for ANY text (unicode, len < window, len ==
+    window, hot repeats): chunks exactly tile each document — total
+    chunk chars equals total document chars, for every source."""
+    import random
+
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    rng = random.Random(7)
+    alphabet = "ab XY\n\tzzz.é⊕"
+    rows = []
+    for i in range(60):
+        n = rng.choice([0, 1, 7, 8, 9, 63, 64, 65, rng.randrange(0, 400)])
+        rows.append((i, "".join(rng.choice(alphabet) for _ in range(n)), f"s{i % 3}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.source: r for r in dedup.cdc_chunk_dedup(docs).collect()}
+    want = {}
+    for _, t, s in rows:
+        if t:
+            want[s] = want.get(s, 0) + len(t)
+    assert {s: r.chunk_chars for s, r in out.items()} == want
+    for r in out.values():
+        assert 0 <= r.dup_chars <= r.chunk_chars
+        assert r.n_dup_occurrences <= r.n_chunks
+
+
+def test_distinct_ngram_ratio_invariants_random(spark):
+    """For ANY token stream: distinct ≤ total, ratio ∈ (0, 1], and the
+    1-gram total equals the exact token count."""
+    import random
+
+    from real_time_database_monitoring_system_spark.operators import text as text_ops
+
+    rng = random.Random(11)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    rows, tok_count = [], {}
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(1, 30))]
+        src = f"s{i % 4}"
+        tok_count[src] = tok_count.get(src, 0) + len(toks)
+        rows.append((i, " ".join(toks), src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = text_ops.distinct_ngram_ratio(docs).collect()
+    for r in out:
+        assert 1 <= r.distinct_ngrams <= r.total_ngrams
+        assert 0.0 < r.distinct_ratio <= 1.0
+        if r.n == 1:
+            assert r.total_ngrams == tok_count[r.source]
