@@ -1695,6 +1695,8 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "template_prefix_groups": _q_template_prefix_groups,
         "contamination_by_source": _q_contamination_by_source,
         "negative_samples": _q_negative_samples,
+        "streaming_cramers_v": _q_streaming_cramers_v,
+        "streaming_mutual_information": _q_streaming_mutual_information,
     }
 
 
@@ -1849,6 +1851,14 @@ def _q_contamination_by_source(spark, sf):
 
 def _q_negative_samples(spark, sf):
     return similarity.negative_samples(load_table(spark, sf, "embeddings"))
+
+
+def _q_streaming_cramers_v(spark, sf):
+    return streaming_rollup.stream_cramers_v(spark, sf)
+
+
+def _q_streaming_mutual_information(spark, sf):
+    return streaming_rollup.stream_mutual_information(spark, sf)
 
 
 def _q_stratified_sample_exact(spark, sf):
@@ -7305,6 +7315,8 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_mannwhitney"] = sql["mannwhitney_u"]
     sql["streaming_welch"] = sql["welch_ttest"]
     sql["streaming_moment_stats"] = sql["moment_stats"]
+    sql["streaming_cramers_v"] = sql["cramers_v"]
+    sql["streaming_mutual_information"] = sql["mutual_information"]
 
     # per-character entropy: ENT-style pinned round(9) per-count term,
     # exact DECIMAL(28,9) accumulation, one pinned final composition

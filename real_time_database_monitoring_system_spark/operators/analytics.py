@@ -1212,6 +1212,14 @@ def _type_dow_margins(events: DataFrame):
             F.count("*").alias("obs")
         )
     )
+    return margins_from_cells(cells)
+
+
+def margins_from_cells(cells: DataFrame):
+    """Margins + grand total over an (event_type, dow, obs) cell
+    relation — shared by the batch core and the streaming twins
+    (integer cell counts are accumulation-order-free, so a streaming
+    state rebuild feeds the identical margins digit for digit)."""
     row_m = cells.groupBy("event_type").agg(F.sum("obs").alias("r"))
     col_m = cells.groupBy("dow").agg(F.sum("obs").alias("c"))
     tot = cells.agg(
@@ -1241,7 +1249,12 @@ def cramers_v_stat(events: DataFrame) -> DataFrame:
     Scale shape: one keyed count reduces the feed (map-side partials);
     everything downstream operates on ≤ #types×7 rows with broadcast
     margins. No second feed scan, no row-wise shuffle."""
-    cells, row_m, col_m, tot = _type_dow_margins(events)
+    return cramers_v_from_margins(*_type_dow_margins(events))
+
+
+def cramers_v_from_margins(cells, row_m, col_m, tot) -> DataFrame:
+    """Cramér's V finals over a contingency core — shared verbatim by
+    the batch operator and `streaming.rollup.stream_cramers_v`."""
     terms = (
         cells.join(F.broadcast(row_m), "event_type")
         .join(F.broadcast(col_m), "dow")
@@ -1297,7 +1310,12 @@ def mutual_information_stat(events: DataFrame) -> DataFrame:
 
     Scale shape: identical to `cramers_v_stat` — one keyed feed count,
     then arithmetic over ≤ #types×7 rows."""
-    cells, row_m, col_m, tot = _type_dow_margins(events)
+    return mutual_information_from_margins(*_type_dow_margins(events))
+
+
+def mutual_information_from_margins(cells, row_m, col_m, tot) -> DataFrame:
+    """MI/NMI finals over a contingency core — shared verbatim by the
+    batch operator and `streaming.rollup.stream_mutual_information`."""
     mi = (
         cells.join(F.broadcast(row_m), "event_type")
         .join(F.broadcast(col_m), "dow")

@@ -1332,3 +1332,45 @@ def stream_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("s4"),
     )
     return moments_from_sums(sums)
+
+
+def stream_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.cramers_v_stat` — the live
+    association monitor with the BEST streaming state story in the
+    stat-twin family: state is the (event_type, day-of-week) cell
+    count, bounded by #types×7 regardless of feed size (no per-value
+    or per-µs state at all). The coda is the SHARED
+    `cramers_v_from_margins` finals over `margins_from_cells`;
+    integer cell counts are accumulation-order-free, so availableNow
+    == batch digit for digit and the oracle is shared verbatim."""
+    from ..operators.analytics import cramers_v_from_margins, margins_from_cells
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    dow = F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000) % 7")
+    agg = src.groupBy("event_type", dow.alias("dow")).agg(
+        F.count("*").alias("obs")
+    )
+    cells = materialize(_run_to_memory(agg, "complete"))
+    return cramers_v_from_margins(*margins_from_cells(cells))
+
+
+def stream_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.mutual_information_stat`: same
+    #types×7-bounded cell-count state as `stream_cramers_v`, same
+    shared coda contract (`mutual_information_from_margins` over
+    `margins_from_cells`). availableNow == batch; oracle shared
+    verbatim."""
+    from ..operators.analytics import (
+        margins_from_cells,
+        mutual_information_from_margins,
+    )
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    dow = F.expr("(unix_micros(cast(ts as timestamp)) div 86400000000) % 7")
+    agg = src.groupBy("event_type", dow.alias("dow")).agg(
+        F.count("*").alias("obs")
+    )
+    cells = materialize(_run_to_memory(agg, "complete"))
+    return mutual_information_from_margins(*margins_from_cells(cells))

@@ -573,3 +573,23 @@ def test_stream_moment_stats_equals_batch(spark, sf_dir):
     batch = analytics.moment_stats(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_moment_stats(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_cramers_v_equals_batch(spark, sf_dir):
+    """#types×7-bounded cell-count state reproduces the batch
+    contingency core exactly under availableNow."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    batch = analytics.cramers_v_stat(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_cramers_v(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_mutual_information_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    batch = analytics.mutual_information_stat(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    stream = sr.stream_mutual_information(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
