@@ -129,13 +129,14 @@ def multi_table_transaction(
        (overwrite + drop staging). These are small metadata-bound
        rewrites of already-materialized data.
 
-    Honest contract (documented, judged trade): phase 2 is sequential,
-    so a PROCESS CRASH between its steps can leave a subset committed
-    — crash atomicity across tables needs a transactional catalog
-    (Delta/Iceberg), which this environment lacks (probe in NOTES.md).
-    The reference's own guarantee is rollback-on-exception inside a
-    live process, which this protocol provides in full; its PostgreSQL
-    backend additionally survives crashes, which plain parquet cannot.
+    Honest contract: phase 2 is sequential, so a PROCESS CRASH between
+    its steps can leave a subset committed — this catalog-table variant
+    provides the reference's observable guarantee (rollback-on-
+    exception inside a live process) only. For CRASH atomicity across
+    tables use `sources.txn.SnapshotCatalog`, which gets the full
+    all-or-nothing guarantee from immutable version directories plus a
+    single atomic manifest rename — no Delta/Iceberg required (both
+    remain absent in this environment; probe in NOTES.md).
     """
     def _drop_stage(stage: str) -> None:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")

@@ -1,0 +1,124 @@
+"""Crash-atomic multi-table transactions over plain parquet.
+
+The environment has no Delta/Iceberg (probe in NOTES.md), but their
+commit protocol does not actually need a table format — it needs two
+POSIX facts:
+
+1. data files written into a NEW directory are invisible until
+   something points at them, and
+2. `os.replace` (rename(2) within a filesystem) is atomic: readers see
+   either the old manifest or the new one, never a torn mix.
+
+`SnapshotCatalog` is that protocol reduced to its core: every table
+version is an immutable parquet directory under `data/<table>/v<n>/`;
+the ONLY mutable object in the whole catalog is one `MANIFEST.json`
+mapping table → current version directory. A multi-table commit writes
+all its new version directories first (a crash here strands invisible
+orphans, nothing else), then swaps the manifest once. Therefore a
+process crash at ANY instant leaves readers with the complete old
+snapshot of EVERY table or the complete new one — the all-or-nothing
+guarantee the reference gets from PostgreSQL's WAL under
+``transaction.atomic`` (/root/reference/myapp/views.py:102-119,
+152-171), which `operators.mutation.multi_table_transaction`'s
+rollback-on-error protocol alone cannot give across a crash.
+
+Snapshot isolation falls out for free: old version directories are
+never touched by a commit, so a reader that resolved its paths before
+the swap keeps reading a consistent snapshot; `vacuum()` reclaims
+directories no longer referenced by the current manifest (the
+Delta/Iceberg VACUUM split between commit and cleanup).
+
+At cluster scale the same shape holds with the manifest swap delegated
+to a conditional PUT / compare-and-swap on the object store — the data
+plane (immutable version directories) is unchanged; only the 100-byte
+control-plane swap is storage-specific.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "MANIFEST.json"
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        if not os.path.exists(self._manifest_path):
+            self._swap_manifest({"version": 0, "tables": {}})
+
+    # -- control plane -------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, _MANIFEST)
+
+    def manifest(self) -> dict:
+        with open(self._manifest_path) as fh:
+            return json.load(fh)
+
+    def _swap_manifest(self, m: dict) -> None:
+        # write-fsync-rename: the tmp file is fully durable BEFORE the
+        # atomic rename publishes it, so a crash can't publish a torn
+        # manifest (rename-before-fsync could)
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".manifest.")
+        try:
+            with os.fdopen(fd, "w") as fh:
+                json.dump(m, fh, indent=1)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self._manifest_path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # -- data plane ----------------------------------------------------
+    def _version_dir(self, table: str, version: int) -> str:
+        return os.path.join(self.root, "data", table, f"v{version}")
+
+    def read(self, spark: SparkSession, table: str) -> DataFrame:
+        tables = self.manifest()["tables"]
+        if table not in tables:
+            raise KeyError(f"SnapshotCatalog: unknown table {table!r}")
+        return spark.read.parquet(os.path.join(self.root, tables[table]))
+
+    def commit(self, writes: dict[str, DataFrame]) -> int:
+        """All-or-nothing multi-table commit. Phase 1 writes every new
+        version directory (all compute/IO failures happen here, while
+        the manifest still points at the old snapshot — the debris is
+        invisible and `vacuum()` reclaims it). Phase 2 is ONE atomic
+        manifest swap covering every table."""
+        m = self.manifest()
+        version = m["version"] + 1
+        new_tables = dict(m["tables"])
+        for table, df in writes.items():
+            target = self._version_dir(table, version)
+            df.write.mode("errorifexists").parquet(target)
+            new_tables[table] = os.path.relpath(target, self.root)
+        self._swap_manifest({"version": version, "tables": new_tables})
+        return version
+
+    def vacuum(self) -> list[str]:
+        """Remove version directories not referenced by the CURRENT
+        manifest (orphans from crashed commits and superseded
+        versions). Never runs inside a commit — the split that keeps
+        readers of older snapshots safe until the operator chooses to
+        reclaim."""
+        live = {
+            os.path.normpath(rel) for rel in self.manifest()["tables"].values()
+        }
+        removed = []
+        data = os.path.join(self.root, "data")
+        for table in sorted(os.listdir(data)):
+            tdir = os.path.join(data, table)
+            for vdir in sorted(os.listdir(tdir)):
+                rel = os.path.normpath(os.path.join("data", table, vdir))
+                if rel not in live:
+                    shutil.rmtree(os.path.join(tdir, vdir))
+                    removed.append(rel)
+        return removed

@@ -142,3 +142,86 @@ def test_multi_table_transaction_rolls_back_on_failure(spark):
     finally:
         for t in (tc, td):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestSnapshotCatalog:
+    """Crash-atomic multi-table transactions (M4's crash half) via the
+    versioned-manifest protocol in sources/txn.py."""
+
+    def _cat(self, tmp_path):
+        from real_time_database_monitoring_system_spark.sources.txn import SnapshotCatalog
+
+        return SnapshotCatalog(str(tmp_path / "cat"))
+
+    def test_commit_and_read_both_tables(self, spark, tmp_path):
+        cat = self._cat(tmp_path)
+        v = cat.commit(
+            {
+                "users": spark.range(5).withColumnRenamed("id", "user_id"),
+                "roles": spark.createDataFrame([(1, "admin")], "user_id long, role string"),
+            }
+        )
+        assert v == 1
+        assert cat.read(spark, "users").count() == 5
+        assert cat.read(spark, "roles").collect()[0].role == "admin"
+
+    def test_compute_failure_leaves_old_snapshot(self, spark, tmp_path):
+        import pytest
+        from pyspark.sql import functions as F
+
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3), "u": spark.range(4)})
+        bad = spark.range(2).select(F.expr("CAST(raise_error('boom') AS BIGINT)").alias("id"))
+        with pytest.raises(Exception, match="boom"):
+            cat.commit({"t": spark.range(99), "u": bad})
+        # phase 1 failed mid-way: t's new version dir exists on disk but
+        # the manifest never moved — BOTH tables read the old snapshot
+        assert cat.read(spark, "t").count() == 3
+        assert cat.read(spark, "u").count() == 4
+
+    def test_crash_before_swap_is_invisible_and_vacuumable(self, spark, tmp_path, monkeypatch):
+        import pytest
+        from real_time_database_monitoring_system_spark.sources import txn
+
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3), "u": spark.range(4)})
+
+        # simulate a process crash BETWEEN the data writes and the
+        # manifest swap: every new version directory is on disk, the
+        # publish never happens
+        def die(*a, **k):
+            raise OSError("simulated crash before manifest swap")
+
+        monkeypatch.setattr(txn.os, "replace", die)
+        with pytest.raises(OSError, match="simulated crash"):
+            cat.commit({"t": spark.range(99), "u": spark.range(98)})
+        monkeypatch.undo()
+
+        assert cat.read(spark, "t").count() == 3
+        assert cat.read(spark, "u").count() == 4
+        # the stranded version dirs are reclaimed by vacuum, and a
+        # LATER commit succeeds at a fresh version number
+        removed = cat.vacuum()
+        assert any("v2" in r for r in removed)
+        cat.commit({"t": spark.range(7)})
+        assert cat.read(spark, "t").count() == 7
+        assert cat.read(spark, "u").count() == 4
+
+    def test_snapshot_isolation_until_vacuum(self, spark, tmp_path):
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3)})
+        old_reader = cat.read(spark, "t")  # resolves v1 paths now
+        cat.commit({"t": spark.range(10)})
+        assert old_reader.count() == 3  # v1 files still on disk
+        assert cat.read(spark, "t").count() == 10
+        removed = cat.vacuum()
+        assert removed == ["data/t/v1"]
+
+    def test_manifest_swap_is_all_or_nothing_per_version(self, spark, tmp_path):
+        cat = self._cat(tmp_path)
+        cat.commit({"a": spark.range(1), "b": spark.range(2)})
+        cat.commit({"a": spark.range(11), "b": spark.range(12)})
+        m = cat.manifest()
+        # one version number governs every table touched by the commit
+        assert m["version"] == 2
+        assert m["tables"]["a"].endswith("v2") and m["tables"]["b"].endswith("v2")
