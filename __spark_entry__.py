@@ -7612,8 +7612,9 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
                      (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n_false_positives)
         SELECT n_ref_users, n_probe_users, n_bits_set, n_false_positives,
-               round(CAST(n_false_positives AS DOUBLE)
-                     / CAST(n_probe_users AS DOUBLE), 9) AS fpr_observed,
+               CASE WHEN n_probe_users > 0 THEN
+                    round(CAST(n_false_positives AS DOUBLE)
+                          / CAST(n_probe_users AS DOUBLE), 9) END AS fpr_observed,
                round(((CAST(n_bits_set AS DOUBLE) / 1024.0)
                       * (CAST(n_bits_set AS DOUBLE) / 1024.0))
                      * ((CAST(n_bits_set AS DOUBLE) / 1024.0)

@@ -379,7 +379,9 @@ def bloom_fpr_audit(
         F.col("n_bits_set").cast("bigint").alias("n_bits_set"),
         F.col("n_false_positives").cast("bigint").alias("n_false_positives"),
         F.expr(
-            "round(CAST(n_false_positives AS DOUBLE) / CAST(n_probe AS DOUBLE), 9)"
+            "CASE WHEN n_probe > 0 THEN"
+            " round(CAST(n_false_positives AS DOUBLE)"
+            " / CAST(n_probe AS DOUBLE), 9) END"
         ).alias("fpr_observed"),
         F.expr(
             f"round(((CAST(n_bits_set AS DOUBLE) / {m_bits}.0)"

@@ -334,3 +334,51 @@ def test_distinct_ngram_ratio_invariants_random(spark):
         assert 0.0 < r.distinct_ratio <= 1.0
         if r.n == 1:
             assert r.total_ngrams == tok_count[r.source]
+
+
+def test_round7_operators_tolerate_empty_inputs(spark):
+    """Same empty-partition contract for the round-7 operators."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        curation,
+        dedup,
+        multimodal,
+        pipeline,
+        similarity,
+        sketches,
+        text as text_ops,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import SCHEMAS
+
+    events = spark.createDataFrame([], SCHEMAS["events"])
+    docs = spark.createDataFrame([], SCHEMAS["documents"])
+    emb = spark.createDataFrame([], SCHEMAS["embeddings"])
+
+    empty_ok = [
+        ("char_entropy", text_ops.char_entropy(docs)),
+        ("distinct_ngram_ratio", text_ops.distinct_ngram_ratio(docs)),
+        ("pii_density_by_source", text_ops.pii_density_by_source(docs)),
+        ("template_prefix_groups", text_ops.template_prefix_groups(docs)),
+        ("lang_mismatch_audit", text_ops.lang_mismatch_audit(docs)),
+        ("gopher_repetition", text_ops.gopher_repetition(docs)),
+        ("cdc_chunk_dedup", dedup.cdc_chunk_dedup(docs)),
+        ("simhash_distance_hist", dedup.simhash_distance_hist(docs)),
+        ("cross_source_dup_matrix", dedup.cross_source_dup_matrix(docs)),
+        ("sample_skew_audit", pipeline.sample_skew_audit(docs)),
+        ("payload_dedup", multimodal.payload_dedup(docs)),
+        ("split_embedding_leakage", similarity.split_embedding_leakage(emb)),
+        ("negative_samples", similarity.negative_samples(emb)),
+        ("contamination_by_source", curation.contamination_by_source(docs, docs)),
+        ("mannwhitney_u", analytics.mannwhitney_u(events)),
+        ("welch_ttest", analytics.welch_ttest(events)),
+        ("moments", analytics.moment_stats(events)),
+        ("cramers_v", analytics.cramers_v_stat(events)),
+    ]
+    for name, df in empty_ok:
+        assert df.count() == 0, f"{name} should be empty on empty input"
+    # summary-shaped operators (global aggregates, like their SQL
+    # oracles) legitimately emit one row — with zero counts, no crash
+    mi = analytics.mutual_information_stat(events).collect()[0]
+    assert mi.n_cells == 0 and mi.mi_nats is None
+    r = sketches.bloom_fpr_audit(events).collect()[0]
+    assert (r.n_ref_users, r.n_probe_users, r.n_false_positives) == (0, 0, 0)
