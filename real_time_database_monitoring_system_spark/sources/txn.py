@@ -46,6 +46,11 @@ from pyspark.sql import DataFrame, SparkSession
 _MANIFEST = "MANIFEST.json"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A second writer attempted to commit while another commit holds
+    the catalog's lock file."""
+
+
 class SnapshotCatalog:
     def __init__(self, root: str) -> None:
         self.root = root
@@ -92,16 +97,39 @@ class SnapshotCatalog:
         version directory (all compute/IO failures happen here, while
         the manifest still points at the old snapshot — the debris is
         invisible and `vacuum()` reclaims it). Phase 2 is ONE atomic
-        manifest swap covering every table."""
-        m = self.manifest()
-        version = m["version"] + 1
-        new_tables = dict(m["tables"])
-        for table, df in writes.items():
-            target = self._version_dir(table, version)
-            df.write.mode("errorifexists").parquet(target)
-            new_tables[table] = os.path.relpath(target, self.root)
-        self._swap_manifest({"version": version, "tables": new_tables})
-        return version
+        manifest swap covering every table.
+
+        Writers serialize on an O_CREAT|O_EXCL lock file (the POSIX
+        compare-and-swap): a second concurrent writer fails fast with
+        `ConcurrentCommitError` instead of basing its version on a
+        manifest another commit is about to replace — the lost-update
+        interleaving an unguarded read-modify-swap would allow. A
+        writer that CRASHES holding the lock leaves it behind; the
+        error message names the lock so an operator (or an orchestrator
+        timeout) can remove it — exactly Delta/Iceberg's abandoned-
+        transaction story, minus their automatic expiry."""
+        lock = os.path.join(self.root, ".commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"another commit holds {lock}; if its writer crashed, "
+                "remove the lock file to recover"
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            m = self.manifest()
+            version = m["version"] + 1
+            new_tables = dict(m["tables"])
+            for table, df in writes.items():
+                target = self._version_dir(table, version)
+                df.write.mode("errorifexists").parquet(target)
+                new_tables[table] = os.path.relpath(target, self.root)
+            self._swap_manifest({"version": version, "tables": new_tables})
+            return version
+        finally:
+            os.unlink(lock)
 
     def vacuum(self) -> list[str]:
         """Remove version directories not referenced by the CURRENT

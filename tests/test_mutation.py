@@ -225,3 +225,25 @@ class TestSnapshotCatalog:
         # one version number governs every table touched by the commit
         assert m["version"] == 2
         assert m["tables"]["a"].endswith("v2") and m["tables"]["b"].endswith("v2")
+
+    def test_concurrent_writer_is_rejected_not_interleaved(self, spark, tmp_path):
+        import os
+
+        import pytest
+
+        from real_time_database_monitoring_system_spark.sources.txn import (
+            ConcurrentCommitError,
+        )
+
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3)})
+        # a writer "in flight" = the lock file exists
+        lock = os.path.join(cat.root, ".commit.lock")
+        with open(lock, "w") as fh:
+            fh.write("12345")
+        with pytest.raises(ConcurrentCommitError, match="remove the lock"):
+            cat.commit({"t": spark.range(9)})
+        assert cat.read(spark, "t").count() == 3  # nothing moved
+        os.unlink(lock)  # crashed-writer recovery
+        cat.commit({"t": spark.range(9)})
+        assert cat.read(spark, "t").count() == 9
