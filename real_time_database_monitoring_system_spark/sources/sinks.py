@@ -213,3 +213,59 @@ def append_with_timestamp(src: DataFrame, ts_col: str = "archive_timestamp") -> 
     """S9 INSERT…SELECT archive shape (views.py:947-951): source rows
     stamped with the archive time, ready for ``.write.mode('append')``."""
     return src.withColumn(ts_col, F.current_timestamp())
+
+
+def write_alert_maildir(
+    df: DataFrame,
+    path: str,
+    subject: str = "Database Monitoring Alert",
+    from_addr: str = "monitoring@localhost",
+    to_addr: str = "admin@localhost",
+    max_alerts: int = 10_000,
+) -> list[str]:
+    """Alert e-mail delivery as a MAILDIR sink: one RFC-822 `.eml`
+    file per alert row, formatted with the stdlib email machinery —
+    the reference's `send_notification_email` (views.py:371-378:
+    Django `send_mail` with a fixed subject and admin recipient) with
+    the SMTP hop replaced by files a relay (or a test) picks up. The
+    body carries every column as `name: value` lines, the shape of
+    the reference's f-string alert message (views.py:618-638).
+
+    Driver-side and capped like the XLSX export — alert relations are
+    small BY CONSTRUCTION (a threshold filter's survivors), and a cap
+    that trips is itself an alerting bug worth surfacing, so breaching
+    it raises instead of silently truncating. Filenames are
+    deterministic (row index + md5 of the payload), so re-running a
+    batch overwrites the same files instead of duplicating mail —
+    at-least-once delivery stays idempotent. Returns the paths."""
+    import hashlib
+    import os
+    from email.message import EmailMessage
+    from email.policy import SMTP
+
+    rows = df.limit(max_alerts + 1).collect()
+    if len(rows) > max_alerts:
+        raise ValueError(
+            f"write_alert_maildir: more than {max_alerts} alerts — a "
+            "threshold this loose is a paging storm, not a mail batch"
+        )
+    os.makedirs(path, exist_ok=True)
+    cols = df.columns
+    written = []
+    for i, row in enumerate(rows):
+        body = "\n".join(f"{c}: {row[c]}" for c in cols) + "\n"
+        msg = EmailMessage(policy=SMTP)
+        msg["Subject"] = subject
+        msg["From"] = from_addr
+        msg["To"] = to_addr
+        # a deterministic Message-ID (payload hash) instead of the
+        # stdlib's random one: re-delivery of the same alert batch is
+        # byte-identical, so downstream dedup by Message-ID works
+        digest = hashlib.md5(body.encode()).hexdigest()
+        msg["Message-ID"] = f"<{digest}@rtdbms-spark>"
+        msg.set_content(body)
+        fname = os.path.join(path, f"alert-{i:06d}-{digest[:12]}.eml")
+        with open(fname, "wb") as fh:
+            fh.write(msg.as_bytes())
+        written.append(fname)
+    return written

@@ -251,3 +251,36 @@ def test_events_loader_adapts_to_ts_physical_form(spark, tmp_path):
         assert df.schema["ts"].dataType.typeName() == "timestamp_ntz"
         loaded[form] = sorted(map(tuple, df.collect()))
     assert loaded["ns"] == loaded["us"]
+
+
+def test_alert_maildir_rfc822_and_idempotent(spark, tmp_path):
+    """Alert rows land as parseable RFC-822 files with deterministic
+    Message-IDs; re-delivery overwrites byte-identically."""
+    from email import message_from_bytes
+
+    from real_time_database_monitoring_system_spark.sources import sinks
+
+    alerts = spark.createDataFrame(
+        [(1, "cpu", 99.5), (2, "mem", 101.0)],
+        "event_id long, event_type string, value double",
+    )
+    out = str(tmp_path / "maildir")
+    paths = sinks.write_alert_maildir(alerts.orderBy("event_id"), out)
+    assert len(paths) == 2
+    first = open(paths[0], "rb").read()
+    msg = message_from_bytes(first)
+    assert msg["Subject"] == "Database Monitoring Alert"
+    assert "event_type: cpu" in msg.get_payload()
+    assert msg["Message-ID"].endswith("@rtdbms-spark>")
+    again = sinks.write_alert_maildir(alerts.orderBy("event_id"), out)
+    assert again == paths and open(paths[0], "rb").read() == first
+
+
+def test_alert_maildir_cap_raises(spark, tmp_path):
+    import pytest
+
+    from real_time_database_monitoring_system_spark.sources import sinks
+
+    many = spark.range(5).withColumnRenamed("id", "event_id")
+    with pytest.raises(ValueError, match="paging storm"):
+        sinks.write_alert_maildir(many, str(tmp_path / "m"), max_alerts=3)
