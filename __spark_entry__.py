@@ -7335,7 +7335,7 @@ def oracle_sql() -> dict[str, str]:
                        AS s_clnc
             FROM pc GROUP BY doc_id)
         SELECT doc_id, n_chars, n_distinct, s_clnc,
-               round(ln(CAST(n_chars AS DOUBLE))
+               round(round(ln(CAST(n_chars AS DOUBLE)), 9)
                      - CAST(s_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
                    AS entropy_nats
         FROM agg ORDER BY doc_id

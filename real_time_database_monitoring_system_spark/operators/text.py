@@ -1144,11 +1144,13 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     panels (`quality_score`, `gopher_rule_filter`), which a single-
     token pathological blob can slip past.
 
-    H = ln(n) − (Σ c·ln c)/n over per-character counts c. The per-
-    character term is the repo's one-transcendental pinned round(9)
-    double (`ENT_TERM_SQL` rules), accumulated as exact DECIMAL(28,9)
-    (order-independent), and the final composition is a single pinned
-    expression — cross-engine reproducible end to end.
+    H = ln(n) − (Σ c·ln c)/n over per-character counts c. EVERY
+    transcendental is pinned at its call site (the mannwhitney_u
+    rule): the per-character c·ln c term is round(9) before its exact
+    DECIMAL(28,9) accumulation, and ln(n_chars) is round(9) in its own
+    step BEFORE the final composition — the closing expression then
+    contains only correctly-rounded ops (−, /) over pinned values, so
+    it is bit-deterministic cross-engine, not probabilistically safe.
 
     Scale shape: one character explode ((?s). — the
     `char_trigram_langid` cost, ~chars rows) reduced immediately to
@@ -1177,7 +1179,7 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             "n_distinct",
             F.col("s_clnc").cast("decimal(28,9)").alias("s_clnc"),
             F.expr(
-                "round(ln(CAST(n_chars AS DOUBLE))"
+                "round(round(ln(CAST(n_chars AS DOUBLE)), 9)"
                 " - CAST(s_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)"
             ).alias("entropy_nats"),
         )

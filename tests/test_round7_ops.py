@@ -236,7 +236,7 @@ def test_char_entropy_closed_form(spark):
     }
     r1 = out[1]
     assert (r1.n_chars, r1.n_distinct) == (3, 2)
-    want = round(math.log(3.0) - round(2 * math.log(2.0), 9) / 3.0, 9)
+    want = round(round(math.log(3.0), 9) - round(2 * math.log(2.0), 9) / 3.0, 9)
     assert r1.entropy_nats == want
     r2 = out[2]
     assert (r2.n_chars, r2.n_distinct) == (4, 1)
