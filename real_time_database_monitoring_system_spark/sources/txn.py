@@ -150,3 +150,23 @@ class SnapshotCatalog:
                     shutil.rmtree(os.path.join(tdir, vdir))
                     removed.append(rel)
         return removed
+
+
+def merge_into(
+    cat: SnapshotCatalog,
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """MERGE (upsert) into a catalog table as ONE crash-atomic commit
+    — the Delta `MERGE INTO`/Iceberg `merge-on-read` user surface over
+    the SnapshotCatalog protocol: read the current snapshot, apply the
+    engine's last-writer-wins `operators.mutation.upsert`, commit the
+    result as a new version. A crash anywhere leaves the old snapshot;
+    readers never observe a half-merged table. Composes the existing
+    pieces — no new merge semantics to re-verify."""
+    from ..operators.mutation import upsert
+
+    current = cat.read(spark, table)
+    return cat.commit({table: upsert(current, updates, key_cols)})

@@ -1374,3 +1374,40 @@ def stream_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cells = materialize(_run_to_memory(agg, "complete"))
     return mutual_information_from_margins(*margins_from_cells(cells))
+
+
+def stream_alerts_to_maildir(
+    spark: SparkSession, sf_dir: str, maildir: str, threshold: float = 99.0
+) -> int:
+    """The production sink `stream_alerts`'s docstring promises:
+    foreachBatch → `sinks.write_alert_maildir`. Each micro-batch's
+    alert rows land as RFC-822 files (deterministic per-batch
+    subdirectory + payload-hash Message-IDs, so a replayed batch
+    after a failure overwrites its own mail instead of double-paging
+    — the idempotence that makes foreachBatch's at-least-once
+    contract safe). Returns the number of messages written."""
+    import os
+
+    from ..sources.sinks import write_alert_maildir
+
+    src = _events_stream(spark, sf_dir)
+    alerts = src.filter(F.col("value") > threshold).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    written = 0
+
+    def _deliver(batch_df, batch_id: int) -> None:
+        nonlocal written
+        batch_dir = os.path.join(maildir, f"batch-{batch_id:06d}")
+        written += len(
+            write_alert_maildir(batch_df.orderBy("event_id"), batch_dir)
+        )
+
+    (
+        alerts.writeStream.outputMode("append")
+        .foreachBatch(_deliver)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return written

@@ -247,3 +247,21 @@ class TestSnapshotCatalog:
         os.unlink(lock)  # crashed-writer recovery
         cat.commit({"t": spark.range(9)})
         assert cat.read(spark, "t").count() == 9
+
+    def test_merge_into_is_one_atomic_version(self, spark, tmp_path):
+        from real_time_database_monitoring_system_spark.sources.txn import merge_into
+
+        cat = self._cat(tmp_path)
+        cat.commit(
+            {"t": spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")}
+        )
+        v = merge_into(
+            cat,
+            spark,
+            "t",
+            spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string"),
+            ["k"],
+        )
+        assert v == 2
+        got = {r.k: r.v for r in cat.read(spark, "t").collect()}
+        assert got == {1: "a", 2: "B", 3: "c"}

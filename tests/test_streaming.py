@@ -593,3 +593,24 @@ def test_stream_mutual_information_equals_batch(spark, sf_dir):
     ).collect()
     stream = sr.stream_mutual_information(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_alerts_to_maildir_delivers_rfc822(spark, sf_dir, tmp_path):
+    """foreachBatch delivery: every alert the batch filter finds lands
+    as a parseable .eml; replaying the stream is byte-idempotent per
+    batch directory."""
+    import glob
+    from email import message_from_bytes
+
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    out = str(tmp_path / "mail")
+    n = sr.stream_alerts_to_maildir(spark, sf_dir, out, threshold=99.0)
+    batch = (
+        load_table(spark, sf_dir, "events").filter("value > 99.0").count()
+    )
+    assert n == batch and n > 0
+    files = sorted(glob.glob(out + "/batch-*/*.eml"))
+    assert len(files) == n
+    msg = message_from_bytes(open(files[0], "rb").read())
+    assert msg["Subject"] == "Database Monitoring Alert"
