@@ -77,19 +77,50 @@ class SnapshotCatalog:
                 json.dump(m, fh, indent=1)
                 fh.flush()
                 os.fsync(fh.fileno())
+            # archive BEFORE publish: once MANIFEST.vN exists its
+            # version is either the published current (swap succeeded)
+            # or an unpublished orphan (harmless — time travel only
+            # resolves versions ≤ the current manifest's)
+            shutil.copyfile(tmp, self._manifest_path_v(m["version"]))
             os.replace(tmp, self._manifest_path)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
+    def _manifest_path_v(self, version: int) -> str:
+        return os.path.join(self.root, f"MANIFEST.v{version}.json")
+
     # -- data plane ----------------------------------------------------
     def _version_dir(self, table: str, version: int) -> str:
         return os.path.join(self.root, "data", table, f"v{version}")
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
-        tables = self.manifest()["tables"]
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        """Read a table at the current snapshot, or TIME-TRAVEL to any
+        earlier committed version (every commit archives its manifest
+        as `MANIFEST.v<n>.json`) — the audit/debug/reproducibility
+        surface of a table format ("which corpus did run X train on")
+        for free, since version directories are immutable until
+        `vacuum()`. Reading a vacuumed version fails at scan time, the
+        same contract Delta's `versionAsOf` has after its VACUUM."""
+        if version is None:
+            m = self.manifest()
+        else:
+            current = self.manifest()["version"]
+            if version > current:
+                raise KeyError(
+                    f"SnapshotCatalog: version {version} not committed "
+                    f"(current is {current})"
+                )
+            with open(self._manifest_path_v(version)) as fh:
+                m = json.load(fh)
+        tables = m["tables"]
         if table not in tables:
-            raise KeyError(f"SnapshotCatalog: unknown table {table!r}")
+            raise KeyError(
+                f"SnapshotCatalog: unknown table {table!r}"
+                + (f" at version {version}" if version is not None else "")
+            )
         return spark.read.parquet(os.path.join(self.root, tables[table]))
 
     def commit(self, writes: dict[str, DataFrame]) -> int:

@@ -265,3 +265,21 @@ class TestSnapshotCatalog:
         assert v == 2
         got = {r.k: r.v for r in cat.read(spark, "t").collect()}
         assert got == {1: "a", 2: "B", 3: "c"}
+
+    def test_time_travel_reads_archived_versions(self, spark, tmp_path):
+        import pytest
+
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3)})
+        cat.commit({"t": spark.range(10), "u": spark.range(2)})
+        assert cat.read(spark, "t", version=1).count() == 3
+        assert cat.read(spark, "t", version=2).count() == 10
+        assert cat.read(spark, "t").count() == 10
+        with pytest.raises(KeyError, match="unknown table 'u' at version 1"):
+            cat.read(spark, "u", version=1)
+        with pytest.raises(KeyError, match="not committed"):
+            cat.read(spark, "t", version=9)
+        # vacuum keeps only current-version data; old manifests remain
+        # but their files are gone — the documented versionAsOf trade
+        cat.vacuum()
+        assert cat.read(spark, "t").count() == 10
