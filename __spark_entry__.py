@@ -1697,6 +1697,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_samples": _q_negative_samples,
         "streaming_cramers_v": _q_streaming_cramers_v,
         "streaming_mutual_information": _q_streaming_mutual_information,
+        "audio_frame_energy": _q_audio_frame_energy,
     }
 
 
@@ -1859,6 +1860,10 @@ def _q_streaming_cramers_v(spark, sf):
 
 def _q_streaming_mutual_information(spark, sf):
     return streaming_rollup.stream_mutual_information(spark, sf)
+
+
+def _q_audio_frame_energy(spark, sf):
+    return multimodal.audio_frame_energy(load_table(spark, sf, "documents"))
 
 
 def _q_stratified_sample_exact(spark, sf):
@@ -7658,6 +7663,25 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS contamination_rate
         FROM per GROUP BY source ORDER BY source
+    """
+
+    # audio framing: samples = ascii(byte) - 100 (ASCII corpus pins
+    # byte == char); frame f covers samples f*hop+1 .. f*hop+frame;
+    # energy is an exact integer sum of squares
+    sql["audio_frame_energy"] = """
+        WITH codes AS (
+            SELECT doc_id,
+                   list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+                                  c -> CAST(ascii(c) AS BIGINT) - 100) AS s
+            FROM documents),
+        f AS (SELECT doc_id, s,
+                     unnest(range(0, (len(s) - 32) // 16 + 1)) AS frame_no
+              FROM codes WHERE len(s) >= 32)
+        SELECT doc_id, CAST(frame_no AS INT) AS frame_no,
+               CAST(32 AS INT) AS n_samples,
+               CAST(list_sum(list_transform(s[frame_no*16 + 1 : frame_no*16 + 32],
+                                            x -> x * x)) AS BIGINT) AS energy
+        FROM f ORDER BY doc_id, frame_no
     """
 
     sql["negative_samples"] = """

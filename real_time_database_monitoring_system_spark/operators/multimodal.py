@@ -275,3 +275,61 @@ def payload_dedup(documents: DataFrame) -> DataFrame:
         )
         .orderBy("keeper_doc_id")
     )
+
+
+AUDIO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_no int, n_samples int, energy bigint"
+)
+
+
+def audio_frame_energy(
+    documents: DataFrame, frame: int = 32, hop: int = 16
+) -> DataFrame:
+    """Audio framing + per-frame energy — the audio member of the
+    multimodal family (next to image decode/resize and video
+    frame-sampling): payload bytes are treated as a PCM-8-ish sample
+    stream (sample = byte − 100, the deterministic fake decode; a
+    real deployment swaps in soundfile/ffmpeg on the same Arrow
+    batch), framed with the standard overlapping frame/hop grid, and
+    each frame emits its energy Σ sample² — the primitive under VAD,
+    silence trimming, and loudness normalization in a speech-data
+    pipeline.
+
+    The framing/energy math runs VECTORIZED in numpy on Arrow batches
+    (stride-tricked sliding windows — no per-sample Python), and the
+    emission is an exact INTEGER, so the whole 1→N surface is
+    oracle-checkable with zero float risk. A payload shorter than one
+    frame emits no rows (standard framing contract).
+
+    Scale shape: pure 1→N map stage, partition-preserving, no
+    shuffle; output rows ≈ bytes/hop. At 100 TB the energy pass is
+    scan-bound — exactly the plumbing a real featurizer needs."""
+    payloads = attach_payload(documents)
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "n_samples": [], "energy": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if len(data) < frame:
+                    continue
+                samples = data.astype(np.int64) - 100
+                n_frames = (len(samples) - frame) // hop + 1
+                idx = (
+                    np.arange(frame)[None, :]
+                    + hop * np.arange(n_frames)[:, None]
+                )
+                energies = np.sum(samples[idx] ** 2, axis=1)
+                out["doc_id"].extend([doc_id] * n_frames)
+                out["frame_no"].extend(range(n_frames))
+                out["n_samples"].extend([frame] * n_frames)
+                out["energy"].extend(energies.tolist())
+            yield pd.DataFrame(out)
+
+    return (
+        payloads.select("doc_id", "payload")
+        .mapInPandas(energy_batches, AUDIO_FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_no")
+    )

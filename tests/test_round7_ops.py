@@ -489,3 +489,21 @@ def test_negative_samples_contract(spark):
         assert [r.neg_rank for r in sorted(rows, key=lambda r: r.neg_rank)] == [1, 2, 3, 4]
         keys = [r.sample_key for r in sorted(rows, key=lambda r: r.neg_rank)]
         assert keys == sorted(keys)
+
+
+def test_audio_frame_energy_closed_form(spark):
+    """64 identical bytes 'd' (ascii 100 → sample 0) give 3 frames of
+    zero energy at frame=32/hop=16; a byte 'e' (sample 1) at position
+    0 contributes 1 to frame 0 only. Short payloads emit nothing."""
+    from real_time_database_monitoring_system_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "e" + "d" * 63, "s"), (2, "d" * 31, "s")],
+        "doc_id long, text string, source string",
+    )
+    out = multimodal.audio_frame_energy(docs).collect()
+    assert [(r.doc_id, r.frame_no, r.energy) for r in out] == [
+        (1, 0, 1),
+        (1, 1, 0),
+        (1, 2, 0),
+    ]
