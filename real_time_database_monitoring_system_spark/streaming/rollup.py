@@ -1144,7 +1144,7 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str, nbins: int = 10) -> DataF
     bin exactly as the batch CASE sends them; the decile window runs
     over the DISTINCT-VALUE relation only (the `ks_drift` ECDF
     trade)."""
-    from ..operators.anomaly import PSI_TERM_SQL, psi_bin_case_sql
+    from ..operators.anomaly import psi_from_value_counts
     from ..operators.util import materialize
 
     src = _events_stream(spark, sf_dir)
@@ -1161,49 +1161,11 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str, nbins: int = 10) -> DataF
         )
         .groupBy("value")
         .agg(
-            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("vc_ref"),
-            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("vc_cur"),
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("d_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("d_cur"),
         )
     )
-    nn = per_value.filter(F.col("value").isNotNull())
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
-    cum = nn.select("value", "vc_ref").withColumn(
-        "cum_ref", F.sum("vc_ref").over(w)
-    )
-    tot = nn.agg(F.sum("vc_ref").alias("t_nn"))
-    cuts = (
-        cum.crossJoin(F.broadcast(tot))
-        .agg(
-            *[
-                F.min(
-                    F.when(
-                        F.col("cum_ref") * nbins >= F.col("t_nn") * i,
-                        F.col("value"),
-                    )
-                ).alias(f"c{i}")
-                for i in range(1, nbins)
-            ]
-        )
-    )
-    counts = (
-        per_value.crossJoin(F.broadcast(materialize(cuts)))
-        .select(F.expr(psi_bin_case_sql(nbins)).alias("bin"), "vc_ref", "vc_cur")
-        .groupBy("bin")
-        .agg(F.sum("vc_ref").alias("c_ref"), F.sum("vc_cur").alias("c_cur"))
-    )
-    totals = counts.agg(
-        F.sum("c_ref").alias("t_ref"), F.sum("c_cur").alias("t_cur")
-    )
-    return (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            F.col("bin").cast("int").alias("bin"),
-            F.col("c_ref").cast("bigint").alias("n_ref"),
-            F.col("c_cur").cast("bigint").alias("n_cur"),
-            F.expr(PSI_TERM_SQL.format(nbins=nbins)).alias("psi_term"),
-        )
-        .orderBy("bin")
-    )
+    return psi_from_value_counts(per_value, nbins)
 
 
 def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
