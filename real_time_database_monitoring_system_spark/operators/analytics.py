@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
+from .util import disc_quantiles_from_counts as _disc_quantiles
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -469,11 +470,11 @@ def equidepth_histogram(events: DataFrame, nbins: int = 8) -> DataFrame:
     """
     if nbins < 2:
         raise ValueError("an equi-depth histogram needs at least 2 buckets")
-    qs = ", ".join(
-        f"percentile_disc({i / nbins!r}) WITHIN GROUP (ORDER BY value)"
-        for i in range(1, nbins)
-    )
-    bounds = events.agg(F.expr(f"array({qs})").alias("bnds"))
+    # exact percentile_disc replicas over per-distinct-value counts
+    # (no feed-value buffering in the aggregate; the psi_drift rule)
+    bounds = _disc_quantiles(
+        events, [], "value", [(f"b{i}", i, nbins) for i in range(1, nbins)]
+    ).select(F.array(*[f"b{i}" for i in range(1, nbins)]).alias("bnds"))
     bucket = F.expr("CAST(size(filter(bnds, b -> b <= value)) AS INT)")
     return (
         events.crossJoin(F.broadcast(bounds))
@@ -903,10 +904,11 @@ def robust_trend_panel(events: DataFrame) -> DataFrame:
     pinned-combine fragments as the raw panel (TREND_*_SQL) run over
     that tiny relation. The feed is scanned once; stage 2 touches
     #types × #hours rows."""
-    hours = events.groupBy(
-        "event_type", F.expr(TREND_X_SPARK).alias("hr")
-    ).agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
+    hours = _disc_quantiles(
+        events.select("event_type", F.expr(TREND_X_SPARK).alias("hr"), "value"),
+        ["event_type", "hr"],
+        "value",
+        [("med", 1, 2)],
     )
     sums = hours.groupBy("event_type").agg(
         *[

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
+from .util import disc_quantiles_from_counts as _disc_quantiles
 
 # 1 / Φ^{-1}(3/4): scales MAD to estimate σ under normality
 _MAD_SIGMA = 1.4826
@@ -40,19 +41,22 @@ def mad_baseline(events: DataFrame) -> DataFrame:
     baseline join), so it is materialized — otherwise the full-feed
     median subtree is recomputed per consumer (the repo-wide
     diamond-materialization rule).
+
+    Both medians come from `disc_quantiles_from_counts` — exact
+    `percentile_disc` replicas over per-distinct-value counts — so no
+    stage ever buffers a feed-scale group's values in executor memory
+    (the percentile_disc AGGREGATE does; see the helper's contract).
     """
     med = _materialize(
-        events.groupBy("event_type").agg(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med")
-        )
+        _disc_quantiles(events, ["event_type"], "value", [("med", 1, 2)])
     )
-    mad = (
-        events.join(F.broadcast(med), "event_type")
-        .select("event_type", F.abs(F.col("value") - F.col("med")).alias("adev"))
-        .groupBy("event_type")
-        .agg(
-            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)").alias("mad")
-        )
+    mad = _disc_quantiles(
+        events.join(F.broadcast(med), "event_type").select(
+            "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+        ),
+        ["event_type"],
+        "adev",
+        [("mad", 1, 2)],
     )
     return med.join(mad, "event_type")
 
@@ -116,9 +120,7 @@ def drift_cusum(events: DataFrame, threshold: float = 500.0) -> DataFrame:
     shuffle per type — the feed is scanned twice, never sorted
     globally.
     """
-    stats = events.groupBy("event_type").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias("med"),
-    )
+    stats = _disc_quantiles(events, ["event_type"], "value", [("med", 1, 2)])
     w = (
         Window.partitionBy("event_type")
         .orderBy(F.expr("unix_micros(cast(ts as timestamp))"), "event_id")
@@ -155,11 +157,13 @@ def seasonal_baseline(events: DataFrame, bucket_minutes: int = 60) -> DataFrame:
         f"(unix_micros(cast(ts as timestamp)) div 60000000) % 1440 div {bucket_minutes}"
     )
     with_bucket = events.withColumn("tod_bucket", bucket)
-    baseline = with_bucket.groupBy("event_type", "tod_bucket").agg(
-        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").alias(
-            "typical"
+    baseline = _disc_quantiles(
+        with_bucket, ["event_type", "tod_bucket"], "value", [("typical", 1, 2)]
+    ).join(
+        with_bucket.groupBy("event_type", "tod_bucket").agg(
+            F.count("*").alias("n_baseline")
         ),
-        F.count("*").alias("n_baseline"),
+        ["event_type", "tod_bucket"],
     )
     return (
         with_bucket.join(F.broadcast(baseline), ["event_type", "tod_bucket"])
@@ -197,9 +201,20 @@ def winsorized_stats(events: DataFrame, lo: float = 0.05, hi: float = 0.95) -> D
     points (#types rows → broadcast), one feed scan for the clipped
     aggregate — map-side partials, no window, no sort.
     """
-    cuts = events.groupBy("event_type").agg(
-        F.expr(f"percentile_disc({lo}) WITHIN GROUP (ORDER BY value)").alias("p_lo"),
-        F.expr(f"percentile_disc({hi}) WITHIN GROUP (ORDER BY value)").alias("p_hi"),
+    from fractions import Fraction
+
+    flo, fhi = (
+        Fraction(lo).limit_denominator(1_000_000),
+        Fraction(hi).limit_denominator(1_000_000),
+    )
+    cuts = _disc_quantiles(
+        events,
+        ["event_type"],
+        "value",
+        [
+            ("p_lo", flo.numerator, flo.denominator),
+            ("p_hi", fhi.numerator, fhi.denominator),
+        ],
     )
     clipped = F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
     return (

@@ -92,3 +92,69 @@ def with_observation(df: DataFrame, name: str, *metrics):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def disc_quantiles_from_counts(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    quantiles: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Exact `percentile_disc` per group WITHOUT buffering group
+    values: one keyed per-distinct-value count (map-side partials,
+    bounded by the value alphabet) + a per-group cumsum window over
+    THAT relation, then for each requested quantile q = num/den the
+    smallest value whose cumulative count satisfies the integer
+    cross-multiplication cum·den ≥ num·n (⟺ cume_dist ≥ q, the
+    SQL-standard `percentile_disc` definition — no doubles anywhere
+    near the cut, so Spark, DuckDB, and this replica agree
+    bit-for-bit; the `psi_drift` coda proved the rule against
+    `percentile_disc` across engines and SFs).
+
+    Why: Spark's `percentile_disc` AGGREGATE buffers every group value
+    in executor memory — feed-scale groups OOM long before 100 TB.
+    This shape's state is the distinct-value relation (the
+    `ks_drift`/`mwu` trade; production quantizes values to bound it).
+
+    NULL values are ignored (the `percentile_disc` contract); groups
+    whose values are ALL NULL emit NULL quantiles (derived from the
+    all-groups relation, matching the aggregate's behavior row for
+    row). `quantiles` entries are (alias, num, den).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    drop_key = False
+    if not keys:
+        # global quantiles: a constant group key keeps one code path
+        df = df.withColumn("_g", F.lit(1))
+        keys = ["_g"]
+        drop_key = True
+    groups = df.select(*keys).distinct()
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, col)
+        .agg(F.count("*").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*keys)
+    cum = counts.select(
+        *keys,
+        F.col(col),
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    picked = cum.groupBy(*keys).agg(
+        *[
+            F.min(
+                F.when(F.col("_cum") * den >= F.col("_n") * num, F.col(col))
+            ).alias(alias)
+            for alias, num, den in quantiles
+        ]
+    )
+    out = groups.join(picked, keys, "left")
+    return out.drop("_g") if drop_key else out

@@ -186,7 +186,10 @@ def test_round3_operator_shuffle_budgets(spark, sf_dir):
     budgets = [
         # (name, df, max exchanges, must broadcast)
         ("moment_stats", analytics.moment_stats(ev), 2, False),
-        ("drift_cusum", anomaly.drift_cusum(ev), 3, True),
+        # r7: +2 exchanges from the counts-based exact median
+        # (disc_quantiles_from_counts) — they shuffle the bounded
+        # distinct-value relation, not the feed
+        ("drift_cusum", anomaly.drift_cusum(ev), 5, True),
         ("scd2_enrich", relational.scd2_enrich(ev, cust), 3, True),
         ("active_users_rolling", analytics.active_users_rolling(ev), 6, True),
         ("type_correlation", analytics.type_correlation(ev), 4, False),
@@ -257,7 +260,7 @@ def test_late_round3_operator_shuffle_budgets(spark, sf_dir):
         # stats agg + broadcast back + sort: the feed itself never
         # hash-shuffles (no per-type window)
         ("minmax_normalize", pipeline.minmax_normalize(ev), 2, True),
-        ("winsorized_stats", anomaly.winsorized_stats(ev), 3, True),
+        ("winsorized_stats", anomaly.winsorized_stats(ev), 5, True),  # r7 counts-based cuts
         # unpivot is a Generate (map-side); two-phase distinct agg + sort
         ("column_profile", analytics.column_profile(ev), 3, False),
         # blocking equi-join + presentation sort; never a cartesian
@@ -460,7 +463,7 @@ def test_wave7_late_shuffle_budgets(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     budgets = [
         ("bigram_logprob", pipeline.bigram_logprob_score(docs), 7, True),
-        ("robust_trend", analytics.robust_trend_panel(ev), 3, False),
+        ("robust_trend", analytics.robust_trend_panel(ev), 5, False),  # r7 counts-based medians
         ("trigram_langid", text_ops.char_trigram_langid(docs), 7, False),
         ("period_over_period", monitoring.period_over_period(ev), 2, False),
         # rfm's snapshot-instant and cut-point one-row broadcasts are
