@@ -382,3 +382,48 @@ def test_round7_operators_tolerate_empty_inputs(spark):
     assert mi.n_cells == 0 and mi.mi_nats is None
     r = sketches.bloom_fpr_audit(events).collect()[0]
     assert (r.n_ref_users, r.n_probe_users, r.n_false_positives) == (0, 0, 0)
+
+
+def test_disc_quantiles_from_counts_equals_percentile_disc(spark):
+    """The counts-based replica must equal Spark's percentile_disc
+    aggregate VALUE-FOR-VALUE on adversarial data: heavy ties, group
+    sizes that put q·n exactly on integers, NULL values, an all-NULL
+    group, and non-dyadic q (1/10, 9/10) next to dyadic (1/4, 1/2)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from real_time_database_monitoring_system_spark.operators.util import (
+        disc_quantiles_from_counts,
+    )
+
+    rng = random.Random(23)
+    rows = []
+    # group sizes hit multiples of 2, 4, 10, 20 so every q·n integer
+    # boundary case occurs
+    for g, size in [("a", 20), ("b", 40), ("c", 37), ("d", 100), ("e", 3)]:
+        for _ in range(size):
+            v = rng.choice([1.0, 1.0, 2.5, 2.5, 2.5, 7.25, 9.0, None])
+            rows.append((g, v))
+    rows += [("allnull", None)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = [("q10", 1, 10), ("q25", 1, 4), ("q50", 1, 2), ("q90", 9, 10)]
+    got = {
+        r.g: (r.q10, r.q25, r.q50, r.q90)
+        for r in disc_quantiles_from_counts(df, ["g"], "v", qs).collect()
+    }
+    want = {
+        r.g: (r.q10, r.q25, r.q50, r.q90)
+        for r in df.groupBy("g")
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc({num / den!r}) WITHIN GROUP (ORDER BY v)"
+                ).alias(alias)
+                for alias, num, den in qs
+            ]
+        )
+        .collect()
+    }
+    assert got == want
+    assert got["allnull"] == (None, None, None, None)
