@@ -123,7 +123,9 @@ class SnapshotCatalog:
             )
         return spark.read.parquet(os.path.join(self.root, tables[table]))
 
-    def commit(self, writes: dict[str, DataFrame]) -> int:
+    def commit(
+        self, writes: dict[str, DataFrame], expected_version: int | None = None
+    ) -> int:
         """All-or-nothing multi-table commit. Phase 1 writes every new
         version directory (all compute/IO failures happen here, while
         the manifest still points at the old snapshot — the debris is
@@ -151,6 +153,17 @@ class SnapshotCatalog:
             os.write(fd, str(os.getpid()).encode())
             os.close(fd)
             m = self.manifest()
+            # optimistic CAS for read-modify-write callers (merge_into):
+            # the lock serializes the SWAP, but a transformation computed
+            # from an older snapshot must not overwrite a commit it never
+            # saw — the caller states which version its writes derive
+            # from, and a mismatch fails instead of losing that update
+            if expected_version is not None and m["version"] != expected_version:
+                raise ConcurrentCommitError(
+                    f"snapshot moved: writes derive from version "
+                    f"{expected_version} but the catalog is at "
+                    f"{m['version']}; re-read and retry"
+                )
             version = m["version"] + 1
             new_tables = dict(m["tables"])
             for table, df in writes.items():
@@ -196,8 +209,16 @@ def merge_into(
     engine's last-writer-wins `operators.mutation.upsert`, commit the
     result as a new version. A crash anywhere leaves the old snapshot;
     readers never observe a half-merged table. Composes the existing
-    pieces — no new merge semantics to re-verify."""
+    pieces — no new merge semantics to re-verify. The read-modify-write
+    is guarded by optimistic CAS: the commit carries the version the
+    merge READ, so a commit that lands in between fails this merge
+    with `ConcurrentCommitError` (re-read and retry) instead of being
+    silently overwritten by a result that never saw it."""
     from ..operators.mutation import upsert
 
+    base_version = cat.manifest()["version"]
     current = cat.read(spark, table)
-    return cat.commit({table: upsert(current, updates, key_cols)})
+    return cat.commit(
+        {table: upsert(current, updates, key_cols)},
+        expected_version=base_version,
+    )

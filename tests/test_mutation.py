@@ -283,3 +283,24 @@ class TestSnapshotCatalog:
         # but their files are gone — the documented versionAsOf trade
         cat.vacuum()
         assert cat.read(spark, "t").count() == 10
+
+    def test_merge_cas_rejects_stale_read(self, spark, tmp_path):
+        """A commit carrying expected_version fails if another commit
+        landed after the read it derives from — the lost-update guard
+        for read-modify-write (merge) callers."""
+        import pytest
+
+        from real_time_database_monitoring_system_spark.sources.txn import (
+            ConcurrentCommitError,
+        )
+
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3)})
+        stale = cat.manifest()["version"]
+        cat.commit({"t": spark.range(5)})  # interleaving writer
+        with pytest.raises(ConcurrentCommitError, match="re-read and retry"):
+            cat.commit({"t": spark.range(9)}, expected_version=stale)
+        assert cat.read(spark, "t").count() == 5  # interloper's commit intact
+        # matching expectation commits fine
+        cat.commit({"t": spark.range(9)}, expected_version=cat.manifest()["version"])
+        assert cat.read(spark, "t").count() == 9
