@@ -7302,13 +7302,13 @@ def oracle_sql() -> dict[str, str]:
                    tie_cube
             FROM agg WHERE n_ref >= 1 AND n_cur >= 1)
         SELECT event_type, n_ref, n_cur,
-               CAST(CAST(u2 AS DECIMAL(28,1)) / 2 AS DECIMAL(28,1)) AS u_stat,
-               CAST(tie_cube AS DECIMAL(38,0)) AS tie_cube,
+               CAST(u2 AS DOUBLE) / 2 AS u_stat,
+               CAST(tie_cube AS BIGINT) AS tie_cube,
                CAST(u2 - CAST(n_ref AS HUGEINT)
-                    * CAST(n_cur AS HUGEINT) AS DECIMAL(38,0)) AS z_num,
+                    * CAST(n_cur AS HUGEINT) AS BIGINT) AS z_num,
                CAST(CAST(nt AS HUGEINT) * CAST(nt AS HUGEINT)
                     * CAST(nt AS HUGEINT) - CAST(nt AS HUGEINT)
-                    - tie_cube AS DECIMAL(38,0)) AS tie_term
+                    - tie_cube AS BIGINT) AS tie_term
         FROM fin ORDER BY event_type
     """
 
@@ -7339,7 +7339,8 @@ def oracle_sql() -> dict[str, str]:
                                        9) AS DECIMAL(28,9))) AS DECIMAL(28,9))
                        AS s_clnc
             FROM pc GROUP BY doc_id)
-        SELECT doc_id, n_chars, n_distinct, s_clnc,
+        SELECT doc_id, n_chars, n_distinct,
+               CAST(s_clnc AS DOUBLE) AS s_clnc,
                round(round(ln(CAST(n_chars AS DOUBLE)), 9)
                      - CAST(s_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)
                    AS entropy_nats
@@ -7414,7 +7415,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN mir sb ON pr.doc_b = sb.doc_id)
         SELECT source_a, source_b,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(j9) AS DECIMAL(28,9)) AS sum_jaccard,
+               CAST(sum(j9) AS DOUBLE) AS sum_jaccard,
                CAST(sum(j9) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_jaccard
         FROM lab GROUP BY 1, 2 ORDER BY source_a, source_b
     """
@@ -7457,7 +7458,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT least(sp_a, sp_b) AS split_a,
                greatest(sp_a, sp_b) AS split_b,
                CAST(count(*) AS BIGINT) AS n_pairs,
-               CAST(sum(CAST(cos_sim AS DECIMAL(28,9))) AS DECIMAL(28,9))
+               CAST(sum(CAST(cos_sim AS DECIMAL(28,9))) AS DOUBLE)
                    AS sum_cos_sim,
                CAST(sum(CAST(cos_sim AS DECIMAL(28,9))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS avg_cos_sim,

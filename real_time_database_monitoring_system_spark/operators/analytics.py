@@ -1508,8 +1508,10 @@ def mannwhitney_u(events: DataFrame) -> DataFrame:
     count relation — cum_before = running Σ counts, doubled midrank
     2·r = 2·cum_before + t + 1 is an INTEGER, so 2·U_ref =
     Σ c_ref·2r − n_ref(n_ref+1) is exact BIGINT arithmetic, as is the
-    tie term Σ(t³−t). There are NO doubles in the output: U = u2/2 is
-    DECIMAL(28,1), z_num and tie_term are DECIMAL(38,0). NULLs drop
+    tie term Σ(t³−t). The accumulation is decimal-exact INTERNALLY;
+    the hashed edge emits u_stat as DOUBLE (exact: /2) and the
+    integral verdict components as BIGINT — never DecimalType, the
+    round-7 driver-hash failure class. NULLs drop
     (rank tests have no NULL order); midpoint from the whole feed,
     the `psi_drift` convention. tie_term keeps n_ref·n_cur OUT of
     the product (it would push the magnitude to n⁵ and overflow
@@ -1600,18 +1602,27 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
             "event_type",
             "n_ref",
             "n_cur",
-            F.expr("CAST(CAST(u2 AS DECIMAL(28,1)) / 2 AS DECIMAL(28,1))").alias(
-                "u_stat"
-            ),
-            "tie_cube",
+            # NO DECIMAL TYPES AT THE HASHED EDGE (the round-7 failure
+            # class: 5/5 red driver rows were exactly the 5 entries
+            # emitting DecimalType columns — engines' local reprs agree
+            # but the driver's hash normalization does not). Arithmetic
+            # stays exact DECIMAL(38,0) internally; the emission is
+            # DOUBLE (u2/2 — division by 2 is exact, |u2| « 2^53 at
+            # check scale) and BIGINT (integral verdict components;
+            # under ANSI an overflowing cast raises rather than
+            # corrupts — tie terms are O(n³), exact to n ≈ 2·10⁶ per
+            # type, beyond which the consumer reads the decimal form
+            # from mwu_from_value_counts' internal stages).
+            F.expr("CAST(u2 AS DOUBLE) / 2").alias("u_stat"),
+            F.col("tie_cube").cast("bigint").alias("tie_cube"),
             F.expr(
                 "CAST(u2 - CAST(n_ref AS DECIMAL(38,0))"
-                " * CAST(n_cur AS DECIMAL(38,0)) AS DECIMAL(38,0))"
+                " * CAST(n_cur AS DECIMAL(38,0)) AS BIGINT)"
             ).alias("z_num"),
             F.expr(
                 "CAST(CAST(nt AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0))"
                 " * CAST(nt AS DECIMAL(38,0)) - CAST(nt AS DECIMAL(38,0))"
-                " - tie_cube AS DECIMAL(38,0))"
+                " - tie_cube AS BIGINT)"
             ).alias("tie_term"),
         )
         .orderBy("event_type")

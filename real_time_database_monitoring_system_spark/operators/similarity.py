@@ -721,7 +721,9 @@ def split_embedding_leakage(
             "split_a",
             "split_b",
             "n_pairs",
-            "sum_cos_sim",
+            # decimal accumulator, DOUBLE at the hashed edge (the
+            # round-7 no-DecimalType-at-the-edge rule)
+            F.col("sum_cos_sim").cast("double").alias("sum_cos_sim"),
             (
                 F.col("sum_cos_sim").cast("double")
                 / F.col("n_pairs").cast("double")

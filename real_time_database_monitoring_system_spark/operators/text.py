@@ -1177,7 +1177,10 @@ def char_entropy(documents: DataFrame) -> DataFrame:
             "doc_id",
             "n_chars",
             "n_distinct",
-            F.col("s_clnc").cast("decimal(28,9)").alias("s_clnc"),
+            # decimal accumulator, DOUBLE at the hashed edge (the
+            # welch/psi pattern — DecimalType at the edge was the
+            # round-7 driver-hash failure class)
+            F.col("s_clnc").cast("double").alias("s_clnc"),
             F.expr(
                 "round(round(ln(CAST(n_chars AS DOUBLE)), 9)"
                 " - CAST(s_clnc AS DOUBLE) / CAST(n_chars AS DOUBLE), 9)"
