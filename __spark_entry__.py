@@ -1698,7 +1698,53 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_cramers_v": _q_streaming_cramers_v,
         "streaming_mutual_information": _q_streaming_mutual_information,
         "audio_frame_energy": _q_audio_frame_energy,
+        # -- round-8 additions (never-green → auto window prefix):
+        #    the VERDICT r7 priority list — windowed/watermarked
+        #    streaming PSI, interpolated counts-based percentiles,
+        #    perplexity outliers, quality×dup calibration, winnowing
+        #    longest-run — plus the norm-audit and mix-rebalance
+        #    pipeline ops. --
+        "value_percentiles_interp": _q_value_percentiles_interp,
+        "windowed_psi": _q_windowed_psi,
+        "streaming_windowed_psi": _q_streaming_windowed_psi,
+        "doc_perplexity_outliers": _q_doc_perplexity_outliers,
+        "quality_calibration_curve": _q_quality_calibration_curve,
+        "winnow_longest_run": _q_winnow_longest_run,
+        "embedding_norm_audit": _q_embedding_norm_audit,
+        "mix_rebalance_plan": _q_mix_rebalance_plan,
     }
+
+
+def _q_value_percentiles_interp(spark, sf):
+    return monitoring.value_percentiles_interp(load_table(spark, sf, "events"))
+
+
+def _q_windowed_psi(spark, sf):
+    return anomaly.windowed_psi(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_psi(spark, sf):
+    return streaming_rollup.stream_windowed_psi(spark, sf)
+
+
+def _q_doc_perplexity_outliers(spark, sf):
+    return pipeline.doc_perplexity_outliers(load_table(spark, sf, "documents"))
+
+
+def _q_quality_calibration_curve(spark, sf):
+    return curation.quality_calibration_curve(load_table(spark, sf, "documents"))
+
+
+def _q_winnow_longest_run(spark, sf):
+    return dedup.winnow_longest_run(load_table(spark, sf, "documents"))
+
+
+def _q_embedding_norm_audit(spark, sf):
+    return similarity.embedding_norm_audit(load_table(spark, sf, "embeddings"))
+
+
+def _q_mix_rebalance_plan(spark, sf):
+    return pipeline.mix_rebalance_plan(load_table(spark, sf, "documents"))
 
 
 def _q_streaming_psi_drift(spark, sf):
@@ -8025,6 +8071,271 @@ def oracle_sql() -> dict[str, str]:
                    AS bytes_per_token
         FROM ds JOIN pieces ON ds.source = pieces.source
         ORDER BY ds.source
+    """
+
+    # ---- round-8 additions ----
+
+    # interpolated continuous quantiles from counts: the oracle
+    # mirrors util.cont_quantiles_from_counts' integer rank split and
+    # fixed-shape interpolation expression VERBATIM (never
+    # quantile_cont, whose internal h−floor(h) fraction can differ
+    # from the exact rational rem/den in the last ULP); fragments are
+    # generated from one quantile list so the two engines cannot drift
+    def _contq_fragments(quantiles):
+        sel, fin = [], []
+        for alias, num, den in quantiles:
+            sel.append(
+                f"min(CASE WHEN _cum > ((_n - 1) * {num}) // {den}"
+                f" THEN value END) AS _lo_{alias}"
+            )
+            sel.append(
+                f"min(CASE WHEN _cum > ((_n - 1) * {num}) // {den} + 1"
+                f" THEN value END) AS _hi_{alias}"
+            )
+            sel.append(f"min(((_n - 1) * {num}) % {den}) AS _rem_{alias}")
+            fin.append(
+                f"CAST(_lo_{alias} AS DOUBLE) + (CAST(_rem_{alias} AS DOUBLE)"
+                f" * (CAST(coalesce(_hi_{alias}, _lo_{alias}) AS DOUBLE)"
+                f" - CAST(_lo_{alias} AS DOUBLE))) / CAST({den} AS DOUBLE)"
+                f" AS {alias}"
+            )
+        return ",\n                   ".join(sel), ",\n               ".join(fin)
+
+    _vq_sel, _vq_fin = _contq_fragments(
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+    )
+    sql["value_percentiles_interp"] = f"""
+        WITH c AS (
+            SELECT event_type, value, count(*) AS _c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, value,
+                   SUM(_c) OVER (PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+                   SUM(_c) OVER (PARTITION BY event_type) AS _n
+            FROM c),
+        p AS (
+            SELECT event_type,
+                   {_vq_sel}
+            FROM cum GROUP BY 1),
+        g AS (SELECT DISTINCT event_type FROM events)
+        SELECT g.event_type,
+               {_vq_fin}
+        FROM g LEFT JOIN p USING (event_type)
+        ORDER BY event_type
+    """
+
+    # day-over-day sliding-reference PSI: fixed integer-cent bins
+    # (psi_fixed_bin_sql shared verbatim), dense bin spine per scored
+    # day, Laplace-smoothed terms (PSI_TERM_SQL shared verbatim)
+    _wpsi_bin = anomaly.psi_fixed_bin_sql(10, 5000).replace(" div ", " // ")
+    _WPSI_CORE = f"""
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     {_wpsi_bin} AS bin, count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        days AS (SELECT DISTINCT event_type, day FROM c),
+        scored AS (SELECT cur.event_type, cur.day
+                   FROM days cur JOIN days ref
+                     ON cur.event_type = ref.event_type
+                    AND cur.day = ref.day + 1{{day_filter}}),
+        spine AS (SELECT event_type, day, unnest(range(0, 10)) AS bin
+                  FROM scored),
+        grid AS (SELECT s.event_type, s.day, s.bin,
+                        coalesce(cu.c, 0) AS c_cur, coalesce(rf.c, 0) AS c_ref
+                 FROM spine s
+                 LEFT JOIN c cu ON s.event_type = cu.event_type
+                               AND s.day = cu.day AND s.bin = cu.bin
+                 LEFT JOIN c rf ON s.event_type = rf.event_type
+                               AND s.day = rf.day + 1 AND s.bin = rf.bin),
+        t AS (SELECT event_type, day, c_ref, c_cur,
+                     SUM(c_ref) OVER (PARTITION BY event_type, day) AS t_ref,
+                     SUM(c_cur) OVER (PARTITION BY event_type, day) AS t_cur
+              FROM grid),
+        terms AS (SELECT event_type, day, c_ref, c_cur,
+                         {anomaly.PSI_TERM_SQL.format(nbins=10)} AS psi_term
+                  FROM t),
+        agg AS (SELECT event_type, day,
+                       CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                       CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                       CAST(SUM(CAST(psi_term AS DECIMAL(28,9)))
+                            AS DECIMAL(28,9)) AS psi_d
+                FROM terms GROUP BY 1, 2)
+        SELECT event_type, CAST(day AS BIGINT) AS day, n_ref, n_cur,
+               CAST(psi_d AS DOUBLE) AS psi,
+               CASE WHEN psi_d > 0.25 THEN 'drifted'
+                    WHEN psi_d > 0.10 THEN 'shifting'
+                    ELSE 'stable' END AS drift_class
+        FROM agg ORDER BY event_type, day
+    """
+    sql["windowed_psi"] = "WITH " + _WPSI_CORE.format(day_filter="")
+    # streaming twin: APPEND mode emits exactly the windows whose end
+    # ≤ final watermark = max event time − lateness (probed at exact
+    # equality: the boundary window EMITS, so the rule is ≤, in the
+    # engine's millisecond watermark arithmetic). The day-scoring rule
+    # is monotone in day, so filtering the scored day is sufficient
+    # (its reference day is always older, hence also finalized).
+    sql["streaming_windowed_psi"] = "WITH " + _WPSI_CORE.format(
+        day_filter=(
+            "\n                    AND (cur.day + 1) * 86400000 <="
+            " (SELECT (max(epoch_us(ts)) // 1000) - 3600000"
+            " FROM events WHERE value IS NOT NULL)"
+        )
+    )
+
+    # perplexity-outlier panel: the unigram scorer CTE verbatim + the
+    # mad_outliers percentile_disc baseline + the shared flag text
+    sql["doc_perplexity_outliers"] = f"""
+        WITH s AS ({sql["unigram_logprob"]}),
+        med AS (SELECT source,
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_logprob)
+                           AS med_logprob
+                FROM s GROUP BY 1),
+        mad AS (SELECT s.source,
+                       percentile_disc(0.5) WITHIN GROUP
+                           (ORDER BY abs(s.avg_logprob - m.med_logprob))
+                           AS mad_logprob
+                FROM s JOIN med m USING (source) GROUP BY 1)
+        SELECT s.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               min(m.med_logprob) AS med_logprob,
+               min(d.mad_logprob) AS mad_logprob,
+               CAST(sum(CASE WHEN m.med_logprob - s.avg_logprob
+                                  > (3.0 * 1.4826) * d.mad_logprob
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN m.med_logprob - s.avg_logprob
+                                  > (3.0 * 1.4826) * d.mad_logprob
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS outlier_rate
+        FROM s
+        JOIN med m USING (source)
+        JOIN mad d USING (source)
+        GROUP BY s.source ORDER BY s.source
+    """
+
+    # quality × duplication calibration: quality CTE verbatim,
+    # percentile_disc decile cuts, the generated decile_assign_sql
+    # comparison text shared with the Spark operator, exact_dedup's
+    # digest for the dup flag
+    _qcal_cuts = ",\n                       ".join(
+        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY quality) AS c{i}"
+        for i in range(1, 10)
+    )
+    sql["quality_calibration_curve"] = f"""
+        WITH q0 AS ({sql["quality_score"]}),
+        q AS (SELECT doc_id, quality FROM q0),
+        cuts AS (SELECT {_qcal_cuts}
+                 FROM q),
+        a AS (SELECT doc_id,
+                     CAST({curation.decile_assign_sql(10)} AS INTEGER) AS decile
+              FROM q, cuts),
+        fps AS (SELECT doc_id,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                           AS fp
+                FROM documents),
+        sz AS (SELECT fp, count(*) AS n FROM fps GROUP BY 1),
+        fl AS (SELECT doc_id, n > 1 AS is_dup FROM fps JOIN sz USING (fp))
+        SELECT decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+               CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM a JOIN fl USING (doc_id)
+        GROUP BY decile ORDER BY decile
+    """
+
+    # longest shared fingerprint run: winnow_overlap_pairs' fingerprint
+    # CTEs + collapse-consecutive-minima, ordinal renumber, and the
+    # diagonal gaps-and-islands (pos_a − row_number per diagonal)
+    sql["winnow_longest_run"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      for i in range(1, len(toks) - 1)] AS grams
+              FROM t WHERE len(toks) >= 3),
+        h AS (SELECT doc_id,
+                     list_transform(grams,
+                         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+              FROM g),
+        wn AS (SELECT doc_id,
+                      CASE WHEN len(hs) >= 4
+                           THEN [list_min(hs[j:j+3])
+                                 for j in range(1, len(hs) - 2)]
+                           ELSE [list_min(hs)] END AS wins
+               FROM h),
+        pw AS (SELECT doc_id, unnest(wins) AS fp,
+                      unnest(range(1, len(wins) + 1)) AS rawpos
+               FROM wn),
+        col AS (SELECT doc_id, rawpos, fp,
+                       lag(fp) OVER (PARTITION BY doc_id ORDER BY rawpos)
+                           AS prev_fp
+                FROM pw),
+        kept0 AS (SELECT doc_id, fp,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY rawpos)
+                             AS pos
+                  FROM col WHERE prev_fp IS NULL OR prev_fp <> fp),
+        dfreq AS (SELECT fp, count(DISTINCT doc_id) AS df
+                  FROM kept0 GROUP BY fp),
+        kept AS (SELECT k.doc_id, k.fp, k.pos
+                 FROM kept0 k JOIN dfreq USING (fp) WHERE df <= 50),
+        m AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.pos AS pos_a, b.pos AS pos_b
+              FROM kept a JOIN kept b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        r AS (SELECT doc_a, doc_b,
+                     pos_a - pos_b AS diag,
+                     pos_a - row_number() OVER (
+                         PARTITION BY doc_a, doc_b, pos_a - pos_b
+                         ORDER BY pos_a) AS island
+              FROM m),
+        runs AS (SELECT doc_a, doc_b, diag, island, count(*) AS run_len
+                 FROM r GROUP BY 1, 2, 3, 4)
+        SELECT doc_a, doc_b,
+               CAST(sum(run_len) AS BIGINT) AS n_matches,
+               CAST(max(run_len) AS BIGINT) AS longest_run,
+               CAST(max(run_len) - 1 + 6 AS BIGINT) AS est_run_tokens
+        FROM runs GROUP BY 1, 2 HAVING max(run_len) >= 2
+        ORDER BY doc_a, doc_b
+    """
+
+    # norm audit: sqrt(list_dot_product(v, v)) == Spark's sequential
+    # fold norm (the knn_bruteforce-proven identity)
+    sql["embedding_norm_audit"] = """
+        WITH p AS (
+            SELECT label, len(embedding) AS dim,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[]))) AS nrm
+            FROM embeddings)
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+               CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero,
+               min(nrm) AS min_norm,
+               max(nrm) AS max_norm,
+               CAST(sum(CAST(round(nrm, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_norm
+        FROM p GROUP BY label ORDER BY label
+    """
+
+    # mix rebalance: all-integer budget arithmetic (min over
+    # n_tok·10⁶ div ppm), two final double divisions
+    sql["mix_rebalance_plan"] = f"""
+        WITH t AS (SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tok
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM t),
+        p AS (SELECT source, n_tok,
+                     CAST((SELECT 1000000 // count(*) FROM t) AS BIGINT) AS ppm
+              FROM t),
+        b AS (SELECT CAST(min(n_tok * 1000000 // ppm) AS BIGINT) AS budget
+              FROM p WHERE ppm > 0)
+        SELECT source, n_tok, ppm,
+               budget AS budget_tokens,
+               CAST(budget * ppm // 1000000 AS BIGINT) AS keep_tokens,
+               CAST(n_tok AS DOUBLE) / CAST(total_tok AS DOUBLE)
+                   AS current_share,
+               CAST(budget * ppm // 1000000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
+                   AS sampling_rate
+        FROM p, b, tot ORDER BY source
     """
 
     return sql

@@ -221,6 +221,15 @@ HEADLINE = [
     "bloom_fpr_audit",
     "template_prefix_groups",
     "negative_samples",
+    # round-8 additions (streaming_windowed_psi equivalence-tested
+    # against windowed_psi, stays out per the streaming rule)
+    "value_percentiles_interp",
+    "windowed_psi",
+    "doc_perplexity_outliers",
+    "quality_calibration_curve",
+    "winnow_longest_run",
+    "embedding_norm_audit",
+    "mix_rebalance_plan",
 ]
 
 

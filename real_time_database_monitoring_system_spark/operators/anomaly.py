@@ -928,3 +928,124 @@ def psi_from_value_counts(per_value: DataFrame, nbins: int = 10) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# fixed-width integer binning for the WINDOWED psi family: the
+# sliding-reference variant runs where a stream cannot pre-compute
+# reference deciles (psi_drift's bins need the whole reference half),
+# so bins are static — exact integer arithmetic over the 2-decimal
+# feed (round(value·100) is integer cents; div is truncation toward
+# zero in BOTH engines), capped into the top bin.
+def psi_fixed_bin_sql(nbins: int, bin_cents: int) -> str:
+    return (
+        f"least(CAST(round(value * 100) AS BIGINT) div {bin_cents},"
+        f" {nbins - 1})"
+    )
+
+
+def windowed_psi(
+    events: DataFrame, nbins: int = 10, bin_cents: int = 5000
+) -> DataFrame:
+    """Day-over-day PSI per event type — the SLIDING-reference drift
+    panel: each event-time day scores against the PREVIOUS day, so a
+    gradual multi-day migration shows a run of elevated scores while
+    `psi_drift` (fixed first-half reference) smears it into one
+    number. This is the windowed/watermarked drift twin's batch core:
+    the streaming variant maintains the identical (type, day, bin)
+    count relation with a windowed aggregation + watermark eviction
+    and shares `windowed_psi_from_counts` and this oracle verbatim.
+
+    Fixed-width bins (`psi_fixed_bin_sql`) instead of reference
+    deciles: a stream cannot see future deciles, and a per-window
+    decile recompute would make consecutive windows incomparable.
+    Integer cents arithmetic end-to-end; Laplace smoothing over the
+    nominal bin count (the `psi_drift` convention) keeps abandoned
+    bins finite; per-bin terms are round(9) pinned doubles summed as
+    exact DECIMAL(28,9) with a DOUBLE edge.
+
+    Scale shape: the feed reduces ONCE to the (type, day, bin) count
+    relation (map-side partials, ≤ types × days × nbins rows);
+    everything after — the dense bin spine, the day-vs-previous-day
+    join, the PSI rollup — runs on that tiny relation. No windows
+    over the feed, no feed-scale sort, no shuffle wider than the
+    count relation."""
+    if nbins < 2:
+        raise ValueError("windowed_psi: nbins must be ≥ 2")
+    counts = events.filter(F.col("value").isNotNull()).groupBy(
+        "event_type",
+        F.expr(f"{_US} div 86400000000").alias("day"),
+        F.expr(psi_fixed_bin_sql(nbins, bin_cents)).alias("bin"),
+    ).agg(F.count("*").alias("c"))
+    return windowed_psi_from_counts(counts, nbins)
+
+
+def windowed_psi_from_counts(counts: DataFrame, nbins: int = 10) -> DataFrame:
+    """`windowed_psi`'s scoring core over an already-reduced
+    (event_type, day, bin, c) count relation — the state a streaming
+    windowed aggregation maintains (the `psi_from_value_counts`
+    pattern). Dense bin spine per scored (type, day): bins both sides
+    abandoned contribute their Laplace mass, the `independence_chi2`
+    dense-grid rule."""
+    counts = _materialize(counts)
+    days = counts.select("event_type", "day").distinct()
+    # score day d iff day d-1 exists for the type (no phantom zero
+    # reference); dense spine = eligible (type, day) × bins
+    scored = days.alias("cur").join(
+        days.select("event_type", (F.col("day") + 1).alias("day")).alias("ref"),
+        ["event_type", "day"],
+    )
+    spine = scored.select(
+        "event_type", "day", F.explode(F.expr(f"sequence(0, {nbins - 1})")).alias("bin")
+    )
+    cur = counts.select("event_type", "day", "bin", F.col("c").alias("c_cur"))
+    ref = counts.select(
+        "event_type", (F.col("day") + 1).alias("day"), "bin", F.col("c").alias("c_ref")
+    )
+    grid = (
+        spine.join(cur, ["event_type", "day", "bin"], "left")
+        .join(ref, ["event_type", "day", "bin"], "left")
+        .select(
+            "event_type",
+            "day",
+            "bin",
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        )
+    )
+    w = Window.partitionBy("event_type", "day")
+    terms = grid.select(
+        "event_type",
+        "day",
+        "c_ref",
+        "c_cur",
+        F.sum("c_ref").over(w).alias("t_ref"),
+        F.sum("c_cur").over(w).alias("t_cur"),
+    ).select(
+        "event_type",
+        "day",
+        "c_ref",
+        "c_cur",
+        F.expr(PSI_TERM_SQL.format(nbins=nbins)).alias("psi_term"),
+    )
+    return (
+        terms.groupBy("event_type", "day")
+        .agg(
+            F.sum("c_ref").cast("bigint").alias("n_ref"),
+            F.sum("c_cur").cast("bigint").alias("n_cur"),
+            F.sum(F.col("psi_term").cast("decimal(28,9)")).alias("psi_d"),
+        )
+        .select(
+            "event_type",
+            F.col("day").cast("bigint").alias("day"),
+            "n_ref",
+            "n_cur",
+            F.col("psi_d").cast("double").alias("psi"),
+            # band on the EXACT decimal (the health_score rounded-band
+            # rule: a double-band CASE could split at a boundary)
+            F.when(F.col("psi_d") > 0.25, "drifted")
+            .when(F.col("psi_d") > 0.10, "shifting")
+            .otherwise("stable")
+            .alias("drift_class"),
+        )
+        .orderBy("event_type", "day")
+    )

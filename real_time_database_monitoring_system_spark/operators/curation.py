@@ -751,3 +751,78 @@ def contamination_by_source(
         )
         .orderBy("source")
     )
+
+
+def decile_assign_sql(nbins: int) -> str:
+    """Bucket-assignment expression over cut columns c1..c{nbins-1}:
+    1 + Σ (quality > c_i) — generated from one constant so the Spark
+    operator and the DuckDB oracle can never drift (the
+    `psi_bin_case_sql` rule). Values equal to a cut fall in the lower
+    bucket (`percentile_disc` cuts are actual data values, so the
+    boundary comparison is exact, not a float guess)."""
+    terms = "".join(
+        f" + (CASE WHEN quality > c{i} THEN 1 ELSE 0 END)"
+        for i in range(1, nbins)
+    )
+    return "1" + terms
+
+
+def quality_calibration_curve(documents: DataFrame, nbins: int = 10) -> DataFrame:
+    """Does the quality score actually PREDICT duplication? Per
+    quality decile: document count, exact-duplicate count, dup rate —
+    the calibration readout that decides whether quality-gated
+    sampling (`quality_quantile_filter`) will amplify or suppress the
+    duplicated mass. (On real crawls low-quality deciles carry most of
+    the boilerplate mirrors; a flat curve means the score is blind to
+    them and dedup must run first.)
+
+    Exactness: deciles come from `disc_quantiles_from_counts` cuts
+    over the deterministic quality doubles (order statistics —
+    engine-exact); assignment is `decile_assign_sql` comparisons; the
+    dup flag is the `exact_dedup` digest group size. One final double
+    division per decile row.
+
+    Scale shape: the quality pass reduces to a per-doc relation; cuts
+    run over the distinct-quality counts (quantize the score in
+    production to bound it); the digest shuffle is `exact_dedup`'s
+    own exchange; decile assignment is a broadcast of one 9-column
+    row. Output = `nbins` rows."""
+    from .text import quality_score
+    from .util import disc_quantiles_from_counts as _disc_quantiles
+
+    q = _materialize(
+        quality_score(documents).select("doc_id", "quality")
+    )
+    cuts = _disc_quantiles(
+        q, [], "quality", [(f"c{i}", i, nbins) for i in range(1, nbins)]
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fps = documents.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("content_fp")
+    )
+    sizes = fps.groupBy("content_fp").agg(F.count("*").alias("n_copies"))
+    flagged = fps.join(sizes, "content_fp").select(
+        "doc_id", (F.col("n_copies") > 1).alias("is_dup")
+    )
+    assigned = q.crossJoin(F.broadcast(cuts)).select(
+        "doc_id", F.expr(decile_assign_sql(nbins)).cast("int").alias("decile")
+    )
+    return (
+        assigned.join(flagged, "doc_id")
+        .groupBy("decile")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "decile",
+            "n_docs",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_docs").cast("double")).alias(
+                "dup_rate"
+            ),
+        )
+        .orderBy("decile")
+    )

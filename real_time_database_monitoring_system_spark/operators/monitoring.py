@@ -1306,3 +1306,26 @@ def health_score(events: DataFrame, stale_minutes: int = 60) -> DataFrame:
             .otherwise("critical"),
         )
     )
+
+
+def value_percentiles_interp(events: DataFrame) -> DataFrame:
+    """`value_percentiles` (continuous p50/p95/p99 per event type) in
+    the counts-based shape — the interpolated completion of the
+    round-7 percentile_disc conversion family: Spark's `percentile`
+    AGGREGATE buffers every group value in executor memory (a
+    feed-scale OOM at 100 TB), while
+    `util.cont_quantiles_from_counts` runs over the per-distinct-
+    value count relation with exact integer rank arithmetic and one
+    fixed-shape interpolation expression at the edge (mirrored
+    verbatim by the oracle, so the doubles are bit-identical
+    cross-engine). Same numbers as the aggregate at every SF —
+    pinned by tests — with bounded state instead of buffered
+    groups."""
+    from .util import cont_quantiles_from_counts
+
+    return cont_quantiles_from_counts(
+        events,
+        ["event_type"],
+        "value",
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)],
+    ).orderBy("event_type")

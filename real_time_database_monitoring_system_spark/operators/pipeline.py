@@ -1372,3 +1372,140 @@ def sample_skew_audit(documents: DataFrame, pct: int = 10) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def doc_perplexity_outliers(documents: DataFrame) -> DataFrame:
+    """Perplexity-outlier curation panel: per source, how many
+    documents score as LM outliers — avg unigram log-prob more than
+    3·1.4826·MAD below the source median (the `mad_outliers` robust
+    rule applied to `unigram_logprob_score`, i.e. the CCNet
+    "perplexity bucket then drop the tail" filter in panel form).
+    Low-side only: unusually HIGH logprob is just typical text, while
+    the low tail is the boilerplate/garbled/wrong-language mass a
+    perplexity filter exists to drop.
+
+    Determinism: avg_logprob is one final double division over the
+    decimal logp sum (deterministic per doc); the median and MAD are
+    `percentile_disc` order statistics over those exact doubles
+    (counts replica, `disc_quantiles_from_counts`); the flag compares
+    doubles produced identically in both engines with a fixed-order
+    constant product — no fresh transcendental anywhere past the
+    pinned per-token ln.
+
+    Scale shape: the scorer's tokenize pass reduces to a per-doc
+    relation; baselines run over THAT (per-source distinct-logprob
+    counts — near-unique doubles, so production quantizes the score
+    to bound the relation, the documented `ks_drift` trade); flags
+    are a broadcast join back. Output ≤ #sources rows."""
+    from .util import disc_quantiles_from_counts as _disc_quantiles
+
+    scored = _materialize(
+        unigram_logprob_score(documents).select("doc_id", "source", "avg_logprob")
+    )
+    med = _materialize(
+        _disc_quantiles(scored, ["source"], "avg_logprob", [("med_logprob", 1, 2)])
+    )
+    mad = _disc_quantiles(
+        scored.join(F.broadcast(med), "source").select(
+            "source",
+            F.abs(F.col("avg_logprob") - F.col("med_logprob")).alias("adev"),
+        ),
+        ["source"],
+        "adev",
+        [("mad_logprob", 1, 2)],
+    )
+    baseline = med.join(mad, "source")
+    return (
+        scored.join(F.broadcast(baseline), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.first("med_logprob").alias("med_logprob"),
+            F.first("mad_logprob").alias("mad_logprob"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "med_logprob - avg_logprob > (3.0 * 1.4826) * mad_logprob"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "med_logprob",
+            "mad_logprob",
+            "n_outliers",
+            (
+                F.col("n_outliers").cast("double") / F.col("n_docs").cast("double")
+            ).alias("outlier_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def mix_rebalance_plan(
+    documents: DataFrame, target_ppm: dict[str, int] | None = None
+) -> DataFrame:
+    """Sampling-rate plan to hit a target source mix under a fixed
+    total token budget — the knob a training-data pipeline turns after
+    the audits (`source_kl_divergence`, `class_balance`) say the mix
+    is wrong. With no explicit target the plan equalizes sources
+    (target share = 1/#sources, in parts-per-million so the target is
+    INTEGER and the oracle shares it exactly).
+
+    For each source with n_tok tokens out of N total: the largest
+    budget B ≤ N whose per-source demand d_s = B·ppm_s/10⁶ fits every
+    source (d_s ≤ n_tok) is B = min over sources of
+    n_tok·10⁶ div ppm_s — pure integer arithmetic (the
+    `interval_overlap_join` cross-multiplication rule). Emitted
+    per-source: keep_tokens = B·ppm_s div 10⁶ and the two final
+    double divisions (current share, sampling rate).
+
+    Scale shape: ONE whitespace-token count per source (map-side
+    size() sum — no explode), a 1-row broadcast total, arithmetic on
+    the ≤ #sources relation. Nothing shuffles but source keys."""
+    toks = documents.groupBy("source").agg(
+        F.sum(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")))
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    toks = _materialize(toks)
+    n_sources = toks.count()
+    if target_ppm is None:
+        share = 1_000_000 // n_sources
+        ppm = F.lit(share)
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_ppm.items() for x in kv]
+        )
+        ppm = F.coalesce(mapping[F.col("source")], F.lit(0))
+    per = toks.select("source", "n_tok", ppm.cast("bigint").alias("ppm"))
+    budget = per.filter(F.col("ppm") > 0).agg(
+        F.min(F.expr("n_tok * 1000000 div ppm")).alias("budget")
+    )
+    return (
+        per.crossJoin(F.broadcast(budget))
+        .crossJoin(
+            F.broadcast(
+                toks.agg(F.sum("n_tok").cast("bigint").alias("total_tok"))
+            )
+        )
+        .select(
+            "source",
+            "n_tok",
+            "ppm",
+            F.col("budget").cast("bigint").alias("budget_tokens"),
+            F.expr("budget * ppm div 1000000").cast("bigint").alias("keep_tokens"),
+            (F.col("n_tok").cast("double") / F.col("total_tok").cast("double")).alias(
+                "current_share"
+            ),
+            F.expr(
+                "CAST(budget * ppm div 1000000 AS DOUBLE) / CAST(n_tok AS DOUBLE)"
+            ).alias("sampling_rate"),
+        )
+        .orderBy("source")
+    )

@@ -773,3 +773,53 @@ def negative_samples(
         .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label", "sample_key")
         .orderBy("anchor_id", "neg_rank")
     )
+
+
+def embedding_norm_audit(embeddings: DataFrame) -> DataFrame:
+    """Embedding hygiene panel per label: vector count, dimensionality
+    agreement, zero-norm count, and the L2-norm spread — the first
+    check before any cosine-based stage (a zero vector crashes cosine
+    normalization; a norm distribution with a wild spread usually
+    means two encoder versions were mixed, which silently wrecks both
+    ANN recall and semantic dedup thresholds).
+
+    Determinism: norms are the sequential `_norm` fold over the
+    float32-exact doubles (identical per-step IEEE rounding in Spark's
+    `aggregate` and DuckDB's `list_reduce` — the `knn_lsh` rule), with
+    sqrt correctly-rounded; min/max are order statistics over those
+    exact doubles; avg_norm accumulates round(9) norms as exact
+    DECIMAL(28,9) with a DOUBLE edge (the repo's standard ratio rule).
+
+    Scale shape: one map-side projection computes each row's norm;
+    one keyed aggregate per label. No joins, no windows, no shuffle
+    beyond the ≤ #labels aggregation."""
+    per = _spread(embeddings, "vec_id").select(
+        "label",
+        F.size("embedding").alias("dim"),
+        _norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    )
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.countDistinct("dim").cast("bigint").alias("n_dims"),
+            F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_zero"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+            F.sum(F.round(F.col("nrm"), 9).cast("decimal(28,9)")).alias("s_norm"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_dims",
+            "n_zero",
+            "min_norm",
+            "max_norm",
+            (F.col("s_norm").cast("double") / F.col("n_vecs").cast("double")).alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -158,3 +158,87 @@ def disc_quantiles_from_counts(
     )
     out = groups.join(picked, keys, "left")
     return out.drop("_g") if drop_key else out
+
+
+def cont_quantiles_from_counts(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    quantiles: list[tuple[str, int, int]],
+) -> DataFrame:
+    """Exact CONTINUOUS (linear-interpolated, SQL `percentile_cont` /
+    type-7) quantiles per group from the same per-distinct-value count
+    relation `disc_quantiles_from_counts` uses — completing the
+    counts-conversion family at the continuous operating point, again
+    WITHOUT buffering group values (Spark's `percentile` aggregate
+    holds every group value in executor memory; this shape's state is
+    the distinct-value relation).
+
+    Definition made engine-exact by keeping the index arithmetic
+    INTEGER: for q = num/den over n sorted values, the target rank
+    h = (n−1)·q splits into i = ((n−1)·num) div den and remainder
+    rem = ((n−1)·num) mod den, so
+        result = v[i] + (rem · (v[i+1] − v[i])) / den
+    with v[i] = the smallest value whose cumulative count exceeds i
+    (values cover index runs in the cum relation). The only floating
+    arithmetic is the final fixed-shape expression over identical
+    inputs — `+`, `−`, `·`, `/` are IEEE correctly-rounded, so any
+    conforming engine produces the identical double (the mannwhitney
+    sweep rule); the DuckDB oracle mirrors the expression verbatim
+    rather than calling `quantile_cont`, whose internal fraction
+    (h − floor(h)) can differ from the exact rational rem/den in the
+    last ULP.
+
+    NULL handling matches the aggregate contract: NULL values ignored,
+    all-NULL groups emit NULL quantiles. `quantiles` entries are
+    (alias, num, den) with 0 ≤ num/den ≤ 1."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    drop_key = False
+    if not keys:
+        df = df.withColumn("_g", F.lit(1))
+        keys = ["_g"]
+        drop_key = True
+    groups = df.select(*keys).distinct()
+    counts = (
+        df.filter(F.col(col).isNotNull())
+        .groupBy(*keys, col)
+        .agg(F.count("*").alias("_c"))
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*keys)
+    cum = counts.select(
+        *keys,
+        F.col(col),
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wn).alias("_n"),
+    )
+    aggs = []
+    finals = list(keys)
+    for alias, num, den in quantiles:
+        # per-group integer target: i = ((n-1)*num) div den, rem = mod
+        i_q = F.expr(f"((_n - 1) * {num}) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("_cum") > i_q, F.col(col))).alias(f"_lo_{alias}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("_cum") > i_q + 1, F.col(col))).alias(f"_hi_{alias}")
+        )
+        aggs.append(
+            F.min(F.expr(f"((_n - 1) * {num}) % {den}")).alias(f"_rem_{alias}")
+        )
+        finals.append(
+            F.expr(
+                f"CAST(_lo_{alias} AS DOUBLE) + (CAST(_rem_{alias} AS DOUBLE)"
+                f" * (CAST(coalesce(_hi_{alias}, _lo_{alias}) AS DOUBLE)"
+                f" - CAST(_lo_{alias} AS DOUBLE))) / CAST({den} AS DOUBLE)"
+            ).alias(alias)
+        )
+    picked = cum.groupBy(*keys).agg(*aggs).select(*finals)
+    out = groups.join(picked, keys, "left")
+    return out.drop("_g") if drop_key else out

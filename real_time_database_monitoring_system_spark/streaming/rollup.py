@@ -1373,3 +1373,59 @@ def stream_alerts_to_maildir(
         .awaitTermination()
     )
     return written
+
+
+def stream_windowed_psi(
+    spark: SparkSession,
+    sf_dir: str,
+    nbins: int = 10,
+    bin_cents: int = 5000,
+    lateness: str = "1 hour",
+) -> DataFrame:
+    """The WINDOWED/WATERMARKED drift twin: day-over-day PSI per event
+    type against a sliding (previous-day) reference — unlike the
+    complete-mode stat twins above, the stream here maintains only
+    per-(window, type, bin) counts under a real watermark, so state is
+    bounded by types × bins × in-flight windows and EVICTED as event
+    time advances: the shape a for-real 24/7 drift monitor runs.
+    Fixed-width integer-cent bins (`psi_fixed_bin_sql`) exist for
+    exactly this reason — a stream cannot compute `psi_drift`'s
+    reference deciles without seeing the future.
+
+    Determinism (the `stream_join_alert_context_outer` precedent):
+    under availableNow the final watermark is max(event time) −
+    lateness, and APPEND mode emits exactly the windows whose end ≤
+    that watermark — so the emitted day set is a deterministic
+    function of the feed, and the batch coda/oracle apply the same
+    cutoff (`windowed_psi` over the finalized days). Days whose
+    previous day was cut by the horizon score against it only if both
+    are finalized.
+
+    Scale: the streaming aggregation is the only stateful stage; the
+    PSI coda (`windowed_psi_from_counts`) runs on the tiny finalized
+    count relation."""
+    from ..operators.anomaly import psi_fixed_bin_sql, windowed_psi_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    # withWatermark requires LTZ; value-preserving under pinned UTC
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr(psi_fixed_bin_sql(nbins, bin_cents)).alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    counts = state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "bin",
+        F.col("c").alias("c"),
+    )
+    return windowed_psi_from_counts(counts, nbins)

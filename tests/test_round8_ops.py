@@ -1,0 +1,374 @@
+"""Behavior tests for the round-8 operators: interpolated
+counts-based quantiles, day-over-day windowed PSI (batch + the
+watermarked streaming twin), perplexity outliers, quality×dup
+calibration, winnowing longest-run, embedding norm audit, and the
+mix rebalance plan — planted fixtures with hand-computable truth,
+plus plan budgets (exchange counts, no cartesian products)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.operators import (
+    anomaly,
+    curation,
+    dedup,
+    pipeline,
+    similarity,
+)
+from real_time_database_monitoring_system_spark.operators.util import (
+    cont_quantiles_from_counts,
+)
+from real_time_database_monitoring_system_spark.plans import checks
+
+
+# ------------------------------------------------------------------
+# cont_quantiles_from_counts
+# ------------------------------------------------------------------
+
+
+def _vals(spark, rows):
+    return spark.createDataFrame(
+        [(g, float(v)) if v is not None else (g, None) for g, v in rows],
+        "g string, x double",
+    )
+
+
+def test_cont_quantiles_matches_builtin_percentile(spark):
+    """The counts replica must reproduce Spark's own `percentile`
+    aggregate (the SQL continuous/type-7 definition) on an irregular
+    multiset — including tied values, which is where rank bookkeeping
+    slips first."""
+    data = [("a", v) for v in [1.0, 2.0, 2.0, 2.0, 7.5, 9.0, 10.0]] + [
+        ("b", v) for v in [5.0, 1.0]
+    ]
+    df = _vals(spark, data)
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p95"])
+        for r in cont_quantiles_from_counts(
+            df, ["g"], "x", [("p25", 1, 4), ("p50", 1, 2), ("p95", 19, 20)]
+        ).collect()
+    }
+    ref = {
+        r["g"]: (r["p25"], r["p50"], r["p95"])
+        for r in df.groupBy("g")
+        .agg(
+            F.expr("percentile(x, 0.25)").alias("p25"),
+            F.expr("percentile(x, 0.5)").alias("p50"),
+            F.expr("percentile(x, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for g in ref:
+        for a, b in zip(got[g], ref[g]):
+            assert a == pytest.approx(b, rel=1e-12), (g, got[g], ref[g])
+
+
+def test_cont_quantiles_exact_interpolation_closed_form(spark):
+    """n=4 values 0,10,20,30: p50 rank h=1.5 → 10 + 0.5·10 = 15;
+    p25 h=0.75 → 7.5; q=1 → max. Exact doubles, no tolerance."""
+    df = _vals(spark, [("a", 0.0), ("a", 10.0), ("a", 20.0), ("a", 30.0)])
+    row = cont_quantiles_from_counts(
+        df, ["g"], "x", [("p25", 1, 4), ("p50", 1, 2), ("p100", 1, 1)]
+    ).collect()[0]
+    assert (row["p25"], row["p50"], row["p100"]) == (7.5, 15.0, 30.0)
+
+
+def test_cont_quantiles_null_group_emits_null(spark):
+    df = _vals(spark, [("a", 1.0), ("b", None)])
+    rows = {
+        r["g"]: r["p50"]
+        for r in cont_quantiles_from_counts(
+            df, ["g"], "x", [("p50", 1, 2)]
+        ).collect()
+    }
+    assert rows["a"] == 1.0 and rows["b"] is None
+
+
+# ------------------------------------------------------------------
+# windowed PSI
+# ------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def _events(spark, rows):
+    """rows: (event_id, day, value) → events-shaped frame (NTZ ts)."""
+    return spark.createDataFrame(
+        [
+            (eid, d * _DAY_US + 1_000_000 * eid, "t", float(v))
+            for eid, d, v in rows
+        ],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.expr("cast(timestamp_micros(us) as timestamp_ntz)").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def test_windowed_psi_identical_days_score_zero(spark):
+    """Two days with the identical value distribution → every PSI
+    term is exactly 0 (equal smoothed shares, ln(1) = 0)."""
+    rows = [(i, 0, 10.0 * (i % 5)) for i in range(20)] + [
+        (100 + i, 1, 10.0 * (i % 5)) for i in range(20)
+    ]
+    out = anomaly.windowed_psi(_events(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0 and out[0]["drift_class"] == "stable"
+    assert out[0]["n_ref"] == 20 and out[0]["n_cur"] == 20
+
+
+def test_windowed_psi_shifted_day_scores_positive_and_gaps_skip(spark):
+    """Day 2 moves all mass to a different bin → large PSI. Day 5
+    (after a gap — day 4 missing) must NOT be scored: a sliding
+    reference is the PREVIOUS day, not the previous observation."""
+    rows = (
+        [(i, 1, 10.0) for i in range(10)]
+        + [(100 + i, 2, 450.0) for i in range(10)]
+        + [(200 + i, 3, 450.0) for i in range(10)]
+        + [(300 + i, 5, 450.0) for i in range(10)]
+    )
+    out = {r["day"]: r for r in anomaly.windowed_psi(_events(spark, rows)).collect()}
+    base_day = min(out)  # day index of the first SCORED day (=2)
+    assert sorted(d - base_day for d in out) == [0, 1]
+    assert out[base_day]["psi"] > 0.25
+    assert out[base_day]["drift_class"] == "drifted"
+    assert out[base_day + 1]["psi"] == 0.0  # day3 vs day2: identical
+
+
+def test_stream_windowed_psi_equals_batch_on_finalized_days(spark, sf_dir):
+    """availableNow append-mode result == the batch operator
+    restricted to days finalized by the final watermark; the trailing
+    day is withheld by design (watermark semantics, probed: a window
+    emits iff end ≤ max event time − lateness)."""
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+    from real_time_database_monitoring_system_spark.streaming import rollup
+
+    events = load_table(spark, sf_dir, "events")
+    batch = {
+        (r["event_type"], r["day"]): (r["n_ref"], r["n_cur"], r["psi"])
+        for r in anomaly.windowed_psi(events).collect()
+    }
+    stream = {
+        (r["event_type"], r["day"]): (r["n_ref"], r["n_cur"], r["psi"])
+        for r in rollup.stream_windowed_psi(spark, sf_dir).collect()
+    }
+    wm_ms = (
+        events.filter(F.col("value").isNotNull())
+        .agg(F.expr("max(unix_micros(cast(ts as timestamp))) div 1000").alias("m"))
+        .collect()[0]["m"]
+        - 3_600_000
+    )
+    finalized = {
+        k: v for k, v in batch.items() if (k[1] + 1) * 86_400_000 <= wm_ms
+    }
+    assert stream == finalized
+    assert len(batch) > len(finalized)  # the trailing day was withheld
+
+
+# ------------------------------------------------------------------
+# doc_perplexity_outliers
+# ------------------------------------------------------------------
+
+
+def test_doc_perplexity_outlier_flags_planted_garble(spark):
+    """One source: many typical docs sharing a vocabulary, one doc of
+    unique gibberish tokens (each appears once in the corpus → lowest
+    possible token probabilities). The gibberish doc must be the one
+    outlier; a clean twin corpus must flag none."""
+    typical = [
+        (i, "the cat sat on the mat and the dog sat too", "s0")
+        for i in range(30)
+    ]
+    garble = [(99, "zq9 xv7 qqj kkz wypt vvx mmq ppz", "s0")]
+    df = spark.createDataFrame(
+        typical + garble, "doc_id long, text string, source string"
+    )
+    out = pipeline.doc_perplexity_outliers(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_outliers"] == 1
+    assert out[0]["outlier_rate"] == pytest.approx(1 / 31)
+    clean = spark.createDataFrame(typical, "doc_id long, text string, source string")
+    out2 = pipeline.doc_perplexity_outliers(clean).collect()
+    assert out2[0]["n_outliers"] == 0
+
+
+# ------------------------------------------------------------------
+# quality_calibration_curve
+# ------------------------------------------------------------------
+
+
+def test_quality_calibration_totals_and_dup_mass(spark):
+    """Decile doc counts must sum to the corpus; planted exact
+    duplicates (and only they) must appear as dup mass."""
+    base = [
+        (i, f"alpha beta gamma delta w{i} x{i} y{i} z{i} unique tokens here now", "s", "en")
+        for i in range(40)
+    ]
+    dups = [(100 + i, "copy copy copy copy copy", "s", "en") for i in range(4)]
+    df = spark.createDataFrame(
+        base + dups, "doc_id long, text string, source string, lang string"
+    )
+    out = curation.quality_calibration_curve(df).collect()
+    assert sum(r["n_docs"] for r in out) == 44
+    assert sum(r["n_dup"] for r in out) == 4
+    for r in out:
+        assert r["dup_rate"] == pytest.approx(r["n_dup"] / r["n_docs"])
+    # the 4 copies are identical → identical quality → one decile
+    assert sum(1 for r in out if r["n_dup"] > 0) == 1
+
+
+# ------------------------------------------------------------------
+# winnow_longest_run
+# ------------------------------------------------------------------
+
+
+def test_winnow_longest_run_contiguous_beats_scattered(spark):
+    """Doc pair A/B shares one long verbatim passage; pair A/C shares
+    the same number of fingerprints but scattered (no adjacency).
+    longest_run must separate them while n_matches alone cannot."""
+    passage = "one two three four five six seven eight nine ten eleven twelve"
+    a = (1, f"{passage} tail0 tail1 tail2")
+    b = (2, f"head0 head1 head2 {passage}")
+    # C interleaves the passage's trigram sources so fingerprints may
+    # match individually but never consecutively
+    c = (3, "one two three zz1 five six seven zz2 nine ten eleven zz3")
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in dedup.winnow_longest_run(
+            spark.createDataFrame([a, b, c], "doc_id long, text string")
+        ).collect()
+    }
+    ab = out[(1, 2)]
+    assert ab["longest_run"] >= 3
+    assert ab["est_run_tokens"] == ab["longest_run"] - 1 + 6
+    if (1, 3) in out:
+        assert out[(1, 3)]["longest_run"] < ab["longest_run"]
+
+
+def test_winnow_longest_run_verbatim_copy_spans_doc(spark):
+    """An exact copy shares every fingerprint consecutively: the
+    longest run is the whole collapsed fingerprint sequence."""
+    text = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14"
+    df = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    out = dedup.winnow_longest_run(df).collect()
+    assert len(out) == 1
+    assert out[0]["longest_run"] == out[0]["n_matches"]
+
+
+# ------------------------------------------------------------------
+# embedding_norm_audit
+# ------------------------------------------------------------------
+
+
+def test_embedding_norm_audit_closed_form(spark):
+    """Hand-computed norms, a planted zero vector, and a mixed-dim
+    label."""
+    rows = [
+        (1, [3.0, 4.0], 0),      # norm 5
+        (2, [0.0, 0.0], 0),      # zero vector
+        (3, [1.0, 0.0, 0.0], 1),  # dim mismatch vs row 4
+        (4, [2.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {r["label"]: r for r in similarity.embedding_norm_audit(df).collect()}
+    assert out[0]["n_vecs"] == 2 and out[0]["n_zero"] == 1
+    assert out[0]["min_norm"] == 0.0 and out[0]["max_norm"] == 5.0
+    assert out[0]["avg_norm"] == pytest.approx(2.5)
+    assert out[1]["n_dims"] == 2  # mixed dims detected
+    assert out[1]["n_zero"] == 0
+
+
+# ------------------------------------------------------------------
+# mix_rebalance_plan
+# ------------------------------------------------------------------
+
+
+def test_mix_rebalance_equalizes_and_respects_supply(spark):
+    """3 sources with 100/200/700 tokens, equal target → the scarcest
+    source caps the budget: B = min(n·10⁶ div ppm) with ppm=333333 →
+    B = 300000·... per-source keep ≤ supply, keeps equal within
+    rounding, rate ≤ 1."""
+    rows = []
+    did = 0
+    for src, n in (("a", 100), ("b", 200), ("c", 700)):
+        rows.append((did, " ".join(f"t{i}" for i in range(n)), src))
+        did += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r for r in pipeline.mix_rebalance_plan(df).collect()}
+    assert {r["ppm"] for r in out.values()} == {333333}
+    budget = {r["budget_tokens"] for r in out.values()}
+    assert len(budget) == 1
+    b = budget.pop()
+    assert b == min(n * 1_000_000 // 333333 for n in (100, 200, 700))
+    keeps = {s: r["keep_tokens"] for s, r in out.items()}
+    assert len(set(keeps.values())) == 1  # equalized
+    for s, n in (("a", 100), ("b", 200), ("c", 700)):
+        assert keeps[s] <= n
+        assert 0.0 < out[s]["sampling_rate"] <= 1.0
+    # the scarcest source is fully consumed up to ppm-truncation loss
+    # (keep = B·ppm div 10⁶ loses ≤1 token per source)
+    assert out["a"]["sampling_rate"] >= 0.98
+
+
+def test_mix_rebalance_explicit_targets(spark):
+    """Explicit ppm targets: a zero-target source keeps nothing and
+    must not constrain the budget."""
+    rows = [
+        (1, " ".join(f"x{i}" for i in range(50)), "keep"),
+        (2, " ".join(f"y{i}" for i in range(50)), "drop"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in pipeline.mix_rebalance_plan(
+            df, target_ppm={"keep": 1_000_000, "drop": 0}
+        ).collect()
+    }
+    assert out["drop"]["keep_tokens"] == 0
+    assert out["keep"]["keep_tokens"] == 50
+    assert out["keep"]["sampling_rate"] == 1.0
+
+
+# ------------------------------------------------------------------
+# plan budgets
+# ------------------------------------------------------------------
+
+
+def test_round8_shuffle_budgets(spark, sf_dir):
+    """Exchange-count ceilings + no cartesian products (the repo-wide
+    plan-budget discipline). Ceilings are the measured counts at
+    authoring time — a regression that adds a shuffle fails here."""
+    from real_time_database_monitoring_system_spark.operators import monitoring
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    budgets = [
+        ("value_percentiles_interp", monitoring.value_percentiles_interp(events), 4),
+        ("windowed_psi", anomaly.windowed_psi(events), 8),
+        # spread + the countDistinct two-phase agg (dim-keyed then
+        # label-keyed) + the output sort = 4
+        ("embedding_norm_audit", similarity.embedding_norm_audit(emb), 4),
+        ("mix_rebalance_plan", pipeline.mix_rebalance_plan(docs), 4),
+        ("quality_calibration_curve", curation.quality_calibration_curve(docs), 10),
+        ("winnow_longest_run", dedup.winnow_longest_run(docs), 10),
+        ("doc_perplexity_outliers", pipeline.doc_perplexity_outliers(docs), 10),
+    ]
+    for name, df, ceiling in budgets:
+        plan = checks.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, f"{name}: cartesian crept in"
+        n = checks.count_exchanges(df)
+        assert n <= ceiling, f"{name}: {n} exchanges > budget {ceiling}"
