@@ -1712,7 +1712,71 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_longest_run": _q_winnow_longest_run,
         "embedding_norm_audit": _q_embedding_norm_audit,
         "mix_rebalance_plan": _q_mix_rebalance_plan,
+        "streaming_value_percentiles": _q_streaming_value_percentiles,
+        "temporal_split_kll": _q_temporal_split_kll,
+        "encoding_audit": _q_encoding_audit,
+        "intra_doc_line_dedup": _q_intra_doc_line_dedup,
     }
+
+
+def _q_streaming_value_percentiles(spark, sf):
+    return streaming_rollup.stream_value_percentiles(spark, sf)
+
+
+def _q_temporal_split_kll(spark, sf):
+    return curation.temporal_split_kll(load_table(spark, sf, "events"))
+
+
+def _inject_bad_encoding(docs):
+    # deterministic mojibake/control-char contamination (the synthetic
+    # corpus is clean ASCII, which would make the audit a trivially
+    # all-zero panel): U+FFFD on every 9th doc, a C0 control byte on
+    # every 13th — mirrored verbatim in the oracle via chr()
+    return docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit(" bad��decode")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 13 == 0, F.lit(" ctl\x01byte")
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _q_encoding_audit(spark, sf):
+    return text_ops.encoding_audit(
+        _inject_bad_encoding(load_table(spark, sf, "documents"))
+    )
+
+
+def _inject_repeated_lines(docs):
+    # deterministic intra-doc repetition (the corpus is single-line):
+    # a nav block repeated 3× on every 4th doc, a footer repeated 2×
+    # on every 6th — mirrored verbatim in the oracle
+    return docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("\nnav home about contact\nnav home about contact"
+                      "\nnav home about contact"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("\nfooter fine print\nfooter fine print"),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def _q_intra_doc_line_dedup(spark, sf):
+    return text_ops.intra_doc_line_dedup(
+        _inject_repeated_lines(load_table(spark, sf, "documents"))
+    )
 
 
 def _q_value_percentiles_interp(spark, sf):
@@ -8336,6 +8400,88 @@ def oracle_sql() -> dict[str, str]:
                CAST(budget * ppm // 1000000 AS DOUBLE) / CAST(n_tok AS DOUBLE)
                    AS sampling_rate
         FROM p, b, tot ORDER BY source
+    """
+
+    # streaming twin: complete-mode (type, value) count state fed to
+    # the same weighted rank arithmetic — batch oracle verbatim
+    sql["streaming_value_percentiles"] = sql["value_percentiles_interp"]
+
+    # KLL cutoff verdict twin: exact cutoff + achieved fraction are
+    # deterministic; the rank-bound boolean is literal TRUE (the
+    # value_percentiles_approx_checked convention — a sketch-contract
+    # violation on the Spark side hash-mismatches)
+    sql["temporal_split_kll"] = """
+        WITH c AS (SELECT CAST(percentile_disc(0.8) WITHIN GROUP
+                       (ORDER BY epoch_us(ts)) AS BIGINT) AS cut
+                   FROM events)
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               c.cut AS cutoff_us_exact,
+               CAST(sum(CASE WHEN epoch_us(ts) <= c.cut THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train,
+               CAST(sum(CASE WHEN epoch_us(ts) <= c.cut THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS train_frac_achieved,
+               TRUE AS kll_cutoff_in_rank_bound
+        FROM events, c GROUP BY c.cut
+    """
+
+    # encoding audit over the injected contamination; the bad-char
+    # class text is shared verbatim (\\x{...} escapes parse the same
+    # in Java regex and RE2)
+    sql["encoding_audit"] = f"""
+        WITH inj AS (
+            SELECT doc_id, source,
+                   text ||
+                   CASE WHEN doc_id % 9 = 0
+                        THEN ' bad' || chr(65533) || chr(65533) || 'decode'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 13 = 0
+                        THEN ' ctl' || chr(1) || 'byte'
+                        ELSE '' END AS text
+            FROM documents),
+        per AS (
+            SELECT source, length(text) AS n_chars_t,
+                   len(regexp_extract_all(text,
+                       '{text_ops.ENCODING_BAD_CLASS}')) AS n_bad
+            FROM inj)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bad_docs,
+               CAST(sum(n_chars_t) AS BIGINT) AS total_chars,
+               CAST(sum(n_bad) AS BIGINT) AS n_bad_chars,
+               CAST(sum(n_bad) AS DOUBLE) / CAST(sum(n_chars_t) AS DOUBLE)
+                   AS bad_char_rate
+        FROM per GROUP BY source ORDER BY source
+    """
+
+    # intra-doc line dedup over the injected repetition: DuckDB's
+    # indexed list_filter mirrors Spark's (element, index) lambda —
+    # element i survives iff no earlier element equals it
+    sql["intra_doc_line_dedup"] = """
+        WITH inj AS (
+            SELECT doc_id,
+                   text ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN chr(10) || 'nav home about contact' ||
+                             chr(10) || 'nav home about contact' ||
+                             chr(10) || 'nav home about contact'
+                        ELSE '' END ||
+                   CASE WHEN doc_id % 6 = 0
+                        THEN chr(10) || 'footer fine print' ||
+                             chr(10) || 'footer fine print'
+                        ELSE '' END AS text
+            FROM documents),
+        l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM inj),
+        k AS (SELECT doc_id, lines,
+                     list_filter(lines,
+                         (x, i) -> NOT list_contains(lines[1:i-1], x)) AS kept
+              FROM l)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, chr(10)) AS text_clean
+        FROM k ORDER BY doc_id
     """
 
     return sql

@@ -826,3 +826,63 @@ def quality_calibration_curve(documents: DataFrame, nbins: int = 10) -> DataFram
         )
         .orderBy("decile")
     )
+
+
+def temporal_split_kll(
+    events: DataFrame, train_frac: float = 0.8, accuracy: int = 10000
+) -> DataFrame:
+    """The 100 TB path for `temporal_split`'s cutoff, verdict-column
+    checked: event-time µs keys are near-unique, so this is the ONE
+    quantile site where the counts conversion reduces nothing
+    (documented in the percentile-family notes) — the production
+    cutoff comes from the mergeable GK/KLL sketch
+    (`approx_percentile`, single pass, bounded state) instead of the
+    exact `percentile_disc` (which buffers the feed). The hashed
+    output carries the EXACT cutoff, the achieved train fraction
+    under it, and a rank-window boolean asserting the sketch cutoff
+    sits inside its published ±n/accuracy rank bound
+    (`sketches.rank_window_ok` — tie-robust, falsifiability
+    unit-pinned); the raw sketch value stays out of the hash (the
+    `value_percentiles_approx_checked` pattern). A deterministic
+    oracle emits literal TRUE, so any estimator-contract violation
+    hash-mismatches in a driver round."""
+    from .sketches import rank_window_ok
+
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    approx = events.agg(
+        F.expr(
+            f"approx_percentile(unix_micros(cast(ts as timestamp)),"
+            f" {train_frac!r}, {accuracy})"
+        ).alias("a_cut")
+    )
+    g = events.crossJoin(F.broadcast(approx)).agg(
+        F.count("*").alias("n_events"),
+        F.expr(
+            "cast(percentile_disc("
+            + repr(train_frac)
+            + ") WITHIN GROUP (ORDER BY unix_micros(cast(ts as timestamp)))"
+            " as bigint)"
+        ).alias("cutoff_us_exact"),
+        F.sum((us < F.col("a_cut")).cast("long")).alias("lt"),
+        F.sum((us <= F.col("a_cut")).cast("long")).alias("le"),
+    )
+    exact_le = events.crossJoin(
+        F.broadcast(g.select("cutoff_us_exact"))
+    ).agg(
+        F.sum((us <= F.col("cutoff_us_exact")).cast("long")).alias("n_train")
+    )
+    return (
+        g.crossJoin(F.broadcast(exact_le))
+        .select(
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "cutoff_us_exact",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            (
+                F.col("n_train").cast("double") / F.col("n_events").cast("double")
+            ).alias("train_frac_achieved"),
+            rank_window_ok(
+                F.col("lt"), F.col("le"), F.col("n_events"), train_frac,
+                eps=1.0 / accuracy,
+            ).alias("kll_cutoff_in_rank_bound"),
+        )
+    )

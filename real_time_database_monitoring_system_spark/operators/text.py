@@ -1383,3 +1383,96 @@ def template_prefix_groups(
         .filter(F.col("n_docs") >= min_docs)
         .orderBy("source", "prefix")
     )
+
+
+# shared bad-character class: C0 controls minus \t\n\r, plus the
+# U+FFFD replacement character (the mojibake tell). ONE pattern text —
+# \x{...} escapes parse identically in Java regex and RE2, so the
+# Spark operator and the DuckDB oracle share it verbatim.
+ENCODING_BAD_CLASS = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x{FFFD}]"
+
+
+def encoding_audit(documents: DataFrame) -> DataFrame:
+    """Encoding-health panel per source: how much of the ingest is
+    mojibake or binary-contaminated — replacement characters (U+FFFD,
+    the decoder's "I gave up" marker) and stray C0 control characters
+    (minus tab/newline/CR) per document, rolled up per source. The
+    standard first gate of a crawl-ingest pipeline: a source whose
+    docs are full of U+FFFD was decoded with the wrong charset, and
+    control characters signal binary blobs mislabeled as text; both
+    poison tokenizers downstream.
+
+    Exactness: pure integer counts from one regexp pass over each
+    document (`ENCODING_BAD_CLASS` shared verbatim with the oracle)
+    plus one final double division for the char-level rate.
+
+    Scale shape: map-side projection (one regexp scan per doc, ~chars
+    cost), one keyed aggregate to ≤ #sources rows. No joins, no
+    windows."""
+    per = _spread(documents, "doc_id").select(
+        "source",
+        F.length("text").alias("n_chars_t"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(ENCODING_BAD_CLASS), 0)
+        ).alias("n_bad"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bad_docs"),
+            F.sum("n_chars_t").cast("bigint").alias("total_chars"),
+            F.sum("n_bad").cast("bigint").alias("n_bad_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_bad_docs",
+            "total_chars",
+            "n_bad_chars",
+            (
+                F.col("n_bad_chars").cast("double")
+                / F.col("total_chars").cast("double")
+            ).alias("bad_char_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def intra_doc_line_dedup(documents: DataFrame) -> DataFrame:
+    """WITHIN-document line dedup: keep each document's first
+    occurrence of every distinct line, in order — the intra-doc rung
+    of the line-dedup ladder (`boilerplate_lines` finds corpus-wide
+    hot lines; this removes the repeated nav blocks / footers / retry
+    spam INSIDE one page, the RefinedWeb-style trim that runs before
+    any corpus-level pass).
+
+    Shuffle-free by design: lines are materialized once as an array
+    column, and the keep-first filter is an indexed higher-order
+    lambda (element i survives iff no earlier element equals it) —
+    O(lines²) comparisons per document over the bounded per-doc line
+    count, zero exchanges, which beats an explode + per-(doc, line)
+    window shuffle at any corpus size. The array must be a BARE column
+    reference inside the lambda (the `_word_shingles` re-evaluation
+    trap).
+
+    Returns (doc_id, n_lines, n_kept, text_clean) — `text_clean`
+    rejoins the survivors with newlines."""
+    lined = _spread(documents, "doc_id").select(
+        "doc_id", F.split("text", "\n").alias("lines")
+    )
+    kept = F.filter(
+        F.col("lines"),
+        lambda x, i: ~F.array_contains(F.slice(F.col("lines"), 1, i), x),
+    )
+    return (
+        lined.select(
+            "doc_id",
+            F.size("lines").cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_kept"),
+            F.array_join(kept, "\n").alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )

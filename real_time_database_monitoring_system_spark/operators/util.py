@@ -165,6 +165,7 @@ def cont_quantiles_from_counts(
     keys: list[str],
     col: str,
     quantiles: list[tuple[str, int, int]],
+    weight: str | None = None,
 ) -> DataFrame:
     """Exact CONTINUOUS (linear-interpolated, SQL `percentile_cont` /
     type-7) quantiles per group from the same per-distinct-value count
@@ -191,7 +192,13 @@ def cont_quantiles_from_counts(
 
     NULL handling matches the aggregate contract: NULL values ignored,
     all-NULL groups emit NULL quantiles. `quantiles` entries are
-    (alias, num, den) with 0 ≤ num/den ≤ 1."""
+    (alias, num, den) with 0 ≤ num/den ≤ 1.
+
+    ``weight``: when set, `df` is ALREADY a per-value count relation
+    and `weight` names its count column (the shape a streaming
+    aggregation maintains — `stream_value_percentiles` feeds its
+    complete-mode state here, the `mwu_from_value_counts` pattern);
+    rows then contribute `weight` occurrences instead of 1."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -201,10 +208,11 @@ def cont_quantiles_from_counts(
         keys = ["_g"]
         drop_key = True
     groups = df.select(*keys).distinct()
+    agg_expr = F.count("*") if weight is None else F.sum(weight)
     counts = (
         df.filter(F.col(col).isNotNull())
         .groupBy(*keys, col)
-        .agg(F.count("*").alias("_c"))
+        .agg(agg_expr.alias("_c"))
     )
     w = (
         Window.partitionBy(*keys)

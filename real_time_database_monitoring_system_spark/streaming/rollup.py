@@ -1429,3 +1429,28 @@ def stream_windowed_psi(
         F.col("c").alias("c"),
     )
     return windowed_psi_from_counts(counts, nbins)
+
+
+def stream_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `monitoring.value_percentiles_interp`: the
+    live exact-percentile panel. The counts conversion pays its
+    streaming dividend here — the state is the per-(type, value)
+    count relation (bounded by the value alphabet, the
+    `stream_ks_drift` trade), which is exactly the input
+    `util.cont_quantiles_from_counts` takes in weighted form, so the
+    coda is the SAME rank arithmetic and the batch oracle applies
+    verbatim. (Spark's own `percentile` aggregate is not allowed in
+    streaming complete mode without buffering every value per group —
+    the OOM shape this family exists to avoid.)"""
+    from ..operators.util import cont_quantiles_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = src.groupBy("event_type", "value").agg(F.count("*").alias("n"))
+    state = _run_to_memory(state_agg, "complete")
+    return cont_quantiles_from_counts(
+        state,
+        ["event_type"],
+        "value",
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)],
+        weight="n",
+    ).orderBy("event_type")

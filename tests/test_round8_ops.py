@@ -372,3 +372,110 @@ def test_round8_shuffle_budgets(spark, sf_dir):
         assert "CartesianProduct" not in plan, f"{name}: cartesian crept in"
         n = checks.count_exchanges(df)
         assert n <= ceiling, f"{name}: {n} exchanges > budget {ceiling}"
+
+
+# ------------------------------------------------------------------
+# round-8 second wave: streaming percentiles, KLL split cutoff,
+# encoding audit, intra-doc line dedup
+# ------------------------------------------------------------------
+
+
+def test_stream_value_percentiles_equals_batch(spark, sf_dir):
+    """Complete-mode count state + weighted rank coda == the batch
+    counts-based interpolated percentiles, row for row."""
+    from real_time_database_monitoring_system_spark.operators import monitoring
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+    from real_time_database_monitoring_system_spark.streaming import rollup
+
+    batch = monitoring.value_percentiles_interp(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    stream = rollup.stream_value_percentiles(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_temporal_split_kll_verdict_and_exact_cutoff(spark, sf_dir):
+    """The exact cutoff must equal temporal_split's percentile_disc
+    cutoff; the sketch verdict must hold at the default accuracy; the
+    achieved train fraction must sit at ≥ train_frac (percentile_disc
+    picks the smallest value reaching the target rank)."""
+    from real_time_database_monitoring_system_spark.operators import curation
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    row = curation.temporal_split_kll(events).collect()[0]
+    ref = curation.temporal_split(events).select("cutoff_us").first()[0]
+    assert row["cutoff_us_exact"] == ref
+    assert row["kll_cutoff_in_rank_bound"] is True
+    assert 0.8 <= row["train_frac_achieved"] < 0.81
+    assert row["n_train"] <= row["n_events"]
+
+
+def test_encoding_audit_closed_form(spark):
+    """2 clean docs + 1 with two U+FFFD + 1 with one control char:
+    counts and rates are hand-computable."""
+    from real_time_database_monitoring_system_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "clean text here", "s0"),
+            (2, "also clean", "s0"),
+            (3, "bad �� decode", "s0"),
+            (4, "ctl \x01 byte", "s1"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in text_ops.encoding_audit(docs).collect()}
+    assert out["s0"]["n_docs"] == 3 and out["s0"]["n_bad_docs"] == 1
+    assert out["s0"]["n_bad_chars"] == 2
+    assert out["s1"]["n_bad_docs"] == 1 and out["s1"]["n_bad_chars"] == 1
+    assert out["s1"]["bad_char_rate"] == pytest.approx(
+        1 / len("ctl \x01 byte")
+    )
+    # tab/newline/CR are NOT flagged (legitimate whitespace controls)
+    ws = spark.createDataFrame(
+        [(1, "a\tb\nc\rd", "w")], "doc_id long, text string, source string"
+    )
+    assert text_ops.encoding_audit(ws).collect()[0]["n_bad_chars"] == 0
+
+
+def test_intra_doc_line_dedup_keeps_first_in_order(spark):
+    from real_time_database_monitoring_system_spark.operators import (
+        text as text_ops,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "nav\nbody one\nnav\nbody two\nnav\nfooter\nfooter")],
+        "doc_id long, text string",
+    )
+    row = text_ops.intra_doc_line_dedup(docs).collect()[0]
+    assert row["n_lines"] == 7 and row["n_kept"] == 4
+    assert row["text_clean"] == "nav\nbody one\nbody two\nfooter"
+    # idempotence: a deduped doc passes through unchanged
+    again = text_ops.intra_doc_line_dedup(
+        spark.createDataFrame([(1, row["text_clean"])], "doc_id long, text string")
+    ).collect()[0]
+    assert again["text_clean"] == row["text_clean"]
+    assert again["n_lines"] == again["n_kept"] == 4
+
+
+def test_intra_doc_line_dedup_is_shuffle_free(spark, sf_dir):
+    """The array-side form must stay map-side: zero shuffle exchanges
+    besides the presentation sort (the whole point vs the explode +
+    window alternative)."""
+    from real_time_database_monitoring_system_spark.operators import (
+        text as text_ops,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    df = text_ops.intra_doc_line_dedup(load_table(spark, sf_dir, "documents"))
+    # spread repartition + output sort only
+    assert checks.count_exchanges(df) <= 2
