@@ -230,6 +230,9 @@ HEADLINE = [
     "winnow_longest_run",
     "embedding_norm_audit",
     "mix_rebalance_plan",
+    "temporal_split_kll",
+    "encoding_audit",
+    "intra_doc_line_dedup",
 ]
 
 

@@ -1442,11 +1442,16 @@ def stream_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     verbatim. (Spark's own `percentile` aggregate is not allowed in
     streaming complete mode without buffering every value per group —
     the OOM shape this family exists to avoid.)"""
-    from ..operators.util import cont_quantiles_from_counts
+    from ..operators.util import cont_quantiles_from_counts, materialize
 
     src = _events_stream(spark, sf_dir)
     state_agg = src.groupBy("event_type", "value").agg(F.count("*").alias("n"))
-    state = _run_to_memory(state_agg, "complete")
+    # localCheckpoint before the coda: the quantile helper joins two
+    # derivations of the state (groups × picked), and a memory-sink
+    # View self-join fails analysis with conflicting references (the
+    # streaming_period_over_period gotcha — LogicalRDD dedups per
+    # consumer)
+    state = materialize(_run_to_memory(state_agg, "complete"))
     return cont_quantiles_from_counts(
         state,
         ["event_type"],
