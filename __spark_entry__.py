@@ -1716,7 +1716,31 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_split_kll": _q_temporal_split_kll,
         "encoding_audit": _q_encoding_audit,
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
+        "apdex_score": _q_apdex_score,
+        "gap_histogram": _q_gap_histogram,
+        "dup_degree_stats": _q_dup_degree_stats,
     }
+
+
+def _q_apdex_score(spark, sf):
+    return analytics.apdex_score(load_table(spark, sf, "events"))
+
+
+def _q_gap_histogram(spark, sf):
+    return event_analytics.gap_histogram(load_table(spark, sf, "events"))
+
+
+def _q_dup_degree_stats(spark, sf):
+    # the near-dup mirror injection from cross_source_dup_matrix
+    # (plain synthetic docs have near-zero dup structure — the
+    # injected mirrors give the degree histogram real mass)
+    docs = load_table(spark, sf, "documents").select("doc_id", "text", "source")
+    mirrored = docs.filter(F.col("doc_id") % 23 == 0).select(
+        (F.col("doc_id") + F.lit(50_000_000)).alias("doc_id"),
+        "text",
+        F.concat(F.lit("mirror-of-"), F.col("source")).alias("source"),
+    )
+    return dedup.dup_degree_stats(docs.unionByName(mirrored))
 
 
 def _q_streaming_value_percentiles(spark, sf):
@@ -8482,6 +8506,101 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(kept) AS BIGINT) AS n_kept,
                array_to_string(kept, chr(10)) AS text_clean
         FROM k ORDER BY doc_id
+    """
+
+    # Apdex: integer-cent classification, one final double division,
+    # band CASE via integer cross-multiplication
+    sql["apdex_score"] = """
+        WITH c AS (
+            SELECT event_type,
+                   CASE WHEN CAST(round(value * 100) AS BIGINT) <= 10000
+                        THEN 'sat'
+                        WHEN CAST(round(value * 100) AS BIGINT) <= 40000
+                        THEN 'tol'
+                        ELSE 'fru' END AS cls
+            FROM events WHERE value IS NOT NULL),
+        a AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_samples,
+                   CAST(sum(CASE WHEN cls = 'sat' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_satisfied,
+                   CAST(sum(CASE WHEN cls = 'tol' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_tolerating,
+                   CAST(sum(CASE WHEN cls = 'fru' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_frustrated
+            FROM c GROUP BY 1)
+        SELECT event_type, n_samples, n_satisfied, n_tolerating, n_frustrated,
+               CAST(2 * n_satisfied + n_tolerating AS DOUBLE)
+                   / CAST(2 * n_samples AS DOUBLE) AS apdex,
+               CASE WHEN (2 * n_satisfied + n_tolerating) * 100
+                         >= 94 * 2 * n_samples THEN 'excellent'
+                    WHEN (2 * n_satisfied + n_tolerating) * 100
+                         >= 85 * 2 * n_samples THEN 'good'
+                    WHEN (2 * n_satisfied + n_tolerating) * 100
+                         >= 70 * 2 * n_samples THEN 'fair'
+                    ELSE 'poor' END AS apdex_band
+        FROM a ORDER BY event_type
+    """
+
+    # inter-event gap histogram: digit-count buckets on whole seconds
+    sql["gap_histogram"] = """
+        WITH g AS (
+            SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events),
+        nn AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+        b AS (SELECT CASE WHEN gap_us < 1000000 THEN 0
+                          ELSE CAST(length(bin(gap_us // 1000000)) AS INTEGER)
+                     END AS gap_bucket, gap_us
+              FROM nn),
+        c AS (SELECT gap_bucket,
+                     CAST(count(*) AS BIGINT) AS n_gaps,
+                     min(gap_us) AS min_gap_us,
+                     max(gap_us) AS max_gap_us
+              FROM b GROUP BY 1),
+        t AS (SELECT CAST(sum(n_gaps) AS BIGINT) AS n_total FROM c)
+        SELECT gap_bucket, n_gaps, min_gap_us, max_gap_us,
+               CAST(n_gaps AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
+        FROM c, t ORDER BY gap_bucket
+    """
+
+    # near-dup degree histogram over the mirror-injected corpus —
+    # the identical portable-MinHash pipeline (shingle_k=3, the
+    # operator default) at threshold 0.5
+    sql["dup_degree_stats"] = f"""
+        WITH mir AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 50000000 AS doc_id, text,
+                   'mirror-of-' || source AS source
+            FROM documents WHERE doc_id % 23 = 0),
+        {_portable_sig_ctes('dd_', 'mir', 3)},
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM dd_banded a JOIN dd_banded b
+                   ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id),
+        sets AS (SELECT DISTINCT doc_id, h FROM dd_hs),
+        sz AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY 1),
+        it AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+               FROM cand c
+               JOIN sets x ON x.doc_id = c.doc_a
+               JOIN sets y ON y.doc_id = c.doc_b AND y.h = x.h
+               GROUP BY 1, 2),
+        pr AS (SELECT i.doc_a, i.doc_b
+               FROM it i
+               JOIN sz a ON i.doc_a = a.doc_id
+               JOIN sz b ON i.doc_b = b.doc_id
+               WHERE CAST(n_inter AS DOUBLE)
+                     / CAST(a.n + b.n - n_inter AS DOUBLE) >= 0.5),
+        ends AS (SELECT doc_a AS doc_id FROM pr
+                 UNION ALL SELECT doc_b AS doc_id FROM pr),
+        deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1),
+        hh AS (SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+               FROM deg GROUP BY 1),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_dup_docs FROM hh)
+        SELECT CAST(degree AS BIGINT) AS degree, n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(n_dup_docs AS DOUBLE) AS share
+        FROM hh, t ORDER BY degree
     """
 
     return sql

@@ -233,6 +233,9 @@ HEADLINE = [
     "temporal_split_kll",
     "encoding_audit",
     "intra_doc_line_dedup",
+    "apdex_score",
+    "gap_histogram",
+    "dup_degree_stats",
 ]
 
 

@@ -1627,3 +1627,65 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def apdex_score(events: DataFrame, threshold_cents: int = 10000) -> DataFrame:
+    """Apdex panel per event type — the SRE satisfaction index over
+    the latency-shaped `value` column: satisfied ≤ T, tolerating ≤ 4T,
+    frustrated above; Apdex = (satisfied + tolerating/2) / n. The
+    single-number complement to `latency_percentile_panel` (tail
+    percentiles say HOW slow; Apdex says how many users NOTICED).
+
+    Exactness end-to-end: T is integer cents against the 2-decimal
+    feed (round(value·100), the `psi_fixed_bin_sql` rule), the
+    counts are integers, Apdex is ONE final double division written
+    (2·sat + tol) / (2·n), and the band CASE compares with integer
+    cross-multiplication ((2·sat + tol)·100 vs band·2·n — no float
+    anywhere near a boundary).
+
+    Scale shape: one map-side classification + one keyed aggregate to
+    ≤ #types rows. NULL values are unmeasured samples and drop."""
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    classified = events.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(cents <= threshold_cents, "sat")
+        .when(cents <= 4 * threshold_cents, "tol")
+        .otherwise("fru")
+        .alias("cls"),
+    )
+    return (
+        classified.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_samples"),
+            F.sum(F.when(F.col("cls") == "sat", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_satisfied"),
+            F.sum(F.when(F.col("cls") == "tol", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_tolerating"),
+            F.sum(F.when(F.col("cls") == "fru", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_frustrated"),
+        )
+        .select(
+            "event_type",
+            "n_samples",
+            "n_satisfied",
+            "n_tolerating",
+            "n_frustrated",
+            F.expr(
+                "CAST(2 * n_satisfied + n_tolerating AS DOUBLE)"
+                " / CAST(2 * n_samples AS DOUBLE)"
+            ).alias("apdex"),
+            F.expr(
+                "CASE WHEN (2 * n_satisfied + n_tolerating) * 100"
+                " >= 94 * 2 * n_samples THEN 'excellent'"
+                " WHEN (2 * n_satisfied + n_tolerating) * 100"
+                " >= 85 * 2 * n_samples THEN 'good'"
+                " WHEN (2 * n_satisfied + n_tolerating) * 100"
+                " >= 70 * 2 * n_samples THEN 'fair'"
+                " ELSE 'poor' END"
+            ).alias("apdex_band"),
+        )
+        .orderBy("event_type")
+    )

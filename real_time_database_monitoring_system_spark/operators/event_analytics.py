@@ -972,3 +972,61 @@ def type_triangles(events: DataFrame, min_shared: int = 2) -> DataFrame:
         )
         .orderBy("type_a", "type_b", "type_c")
     )
+
+
+def gap_histogram(events: DataFrame) -> DataFrame:
+    """Per-user inter-event gap histogram on a power-of-two second
+    grid — the empirical arrival-pattern panel that justifies (or
+    indicts) every session-gap and watermark constant in the layer:
+    the session cutoff (`stream_sessions`' 30 min) should sit in a
+    histogram valley, and the watermark lateness should cover the
+    gap mass, not a guess.
+
+    Buckets are INTEGER properties (binary digit count of the gap in
+    whole seconds — the `seqlen_histogram` rule, no log2 double);
+    sub-second gaps land in bucket 0. Exact integer µs arithmetic
+    throughout; the only double is the final share division.
+
+    Scale shape: one user-keyed window (LAG over the user's event
+    order — the shuffle `lag_delta` already pays), reduced map-side
+    to (bucket) counts. Output ~40 rows."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    gaps = (
+        events.select(
+            "user_id",
+            "event_id",
+            (us - F.lag(us).over(w)).alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    # INTEGER div to whole seconds (a double /1e6 truncates wrong at
+    # representation boundaries), then digit-count bucket
+    bucket = F.when(
+        F.col("gap_us") < 1_000_000, F.lit(0)
+    ).otherwise(
+        F.length(
+            F.conv(F.expr("gap_us div 1000000").cast("string"), 10, 2)
+        ).cast("int")
+    )
+    counted = gaps.select(bucket.alias("gap_bucket"), "gap_us").groupBy(
+        "gap_bucket"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+    total = counted.agg(F.sum("n_gaps").cast("bigint").alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            (F.col("n_gaps").cast("double") / F.col("n_total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy("gap_bucket")
+    )

@@ -479,3 +479,72 @@ def test_intra_doc_line_dedup_is_shuffle_free(spark, sf_dir):
     df = text_ops.intra_doc_line_dedup(load_table(spark, sf_dir, "documents"))
     # spread repartition + output sort only
     assert checks.count_exchanges(df) <= 2
+
+
+# ------------------------------------------------------------------
+# round-8 third wave: apdex, gap histogram, dup-degree stats
+# ------------------------------------------------------------------
+
+
+def test_apdex_closed_form(spark):
+    """T=100.00: values 50 (sat), 250 (tol), 450 (fru), 80 (sat) →
+    apdex = (2·2 + 1)/(2·4) = 0.625 exactly → 'poor'; a clean group
+    of four satisfieds scores 1.0 → 'excellent'. NULL values drop."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    rows = [
+        (1, "api", 50.0), (2, "api", 250.0), (3, "api", 450.0),
+        (4, "api", 80.0), (5, "api", None),
+        (6, "web", 10.0), (7, "web", 20.0), (8, "web", 30.0), (9, "web", 99.99),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    out = {r["event_type"]: r for r in analytics.apdex_score(df).collect()}
+    api = out["api"]
+    assert (api["n_samples"], api["n_satisfied"], api["n_tolerating"],
+            api["n_frustrated"]) == (4, 2, 1, 1)
+    assert api["apdex"] == 0.625 and api["apdex_band"] == "poor"
+    web = out["web"]
+    assert web["apdex"] == 1.0 and web["apdex_band"] == "excellent"
+
+
+def test_gap_histogram_closed_form(spark):
+    """One user with gaps 0.5 s (bucket 0), 3 s (bucket 2: bin(3) =
+    '11'), 70 s (bucket 7: bin(70) has 7 digits); shares sum to 1."""
+    import datetime as dt
+
+    from real_time_database_monitoring_system_spark.operators import (
+        event_analytics,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 7),
+        (2, t0 + dt.timedelta(seconds=0.5), 7),
+        (3, t0 + dt.timedelta(seconds=3.5), 7),
+        (4, t0 + dt.timedelta(seconds=73.5), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long"
+    )
+    out = {r["gap_bucket"]: r for r in event_analytics.gap_histogram(df).collect()}
+    assert sorted(out) == [0, 2, 7]
+    assert out[0]["n_gaps"] == 1 and out[0]["min_gap_us"] == 500_000
+    assert out[2]["min_gap_us"] == 3_000_000
+    assert out[7]["min_gap_us"] == 70_000_000
+    assert sum(r["share"] for r in out.values()) == pytest.approx(1.0)
+
+
+def test_dup_degree_stats_planted_mirrors(spark):
+    """Three verbatim copies of one doc + two singletons: the copies
+    form a 3-clique (degree 2 each); singletons don't appear."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, text, "s0"), (2, text, "s1"), (3, text, "s2"),
+        (4, "totally different words entirely here now one two", "s0"),
+        (5, "another unrelated document with its own tokens set", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dedup.dup_degree_stats(df).collect()
+    assert len(out) == 1
+    assert out[0]["degree"] == 2 and out[0]["n_docs"] == 3
+    assert out[0]["share"] == 1.0
