@@ -8305,12 +8305,14 @@ def oracle_sql() -> dict[str, str]:
     # comparison text shared with the Spark operator, exact_dedup's
     # digest for the dup flag
     _qcal_cuts = ",\n                       ".join(
-        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY quality) AS c{i}"
+        f"percentile_disc({i / 10}) WITHIN GROUP (ORDER BY q3) AS c{i}"
         for i in range(1, 10)
     )
     sql["quality_calibration_curve"] = f"""
         WITH q0 AS ({sql["quality_score"]}),
-        q AS (SELECT doc_id, quality FROM q0),
+        q AS (SELECT doc_id,
+                     CAST(floor(quality * 1000) AS BIGINT) AS q3
+              FROM q0),
         cuts AS (SELECT {_qcal_cuts}
                  FROM q),
         a AS (SELECT doc_id,

@@ -753,15 +753,15 @@ def contamination_by_source(
     )
 
 
-def decile_assign_sql(nbins: int) -> str:
+def decile_assign_sql(nbins: int, col: str = "q3") -> str:
     """Bucket-assignment expression over cut columns c1..c{nbins-1}:
-    1 + Σ (quality > c_i) — generated from one constant so the Spark
+    1 + Σ (col > c_i) — generated from one constant so the Spark
     operator and the DuckDB oracle can never drift (the
     `psi_bin_case_sql` rule). Values equal to a cut fall in the lower
     bucket (`percentile_disc` cuts are actual data values, so the
     boundary comparison is exact, not a float guess)."""
     terms = "".join(
-        f" + (CASE WHEN quality > c{i} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {col} > c{i} THEN 1 ELSE 0 END)"
         for i in range(1, nbins)
     )
     return "1" + terms
@@ -777,24 +777,35 @@ def quality_calibration_curve(documents: DataFrame, nbins: int = 10) -> DataFram
     them and dedup must run first.)
 
     Exactness: deciles come from `disc_quantiles_from_counts` cuts
-    over the deterministic quality doubles (order statistics —
+    over the integer-thousandths quantized score (order statistics —
     engine-exact); assignment is `decile_assign_sql` comparisons; the
     dup flag is the `exact_dedup` digest group size. One final double
     division per decile row.
 
     Scale shape: the quality pass reduces to a per-doc relation; cuts
-    run over the distinct-quality counts (quantize the score in
-    production to bound it); the digest shuffle is `exact_dedup`'s
-    own exchange; decile assignment is a broadcast of one 9-column
-    row. Output = `nbins` rows."""
+    run over the QUANTIZED distinct-score counts — bounded at ~100k
+    values forever (see the q3 comment below), never growing with the
+    corpus; the digest shuffle is `exact_dedup`'s own exchange; decile
+    assignment is a broadcast of one 9-column row. Output = `nbins`
+    rows."""
     from .text import quality_score
     from .util import disc_quantiles_from_counts as _disc_quantiles
 
+    # deciles run on the INTEGER-thousandths grid q3 = floor(q·1000):
+    # the raw quality double is near-unique, so a cuts relation over it
+    # grows with the corpus (a 500k-doc single-partition window in the
+    # 100× stress run); floor quantization bounds the distinct-value
+    # alphabet at ~100k forever. floor (not round) on purpose — both
+    # engines floor the identical product double identically, with no
+    # .5-boundary rounding-mode divergence (the drift_cusum trap).
     q = _materialize(
-        quality_score(documents).select("doc_id", "quality")
+        quality_score(documents).select(
+            "doc_id",
+            F.expr("CAST(floor(quality * 1000) AS BIGINT)").alias("q3"),
+        )
     )
     cuts = _disc_quantiles(
-        q, [], "quality", [(f"c{i}", i, nbins) for i in range(1, nbins)]
+        q, [], "q3", [(f"c{i}", i, nbins) for i in range(1, nbins)]
     )
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     fps = documents.select(
