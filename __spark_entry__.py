@@ -1718,6 +1718,7 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intra_doc_line_dedup": _q_intra_doc_line_dedup,
         "apdex_score": _q_apdex_score,
         "gap_histogram": _q_gap_histogram,
+        "streaming_gap_histogram": _q_streaming_gap_histogram,
         "dup_degree_stats": _q_dup_degree_stats,
     }
 
@@ -1728,6 +1729,12 @@ def _q_apdex_score(spark, sf):
 
 def _q_gap_histogram(spark, sf):
     return event_analytics.gap_histogram(load_table(spark, sf, "events"))
+
+
+def _q_streaming_gap_histogram(spark, sf):
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    return stateful.stream_gap_histogram(spark, sf)
 
 
 def _q_dup_degree_stats(spark, sf):
@@ -8565,6 +8572,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_gaps AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         FROM c, t ORDER BY gap_bucket
     """
+
+    # stateful streaming twin: per-user last-event-time state,
+    # per-batch delta emissions; union of deltas == the batch gap set
+    sql["streaming_gap_histogram"] = sql["gap_histogram"]
 
     # near-dup degree histogram over the mirror-injected corpus —
     # the identical portable-MinHash pipeline (shingle_k=3, the

@@ -292,3 +292,101 @@ def stream_funnel_watermarked(
         .select("user_id", F.col("s.t1").alias("t1"), F.col("s.t2").alias("t2"), F.col("s.t3").alias("t3"))
     )
     return _funnel_panel(final)
+
+
+GAP_STATE_SCHEMA = "last_us bigint"
+GAP_OUT_SCHEMA = (
+    "gap_bucket int, n_gaps bigint, min_gap_us bigint, max_gap_us bigint"
+)
+
+
+def _gap_buckets(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap tracker: state = the user's latest event-time µs;
+    each batch emits that batch's (bucket, count, min, max) DELTAS —
+    the boundary gap (first in-batch event vs state) included, so the
+    union of all emissions is exactly the batch operator's gap set.
+    Rows are sorted by (us, event_id) INSIDE the batch (Arrow group
+    batches arrive in partition order, not time order); cross-batch
+    correctness rides the feed's file-time order, the documented
+    file-stream contract every stateful twin in this module shares."""
+    last = state.get[0] if state.exists else None
+    frames = []
+    for pdf in batches:
+        pdf = pdf.sort_values(["us", "event_id"])
+        us = pdf["us"].to_numpy()
+        if len(us) == 0:
+            continue
+        gaps = []
+        if last is not None:
+            gaps.append(int(us[0]) - int(last))
+        if len(us) > 1:
+            gaps.extend((us[1:] - us[:-1]).tolist())
+        last = int(us[-1])
+        if gaps:
+            rows = {}
+            for g in gaps:
+                g = int(g)
+                b = 0 if g < 1_000_000 else (g // 1_000_000).bit_length()
+                n, mn, mx = rows.get(b, (0, g, g))
+                rows[b] = (n + 1, min(mn, g), max(mx, g))
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "gap_bucket": list(rows),
+                        "n_gaps": [rows[b][0] for b in rows],
+                        "min_gap_us": [rows[b][1] for b in rows],
+                        "max_gap_us": [rows[b][2] for b in rows],
+                    }
+                )
+            )
+    if last is not None:
+        state.update((last,))
+    yield from frames
+
+
+def stream_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming twin of `event_analytics.gap_histogram`:
+    the live arrival-pattern panel. Batch LAG needs the whole ordered
+    series; the streaming shape is ONE bigint of state per user (the
+    latest event time) with per-batch delta emissions — the union of
+    deltas equals the batch gap set exactly, so the coda aggregation
+    reproduces the batch panel digit for digit and shares its oracle
+    verbatim. State is bounded by the user population; a production
+    deployment adds a state TTL for dormant users (the documented
+    watermark trade every per-user stateful op makes)."""
+    from pyspark.sql import functions as F
+
+    src = _events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    tracked = src.groupBy("user_id").applyInPandasWithState(
+        _gap_buckets,
+        outputStructType=GAP_OUT_SCHEMA,
+        stateStructType=GAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(tracked, "update")
+    counted = out.groupBy("gap_bucket").agg(
+        F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+        F.min("min_gap_us").alias("min_gap_us"),
+        F.max("max_gap_us").alias("max_gap_us"),
+    )
+    total = counted.agg(F.sum("n_gaps").cast("bigint").alias("n_total"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            "min_gap_us",
+            "max_gap_us",
+            (
+                F.col("n_gaps").cast("double") / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("gap_bucket")
+    )

@@ -548,3 +548,51 @@ def test_dup_degree_stats_planted_mirrors(spark):
     assert len(out) == 1
     assert out[0]["degree"] == 2 and out[0]["n_docs"] == 3
     assert out[0]["share"] == 1.0
+
+
+def test_stream_gap_histogram_equals_batch_multifile(spark, sf_dir, tmp_path):
+    """The stateful gap twin must equal the batch panel — including
+    over a 4-file time-split feed with maxFilesPerTrigger=1, where
+    every cross-file boundary gap must come from the per-user state
+    (files written in ascending time order with ascending mtimes, the
+    file-stream contract)."""
+    import os
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from real_time_database_monitoring_system_spark.operators import (
+        event_analytics,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+    from real_time_database_monitoring_system_spark.streaming import stateful
+
+    events = load_table(spark, sf_dir, "events")
+    batch = sorted(
+        map(tuple, event_analytics.gap_histogram(events).collect())
+    )
+    stream = sorted(
+        map(tuple, stateful.stream_gap_histogram(spark, sf_dir).collect())
+    )
+    assert stream == batch
+
+    # 4-file time-ordered replay of the same rows
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    import pandas as pd
+
+    pdf = tbl.to_pandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(4):
+        part = pdf.iloc[i * n // 4 : (i + 1) * n // 4]
+        path = str(d / f"part-{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        os.utime(path, (1_700_000_000 + i * 10, 1_700_000_000 + i * 10))
+    multi = sorted(
+        map(tuple, stateful.stream_gap_histogram(spark, str(tmp_path)).collect())
+    )
+    assert multi == batch
