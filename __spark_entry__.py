@@ -8280,25 +8280,27 @@ def oracle_sql() -> dict[str, str]:
     # perplexity-outlier panel: the unigram scorer CTE verbatim + the
     # mad_outliers percentile_disc baseline + the shared flag text
     sql["doc_perplexity_outliers"] = f"""
-        WITH s AS ({sql["unigram_logprob"]}),
+        WITH s0 AS ({sql["unigram_logprob"]}),
+        s AS (SELECT source,
+                     CAST(floor(avg_logprob * 1000000) AS BIGINT) AS q6
+              FROM s0),
         med AS (SELECT source,
-                       percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_logprob)
-                           AS med_logprob
+                       percentile_disc(0.5) WITHIN GROUP (ORDER BY q6)
+                           AS med_q6
                 FROM s GROUP BY 1),
         mad AS (SELECT s.source,
                        percentile_disc(0.5) WITHIN GROUP
-                           (ORDER BY abs(s.avg_logprob - m.med_logprob))
-                           AS mad_logprob
+                           (ORDER BY abs(s.q6 - m.med_q6)) AS mad_q6
                 FROM s JOIN med m USING (source) GROUP BY 1)
         SELECT s.source,
                CAST(count(*) AS BIGINT) AS n_docs,
-               min(m.med_logprob) AS med_logprob,
-               min(d.mad_logprob) AS mad_logprob,
-               CAST(sum(CASE WHEN m.med_logprob - s.avg_logprob
-                                  > (3.0 * 1.4826) * d.mad_logprob
+               CAST(min(m.med_q6) AS DOUBLE) / 1000000.0 AS med_logprob,
+               CAST(min(d.mad_q6) AS DOUBLE) / 1000000.0 AS mad_logprob,
+               CAST(sum(CASE WHEN m.med_q6 - s.q6
+                                  > (3.0 * 1.4826) * d.mad_q6
                              THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-               CAST(sum(CASE WHEN m.med_logprob - s.avg_logprob
-                                  > (3.0 * 1.4826) * d.mad_logprob
+               CAST(sum(CASE WHEN m.med_q6 - s.q6
+                                  > (3.0 * 1.4826) * d.mad_q6
                              THEN 1 ELSE 0 END) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS outlier_rate
         FROM s

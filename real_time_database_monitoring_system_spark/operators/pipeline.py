@@ -1384,35 +1384,41 @@ def doc_perplexity_outliers(documents: DataFrame) -> DataFrame:
     the low tail is the boilerplate/garbled/wrong-language mass a
     perplexity filter exists to drop.
 
-    Determinism: avg_logprob is one final double division over the
-    decimal logp sum (deterministic per doc); the median and MAD are
-    `percentile_disc` order statistics over those exact doubles
-    (counts replica, `disc_quantiles_from_counts`); the flag compares
-    doubles produced identically in both engines with a fixed-order
-    constant product — no fresh transcendental anywhere past the
-    pinned per-token ln.
+    Determinism AND bounded state: avg_logprob is one final double
+    division over the decimal logp sum (deterministic per doc); the
+    median and MAD run on the INTEGER-micronats grid
+    q6 = floor(avg_logprob·10⁶) — the `quality_calibration_curve` q3
+    move: the raw score is near-unique per doc, so a counts relation
+    over it grows with the corpus, while the quantized alphabet is
+    bounded by the score's range (~10⁷ values) forever. floor, not
+    round (no .5-boundary rounding-mode divergence). The flag
+    compares integer micronats against the fixed-order constant
+    product — no fresh transcendental anywhere past the pinned
+    per-token ln.
 
     Scale shape: the scorer's tokenize pass reduces to a per-doc
-    relation; baselines run over THAT (per-source distinct-logprob
-    counts — near-unique doubles, so production quantizes the score
-    to bound the relation, the documented `ks_drift` trade); flags
+    relation; baselines run over the bounded quantized counts; flags
     are a broadcast join back. Output ≤ #sources rows."""
     from .util import disc_quantiles_from_counts as _disc_quantiles
 
     scored = _materialize(
-        unigram_logprob_score(documents).select("doc_id", "source", "avg_logprob")
+        unigram_logprob_score(documents).select(
+            "doc_id",
+            "source",
+            F.expr("CAST(floor(avg_logprob * 1000000) AS BIGINT)").alias("q6"),
+        )
     )
     med = _materialize(
-        _disc_quantiles(scored, ["source"], "avg_logprob", [("med_logprob", 1, 2)])
+        _disc_quantiles(scored, ["source"], "q6", [("med_q6", 1, 2)])
     )
     mad = _disc_quantiles(
         scored.join(F.broadcast(med), "source").select(
             "source",
-            F.abs(F.col("avg_logprob") - F.col("med_logprob")).alias("adev"),
+            F.abs(F.col("q6") - F.col("med_q6")).alias("adev"),
         ),
         ["source"],
         "adev",
-        [("mad_logprob", 1, 2)],
+        [("mad_q6", 1, 2)],
     )
     baseline = med.join(mad, "source")
     return (
@@ -1420,13 +1426,11 @@ def doc_perplexity_outliers(documents: DataFrame) -> DataFrame:
         .groupBy("source")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.first("med_logprob").alias("med_logprob"),
-            F.first("mad_logprob").alias("mad_logprob"),
+            F.first("med_q6").alias("med_q6"),
+            F.first("mad_q6").alias("mad_q6"),
             F.sum(
                 F.when(
-                    F.expr(
-                        "med_logprob - avg_logprob > (3.0 * 1.4826) * mad_logprob"
-                    ),
+                    F.expr("med_q6 - q6 > (3.0 * 1.4826) * mad_q6"),
                     1,
                 ).otherwise(0)
             )
@@ -1436,8 +1440,12 @@ def doc_perplexity_outliers(documents: DataFrame) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            "med_logprob",
-            "mad_logprob",
+            (F.col("med_q6").cast("double") / F.lit(1000000.0)).alias(
+                "med_logprob"
+            ),
+            (F.col("mad_q6").cast("double") / F.lit(1000000.0)).alias(
+                "mad_logprob"
+            ),
             "n_outliers",
             (
                 F.col("n_outliers").cast("double") / F.col("n_docs").cast("double")
