@@ -1719,12 +1719,17 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "apdex_score": _q_apdex_score,
         "gap_histogram": _q_gap_histogram,
         "streaming_gap_histogram": _q_streaming_gap_histogram,
+        "streaming_apdex": _q_streaming_apdex,
         "dup_degree_stats": _q_dup_degree_stats,
     }
 
 
 def _q_apdex_score(spark, sf):
     return analytics.apdex_score(load_table(spark, sf, "events"))
+
+
+def _q_streaming_apdex(spark, sf):
+    return streaming_rollup.stream_apdex(spark, sf)
 
 
 def _q_gap_histogram(spark, sf):
@@ -8574,6 +8579,9 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_gaps AS DOUBLE) / CAST(n_total AS DOUBLE) AS share
         FROM c, t ORDER BY gap_bucket
     """
+
+    # streaming apdex: #types×3 count state + the shared coda
+    sql["streaming_apdex"] = sql["apdex_score"]
 
     # stateful streaming twin: per-user last-event-time state,
     # per-batch delta emissions; union of deltas == the batch gap set

@@ -1653,17 +1653,29 @@ def apdex_score(events: DataFrame, threshold_cents: int = 10000) -> DataFrame:
         .otherwise("fru")
         .alias("cls"),
     )
+    counts = classified.groupBy("event_type", "cls").agg(
+        F.count("*").alias("n")
+    )
+    return apdex_from_class_counts(counts)
+
+
+def apdex_from_class_counts(counts: DataFrame) -> DataFrame:
+    """`apdex_score`'s panel coda over an already-reduced
+    (event_type, cls, n) class-count relation — the state a streaming
+    aggregation maintains (the `rfm_from_per_user` shared-coda
+    pattern), so `streaming.rollup.stream_apdex` and the batch
+    operator share this arithmetic and the batch oracle verbatim."""
     return (
-        classified.groupBy("event_type")
+        counts.groupBy("event_type")
         .agg(
-            F.count("*").cast("bigint").alias("n_samples"),
-            F.sum(F.when(F.col("cls") == "sat", 1).otherwise(0))
+            F.sum("n").cast("bigint").alias("n_samples"),
+            F.sum(F.when(F.col("cls") == "sat", F.col("n")).otherwise(0))
             .cast("bigint")
             .alias("n_satisfied"),
-            F.sum(F.when(F.col("cls") == "tol", 1).otherwise(0))
+            F.sum(F.when(F.col("cls") == "tol", F.col("n")).otherwise(0))
             .cast("bigint")
             .alias("n_tolerating"),
-            F.sum(F.when(F.col("cls") == "fru", 1).otherwise(0))
+            F.sum(F.when(F.col("cls") == "fru", F.col("n")).otherwise(0))
             .cast("bigint")
             .alias("n_frustrated"),
         )

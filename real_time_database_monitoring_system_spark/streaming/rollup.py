@@ -1459,3 +1459,30 @@ def stream_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)],
         weight="n",
     ).orderBy("event_type")
+
+
+def stream_apdex(
+    spark: SparkSession, sf_dir: str, threshold_cents: int = 10000
+) -> DataFrame:
+    """Streaming twin of `analytics.apdex_score`: the live
+    satisfaction index. The best state shape in the family — the
+    stream maintains only (event_type, class) counts (≤ #types × 3
+    rows, forever), and the coda is the SHARED
+    `apdex_from_class_counts`, so availableNow equals the batch panel
+    digit for digit and the batch oracle applies verbatim."""
+    from ..operators.analytics import apdex_from_class_counts
+
+    src = _events_stream(spark, sf_dir)
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)")
+    classified = src.filter(F.col("value").isNotNull()).select(
+        "event_type",
+        F.when(cents <= threshold_cents, "sat")
+        .when(cents <= 4 * threshold_cents, "tol")
+        .otherwise("fru")
+        .alias("cls"),
+    )
+    state = _run_to_memory(
+        classified.groupBy("event_type", "cls").agg(F.count("*").alias("n")),
+        "complete",
+    )
+    return apdex_from_class_counts(state)
