@@ -866,7 +866,8 @@ def temporal_split_kll(
             f" {train_frac!r}, {accuracy})"
         ).alias("a_cut")
     )
-    g = events.crossJoin(F.broadcast(approx)).agg(
+    # diamond rule: g feeds the exact-rank count AND the final panel
+    g = _materialize(events.crossJoin(F.broadcast(approx)).agg(
         F.count("*").alias("n_events"),
         F.expr(
             "cast(percentile_disc("
@@ -876,7 +877,7 @@ def temporal_split_kll(
         ).alias("cutoff_us_exact"),
         F.sum((us < F.col("a_cut")).cast("long")).alias("lt"),
         F.sum((us <= F.col("a_cut")).cast("long")).alias("le"),
-    )
+    ))
     exact_le = events.crossJoin(
         F.broadcast(g.select("cutoff_us_exact"))
     ).agg(

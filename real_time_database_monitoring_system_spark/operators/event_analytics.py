@@ -1009,12 +1009,17 @@ def gap_histogram(events: DataFrame) -> DataFrame:
             F.conv(F.expr("gap_us div 1000000").cast("string"), 10, 2)
         ).cast("int")
     )
-    counted = gaps.select(bucket.alias("gap_bucket"), "gap_us").groupBy(
-        "gap_bucket"
-    ).agg(
-        F.count("*").cast("bigint").alias("n_gaps"),
-        F.min("gap_us").alias("min_gap_us"),
-        F.max("gap_us").alias("max_gap_us"),
+    # diamond rule: the bucket counts feed BOTH the total row and the
+    # final select — materialize or the user window + aggregate
+    # subtree recomputes per consumer (caught by the plan budget test)
+    counted = _materialize(
+        gaps.select(bucket.alias("gap_bucket"), "gap_us")
+        .groupBy("gap_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
     )
     total = counted.agg(F.sum("n_gaps").cast("bigint").alias("n_total"))
     return (

@@ -638,3 +638,37 @@ def test_cont_quantiles_property_random_multisets(spark):
     for g in ref:
         for a, b in zip(got[g], ref[g]):
             assert a == pytest.approx(b, rel=1e-12, abs=1e-12), (g, got[g], ref[g])
+
+
+def test_round8_late_wave_shuffle_budgets(spark, sf_dir):
+    """Exchange ceilings + no cartesians for the second/third-wave
+    batch operators (the wave-1 budgets live in
+    test_round8_shuffle_budgets)."""
+    from real_time_database_monitoring_system_spark.operators import (
+        analytics,
+        event_analytics,
+        text as text_ops,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+    budgets = [
+        # classify → (type, cls) agg → type agg → sort
+        ("apdex_score", analytics.apdex_score(events), 3),
+        # user window + bucket agg + sort (+ broadcast total)
+        ("gap_histogram", event_analytics.gap_histogram(events), 3),
+        # spread + source agg + sort
+        ("encoding_audit", text_ops.encoding_audit(docs), 3),
+        # exact cutoff agg + rank-count aggs are global single-row
+        ("temporal_split_kll", curation.temporal_split_kll(events), 4),
+        # banded pair pipeline + degree + histogram aggs
+        ("dup_degree_stats", dedup.dup_degree_stats(docs), 12),
+    ]
+    for name, df, ceiling in budgets:
+        plan = checks.explain_str(df, "simple")
+        assert "CartesianProduct" not in plan, f"{name}: cartesian crept in"
+        n = checks.count_exchanges(df)
+        assert n <= ceiling, f"{name}: {n} exchanges > budget {ceiling}"
