@@ -808,8 +808,13 @@ def quality_calibration_curve(documents: DataFrame, nbins: int = 10) -> DataFram
         q, [], "q3", [(f"c{i}", i, nbins) for i in range(1, nbins)]
     )
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
-    fps = documents.select(
-        "doc_id", F.md5(norm.cast("binary")).alias("content_fp")
+    # diamond rule: the digest relation feeds the cluster-size
+    # aggregate AND the flag join — materialize or the corpus scan +
+    # md5 runs twice
+    fps = _materialize(
+        documents.select(
+            "doc_id", F.md5(norm.cast("binary")).alias("content_fp")
+        )
     )
     sizes = fps.groupBy("content_fp").agg(F.count("*").alias("n_copies"))
     flagged = fps.join(sizes, "content_fp").select(

@@ -371,10 +371,16 @@ def stream_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = _run_to_memory(tracked, "update")
-    counted = out.groupBy("gap_bucket").agg(
-        F.sum("n_gaps").cast("bigint").alias("n_gaps"),
-        F.min("min_gap_us").alias("min_gap_us"),
-        F.max("max_gap_us").alias("max_gap_us"),
+    from ..operators.util import materialize
+
+    # diamond rule (and the memory-sink self-join guard): the bucket
+    # rollup feeds the total row AND the final select
+    counted = materialize(
+        out.groupBy("gap_bucket").agg(
+            F.sum("n_gaps").cast("bigint").alias("n_gaps"),
+            F.min("min_gap_us").alias("min_gap_us"),
+            F.max("max_gap_us").alias("max_gap_us"),
+        )
     )
     total = counted.agg(F.sum("n_gaps").cast("bigint").alias("n_total"))
     return (
