@@ -1721,7 +1721,66 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_gap_histogram": _q_streaming_gap_histogram,
         "streaming_apdex": _q_streaming_apdex,
         "dup_degree_stats": _q_dup_degree_stats,
+        # -- round-8 fourth wave: arrival burstiness (batch + count-
+        #    state twin), streaming encoding audit, per-source length
+        #    quantiles (keyed counts-family point), vocabulary overlap
+        #    matrix, normalized-key dedup panel --
+        "burstiness_panel": _q_burstiness_panel,
+        "streaming_burstiness": _q_streaming_burstiness,
+        "streaming_encoding_audit": _q_streaming_encoding_audit,
+        "doc_length_percentiles": _q_doc_length_percentiles,
+        "vocab_overlap_matrix": _q_vocab_overlap_matrix,
+        "normalized_dedup": _q_normalized_dedup,
     }
+
+
+def _q_burstiness_panel(spark, sf):
+    return event_analytics.burstiness_panel(load_table(spark, sf, "events"))
+
+
+def _q_streaming_burstiness(spark, sf):
+    return streaming_rollup.stream_burstiness(spark, sf)
+
+
+def _q_streaming_encoding_audit(spark, sf):
+    return streaming_rollup.stream_encoding_audit(
+        spark, sf, mutate=_inject_bad_encoding
+    )
+
+
+def _q_doc_length_percentiles(spark, sf):
+    return pipeline.doc_length_percentiles(load_table(spark, sf, "documents"))
+
+
+def _q_vocab_overlap_matrix(spark, sf):
+    return text_ops.vocab_overlap_matrix(load_table(spark, sf, "documents"))
+
+
+def _inject_norm_variants(docs):
+    # deterministic casefold/punctuation/whitespace mirrors (the
+    # synthetic corpus is byte-unique, which would make the panel a
+    # trivially all-zero relation): every 7th doc re-appears from a
+    # 'mirror' source, upper-cased with injected punctuation and
+    # doubled spacing — byte-distinct, identical under the
+    # normalization key; mirrored verbatim in the oracle
+    return docs.unionByName(
+        docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(70_000_000)).alias("doc_id"),
+            F.concat(
+                F.regexp_replace(F.upper("text"), F.lit(" "), F.lit("  ")),
+                F.lit(" !!!"),
+            ).alias("text"),
+            "lang",
+            F.lit("mirror").alias("source"),
+            "n_chars",
+        )
+    )
+
+
+def _q_normalized_dedup(spark, sf):
+    return dedup.normalized_dedup(
+        _inject_norm_variants(load_table(spark, sf, "documents"))
+    )
 
 
 def _q_apdex_score(spark, sf):
@@ -8624,6 +8683,131 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(degree AS BIGINT) AS degree, n_docs,
                CAST(n_docs AS DOUBLE) / CAST(n_dup_docs AS DOUBLE) AS share
         FROM hh, t ORDER BY degree
+    """
+
+    # ---- round-8 fourth wave ----
+
+    # arrival burstiness: integer minute buckets, integer N/S2/M
+    # accumulators, two fixed-shape double edge expressions
+    # (fano = S2/N − N/M — mirrored verbatim)
+    sql["burstiness_panel"] = """
+        WITH c AS (
+            SELECT event_type, epoch_us(ts) // 60000000 AS minute,
+                   count(*) AS c
+            FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        per AS (
+            SELECT event_type,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(sum(c * c) AS BIGINT) AS sum_sq,
+                   CAST(max(minute) - min(minute) + 1 AS BIGINT) AS n_minutes,
+                   CAST(count(*) AS BIGINT) AS active_minutes
+            FROM c GROUP BY 1)
+        SELECT event_type, n_events, n_minutes, active_minutes, sum_sq,
+               CAST(n_events AS DOUBLE) / CAST(n_minutes AS DOUBLE)
+                   AS events_per_min,
+               CAST(sum_sq AS DOUBLE) / CAST(n_events AS DOUBLE)
+                   - CAST(n_events AS DOUBLE) / CAST(n_minutes AS DOUBLE)
+                   AS fano
+        FROM per ORDER BY event_type
+    """
+
+    # streaming burstiness: the (type, minute) count state + the
+    # shared Fano coda
+    sql["streaming_burstiness"] = sql["burstiness_panel"]
+
+    # streaming encoding audit: per-source 4-counter state + the
+    # shared classify/rate code — the batch oracle applies verbatim
+    sql["streaming_encoding_audit"] = sql["encoding_audit"]
+
+    # per-source doc-length quantiles: the KEYED point of the
+    # counts-based continuous family — fragments generated from the
+    # same quantile list as the Spark side, so the interpolation
+    # expression cannot drift
+    _dlp_sel, _dlp_fin = _contq_fragments(
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20)]
+    )
+    sql["doc_length_percentiles"] = f"""
+        WITH c AS (
+            SELECT source, n_chars AS value, count(*) AS _c
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+            SELECT source, value,
+                   SUM(_c) OVER (PARTITION BY source ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+                   SUM(_c) OVER (PARTITION BY source) AS _n
+            FROM c),
+        p AS (
+            SELECT source,
+                   {_dlp_sel}
+            FROM cum GROUP BY 1),
+        g AS (SELECT DISTINCT source FROM documents)
+        SELECT g.source,
+               {_dlp_fin}
+        FROM g LEFT JOIN p USING (source)
+        ORDER BY source
+    """
+
+    # vocabulary overlap matrix: exact set sizes/intersections over
+    # the fertility tokenization (shared verbatim), two double
+    # divisions at the edge
+    sql["vocab_overlap_matrix"] = f"""
+        WITH st AS (
+            SELECT DISTINCT source, term FROM (
+                SELECT source, unnest({_TOKS}) AS term FROM documents)),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+                  FROM st GROUP BY 1),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM st a JOIN st b ON a.term = b.term
+            WHERE a.source < b.source GROUP BY 1, 2)
+        SELECT source_a, source_b,
+               sa.v AS vocab_a, sb.v AS vocab_b, n_common,
+               CAST(n_common AS DOUBLE)
+                   / CAST(sa.v + sb.v - n_common AS DOUBLE) AS jaccard,
+               CAST(n_common AS DOUBLE)
+                   / CAST(least(sa.v, sb.v) AS DOUBLE) AS overlap_coef
+        FROM inter
+        JOIN sizes sa ON source_a = sa.source
+        JOIN sizes sb ON source_b = sb.source
+        ORDER BY source_a, source_b
+    """
+
+    # normalized-key dedup panel over the injected casefold mirrors:
+    # normalization classes shared verbatim (EXPLICIT whitespace
+    # sets, no \\s — Java and RE2 draw that class differently);
+    # DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all default
+    sql["normalized_dedup"] = f"""
+        WITH mir AS (
+            SELECT doc_id, text, source FROM documents
+            UNION ALL
+            SELECT doc_id + 70000000 AS doc_id,
+                   replace(upper(text), ' ', '  ') || ' !!!' AS text,
+                   'mirror' AS source
+            FROM documents WHERE doc_id % 7 = 0),
+        keyed AS (
+            SELECT doc_id, source,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '{dedup.NORMALIZE_STRIP_CLASS}', '', 'g'),
+                       '{dedup.NORMALIZE_WS_CLASS}', ' ', 'g'))) AS k
+            FROM mir),
+        clusters AS (
+            SELECT k, CAST(count(*) AS BIGINT) AS csize,
+                   min(doc_id) AS keeper
+            FROM keyed GROUP BY 1),
+        per AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_in_dup_clusters,
+                   CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed
+            FROM keyed JOIN clusters USING (k) GROUP BY 1)
+        SELECT source, n_docs, n_in_dup_clusters, n_removed,
+               CAST(n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE)
+                   AS removal_rate
+        FROM per ORDER BY source
     """
 
     return sql

@@ -1035,3 +1035,72 @@ def gap_histogram(events: DataFrame) -> DataFrame:
         )
         .orderBy("gap_bucket")
     )
+
+
+def minute_counts(events: DataFrame) -> DataFrame:
+    """Per-(event_type, minute) arrival counts — the bounded count
+    relation `burstiness_panel` reduces and the exact state shape its
+    streaming twin maintains (alphabet = #types × observed minutes,
+    the `apdex_from_class_counts` sharing pattern)."""
+    minute = F.expr(f"{_TS_US} div 60000000")
+    return (
+        events.filter(F.col("ts").isNotNull())
+        .select("event_type", minute.alias("minute"))
+        .groupBy("event_type", "minute")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def burstiness_from_minute_counts(counts: DataFrame) -> DataFrame:
+    """Shared coda of `burstiness_panel` / `stream_burstiness`: the
+    Fano-factor reduction over a (event_type, minute, c) count
+    relation. All accumulations are exact integers; the two emitted
+    doubles are fixed-shape expressions over those integers
+    (correctly-rounded divisions and one subtraction — mirrored
+    verbatim by the oracle, so engines agree bit for bit):
+
+        events_per_min = N / M
+        fano           = S2 / N  -  N / M
+
+    with N = Σc, S2 = Σc², M = span minutes (max − min + 1, so silent
+    minutes count as zeros without materializing them — the identity
+    Σ(c−μ)²/M = S2/M − μ² over the span needs only the observed
+    rows). Fano > 1 ⇒ super-Poisson burstiness (alert floods,
+    thundering herds); ≈ 1 ⇒ Poisson arrivals; < 1 ⇒ regular/paced
+    traffic (schedulers, heartbeats)."""
+    per = counts.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_sq"),
+        (F.max("minute") - F.min("minute") + 1).cast("bigint").alias("n_minutes"),
+        F.count("*").cast("bigint").alias("active_minutes"),
+    )
+    n_d = F.col("n_events").cast("double")
+    m_d = F.col("n_minutes").cast("double")
+    return per.select(
+        "event_type",
+        "n_events",
+        "n_minutes",
+        "active_minutes",
+        "sum_sq",
+        (n_d / m_d).alias("events_per_min"),
+        (F.col("sum_sq").cast("double") / n_d - n_d / m_d).alias("fano"),
+    ).orderBy("event_type")
+
+
+def burstiness_panel(events: DataFrame) -> DataFrame:
+    """Arrival burstiness per event type: the Fano factor (variance /
+    mean of per-minute arrival counts over the type's observed span) —
+    the dispersion diagnostic that separates Poisson-like traffic from
+    alert floods and paced schedulers, and the principled way to size
+    rate limits and anomaly thresholds (a 99.9th-percentile threshold
+    tuned on Poisson assumptions fires constantly on fano≫1 traffic).
+
+    Exactness: integer minute buckets (µs div), integer count sums
+    and sum-of-squares; doubles only in the two fixed-shape edge
+    expressions (see `burstiness_from_minute_counts`).
+
+    Scale shape: one map-side-combinable keyed count to the bounded
+    (type, minute) relation, then a #types-row reduction. No joins,
+    no windows, no per-value buffering — the same state bound the
+    streaming twin keeps forever."""
+    return burstiness_from_minute_counts(minute_counts(events))

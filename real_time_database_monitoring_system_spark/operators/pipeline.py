@@ -1517,3 +1517,32 @@ def mix_rebalance_plan(
         )
         .orderBy("source")
     )
+
+def doc_length_percentiles(documents: DataFrame) -> DataFrame:
+    """Per-source document-length quartiles + p95 (continuous/type-7
+    interpolation) — the KEYED operating point of the counts-based
+    quantile family: `value_percentiles_interp` proved the global/
+    per-type shape on the feed, `stream_value_percentiles` the
+    weighted-counts state shape; this is the per-SOURCE corpus
+    profile a mixture designer reads before setting packing lengths
+    and length-filter cutoffs (a source whose p95 is under the
+    sequence length packs clean; one whose p25 exceeds it needs
+    chunking, not filtering).
+
+    Exactness: `util.cont_quantiles_from_counts` — integer rank
+    split over the per-(source, n_chars) count relation, one
+    fixed-shape interpolation expression at the edge, mirrored
+    verbatim by the oracle (never `quantile_cont`).
+
+    Scale shape: the count relation is bounded by #sources × distinct
+    lengths (lengths are small integers — a naturally quantized
+    alphabet, no q-grid needed), map-side combinable; no value
+    buffering anywhere."""
+    from .util import cont_quantiles_from_counts
+
+    return cont_quantiles_from_counts(
+        documents,
+        ["source"],
+        "n_chars",
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4), ("p95", 19, 20)],
+    ).orderBy("source")

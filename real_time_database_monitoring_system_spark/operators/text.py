@@ -1408,37 +1408,58 @@ def encoding_audit(documents: DataFrame) -> DataFrame:
 
     Scale shape: map-side projection (one regexp scan per doc, ~chars
     cost), one keyed aggregate to ≤ #sources rows. No joins, no
-    windows."""
-    per = _spread(documents, "doc_id").select(
+    windows.
+
+    Factored into `encoding_doc_stats` (per-doc classify) →
+    `encoding_source_counts` (keyed integer counters — the exact
+    complete-mode state `streaming.rollup.stream_encoding_audit`
+    maintains) → `encoding_panel_from_source_counts` (the rate coda),
+    so the streaming twin runs the identical code and shares the
+    oracle verbatim."""
+    return encoding_panel_from_source_counts(
+        encoding_source_counts(encoding_doc_stats(_spread(documents, "doc_id")))
+    )
+
+
+def encoding_doc_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc encoding classify (stateless projection — safe on both
+    batch and streaming frames): total chars + bad-char count from one
+    `ENCODING_BAD_CLASS` regexp pass."""
+    return documents.select(
         "source",
         F.length("text").alias("n_chars_t"),
         F.size(
             F.regexp_extract_all(F.col("text"), F.lit(ENCODING_BAD_CLASS), 0)
         ).alias("n_bad"),
     )
-    return (
-        per.groupBy("source")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_bad_docs"),
-            F.sum("n_chars_t").cast("bigint").alias("total_chars"),
-            F.sum("n_bad").cast("bigint").alias("n_bad_chars"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            "n_bad_docs",
-            "total_chars",
-            "n_bad_chars",
-            (
-                F.col("n_bad_chars").cast("double")
-                / F.col("total_chars").cast("double")
-            ).alias("bad_char_rate"),
-        )
-        .orderBy("source")
+
+
+def encoding_source_counts(per: DataFrame) -> DataFrame:
+    """The ≤ #sources × 4-integer-counter aggregation — map-side
+    combinable in batch, bounded forever as streaming state."""
+    return per.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("n_bad") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_docs"),
+        F.sum("n_chars_t").cast("bigint").alias("total_chars"),
+        F.sum("n_bad").cast("bigint").alias("n_bad_chars"),
     )
+
+
+def encoding_panel_from_source_counts(counts: DataFrame) -> DataFrame:
+    """Final panel: the integer counters plus the one double division."""
+    return counts.select(
+        "source",
+        "n_docs",
+        "n_bad_docs",
+        "total_chars",
+        "n_bad_chars",
+        (
+            F.col("n_bad_chars").cast("double")
+            / F.col("total_chars").cast("double")
+        ).alias("bad_char_rate"),
+    ).orderBy("source")
 
 
 def intra_doc_line_dedup(documents: DataFrame) -> DataFrame:
@@ -1475,4 +1496,75 @@ def intra_doc_line_dedup(documents: DataFrame) -> DataFrame:
             F.array_join(kept, "\n").alias("text_clean"),
         )
         .orderBy("doc_id")
+    )
+
+
+def vocab_overlap_matrix(documents: DataFrame) -> DataFrame:
+    """Pairwise vocabulary overlap between sources: for every source
+    pair (a < b), the Jaccard similarity and overlap coefficient of
+    their distinct-token sets — the corpus-composition diagnostic that
+    tells a mixture designer which sources are near-interchangeable
+    (high overlap → diminishing returns from adding both) and which
+    contribute genuinely new vocabulary. The set-level sibling of
+    `source_kl_divergence` (which compares token FREQUENCIES; this
+    compares token SUPPORTS) using the `tokenizer_fertility`
+    whitespace tokenization verbatim.
+
+    Exactness: set sizes and intersections are exact integer counts;
+    jaccard = |∩| / (|A| + |B| − |∩|) and overlap = |∩| / min(|A|,|B|)
+    are single correctly-rounded double divisions over those integers.
+
+    Scale shape: one tokenize+explode reduced immediately to the
+    DISTINCT (source, term) relation (≈ Σ per-source vocabularies —
+    Heaps-sublinear in corpus size), materialized once (it feeds both
+    the size aggregate and the pair join — the diamond rule). The
+    self-equi-join on `term` fans out ≤ #sources rows per term, so
+    worst-case join output is vocab × #sources² — never doc-scale.
+    Per-source sizes broadcast into the final #pairs-row select.
+    Source pairs sharing zero tokens are absent (inner join) — both
+    engines agree by construction."""
+    tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    st = _materialize(
+        _spread(documents, "doc_id")
+        .select("source", F.explode(tok_arr).alias("term"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").cast("bigint").alias("v"))
+    inter = (
+        st.alias("a")
+        .join(st.alias("b"), "term")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    size_a = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("vocab_a")
+    )
+    size_b = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("vocab_b")
+    )
+    return (
+        inter.join(F.broadcast(size_a), "source_a")
+        .join(F.broadcast(size_b), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (
+                    F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+                ).cast("double")
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("vocab_a", "vocab_b").cast("double")
+            ).alias("overlap_coef"),
+        )
+        .orderBy("source_a", "source_b")
     )

@@ -1486,3 +1486,56 @@ def stream_apdex(
         "complete",
     )
     return apdex_from_class_counts(state)
+
+
+def stream_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_analytics.burstiness_panel`: the live
+    arrival-dispersion monitor. State is the (event_type, minute)
+    count relation in complete mode — the `minute_counts` relation
+    itself, bounded by #types × observed minutes (production bounds
+    the horizon with a watermark + state TTL; the Fano reduction only
+    ever reads counts, so expiry composes cleanly). The coda is the
+    SHARED `burstiness_from_minute_counts`, so availableNow equals
+    the batch panel digit for digit and the batch oracle applies
+    verbatim."""
+    from ..operators.event_analytics import burstiness_from_minute_counts
+
+    src = _events_stream(spark, sf_dir)
+    minute = F.expr("unix_micros(cast(ts as timestamp)) div 60000000")
+    counts = (
+        src.filter(F.col("ts").isNotNull())
+        .select("event_type", minute.alias("minute"))
+        .groupBy("event_type", "minute")
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(counts, "complete")
+    return burstiness_from_minute_counts(state)
+
+
+def stream_encoding_audit(
+    spark: SparkSession, sf_dir: str, mutate=None
+) -> DataFrame:
+    """Streaming twin of `text.encoding_audit`: the live mojibake
+    monitor a crawl-ingest pipeline runs so a charset regression
+    upstream (a source suddenly full of U+FFFD) pages within a
+    micro-batch instead of at the next batch sweep. The best state
+    shape in the curation family — per-source 4 integer counters
+    (≤ #sources × 4 cells, forever); the classify projection and the
+    rate coda are the SHARED `encoding_doc_stats` /
+    `encoding_panel_from_source_counts`, so availableNow equals the
+    batch panel digit for digit and the batch oracle applies
+    verbatim. ``mutate`` is the entry-layer contamination plug (the
+    synthetic corpus is clean ASCII)."""
+    from ..operators.text import (
+        encoding_doc_stats,
+        encoding_panel_from_source_counts,
+        encoding_source_counts,
+    )
+
+    src = _documents_stream(spark, sf_dir)
+    if mutate is not None:
+        src = mutate(src)
+    state = _run_to_memory(
+        encoding_source_counts(encoding_doc_stats(src)), "complete"
+    )
+    return encoding_panel_from_source_counts(state)
