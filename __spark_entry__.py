@@ -8788,8 +8788,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id % 7 = 0),
         keyed AS (
             SELECT doc_id, source,
-                   md5(trim(regexp_replace(regexp_replace(lower(text),
-                       '{dedup.NORMALIZE_STRIP_CLASS}', '', 'g'),
+                   md5(trim(regexp_replace(
+                       array_to_string(regexp_extract_all(lower(text),
+                           '{dedup.NORMALIZE_KEEP_CLASS}'), ''),
                        '{dedup.NORMALIZE_WS_CLASS}', ' ', 'g'))) AS k
             FROM mir),
         clusters AS (

@@ -201,6 +201,36 @@ def test_normalized_dedup_tab_newline_collapse(spark):
     assert (r["n_docs"], r["n_in_dup_clusters"], r["n_removed"]) == (3, 3, 2)
 
 
+def test_normalized_key_extract_equals_negated_replace(spark, sf_dir):
+    """The fast positive-class extract-runs-and-join strip must be
+    byte-identical to the naive negated-class replace on the real
+    corpus (the 25× rewrite's semantic contract)."""
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    naive = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.lower("text"), F.lit(r"[^a-z0-9 \t\r\n]"), F.lit("")
+                ),
+                F.lit(dedup.NORMALIZE_WS_CLASS),
+                F.lit(" "),
+            )
+        )
+    )
+    n_diff = (
+        docs.select(
+            (dedup.normalized_text_key(F.col("text")) != naive).alias("d")
+        )
+        .filter("d")
+        .count()
+    )
+    assert n_diff == 0
+
+
 def test_wave5_shuffle_budgets(spark, sf_dir):
     """Exchange-count ceilings + no cartesian products, measured at
     authoring time — a regression that adds a shuffle fails here."""
