@@ -236,6 +236,11 @@ HEADLINE = [
     "apdex_score",
     "gap_histogram",
     "dup_degree_stats",
+    # round-8 fourth wave (streaming twins stay out per the rule)
+    "burstiness_panel",
+    "doc_length_percentiles",
+    "vocab_overlap_matrix",
+    "normalized_dedup",
 ]
 
 

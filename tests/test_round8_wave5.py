@@ -231,6 +231,31 @@ def test_normalized_key_extract_equals_negated_replace(spark, sf_dir):
     assert n_diff == 0
 
 
+def test_punct_complement_equals_negated_class(spark, sf_dir):
+    """quality_score's n_punct rewrite (length − positive-class char
+    count) must equal the naive negated-class extract count on the
+    real corpus AND on adversarial unicode/edge strings — every match
+    of [^a-z0-9\\s] is exactly one char, so complement arithmetic is
+    exact."""
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    new = F.length("text") - F.length(
+        F.array_join(
+            F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9\s]+"), 0), ""
+        )
+    )
+    old = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[^a-z0-9\s]"), 0))
+    corpus = load_table(spark, sf_dir, "documents")
+    edge = spark.createDataFrame(
+        [("",), ("ABC!?",), ("a b\tc\nd",), ("héllo wörld…",), ("123",)],
+        "text string",
+    )
+    for df in (corpus, edge):
+        assert df.select((new != old).alias("d")).filter("d").count() == 0
+
+
 def test_wave5_shuffle_budgets(spark, sf_dir):
     """Exchange-count ceilings + no cartesian products, measured at
     authoring time — a regression that adds a shuffle fails here."""
