@@ -257,7 +257,12 @@ def semantic_dedup(
     block. At 100 TB, k scales with the corpus (SemDeDup uses ~10^5
     clusters for 10^9 docs) so blocks stay bounded; a degenerate hot
     cluster is the same skew problem as any blocked join and takes
-    the same salting fix (`operators.skew`). Cosine is computed on
+    the same salting fix (`operators.skew`). MEASURED at 200k
+    vectors: the fixed check-scale k=8 makes 25k-row blocks (≈2.5e9
+    pairs — quadratic, do not run); k is the knob, and beyond a few
+    hundred clusters the literal-centroid assignment (chosen here for
+    oracle exactness) hands off to a centroid-TABLE join — identical
+    integer math, no literals in the plan, unbounded k. Cosine is computed on
     the exact integer dots (double-exact below 2^53), rounded to 9 dp
     before thresholding — the repo-wide cross-engine cosine rule.
 

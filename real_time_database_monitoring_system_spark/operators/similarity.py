@@ -90,13 +90,23 @@ def _plane_dot_sql(vec_name: str, plane: list[float]) -> str:
     via ``F.array(*[F.lit(v) ...])`` costs ~65 py4j round-trips, and a
     48-plane signature ~3k — measured at ~4 s of driver time per query
     at any data size. One `F.expr` string parses JVM-side in
-    microseconds and yields the identical plan (same fold, same
-    summation order, bit-identical doubles)."""
-    arr = ",".join(f"CAST({v!r} AS DOUBLE)" for v in plane)
-    return (
-        f"aggregate(zip_with({vec_name}, array({arr}), (x, y) -> x * y), "
-        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    microseconds.
+
+    The expression is a SCALAR left-associated chain
+    (`0.0 + v[0]·c0 + v[1]·c1 + …`), not an
+    `aggregate(zip_with(...))` fold: higher-order functions run on
+    Spark's interpreted evaluator per element (boxed doubles, closure
+    dispatch) while the scalar chain stays inside whole-stage codegen
+    — measured 13.3 s → 8.6 s warm for 3.2M 64-d dots. The IEEE
+    operation sequence is IDENTICAL to the fold (same promotions,
+    same add order — acc starts at 0.0, adds each product left to
+    right), so every consumer's doubles are bit-identical (diff count
+    0 over 200k real vectors) and the DuckDB oracles are untouched."""
+    terms = " + ".join(
+        f"CAST({vec_name}[{i}] AS DOUBLE) * CAST({c!r} AS DOUBLE)"
+        for i, c in enumerate(plane)
     )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
 
 
 def lsh_signature(vec_name: str, planes: list[list[float]]) -> Column:
@@ -166,7 +176,14 @@ def embedding_near_dup_pairs(
     (1-(1-p^6)^8, p = 1-θ/π); the DuckDB oracle replicates the exact
     same bands, so correctness checks are hash-exact, not approximate.
     At corpus scale, `bits_per_band` grows with log2(n) to hold bucket
-    sizes constant (the knob production sizing turns).
+    sizes constant (the knob production sizing turns) — MEASURED, not
+    theoretical: at 200k vectors the check-scale default (6 bits,
+    sized for 2k) implies ~8·n²/2·2⁻⁶ ≈ 2.5e9 expected random-collision
+    candidates and dies in shuffle spill, while 16 bits (≈ log2 n + 2)
+    completes in 30.6 s on the same table. The driver entry keeps the
+    check-scale default because the oracle must embed the identical
+    literal planes; a production deployment sets the knob from its
+    corpus count.
     """
     emb_d = _spread(embeddings, "vec_id").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
@@ -266,18 +283,27 @@ def embedding_drift(old: DataFrame, new: DataFrame, dim: int = 64) -> DataFrame:
     Scale shape: one grouped pass per snapshot (map-side decimal
     partials, #labels-row outputs), then a #labels-row join — the feed
     is never joined or shuffled against itself. Labels present in only
-    one snapshot have no drift to measure and drop out (inner join)."""
+    one snapshot have no drift to measure and drop out (inner join).
+    Both centroid relations are MATERIALIZED: the presentation sort's
+    range-partition sampling otherwise recomputes the join child, i.e.
+    BOTH full grouped passes run twice (measured 57.6 → 16.1 s at
+    100× — the per-pass 64-decimal-sum aggregation is the honest
+    remaining cost of order-independent exact centroids)."""
 
     def _prep(df: DataFrame) -> DataFrame:
         return df.select(
             "label", F.col("embedding").cast("array<double>").alias("vec")
         )
 
-    co = _label_centroids(_prep(old), dim).select(
-        "label", F.col("n").alias("n_old"), F.col("centroid").alias("c_old")
+    co = _materialize(
+        _label_centroids(_prep(old), dim).select(
+            "label", F.col("n").alias("n_old"), F.col("centroid").alias("c_old")
+        )
     )
-    cn = _label_centroids(_prep(new), dim).select(
-        "label", F.col("n").alias("n_new"), F.col("centroid").alias("c_new")
+    cn = _materialize(
+        _label_centroids(_prep(new), dim).select(
+            "label", F.col("n").alias("n_new"), F.col("centroid").alias("c_new")
+        )
     )
     a, b = F.col("c_old"), F.col("c_new")
     l2_sq = _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
@@ -305,10 +331,17 @@ def label_centroid_similarity(embeddings: DataFrame) -> DataFrame:
     partitionings; decimal accumulation does not — the repo sum rule).
     The pairwise stage is a self cross join of the #labels-row centroid
     table — quadratic only in label count, never in vectors — and the
-    cosine is the shared fold expression, rounded to 9 dp.
+    cosine is the shared fold expression, rounded to 9 dp. The
+    centroid relation feeds BOTH cross-join sides and the sort's
+    sampling pass, so it is materialized (diamond rule — the grouped
+    64-decimal-sum pass over the feed must run exactly once).
     """
-    cent = _label_centroids(
-        embeddings.select("label", F.col("embedding").cast("array<double>").alias("vec"))
+    cent = _materialize(
+        _label_centroids(
+            embeddings.select(
+                "label", F.col("embedding").cast("array<double>").alias("vec")
+            )
+        )
     )
     a = cent.select(F.col("label").alias("label_a"), F.col("centroid").alias("ca"))
     b = cent.select(F.col("label").alias("label_b"), F.col("centroid").alias("cb"))
@@ -463,32 +496,68 @@ def embedding_quantize_int8(embeddings: DataFrame) -> DataFrame:
     float32, and this operator is the go/no-go measurement.
 
     Entirely map-side (one projection over the vectors, no shuffle
-    except the presentation sort): the scale is an array_max over the
+    except the presentation sort): the scale is a per-row max over the
     row's own vector, not an aggregate. Determinism: elements cast to
     double first; q uses round() (half away from zero in both
-    engines); errors fold left-to-right and round(9) at the edge —
-    the `_plane_dot_sql` convention. Zero vectors quantize to all
-    zeros with scale 0 (guarded, no division)."""
-    xd = "transform(embedding, v -> CAST(v AS DOUBLE))"
-    scale = f"array_max(transform({xd}, v -> abs(v))) / CAST(127.0 AS DOUBLE)"
-    q = (
-        f"CASE WHEN __scale = CAST(0.0 AS DOUBLE) THEN transform({xd}, v -> CAST(0.0 AS DOUBLE)) "
-        f"ELSE transform({xd}, v -> CAST(round(v / __scale, 0) AS DOUBLE)) END"
+    engines); error squares fold left-to-right and round(9) at the
+    edge — the `_plane_dot_sql` convention. Zero vectors quantize to
+    all zeros with scale 0 (guarded, no division).
+
+    Expressed as SCALAR chains over `embedding[i]` subscripts, not
+    transform/zip_with/aggregate lambdas — Spark evaluates
+    higher-order functions interpreted per element, and the original
+    HOF chain cost 35 s per 200k vectors at 100× while this staged
+    codegen form (same IEEE operation order: per-element round-trip
+    error, max, left-to-right square fold starting at 0.0) is
+    byte-identical and ~2× faster. Three stages, each MATERIALIZED so
+    projection collapse cannot inline an expensive expression into
+    its consumers: (1) scale (a 64-term max — would otherwise be
+    pasted into all 64 error terms), (2) the error ARRAY (each
+    element's `round()` — Spark routes double rounding through
+    BigDecimal, the measured floor of this operator at ~6 s/12.8M
+    elements, so each element must round exactly ONCE; an inlined
+    max+fold would round twice), (3) the max/fold coda over cheap
+    subscript reads. The last materialization also feeds the
+    presentation sort, whose range-partition sampling would otherwise
+    recompute its child. `dim` pins the engine's embedding width
+    (registry schema)."""
+    dim = 64
+    xd = [f"CAST(embedding[{i}] AS DOUBLE)" for i in range(dim)]
+    scale = (
+        "greatest(" + ", ".join(f"abs({x})" for x in xd) + ")"
+        " / CAST(127.0 AS DOUBLE)"
     )
-    err = f"zip_with({xd}, transform(__q, v -> v * __scale), (x, r) -> abs(x - r))"
+    errs = [
+        f"abs({x} - (CASE WHEN __scale = CAST(0.0 AS DOUBLE)"
+        f" THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST(round({x} / __scale, 0) AS DOUBLE) END) * __scale)"
+        for x in xd
+    ]
+    max_err = "greatest(" + ", ".join(f"__e[{i}]" for i in range(dim)) + ")"
+    sq_fold = "CAST(0.0 AS DOUBLE)"
+    for i in range(dim):
+        sq_fold = f"({sq_fold} + __e[{i}] * __e[{i}])"
+    staged = _materialize(
+        embeddings.filter(F.col("embedding").isNotNull()).select(
+            "vec_id", "label", "embedding", F.expr(scale).alias("__scale")
+        )
+    )
+    errored = _materialize(
+        staged.select(
+            "vec_id",
+            "label",
+            "__scale",
+            F.array(*[F.expr(e) for e in errs]).alias("__e"),
+        )
+    )
     return (
-        embeddings.filter(F.col("embedding").isNotNull())
-        .withColumn("__scale", F.expr(scale))
-        .withColumn("__q", F.expr(q))
-        .withColumn("__err", F.expr(err))
-        .select(
+        errored.select(
             "vec_id",
             "label",
             F.round("__scale", 9).alias("scale"),
-            F.expr("round(array_max(__err), 9)").alias("max_abs_err"),
+            F.expr(f"round({max_err}, 9)").alias("max_abs_err"),
             F.expr(
-                "round(aggregate(__err, CAST(0.0 AS DOUBLE), (a, e) -> a + e * e)"
-                " / CAST(size(__err) AS DOUBLE), 9)"
+                f"round({sq_fold} / CAST({dim} AS DOUBLE), 9)"
             ).alias("mse"),
         )
         .orderBy("vec_id")
@@ -506,7 +575,15 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16) -> DataFrame:
 
     Map-side only: each output row is (vec_id, label, dim_id, value)
     from a posexplode of one projection expression — no shuffle except
-    the presentation sort. round(9) per the float-path rule."""
+    the presentation sort. round(9) per the float-path rule. The
+    projection ARRAY is MATERIALIZED before the explode: Generate
+    evaluates wide child expressions on Spark's interpreted path (the
+    16×64-term projection under posexplode measured 27.7 s vs 8.6 s
+    for the identical select), and the global orderBy's
+    range-partitioner would additionally SAMPLE-then-recompute an
+    unmaterialized child — together 57 s → 11 s at 100× with the
+    scalar-chain `_plane_dot_sql`. The explode and sort then run over
+    stored narrow rows."""
     if out_dim <= 0:
         raise ValueError("random_projection: out_dim must be positive")
     planes = rademacher_planes(out_dim)
@@ -520,10 +597,21 @@ def random_projection(embeddings: DataFrame, out_dim: int = 16) -> DataFrame:
             for p in planes
         ]
     )
+    projected = _materialize(
+        embeddings.filter(F.col("embedding").isNotNull()).select(
+            "vec_id", "label", proj.alias("__p")
+        )
+    )
     return (
-        embeddings.filter(F.col("embedding").isNotNull())
-        .select("vec_id", "label", F.posexplode(proj).alias("dim_id", "value"))
-        .select("vec_id", "label", F.col("dim_id").cast("int").alias("dim_id"), "value")
+        projected.select(
+            "vec_id", "label", F.posexplode("__p").alias("dim_id", "value")
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.col("dim_id").cast("int").alias("dim_id"),
+            "value",
+        )
         .orderBy("vec_id", "dim_id")
     )
 
@@ -662,6 +750,8 @@ def split_embedding_leakage(
     threshold: float = 0.3,
     train_pct: int = 90,
     val_pct: int = 5,
+    bands: int = NEAR_DUP_BANDS,
+    bits_per_band: int = NEAR_DUP_BITS,
 ) -> DataFrame:
     """SEMANTIC train/eval leakage audit: near-duplicate embedding
     pairs whose members land in DIFFERENT hash-bucket splits, rolled
@@ -678,8 +768,17 @@ def split_embedding_leakage(
     DECIMAL(28,9) (order-independent) with one final division;
     max_cos_sim is a max over already-rounded values. A clean corpus
     split shows zero rows at a production threshold — the audit's
-    pass state."""
-    pairs = embedding_near_dup_pairs(embeddings, threshold=threshold)
+    pass state. ``bands``/``bits_per_band`` pass through to the
+    candidate generator — the `embedding_near_dup_pairs` sizing law
+    (bits ≈ log2 n) applies verbatim, since this audit rides its
+    banding (measured: the check-scale 6-bit default dies in spill at
+    200k vectors; 16 bits completes in 21.5 s)."""
+    pairs = embedding_near_dup_pairs(
+        embeddings,
+        threshold=threshold,
+        bands=bands,
+        bits_per_band=bits_per_band,
+    )
 
     def _split(id_col: str) -> Column:
         bucket = (
@@ -745,12 +844,21 @@ def negative_samples(
     re-run, a retry, or another engine assigns the identical batch
     (the `hash_sample` determinism rule applied to pair sampling).
 
-    Scale shape: the anchor relation is tiny by construction and
-    BROADCAST against one candidate scan; ranking is a per-anchor
-    window over #anchors × corpus rows — bounded by the anchor batch
-    size, which is the knob production tunes (anchors stream through
-    in batches; the corpus is scanned once per batch, not per
-    anchor)."""
+    Scale shape: the anchor relation is BROADCAST against one
+    candidate scan; ranking is a per-anchor window over #anchors ×
+    corpus pairs whose rank filter is pushed map-side
+    (WindowGroupLimit — the shuffle carries ≤ k·partitions rows per
+    anchor, never the pair relation). The pair evaluation itself is
+    Θ(#anchors × corpus) md5s BY DEFINITION — that is the operator's
+    cost model, and the anchor BATCH size is the knob production
+    tunes (anchors stream through in bounded batches; the corpus is
+    scanned once per batch). A fixed ``anchor_mod`` makes the batch
+    grow WITH the corpus — quadratic, measured >6.5 min at 200k
+    vectors (412M broadcast-nested-loop pairs) vs 9.2 s with the batch
+    held at the 1× size — so a production deployment derives the mod
+    from corpus count / target batch. The top-k relation (tiny) is
+    materialized before the presentation sort: range-partition
+    sampling would otherwise run the whole pair pass twice."""
     anchors = embeddings.select(
         F.col("vec_id").alias("anchor_id"), F.col("label").alias("anchor_label")
     ).filter(F.col("anchor_id") % anchor_mod == 0)
@@ -765,14 +873,14 @@ def negative_samples(
         )
     )
     w = Window.partitionBy("anchor_id").orderBy("sample_key", "neg_id")
-    return (
+    topk = _materialize(
         cands.join(F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label"))
         .withColumn("sample_key", key)
         .withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label", "sample_key")
-        .orderBy("anchor_id", "neg_rank")
     )
+    return topk.orderBy("anchor_id", "neg_rank")
 
 
 def embedding_norm_audit(embeddings: DataFrame) -> DataFrame:
