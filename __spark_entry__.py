@@ -1731,7 +1731,47 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_percentiles": _q_doc_length_percentiles,
         "vocab_overlap_matrix": _q_vocab_overlap_matrix,
         "normalized_dedup": _q_normalized_dedup,
+        # -- round-8 sixth wave: the drift-panel completion (W1
+        #    distance + streaming twin, ordinal effect size), the
+        #    delete-one-bucket jackknife (distributed error bars),
+        #    rank correlation, lexical richness, journey
+        #    predictability --
+        "wasserstein_drift": _q_wasserstein_drift,
+        "streaming_wasserstein": _q_streaming_wasserstein,
+        "cliffs_delta": _q_cliffs_delta,
+        "jackknife_variance": _q_jackknife_variance,
+        "spearman_corr": _q_spearman_corr,
+        "vocab_richness": _q_vocab_richness,
+        "transition_entropy": _q_transition_entropy,
     }
+
+
+def _q_wasserstein_drift(spark, sf):
+    return analytics.wasserstein_drift(load_table(spark, sf, "events"))
+
+
+def _q_streaming_wasserstein(spark, sf):
+    return streaming_rollup.stream_wasserstein(spark, sf)
+
+
+def _q_cliffs_delta(spark, sf):
+    return analytics.cliffs_delta(load_table(spark, sf, "events"))
+
+
+def _q_jackknife_variance(spark, sf):
+    return analytics.jackknife_variance(load_table(spark, sf, "events"))
+
+
+def _q_spearman_corr(spark, sf):
+    return analytics.spearman_corr(load_table(spark, sf, "documents"))
+
+
+def _q_vocab_richness(spark, sf):
+    return text_ops.vocab_richness(load_table(spark, sf, "documents"))
+
+
+def _q_transition_entropy(spark, sf):
+    return event_analytics.transition_entropy(load_table(spark, sf, "events"))
 
 
 def _q_burstiness_panel(spark, sf):
@@ -8809,6 +8849,230 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_removed AS DOUBLE) / CAST(n_docs AS DOUBLE)
                    AS removal_rate
         FROM per ORDER BY source
+    """
+
+    # ---- round-8 sixth wave ----
+
+    # the shared two-sample reduction: per-type per-distinct-cents
+    # half counts at the whole-feed time midpoint (Spark:
+    # analytics.half_cents_counts)
+    _HALF_CENTS_CTE = """
+        st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+               FROM events),
+        pv AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS c_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2)
+    """
+
+    sql["wasserstein_drift"] = f"""
+        WITH {_HALF_CENTS_CTE},
+        stepped AS (
+            SELECT event_type, cents,
+                   SUM(c_ref) OVER (
+                       PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_ref,
+                   SUM(c_cur) OVER (
+                       PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cur,
+                   lead(cents) OVER (PARTITION BY event_type ORDER BY cents)
+                       AS nxt,
+                   SUM(c_ref) OVER (PARTITION BY event_type) AS n_ref,
+                   SUM(c_cur) OVER (PARTITION BY event_type) AS n_cur
+            FROM pv),
+        agg AS (
+            SELECT event_type,
+                   CAST(max(n_ref) AS BIGINT) AS n_ref,
+                   CAST(max(n_cur) AS BIGINT) AS n_cur,
+                   SUM(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT) ELSE
+                       abs(CAST(cum_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                         - CAST(cum_cur AS HUGEINT) * CAST(n_ref AS HUGEINT))
+                       * CAST(nxt - cents AS HUGEINT) END) AS acc
+            FROM stepped GROUP BY 1)
+        SELECT event_type, n_ref, n_cur,
+               CAST(acc AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100.0)
+                   AS w1_value
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type
+    """
+
+    # streaming twin: availableNow state == the batch reduction
+    sql["streaming_wasserstein"] = sql["wasserstein_drift"]
+
+    sql["cliffs_delta"] = f"""
+        WITH {_HALF_CENTS_CTE},
+        stepped AS (
+            SELECT event_type, c_ref, c_cur,
+                   SUM(c_cur) OVER (
+                       PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cur_incl
+            FROM pv),
+        agg AS (
+            SELECT event_type,
+                   CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(cum_cur_incl - c_cur AS HUGEINT)) AS a_before,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(cum_cur_incl AS HUGEINT)) AS b_incl
+            FROM stepped GROUP BY 1)
+        SELECT event_type, n_ref, n_cur,
+               CAST(a_before AS BIGINT) AS gt_pairs,
+               CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                    - b_incl AS BIGINT) AS lt_pairs,
+               CAST(b_incl - a_before AS BIGINT) AS tie_pairs,
+               CAST(a_before + b_incl - CAST(n_ref AS HUGEINT)
+                    * CAST(n_cur AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS delta
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type
+    """
+
+    # jackknife: md5-prefix buckets (the assign_split expression),
+    # floor-quantized pseudo-values, finals shared via JK_SE_SQL
+    sql["jackknife_variance"] = f"""
+        WITH pb AS (
+            SELECT event_type,
+                   CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 20 AS bucket,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS s_b,
+                   count(*) AS n_b
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        pseudo AS (
+            SELECT event_type,
+                   SUM(s_b) OVER (PARTITION BY event_type) AS s_all,
+                   SUM(n_b) OVER (PARTITION BY event_type) AS n_all,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_buckets,
+                   s_b, n_b
+            FROM pb),
+        q AS (
+            SELECT event_type, s_all, n_all, n_buckets,
+                   CASE WHEN n_all - n_b = 0 THEN CAST(0 AS HUGEINT)
+                        ELSE CAST(floor(CAST(s_all - s_b AS DOUBLE)
+                             / CAST(n_all - n_b AS DOUBLE) * 1000000.0)
+                             AS HUGEINT) END AS q
+            FROM pseudo),
+        agg AS (
+            SELECT event_type,
+                   CAST(max(n_all) AS BIGINT) AS n_events,
+                   CAST(max(n_buckets) AS BIGINT) AS n_buckets,
+                   max(s_all) AS s_all,
+                   SUM(q) AS sq,
+                   SUM(q * q) AS sq2
+            FROM q GROUP BY 1)
+        SELECT event_type, n_events, n_buckets,
+               CAST(s_all AS DOUBLE) / (CAST(n_events AS DOUBLE) * 100.0)
+                   AS mean_value,
+               {analytics.JK_SE_SQL} AS jk_se
+        FROM agg WHERE n_events >= 1 ORDER BY event_type
+    """
+
+    # Spearman on doubled tie-averaged ranks: the MWU midrank identity
+    # 2r = 2·cum_before + t + 1 keeps every rank an integer; finals
+    # shared via SPEARMAN_RHO_SQL with HUGEINT as the wide type
+    sql["spearman_corr"] = f"""
+        WITH rows_xy AS (
+            SELECT source, n_chars AS x,
+                   length(text) - length(replace(text, chr(10), '')) + 1 AS y
+            FROM documents
+            WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        joint AS (
+            SELECT source, x, y, count(*) AS cnt
+            FROM rows_xy GROUP BY 1, 2, 3),
+        xr AS (
+            SELECT source, x,
+                   2 * (SUM(tx) OVER (PARTITION BY source ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - tx) + tx + 1 AS r2x
+            FROM (SELECT source, x, SUM(cnt) AS tx FROM joint GROUP BY 1, 2)),
+        yr AS (
+            SELECT source, y,
+                   2 * (SUM(ty) OVER (PARTITION BY source ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - ty) + ty + 1 AS r2y
+            FROM (SELECT source, y, SUM(cnt) AS ty FROM joint GROUP BY 1, 2)),
+        sums AS (
+            SELECT source,
+                   CAST(SUM(cnt) AS BIGINT) AS n_docs,
+                   SUM(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)) AS sx,
+                   SUM(CAST(cnt AS HUGEINT) * CAST(r2y AS HUGEINT)) AS sy,
+                   SUM(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)
+                       * CAST(r2x AS HUGEINT)) AS sxx,
+                   SUM(CAST(cnt AS HUGEINT) * CAST(r2y AS HUGEINT)
+                       * CAST(r2y AS HUGEINT)) AS syy,
+                   SUM(CAST(cnt AS HUGEINT) * CAST(r2x AS HUGEINT)
+                       * CAST(r2y AS HUGEINT)) AS sxy
+            FROM joint
+                 JOIN xr USING (source, x)
+                 JOIN yr USING (source, y)
+            GROUP BY 1)
+        SELECT source, n_docs,
+               {analytics.SPEARMAN_RHO_SQL.format(D="HUGEINT")} AS spearman_rho
+        FROM sums ORDER BY source
+    """
+
+    sql["vocab_richness"] = """
+        WITH tf AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS n_term
+            FROM (SELECT source,
+                         unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> x <> '')) AS term
+                  FROM documents)
+            GROUP BY 1, 2),
+        per AS (
+            SELECT source,
+                   CAST(SUM(n_term) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN n_term = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax,
+                   SUM(CAST(n_term AS HUGEINT) * CAST(n_term AS HUGEINT))
+                       AS m2
+            FROM tf GROUP BY 1)
+        SELECT source, n_tokens, n_types, n_hapax,
+               CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr,
+               CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)
+                   AS hapax_ratio,
+               10000.0 * CAST(m2 - CAST(n_tokens AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+                   AS yule_k,
+               CASE WHEN n_tokens >= 2 THEN
+                    CAST(m2 - CAST(n_tokens AS HUGEINT) AS DOUBLE)
+                    / (CAST(n_tokens AS DOUBLE)
+                       * CAST(n_tokens - 1 AS DOUBLE))
+                    END AS simpson_d
+        FROM per WHERE n_tokens >= 1 ORDER BY source
+    """
+
+    sql["transition_entropy"] = """
+        WITH p AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+        c AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM p WHERE to_type IS NOT NULL
+            GROUP BY 1, 2),
+        per AS (
+            SELECT from_type,
+                   CAST(SUM(n_transitions) AS BIGINT) AS n_out,
+                   CAST(count(*) AS BIGINT) AS out_degree,
+                   SUM(CAST(n_transitions AS DECIMAL(12,0))
+                       * CAST(round(ln(CAST(n_transitions AS DOUBLE)), 9)
+                              AS DECIMAL(16,9))) AS s,
+                   CAST(max(n_transitions) AS BIGINT) AS top_n
+            FROM c GROUP BY 1)
+        SELECT from_type, n_out, out_degree,
+               round(round(ln(CAST(n_out AS DOUBLE)), 9)
+                     - CAST(s AS DOUBLE) / CAST(n_out AS DOUBLE), 9)
+                   AS entropy,
+               CAST(top_n AS DOUBLE) / CAST(n_out AS DOUBLE) AS top_share
+        FROM per ORDER BY from_type
     """
 
     return sql

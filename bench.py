@@ -241,6 +241,13 @@ HEADLINE = [
     "doc_length_percentiles",
     "vocab_overlap_matrix",
     "normalized_dedup",
+    # round-8 sixth wave (streaming twin equivalence-tested)
+    "wasserstein_drift",
+    "cliffs_delta",
+    "jackknife_variance",
+    "spearman_corr",
+    "vocab_richness",
+    "transition_entropy",
 ]
 
 

@@ -1701,3 +1701,425 @@ def apdex_from_class_counts(counts: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# round-8 wave 6: distribution-distance, effect-size, uncertainty and
+# rank-correlation panels — the remaining pillars of a drift-monitoring
+# stats board (PSI/KS/JS say "the histograms differ"; Wasserstein says
+# BY HOW MUCH in value units; Cliff's delta says how often one side
+# dominates; the jackknife says how much to trust any of the means).
+# ---------------------------------------------------------------------------
+
+
+def half_cents_counts(events: DataFrame) -> DataFrame:
+    """The shared reduction of the two-sample drift family: per-type
+    per-distinct-value half counts (event_type, cents, c_ref, c_cur),
+    splitting the feed at the whole-feed time midpoint (the
+    `psi_drift` convention) and quantizing `value` to integer cents —
+    exact for the 2-decimal feed (the `apdex_score` rule) and the key
+    that makes the value axis integer so downstream gap arithmetic
+    (Wasserstein) never touches a float.
+
+    Scale shape: one map-side-combinable keyed count; the output is
+    bounded by distinct values per type, never the feed — the same
+    state bound `ks_drift` and `mannwhitney_u` accept, and the exact
+    relation a streaming twin maintains forever."""
+    stats = _materialize(
+        events.agg(
+            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
+        )
+    )
+    return (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            (F.expr(_US_A) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+
+
+def wasserstein_drift(events: DataFrame) -> DataFrame:
+    """Per-type 1-Wasserstein (earth-mover) distance between the
+    feed's two time halves — the drift metric that reports the SIZE of
+    the shift in value units, where PSI/KS/JS report only that shapes
+    differ: W1 = ∫|F_ref − F_cur| dx over the value axis. A 2-cent
+    median nudge and a doubled tail produce very different W1 even
+    when KS is similar — the complement the panel was missing.
+
+    Exactness end-to-end: the axis is integer cents, the CDFs enter
+    as the integer cross-difference |cum_ref·n_cur − cum_cur·n_ref|
+    (common denominator n_ref·n_cur deferred), each trapezoid term is
+    that integer times the integer gap to the next distinct value,
+    and the accumulation is DECIMAL(38,0)-exact. The hashed edge is
+    one fixed-shape double division (never DecimalType — the round-7
+    failure class).
+
+    Scale shape: rides `half_cents_counts` (bounded per-type distinct
+    value state), then one per-type window over that REDUCED relation
+    and a #types-row final aggregate. No joins, nothing quadratic."""
+    return wasserstein_from_value_counts(half_cents_counts(events))
+
+
+def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """W1 coda over an (event_type, cents, c_ref, c_cur) half-count
+    relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_wasserstein` (the `mwu_from_value_counts`
+    pattern: the streaming state IS this relation, so the coda and the
+    oracle apply to both word for word)."""
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    stepped = per_value.select(
+        "event_type",
+        "cents",
+        F.sum("c_ref").over(wrun).alias("cum_ref"),
+        F.sum("c_cur").over(wrun).alias("cum_cur"),
+        F.lead("cents").over(
+            Window.partitionBy("event_type").orderBy("cents")
+        ).alias("nxt"),
+        F.sum("c_ref").over(wall).alias("n_ref"),
+        F.sum("c_cur").over(wall).alias("n_cur"),
+    )
+    agg = stepped.groupBy("event_type").agg(
+        F.max("n_ref").cast("bigint").alias("n_ref"),
+        F.max("n_cur").cast("bigint").alias("n_cur"),
+        F.sum(
+            F.expr(
+                "CASE WHEN nxt IS NULL THEN CAST(0 AS DECIMAL(38,0)) ELSE"
+                " abs(CAST(cum_ref AS DECIMAL(38,0))"
+                "     * CAST(n_cur AS DECIMAL(38,0))"
+                "   - CAST(cum_cur AS DECIMAL(38,0))"
+                "     * CAST(n_ref AS DECIMAL(38,0)))"
+                " * CAST(nxt - cents AS DECIMAL(38,0)) END"
+            )
+        ).alias("acc"),
+    )
+    return (
+        agg.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr(
+                "CAST(acc AS DOUBLE)"
+                " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100.0)"
+            ).alias("w1_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def cliffs_delta(events: DataFrame) -> DataFrame:
+    """Per-type Cliff's delta between the feed's two time halves — the
+    ordinal effect size the test panel was missing: Welch/MWU say a
+    shift is UNLIKELY BY CHANCE, δ = P(ref > cur) − P(ref < cur) says
+    whether it is BIG ENOUGH TO CARE (|δ| < 0.147 is the published
+    "negligible" threshold). On warehouse-sized feeds every test is
+    "significant"; the effect size is what actually gates an alert.
+
+    Exactness end-to-end: the three pair classes come from the same
+    per-distinct-value half counts as `mannwhitney_u` — greater-pairs
+    Σ c_ref·cum_cur_before and Σ c_ref·cum_cur_incl are exact
+    DECIMAL(38,0) sums, less-pairs falls out by complement
+    (n_ref·n_cur − Σ incl), ties by difference. The hashed edge is
+    BIGINT pair counts (ANSI casts raise rather than corrupt past
+    ~10⁹ rows per type; the decimal forms stay internal) and ONE
+    fixed-shape double division.
+
+    Scale shape: identical to `mannwhitney_u` — keyed count to the
+    bounded distinct-value relation, one window over that relation,
+    #types-row final aggregate."""
+    return cliffs_from_value_counts(half_cents_counts(events))
+
+
+def cliffs_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Cliff's-delta coda over an (event_type, cents, c_ref, c_cur)
+    half-count relation (shared-coda pattern; see
+    `wasserstein_from_value_counts`)."""
+    wrun = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = per_value.select(
+        "event_type",
+        "c_ref",
+        "c_cur",
+        F.sum("c_cur").over(wrun).alias("cum_cur_incl"),
+    )
+    agg = stepped.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+        F.sum(
+            F.expr(
+                "CAST(c_ref AS DECIMAL(38,0))"
+                " * CAST(cum_cur_incl - c_cur AS DECIMAL(38,0))"
+            )
+        ).alias("a_before"),
+        F.sum(
+            F.expr(
+                "CAST(c_ref AS DECIMAL(38,0))"
+                " * CAST(cum_cur_incl AS DECIMAL(38,0))"
+            )
+        ).alias("b_incl"),
+    )
+    return (
+        agg.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr("CAST(a_before AS BIGINT)").alias("gt_pairs"),
+            F.expr(
+                "CAST(CAST(n_ref AS DECIMAL(38,0)) * CAST(n_cur AS DECIMAL(38,0))"
+                " - b_incl AS BIGINT)"
+            ).alias("lt_pairs"),
+            F.expr("CAST(b_incl - a_before AS BIGINT)").alias("tie_pairs"),
+            F.expr(
+                "CAST(a_before + b_incl - CAST(n_ref AS DECIMAL(38,0))"
+                " * CAST(n_cur AS DECIMAL(38,0)) AS DOUBLE)"
+                " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
+            ).alias("delta"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Jackknife finals shared verbatim with the DuckDB oracle (the
+# WELCH_T_SQL pattern): the delete-one-bucket variance over the
+# integer-quantized pseudo-values. All inputs are exact integers
+# (DECIMAL internally) cast once to DOUBLE; every operation below is
+# correctly rounded and the expression SHAPE is identical in both
+# engines, so the result is bit-reproducible. The inner moment can
+# round to a tiny negative when all pseudo-values are equal — the
+# CASE pins that exact-zero-variance case to 0.
+JK_VAR_SQL = (
+    "((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)"
+    " / CAST(n_buckets AS DOUBLE))"
+    " * CAST(n_buckets - 1 AS DOUBLE) / CAST(n_buckets AS DOUBLE))"
+)
+JK_SE_SQL = (
+    f"CASE WHEN n_buckets < 2 THEN NULL WHEN {JK_VAR_SQL} <= 0.0 THEN 0.0"
+    f" ELSE sqrt({JK_VAR_SQL}) / 100000000.0 END"
+)
+
+
+def jackknife_variance(events: DataFrame, n_buckets: int = 20) -> DataFrame:
+    """Delete-one-bucket jackknife standard error of the per-type mean
+    value — the distributed answer to "how much do I trust this
+    number": resampling uncertainty without resampling, because the
+    B pseudo-values θ_(b) = mean-with-bucket-b-deleted come from ONE
+    pass of per-bucket sufficient statistics. This is the estimator a
+    1000-executor job uses for error bars at 100 TB — bootstrap
+    reshuffles the feed B times; the grouped jackknife shuffles the
+    bucket×type sums once.
+
+    Buckets are the portable md5-prefix hash of event_id mod B (the
+    `assign_split` expression — engine-agnostic and rerun-stable, no
+    RNG state). Exactness: per-bucket sums are integer cents; each
+    θ_(b) is one exact-integer double division; pseudo-values are then
+    FLOOR-quantized to integer micro-cents so the across-bucket
+    moments accumulate as exact DECIMAL sums (order-independent under
+    any parallelism — summing raw doubles across buckets would tie the
+    last ULP to aggregation order). The edge is the fixed-shape
+    `JK_SE_SQL` expression, mirrored verbatim by the oracle.
+
+    Scale shape: one keyed aggregate to the (type, bucket) relation —
+    B·#types rows — then one window and one #types-row aggregate over
+    it. The feed is scanned once, map-side combinable."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % n_buckets
+    )
+    per_bucket = (
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(20,0)")).alias("s_b"),
+            F.count("*").alias("n_b"),
+        )
+    )
+    wall = Window.partitionBy("event_type")
+    pseudo = per_bucket.select(
+        "event_type",
+        "s_b",
+        "n_b",
+        F.sum("s_b").over(wall).alias("s_all"),
+        F.sum("n_b").over(wall).alias("n_all"),
+        F.count("*").over(wall).alias("n_buckets"),
+    ).select(
+        "event_type",
+        "s_all",
+        "n_all",
+        "n_buckets",
+        # n_all = n_b ⟺ the type's whole feed sits in one bucket
+        # (B = 1, jk_se NULL by the finals CASE) — the guard only
+        # keeps ANSI division-by-zero out of the unused branch
+        F.expr(
+            "CASE WHEN n_all - n_b = 0 THEN CAST(0 AS DECIMAL(38,0))"
+            " ELSE CAST(floor(CAST(s_all - s_b AS DOUBLE)"
+            " / CAST(n_all - n_b AS DOUBLE) * 1000000.0) AS DECIMAL(38,0))"
+            " END"
+        ).alias("q"),
+    )
+    agg = pseudo.groupBy("event_type").agg(
+        F.max("n_all").cast("bigint").alias("n_events"),
+        F.max("n_buckets").cast("bigint").alias("n_buckets"),
+        F.max("s_all").alias("s_all"),
+        F.sum("q").alias("sq"),
+        F.sum(F.expr("q * q")).alias("sq2"),
+    )
+    return (
+        agg.filter(F.col("n_events") >= 1)
+        .select(
+            "event_type",
+            "n_events",
+            "n_buckets",
+            F.expr(
+                "CAST(s_all AS DOUBLE) / (CAST(n_events AS DOUBLE) * 100.0)"
+            ).alias("mean_value"),
+            F.expr(JK_SE_SQL).alias("jk_se"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# Spearman finals: one shape, two wide-integer spellings — Spark
+# accumulates in DECIMAL(38,0), DuckDB in HUGEINT (the MWU pairing);
+# `.format(D=...)` pins the two to the same expression tree so the
+# emitted double cannot drift. Cross-multiplied Pearson-on-doubled-
+# ranks: num = n·Σcnt·rx·ry − Σcnt·rx · Σcnt·ry over √(d1·d2).
+SPEARMAN_RHO_SQL = (
+    "CASE WHEN CAST(n_docs AS {D}) * sxx - sx * sx > 0"
+    " AND CAST(n_docs AS {D}) * syy - sy * sy > 0 THEN"
+    " CAST(CAST(n_docs AS {D}) * sxy - sx * sy AS DOUBLE)"
+    " / sqrt(CAST(CAST(n_docs AS {D}) * sxx - sx * sx AS DOUBLE)"
+    " * CAST(CAST(n_docs AS {D}) * syy - sy * sy AS DOUBLE))"
+    " END"
+)
+
+
+def spearman_corr(documents: DataFrame) -> DataFrame:
+    """Per-source Spearman rank correlation between document length
+    (n_chars) and line count — the monotone-association audit for
+    corpus features: Pearson on heavy-tailed doc stats is driven by a
+    few giants, ranks are not. ρ ≈ 1 with low line count variance
+    flags single-line blob sources (minified/boilerplate); ρ far from
+    the corpus norm flags a source whose formatting pipeline differs.
+
+    Exactness end-to-end: tie-averaged ranks enter DOUBLED (the
+    `mannwhitney_u` midrank identity 2r = 2·cum_before + t + 1 — an
+    INTEGER, and Spearman is scale-invariant so ρ over 2r equals ρ
+    over r exactly); all five moment sums accumulate cnt-weighted in
+    DECIMAL(38,0); the edge is one fixed-shape double expression
+    (cross-multiplied numerator over √(d1·d2), the `WELCH_T_SQL`
+    shape — sqrt of identical doubles is correctly rounded in both
+    engines).
+
+    Scale shape: the corpus reduces FIRST to the (source, x, y) joint
+    count relation (bounded by the x/y alphabets — doc length caps at
+    the pipeline's max doc size, so this is NOT feed-sized at 100 TB);
+    marginal rank relations are per-source windows over the even
+    smaller marginals; the two joins run reduced-vs-reduced. The raw
+    corpus is scanned once and never row-shuffled."""
+    rows = documents.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        "source",
+        F.col("n_chars").alias("x"),
+        (
+            F.length("text")
+            - F.length(F.expr("replace(text, chr(10), '')"))
+            + F.lit(1)
+        ).alias("y"),
+    )
+    joint = _materialize(
+        rows.groupBy("source", "x", "y").agg(F.count("*").alias("cnt"))
+    )
+    wx = (
+        Window.partitionBy("source")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    xr = (
+        joint.groupBy("source", "x")
+        .agg(F.sum("cnt").alias("tx"))
+        .select(
+            "source",
+            "x",
+            (
+                2 * (F.sum("tx").over(wx) - F.col("tx")) + F.col("tx") + F.lit(1)
+            ).alias("r2x"),
+        )
+    )
+    wy = (
+        Window.partitionBy("source")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    yr = (
+        joint.groupBy("source", "y")
+        .agg(F.sum("cnt").alias("ty"))
+        .select(
+            "source",
+            "y",
+            (
+                2 * (F.sum("ty").over(wy) - F.col("ty")) + F.col("ty") + F.lit(1)
+            ).alias("r2y"),
+        )
+    )
+    j = joint.join(xr, ["source", "x"]).join(yr, ["source", "y"])
+    dec = "CAST({e} AS DECIMAL(38,0))"
+    sums = j.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("n_docs"),
+        F.sum(F.expr(f"{dec.format(e='cnt')} * {dec.format(e='r2x')}")).alias("sx"),
+        F.sum(F.expr(f"{dec.format(e='cnt')} * {dec.format(e='r2y')}")).alias("sy"),
+        F.sum(
+            F.expr(
+                f"{dec.format(e='cnt')} * {dec.format(e='r2x')}"
+                f" * {dec.format(e='r2x')}"
+            )
+        ).alias("sxx"),
+        F.sum(
+            F.expr(
+                f"{dec.format(e='cnt')} * {dec.format(e='r2y')}"
+                f" * {dec.format(e='r2y')}"
+            )
+        ).alias("syy"),
+        F.sum(
+            F.expr(
+                f"{dec.format(e='cnt')} * {dec.format(e='r2x')}"
+                f" * {dec.format(e='r2y')}"
+            )
+        ).alias("sxy"),
+    )
+    return (
+        sums.select(
+            "source",
+            "n_docs",
+            F.expr(SPEARMAN_RHO_SQL.format(D="DECIMAL(38,0)")).alias(
+                "spearman_rho"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -1104,3 +1104,47 @@ def burstiness_panel(events: DataFrame) -> DataFrame:
     no windows, no per-value buffering — the same state bound the
     streaming twin keeps forever."""
     return burstiness_from_minute_counts(minute_counts(events))
+
+
+def transition_entropy(events: DataFrame) -> DataFrame:
+    """Per-state predictability of the user journey: Shannon entropy
+    of each event type's NEXT-type distribution over the first-order
+    transition graph — 0 nats means the next step is fully determined
+    (a funnel edge or a bot loop), ln(out_degree) means users scatter
+    uniformly. The scalar that ranks `transition_matrix` rows by how
+    much routing information each state carries, plus the top-branch
+    share as the plain-language companion (entropy says "how
+    predictable", top_share says "predictable TO WHERE").
+
+    Rides `_transition_edges` (the same one-window-shuffle graph the
+    Markov matrix and PageRank read), then a #types-row aggregate.
+    Determinism is the `user_entropy` contract verbatim: each ln is
+    rounded to 9 dp at its call site and accumulated count-weighted in
+    DECIMAL (order-independent); the edge is one double division
+    inside a round(…, 9)."""
+    edges = _transition_edges(events)
+    term = (
+        F.col("n_transitions").cast("decimal(12,0)")
+        * F.round(F.log(F.col("n_transitions").cast("double")), 9).cast(
+            "decimal(16,9)"
+        )
+    )
+    per = edges.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("bigint").alias("n_out"),
+        F.count("*").cast("bigint").alias("out_degree"),
+        F.sum(term).alias("s"),
+        F.max("n_transitions").cast("bigint").alias("top_n"),
+    )
+    return per.select(
+        "from_type",
+        "n_out",
+        "out_degree",
+        F.round(
+            F.round(F.log(F.col("n_out").cast("double")), 9)
+            - F.col("s").cast("double") / F.col("n_out").cast("double"),
+            9,
+        ).alias("entropy"),
+        (F.col("top_n").cast("double") / F.col("n_out").cast("double")).alias(
+            "top_share"
+        ),
+    ).orderBy("from_type")

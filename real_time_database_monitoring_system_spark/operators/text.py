@@ -1582,3 +1582,68 @@ def vocab_overlap_matrix(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def vocab_richness(documents: DataFrame) -> DataFrame:
+    """Per-source lexical-richness panel: token/type counts, hapax
+    legomena, type-token ratio, Yule's K and Simpson's D — the
+    classical vocabulary-concentration statistics that separate
+    natural prose (K ≈ 60–200) from templated/generated text (few
+    types repeated → K explodes) and from keyword-stuffed spam
+    (anomalously flat → K collapses). Completes the statistical-law
+    trio with `zipf_fit` (rank-frequency slope) and `vocab_growth`
+    (Heaps exponent): Zipf/Heaps fit a CURVE, K and D are closed-form
+    moments of the same frequency spectrum — cheaper, and exact.
+
+        K = 10⁴ · (Σm² − N) / N²      (m = each type's frequency)
+        D = (Σm² − N) / (N·(N−1))     (collision probability)
+
+    Exactness: all spectrum moments are integer sums — Σm² in
+    DECIMAL(38,0) (a 10¹⁰-count hot token squares to 10²⁰, past
+    BIGINT) — and the edge is three fixed-shape double divisions
+    (never DecimalType). Scale shape: one tokenize pass reduces the
+    corpus to the (source, term) count relation — the `zipf_fit`
+    exchange, map-side combinable — then a #sources-row aggregate.
+    Nothing quadratic, no windows over the feed."""
+    tf = (
+        _spread(documents, "doc_id")
+        .select("source", F.explode(_tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n_term"))
+    )
+    per = tf.groupBy("source").agg(
+        F.sum("n_term").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("n_term") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(
+            F.expr("CAST(n_term AS DECIMAL(38,0)) * CAST(n_term AS DECIMAL(38,0))")
+        ).alias("m2"),
+    )
+    return (
+        per.filter(F.col("n_tokens") >= 1)
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr(
+                "CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+            ).alias("ttr"),
+            F.expr(
+                "CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE)"
+            ).alias("hapax_ratio"),
+            F.expr(
+                "10000.0 * CAST(m2 - CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)"
+                " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+            ).alias("yule_k"),
+            F.expr(
+                "CASE WHEN n_tokens >= 2 THEN"
+                " CAST(m2 - CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)"
+                " / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens - 1 AS DOUBLE))"
+                " END"
+            ).alias("simpson_d"),
+        )
+        .orderBy("source")
+    )

@@ -1539,3 +1539,47 @@ def stream_encoding_audit(
         encoding_source_counts(encoding_doc_stats(src)), "complete"
     )
     return encoding_panel_from_source_counts(state)
+
+
+def stream_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.wasserstein_drift`: the live
+    earth-mover drift monitor — the panel's "how BIG is the shift, in
+    value units" number kept current per micro-batch. State is the
+    (event_type, cents, event-µs) count aggregation (the
+    `stream_mannwhitney` trade: the whole-feed midpoint needs the time
+    axis in state); the coda reduces it to per-distinct-cents half
+    counts and hands them to `wasserstein_from_value_counts` — the
+    SAME exact-integer trapezoid arithmetic as the batch operator, so
+    the availableNow result equals `wasserstein_drift` digit for digit
+    and shares its oracle verbatim. NULL values stay in state as a
+    NULL cents key (the batch midpoint is fixed over the WHOLE feed
+    before values drop — the `stream_mannwhitney` convention) and are
+    filtered in the coda."""
+    from ..operators.analytics import wasserstein_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        us.alias("us"),
+    ).agg(F.count("*").alias("n"))
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = (
+        state.filter(F.col("cents").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "cents",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_cur"),
+        )
+    )
+    return wasserstein_from_value_counts(per_value)
