@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
+from .util import materialize_wide as _materialize_wide
 from .util import spread as _spread
 
 
@@ -101,7 +102,23 @@ def _plane_dot_sql(vec_name: str, plane: list[float]) -> str:
     operation sequence is IDENTICAL to the fold (same promotions,
     same add order — acc starts at 0.0, adds each product left to
     right), so every consumer's doubles are bit-identical (diff count
-    0 over 200k real vectors) and the DuckDB oracles are untouched."""
+    0 over 200k real vectors) and the DuckDB oracles are untouched.
+
+    For Rademacher (±1.0) planes the chain drops the multiplications
+    entirely: IEEE multiplication by +1.0 is the identity and by −1.0
+    an exact sign flip, and `acc + (−x) ≡ acc − x`, so
+    `0.0 + v₀ − v₁ + …` is BIT-IDENTICAL to the general
+    `0.0 + v₀·c₀ + v₁·c₁ + …` while halving the expression tree
+    (smaller parse/analyze per call, ~2× fewer per-row ops; verified
+    0-diff over the corpus; pinned by
+    tests/test_round8_wave6.py::test_pm_chain_bit_identical). Gaussian
+    planes (`knn_lsh`) keep the general multiply chain."""
+    if all(c in (1.0, -1.0) for c in plane):
+        parts = "".join(
+            f" {'+' if c == 1.0 else '-'} CAST({vec_name}[{i}] AS DOUBLE)"
+            for i, c in enumerate(plane)
+        )
+        return f"(CAST(0.0 AS DOUBLE){parts})"
     terms = " + ".join(
         f"CAST({vec_name}[{i}] AS DOUBLE) * CAST({c!r} AS DOUBLE)"
         for i, c in enumerate(plane)
@@ -189,8 +206,11 @@ def embedding_near_dup_pairs(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     # materialized: both pair-join sides consume the signature table,
-    # which would otherwise compute the 48 projections twice
-    sig = _materialize(
+    # which would otherwise compute the 48 projections twice. The WIDE
+    # variant: the bands×bits×64-term projection exceeds janino's 64 KB
+    # method limit inside whole-stage codegen (failed compile every
+    # job + interpreted row eval — see util.materialize_wide)
+    sig = _materialize_wide(
         emb_d.select("vec_id", "label", "vec", *near_dup_band_cols("vec", bands, bits_per_band))
     )
     band_structs = [

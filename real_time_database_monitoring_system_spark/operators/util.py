@@ -5,6 +5,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def materialize_wide(df: DataFrame) -> DataFrame:
+    """`materialize` for plans whose projection is too WIDE for
+    whole-stage codegen — the eager job runs with
+    `spark.sql.codegen.wholeStage=false`, then the flag is restored.
+
+    Why this exists (measured on the 48-plane LSH signature table,
+    8 bands × 6 bits × 64-d = 3072 subscript-multiply-add terms in one
+    Project): inside whole-stage codegen the fused `processNext()`
+    cannot be split into sub-methods (the child's columns are bound to
+    local variables, so `splitExpressions` has nothing row-shaped to
+    re-read them from) — janino hits the JVM's 64 KB method bytecode
+    limit, logs `Failed to compile`, and Spark silently falls back to
+    INTERPRETED row eval. Worse, failed compiles are not cached, so
+    every job pays the ~2 s doomed compile again. With whole-stage off,
+    the non-fused ProjectExec compiles via `UnsafeProjection` with
+    row-based method splitting — hundreds of small JIT-friendly
+    methods, compiled once and cached: 2.9 s → 1.3 s warm at sf0.1 and
+    the fixed failed-compile tax gone from every downstream action.
+    The arithmetic is the identical IEEE sequence either way (compiled
+    vs interpreted vs split evaluate the same expression tree), so
+    results are bit-identical and oracles are untouched.
+
+    The conf flip is scoped to the EAGER materialize job inside this
+    function (single-threaded callers — tests, bench, the driver;
+    restored in `finally`). Downstream stages read stored partitions
+    and keep normal whole-stage codegen."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        return materialize(df)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+
 
 def materialize(df: DataFrame) -> DataFrame:
     """Materialize a DataFrame that several downstream subplans consume
