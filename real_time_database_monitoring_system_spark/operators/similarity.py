@@ -854,7 +854,10 @@ def split_embedding_leakage(
 
 
 def negative_samples(
-    embeddings: DataFrame, k: int = 5, anchor_mod: int = 97
+    embeddings: DataFrame,
+    k: int = 5,
+    anchor_mod: int = 97,
+    _materialize_topk: bool = True,
 ) -> DataFrame:
     """Deterministic hard-negative assignment for contrastive
     training: for each anchor vector (a sparse deterministic subset,
@@ -893,13 +896,21 @@ def negative_samples(
         )
     )
     w = Window.partitionBy("anchor_id").orderBy("sample_key", "neg_id")
-    topk = _materialize(
+    topk = (
         cands.join(F.broadcast(anchors), F.col("neg_label") != F.col("anchor_label"))
         .withColumn("sample_key", key)
         .withColumn("neg_rank", F.row_number().over(w))
         .filter(F.col("neg_rank") <= k)
         .select("anchor_id", "anchor_label", "neg_rank", "neg_id", "neg_label", "sample_key")
     )
+    # _materialize_topk=False is the PLAN-TEST window: localCheckpoint
+    # truncates lineage, so the broadcast-nested-loop shape above is
+    # invisible in the returned plan otherwise (tests/test_plans.py
+    # asserts on the un-materialized form; production keeps the
+    # default — the sort's range-partition sampling must not re-run
+    # the pair pass)
+    if _materialize_topk:
+        topk = _materialize(topk)
     return topk.orderBy("anchor_id", "neg_rank")
 
 

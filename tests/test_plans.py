@@ -894,8 +894,11 @@ def test_round7_wave3_plan_budgets(spark, sf_dir):
     )
     pco = checks.explain_str(co)
     assert "CartesianProduct" not in pco and "BroadcastExchange" in pco
-    ns = similarity.negative_samples(emb)
-    pns = checks.explain_str(ns)
     # theta join on label inequality against the tiny broadcast anchor
-    # relation — a BroadcastNestedLoopJoin, never a shuffled cartesian
+    # relation — a BroadcastNestedLoopJoin, never a shuffled cartesian.
+    # The default return materializes the top-k (the sort's sampling
+    # must not re-run the pair pass), which truncates lineage and
+    # hides the join — assert on the un-materialized plan window
+    ns = similarity.negative_samples(emb, _materialize_topk=False)
+    pns = checks.explain_str(ns)
     assert "CartesianProduct" not in pns and "BroadcastNestedLoopJoin" in pns
