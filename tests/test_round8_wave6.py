@@ -395,3 +395,39 @@ def test_pm_chain_bit_identical(spark, sf_dir):
     slow = f"(CAST(0.0 AS DOUBLE) + {slow_terms})"
     diff = emb.filter(F.expr(f"{fast} <> {slow}")).count()
     assert diff == 0
+
+
+def test_bpe_atom_decomposition_identical(spark, sf_dir):
+    """token_stats' three positive-class scans must count exactly what
+    the literal BPE alternation counts — the arms partition the atom
+    set (alpha runs / digit runs / single punct chars), checked on the
+    corpus plus unicode/uppercase edges."""
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    old = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    )
+    new = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+"), 0))
+        + F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0))
+        + F.length("text")
+        - F.length(
+            F.array_join(
+                F.regexp_extract_all(F.col("text"), F.lit(r"[a-z0-9\s]+"), 0), ""
+            )
+        )
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.select((old != new).alias("d")).filter("d").count() == 0
+    edge = spark.createDataFrame(
+        [
+            ("...x9 !@# λμ ϟ\t\nAB c_d",),
+            ("üñïçødé, 'quotes' & <tags>!",),
+            ("",),
+            ("a1b2 33 zz",),
+        ],
+        "text string",
+    )
+    assert edge.select((old != new).alias("d")).filter("d").count() == 0
