@@ -99,13 +99,25 @@ def materialize(df: DataFrame) -> DataFrame:
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition to the session's default parallelism before
-    CPU-heavy per-row work (shingling, hashing, scoring). The test
-    tables are single parquet files → one input split → one task; a
-    real corpus arrives in many splits, and this keeps the local plan
-    shaped like the cluster plan. The shuffle moves only the narrow
-    input rows."""
-    n = df.sparkSession.sparkContext.defaultParallelism
+    """Repartition before CPU-heavy per-row work (shingling, hashing,
+    scoring). The test tables are single parquet files → one input
+    split → one task; a real corpus arrives in many splits, and this
+    keeps the local plan shaped like the cluster plan. The shuffle
+    moves only the narrow input rows.
+
+    Width = `spark.graft.spread.partitions` if set, else the session's
+    default parallelism. The override matters in BOTH directions at
+    scale: defaultParallelism is a core count, not a data size, so on
+    a big corpus the fixed-width repartition CONCENTRATES many input
+    splits into few fat partitions — measured: 5M docs through the
+    MinHash shingle explode on 32 partitions (~150 MB of exploded
+    strings per task × 32 concurrent) OOMs a 24 GB local JVM, while
+    256 partitions stream through it. A production deployment sets the
+    conf data-proportionally (≈ input bytes / 64 MB after explode
+    fan-out); partition width never changes results, only memory."""
+    spark = df.sparkSession
+    conf = spark.conf.get("spark.graft.spread.partitions", None)
+    n = int(conf) if conf else spark.sparkContext.defaultParallelism
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
