@@ -1743,7 +1743,20 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": _q_spearman_corr,
         "vocab_richness": _q_vocab_richness,
         "transition_entropy": _q_transition_entropy,
+        # -- round-8 seventh wave: the remaining two-sample-panel
+        #    streaming twins (cliffs shares the wasserstein state;
+        #    jackknife's state is exactly B·#types rows forever) --
+        "streaming_cliffs": _q_streaming_cliffs,
+        "streaming_jackknife": _q_streaming_jackknife,
     }
+
+
+def _q_streaming_cliffs(spark, sf):
+    return streaming_rollup.stream_cliffs_delta(spark, sf)
+
+
+def _q_streaming_jackknife(spark, sf):
+    return streaming_rollup.stream_jackknife(spark, sf)
 
 
 def _q_wasserstein_drift(spark, sf):
@@ -9074,5 +9087,10 @@ def oracle_sql() -> dict[str, str]:
                CAST(top_n AS DOUBLE) / CAST(n_out AS DOUBLE) AS top_share
         FROM per ORDER BY from_type
     """
+
+    # ---- round-8 seventh wave: streaming twins (state == the batch
+    # reduction, codas shared verbatim) ----
+    sql["streaming_cliffs"] = sql["cliffs_delta"]
+    sql["streaming_jackknife"] = sql["jackknife_variance"]
 
     return sql

@@ -1959,6 +1959,15 @@ def jackknife_variance(events: DataFrame, n_buckets: int = 20) -> DataFrame:
             F.count("*").alias("n_b"),
         )
     )
+    return jackknife_from_bucket_stats(per_bucket)
+
+
+def jackknife_from_bucket_stats(per_bucket: DataFrame) -> DataFrame:
+    """Jackknife finals over an (event_type, bucket, s_b, n_b)
+    sufficient-statistic relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_jackknife` (whose state IS
+    this relation: exactly B·#types rows forever, the tightest state
+    bound in the stats family)."""
     wall = Window.partitionBy("event_type")
     pseudo = per_bucket.select(
         "event_type",

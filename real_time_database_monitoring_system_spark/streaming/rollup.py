@@ -1583,3 +1583,83 @@ def stream_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wasserstein_from_value_counts(per_value)
+
+
+def stream_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.cliffs_delta`: the live ordinal
+    effect-size monitor. State is the SAME (event_type, cents,
+    event-µs) count aggregation as `stream_wasserstein` — one relation
+    serves every member of the two-sample panel — and the coda is the
+    SHARED `cliffs_from_value_counts` cumsum algebra, so the
+    availableNow result equals `cliffs_delta` digit for digit and
+    shares its oracle verbatim. NULL values stay in state as a NULL
+    cents key (batch fixes the midpoint over the whole feed first)
+    and drop in the coda."""
+    from ..operators.analytics import cliffs_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        us.alias("us"),
+    ).agg(F.count("*").alias("n"))
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = (
+        state.filter(F.col("cents").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "cents",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_cur"),
+        )
+    )
+    return cliffs_from_value_counts(per_value)
+
+
+def stream_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.jackknife_variance`: live error
+    bars on every per-type mean the dashboard shows. The BEST state
+    bound in the stats family — the (event_type, bucket) sufficient-
+    statistic relation is exactly B·#types rows FOREVER (the md5
+    bucket and integer cents are stateless row projections; the sums
+    are map-side-combinable), unlike the drift twins' per-distinct-
+    value state. The coda replays the batch finals over that relation:
+    identical window + quantized-pseudo-value arithmetic, so
+    availableNow == `jackknife_variance` and the batch oracle applies
+    verbatim."""
+    from ..operators.analytics import jackknife_from_bucket_stats
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 20
+    )
+    state_agg = (
+        src.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            bucket.alias("bucket"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum(F.col("cents").cast("decimal(20,0)")).alias("s_b"),
+            F.count("*").alias("n_b"),
+        )
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return jackknife_from_bucket_stats(state)

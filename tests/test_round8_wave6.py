@@ -431,3 +431,30 @@ def test_bpe_atom_decomposition_identical(spark, sf_dir):
         "text string",
     )
     assert edge.select((old != new).alias("d")).filter("d").count() == 0
+
+
+def test_stream_cliffs_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+    from real_time_database_monitoring_system_spark.streaming import rollup
+
+    batch = analytics.cliffs_delta(load_table(spark, sf_dir, "events")).collect()
+    stream = rollup.stream_cliffs_delta(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_stream_jackknife_equals_batch(spark, sf_dir):
+    """The streaming state IS the (type, bucket) sufficient-stat
+    relation — B·#types rows forever — and the shared coda replays the
+    batch finals digit for digit."""
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+    from real_time_database_monitoring_system_spark.streaming import rollup
+
+    batch = analytics.jackknife_variance(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    stream = rollup.stream_jackknife(spark, sf_dir).collect()
+    assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
