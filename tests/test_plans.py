@@ -188,8 +188,12 @@ def test_round3_operator_shuffle_budgets(spark, sf_dir):
         ("moment_stats", analytics.moment_stats(ev), 2, False),
         # r7: +2 exchanges from the counts-based exact median
         # (disc_quantiles_from_counts) — they shuffle the bounded
-        # distinct-value relation, not the feed
-        ("drift_cusum", anomaly.drift_cusum(ev), 5, True),
+        # distinct-value relation, not the feed. r8: +2/−1 from the
+        # two-level prefix sum (the (type, day) local window plus the
+        # tiny chunk-totals agg replace the #types-parallelism global
+        # window; the feed-scale presentation sort is gone) — one more
+        # exchange, 3× the wall-clock win at 100M rows (SCALE.md)
+        ("drift_cusum", anomaly.drift_cusum(ev), 6, True),
         ("scd2_enrich", relational.scd2_enrich(ev, cust), 3, True),
         ("active_users_rolling", analytics.active_users_rolling(ev), 6, True),
         ("type_correlation", analytics.type_correlation(ev), 4, False),

@@ -458,3 +458,44 @@ def test_stream_jackknife_equals_batch(spark, sf_dir):
     ).collect()
     stream = rollup.stream_jackknife(spark, sf_dir).collect()
     assert [tuple(r) for r in stream] == [tuple(r) for r in batch]
+
+
+def test_drift_cusum_two_level_identity(spark, sf_dir):
+    """The two-level distributed prefix sum must equal the single
+    per-type window digit for digit — decimal addition is associative,
+    and the day chunk is monotone in the (µs, event_id) order."""
+    from real_time_database_monitoring_system_spark.operators import anomaly
+    from real_time_database_monitoring_system_spark.operators.util import (
+        disc_quantiles_from_counts,
+    )
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    new = {r["event_id"]: tuple(r) for r in anomaly.drift_cusum(ev).collect()}
+    stats = disc_quantiles_from_counts(ev, ["event_type"], "value", [("med", 1, 2)])
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.expr("unix_micros(cast(ts as timestamp))"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_dev = (
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+        - F.count("*").over(w) * F.col("med").cast("decimal(18,2)")
+    )
+    old = {
+        r["event_id"]: tuple(r)
+        for r in ev.join(F.broadcast(stats), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            cum_dev.cast("double").alias("cum_dev"),
+            (F.abs(cum_dev) > F.lit(500.0).cast("decimal(18,2)")).alias("is_drift"),
+        )
+        .collect()
+    }
+    assert new == old
