@@ -1748,7 +1748,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    jackknife's state is exactly B·#types rows forever) --
         "streaming_cliffs": _q_streaming_cliffs,
         "streaming_jackknife": _q_streaming_jackknife,
+        # -- round-9 first wave: ordinal association over the bounded
+        #    dense grid (batch + joint-count-state twin) --
+        "kendall_tau": _q_kendall_tau,
+        "streaming_kendall": _q_streaming_kendall,
     }
+
+
+def _q_kendall_tau(spark, sf):
+    return analytics.kendall_tau(load_table(spark, sf, "documents"))
+
+
+def _q_streaming_kendall(spark, sf):
+    return streaming_rollup.stream_kendall(spark, sf)
 
 
 def _q_streaming_cliffs(spark, sf):
@@ -9092,5 +9104,61 @@ def oracle_sql() -> dict[str, str]:
     # reduction, codas shared verbatim) ----
     sql["streaming_cliffs"] = sql["cliffs_delta"]
     sql["streaming_jackknife"] = sql["jackknife_variance"]
+
+    # ---- round-9 first wave ----
+    # Kendall τ-b on the dense (source, x, y) grid: the pair algebra
+    # C−D = Σ c·(2P+E−S) runs as two cascaded exclusive prefix sums
+    # plus a whole-partition sum — every term exact BIGINT; the final
+    # τ expression is shared verbatim via analytics.KENDALL_TAU_SQL
+    sql["kendall_tau"] = f"""
+        WITH rows_xy AS (
+            SELECT source, n_chars // 8 AS x,
+                   CAST(len({_TOKS}) AS BIGINT) AS y
+            FROM documents
+            WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        joint AS (
+            SELECT source, x, y, CAST(count(*) AS BIGINT) AS cnt
+            FROM rows_xy GROUP BY 1, 2, 3),
+        xs AS (SELECT DISTINCT source, x FROM joint),
+        ys AS (SELECT DISTINCT source, y FROM joint),
+        grid AS (
+            SELECT xs.source, xs.x, ys.y, coalesce(j.cnt, 0) AS c
+            FROM xs JOIN ys ON xs.source = ys.source
+            LEFT JOIN joint j
+              ON j.source = xs.source AND j.x = xs.x AND j.y = ys.y),
+        g1 AS (
+            SELECT source, x, y, c,
+                   coalesce(SUM(c) OVER (PARTITION BY source, y ORDER BY x
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS e
+            FROM grid),
+        g2 AS (
+            SELECT source, c, e,
+                   coalesce(SUM(e) OVER (PARTITION BY source, x ORDER BY y
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS p,
+                   SUM(e) OVER (PARTITION BY source, x) AS s
+            FROM g1),
+        cdr AS (
+            SELECT source, CAST(SUM(c * (2 * p + e - s)) AS BIGINT) AS cd
+            FROM g2 GROUP BY 1),
+        xm AS (SELECT source, x, SUM(cnt) AS tx FROM joint GROUP BY 1, 2),
+        ym AS (SELECT source, y, SUM(cnt) AS ty FROM joint GROUP BY 1, 2),
+        txa AS (SELECT source,
+                       CAST(SUM(tx * (tx - 1)) AS BIGINT) AS tie_x,
+                       CAST(SUM(tx) AS BIGINT) AS n_docs
+                FROM xm GROUP BY 1),
+        tya AS (SELECT source, CAST(SUM(ty * (ty - 1)) AS BIGINT) AS tie_y
+                FROM ym GROUP BY 1),
+        sums AS (
+            SELECT source, n_docs, cd, tie_x, tie_y,
+                   CAST(n_docs * (n_docs - 1) - tie_x AS BIGINT) AS dx,
+                   CAST(n_docs * (n_docs - 1) - tie_y AS BIGINT) AS dy
+            FROM cdr JOIN txa USING (source) JOIN tya USING (source))
+        SELECT source, n_docs, cd, tie_x, tie_y,
+               {analytics.KENDALL_TAU_SQL} AS tau_b
+        FROM sums ORDER BY source
+    """
+    sql["streaming_kendall"] = sql["kendall_tau"]
 
     return sql

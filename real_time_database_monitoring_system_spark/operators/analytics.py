@@ -2132,3 +2132,139 @@ def spearman_corr(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Kendall finals: τ-b = (C−D)/√((n₀−n₁)(n₀−n₂)) with every input a
+# doubled exact integer (cd = C−D single-counted, dx = 2(n₀−n₁),
+# dy = 2(n₀−n₂)), so the edge is one fixed-shape double expression —
+# cast-then-multiply keeps each factor exact in double (< 2^53 for
+# any corpus under ~95M docs) and sqrt of identical doubles is
+# correctly rounded in both engines (the SPEARMAN_RHO_SQL contract).
+KENDALL_TAU_SQL = (
+    "CASE WHEN dx > 0 AND dy > 0 THEN"
+    " 2.0 * CAST(cd AS DOUBLE)"
+    " / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))"
+    " END"
+)
+
+
+def kendall_tau(documents: DataFrame, x_quant: int = 8) -> DataFrame:
+    """Per-source Kendall τ-b between quantized document length
+    (n_chars div ``x_quant``) and whitespace token count — the
+    tie-robust ordinal-association companion to `spearman_corr`: τ
+    counts concordant-vs-discordant pairs directly, so a handful of
+    giant documents cannot dominate it the way they bend moment-based
+    correlation, and τ-b's tie normalization keeps the quantized axis
+    honest. τ far from the corpus norm flags a source whose
+    length/tokenization relationship differs (minified text, unusual
+    delimiters, wrong-language tokenizer).
+
+    Exactness end-to-end: the pair algebra runs on a DENSE
+    (source, x, y) grid (the `independence_chi2` margin-spine rule —
+    sparse cells would silently drop the cross-column prefix mass this
+    statistic is made of): for each cell, the strictly-southwest
+    dominance mass P arrives by two cascaded exclusive prefix sums
+    (over x within y, then over y within x), the same-row mass E is
+    the first prefix alone, and the all-previous-columns mass S is the
+    whole-partition sum of the first prefix — so C − D =
+    Σ c·(2P + E − S) is pure BIGINT arithmetic (exact to ~3e9 docs
+    per source), tie terms come from the marginals, and the only
+    double is the final τ expression shared verbatim with the oracle
+    via `KENDALL_TAU_SQL`.
+
+    Scale shape: the corpus reduces ONCE to the (source, x, y) joint
+    count relation; the dense grid is bounded by the LENGTH ALPHABETS
+    (max doc chars / x_quant × max token count — a pipeline constant,
+    independent of corpus rows), so every window below runs over a
+    few-thousand-row relation per source no matter the corpus size.
+    The raw corpus is scanned once and never row-shuffled."""
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    rows = documents.filter(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    ).select(
+        "source",
+        F.expr(f"n_chars div {int(x_quant)}").alias("x"),
+        F.size(toks).cast("bigint").alias("y"),
+    )
+    joint = rows.groupBy("source", "x", "y").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    return kendall_from_joint_counts(joint)
+
+
+def kendall_from_joint_counts(joint: DataFrame) -> DataFrame:
+    """Kendall τ-b coda over an already-reduced (source, x, y, cnt)
+    joint count relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_kendall` (the `mwu_from_value_counts`
+    pattern: the bounded joint relation IS the streaming state, so the
+    coda and the oracle apply to both word for word)."""
+    joint = _materialize(joint)
+    xs = joint.select("source", "x").distinct()
+    ys = joint.select("source", "y").distinct()
+    grid = (
+        xs.join(ys, "source")
+        .join(joint, ["source", "x", "y"], "left")
+        .select("source", "x", "y", F.coalesce("cnt", F.lit(0)).alias("c"))
+    )
+    w_cumx = (
+        Window.partitionBy("source", "y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    g1 = grid.select(
+        "source", "x", "y", "c",
+        F.coalesce(F.sum("c").over(w_cumx), F.lit(0)).alias("e"),
+    )
+    w_p = (
+        Window.partitionBy("source", "x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_s = Window.partitionBy("source", "x")
+    g2 = g1.select(
+        "source", "c", "e",
+        F.coalesce(F.sum("e").over(w_p), F.lit(0)).alias("p"),
+        F.sum("e").over(w_s).alias("s"),
+    )
+    cd = g2.groupBy("source").agg(
+        F.sum(
+            F.col("c") * (2 * F.col("p") + F.col("e") - F.col("s"))
+        ).alias("cd")
+    )
+    xm = joint.groupBy("source", "x").agg(F.sum("cnt").alias("tx"))
+    ym = joint.groupBy("source", "y").agg(F.sum("cnt").alias("ty"))
+    tie_x = xm.groupBy("source").agg(
+        F.sum(F.col("tx") * (F.col("tx") - 1)).alias("tie_x"),
+        F.sum("tx").alias("n_docs"),
+    )
+    tie_y = ym.groupBy("source").agg(
+        F.sum(F.col("ty") * (F.col("ty") - 1)).alias("tie_y")
+    )
+    sums = (
+        cd.join(tie_x, "source")
+        .join(tie_y, "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("cd").cast("bigint").alias("cd"),
+            F.col("tie_x").cast("bigint").alias("tie_x"),
+            F.col("tie_y").cast("bigint").alias("tie_y"),
+            (F.col("n_docs") * (F.col("n_docs") - 1) - F.col("tie_x"))
+            .cast("bigint")
+            .alias("dx"),
+            (F.col("n_docs") * (F.col("n_docs") - 1) - F.col("tie_y"))
+            .cast("bigint")
+            .alias("dy"),
+        )
+    )
+    return (
+        sums.select(
+            "source",
+            "n_docs",
+            "cd",
+            "tie_x",
+            "tie_y",
+            F.expr(KENDALL_TAU_SQL).alias("tau_b"),
+        )
+        .orderBy("source")
+    )

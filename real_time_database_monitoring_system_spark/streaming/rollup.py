@@ -1663,3 +1663,35 @@ def stream_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = materialize(_run_to_memory(state_agg, "complete"))
     return jackknife_from_bucket_stats(state)
+
+
+def stream_kendall(
+    spark: SparkSession, sf_dir: str, x_quant: int = 8
+) -> DataFrame:
+    """Streaming twin of `analytics.kendall_tau`: the live
+    ordinal-association monitor over a document ingest stream. State
+    is the (source, x, y) joint count relation — bounded by the
+    LENGTH ALPHABETS (max chars/x_quant × max token count), never the
+    corpus, the family's `stream_mannwhitney` trade — and the coda is
+    the SHARED `kendall_from_joint_counts`, so availableNow equals
+    the batch τ-b digit for digit and the batch oracle applies
+    verbatim. materialize() before the coda: the grid spine joins
+    three derivations of the state (distinct-x × distinct-y ×
+    counts), the memory-sink self-join gotcha."""
+    from ..operators.analytics import kendall_from_joint_counts
+    from ..operators.util import materialize
+
+    src = _documents_stream(spark, sf_dir)
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    state_agg = (
+        src.filter(F.col("text").isNotNull() & F.col("n_chars").isNotNull())
+        .select(
+            "source",
+            F.expr(f"n_chars div {int(x_quant)}").alias("x"),
+            F.size(toks).cast("bigint").alias("y"),
+        )
+        .groupBy("source", "x", "y")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return kendall_from_joint_counts(state)

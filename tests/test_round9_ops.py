@@ -1,0 +1,110 @@
+"""Round-9 operators: Kendall τ-b (batch + streaming twin) and the
+rest of the round-9 wave. Each new statistic gets (a) a brute-force
+identity test on a planted relation and (b) textbook-value pins."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from real_time_database_monitoring_system_spark.operators import analytics
+
+
+def _tau_brute(rows):
+    """O(n²) reference Kendall τ-b over (x, y) tuples."""
+    n = len(rows)
+    conc = disc = tie_x = tie_y = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            dx = (rows[i][0] > rows[j][0]) - (rows[i][0] < rows[j][0])
+            dy = (rows[i][1] > rows[j][1]) - (rows[i][1] < rows[j][1])
+            if dx == 0:
+                tie_x += 1
+            if dy == 0:
+                tie_y += 1
+            if dx * dy > 0:
+                conc += 1
+            elif dx * dy < 0:
+                disc += 1
+    n0 = n * (n - 1) // 2
+    denom = ((n0 - tie_x) * (n0 - tie_y)) ** 0.5
+    tau = (conc - disc) / denom if denom > 0 else None
+    return conc - disc, tau
+
+
+def _run_kendall(spark, xy_rows):
+    df = spark.createDataFrame(
+        [("s", int(x), int(y), 1) for x, y in xy_rows],
+        "source string, x bigint, y bigint, cnt bigint",
+    ).groupBy("source", "x", "y").agg(F.sum("cnt").alias("cnt"))
+    return analytics.kendall_from_joint_counts(df).collect()[0]
+
+
+def test_kendall_brute_force_identity(spark):
+    # deterministic mixed relation: monotone core + ties + reversals
+    rows = [
+        ((i * 7) % 23, ((i * 7) % 23) * 2 + (i % 5) - 2) for i in range(40)
+    ] + [(3, 9), (3, 9), (11, 1), (11, 40)]
+    cd_ref, tau_ref = _tau_brute(rows)
+    got = _run_kendall(spark, rows)
+    assert got["cd"] == cd_ref
+    assert got["tau_b"] == pytest.approx(tau_ref, rel=1e-12)
+
+
+def test_kendall_textbook_values(spark):
+    # perfect concordance
+    got = _run_kendall(spark, [(i, i * 3) for i in range(10)])
+    assert got["tau_b"] == pytest.approx(1.0)
+    assert got["cd"] == 45
+    # perfect discordance
+    got = _run_kendall(spark, [(i, -i) for i in range(10)])
+    assert got["tau_b"] == pytest.approx(-1.0)
+    # all tied on x: denominator zero -> NULL
+    got = _run_kendall(spark, [(5, i) for i in range(6)])
+    assert got["tau_b"] is None and got["cd"] == 0
+    # independence on a full grid: C == D -> tau == 0
+    got = _run_kendall(spark, [(x, y) for x in range(4) for y in range(4)])
+    assert got["cd"] == 0 and got["tau_b"] == pytest.approx(0.0)
+
+
+def test_kendall_pair_accounting(spark):
+    # C + D + ties partition all pairs: recompute each class from the
+    # emitted exact columns and pin the identity 2*(C+D) = dx' + dy'
+    # cross-check via brute force on a random-ish planted relation
+    rows = [((i * 13) % 17, (i * 5) % 11) for i in range(60)]
+    cd_ref, tau_ref = _tau_brute(rows)
+    got = _run_kendall(spark, rows)
+    assert got["cd"] == cd_ref
+    n = got["n_docs"]
+    assert n == 60
+    # doubled tie terms match brute-force pair counts... tie pairs
+    # counted per-axis (pairs tied on BOTH axes appear in both)
+    conc = disc = tie_x2 = tie_y2 = 0
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            if i == j:
+                continue
+            if rows[i][0] == rows[j][0]:
+                tie_x2 += 1
+            if rows[i][1] == rows[j][1]:
+                tie_y2 += 1
+    assert got["tie_x"] == tie_x2
+    assert got["tie_y"] == tie_y2
+    assert got["tau_b"] == pytest.approx(tau_ref, rel=1e-12)
+
+
+def test_round9_shuffle_budgets(spark):
+    """Exchange budgets for the round-9 wave (the r8 rule: budget
+    pinned BEFORE the scale run). kendall_tau: 1 feed-width exchange
+    (the joint groupBy); everything after rides the materialized
+    alphabet-bounded grid (3 window partitionings, 2 marginals + tie
+    aggs, the final joins/sort)."""
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    budgets = [
+        ("kendall_tau", analytics.kendall_tau(docs), 10),
+    ]
+    for name, df, max_ex in budgets:
+        n = checks.count_exchanges(df)
+        assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
