@@ -1752,7 +1752,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    dense grid (batch + joint-count-state twin) --
         "kendall_tau": _q_kendall_tau,
         "streaming_kendall": _q_streaming_kendall,
+        # -- round-9: day-over-day W1 against a sliding reference
+        #    (batch + the genuinely WATERMARKED eviction twin) --
+        "windowed_wasserstein": _q_windowed_wasserstein,
+        "streaming_windowed_wasserstein": _q_streaming_windowed_wasserstein,
     }
+
+
+def _q_windowed_wasserstein(spark, sf):
+    return analytics.windowed_wasserstein(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_wasserstein(spark, sf):
+    return streaming_rollup.stream_windowed_wasserstein(spark, sf)
 
 
 def _q_kendall_tau(spark, sf):
@@ -9160,5 +9172,67 @@ def oracle_sql() -> dict[str, str]:
         FROM sums ORDER BY source
     """
     sql["streaming_kendall"] = sql["kendall_tau"]
+
+    # Day-over-day W1 against the sliding previous-day reference: the
+    # wasserstein_drift arithmetic keyed by (event_type, day), with
+    # the reference side arriving as the SAME count relation shifted
+    # one day. A day scores iff its previous day has data (n_ref >= 1
+    # filter — the windowed_psi convention). The streaming twin
+    # restricts to finalized days (window end <= final watermark =
+    # max event ms − lateness, the probed append-emission rule; the
+    # scoring rule is monotone in day so filtering the scored day is
+    # sufficient).
+    _WW1_CORE = """
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        pv0 AS (
+            SELECT event_type, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, day, cents)),
+        pv AS (SELECT * FROM pv0{day_filter}),
+        stepped AS (
+            SELECT event_type, day, cents,
+                   SUM(c_ref) OVER (
+                       PARTITION BY event_type, day ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_ref,
+                   SUM(c_cur) OVER (
+                       PARTITION BY event_type, day ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cur,
+                   lead(cents) OVER (PARTITION BY event_type, day
+                                     ORDER BY cents) AS nxt,
+                   SUM(c_ref) OVER (PARTITION BY event_type, day) AS n_ref,
+                   SUM(c_cur) OVER (PARTITION BY event_type, day) AS n_cur
+            FROM pv),
+        agg AS (
+            SELECT event_type, day,
+                   CAST(max(n_ref) AS BIGINT) AS n_ref,
+                   CAST(max(n_cur) AS BIGINT) AS n_cur,
+                   SUM(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT) ELSE
+                       abs(CAST(cum_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                         - CAST(cum_cur AS HUGEINT) * CAST(n_ref AS HUGEINT))
+                       * CAST(nxt - cents AS HUGEINT) END) AS acc
+            FROM stepped GROUP BY 1, 2)
+        SELECT event_type, day, n_ref, n_cur,
+               CAST(acc AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100.0)
+                   AS w1_value
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    sql["windowed_wasserstein"] = "WITH " + _WW1_CORE.format(day_filter="")
+    sql["streaming_windowed_wasserstein"] = "WITH " + _WW1_CORE.format(
+        day_filter=(
+            "\n                WHERE (day + 1) * 86400000 <="
+            " (SELECT (max(epoch_us(ts)) // 1000) - 3600000"
+            " FROM events WHERE value IS NOT NULL)"
+        )
+    )
 
     return sql

@@ -1768,30 +1768,36 @@ def wasserstein_drift(events: DataFrame) -> DataFrame:
     return wasserstein_from_value_counts(half_cents_counts(events))
 
 
-def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
-    """W1 coda over an (event_type, cents, c_ref, c_cur) half-count
+def wasserstein_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """W1 coda over a (keys…, cents, c_ref, c_cur) half-count
     relation — shared verbatim by the batch operator and
     `streaming.rollup.stream_wasserstein` (the `mwu_from_value_counts`
     pattern: the streaming state IS this relation, so the coda and the
-    oracle apply to both word for word)."""
+    oracle apply to both word for word). ``keys`` defaults to the
+    two-sample family's per-type shape; `windowed_wasserstein` passes
+    (event_type, day) to score each day against a sliding
+    previous-day reference with the identical arithmetic."""
+    keys = keys or ["event_type"]
     wrun = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wall = Window.partitionBy("event_type")
+    wall = Window.partitionBy(*keys)
     stepped = per_value.select(
-        "event_type",
+        *keys,
         "cents",
         F.sum("c_ref").over(wrun).alias("cum_ref"),
         F.sum("c_cur").over(wrun).alias("cum_cur"),
         F.lead("cents").over(
-            Window.partitionBy("event_type").orderBy("cents")
+            Window.partitionBy(*keys).orderBy("cents")
         ).alias("nxt"),
         F.sum("c_ref").over(wall).alias("n_ref"),
         F.sum("c_cur").over(wall).alias("n_cur"),
     )
-    agg = stepped.groupBy("event_type").agg(
+    agg = stepped.groupBy(*keys).agg(
         F.max("n_ref").cast("bigint").alias("n_ref"),
         F.max("n_cur").cast("bigint").alias("n_cur"),
         F.sum(
@@ -1808,7 +1814,7 @@ def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
     return (
         agg.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
         .select(
-            "event_type",
+            *keys,
             "n_ref",
             "n_cur",
             F.expr(
@@ -1816,7 +1822,7 @@ def wasserstein_from_value_counts(per_value: DataFrame) -> DataFrame:
                 " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100.0)"
             ).alias("w1_value"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
 
 
@@ -2268,3 +2274,67 @@ def kendall_from_joint_counts(joint: DataFrame) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def windowed_wasserstein(events: DataFrame) -> DataFrame:
+    """Day-over-day 1-Wasserstein distance per event type — the
+    SLIDING-reference earth-mover panel: each event-time day scores
+    against the PREVIOUS day, so a gradual multi-day value migration
+    shows a run of elevated W1 where `wasserstein_drift` (fixed
+    half-split reference) smears it into one number. Completes the
+    watermarked drift family: `windowed_psi` answers "do the day
+    shapes differ", this answers "by how much, in value units".
+
+    Exactness: identical to `wasserstein_from_value_counts` — integer
+    cents axis, integer cross-multiplied CDF differences, integer
+    gaps, DECIMAL(38,0) accumulation, one double division at the
+    edge — just keyed by (event_type, day), with the previous-day
+    side arriving as the SAME count relation shifted one day.
+
+    Scale shape: the feed reduces ONCE to the (type, day, cents)
+    count relation (map-side partials, bounded by types × days ×
+    value alphabet); the day-vs-previous-day pairing is a
+    reduced-vs-reduced full outer join on that relation (the
+    `windowed_psi` convention: a day scores only if its previous day
+    has data), and the W1 window runs per (type, day) over it. No
+    windows over the feed."""
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"{_US_A} div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return windowed_wasserstein_from_counts(counts)
+
+
+def windowed_wasserstein_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference W1 coda over an already-reduced
+    (event_type, day, cents, c) count relation — shared verbatim by
+    the batch operator and `streaming.rollup.stream_windowed_wasserstein`
+    (whose watermarked state IS this relation over the finalized
+    days). Materialized first: the previous-day pairing consumes the
+    relation twice (the diamond rule)."""
+    counts = _materialize(counts)
+    cur = counts.select(
+        "event_type", "day", "cents", F.col("c").alias("c_cur")
+    )
+    ref = counts.select(
+        "event_type",
+        (F.col("day") + 1).alias("day"),
+        "cents",
+        F.col("c").alias("c_ref"),
+    )
+    per_value = (
+        cur.join(ref, ["event_type", "day", "cents"], "full_outer")
+        .select(
+            "event_type",
+            "day",
+            "cents",
+            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+        )
+    )
+    return wasserstein_from_value_counts(per_value, keys=["event_type", "day"])

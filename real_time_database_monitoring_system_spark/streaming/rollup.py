@@ -1695,3 +1695,43 @@ def stream_kendall(
     )
     state = materialize(_run_to_memory(state_agg, "complete"))
     return kendall_from_joint_counts(state)
+
+
+def stream_windowed_wasserstein(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `analytics.windowed_wasserstein`: the live
+    day-over-day earth-mover monitor. Same state discipline as
+    `stream_windowed_psi` — per-(window, type, cents) counts under a
+    real watermark, EVICTED as event time advances (bounded by types ×
+    value alphabet × in-flight windows) — but on the integer-cents
+    value axis, so the finalized relation is exactly what
+    `windowed_wasserstein_from_counts` takes and the coda/oracle are
+    shared verbatim over the finalized day set (APPEND emits windows
+    whose end ≤ final watermark; the scoring rule is monotone in day,
+    so the cut is well-defined — the `stream_windowed_psi`
+    determinism argument word for word)."""
+    from ..operators.analytics import windowed_wasserstein_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    counts = state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "cents",
+        "c",
+    )
+    return windowed_wasserstein_from_counts(counts)

@@ -108,3 +108,30 @@ def test_round9_shuffle_budgets(spark):
     for name, df, max_ex in budgets:
         n = checks.count_exchanges(df)
         assert n <= max_ex, f"{name}: {n} exchanges > budget {max_ex}"
+
+
+def test_windowed_wasserstein_hand_values(spark):
+    # day0: two values at 1.00; day1: two at 1.02 -> W1 = 0.02 exactly;
+    # day2 identical to day1 -> W1 = 0; day0 has no previous day -> absent
+    us = 86400000000
+    rows = [
+        (0 * us, "a", 1.00), (0 * us + 5, "a", 1.00),
+        (1 * us, "a", 1.02), (1 * us + 5, "a", 1.02),
+        (2 * us, "a", 1.02), (2 * us + 5, "a", 1.02),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, t, v) for i, (ts, t, v) in enumerate(rows)],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(us)").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    got = {
+        r["day"]: r for r in analytics.windowed_wasserstein(ev).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["w1_value"] == pytest.approx(0.02)
+    assert got[2]["w1_value"] == 0.0
+    assert got[1]["n_ref"] == 2 and got[1]["n_cur"] == 2
