@@ -1756,7 +1756,13 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    (batch + the genuinely WATERMARKED eviction twin) --
         "windowed_wasserstein": _q_windowed_wasserstein,
         "streaming_windowed_wasserstein": _q_streaming_windowed_wasserstein,
+        # -- round-9: per-source length × quality joint histogram --
+        "len_quality_histogram": _q_len_quality_histogram,
     }
+
+
+def _q_len_quality_histogram(spark, sf):
+    return curation.len_quality_histogram(load_table(spark, sf, "documents"))
 
 
 def _q_windowed_wasserstein(spark, sf):
@@ -9234,5 +9240,26 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WHERE value IS NOT NULL)"
         )
     )
+
+    # per-source length × quality 2-d histogram: the shared
+    # quality_score CTE verbatim, fixed-width bands (floor of the
+    # identical double), share from the materialized cell relation
+    sql["len_quality_histogram"] = f"""
+        WITH q0 AS ({sql["quality_score"]}),
+        cells AS (
+            SELECT d.source, d.n_chars // 64 AS len_bucket,
+                   least(9, CAST(floor(q.quality / 10.0) AS INTEGER))
+                       AS q_band
+            FROM q0 q JOIN documents d USING (doc_id)),
+        counts AS (
+            SELECT source, len_bucket, q_band,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM cells GROUP BY 1, 2, 3),
+        tot AS (SELECT source, SUM(n_docs) AS n_src FROM counts GROUP BY 1)
+        SELECT c.source, len_bucket, q_band, n_docs,
+               CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS share
+        FROM counts c JOIN tot USING (source)
+        ORDER BY source, len_bucket, q_band
+    """
 
     return sql

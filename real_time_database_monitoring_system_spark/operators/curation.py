@@ -903,3 +903,66 @@ def temporal_split_kll(
             ).alias("kll_cutoff_in_rank_bound"),
         )
     )
+
+
+def len_quality_histogram(
+    documents: DataFrame, len_quant: int = 64
+) -> DataFrame:
+    """Per-source 2-d joint histogram of document length × quality
+    band — the mix-design readout a training-data pipeline reads
+    before setting per-source sampling weights: two sources with the
+    same mean quality can carry it in opposite corners (short-clean vs
+    long-noisy), and caps/mixing tuned on marginals alone miss that.
+    Each cell reports its count and its share WITHIN the source, so
+    sources of different sizes compare directly.
+
+    Bands are FIXED-WIDTH (length: n_chars div ``len_quant``; quality:
+    floor(quality/10), clamped to 9 — the `windowed_psi` rationale:
+    fixed bins keep panels comparable across runs and sources, where
+    per-run deciles would re-cut every time). The floor runs on the
+    identical double both engines compute (the shared `quality_score`
+    expression) — multiplication/division by the band constants is
+    correctly rounded, the `quality_calibration_curve` convention.
+
+    Scale shape: one quality pass (the shared one-tokenize-pass
+    features), one keyed count bounded by #sources × length alphabet ×
+    10 bands, MATERIALIZED before the per-source totals join (the
+    diamond rule — the share row and the cell rows both consume it).
+    Output is cell-count-sized, never feed-sized."""
+    from .text import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    cells = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.expr(f"n_chars div {int(len_quant)}").alias("len_bucket"),
+        )
+        .join(q, "doc_id")
+        .select(
+            "source",
+            "len_bucket",
+            F.expr("least(9, CAST(floor(quality / 10.0) AS INT))").alias(
+                "q_band"
+            ),
+        )
+    )
+    counts = _materialize(
+        cells.groupBy("source", "len_bucket", "q_band").agg(
+            F.count("*").cast("bigint").alias("n_docs")
+        )
+    )
+    totals = counts.groupBy("source").agg(F.sum("n_docs").alias("n_src"))
+    return (
+        counts.join(totals, "source")
+        .select(
+            "source",
+            "len_bucket",
+            "q_band",
+            "n_docs",
+            (
+                F.col("n_docs").cast("double") / F.col("n_src").cast("double")
+            ).alias("share"),
+        )
+        .orderBy("source", "len_bucket", "q_band")
+    )

@@ -135,3 +135,24 @@ def test_windowed_wasserstein_hand_values(spark):
     assert got[1]["w1_value"] == pytest.approx(0.02)
     assert got[2]["w1_value"] == 0.0
     assert got[1]["n_ref"] == 2 and got[1]["n_cur"] == 2
+
+
+def test_len_quality_histogram_shares(spark):
+    from real_time_database_monitoring_system_spark.operators import curation
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = curation.len_quality_histogram(docs).collect()
+    assert rows, "non-empty histogram"
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+        assert 0 <= r["q_band"] <= 9
+        assert r["n_docs"] >= 1
+    for src, cells in by_src.items():
+        assert sum(c["share"] for c in cells) == pytest.approx(1.0)
+    # totals reconcile with the quality-scored doc count (n_tokens>0)
+    from real_time_database_monitoring_system_spark.operators.text import quality_score
+
+    n_scored = quality_score(docs).count()
+    assert sum(r["n_docs"] for r in rows) == n_scored
