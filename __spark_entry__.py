@@ -1758,7 +1758,13 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_wasserstein": _q_streaming_windowed_wasserstein,
         # -- round-9: per-source length × quality joint histogram --
         "len_quality_histogram": _q_len_quality_histogram,
+        # -- round-9: signature-vs-exact dedup agreement (Cohen's κ) --
+        "dedup_agreement_kappa": _q_dedup_agreement_kappa,
     }
+
+
+def _q_dedup_agreement_kappa(spark, sf):
+    return dedup.dedup_agreement_kappa(load_table(spark, sf, "documents"))
 
 
 def _q_len_quality_histogram(spark, sf):
@@ -9260,6 +9266,96 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_docs AS DOUBLE) / CAST(n_src AS DOUBLE) AS share
         FROM counts c JOIN tot USING (source)
         ORDER BY source, len_bucket, q_band
+    """
+
+    # Cohen's κ between the portable-MinHash signature path and the
+    # exact inverted-index path at the same (0.5, 3-gram) operating
+    # point: both pipelines are the registry operators' own oracle
+    # machinery (shared _portable_sig_ctes; the ngram CTE block at
+    # threshold 0.5); κ finals shared verbatim via dedup.KAPPA_SQL
+    sql["dedup_agreement_kappa"] = f"""
+        WITH {_portable_sig_ctes('ka_', 'documents', 3)},
+        ka_cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM ka_banded a JOIN ka_banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+        ka_sets AS (SELECT DISTINCT doc_id, h FROM ka_hs),
+        ka_sizes AS (SELECT doc_id, count(*) AS n FROM ka_sets GROUP BY 1),
+        ka_inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM ka_cand c
+            JOIN ka_sets x ON x.doc_id = c.doc_a
+            JOIN ka_sets y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY 1, 2),
+        srcs AS (SELECT doc_id, source FROM documents),
+        sig_pairs AS (
+            SELECT i.doc_a, i.doc_b
+            FROM ka_inter i
+            JOIN ka_sizes sa ON i.doc_a = sa.doc_id
+            JOIN ka_sizes sb ON i.doc_b = sb.doc_id
+            JOIN srcs qa ON qa.doc_id = i.doc_a
+            JOIN srcs qb ON qb.doc_id = i.doc_b AND qa.source = qb.source
+            WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.5),
+        e_t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+        e_sh AS (
+            SELECT doc_id, source,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS shingles
+            FROM e_t WHERE len(toks) >= 3),
+        e_ex AS (SELECT doc_id, source, unnest(shingles) AS s FROM e_sh),
+        e_blk AS (SELECT source, count(*) AS n_docs FROM e_sh GROUP BY source),
+        e_dfc AS (SELECT source, s, count(*) AS df FROM e_ex GROUP BY source, s),
+        e_kept AS (
+            SELECT e_ex.doc_id, e_ex.source, e_ex.s
+            FROM e_ex
+            JOIN e_dfc ON e_ex.source = e_dfc.source AND e_ex.s = e_dfc.s
+            JOIN e_blk ON e_ex.source = e_blk.source
+            WHERE e_dfc.df <= greatest(2, CAST(floor(0.5 * e_blk.n_docs) AS BIGINT))),
+        e_sizes AS (SELECT doc_id, count(*) AS n_sh FROM e_kept GROUP BY doc_id),
+        e_co AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM e_kept a JOIN e_kept b
+              ON a.source = b.source AND a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+        exact_pairs AS (
+            SELECT doc_a, doc_b
+            FROM e_co
+            JOIN e_sizes sa ON e_co.doc_a = sa.doc_id
+            JOIN e_sizes sb ON e_co.doc_b = sb.doc_id
+            WHERE CAST(n_inter AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.5),
+        sig_docs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM sig_pairs
+                UNION ALL SELECT doc_b FROM sig_pairs)),
+        ex_docs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM exact_pairs
+                UNION ALL SELECT doc_b FROM exact_pairs)),
+        v AS (
+            SELECT d.doc_id,
+                   s.doc_id IS NOT NULL AS v_sig,
+                   e.doc_id IS NOT NULL AS v_exact
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN sig_docs s USING (doc_id)
+            LEFT JOIN ex_docs e USING (doc_id)),
+        cm AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN v_sig AND v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN v_sig AND NOT v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN NOT v_sig AND v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN NOT v_sig AND NOT v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM v)
+        SELECT n AS n_docs, a AS both_dup, b AS sig_only, c AS exact_only,
+               CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE) AS agree_rate,
+               {dedup.KAPPA_SQL} AS kappa
+        FROM cm
     """
 
     return sql

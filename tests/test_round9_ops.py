@@ -156,3 +156,50 @@ def test_len_quality_histogram_shares(spark):
 
     n_scored = quality_score(docs).count()
     assert sum(r["n_docs"] for r in rows) == n_scored
+
+
+def test_dedup_agreement_kappa_planted(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "s1"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta", "s1"),  # mirror
+        (2, "one two three four five six seven eight nine", "s1"),
+        (3, "red orange yellow green blue indigo violet", "s1"),
+        (4, "north south east west up down left right", "s1"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in base],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = dedup.dedup_agreement_kappa(docs).collect()[0]
+    # the exact mirror is found by BOTH paths; everything else by neither
+    assert got["n_docs"] == 5
+    assert got["both_dup"] == 2
+    assert got["sig_only"] == 0 and got["exact_only"] == 0
+    assert got["agree_rate"] == pytest.approx(1.0)
+    assert got["kappa"] == pytest.approx(1.0)
+
+
+def test_kappa_sql_algebra(spark):
+    from real_time_database_monitoring_system_spark.operators.dedup import KAPPA_SQL
+
+    # hand-checked 2x2: a=20 both, b=5 sig-only, c=10 exact-only, d=65
+    a, b, c, d = 20, 5, 10, 65
+    n = a + b + c + d
+    po = (a + d) / n
+    pe = ((a + b) * (a + c) + (c + d) * (b + d)) / (n * n)
+    expect = (po - pe) / (1 - pe)
+    row = spark.sql(
+        f"SELECT {KAPPA_SQL} AS kappa FROM (SELECT CAST({n} AS BIGINT) n,"
+        f" CAST({a} AS BIGINT) a, CAST({b} AS BIGINT) b,"
+        f" CAST({c} AS BIGINT) c, CAST({d} AS BIGINT) d)"
+    ).collect()[0]
+    assert row["kappa"] == pytest.approx(expect, rel=1e-12)
+    # degenerate margin (pe == 1): NULL, not a division error
+    row = spark.sql(
+        f"SELECT {KAPPA_SQL} AS kappa FROM (SELECT CAST(10 AS BIGINT) n,"
+        " CAST(10 AS BIGINT) a, CAST(0 AS BIGINT) b,"
+        " CAST(0 AS BIGINT) c, CAST(0 AS BIGINT) d)"
+    ).collect()[0]
+    assert row["kappa"] is None
