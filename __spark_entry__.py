@@ -1760,7 +1760,13 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "len_quality_histogram": _q_len_quality_histogram,
         # -- round-9: signature-vs-exact dedup agreement (Cohen's κ) --
         "dedup_agreement_kappa": _q_dedup_agreement_kappa,
+        # -- round-9: dup-chain length histogram from winnowing runs --
+        "winnow_chain_lengths": _q_winnow_chain_lengths,
     }
+
+
+def _q_winnow_chain_lengths(spark, sf):
+    return dedup.winnow_chain_lengths(load_table(spark, sf, "documents"))
 
 
 def _q_dedup_agreement_kappa(spark, sf):
@@ -9356,6 +9362,56 @@ def oracle_sql() -> dict[str, str]:
                CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE) AS agree_rate,
                {dedup.KAPPA_SQL} AS kappa
         FROM cm
+    """
+
+    # dup-chain closure over the winnow pair evidence: the
+    # winnow_overlap_pairs CTEs verbatim, then the dedup_keepers
+    # recursive min-label reachability (order-independent, so it
+    # reproduces Spark's iterative propagation exactly), then two
+    # keyed counts
+    sql["winnow_chain_lengths"] = f"""
+        WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                      for i in range(1, len(toks) - 1)] AS grams
+              FROM t WHERE len(toks) >= 3),
+        h AS (SELECT doc_id,
+                     list_transform(grams,
+                         s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+              FROM g),
+        wn AS (SELECT doc_id,
+                      CASE WHEN len(hs) >= 4
+                           THEN [list_min(hs[j:j+3])
+                                 for j in range(1, len(hs) - 2)]
+                           ELSE [list_min(hs)] END AS wins
+               FROM h),
+        fps AS (SELECT doc_id, unnest(list_distinct(wins)) AS fp FROM wn),
+        dfreq AS (SELECT fp, count(*) AS df FROM fps GROUP BY fp),
+        kept AS (SELECT f.doc_id, f.fp
+                 FROM fps f JOIN dfreq USING (fp) WHERE df <= 50),
+        pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+               GROUP BY 1, 2 HAVING count(*) >= 2),
+        und AS (SELECT doc_a AS a, doc_b AS b FROM pr
+                UNION ALL
+                SELECT doc_b, doc_a FROM pr),
+        reach(node, r) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT w.node, u.b FROM reach w JOIN und u ON w.r = u.a),
+        labels AS (
+            SELECT node, least(node, min(r)) AS cluster_id
+            FROM reach GROUP BY node),
+        sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS chain_len
+                  FROM labels GROUP BY 1),
+        hist AS (SELECT chain_len, CAST(count(*) AS BIGINT) AS n_chains
+                 FROM sizes GROUP BY 1),
+        tot AS (SELECT SUM(chain_len * n_chains) AS n_chained_docs FROM hist)
+        SELECT chain_len, n_chains,
+               CAST(chain_len * n_chains AS BIGINT) AS n_docs,
+               CAST(chain_len * n_chains AS DOUBLE)
+                   / CAST(n_chained_docs AS DOUBLE) AS doc_share
+        FROM hist, tot ORDER BY chain_len
     """
 
     return sql

@@ -203,3 +203,31 @@ def test_kappa_sql_algebra(spark):
         " CAST(0 AS BIGINT) c, CAST(0 AS BIGINT) d)"
     ).collect()[0]
     assert row["kappa"] is None
+
+
+def test_winnow_chain_lengths_planted(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    # a 3-doc chain via a SHARED PASSAGE: A~B share passage p1, B~C
+    # share p2, A and C share nothing -> transitive closure = one
+    # chain of 3; plus an isolated near-pair (chain of 2) and a
+    # singleton (excluded from the histogram)
+    p1 = " ".join(f"p1tok{i}" for i in range(30))
+    p2 = " ".join(f"p2tok{i}" for i in range(30))
+    docs = [
+        (0, p1 + " unique tail zero aa bb cc dd ee"),
+        (1, p1 + " " + p2),
+        (2, p2 + " unique tail two ff gg hh ii jj"),
+        (3, "completely different text one two three four five six seven"),
+        (4, "completely different text one two three four five six seven"),
+        (5, "nothing shared here at all nine ten eleven twelve thirteen"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["chain_len"]: r for r in dedup.winnow_chain_lengths(df).collect()}
+    assert set(got) == {2, 3}
+    assert got[3]["n_chains"] == 1 and got[3]["n_docs"] == 3
+    assert got[2]["n_chains"] == 1 and got[2]["n_docs"] == 2
+    assert got[3]["doc_share"] == pytest.approx(3 / 5)
