@@ -1762,7 +1762,22 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement_kappa": _q_dedup_agreement_kappa,
         # -- round-9: dup-chain length histogram from winnowing runs --
         "winnow_chain_lengths": _q_winnow_chain_lengths,
+        # -- round-9: the embedding-LSH PRODUCTION operating point
+        #    (16-bit bands, the measured 200k sizing) oracle-pinned,
+        #    the minhash two-operating-point pattern; threshold −1
+        #    emits every banded candidate with its cosine so the
+        #    check exercises real rows at check scale --
+        "embedding_near_dups_prod": _q_embedding_near_dups_prod,
     }
+
+
+def _q_embedding_near_dups_prod(spark, sf):
+    return similarity.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"),
+        threshold=-1.0,
+        bands=8,
+        bits_per_band=16,
+    )
 
 
 def _q_winnow_chain_lengths(spark, sf):
@@ -2625,6 +2640,55 @@ def _minhash_portable_oracle(threshold: float, shingle_k: int) -> str:
         WHERE CAST(n_inter AS DOUBLE)
               / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {threshold}
         ORDER BY doc_a, doc_b
+    """
+
+
+def _emb_near_dup_oracle(nb: int, nbits: int, threshold: float) -> str:
+    """DuckDB twin of similarity.embedding_near_dup_pairs at an
+    arbitrary (bands, bits_per_band, threshold) operating point — the
+    same deterministic ±1 hyperplanes (shared
+    `similarity.rademacher_planes` source of truth), band packing,
+    label-blocked candidate join and round-9 cosine verification as
+    the check-scale literal twin, parameterized so the PRODUCTION
+    operating point (16-bit bands, the measured 200k sizing) is
+    oracle-pinned too, not just pytest-pinned."""
+    planes = similarity.rademacher_planes(nb * nbits)
+
+    def plane_lit(p: list[float]) -> str:
+        return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in p) + "]"
+
+    band_defs = []
+    for j in range(nb):
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product(vec, {plane_lit(planes[j * nbits + i])}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(nbits)
+        )
+        band_defs.append(f"({terms}) AS b{j}")
+    banded_union = " UNION ALL ".join(
+        f"SELECT vec_id, label, {j} AS band_id, b{j} AS band_val FROM sig"
+        for j in range(nb)
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+        sig AS (SELECT vec_id, label, vec, {", ".join(band_defs)} FROM emb),
+        banded AS ({banded_union}),
+        cand AS (
+            SELECT DISTINCT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a
+            JOIN banded b ON a.label = b.label AND a.band_id = b.band_id
+                         AND a.band_val = b.band_val AND a.vec_id < b.vec_id)
+        SELECT c.label, c.vec_a, c.vec_b,
+               round(list_dot_product(x.vec, y.vec)
+                     / (sqrt(list_dot_product(x.vec, x.vec))
+                        * sqrt(list_dot_product(y.vec, y.vec))), 9) AS cos_sim
+        FROM cand c
+        JOIN emb x ON c.vec_a = x.vec_id
+        JOIN emb y ON c.vec_b = y.vec_id
+        WHERE round(list_dot_product(x.vec, y.vec)
+                    / (sqrt(list_dot_product(x.vec, x.vec))
+                       * sqrt(list_dot_product(y.vec, y.vec))), 9) >= {threshold}
+        ORDER BY vec_a, vec_b
     """
 
 
@@ -9413,5 +9477,8 @@ def oracle_sql() -> dict[str, str]:
                    / CAST(n_chained_docs AS DOUBLE) AS doc_share
         FROM hist, tot ORDER BY chain_len
     """
+
+    # the embedding-LSH production operating point, oracle-pinned
+    sql["embedding_near_dups_prod"] = _emb_near_dup_oracle(8, 16, -1.0)
 
     return sql
