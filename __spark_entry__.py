@@ -1768,7 +1768,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    emits every banded candidate with its cosine so the
         #    check exercises real rows at check scale --
         "embedding_near_dups_prod": _q_embedding_near_dups_prod,
+        # -- round-9: day-over-day KS completes the windowed drift
+        #    triple from the same day-shifted count relation --
+        "windowed_ks": _q_windowed_ks,
+        "streaming_windowed_ks": _q_streaming_windowed_ks,
     }
+
+
+def _q_windowed_ks(spark, sf):
+    return anomaly.windowed_ks(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_ks(spark, sf):
+    return streaming_rollup.stream_windowed_ks(spark, sf)
 
 
 def _q_embedding_near_dups_prod(spark, sf):
@@ -9480,5 +9492,58 @@ def oracle_sql() -> dict[str, str]:
 
     # the embedding-LSH production operating point, oracle-pinned
     sql["embedding_near_dups_prod"] = _emb_near_dup_oracle(8, 16, -1.0)
+
+    # day-over-day KS: the _WW1_CORE day-shift pairing + the ks_drift
+    # ECDF-gap coda keyed by (event_type, day); KS_STAT_SQL shared
+    _WKS_CORE = """
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        pv0 AS (
+            SELECT event_type, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, day, cents)),
+        pv AS (SELECT * FROM pv0{day_filter}),
+        tot AS (SELECT event_type, day, SUM(c_ref) AS n_ref,
+                       SUM(c_cur) AS n_cur
+                FROM pv GROUP BY 1, 2),
+        ecdf AS (
+            SELECT event_type, day,
+                   SUM(c_ref) OVER w AS c_ref,
+                   SUM(c_cur) OVER w AS c_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type, day ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        gaps AS (
+            SELECT e.event_type, e.day, n_ref, n_cur,
+                   abs(CAST(c_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(c_cur AS HUGEINT) * CAST(n_ref AS HUGEINT))
+                       AS gap
+            FROM ecdf e JOIN tot USING (event_type, day)),
+        mx AS (
+            SELECT event_type, day, CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   MAX(gap) AS ks_num
+            FROM gaps GROUP BY 1, 2)
+        SELECT event_type, day, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {ks_stat} END AS ks_d
+        FROM mx WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    sql["windowed_ks"] = "WITH " + _WKS_CORE.format(
+        day_filter="", ks_stat=anomaly.KS_STAT_SQL
+    )
+    sql["streaming_windowed_ks"] = "WITH " + _WKS_CORE.format(
+        day_filter=(
+            "\n                WHERE (day + 1) * 86400000 <="
+            " (SELECT (max(epoch_us(ts)) // 1000) - 3600000"
+            " FROM events WHERE value IS NOT NULL)"
+        ),
+        ks_stat=anomaly.KS_STAT_SQL,
+    )
 
     return sql

@@ -2317,24 +2317,33 @@ def windowed_wasserstein_from_counts(counts: DataFrame) -> DataFrame:
     (whose watermarked state IS this relation over the finalized
     days). Materialized first: the previous-day pairing consumes the
     relation twice (the diamond rule)."""
-    counts = _materialize(counts)
+    per_value = day_shift_half_counts(_materialize(counts))
+    return wasserstein_from_value_counts(per_value, keys=["event_type", "day"])
+
+
+def day_shift_half_counts(counts: DataFrame, value_col: str = "cents") -> DataFrame:
+    """Sliding-reference pairing shared by the windowed drift family
+    (`windowed_wasserstein`, `anomaly.windowed_ks`): turn a
+    MATERIALIZED (event_type, day, value, c) count relation into the
+    (keys…, value, c_ref, c_cur) half-count shape the two-sample codas
+    take, with the reference side the SAME relation shifted one day
+    (full outer: a value present on only one side keeps a zero on the
+    other; a day whose previous day is empty yields n_ref = 0 and is
+    dropped by the codas' n filters — the `windowed_psi`
+    convention)."""
     cur = counts.select(
-        "event_type", "day", "cents", F.col("c").alias("c_cur")
+        "event_type", "day", value_col, F.col("c").alias("c_cur")
     )
     ref = counts.select(
         "event_type",
         (F.col("day") + 1).alias("day"),
-        "cents",
+        value_col,
         F.col("c").alias("c_ref"),
     )
-    per_value = (
-        cur.join(ref, ["event_type", "day", "cents"], "full_outer")
-        .select(
-            "event_type",
-            "day",
-            "cents",
-            F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
-            F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
-        )
+    return cur.join(ref, ["event_type", "day", value_col], "full_outer").select(
+        "event_type",
+        "day",
+        value_col,
+        F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
+        F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
     )
-    return wasserstein_from_value_counts(per_value, keys=["event_type", "day"])

@@ -482,7 +482,9 @@ def ks_drift(events: DataFrame) -> DataFrame:
     return ks_from_value_counts(per_value)
 
 
-def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
+def ks_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
     """Finish the two-sample KS statistic from the reduced
     ``(event_type, value, d_ref, d_cur)`` relation — the shared core
     between batch `ks_drift` and its streaming twin
@@ -492,22 +494,24 @@ def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
     The input feeds two consumers (half totals + the ECDF window), so
     callers pass a MATERIALIZED relation (batch materializes the
     grouped counts; the streaming twin's memory-sink state is already
-    stored)."""
-    totals = per_value.groupBy("event_type").agg(
+    stored). ``keys`` defaults to the per-type shape; `windowed_ks`
+    passes (event_type, day) for the sliding-reference variant."""
+    keys = keys or ["event_type"]
+    totals = per_value.groupBy(*keys).agg(
         F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
     )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ecdf = per_value.select(
-        "event_type",
+        *keys,
         F.sum("d_ref").over(w).alias("c_ref"),
         F.sum("d_cur").over(w).alias("c_cur"),
     )
-    gaps = ecdf.join(F.broadcast(totals), "event_type").select(
-        "event_type",
+    gaps = ecdf.join(F.broadcast(totals), list(keys)).select(
+        *keys,
         "n_ref",
         "n_cur",
         F.abs(
@@ -516,21 +520,21 @@ def ks_from_value_counts(per_value: DataFrame) -> DataFrame:
         ).alias("gap"),
     )
     return (
-        gaps.groupBy("event_type")
+        gaps.groupBy(*keys)
         .agg(
             F.first("n_ref").alias("n_ref"),
             F.first("n_cur").alias("n_cur"),
             F.max("gap").cast("decimal(38,0)").alias("ks_num"),
         )
         .select(
-            "event_type",
+            *keys,
             F.col("n_ref").cast("bigint").alias("n_ref"),
             F.col("n_cur").cast("bigint").alias("n_cur"),
             F.expr(
                 f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {KS_STAT_SQL} END"
             ).alias("ks_d"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
 
 
@@ -1100,4 +1104,55 @@ def windowed_psi_from_counts(counts: DataFrame, nbins: int = 10) -> DataFrame:
             .alias("drift_class"),
         )
         .orderBy("event_type", "day")
+    )
+
+
+def windowed_ks(events: DataFrame) -> DataFrame:
+    """Day-over-day two-sample KS per event type — the sliding
+    (previous-day) reference variant of `ks_drift`, completing the
+    windowed drift triple: `windowed_psi` (binned shape),
+    `analytics.windowed_wasserstein` (earth-mover magnitude), and this
+    (max ECDF gap — the supremum norm, most sensitive to a single
+    sharp break in the middle of the distribution that binning smears
+    and W1 averages away).
+
+    Same machinery end-to-end: the feed reduces ONCE to the
+    (type, day, cents) count relation; the previous-day side arrives
+    by the SHARED `analytics.day_shift_half_counts` shift; the KS coda
+    is `ks_from_value_counts` keyed by (event_type, day) — integer
+    cross-multiplied ECDF gaps, one rounded double division per row
+    (`KS_STAT_SQL`, shared with the oracle)."""
+    from .analytics import day_shift_half_counts
+
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"{_US} div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return windowed_ks_from_counts(counts)
+
+
+def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference KS coda over the (event_type, day, cents, c)
+    relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_windowed_ks` (whose watermarked state IS
+    this relation over the finalized days)."""
+    from .analytics import day_shift_half_counts
+
+    per_value = day_shift_half_counts(_materialize(counts)).select(
+        "event_type",
+        "day",
+        F.col("cents").alias("value"),
+        F.col("c_ref").alias("d_ref"),
+        F.col("c_cur").alias("d_cur"),
+    )
+    # a day whose previous day is empty has no reference to score
+    # against — drop it (the windowed_wasserstein convention) instead
+    # of emitting a NULL-ks row
+    return ks_from_value_counts(per_value, keys=["event_type", "day"]).filter(
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
     )

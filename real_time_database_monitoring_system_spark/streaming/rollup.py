@@ -1735,3 +1735,38 @@ def stream_windowed_wasserstein(
         "c",
     )
     return windowed_wasserstein_from_counts(counts)
+
+
+def stream_windowed_ks(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `anomaly.windowed_ks` — identical state
+    discipline to `stream_windowed_wasserstein` (per-(window, type,
+    cents) counts, real eviction, append over finalized days); only
+    the coda differs (max ECDF gap instead of the trapezoid area), so
+    the two twins together keep the full windowed drift triple live
+    from ONE state shape."""
+    from ..operators.anomaly import windowed_ks_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    counts = state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "cents",
+        "c",
+    )
+    return windowed_ks_from_counts(counts)

@@ -231,3 +231,30 @@ def test_winnow_chain_lengths_planted(spark):
     assert got[3]["n_chains"] == 1 and got[3]["n_docs"] == 3
     assert got[2]["n_chains"] == 1 and got[2]["n_docs"] == 2
     assert got[3]["doc_share"] == pytest.approx(3 / 5)
+
+
+def test_windowed_ks_hand_values(spark):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    # day0: values {1.00, 2.00}; day1: {2.00, 3.00} -> ECDF gaps at
+    # cents 100 (1/2 vs 0), 200 (1 vs 1/2), 300 (1 vs 1) -> KS = 0.5;
+    # day2 == day1 -> KS = 0
+    us = 86400000000
+    rows = [
+        (0 * us, 1.00), (0 * us + 5, 2.00),
+        (1 * us, 2.00), (1 * us + 5, 3.00),
+        (2 * us, 2.00), (2 * us + 5, 3.00),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, "a", v) for i, (ts, v) in enumerate(rows)],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(us)").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    got = {r["day"]: r for r in anomaly.windowed_ks(ev).collect()}
+    assert set(got) == {1, 2}
+    assert got[1]["ks_d"] == pytest.approx(0.5)
+    assert got[2]["ks_d"] == 0.0
