@@ -1772,7 +1772,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    triple from the same day-shifted count relation --
         "windowed_ks": _q_windowed_ks,
         "streaming_windowed_ks": _q_streaming_windowed_ks,
+        # -- round-9 second wave: the k-sample rank test (batch +
+        #    count-state twin) --
+        "kruskal_wallis": _q_kruskal_wallis,
+        "streaming_kruskal": _q_streaming_kruskal,
     }
+
+
+def _q_kruskal_wallis(spark, sf):
+    return analytics.kruskal_wallis(load_table(spark, sf, "events"))
+
+
+def _q_streaming_kruskal(spark, sf):
+    return streaming_rollup.stream_kruskal(spark, sf)
 
 
 def _q_windowed_ks(spark, sf):
@@ -9545,5 +9557,40 @@ def oracle_sql() -> dict[str, str]:
         ),
         ks_stat=anomaly.KS_STAT_SQL,
     )
+
+    # ---- round-9 second wave ----
+    # Kruskal–Wallis components: ranks from the GLOBAL per-distinct-
+    # value count relation (doubled midranks — the mannwhitney_u
+    # integer-rank algebra across all k groups at once); the hashed
+    # edge is all-BIGINT verdict components, H left to the consumer
+    sql["kruskal_wallis"] = """
+        WITH pv AS (
+            SELECT event_type, value, CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        tv AS (
+            SELECT value, SUM(c) AS t FROM pv GROUP BY 1),
+        ranked AS (
+            SELECT value, t,
+                   SUM(t) OVER (ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t AS cum_before
+            FROM tv),
+        per_group AS (
+            SELECT event_type,
+                   CAST(SUM(c) AS BIGINT) AS n_i,
+                   CAST(SUM(CAST(c AS HUGEINT)
+                       * CAST(2 * cum_before + t + 1 AS HUGEINT))
+                       AS BIGINT) AS r2_sum
+            FROM pv JOIN ranked USING (value) GROUP BY 1),
+        gtot AS (
+            SELECT CAST(SUM(t) AS BIGINT) AS n_total,
+                   CAST(SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                       * CAST(t AS HUGEINT) - CAST(t AS HUGEINT))
+                       AS BIGINT) AS tie_cube
+            FROM tv)
+        SELECT event_type, n_i, r2_sum, n_total, tie_cube
+        FROM per_group, gtot ORDER BY event_type
+    """
+    sql["streaming_kruskal"] = sql["kruskal_wallis"]
 
     return sql

@@ -2347,3 +2347,99 @@ def day_shift_half_counts(counts: DataFrame, value_col: str = "cents") -> DataFr
         F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
     )
+
+
+def kruskal_wallis(events: DataFrame) -> DataFrame:
+    """Kruskal–Wallis H components across ALL event types at once —
+    the k-sample extension of `mannwhitney_u`: one distribution-free
+    test of "do the k event types share a value distribution?" where
+    running MWU pairwise would cost k² comparisons and a multiplicity
+    correction. The reference dashboard eyeballs this from the per-type
+    panels (`/root/reference/myapp/views.py:214-320`); at warehouse
+    scale the engine answers it in one pass.
+
+    Exactness end-to-end (the `mwu_from_value_counts` convention):
+    ranks come from the GLOBAL per-distinct-value count relation —
+    doubled midrank 2r = 2·cum_before + t + 1 is an INTEGER, so each
+    group's doubled rank-sum R2_i = Σ c_i·2r is exact (DECIMAL(38,0)
+    internally, BIGINT at the edge), as are N and the tie cube
+    Σ(t³−t). The hashed edge emits ONLY integral components — the
+    consumer computes
+        H = [ 3·(Σ R2_i²/n_i) / (N·(N+1)) − 3·(N+1) ]
+            / (1 − tie_cube / (N³−N))
+    (the Σ over k groups is k≈5 doubles; emitting H itself would tie
+    the hash to the engines' group iteration order, the round-6 z
+    lesson). No DecimalType at the hashed edge (round-7 rule).
+
+    Scale shape: one keyed count to (event_type, value) — map-side
+    partials, state bounded by the value alphabet × k — then ONE
+    window over the per-distinct-value TOTALS relation (bounded by
+    value cardinality, the `ks_from_value_counts` trade; production
+    bounds it by quantizing) and a k-row final. The feed is scanned
+    once and never row-shuffled."""
+    per_value = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("c"))
+    )
+    return kruskal_from_value_counts(per_value)
+
+
+def kruskal_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Kruskal–Wallis coda over an already-reduced
+    (event_type, value, c) count relation — shared verbatim by the
+    batch operator and `streaming.rollup.stream_kruskal` (the
+    `mwu_from_value_counts` pattern: the bounded count relation IS the
+    streaming state). Materialized first: the relation feeds the
+    global rank spine AND the per-group join (the diamond rule)."""
+    per_value = _materialize(per_value)
+    totals = _materialize(
+        per_value.groupBy("value").agg(F.sum("c").alias("t"))
+    )
+    w = (
+        Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = totals.select(
+        "value",
+        "t",
+        (F.sum("t").over(w) - F.col("t")).alias("cum_before"),
+    )
+    per_group = (
+        per_value.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("c").alias("n_i"),
+            F.sum(
+                F.expr(
+                    "CAST(c AS DECIMAL(38,0))"
+                    " * CAST(2 * cum_before + t + 1 AS DECIMAL(38,0))"
+                )
+            ).alias("r2"),
+        )
+    )
+    glob = totals.agg(
+        F.sum("t").cast("bigint").alias("n_total"),
+        F.sum(
+            F.expr(
+                "CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))"
+                " * CAST(t AS DECIMAL(38,0)) - CAST(t AS DECIMAL(38,0))"
+            )
+        )
+        .cast("bigint")
+        .alias("tie_cube"),
+    )
+    return (
+        per_group.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            F.col("n_i").cast("bigint").alias("n_i"),
+            # exact: O(n_i·N) ≈ 2^53 only beyond ~10^8 rows per group
+            # × 10^8 total; past that the consumer reads the decimal
+            # form from kruskal_from_value_counts' internal stages
+            F.col("r2").cast("bigint").alias("r2_sum"),
+            "n_total",
+            "tie_cube",
+        )
+        .orderBy("event_type")
+    )

@@ -1770,3 +1770,25 @@ def stream_windowed_ks(
         "c",
     )
     return windowed_ks_from_counts(counts)
+
+
+def stream_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.kruskal_wallis`: the live k-sample
+    location monitor. State is the (event_type, value) count relation
+    — bounded by the value alphabet × k types, the
+    `stream_mannwhitney` trade WITHOUT its per-µs refinement (Kruskal
+    needs no feed midpoint, so the state is the smaller pure count
+    shape) — and the coda is the SHARED `kruskal_from_value_counts`,
+    so availableNow equals the batch components digit for digit and
+    the batch oracle applies verbatim."""
+    from ..operators.analytics import kruskal_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = (
+        src.filter(F.col("value").isNotNull())
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("c"))
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return kruskal_from_value_counts(state)

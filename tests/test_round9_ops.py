@@ -258,3 +258,104 @@ def test_windowed_ks_hand_values(spark):
     assert set(got) == {1, 2}
     assert got[1]["ks_d"] == pytest.approx(0.5)
     assert got[2]["ks_d"] == 0.0
+
+
+def _kw_brute(samples):
+    """Scipy-free Kruskal–Wallis H from raw per-group samples."""
+    import itertools
+
+    allv = sorted(itertools.chain.from_iterable(samples.values()))
+    n = len(allv)
+    # midranks with ties
+    ranks = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and allv[j] == allv[i]:
+            j += 1
+        r = (i + 1 + j) / 2  # average of ranks i+1..j
+        ranks[allv[i]] = r
+        i = j
+    h = 0.0
+    for vals in samples.values():
+        rsum = sum(ranks[v] for v in vals)
+        h += rsum * rsum / len(vals)
+    h = 12.0 * h / (n * (n + 1)) - 3 * (n + 1)
+    ties = {}
+    for v in allv:
+        ties[v] = ties.get(v, 0) + 1
+    tie_cube = sum(t**3 - t for t in ties.values())
+    if tie_cube:
+        h /= 1 - tie_cube / (n**3 - n)
+    return h
+
+
+def _h_from_components(rows):
+    """Consumer-side H from the emitted exact integer components
+    (the docstring formula; R_i = r2_sum/2)."""
+    n = rows[0]["n_total"]
+    tie_cube = rows[0]["tie_cube"]
+    s = sum((r["r2_sum"] / 2) ** 2 / r["n_i"] for r in rows)
+    h = 12.0 * s / (n * (n + 1)) - 3 * (n + 1)
+    if tie_cube:
+        h /= 1 - tie_cube / (n**3 - n)
+    return h
+
+
+def _run_kruskal(spark, samples):
+    rows = [
+        (g, float(v)) for g, vals in samples.items() for v in vals
+    ]
+    pv = (
+        spark.createDataFrame(rows, "event_type string, value double")
+        .groupBy("event_type", "value")
+        .agg(F.count("*").alias("c"))
+    )
+    return analytics.kruskal_from_value_counts(pv).collect()
+
+
+def test_kruskal_brute_force_identity(spark):
+    samples = {
+        "a": [1.0, 2.5, 2.5, 4.0, 7.0, 7.0],
+        "b": [2.5, 3.0, 7.0, 8.0, 9.0],
+        "c": [1.0, 1.0, 5.0, 6.0, 10.0, 11.0, 12.0],
+    }
+    rows = _run_kruskal(spark, samples)
+    assert {r["event_type"] for r in rows} == {"a", "b", "c"}
+    got_h = _h_from_components(rows)
+    assert got_h == pytest.approx(_kw_brute(samples), rel=1e-12)
+    # component-level exactness: rank sums are integers when doubled
+    n = sum(len(v) for v in samples.values())
+    assert rows[0]["n_total"] == n
+    assert sum(r["r2_sum"] for r in rows) == 2 * n * (n + 1) // 2
+
+
+def test_kruskal_textbook_value(spark):
+    # classic 3-group example (Conover): no ties -> tie_cube == 0
+    samples = {
+        "g1": [27.0, 2.0, 4.0, 18.0, 7.0, 9.0],
+        "g2": [20.0, 8.0, 14.0, 36.0, 21.0, 22.0],
+        "g3": [34.0, 31.0, 3.0, 23.0, 30.0, 6.0],
+    }
+    rows = _run_kruskal(spark, samples)
+    assert rows[0]["tie_cube"] == 0
+    assert _h_from_components(rows) == pytest.approx(
+        _kw_brute(samples), rel=1e-12
+    )
+    # identical distributions across groups -> H ~ 0 exactly when all
+    # groups hold the same multiset (rank sums proportional to n_i)
+    same = {"x": [1.0, 2.0, 3.0], "y": [1.0, 2.0, 3.0]}
+    rows = _run_kruskal(spark, same)
+    assert _h_from_components(rows) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_kruskal_shuffle_budget(spark):
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = checks.count_exchanges(analytics.kruskal_wallis(ev))
+    # 1 feed-width exchange (the (type, value) groupBy); the rank
+    # spine, per-group join and k-row final all ride materialized
+    # alphabet-bounded relations
+    assert n <= 8, f"kruskal_wallis: {n} exchanges > budget 8"
