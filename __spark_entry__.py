@@ -1776,7 +1776,29 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    count-state twin) --
         "kruskal_wallis": _q_kruskal_wallis,
         "streaming_kruskal": _q_streaming_kruskal,
+        # -- round-9: nonparametric trend tests over the dense daily
+        #    count relation (batch + daily-count-state twins) --
+        "mann_kendall_trend": _q_mann_kendall_trend,
+        "streaming_mann_kendall": _q_streaming_mann_kendall,
+        "runs_test": _q_runs_test,
+        "streaming_runs_test": _q_streaming_runs_test,
     }
+
+
+def _q_mann_kendall_trend(spark, sf):
+    return anomaly.mann_kendall_trend(load_table(spark, sf, "events"))
+
+
+def _q_streaming_mann_kendall(spark, sf):
+    return streaming_rollup.stream_mann_kendall(spark, sf)
+
+
+def _q_runs_test(spark, sf):
+    return anomaly.runs_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_runs_test(spark, sf):
+    return streaming_rollup.stream_runs_test(spark, sf)
 
 
 def _q_kruskal_wallis(spark, sf):
@@ -9592,5 +9614,76 @@ def oracle_sql() -> dict[str, str]:
         FROM per_group, gtot ORDER BY event_type
     """
     sql["streaming_kruskal"] = sql["kruskal_wallis"]
+
+    # Nonparametric trend tests over the dense daily count relation
+    # (calendar-dense per type, silent days = real zeros — the
+    # theil_sen_trend convention). Both emit integral verdict
+    # components only.
+    _DENSE_DAILY = """
+        counts AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2),
+        span AS (
+            SELECT event_type, min(day) AS d0, max(day) AS d1
+            FROM counts GROUP BY 1),
+        days AS (
+            SELECT event_type, unnest(range(d0, d1 + 1)) AS day
+            FROM span),
+        dense AS (
+            SELECT d.event_type, d.day, coalesce(c.y, 0) AS y
+            FROM days d LEFT JOIN counts c
+              ON c.event_type = d.event_type AND c.day = d.day)
+    """
+    sql["mann_kendall_trend"] = f"""
+        WITH {_DENSE_DAILY},
+        s AS (
+            SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM dense a JOIN dense b
+              ON a.event_type = b.event_type AND a.day < b.day
+            GROUP BY 1),
+        ties AS (
+            SELECT event_type,
+                   CAST(SUM(t) AS BIGINT) AS n_days,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+            FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+                  FROM dense GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT event_type, n_days,
+               coalesce(s_stat, 0) AS s_stat, tie_term
+        FROM ties LEFT JOIN s USING (event_type) ORDER BY event_type
+    """
+    sql["streaming_mann_kendall"] = sql["mann_kendall_trend"]
+
+    sql["runs_test"] = f"""
+        WITH {_DENSE_DAILY},
+        med AS (
+            SELECT event_type,
+                   CAST(quantile_disc(y, 0.5) AS BIGINT) AS med
+            FROM dense GROUP BY 1),
+        signed AS (
+            SELECT d.event_type, d.day,
+                   CASE WHEN d.y > m.med THEN 1 ELSE -1 END AS s
+            FROM dense d JOIN med m ON d.event_type = m.event_type
+            WHERE d.y <> m.med),
+        runs AS (
+            SELECT event_type, s,
+                   CASE WHEN lag(s) OVER (PARTITION BY event_type
+                                          ORDER BY day) IS DISTINCT FROM s
+                        THEN 1 ELSE 0 END AS new_run
+            FROM signed)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_above,
+               CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_below,
+               CAST(SUM(new_run) AS BIGINT) AS n_runs
+        FROM runs GROUP BY 1 ORDER BY event_type
+    """
+    sql["streaming_runs_test"] = sql["runs_test"]
 
     return sql

@@ -1156,3 +1156,159 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     return ks_from_value_counts(per_value, keys=["event_type", "day"]).filter(
         (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
     )
+
+
+def _dense_daily_counts(events: DataFrame) -> DataFrame:
+    """The (event_type, day, y) dense daily count relation shared by
+    the trend tests: calendar-dense per type (silent days are real
+    zeros — `theil_sen_trend`'s convention), materialized because
+    every consumer reads it at least twice (the diamond rule)."""
+    day = F.expr(f"{_US} div 86400000000")
+    counts = _materialize(
+        events.groupBy("event_type", day.alias("day")).agg(
+            F.count("*").alias("y")
+        )
+    )
+    span = counts.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return _materialize(
+        span.select(
+            "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+        .join(counts, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+
+def mann_kendall_trend(events: DataFrame) -> DataFrame:
+    """Mann–Kendall monotone-trend components of the daily count
+    series per event type — the nonparametric significance companion
+    to `theil_sen_trend`: Sen gives the robust slope, Mann–Kendall
+    says whether ANY monotone trend exists at all (S = Σ_{i<j}
+    sign(y_j − y_i)), immune to the level shifts and heavy tails that
+    invalidate a least-squares t-test on telemetry series.
+
+    Exactness end-to-end: S is a sum of {−1, 0, +1} over day pairs —
+    pure BIGINT; the tie correction Σ t(t−1)(2t+5) comes from the
+    daily-value marginal, also BIGINT. The hashed edge emits ONLY
+    integral components (the `mannwhitney_u` convention) — the
+    consumer computes var(S) = [n(n−1)(2n+5) − tie_term]/18 and
+    z = (S ∓ 1)/√var(S).
+
+    Scale shape: the feed reduces ONCE to the dense (type, day, y)
+    relation; the pair stage is a self-join of THAT relation —
+    O(span²) per type, bounded by the calendar (the `theil_sen_trend`
+    bound), never feed volume. Final = #types rows."""
+    return mann_kendall_from_daily(_dense_daily_counts(events))
+
+
+def mann_kendall_from_daily(dense: DataFrame) -> DataFrame:
+    """Mann–Kendall coda over an already-materialized dense
+    (event_type, day, y) daily relation — shared verbatim by the
+    batch operator and `streaming.rollup.stream_mann_kendall` (whose
+    state IS the daily count relation)."""
+    a = dense.select(
+        "event_type", F.col("day").alias("di"), F.col("y").alias("yi")
+    )
+    b = dense.select(
+        "event_type", F.col("day").alias("dj"), F.col("y").alias("yj")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("di") < F.col("dj"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("yj") - F.col("yi")).cast("bigint")).alias(
+                "s_stat"
+            )
+        )
+    )
+    ties = (
+        dense.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").cast("bigint").alias("n_days"),
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    return (
+        ties.join(s, "event_type", "left")
+        .select(
+            "event_type",
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
+            "tie_term",
+        )
+        .orderBy("event_type")
+    )
+
+
+def runs_test(events: DataFrame) -> DataFrame:
+    """Wald–Wolfowitz runs-test components over the daily count
+    series per event type: dichotomize each day as above/below the
+    per-type MEDIAN daily count (days exactly at the median drop —
+    the classical convention), then count runs of consecutive
+    same-sign days. Too FEW runs = the series is trending/clustered;
+    too MANY = oscillating faster than chance — the randomness check
+    that `mann_kendall_trend` (monotone only) cannot express.
+
+    Exactness: the median is percentile_disc over the dense daily
+    relation (an order statistic — an actual integer count, never
+    interpolated); signs, run boundaries and counts are all integer.
+    The consumer computes E[R] = 2ab/(a+b) + 1 and var from the
+    emitted (n_above, n_below, n_runs).
+
+    Scale shape: everything after the feed reduction rides the dense
+    (type, day, y) relation — one per-type window ordered by day over
+    a calendar-bounded partition. Final = #types rows."""
+    return runs_from_daily(_dense_daily_counts(events))
+
+
+def runs_from_daily(dense: DataFrame) -> DataFrame:
+    """Runs-test coda over the materialized dense (event_type, day,
+    y) relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_runs_test`."""
+    med = dense.groupBy("event_type").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias("med")
+    )
+    signed = (
+        dense.join(F.broadcast(med), "event_type")
+        .filter(F.col("y") != F.col("med"))
+        .select(
+            "event_type",
+            "day",
+            F.when(F.col("y") > F.col("med"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    runs = signed.select(
+        "event_type",
+        "s",
+        F.when(
+            F.lag("s").over(w).isNull() | (F.lag("s").over(w) != F.col("s")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_run"),
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+            F.sum("new_run").cast("bigint").alias("n_runs"),
+        )
+        .orderBy("event_type")
+    )

@@ -1792,3 +1792,49 @@ def stream_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = materialize(_run_to_memory(state_agg, "complete"))
     return kruskal_from_value_counts(state)
+
+
+def _stream_dense_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily count state shared by the streaming trend-test twins:
+    the (event_type, day) count aggregation run availableNow, then
+    densified exactly as `anomaly._dense_daily_counts` does (the
+    densify step is a coda over the bounded state, not state
+    itself)."""
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    day = F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+    state_agg = src.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("y")
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    span = state.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    return materialize(
+        span.select(
+            "event_type", F.explode(F.expr("sequence(d0, d1)")).alias("day")
+        )
+        .join(state, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("y", F.lit(0)).alias("y"))
+    )
+
+
+def stream_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.mann_kendall_trend`: the live
+    monotone-trend monitor. State is the (event_type, day) count
+    relation — bounded by types × calendar days — and the coda is the
+    SHARED `mann_kendall_from_daily`, so availableNow equals the
+    batch components digit for digit and the batch oracle applies
+    verbatim."""
+    from ..operators.anomaly import mann_kendall_from_daily
+
+    return mann_kendall_from_daily(_stream_dense_daily(spark, sf_dir))
+
+
+def stream_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.runs_test` over the same daily
+    count state as `stream_mann_kendall`; coda shared verbatim."""
+    from ..operators.anomaly import runs_from_daily
+
+    return runs_from_daily(_stream_dense_daily(spark, sf_dir))

@@ -359,3 +359,86 @@ def test_kruskal_shuffle_budget(spark):
     # spine, per-group join and k-row final all ride materialized
     # alphabet-bounded relations
     assert n <= 8, f"kruskal_wallis: {n} exchanges > budget 8"
+
+
+def _make_daily(spark, series):
+    """Build a dense (event_type, day, y) relation from {type: [y0, y1, ...]}."""
+    rows = [
+        (t, d, int(y)) for t, ys in series.items() for d, y in enumerate(ys)
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, day bigint, y bigint"
+    )
+
+
+def test_mann_kendall_brute_force(spark):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    series = {
+        "up": [1, 2, 2, 3, 5, 5, 8],
+        "flat": [4, 4, 4, 4],
+        "mixed": [3, 1, 4, 1, 5, 9, 2, 6],
+    }
+    got = {
+        r["event_type"]: r
+        for r in anomaly.mann_kendall_from_daily(
+            _make_daily(spark, series)
+        ).collect()
+    }
+    for t, ys in series.items():
+        n = len(ys)
+        s_ref = sum(
+            (ys[j] > ys[i]) - (ys[j] < ys[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        ties = {}
+        for y in ys:
+            ties[y] = ties.get(y, 0) + 1
+        tie_ref = sum(t_ * (t_ - 1) * (2 * t_ + 5) for t_ in ties.values())
+        assert got[t]["s_stat"] == s_ref, t
+        assert got[t]["n_days"] == n
+        assert got[t]["tie_term"] == tie_ref, t
+    # strictly increasing: S = n(n-1)/2, no ties
+    assert got["up"]["s_stat"] > 0
+    assert got["flat"]["s_stat"] == 0
+    assert got["flat"]["tie_term"] == 4 * 3 * 13
+
+
+def test_runs_test_hand_values(spark):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    # median of [1,9,1,9,1,9,1] is 1 (disc: smallest value with
+    # cume >= .5) -> days AT the median drop, leaving three "above"
+    # days that are CONSECUTIVE in the reduced sequence -> one run
+    # (the classical convention: dropped days close the gap)
+    series = {
+        "osc": [1, 9, 1, 9, 1, 9, 1],
+        # [5,5,1,1,9,9]: median (disc, 0.5) = 1? sorted [1,1,5,5,9,9]
+        # -> percentile_disc(0.5) picks 5 (cume_dist 4/6 >= 0.5 first
+        # at value 5... actually value 1 has cume 2/6 < .5, 5 has 4/6)
+        # days == 5 drop; signs by day: -,-,+,+ -> 2 runs
+        "blocks": [5, 5, 1, 1, 9, 9],
+    }
+    got = {
+        r["event_type"]: r
+        for r in anomaly.runs_from_daily(_make_daily(spark, series)).collect()
+    }
+    assert got["osc"]["n_above"] == 3 and got["osc"]["n_below"] == 0
+    assert got["osc"]["n_runs"] == 1
+    assert got["blocks"]["n_above"] == 2 and got["blocks"]["n_below"] == 2
+    assert got["blocks"]["n_runs"] == 2
+
+
+def test_trend_tests_shuffle_budget(spark):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    for name, df, budget in [
+        ("mann_kendall_trend", anomaly.mann_kendall_trend(ev), 10),
+        ("runs_test", anomaly.runs_test(ev), 10),
+    ]:
+        n = checks.count_exchanges(df)
+        assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
