@@ -1782,7 +1782,13 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_mann_kendall": _q_streaming_mann_kendall,
         "runs_test": _q_runs_test,
         "streaming_runs_test": _q_streaming_runs_test,
+        # -- round-9: the dedup before/after quality-distribution PSI --
+        "dedup_quality_shift": _q_dedup_quality_shift,
     }
+
+
+def _q_dedup_quality_shift(spark, sf):
+    return curation.dedup_quality_shift(load_table(spark, sf, "documents"))
 
 
 def _q_mann_kendall_trend(spark, sf):
@@ -9685,5 +9691,49 @@ def oracle_sql() -> dict[str, str]:
         FROM runs GROUP BY 1 ORDER BY event_type
     """
     sql["streaming_runs_test"] = sql["runs_test"]
+
+    # Dedup before/after quality PSI: quality CTE verbatim, exact_dedup
+    # digest keepers, then the psi_from_value_counts arithmetic
+    # (ceil-rank decile cuts over the reduced q3 count relation,
+    # PSI_TERM_SQL shared) with ref = all scored docs, cur = survivors
+    _dqs_cuts = ",\n                   ".join(
+        f"MIN(CASE WHEN cum_ref >= (({i} * t_ref + 9) // 10)"
+        f" THEN value END) AS c{i}"
+        for i in range(1, 10)
+    )
+    sql["dedup_quality_shift"] = f"""
+        WITH q0 AS ({sql["quality_score"]}),
+        q AS (SELECT doc_id,
+                     CAST(floor(quality * 1000) AS BIGINT) AS value
+              FROM q0),
+        fps AS (SELECT doc_id,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+                           AS fp
+                FROM documents),
+        k AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY 1),
+        fl AS (SELECT doc_id, doc_id = keeper AS is_keeper
+               FROM fps JOIN k USING (fp)),
+        pv AS (SELECT value,
+                      CAST(count(*) AS BIGINT) AS d_ref,
+                      CAST(SUM(CASE WHEN is_keeper THEN 1 ELSE 0 END)
+                           AS BIGINT) AS d_cur
+               FROM q JOIN fl USING (doc_id) GROUP BY 1),
+        cum AS (SELECT value, d_ref, d_cur,
+                       SUM(d_ref) OVER (ORDER BY value
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum_ref,
+                       SUM(d_ref) OVER () AS t_ref
+                FROM pv),
+        cuts AS (SELECT {_dqs_cuts} FROM cum),
+        counts AS (
+            SELECT {anomaly.psi_bin_case_sql(10)} AS bin,
+                   CAST(SUM(d_ref) AS BIGINT) AS c_ref,
+                   CAST(SUM(d_cur) AS BIGINT) AS c_cur
+            FROM pv, cuts GROUP BY 1),
+        t AS (SELECT SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur FROM counts)
+        SELECT CAST(bin AS INTEGER) AS bin, c_ref AS n_ref, c_cur AS n_cur,
+               {anomaly.PSI_TERM_SQL.format(nbins=10)} AS psi_term
+        FROM counts, t ORDER BY bin
+    """
 
     return sql

@@ -966,3 +966,50 @@ def len_quality_histogram(
         )
         .orderBy("source", "len_bucket", "q_band")
     )
+
+
+def dedup_quality_shift(documents: DataFrame, nbins: int = 10) -> DataFrame:
+    """What does exact dedup DO to the quality mix? PSI between the
+    full corpus's quality distribution (reference) and the dedup
+    SURVIVORS' distribution (current), per reference-decile bin — the
+    before/after companion to `quality_calibration_curve` (which asks
+    whether quality predicts duplication; this asks whether removing
+    the duplicates moved the distribution). PSI ≈ 0 means dedup is
+    quality-neutral; a large term in a low decile means the removed
+    mass was concentrated there (the real-crawl expectation:
+    boilerplate mirrors are low-quality).
+
+    Exactness: quality rides the integer-thousandths q3 grid (the
+    `quality_calibration_curve` rule); survivor = min doc_id per
+    `exact_dedup` content digest; the PSI core is the shared
+    `psi_from_value_counts` (ceil-rank decile cuts over the reduced
+    count relation, `PSI_TERM_SQL` at the edge).
+
+    Scale shape: one quality pass + one digest shuffle (both
+    feed-width, both already paid by their parent ops); everything
+    after rides the per-distinct-q3 count relation — bounded at ~100k
+    values forever. Output = nbins rows."""
+    from .anomaly import psi_from_value_counts
+    from .text import quality_score
+
+    q = quality_score(documents).select(
+        "doc_id",
+        F.expr("CAST(floor(quality * 1000) AS BIGINT)").alias("value"),
+    )
+    norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    fps = documents.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("content_fp")
+    )
+    keepers = fps.groupBy("content_fp").agg(F.min("doc_id").alias("keeper"))
+    flagged = fps.join(keepers, "content_fp").select(
+        "doc_id", (F.col("doc_id") == F.col("keeper")).alias("is_keeper")
+    )
+    per_value = (
+        q.join(flagged, "doc_id")
+        .groupBy("value")
+        .agg(
+            F.count("*").alias("d_ref"),
+            F.sum(F.when(F.col("is_keeper"), 1).otherwise(0)).alias("d_cur"),
+        )
+    )
+    return psi_from_value_counts(per_value, nbins=nbins)

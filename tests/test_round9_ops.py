@@ -442,3 +442,53 @@ def test_trend_tests_shuffle_budget(spark):
     ]:
         n = checks.count_exchanges(df)
         assert n <= budget, f"{name}: {n} exchanges > budget {budget}"
+
+
+def test_dedup_quality_shift_planted(spark):
+    from real_time_database_monitoring_system_spark.operators import curation
+
+    # corpus: 3 distinct docs + 3 copies of the FIRST one -> dedup
+    # removes 3 docs, all from the mirror's quality cell; ref counts
+    # include every doc, cur counts only the 4 keepers
+    mirror = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (0, mirror),
+        (1, mirror),
+        (2, mirror),
+        (3, mirror),
+        (4, "one two three four five six seven eight nine ten"),
+        (5, "red orange yellow green blue indigo violet white black grey"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = curation.dedup_quality_shift(df).collect()
+    t_ref = sum(r["n_ref"] for r in rows)
+    t_cur = sum(r["n_cur"] for r in rows)
+    assert t_ref == 6 and t_cur == 3
+    # the removed mass sits in exactly one bin: ref-cur == 3 there
+    gaps = [r["n_ref"] - r["n_cur"] for r in rows]
+    assert sorted(gaps, reverse=True)[0] == 3
+    assert all(r["n_cur"] <= r["n_ref"] for r in rows)
+    # a dedup-neutral corpus (no dups at all) scores PSI == 0 in every
+    # bin: shares identical by construction
+    nodup = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs[3:]],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    for r in curation.dedup_quality_shift(nodup).collect():
+        assert r["psi_term"] == 0.0
+        assert r["n_ref"] == r["n_cur"]
+
+
+def test_dedup_quality_shift_budget(spark):
+    from real_time_database_monitoring_system_spark.operators import curation
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = checks.count_exchanges(curation.dedup_quality_shift(docs))
+    # two feed-width exchanges (quality token pass + digest groupBy);
+    # the PSI cuts/bins ride the bounded q3 count relation
+    assert n <= 14, f"dedup_quality_shift: {n} exchanges > budget 14"
