@@ -1784,7 +1784,13 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_runs_test": _q_streaming_runs_test,
         # -- round-9: the dedup before/after quality-distribution PSI --
         "dedup_quality_shift": _q_dedup_quality_shift,
+        # -- round-9: MinHash estimate-vs-exact Jaccard calibration --
+        "minhash_jaccard_calibration": _q_minhash_jaccard_calibration,
     }
+
+
+def _q_minhash_jaccard_calibration(spark, sf):
+    return dedup.minhash_jaccard_calibration(load_table(spark, sf, "documents"))
 
 
 def _q_dedup_quality_shift(spark, sf):
@@ -9734,6 +9740,86 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(bin AS INTEGER) AS bin, c_ref AS n_ref, c_cur AS n_cur,
                {anomaly.PSI_TERM_SQL.format(nbins=10)} AS psi_term
         FROM counts, t ORDER BY bin
+    """
+
+    # MinHash estimate-vs-exact calibration: the _minhash_portable_oracle
+    # CTEs (same md5 hash family / affine constants / band keys /
+    # candidate join / exact set intersection) extended with the
+    # per-pair component-match count and the integer error bucket
+    _mjc_pp = dedup.portable_perm_params()
+    _mjc_rpb = dedup.N_HASHES // dedup.BANDS
+    _mjc_mins = ",\n                   ".join(
+        f"min(({a} * hi + {b} * lo + {c}) % {dedup.MINHASH_P}) AS mh_{i}"
+        for i, (a, b, c) in enumerate(_mjc_pp)
+    )
+    _mjc_bands = "\n            UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_id, {key} AS band_key FROM sig".format(
+            bi=bi,
+            key=" || '|' || ".join(
+                f"CAST(mh_{bi * _mjc_rpb + r} AS VARCHAR)" for r in range(_mjc_rpb)
+            ),
+        )
+        for bi in range(dedup.BANDS)
+    )
+    _mjc_match = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(dedup.N_HASHES)
+    )
+    sql["minhash_jaccard_calibration"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        shn AS (
+            SELECT doc_id,
+                   list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                  for i in range(1, len(toks) - 1)]) AS shingles
+            FROM t WHERE len(toks) >= 3),
+        ex AS (SELECT doc_id, unnest(shingles) AS s FROM shn),
+        hs AS (SELECT doc_id,
+                      CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h
+               FROM ex),
+        hx AS (SELECT doc_id, h >> 30 AS hi, h & 1073741823 AS lo FROM hs),
+        sig AS (SELECT doc_id,
+                   {_mjc_mins}
+                FROM hx GROUP BY doc_id),
+        banded AS (
+            {_mjc_bands}),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id),
+        matched AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST({_mjc_match} AS BIGINT) AS m
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b),
+        sets AS (SELECT DISTINCT doc_id, h FROM hs),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sets GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+            FROM cand c
+            JOIN sets x ON x.doc_id = c.doc_a
+            JOIN sets y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY 1, 2),
+        pairs AS (
+            SELECT m.m,
+                   coalesce(i.n_inter, 0) AS i,
+                   sa.n + sb.n - coalesce(i.n_inter, 0) AS u
+            FROM matched m
+            LEFT JOIN inter i USING (doc_a, doc_b)
+            JOIN sizes sa ON m.doc_a = sa.doc_id
+            JOIN sizes sb ON m.doc_b = sb.doc_id),
+        counts AS (
+            SELECT least((20 * abs(m * u - i * {dedup.N_HASHES}))
+                         // ({dedup.N_HASHES} * u), 19) AS err_bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(m) AS BIGINT) AS sum_matches
+            FROM pairs GROUP BY 1),
+        tt AS (SELECT SUM(n_pairs) AS t FROM counts)
+        SELECT CAST(err_bucket AS INTEGER) AS err_bucket, n_pairs,
+               sum_matches,
+               CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS share
+        FROM counts, tt ORDER BY err_bucket
     """
 
     return sql

@@ -492,3 +492,53 @@ def test_dedup_quality_shift_budget(spark):
     # two feed-width exchanges (quality token pass + digest groupBy);
     # the PSI cuts/bins ride the bounded q3 count relation
     assert n <= 14, f"dedup_quality_shift: {n} exchanges > budget 14"
+
+
+def test_minhash_jaccard_calibration_planted(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    # exact mirrors: est == exact == 1 -> error 0 -> bucket 0 with
+    # all 32 components matching; unrelated docs never become
+    # candidates, so the histogram is exactly one row
+    mirror = " ".join(f"tok{i}" for i in range(40))
+    other = " ".join(f"zzz{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [
+            (0, mirror, "en", "s", len(mirror)),
+            (1, mirror, "en", "s", len(mirror)),
+            (2, other, "en", "s", len(other)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dedup.minhash_jaccard_calibration(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["err_bucket"] == 0
+    assert r["n_pairs"] == 1
+    assert r["sum_matches"] == 32
+    assert r["share"] == 1.0
+
+
+def test_minhash_calibration_bucket_arithmetic(spark):
+    # the integer bucket floor(B*|m*u - i*H|/(H*u)) equals
+    # floor(B*|m/H - i/u|) for a grid of rationals
+    import math
+
+    B, H = 20, 32
+    for m in range(0, H + 1, 4):
+        for i, u in [(1, 3), (2, 5), (7, 9), (0, 4), (5, 5)]:
+            got = min((B * abs(m * u - i * H)) // (H * u), B - 1)
+            want = min(int(math.floor(B * abs(m / H - i / u) + 1e-12)), B - 1)
+            assert got == want, (m, i, u)
+
+
+def test_minhash_calibration_budget(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = checks.count_exchanges(dedup.minhash_jaccard_calibration(docs))
+    # the banded pass budget (shingle groupBys + band/candidate joins
+    # + the match/verify joins on candidates) + the tiny totals row
+    assert n <= 18, f"minhash_jaccard_calibration: {n} exchanges > budget 18"
