@@ -1786,7 +1786,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_quality_shift": _q_dedup_quality_shift,
         # -- round-9: MinHash estimate-vs-exact Jaccard calibration --
         "minhash_jaccard_calibration": _q_minhash_jaccard_calibration,
+        # -- round-9: per-day tail-quantile drift panel (batch + the
+        #    watermarked finalized-day twin) --
+        "quantile_drift": _q_quantile_drift,
+        "streaming_quantile_drift": _q_streaming_quantile_drift,
     }
+
+
+def _q_quantile_drift(spark, sf):
+    return analytics.quantile_drift(load_table(spark, sf, "events"))
+
+
+def _q_streaming_quantile_drift(spark, sf):
+    return streaming_rollup.stream_quantile_drift(spark, sf)
 
 
 def _q_minhash_jaccard_calibration(spark, sf):
@@ -9821,5 +9833,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_pairs AS DOUBLE) / CAST(t AS DOUBLE) AS share
         FROM counts, tt ORDER BY err_bucket
     """
+
+    # Per-day tail-quantile drift: the cont_quantiles_from_counts
+    # integer rank arithmetic keyed by (type, day) on the cents axis,
+    # previous-day self-join for deltas; the streaming twin restricts
+    # to finalized days (the streaming_windowed_ks convention)
+    _qd_sel, _qd_fin = _contq_fragments(
+        [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+    )
+    _QD_CORE = f"""
+        c AS (
+            SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                   CAST(round(value * 100) AS BIGINT) AS value,
+                   count(*) AS _c
+            FROM events WHERE value IS NOT NULL{{day_filter}}
+            GROUP BY 1, 2, 3),
+        cum AS (
+            SELECT event_type, day, value,
+                   SUM(_c) OVER (PARTITION BY event_type, day ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS _cum,
+                   SUM(_c) OVER (PARTITION BY event_type, day) AS _n
+            FROM c),
+        p AS (
+            SELECT event_type, day, CAST(MIN(_n) AS BIGINT) AS n_day,
+                   {_qd_sel}
+            FROM cum GROUP BY 1, 2),
+        f AS (
+            SELECT event_type, day, n_day,
+               {_qd_fin}
+            FROM p)
+        SELECT a.event_type, a.day, a.n_day,
+               a.p50 AS p50_cents, a.p95 AS p95_cents, a.p99 AS p99_cents,
+               a.p50 - b.p50 AS d50_cents,
+               a.p95 - b.p95 AS d95_cents,
+               a.p99 - b.p99 AS d99_cents
+        FROM f a LEFT JOIN f b
+          ON a.event_type = b.event_type AND a.day = b.day + 1
+        ORDER BY a.event_type, a.day
+    """
+    sql["quantile_drift"] = "WITH " + _QD_CORE.format(day_filter="")
+    sql["streaming_quantile_drift"] = "WITH " + _QD_CORE.format(
+        day_filter=(
+            "\n              AND (epoch_us(ts) // 86400000000 + 1) * 86400000"
+            " <= (SELECT (max(epoch_us(ts)) // 1000) - 3600000"
+            " FROM events WHERE value IS NOT NULL)"
+        )
+    )
 
     return sql

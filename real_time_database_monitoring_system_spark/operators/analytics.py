@@ -2443,3 +2443,77 @@ def kruskal_from_value_counts(per_value: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+QUANTILE_DRIFT_QS = [("p50", 1, 2), ("p95", 19, 20), ("p99", 99, 100)]
+
+
+def quantile_drift(events: DataFrame) -> DataFrame:
+    """Per-(type, day) tail-quantile panel with day-over-day deltas —
+    the POINTWISE member of the windowed drift family: `windowed_psi`
+    says the day shapes differ, `windowed_wasserstein` says by how
+    much in aggregate; this says WHERE in the distribution it moved
+    (a p99 jump with a flat p50 is a tail regression — the on-call
+    question the aggregate scores can't answer).
+
+    Exactness: quantiles are the exact type-7 interpolation of
+    `util.cont_quantiles_from_counts` on the integer-cents axis —
+    integer rank arithmetic, one fixed-shape double expression per
+    quantile (IEEE-identical across engines); deltas are single
+    subtractions of those exact doubles. Days without a previous day
+    emit NULL deltas (the windowed family's presence convention,
+    relaxed to keep the day's own quantiles visible).
+
+    Scale shape: the feed reduces ONCE to the (type, day, cents)
+    count relation (bounded by types × days × value alphabet); the
+    quantile windows and the previous-day self-join both ride that
+    materialized relation. No windows over the feed."""
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"{_US_A} div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return quantile_drift_from_counts(counts)
+
+
+def quantile_drift_from_counts(counts: DataFrame) -> DataFrame:
+    """Quantile-drift coda over an already-reduced (event_type, day,
+    cents, c) count relation — shared verbatim by the batch operator
+    and `streaming.rollup.stream_quantile_drift` (whose watermarked
+    state IS this relation over finalized days). Materialized twice
+    over: the count relation feeds the quantile pass AND the per-day
+    totals; the scored relation feeds both sides of the previous-day
+    join (the diamond rule)."""
+    from .util import cont_quantiles_from_counts
+
+    counts = _materialize(counts)
+    q = cont_quantiles_from_counts(
+        counts, ["event_type", "day"], "cents", QUANTILE_DRIFT_QS, weight="c"
+    )
+    n = counts.groupBy("event_type", "day").agg(
+        F.sum("c").cast("bigint").alias("n_day")
+    )
+    cur = _materialize(q.join(n, ["event_type", "day"]))
+    prev = cur.select(
+        "event_type",
+        (F.col("day") + 1).alias("day"),
+        *[F.col(a).alias(f"_prev_{a}") for a, _, _ in QUANTILE_DRIFT_QS],
+    )
+    return (
+        cur.join(prev, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            "n_day",
+            *[F.col(a).alias(f"{a}_cents") for a, _, _ in QUANTILE_DRIFT_QS],
+            *[
+                (F.col(a) - F.col(f"_prev_{a}")).alias(f"d{a[1:]}_cents")
+                for a, _, _ in QUANTILE_DRIFT_QS
+            ],
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1838,3 +1838,38 @@ def stream_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import runs_from_daily
 
     return runs_from_daily(_stream_dense_daily(spark, sf_dir))
+
+
+def stream_quantile_drift(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `analytics.quantile_drift` — the same
+    state discipline as `stream_windowed_wasserstein` (per-(window,
+    type, cents) counts under a real watermark, evicted as event time
+    advances, append over finalized days); the coda is the SHARED
+    `quantile_drift_from_counts`, so the finalized-day rows equal the
+    batch panel digit for digit."""
+    from ..operators.analytics import quantile_drift_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    counts = state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "cents",
+        "c",
+    )
+    return quantile_drift_from_counts(counts)

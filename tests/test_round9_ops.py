@@ -542,3 +542,45 @@ def test_minhash_calibration_budget(spark):
     # the banded pass budget (shingle groupBys + band/candidate joins
     # + the match/verify joins on candidates) + the tiny totals row
     assert n <= 18, f"minhash_jaccard_calibration: {n} exchanges > budget 18"
+
+
+def test_quantile_drift_hand_values(spark):
+    # day0: cents {100,200,300,400} -> p50 = 250 (type-7 interp);
+    # day1: all shifted +100 -> p50 = 350, d50 = +100; p99 interp
+    # between the top two values
+    us = 86400000000
+    rows = [
+        (0 * us + i, "a", v) for i, v in enumerate([1.00, 2.00, 3.00, 4.00])
+    ] + [
+        (1 * us + i, "a", v) for i, v in enumerate([2.00, 3.00, 4.00, 5.00])
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, t, v) for i, (ts, t, v) in enumerate(rows)],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(us)").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    got = {r["day"]: r for r in analytics.quantile_drift(ev).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["p50_cents"] == pytest.approx(250.0)
+    assert got[0]["d50_cents"] is None  # no previous day
+    assert got[1]["p50_cents"] == pytest.approx(350.0)
+    assert got[1]["d50_cents"] == pytest.approx(100.0)
+    # p99 of [100..400]: h = 3*0.99 = 2.97 -> 300 + .97*100 = 397
+    assert got[0]["p99_cents"] == pytest.approx(397.0)
+    assert got[1]["n_day"] == 4
+
+
+def test_quantile_drift_budget(spark):
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = checks.count_exchanges(analytics.quantile_drift(ev))
+    # 1 feed-width exchange (the (type, day, cents) groupBy);
+    # quantile windows, totals and the prev-day join all ride the
+    # materialized bounded count relation
+    assert n <= 10, f"quantile_drift: {n} exchanges > budget 10"
