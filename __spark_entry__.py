@@ -1790,7 +1790,18 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    watermarked finalized-day twin) --
         "quantile_drift": _q_quantile_drift,
         "streaming_quantile_drift": _q_streaming_quantile_drift,
+        # -- round-9: spread-homogeneity components (batch + twin) --
+        "brown_forsythe": _q_brown_forsythe,
+        "streaming_brown_forsythe": _q_streaming_brown_forsythe,
     }
+
+
+def _q_brown_forsythe(spark, sf):
+    return analytics.brown_forsythe(load_table(spark, sf, "events"))
+
+
+def _q_streaming_brown_forsythe(spark, sf):
+    return streaming_rollup.stream_brown_forsythe(spark, sf)
 
 
 def _q_quantile_drift(spark, sf):
@@ -9880,5 +9891,40 @@ def oracle_sql() -> dict[str, str]:
             " FROM events WHERE value IS NOT NULL)"
         )
     )
+
+    # Brown–Forsythe spread components: order-statistic median over
+    # the integer-cents count relation (2*cum >= n, percentile_disc
+    # semantics), then exact integer deviation moments per type
+    sql["brown_forsythe"] = """
+        WITH pv AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, cents, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cm,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM pv),
+        med AS (
+            SELECT event_type,
+                   MIN(CASE WHEN cm * 2 >= n THEN cents END) AS med_cents
+            FROM cum GROUP BY 1)
+        SELECT p.event_type,
+               MIN(m.med_cents) AS med_cents,
+               CAST(SUM(c) AS BIGINT) AS n_i,
+               CAST(SUM(CAST(c AS HUGEINT)
+                   * CAST(abs(cents - m.med_cents) AS HUGEINT)) AS BIGINT)
+                   AS sum_z,
+               CAST(SUM(CAST(c AS HUGEINT)
+                   * CAST(abs(cents - m.med_cents) AS HUGEINT)
+                   * CAST(abs(cents - m.med_cents) AS HUGEINT)) AS BIGINT)
+                   AS sum_z2
+        FROM pv p JOIN med m USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["streaming_brown_forsythe"] = sql["brown_forsythe"]
 
     return sql

@@ -2517,3 +2517,91 @@ def quantile_drift_from_counts(counts: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def brown_forsythe(events: DataFrame) -> DataFrame:
+    """Brown–Forsythe variance-homogeneity components across event
+    types — the robust Levene variant (deviations from the MEDIAN,
+    not the mean): `welch_ttest`/`kruskal_wallis` ask whether
+    locations differ; this asks whether SPREADS differ, the question
+    behind "did this type get spikier?" alerts, and the assumption
+    check before pooling variances anywhere downstream.
+
+    Exactness end-to-end: the per-type median is an order statistic
+    over the integer-cents count relation (smallest value with
+    2·cum ≥ n — percentile_disc semantics, an actual cents value);
+    z = |cents − med| is integer, so n_i, Σz and Σz² are exact
+    (DECIMAL(38,0) internally, BIGINT at the edge — Σz² is O(n·z²),
+    exact to ~10⁶ rows/type at 4-digit cent deviations; beyond, the
+    consumer reads the decimal stage). The hashed edge emits ONLY
+    integral components; the consumer computes
+        F = [(N−k)/(k−1)] · Σ n_i(z̄_i − z̄)² / Σ(z² sums − n_i z̄_i²).
+
+    Scale shape: one keyed count to (type, cents) — map-side
+    partials, bounded by the value alphabet × k — then a per-type
+    window over that REDUCED relation for the median and a k-row
+    final. The feed is scanned once and never row-shuffled."""
+    per_value = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return brown_forsythe_from_counts(per_value)
+
+
+def brown_forsythe_from_counts(per_value: DataFrame) -> DataFrame:
+    """Brown–Forsythe coda over an already-reduced (event_type,
+    cents, c) count relation — shared verbatim by the batch operator
+    and `streaming.rollup.stream_brown_forsythe` (the
+    `kruskal_from_value_counts` pattern). Materialized first: the
+    relation feeds the median spine AND the deviation aggregation
+    (the diamond rule)."""
+    per_value = _materialize(per_value)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = per_value.select(
+        "event_type",
+        "cents",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    med = cum.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents"))
+        ).alias("med_cents")
+    )
+    return (
+        per_value.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "med_cents",
+            "c",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("z"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("med_cents").alias("med_cents"),
+            F.sum("c").cast("bigint").alias("n_i"),
+            F.sum(
+                F.expr("CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))")
+            )
+            .cast("bigint")
+            .alias("sum_z"),
+            F.sum(
+                F.expr(
+                    "CAST(c AS DECIMAL(38,0)) * CAST(z AS DECIMAL(38,0))"
+                    " * CAST(z AS DECIMAL(38,0))"
+                )
+            )
+            .cast("bigint")
+            .alias("sum_z2"),
+        )
+        .orderBy("event_type")
+    )

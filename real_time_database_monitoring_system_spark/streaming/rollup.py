@@ -1873,3 +1873,26 @@ def stream_quantile_drift(
         "c",
     )
     return quantile_drift_from_counts(counts)
+
+
+def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.brown_forsythe`: the live
+    spread-shift monitor. State is the (event_type, cents) count
+    relation — the `stream_kruskal` shape on the cents axis — and the
+    coda is the SHARED `brown_forsythe_from_counts`, so availableNow
+    equals the batch components digit for digit and the batch oracle
+    applies verbatim."""
+    from ..operators.analytics import brown_forsythe_from_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = (
+        src.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return brown_forsythe_from_counts(state)

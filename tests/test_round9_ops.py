@@ -584,3 +584,68 @@ def test_quantile_drift_budget(spark):
     # quantile windows, totals and the prev-day join all ride the
     # materialized bounded count relation
     assert n <= 10, f"quantile_drift: {n} exchanges > budget 10"
+
+
+def test_brown_forsythe_brute_force(spark):
+    # F from emitted components vs a scipy-free reference
+    samples = {
+        "a": [100, 200, 200, 300, 900],
+        "b": [150, 150, 150, 160, 170, 180],
+        "c": [100, 500, 900, 1300],
+    }
+    pv = (
+        spark.createDataFrame(
+            [(t, v) for t, vs in samples.items() for v in vs],
+            "event_type string, cents long",
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    rows = analytics.brown_forsythe_from_counts(pv).collect()
+    got = {r["event_type"]: r for r in rows}
+    # reference medians: percentile_disc(0.5) = smallest v with
+    # 2*cum >= n
+    for t, vs in samples.items():
+        sv = sorted(vs)
+        n = len(sv)
+        med = sv[(n - 1) // 2] if n % 2 else sv[n // 2 - 1]
+        zs = [abs(v - med) for v in vs]
+        assert got[t]["med_cents"] == med, t
+        assert got[t]["n_i"] == n
+        assert got[t]["sum_z"] == sum(zs), t
+        assert got[t]["sum_z2"] == sum(z * z for z in zs), t
+    # consumer-side F against a direct computation
+    k = len(samples)
+    n_tot = sum(r["n_i"] for r in rows)
+    zbar = sum(r["sum_z"] for r in rows) / n_tot
+    between = sum(
+        r["n_i"] * (r["sum_z"] / r["n_i"] - zbar) ** 2 for r in rows
+    )
+    within = sum(
+        r["sum_z2"] - r["sum_z"] ** 2 / r["n_i"] for r in rows
+    )
+    f_got = (n_tot - k) / (k - 1) * between / within
+    # direct
+    allz = []
+    groups = []
+    for t, vs in samples.items():
+        sv = sorted(vs)
+        n = len(sv)
+        med = sv[(n - 1) // 2] if n % 2 else sv[n // 2 - 1]
+        zs = [abs(v - med) for v in vs]
+        groups.append(zs)
+        allz += zs
+    gz = sum(allz) / len(allz)
+    b_ref = sum(len(z) * (sum(z) / len(z) - gz) ** 2 for z in groups)
+    w_ref = sum(sum((x - sum(z) / len(z)) ** 2 for x in z) for z in groups)
+    f_ref = (len(allz) - k) / (k - 1) * b_ref / w_ref
+    assert f_got == pytest.approx(f_ref, rel=1e-9)
+
+
+def test_brown_forsythe_budget(spark):
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = checks.count_exchanges(analytics.brown_forsythe(ev))
+    assert n <= 8, f"brown_forsythe: {n} exchanges > budget 8"
