@@ -1793,7 +1793,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-9: spread-homogeneity components (batch + twin) --
         "brown_forsythe": _q_brown_forsythe,
         "streaming_brown_forsythe": _q_streaming_brown_forsythe,
+        # -- round-9: parametric k-sample mean test (batch + the
+        #    family's best-bounded twin: 3 integers per type) --
+        "anova_oneway": _q_anova_oneway,
+        "streaming_anova": _q_streaming_anova,
     }
+
+
+def _q_anova_oneway(spark, sf):
+    return analytics.anova_oneway(load_table(spark, sf, "events"))
+
+
+def _q_streaming_anova(spark, sf):
+    return streaming_rollup.stream_anova(spark, sf)
 
 
 def _q_brown_forsythe(spark, sf):
@@ -9926,5 +9938,20 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
     sql["streaming_brown_forsythe"] = sql["brown_forsythe"]
+
+    # One-way ANOVA sufficient statistics: exact integer-cents moments
+    # per type, HUGEINT accumulation, BIGINT edge
+    sql["anova_oneway"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_i,
+               CAST(SUM(CAST(round(value * 100) AS HUGEINT)) AS BIGINT)
+                   AS sum_cents,
+               CAST(SUM(CAST(round(value * 100) AS HUGEINT)
+                        * CAST(round(value * 100) AS HUGEINT)) AS BIGINT)
+                   AS sum_cents_sq
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1 ORDER BY 1
+    """
+    sql["streaming_anova"] = sql["anova_oneway"]
 
     return sql

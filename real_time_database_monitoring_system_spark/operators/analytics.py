@@ -2605,3 +2605,54 @@ def brown_forsythe_from_counts(per_value: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def anova_oneway(events: DataFrame) -> DataFrame:
+    """One-way ANOVA components across event types — the parametric
+    k-sample companion to `kruskal_wallis` (and the k-group extension
+    of `welch_ttest`'s pooled-variance cousin): are the mean values
+    equal across types? Emitting both tests lets a user see when the
+    parametric answer diverges from the rank answer — the classic
+    heavy-tail signature.
+
+    Exactness end-to-end: sufficient statistics on the integer-cents
+    axis — n_i, Σx, Σx² are exact (DECIMAL(38,0) internally, BIGINT
+    at the edge; Σx² is O(n·cents²), exact to ~10⁵ rows/type at
+    6-digit cents — beyond, the consumer reads the decimal stage).
+    The hashed edge emits ONLY integral components; the consumer
+    computes SSB = Σ sx_i²/n_i − (Σsx)²/N, SSW = Σsx2 − Σ sx_i²/n_i,
+    F = [SSB/(k−1)] / [SSW/(N−k)].
+
+    Scale shape: ONE map-side-partial aggregation to k rows — no
+    window, no join, the cheapest statistic in the family (and the
+    best streaming state bound: 3 integers per type forever)."""
+    return anova_from_moments(
+        events.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
+            F.sum(
+                F.expr(
+                    "CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"
+                )
+            ).alias("sx2"),
+        )
+    )
+
+
+def anova_from_moments(moments: DataFrame) -> DataFrame:
+    """ANOVA emission over an already-reduced (event_type, n_i, sx,
+    sx2) sufficient-statistic relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_anova` (whose state IS this
+    relation: 3 integers per type forever)."""
+    return moments.select(
+        "event_type",
+        F.col("n_i").cast("bigint").alias("n_i"),
+        F.col("sx").cast("bigint").alias("sum_cents"),
+        F.col("sx2").cast("bigint").alias("sum_cents_sq"),
+    ).orderBy("event_type")

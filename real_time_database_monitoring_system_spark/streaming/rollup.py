@@ -1896,3 +1896,34 @@ def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = materialize(_run_to_memory(state_agg, "complete"))
     return brown_forsythe_from_counts(state)
+
+
+def stream_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.anova_oneway` — the family's best
+    state bound: 3 integers per event type, forever (no value
+    alphabet, no calendar). Decimal accumulation makes the sums
+    order-independent, so availableNow equals the batch components
+    digit for digit and the batch oracle applies verbatim."""
+    from ..operators.analytics import anova_from_moments
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = (
+        src.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
+            F.sum(
+                F.expr(
+                    "CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"
+                )
+            ).alias("sx2"),
+        )
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return anova_from_moments(state)

@@ -649,3 +649,61 @@ def test_brown_forsythe_budget(spark):
     ev = load_table(spark, "/root/testdata/sf0.001", "events")
     n = checks.count_exchanges(analytics.brown_forsythe(ev))
     assert n <= 8, f"brown_forsythe: {n} exchanges > budget 8"
+
+
+def test_anova_components_and_f(spark):
+    # textbook 3-group one-way ANOVA on an integer grid
+    samples = {
+        "a": [100, 200, 300],
+        "b": [400, 500, 600],
+        "c": [100, 100, 700],
+    }
+    mom = (
+        spark.createDataFrame(
+            [(t, v) for t, vs in samples.items() for v in vs],
+            "event_type string, cents long",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_i"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(38,0))")).alias("sx"),
+            F.sum(
+                F.expr(
+                    "CAST(cents AS DECIMAL(38,0)) * CAST(cents AS DECIMAL(38,0))"
+                )
+            ).alias("sx2"),
+        )
+    )
+    rows = analytics.anova_from_moments(mom).collect()
+    got = {r["event_type"]: r for r in rows}
+    for t, vs in samples.items():
+        assert got[t]["n_i"] == len(vs)
+        assert got[t]["sum_cents"] == sum(vs)
+        assert got[t]["sum_cents_sq"] == sum(v * v for v in vs)
+    # consumer F vs direct computation
+    k = len(samples)
+    n = sum(len(v) for v in samples.values())
+    sx_tot = sum(r["sum_cents"] for r in rows)
+    ssb = sum(r["sum_cents"] ** 2 / r["n_i"] for r in rows) - sx_tot**2 / n
+    ssw = sum(r["sum_cents_sq"] for r in rows) - sum(
+        r["sum_cents"] ** 2 / r["n_i"] for r in rows
+    )
+    f_got = (ssb / (k - 1)) / (ssw / (n - k))
+    means = {t: sum(v) / len(v) for t, v in samples.items()}
+    gmean = sum(sum(v) for v in samples.values()) / n
+    ssb_ref = sum(len(v) * (means[t] - gmean) ** 2 for t, v in samples.items())
+    ssw_ref = sum(
+        sum((x - means[t]) ** 2 for x in v) for t, v in samples.items()
+    )
+    f_ref = (ssb_ref / (k - 1)) / (ssw_ref / (n - k))
+    assert f_got == pytest.approx(f_ref, rel=1e-12)
+
+
+def test_anova_budget(spark):
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = checks.count_exchanges(analytics.anova_oneway(ev))
+    # one aggregation to k rows + the presentation sort
+    assert n <= 4, f"anova_oneway: {n} exchanges > budget 4"
