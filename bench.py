@@ -248,6 +248,22 @@ HEADLINE = [
     "spearman_corr",
     "vocab_richness",
     "transition_entropy",
+    # round-9 waves (streaming twins stay out per the rule)
+    "kendall_tau",
+    "windowed_wasserstein",
+    "windowed_ks",
+    "len_quality_histogram",
+    "dedup_agreement_kappa",
+    "winnow_chain_lengths",
+    "embedding_near_dups_prod",
+    "kruskal_wallis",
+    "mann_kendall_trend",
+    "runs_test",
+    "dedup_quality_shift",
+    "minhash_jaccard_calibration",
+    "quantile_drift",
+    "brown_forsythe",
+    "anova_oneway",
 ]
 
 

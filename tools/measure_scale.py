@@ -1,0 +1,75 @@
+"""Run registry entries against a stress dir and print warm timings.
+
+Usage:
+  python tools/measure_scale.py <table_dir_with_parquet> <query> [query ...]
+
+The dir must contain the parquet table(s) the queries read (events
+and/or documents); any table a query needs that is missing falls back
+to $SPARK_GRAFT_SF_DIR (default sf0.1), so events-only stress dirs can
+still serve documents-based loads and vice versa. Each query runs
+twice warm (min reported), matching the SCALE.md protocol. Sets
+spark.graft.spread.partitions=256 (the 5M-doc sizing) when the dir
+holds a documents table bigger than 100 MB.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from real_time_database_monitoring_system_spark.session import get_local_spark
+
+FALLBACK = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main():
+    stress_dir, names = sys.argv[1], sys.argv[2:]
+    import __spark_entry__ as entry
+
+    spark = get_local_spark()
+    docs = os.path.join(stress_dir, "documents.parquet")
+    if os.path.exists(docs):
+        size = sum(
+            os.path.getsize(os.path.join(docs, f)) for f in os.listdir(docs)
+        )
+        if size > 100 * 1024 * 1024:
+            spark.conf.set("spark.graft.spread.partitions", "256")
+    # big files: restore cluster-like split size (the 4 MB local
+    # override makes 100M-row scans 550 tasks of pure overhead)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+
+    class Dir:
+        """Resolve each table to the stress dir if present, else the
+        fallback sf dir (load_table joins sf_dir with <table>.parquet
+        via os.path.join on a str; we intercept with __fspath__)."""
+
+    qs = entry.queries()
+    for name in names:
+        fn = qs[name]
+
+        def sf_for(table_dir=stress_dir):
+            return table_dir
+
+        # load_table(spark, sf_dir, t) reads f"{sf_dir}/{t}.parquet";
+        # symlink missing tables into the stress dir instead of
+        # patching the loader
+        for t in [
+            "region", "nation", "customer", "supplier", "part", "orders",
+            "lineitem", "events", "documents", "embeddings",
+        ]:
+            p = os.path.join(stress_dir, f"{t}.parquet")
+            if not os.path.exists(p):
+                src = os.path.join(FALLBACK, f"{t}.parquet")
+                if os.path.exists(src):
+                    os.symlink(src, p)
+        times = []
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, stress_dir).count()
+            times.append(time.time() - t0)
+        print(f"{name}: {min(times):.2f} s ({n} rows)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
