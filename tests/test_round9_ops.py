@@ -707,3 +707,49 @@ def test_anova_budget(spark):
     n = checks.count_exchanges(analytics.anova_oneway(ev))
     # one aggregation to k rows + the presentation sort
     assert n <= 4, f"anova_oneway: {n} exchanges > budget 4"
+
+
+def test_registry_wide_plan_audit(spark):
+    """The r8 close-of-round audit, now a committed rule: every BATCH
+    registry entry's physical plan stays within the repo-wide exchange
+    ceiling and contains no CartesianProduct. Streaming twins are
+    excluded (building them runs availableNow queries; their plans are
+    the shared batch codas). Two entries carry documented waivers:
+    ann_recall_audit is a two-op composition (15 exchanges, audited
+    r8); curation_waterfall chains four curation stages;
+    dedup_agreement_kappa runs BOTH dedup paths it compares (the
+    banded minhash pass + the exact inverted-index pass, each its own
+    operator's budget) plus the verdict joins — 20, audited r9."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import queries
+    from real_time_database_monitoring_system_spark.plans import checks
+
+    sf = "/root/testdata/sf0.001"
+    ceiling = {
+        "ann_recall_audit": 16,
+        "curation_waterfall": 16,
+        "dedup_agreement_kappa": 20,
+    }
+    failures = []
+    for name, fn in sorted(queries().items()):
+        if name.startswith("streaming_"):
+            continue
+        try:
+            df = fn(spark, sf)
+        except Exception as e:  # pragma: no cover - surface clearly
+            failures.append(f"{name}: build failed: {e}")
+            continue
+        plan = checks.explain_str(df, "simple")
+        n_ex = sum(
+            1
+            for line in plan.splitlines()
+            if "Exchange" in line and "BroadcastExchange" not in line
+        )
+        cap = ceiling.get(name, 16)
+        if n_ex > cap:
+            failures.append(f"{name}: {n_ex} exchanges > {cap}")
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+    assert not failures, "\n".join(failures)
