@@ -1797,7 +1797,24 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    family's best-bounded twin: 3 integers per type) --
         "anova_oneway": _q_anova_oneway,
         "streaming_anova": _q_streaming_anova,
+        # -- round-9: sign-based k-sample location test (batch + twin)
+        #    and the most-duplicated-passages report --
+        "mood_median_test": _q_mood_median_test,
+        "streaming_mood_median": _q_streaming_mood_median,
+        "top_dup_ngrams": _q_top_dup_ngrams,
     }
+
+
+def _q_mood_median_test(spark, sf):
+    return analytics.mood_median_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_mood_median(spark, sf):
+    return streaming_rollup.stream_mood_median(spark, sf)
+
+
+def _q_top_dup_ngrams(spark, sf):
+    return dedup.top_dup_ngrams(load_table(spark, sf, "documents"))
 
 
 def _q_anova_oneway(spark, sf):
@@ -9953,5 +9970,56 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1 ORDER BY 1
     """
     sql["streaming_anova"] = sql["anova_oneway"]
+
+    # Mood's median test: grand-median order statistic over the global
+    # cents count relation (2*cum >= N), at-median values drop, exact
+    # 2xk table
+    sql["mood_median_test"] = """
+        WITH pv AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        tv AS (SELECT cents, SUM(c) AS t FROM pv GROUP BY 1),
+        cum AS (
+            SELECT cents,
+                   SUM(t) OVER (ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cm,
+                   SUM(t) OVER () AS n
+            FROM tv),
+        med AS (
+            SELECT MIN(CASE WHEN cm * 2 >= n THEN cents END) AS med_cents
+            FROM cum)
+        SELECT event_type,
+               MIN(med_cents) AS med_cents,
+               CAST(SUM(CASE WHEN cents > med_cents THEN c ELSE 0 END)
+                    AS BIGINT) AS n_above,
+               CAST(SUM(CASE WHEN cents < med_cents THEN c ELSE 0 END)
+                    AS BIGINT) AS n_below
+        FROM pv, med GROUP BY 1 ORDER BY 1
+    """
+    sql["streaming_mood_median"] = sql["mood_median_test"]
+
+    # Most-duplicated passages: literal 5-gram strings (the shingle
+    # tokenization, occurrences kept), distinct-doc ranked, unique
+    # tiebreak
+    sql["top_dup_ngrams"] = f"""
+        WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+                   WHERE text IS NOT NULL),
+        g AS (SELECT doc_id,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]
+                             for i in range(1, len(toks) - 3)]) AS gram
+              FROM t),
+        c AS (SELECT gram,
+                     CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM g GROUP BY 1)
+        SELECT gram, n_occurrences, n_docs
+        FROM c WHERE n_docs >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, gram
+        LIMIT 20
+    """
 
     return sql

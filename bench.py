@@ -264,6 +264,8 @@ HEADLINE = [
     "quantile_drift",
     "brown_forsythe",
     "anova_oneway",
+    "mood_median_test",
+    "top_dup_ngrams",
 ]
 
 

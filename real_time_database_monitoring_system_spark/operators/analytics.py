@@ -2656,3 +2656,70 @@ def anova_from_moments(moments: DataFrame) -> DataFrame:
         F.col("sx").cast("bigint").alias("sum_cents"),
         F.col("sx2").cast("bigint").alias("sum_cents_sq"),
     ).orderBy("event_type")
+
+
+def mood_median_test(events: DataFrame) -> DataFrame:
+    """Mood's median-test components across event types: dichotomize
+    every value at the GRAND median, count above/below per type — the
+    bluntest and most outlier-proof of the k-sample location tests
+    (only the sign of each value relative to one order statistic
+    matters). Completes the family: `anova_oneway` (means),
+    `kruskal_wallis` (ranks), this (signs); disagreement between the
+    three is itself diagnostic (tails vs shift vs contamination).
+
+    Exactness: the grand median is an order statistic over the global
+    integer-cents count relation (smallest value with 2·cum ≥ N —
+    percentile_disc semantics); values AT the median drop (the
+    classical convention, shared with `runs_test`); the 2×k table is
+    exact BIGINT counts. The consumer computes the χ² from the table.
+
+    Scale shape: one keyed count to (type, cents), one single-
+    partition window over the VALUE-ALPHABET totals relation (the
+    `kruskal_wallis` trade), a k-row final."""
+    per_value = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return mood_from_value_counts(per_value)
+
+
+def mood_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Mood's-test coda over an already-reduced (event_type, cents, c)
+    count relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_mood_median` (the
+    `kruskal_from_value_counts` pattern). Materialized first: the
+    relation feeds the grand-median spine AND the per-type fold."""
+    per_value = _materialize(per_value)
+    totals = per_value.groupBy("cents").agg(F.sum("c").alias("t"))
+    w = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = totals.select(
+        "cents",
+        F.sum("t").over(w).alias("cum"),
+        F.sum("t").over(Window.partitionBy()).alias("n"),
+    )
+    med = cum.agg(
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("cents"))).alias(
+            "med_cents"
+        )
+    )
+    return (
+        per_value.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.min("med_cents").alias("med_cents"),
+            F.sum(F.when(F.col("cents") > F.col("med_cents"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_above"),
+            F.sum(F.when(F.col("cents") < F.col("med_cents"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_below"),
+        )
+        .orderBy("event_type")
+    )

@@ -1927,3 +1927,24 @@ def stream_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = materialize(_run_to_memory(state_agg, "complete"))
     return anova_from_moments(state)
+
+
+def stream_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.mood_median_test` over the
+    `stream_kruskal` state shape ((event_type, cents) counts); coda
+    shared verbatim, so availableNow equals the batch table digit for
+    digit and the batch oracle applies."""
+    from ..operators.analytics import mood_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = (
+        src.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return mood_from_value_counts(state)

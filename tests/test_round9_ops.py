@@ -753,3 +753,60 @@ def test_registry_wide_plan_audit(spark):
         if "CartesianProduct" in plan:
             failures.append(f"{name}: CartesianProduct in plan")
     assert not failures, "\n".join(failures)
+
+
+def test_mood_median_hand_values(spark):
+    # grand sorted cents: [1,1,2,2,3,3,3,9]; N=8 -> median = smallest
+    # with 2*cum >= 8 -> cum(2)=4 -> med=2. At-median drops.
+    samples = {"a": [1, 1, 2, 9], "b": [2, 3, 3, 3]}
+    pv = (
+        spark.createDataFrame(
+            [(t, v) for t, vs in samples.items() for v in vs],
+            "event_type string, cents long",
+        )
+        .groupBy("event_type", "cents")
+        .agg(F.count("*").alias("c"))
+    )
+    got = {
+        r["event_type"]: r
+        for r in analytics.mood_from_value_counts(pv).collect()
+    }
+    assert got["a"]["med_cents"] == 2
+    assert got["a"]["n_above"] == 1 and got["a"]["n_below"] == 2
+    assert got["b"]["n_above"] == 3 and got["b"]["n_below"] == 0
+
+
+def test_top_dup_ngrams_planted(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+
+    shared = "alpha beta gamma delta epsilon"
+    docs = [
+        (0, shared + " tail zero one two three four five"),
+        (1, shared + " other tail six seven eight nine ten"),
+        (2, shared + " " + shared),  # contains it twice (occurrences)
+        (3, "totally different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dedup.top_dup_ngrams(df, shingle_k=5, top_n=5).collect()
+    assert rows, "shared 5-gram found"
+    top = rows[0]
+    assert top["gram"] == shared
+    assert top["n_docs"] == 3
+    assert top["n_occurrences"] == 4  # doc 2 contributes two
+    # every returned gram spans >= 2 docs
+    assert all(r["n_docs"] >= 2 for r in rows)
+
+
+def test_top_dup_ngrams_plan(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = dedup.top_dup_ngrams(docs)
+    # the top-N must be TakeOrderedAndProject, never a global sort
+    assert checks.has_take_ordered(df)
+    assert checks.count_exchanges(df) <= 6
