@@ -1802,7 +1802,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mood_median_test": _q_mood_median_test,
         "streaming_mood_median": _q_streaming_mood_median,
         "top_dup_ngrams": _q_top_dup_ngrams,
+        # -- round-9: weekly-shape goodness-of-fit + the per-source
+        #    boilerplate report --
+        "dow_activity_gof": _q_dow_activity_gof,
+        "top_dup_ngrams_by_source": _q_top_dup_ngrams_by_source,
     }
+
+
+def _q_dow_activity_gof(spark, sf):
+    return analytics.dow_activity_gof(load_table(spark, sf, "events"))
+
+
+def _q_top_dup_ngrams_by_source(spark, sf):
+    return dedup.top_dup_ngrams_by_source(load_table(spark, sf, "documents"))
 
 
 def _q_mood_median_test(spark, sf):
@@ -10020,6 +10032,62 @@ def oracle_sql() -> dict[str, str]:
         FROM c WHERE n_docs >= 2
         ORDER BY n_docs DESC, n_occurrences DESC, gram
         LIMIT 20
+    """
+
+    # Weekly-shape GoF: weekday from pure integer epoch-day arithmetic
+    # ((day + 4) mod 7 — 1970-01-01 was a Thursday), observed counts +
+    # integer calendar shares, full-outer so silent weekdays emit zeros
+    sql["dow_activity_gof"] = """
+        WITH obs AS (
+            SELECT event_type,
+                   ((epoch_us(ts) // 86400000000) + 4) % 7 AS dow,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1, 2),
+        days AS (
+            SELECT DISTINCT event_type,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events),
+        cal AS (
+            SELECT event_type, (day + 4) % 7 AS dow,
+                   CAST(count(*) AS BIGINT) AS days_d
+            FROM days GROUP BY 1, 2),
+        tot AS (
+            SELECT event_type, CAST(SUM(days_d) AS BIGINT) AS days_total
+            FROM cal GROUP BY 1)
+        SELECT coalesce(o.event_type, c.event_type) AS event_type,
+               CAST(coalesce(o.dow, c.dow) AS INTEGER) AS dow,
+               coalesce(o.n_events, 0) AS n_events,
+               coalesce(c.days_d, 0) AS days_d,
+               t.days_total
+        FROM obs o
+        FULL OUTER JOIN cal c
+          ON o.event_type = c.event_type AND o.dow = c.dow
+        JOIN tot t ON t.event_type = coalesce(o.event_type, c.event_type)
+        ORDER BY 1, 2
+    """
+
+    # Per-source boilerplate report: the top_dup_ngrams CTEs keyed by
+    # source, per-source row_number top-N with the same unique tiebreak
+    sql["top_dup_ngrams_by_source"] = f"""
+        WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
+                   WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, source,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]
+                             for i in range(1, len(toks) - 3)]) AS gram
+              FROM t),
+        c AS (SELECT source, gram,
+                     CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM g GROUP BY 1, 2),
+        r AS (SELECT source, gram, n_occurrences, n_docs,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY n_docs DESC, n_occurrences DESC, gram)
+                         AS rk
+              FROM c WHERE n_docs >= 2)
+        SELECT source, gram, n_occurrences, n_docs
+        FROM r WHERE rk <= 5
+        ORDER BY source, n_docs DESC, n_occurrences DESC, gram
     """
 
     return sql

@@ -266,6 +266,8 @@ HEADLINE = [
     "anova_oneway",
     "mood_median_test",
     "top_dup_ngrams",
+    "dow_activity_gof",
+    "top_dup_ngrams_by_source",
 ]
 
 

@@ -2723,3 +2723,48 @@ def mood_from_value_counts(per_value: DataFrame) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def dow_activity_gof(events: DataFrame) -> DataFrame:
+    """Day-of-week activity goodness-of-fit components per event
+    type: observed counts for each of the 7 weekdays plus the
+    calendar-derived expected share — the "is this type's traffic
+    actually weekly-shaped?" check that `seasonal_baseline` (time-of-
+    day means) and `burstiness_panel` (minute Fano) don't answer.
+    The consumer computes χ² = Σ (obs − n·p_d)²/(n·p_d) with
+    p_d = days_d / days_total from the emitted integers.
+
+    Exactness: weekday = ((epoch-day) + 4) mod 7 (1970-01-01 was a
+    Thursday; pure integer arithmetic, identical in both engines —
+    no timezone or locale dayofweek() call crosses the hashed edge);
+    expected shares come as INTEGER calendar counts (days_d,
+    days_total) rather than a double p_d. The 7×k table is exact
+    BIGINT.
+
+    Scale shape: one map-side-partial aggregation of the feed to
+    ≤ 7k rows + one tiny calendar relation from the (type, day)
+    distinct — nothing else touches the feed."""
+    day = F.expr(f"{_US_A} div 86400000000")
+    obs = events.groupBy(
+        "event_type", ((day + 4) % 7).alias("dow")
+    ).agg(F.count("*").alias("n_events"))
+    cal = (
+        events.select("event_type", day.alias("day"))
+        .distinct()
+        .groupBy("event_type", ((F.col("day") + 4) % 7).alias("dow"))
+        .agg(F.count("*").alias("days_d"))
+    )
+    tot = cal.groupBy("event_type").agg(
+        F.sum("days_d").cast("bigint").alias("days_total")
+    )
+    return (
+        obs.join(cal, ["event_type", "dow"], "full_outer")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("days_d", F.lit(0)).cast("bigint").alias("days_d"),
+        )
+        .join(tot, "event_type")
+        .orderBy("event_type", "dow")
+    )

@@ -810,3 +810,41 @@ def test_top_dup_ngrams_plan(spark):
     # the top-N must be TakeOrderedAndProject, never a global sort
     assert checks.has_take_ordered(df)
     assert checks.count_exchanges(df) <= 6
+
+
+def test_dow_gof_hand_values(spark):
+    # 1970-01-01 (day 0) was a Thursday -> dow (mon=?): convention is
+    # (day+4)%7, i.e. day 0 -> 4. Two Thursdays of "a" traffic, one
+    # with 3 events, one with 1; one Friday with 2.
+    us = 86400000000
+    rows = (
+        [(0 * us + i, "a") for i in range(3)]
+        + [(7 * us, "a")]
+        + [(1 * us + i, "a") for i in range(2)]
+    )
+    ev = spark.createDataFrame(
+        [(i, ts, t, 1.0) for i, (ts, t) in enumerate(rows)],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        F.expr("timestamp_micros(us)").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+    got = {r["dow"]: r for r in analytics.dow_activity_gof(ev).collect()}
+    assert got[4]["n_events"] == 4 and got[4]["days_d"] == 2
+    assert got[5]["n_events"] == 2 and got[5]["days_d"] == 1
+    assert all(r["days_total"] == 3 for r in got.values())
+
+
+def test_top_dup_ngrams_by_source_window_pruned(spark):
+    from real_time_database_monitoring_system_spark.operators import dedup
+    from real_time_database_monitoring_system_spark.plans import checks
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    df = dedup.top_dup_ngrams_by_source(docs)
+    # rank<=N must push into the shuffle as WindowGroupLimit
+    plan = checks.explain_str(df, "simple")
+    assert "WindowGroupLimit" in plan
+    assert checks.count_exchanges(df) <= 8
