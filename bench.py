@@ -271,8 +271,43 @@ HEADLINE = [
 ]
 
 
+def host_canary() -> dict[str, float]:
+    """Single-thread CPU canaries, timed before Spark spins up.
+
+    Emitted inside every BENCH artifact so cross-round comparisons are
+    machine-normalizable without NOTES.md archaeology (the r9 lesson:
+    a uniform 1.5× bench band was host state, provable only because a
+    canary happened to be hand-recorded). The r9 hand-run numbers
+    (md5 0.195 s / int-mul 2.05 s) used ad-hoc loop bodies and are NOT
+    directly comparable; THIS implementation is canonical from r10 on
+    — compare future rounds' canary fields against r10's. Each canary
+    is the min of 3 runs (min, not mean — noisy-neighbor stalls only
+    ever add time)."""
+    import hashlib
+
+    def md5_chain() -> float:
+        t0 = time.perf_counter()
+        h = b"seed"
+        for _ in range(400_000):
+            h = hashlib.md5(h).digest()
+        return time.perf_counter() - t0
+
+    def int_mul() -> float:
+        t0 = time.perf_counter()
+        acc = 1
+        for i in range(1, 20_000_001):
+            acc = (acc * i) & 0xFFFFFFFF
+        return time.perf_counter() - t0
+
+    return {
+        "md5_chain_400k_sec": round(min(md5_chain() for _ in range(3)), 3),
+        "int_mul_20m_sec": round(min(int_mul() for _ in range(3)), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    canary = host_canary()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -307,6 +342,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "method": "min over 3 interleaved full passes, noop sink",
+        "canary": canary,
     }
     # BENCH_DETAIL.json is mutable (latest run); a per-round archive
     # copy keeps cross-round per-query comparisons out of git
@@ -339,6 +375,7 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "detail_file": "BENCH_DETAIL.json",
+                "canary": canary,
             }
         )
     )

@@ -2420,6 +2420,11 @@ def kruskal_from_value_counts(per_value: DataFrame) -> DataFrame:
     )
     glob = totals.agg(
         F.sum("t").cast("bigint").alias("n_total"),
+        # DECIMAL(38,0) → BIGINT is LOUD past the documented bound on
+        # both engines: this session runs ANSI mode (Spark 4 default,
+        # pinned by tests/test_round10_ops.py::test_ansi_overflow_is_
+        # loud), so an overflowing cast raises CAST_OVERFLOW exactly
+        # like DuckDB's HUGEINT→BIGINT error — no silent divergence.
         F.sum(
             F.expr(
                 "CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))"

@@ -39,30 +39,25 @@ def main():
     # override makes 100M-row scans 550 tasks of pure overhead)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
 
-    class Dir:
-        """Resolve each table to the stress dir if present, else the
-        fallback sf dir (load_table joins sf_dir with <table>.parquet
-        via os.path.join on a str; we intercept with __fspath__)."""
-
     qs = entry.queries()
+    # load_table(spark, sf_dir, t) reads f"{sf_dir}/{t}.parquet";
+    # symlink missing tables into the stress dir instead of patching
+    # the loader. lexists (not exists) so a dangling link from an
+    # earlier run is detected and replaced instead of raising
+    # FileExistsError on os.symlink.
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        p = os.path.join(stress_dir, f"{t}.parquet")
+        if os.path.islink(p) and not os.path.exists(p):
+            os.unlink(p)  # dangling link from a moved fallback
+        if not os.path.lexists(p):
+            src = os.path.join(FALLBACK, f"{t}.parquet")
+            if os.path.exists(src):
+                os.symlink(src, p)
     for name in names:
         fn = qs[name]
-
-        def sf_for(table_dir=stress_dir):
-            return table_dir
-
-        # load_table(spark, sf_dir, t) reads f"{sf_dir}/{t}.parquet";
-        # symlink missing tables into the stress dir instead of
-        # patching the loader
-        for t in [
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ]:
-            p = os.path.join(stress_dir, f"{t}.parquet")
-            if not os.path.exists(p):
-                src = os.path.join(FALLBACK, f"{t}.parquet")
-                if os.path.exists(src):
-                    os.symlink(src, p)
         times = []
         for _ in range(2):
             t0 = time.time()
