@@ -1806,7 +1806,50 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    boilerplate report --
         "dow_activity_gof": _q_dow_activity_gof,
         "top_dup_ngrams_by_source": _q_top_dup_ngrams_by_source,
+        # -- round-10: the two-sample panel's remaining members
+        #    (tail-weighted L2, plain L2, rotation-invariant sup) +
+        #    robust shift effect size, each with its twin --
+        "anderson_darling": _q_anderson_darling,
+        "streaming_anderson_darling": _q_streaming_anderson_darling,
+        "cramer_von_mises": _q_cramer_von_mises,
+        "streaming_cramer_von_mises": _q_streaming_cramer_von_mises,
+        "kuiper_drift": _q_kuiper_drift,
+        "streaming_kuiper": _q_streaming_kuiper,
+        "hodges_lehmann": _q_hodges_lehmann,
+        "streaming_hodges_lehmann": _q_streaming_hodges_lehmann,
     }
+
+
+def _q_anderson_darling(spark, sf):
+    return anomaly.anderson_darling(load_table(spark, sf, "events"))
+
+
+def _q_streaming_anderson_darling(spark, sf):
+    return streaming_rollup.stream_anderson_darling(spark, sf)
+
+
+def _q_cramer_von_mises(spark, sf):
+    return anomaly.cramer_von_mises(load_table(spark, sf, "events"))
+
+
+def _q_streaming_cramer_von_mises(spark, sf):
+    return streaming_rollup.stream_cramer_von_mises(spark, sf)
+
+
+def _q_kuiper_drift(spark, sf):
+    return anomaly.kuiper_drift(load_table(spark, sf, "events"))
+
+
+def _q_streaming_kuiper(spark, sf):
+    return streaming_rollup.stream_kuiper(spark, sf)
+
+
+def _q_hodges_lehmann(spark, sf):
+    return analytics.hodges_lehmann(load_table(spark, sf, "events"))
+
+
+def _q_streaming_hodges_lehmann(spark, sf):
+    return streaming_rollup.stream_hodges_lehmann(spark, sf)
 
 
 def _q_dow_activity_gof(spark, sf):
@@ -10089,5 +10132,145 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rk <= 5
         ORDER BY source, n_docs DESC, n_occurrences DESC, gram
     """
+
+    # ---- round-10 additions ----
+
+    # The two-sample panel's remaining members ride the ks_drift CTE
+    # spine (midpoint split → per-value half counts → per-type ECDF);
+    # the per-term/final expressions are the operators' own shared SQL
+    # constants, so the statistic literally cannot drift between
+    # engines.
+    _half_cte = """
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        pv AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS d_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS d_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(d_ref) AS n_ref, SUM(d_cur) AS n_cur
+                FROM pv GROUP BY 1),
+        ecdf AS (
+            SELECT event_type, d_ref + d_cur AS l,
+                   SUM(d_ref) OVER w AS c_ref,
+                   SUM(d_cur) OVER w AS c_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type ORDER BY value
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        terms AS (
+            SELECT e.event_type, n_ref, n_cur, n_ref + n_cur AS nt,
+                   c_ref + c_cur AS b, l,
+                   CAST(c_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(c_cur AS HUGEINT) * CAST(n_ref AS HUGEINT)
+                       AS gap
+            FROM ecdf e JOIN tot USING (event_type))
+    """
+
+    sql["anderson_darling"] = f"""
+        {_half_cte},
+        agg AS (
+            SELECT event_type,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(SUM(CASE WHEN b < nt THEN {anomaly.AD_TERM_SQL}
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                       AS ad_scaled
+            FROM terms GROUP BY 1)
+        SELECT event_type, n_ref, n_cur, ad_scaled,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {anomaly.AD_STAT_SQL} END
+                   AS ad_stat
+        FROM agg ORDER BY event_type
+    """
+    sql["streaming_anderson_darling"] = sql["anderson_darling"]
+
+    sql["cramer_von_mises"] = f"""
+        {_half_cte},
+        agg AS (
+            SELECT event_type,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(first(nt) AS BIGINT) AS nt,
+                   SUM(CAST(l AS HUGEINT) * gap * gap) AS cvm_num
+            FROM terms GROUP BY 1)
+        SELECT event_type, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {anomaly.CVM_STAT_SQL} END
+                   AS cvm_stat
+        FROM agg ORDER BY event_type
+    """
+    sql["streaming_cramer_von_mises"] = sql["cramer_von_mises"]
+
+    sql["kuiper_drift"] = f"""
+        {_half_cte},
+        agg AS (
+            SELECT event_type,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(greatest(MAX(gap), 0) AS BIGINT) AS d_plus_num,
+                   CAST(greatest(MAX(-gap), 0) AS BIGINT) AS d_minus_num
+            FROM terms GROUP BY 1)
+        SELECT event_type, n_ref, n_cur, d_plus_num, d_minus_num,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN {anomaly.KUIPER_STAT_SQL} END AS kuiper_v
+        FROM agg ORDER BY event_type
+    """
+    sql["streaming_kuiper"] = sql["kuiper_drift"]
+
+    # Hodges–Lehmann: integer-cents pairwise-difference distribution
+    # from the alphabet×alphabet grid (exact BIGINT pair counts),
+    # order statistics as conditional minima over the cumulative; the
+    # Moses CI rank is the operator's own shared floor expression
+    sql["hodges_lehmann"] = f"""
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        pv AS (
+            SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS c_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS c_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT event_type, CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                       CAST(SUM(c_cur) AS BIGINT) AS n_cur
+                FROM pv GROUP BY 1),
+        diffs AS (
+            SELECT r.event_type, c.cents - r.cents AS d,
+                   SUM(CAST(r.c_ref AS BIGINT) * CAST(c.c_cur AS BIGINT))
+                       AS pairs
+            FROM pv r JOIN pv c ON r.event_type = c.event_type
+            WHERE r.c_ref > 0 AND c.c_cur > 0
+            GROUP BY 1, 2),
+        cum AS (
+            SELECT event_type, d,
+                   SUM(pairs) OVER (PARTITION BY event_type ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM diffs),
+        rk AS (
+            SELECT event_type, d, cum, n_ref, n_cur,
+                   n_ref * n_cur AS npairs,
+                   {analytics.HL_K_CI_SQL} AS k_ci
+            FROM cum JOIN tot USING (event_type)),
+        agg AS (
+            SELECT event_type,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(MIN(CASE WHEN cum >= (npairs + 1) // 2 THEN d END)
+                        AS BIGINT) AS hl_lo_cents,
+                   CAST(MIN(CASE WHEN cum >= npairs // 2 + 1 THEN d END)
+                        AS BIGINT) AS hl_hi_cents,
+                   CAST(MIN(CASE WHEN cum >= k_ci THEN d END) AS BIGINT)
+                       AS ci_lo_cents,
+                   CAST(MIN(CASE WHEN cum >= npairs + 1 - k_ci THEN d END)
+                        AS BIGINT) AS ci_hi_cents
+            FROM rk GROUP BY 1)
+        SELECT event_type, n_ref, n_cur, hl_lo_cents, hl_hi_cents,
+               ci_lo_cents, ci_hi_cents,
+               CAST(hl_lo_cents + hl_hi_cents AS DOUBLE) / 2
+                   AS hl_shift_cents
+        FROM agg ORDER BY event_type
+    """
+    sql["streaming_hodges_lehmann"] = sql["hodges_lehmann"]
 
     return sql

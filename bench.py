@@ -268,6 +268,11 @@ HEADLINE = [
     "top_dup_ngrams",
     "dow_activity_gof",
     "top_dup_ngrams_by_source",
+    # round-10 waves (streaming twins stay out per the rule)
+    "anderson_darling",
+    "cramer_von_mises",
+    "kuiper_drift",
+    "hodges_lehmann",
 ]
 
 

@@ -1629,6 +1629,158 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
     )
 
 
+# Moses CI rank: k = max(1, ⌊nm/2 − z·√(nm(N+1)/12)⌋) at z = 1.96
+# (95%). The only floating step in the operator — floor of one shared
+# double expression; every input is an exact integer cast to DOUBLE
+# (exact below 2⁵³), so both engines floor the SAME IEEE value.
+HL_K_CI_SQL = (
+    "greatest(CAST(1 AS BIGINT), CAST(floor("
+    "CAST(npairs AS DOUBLE) / 2 - 1.96 * sqrt("
+    "CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)"
+    " * CAST(n_ref + n_cur + 1 AS DOUBLE) / 12.0)) AS BIGINT))"
+)
+
+
+def hodges_lehmann(events: DataFrame) -> DataFrame:
+    """Hodges–Lehmann shift estimate with Moses 95% CI per event type
+    between the feed's time halves — the effect-SIZE companion to
+    `mannwhitney_u`: MWU says the halves' locations differ; this says
+    BY HOW MUCH, in value units, robustly (the median of all
+    n·m pairwise differences cur−ref — breakdown point 29%, immune to
+    the heavy tails that pull a difference-of-means). The CI comes
+    from the same difference order statistics (Moses: the k-th and
+    (nm+1−k)-th smallest differences at `HL_K_CI_SQL`'s normal-
+    approximation rank).
+
+    Exactness: the axis is integer cents (round(value·100) — the
+    `psi_fixed_bin_sql` rule), so every pairwise difference is an
+    integer and the difference DISTRIBUTION is exact: pair counts per
+    distinct difference d are Σ_v c_ref(v)·c_cur(v+d) — pure BIGINT
+    products of half counts (exact to N ≈ 6·10⁹ per type, ANSI-loud
+    beyond). Order statistics are conditional minima over the exact
+    cumulative pair counts — no sampling, no sketch. The midpoint
+    split is the whole-feed integer-µs convention (`psi_drift`). The
+    lone double is the Moses rank floor (shared SQL) and the lo/hi
+    midpoint emission (exact: /2 of an integer sum).
+
+    Scale shape: the feed reduces ONCE to the per-(type, cents, side)
+    half-count relation (map-side partials, bounded by the value
+    alphabet × k). The pairwise-difference distribution comes from the
+    ALPHABET×ALPHABET grid join — the `kendall_tau` dense-bounded-grid
+    waiver: its cost is |V_ref|·|V_cur| per type, INDEPENDENT of feed
+    row count (production bounds V by quantization), and the grid rows
+    flow through a map-side partial aggregate keyed by (type, d) —
+    ≤ types × diff-alphabet rows ever shuffle. The cumulative window
+    runs per type over that bounded relation (the
+    `ks_from_value_counts` trade). A type with an empty half emits no
+    row (no pairs to take a median of)."""
+    stats = _materialize(
+        events.agg(
+            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
+        )
+    )
+    per_value = (
+        events.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+            (F.expr(_US_A) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    return hl_from_value_counts(per_value)
+
+
+def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Hodges–Lehmann coda over the reduced ``(event_type, cents,
+    c_ref, c_cur)`` half-count relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_hodges_lehmann` (the
+    `mwu_from_value_counts` pattern). Materialized here: the relation
+    feeds the per-type totals AND both sides of the grid join (a
+    three-way diamond)."""
+    per_value = _materialize(per_value)
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("c_ref").cast("bigint").alias("n_ref"),
+        F.sum("c_cur").cast("bigint").alias("n_cur"),
+    )
+    refs = per_value.filter(F.col("c_ref") > 0).select(
+        "event_type", F.col("cents").alias("v_ref"), "c_ref"
+    )
+    curs = per_value.filter(F.col("c_cur") > 0).select(
+        "event_type", F.col("cents").alias("v_cur"), "c_cur"
+    )
+    diffs = (
+        refs.join(curs, "event_type")
+        .groupBy("event_type", (F.col("v_cur") - F.col("v_ref")).alias("d"))
+        .agg(
+            F.sum(
+                F.col("c_ref").cast("bigint") * F.col("c_cur").cast("bigint")
+            ).alias("pairs")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = diffs.select(
+        "event_type", "d", F.sum("pairs").over(w).alias("cum")
+    )
+    ranked = cum.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "d",
+        "cum",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref") * F.col("n_cur")).alias("npairs"),
+        F.expr(HL_K_CI_SQL).alias("k_ci"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("(npairs + 1) div 2"), F.col("d")
+                )
+            ).alias("hl_lo_cents"),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.expr("npairs div 2 + 1"), F.col("d")
+                )
+            ).alias("hl_hi_cents"),
+            F.min(F.when(F.col("cum") >= F.col("k_ci"), F.col("d"))).alias(
+                "ci_lo_cents"
+            ),
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col("npairs") + 1 - F.col("k_ci"),
+                    F.col("d"),
+                )
+            ).alias("ci_hi_cents"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.col("hl_lo_cents").cast("bigint").alias("hl_lo_cents"),
+            F.col("hl_hi_cents").cast("bigint").alias("hl_hi_cents"),
+            F.col("ci_lo_cents").cast("bigint").alias("ci_lo_cents"),
+            F.col("ci_hi_cents").cast("bigint").alias("ci_hi_cents"),
+            F.expr(
+                "CAST(hl_lo_cents + hl_hi_cents AS DOUBLE) / 2"
+            ).alias("hl_shift_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def apdex_score(events: DataFrame, threshold_cents: int = 10000) -> DataFrame:
     """Apdex panel per event type — the SRE satisfaction index over
     the latency-shaped `value` column: satisfied ≤ T, tolerating ≤ 4T,

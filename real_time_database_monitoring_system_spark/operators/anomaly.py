@@ -456,12 +456,28 @@ def ks_drift(events: DataFrame) -> DataFrame:
     relation (never the raw feed); half totals are a #types-row
     broadcast. A type whose half is empty reports NULL (no
     distribution to compare) rather than a fake 1.0."""
+    # diamond rule: the per-value count relation feeds both the half
+    # totals and the ECDF window — materialize or the feed is scanned
+    # (and the split-tagging recomputed) twice
+    return ks_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def half_value_counts(events: DataFrame) -> DataFrame:
+    """The (event_type, value, d_ref, d_cur) temporal-half count
+    relation shared by the two-sample drift panel (`ks_drift`,
+    `anderson_darling`, `cramer_von_mises`, `kuiper_drift`): tag each
+    non-NULL value by which side of the feed's integer-µs midpoint it
+    falls (the `psi_drift` convention — the midpoint derives from the
+    WHOLE feed, before NULLs drop), then reduce to one row per
+    (type, distinct value) with both halves' counts in ONE keyed
+    aggregate. Callers materialize it (every coda reads the relation
+    at least twice — the diamond rule)."""
     stats = _materialize(
         events.agg(
             F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
         )
     )
-    tagged = (
+    return (
         events.filter(F.col("value").isNotNull())
         .crossJoin(F.broadcast(stats))
         .select(
@@ -469,17 +485,12 @@ def ks_drift(events: DataFrame) -> DataFrame:
             "value",
             (F.expr(_US) <= F.expr("(mn + mx) div 2")).alias("is_ref"),
         )
-    )
-    # diamond rule: the per-value count relation feeds both the half
-    # totals and the ECDF window — materialize or the feed is scanned
-    # (and the split-tagging recomputed) twice
-    per_value = _materialize(
-        tagged.groupBy("event_type", "value").agg(
+        .groupBy("event_type", "value")
+        .agg(
             F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("d_ref"),
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("d_cur"),
         )
     )
-    return ks_from_value_counts(per_value)
 
 
 def ks_from_value_counts(
@@ -533,6 +544,272 @@ def ks_from_value_counts(
             F.expr(
                 f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {KS_STAT_SQL} END"
             ).alias("ks_d"),
+        )
+        .orderBy(*keys)
+    )
+
+
+# Anderson–Darling per-value term, fixed-point at SCALE=10⁴: each
+# pooled distinct value contributes l·gap²·10⁴/(B·(N−B)) where gap =
+# c_ref·n_cur − c_cur·n_ref is the SAME integer ECDF-gap numerator KS
+# maximizes. Every factor is an exact integer cast to DOUBLE (exact
+# below 2⁵³); the rounded per-term result is an INTEGER, and the sum
+# of integers is order-independent — a float SUM of raw terms would
+# tie the hash to the engines' aggregation order. Shared verbatim
+# with the oracle. Both engines round() doubles half-away-from-zero.
+AD_TERM_SQL = (
+    "CAST(round(CAST(l AS DOUBLE) * CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)"
+    " * 10000.0 / (CAST(b AS DOUBLE) * CAST(nt - b AS DOUBLE))) AS BIGINT)"
+)
+AD_STAT_SQL = (
+    "round(CAST(ad_scaled AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 10000.0), 9)"
+)
+
+
+def anderson_darling(events: DataFrame) -> DataFrame:
+    """Two-sample Anderson–Darling drift per event type between the
+    feed's time halves — the TAIL-SENSITIVE member of the two-sample
+    panel: KS weights every ECDF gap equally and goes blind in the
+    tails (where B·(N−B) shrinks); AD divides each squared gap by
+    B·(N−B), so a tail migration — exactly where latency regressions
+    live — moves A² long before it moves D. Completes the panel:
+    KS (sup norm), Kuiper (sup⁺+sup⁻), W1 (L1), CvM (L2), AD
+    (variance-weighted L2). Scholz–Stephens k-sample A²kN specialized
+    to k=2 with ties: for pooled distinct values with counts l_j,
+    pooled cumulative B_j and gap_j = c_ref·n_cur − c_cur·n_ref,
+    A² = Σ_j l_j·gap_j² / (B_j·(N−B_j)) / (n_ref·n_cur), the B_j = N
+    term excluded. E[A²] = 1 under H0.
+
+    Determinism: every per-value factor is an exact integer; the
+    per-term division happens ONCE per distinct value in a shared SQL
+    expression (`AD_TERM_SQL`) whose rounded result is an integer at
+    SCALE=10⁴, so the per-type SUM is an integer sum — order-free —
+    and the single final division (`AD_STAT_SQL`) is the KS rule.
+    ad_scaled ≈ A²·n_ref·n_cur·10⁴ stays BIGINT-exact to N ≈ 10⁷ per
+    type; past that the ANSI sum raises loudly (the family contract).
+
+    Scale shape: identical to `ks_drift` — the feed reduces once to
+    the shared `half_value_counts` relation; the ECDF runs per type
+    over that reduced relation; totals broadcast."""
+    return ad_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def ad_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Anderson–Darling coda over the reduced ``(keys…, value, d_ref,
+    d_cur)`` half-count relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_anderson_darling` (the
+    `ks_from_value_counts` pattern). Callers pass a MATERIALIZED
+    relation (it feeds the totals AND the ECDF window)."""
+    keys = keys or ["event_type"]
+    totals = per_value.groupBy(*keys).agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = per_value.select(
+        *keys,
+        (F.col("d_ref") + F.col("d_cur")).alias("l"),
+        F.sum("d_ref").over(w).alias("c_ref"),
+        F.sum("d_cur").over(w).alias("c_cur"),
+    )
+    terms = ecdf.join(F.broadcast(totals), list(keys)).select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "l",
+        (F.col("n_ref") + F.col("n_cur")).alias("nt"),
+        (F.col("c_ref") + F.col("c_cur")).alias("b"),
+        (
+            F.col("c_ref").cast("decimal(20,0)") * F.col("n_cur").cast("decimal(18,0)")
+            - F.col("c_cur").cast("decimal(20,0)") * F.col("n_ref").cast("decimal(18,0)")
+        ).alias("gap"),
+    )
+    return (
+        terms.groupBy(*keys)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.sum(
+                F.expr(f"CASE WHEN b < nt THEN {AD_TERM_SQL} ELSE CAST(0 AS BIGINT) END")
+            ).alias("ad_scaled"),
+        )
+        .select(
+            *keys,
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("ad_scaled").cast("bigint").alias("ad_scaled"),
+            F.expr(
+                f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {AD_STAT_SQL} END"
+            ).alias("ad_stat"),
+        )
+        .orderBy(*keys)
+    )
+
+
+# Cramér–von Mises numerator is a PURE integer: T = Σ l_j·gap_j² /
+# (N²·n·m) — unlike AD there is no per-value denominator, so the sum
+# accumulates exactly in DECIMAL(38,0) and only the final division is
+# floating (the KS rule).
+CVM_STAT_SQL = (
+    "round(CAST(cvm_num AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)"
+    " * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 9)"
+)
+
+
+def cramer_von_mises(events: DataFrame) -> DataFrame:
+    """Two-sample Cramér–von Mises drift per event type between the
+    feed's time halves — the L2 member of the two-sample panel: KS
+    reacts to the single largest ECDF gap, CvM integrates the SQUARED
+    gap over the whole pooled sample, so many moderate gaps (a broad
+    shape change) outscore one sharp spike. T = (nm/N²)·Σ over pooled
+    points of (F_n − G_m)², which over distinct values with counts
+    l_j reduces to Σ_j l_j·gap_j² / (N²·n·m) with gap_j = c_ref·n_cur
+    − c_cur·n_ref — the SAME integer ECDF-gap numerator as `ks_drift`.
+    E[T] ≈ 1/6 + 1/(6N) under H0.
+
+    Determinism: the numerator Σ l_j·gap_j² is a pure integer
+    (DECIMAL(38,0) accumulation — l·gap² is O(N·(nm)²), exact to
+    N ≈ 10⁷ per type, ANSI-loud beyond); ONE rounded double division
+    at the edge (`CVM_STAT_SQL`, shared with the oracle) — the
+    `ks_from_value_counts` rule exactly.
+
+    Scale shape: identical to `ks_drift` — shared `half_value_counts`
+    reduction, per-type window over the reduced relation only."""
+    return cvm_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def cvm_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Cramér–von Mises coda over the reduced ``(keys…, value, d_ref,
+    d_cur)`` relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_cramer_von_mises`."""
+    keys = keys or ["event_type"]
+    totals = per_value.groupBy(*keys).agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = per_value.select(
+        *keys,
+        (F.col("d_ref") + F.col("d_cur")).alias("l"),
+        F.sum("d_ref").over(w).alias("c_ref"),
+        F.sum("d_cur").over(w).alias("c_cur"),
+    )
+    gaps = ecdf.join(F.broadcast(totals), list(keys)).select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref") + F.col("n_cur")).alias("nt"),
+        "l",
+        (
+            F.col("c_ref").cast("decimal(20,0)") * F.col("n_cur").cast("decimal(18,0)")
+            - F.col("c_cur").cast("decimal(20,0)") * F.col("n_ref").cast("decimal(18,0)")
+        ).alias("gap"),
+    )
+    return (
+        gaps.groupBy(*keys)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.first("nt").alias("nt"),
+            F.sum(
+                F.expr("CAST(l AS DECIMAL(38,0)) * gap * gap")
+            ).cast("decimal(38,0)").alias("cvm_num"),
+        )
+        .select(
+            *keys,
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.expr(
+                f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {CVM_STAT_SQL} END"
+            ).alias("cvm_stat"),
+        )
+        .orderBy(*keys)
+    )
+
+
+KUIPER_STAT_SQL = (
+    "round(CAST(d_plus_num + d_minus_num AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 9)"
+)
+
+
+def kuiper_drift(events: DataFrame) -> DataFrame:
+    """Two-sample Kuiper drift per event type between the feed's time
+    halves — the rotation-invariant KS variant: V = D⁺ + D⁻ (largest
+    ECDF gap in each direction) weights the tails and the middle
+    equally, so a distribution that shifted mass BOTH up and down
+    (bimodal split — a canary on mixed traffic) scores where KS sees
+    only the larger one-sided gap. Same machinery as `ks_drift` with
+    the SIGNED integer gap kept: D⁺num = max(gap), D⁻num = max(−gap)
+    (both ≥ 0 — the gap at the last pooled value is exactly 0).
+
+    Determinism: integer signed gaps, two exact maxima, one rounded
+    double division (`KUIPER_STAT_SQL`, shared with the oracle); the
+    integral D⁺/D⁻ numerators emit as BIGINT (≤ n_ref·n_cur — exact
+    to N ≈ 6·10⁹ per type, ANSI-loud beyond).
+
+    Scale shape: identical to `ks_drift` — shared `half_value_counts`
+    reduction, per-type window over the reduced relation only."""
+    return kuiper_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def kuiper_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Kuiper coda over the reduced ``(keys…, value, d_ref, d_cur)``
+    relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_kuiper`."""
+    keys = keys or ["event_type"]
+    totals = per_value.groupBy(*keys).agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ecdf = per_value.select(
+        *keys,
+        F.sum("d_ref").over(w).alias("c_ref"),
+        F.sum("d_cur").over(w).alias("c_cur"),
+    )
+    gaps = ecdf.join(F.broadcast(totals), list(keys)).select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        (
+            F.col("c_ref").cast("decimal(20,0)") * F.col("n_cur").cast("decimal(18,0)")
+            - F.col("c_cur").cast("decimal(20,0)") * F.col("n_ref").cast("decimal(18,0)")
+        ).alias("sgap"),
+    )
+    return (
+        gaps.groupBy(*keys)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.greatest(F.max("sgap"), F.lit(0).cast("decimal(38,0)")).alias("dp"),
+            F.greatest(F.max(-F.col("sgap")), F.lit(0).cast("decimal(38,0)")).alias("dm"),
+        )
+        .select(
+            *keys,
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("dp").cast("bigint").alias("d_plus_num"),
+            F.col("dm").cast("bigint").alias("d_minus_num"),
+            F.expr(
+                f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {KUIPER_STAT_SQL} END"
+            ).alias("kuiper_v"),
         )
         .orderBy(*keys)
     )

@@ -1948,3 +1948,110 @@ def stream_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = materialize(_run_to_memory(state_agg, "complete"))
     return mood_from_value_counts(state)
+
+
+def _stream_half_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming construction of `anomaly.half_value_counts`: the
+    two-sample drift panel's state is the ONE aggregation keyed by
+    (event_type, value, event-µs) — exactness over a stream costs
+    per-distinct-row state, the documented `stream_ks_drift` trade —
+    and the coda re-derives the whole-feed midpoint from that state's
+    min/max before tagging halves, exactly as the batch helper does
+    over the feed. Returns the MATERIALIZED (event_type, value,
+    d_ref, d_cur) relation the family codas take."""
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    state_agg = src.groupBy("event_type", "value", us.alias("us")).agg(
+        F.count("*").alias("n")
+    )
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = (
+        state.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "value",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("d_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("d_cur"),
+        )
+    )
+    return materialize(per_value)
+
+
+def stream_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.anderson_darling`: the live
+    tail-sensitive drift monitor over the shared
+    `_stream_half_value_counts` state; coda (`ad_from_value_counts`)
+    shared verbatim, so availableNow equals the batch panel digit for
+    digit and the batch oracle applies."""
+    from ..operators.anomaly import ad_from_value_counts
+
+    return ad_from_value_counts(_stream_half_value_counts(spark, sf_dir))
+
+
+def stream_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.cramer_von_mises` over the shared
+    `_stream_half_value_counts` state; coda shared verbatim (same
+    integer numerator), batch oracle applies."""
+    from ..operators.anomaly import cvm_from_value_counts
+
+    return cvm_from_value_counts(_stream_half_value_counts(spark, sf_dir))
+
+
+def stream_kuiper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.kuiper_drift` over the shared
+    `_stream_half_value_counts` state; coda shared verbatim (signed
+    integer gaps), batch oracle applies."""
+    from ..operators.anomaly import kuiper_from_value_counts
+
+    return kuiper_from_value_counts(_stream_half_value_counts(spark, sf_dir))
+
+
+def stream_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.hodges_lehmann`: the live robust
+    shift estimate. State is the `stream_mannwhitney` shape keyed on
+    integer cents ((event_type, cents, event-µs) counts — the
+    midpoint needs the µs axis); the coda reduces to per-cents half
+    counts and hands them to `hl_from_value_counts` — the SAME
+    grid-and-order-statistics core as the batch operator, so
+    availableNow equals `hodges_lehmann` and shares its oracle
+    verbatim."""
+    from ..operators.analytics import hl_from_value_counts
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    # NULL-valued events stay in the state (NULL cents group): the
+    # batch op fixes the midpoint from the WHOLE feed before dropping
+    # NULLs — the stream_ks_drift rule
+    state_agg = src.groupBy(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        us.alias("us"),
+    ).agg(F.count("*").alias("n"))
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    stats = state.agg(F.min("us").alias("mn"), F.max("us").alias("mx"))
+    per_value = (
+        state.filter(F.col("cents").isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "event_type",
+            "cents",
+            (F.col("us") <= F.expr("(mn + mx) div 2")).alias("is_ref"),
+            "n",
+        )
+        .groupBy("event_type", "cents")
+        .agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("c_cur"),
+        )
+    )
+    return hl_from_value_counts(per_value)

@@ -69,3 +69,122 @@ class TestAnsiOverflowIsLoud:
                 "SELECT CAST(CAST('99999999999999999999999999' AS HUGEINT)"
                 " AS BIGINT)"
             ).fetchall()
+
+
+# ---- wave 1: two-sample panel completion + robust shift ----
+
+from real_time_database_monitoring_system_spark.operators import analytics, anomaly  # noqa: E402
+
+
+def _half_pv(spark, rows):
+    """(event_type, value, d_ref, d_cur) rows -> per_value DF."""
+    return spark.createDataFrame(
+        rows, "event_type string, value double, d_ref long, d_cur long"
+    )
+
+
+class TestAndersonDarling:
+    # ref=[1,2,3], cur=[2,3,4]: pooled l=(1,2,2,1), B=(1,3,5,6),
+    # gap=3 at the first three values, 0 at the last. Terms at
+    # SCALE=1e4: 9/(1·5)=1.8→18000, 18/(3·3)=2→20000, 18/(5·1)=3.6
+    # →36000; A² = 74000/(3·3·10⁴) = 0.8222…
+    def test_hand_values(self, spark):
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 1, 0), ("a", 2.0, 1, 1), ("a", 3.0, 1, 1), ("a", 4.0, 0, 1)],
+        )
+        [r] = anomaly.ad_from_value_counts(pv).collect()
+        assert (r["n_ref"], r["n_cur"], r["ad_scaled"]) == (3, 3, 74000)
+        assert r["ad_stat"] == round(74000 / (9 * 10000), 9)
+
+    def test_identical_halves_zero(self, spark):
+        pv = _half_pv(spark, [("a", 1.0, 2, 2), ("a", 5.0, 3, 3)])
+        [r] = anomaly.ad_from_value_counts(pv).collect()
+        assert r["ad_scaled"] == 0 and r["ad_stat"] == 0.0
+
+    def test_empty_half_null_stat(self, spark):
+        pv = _half_pv(spark, [("a", 1.0, 2, 0), ("a", 5.0, 3, 0)])
+        [r] = anomaly.ad_from_value_counts(pv).collect()
+        assert r["n_cur"] == 0 and r["ad_stat"] is None
+
+
+class TestCramerVonMises:
+    def test_hand_values(self, spark):
+        # same fixture: cvm_num = Σ l·gap² = 9+18+18+0 = 45;
+        # T = 45 / (6²·3·3) = 0.138888889
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 1, 0), ("a", 2.0, 1, 1), ("a", 3.0, 1, 1), ("a", 4.0, 0, 1)],
+        )
+        [r] = anomaly.cvm_from_value_counts(pv).collect()
+        assert (r["n_ref"], r["n_cur"]) == (3, 3)
+        assert r["cvm_stat"] == round(45 / (36 * 9), 9)
+
+    def test_identical_halves_zero(self, spark):
+        pv = _half_pv(spark, [("a", 1.0, 2, 2), ("a", 5.0, 3, 3)])
+        [r] = anomaly.cvm_from_value_counts(pv).collect()
+        assert r["cvm_stat"] == 0.0
+
+
+class TestKuiper:
+    def test_hand_values(self, spark):
+        # same fixture: all signed gaps ≥ 0 → D⁺num=3, D⁻num=0,
+        # V = 3/9
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 1, 0), ("a", 2.0, 1, 1), ("a", 3.0, 1, 1), ("a", 4.0, 0, 1)],
+        )
+        [r] = anomaly.kuiper_from_value_counts(pv).collect()
+        assert (r["d_plus_num"], r["d_minus_num"]) == (3, 0)
+        assert r["kuiper_v"] == round(3 / 9, 9)
+
+    def test_bidirectional_beats_ks(self, spark):
+        # mass moved both down AND up: ref all at 2, cur split to 1
+        # and 3 → gaps: at 1: 0·2−1·2=−2; at 2: 2·2−1·2=+2; at 3: 0.
+        # D⁺num = D⁻num = 2 → V = 4/4 = 1.0 while KS D = 0.5.
+        pv = _half_pv(spark, [("a", 1.0, 0, 1), ("a", 2.0, 2, 0), ("a", 3.0, 0, 1)])
+        [r] = anomaly.kuiper_from_value_counts(pv).collect()
+        assert (r["d_plus_num"], r["d_minus_num"]) == (2, 2)
+        assert r["kuiper_v"] == 1.0
+
+
+class TestHodgesLehmann:
+    def _pv(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_type string, cents long, c_ref long, c_cur long"
+        )
+
+    def test_hand_values(self, spark):
+        # ref=[1,2], cur=[4,6] → diffs sorted [2,3,4,5]; npairs=4,
+        # k1=2, k2=3 → hl=(3,4), shift 3.5; k_ci = max(1, ⌊2 −
+        # 1.96·√(4·5/12)⌋) = 1 → CI = (rank 1, rank 4) = (2, 5)
+        pv = self._pv(
+            spark,
+            [("a", 1, 1, 0), ("a", 2, 1, 0), ("a", 4, 0, 1), ("a", 6, 0, 1)],
+        )
+        [r] = analytics.hl_from_value_counts(pv).collect()
+        assert (r["hl_lo_cents"], r["hl_hi_cents"]) == (3, 4)
+        assert r["hl_shift_cents"] == 3.5
+        assert (r["ci_lo_cents"], r["ci_hi_cents"]) == (2, 5)
+
+    def test_odd_pairs_single_median(self, spark):
+        # ref=[0], cur=[7,7,9] → diffs [7,7,9]; npairs=3, k1=k2=2 →
+        # hl_lo=hl_hi=7
+        pv = self._pv(spark, [("a", 0, 1, 0), ("a", 7, 0, 2), ("a", 9, 0, 1)])
+        [r] = analytics.hl_from_value_counts(pv).collect()
+        assert (r["hl_lo_cents"], r["hl_hi_cents"]) == (7, 7)
+        assert r["hl_shift_cents"] == 7.0
+
+    def test_shift_recovered_exactly(self, spark):
+        # cur = ref + 250 cents elementwise → every pairwise diff
+        # distribution is symmetric around 250; HL recovers 250
+        ref = [100, 150, 225, 300, 475]
+        rows = [("a", v, 1, 0) for v in ref] + [("a", v + 250, 0, 1) for v in ref]
+        pv = self._pv(spark, rows)
+        [r] = analytics.hl_from_value_counts(pv).collect()
+        assert r["hl_shift_cents"] == 250.0
+
+    def test_one_sided_type_absent(self, spark):
+        pv = self._pv(spark, [("a", 1, 1, 0), ("b", 1, 1, 0), ("b", 3, 0, 1)])
+        rows = {r["event_type"] for r in analytics.hl_from_value_counts(pv).collect()}
+        assert rows == {"b"}

@@ -614,3 +614,39 @@ def test_stream_alerts_to_maildir_delivers_rfc822(spark, sf_dir, tmp_path):
     assert len(files) == n
     msg = message_from_bytes(open(files[0], "rb").read())
     assert msg["Subject"] == "Database Monitoring Alert"
+
+
+def test_stream_anderson_darling_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    batch = anomaly.anderson_darling(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_anderson_darling(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_cramer_von_mises_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    batch = anomaly.cramer_von_mises(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_cramer_von_mises(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_kuiper_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.operators import anomaly
+
+    batch = anomaly.kuiper_drift(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_kuiper(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_hodges_lehmann_equals_batch(spark, sf_dir):
+    """The grid-and-order-statistics coda over the streamed half-count
+    state reproduces the batch table digit for digit (the NULL-valued
+    events stay in the state so the midpoint matches the batch
+    whole-feed convention)."""
+    from real_time_database_monitoring_system_spark.operators import analytics
+
+    batch = analytics.hodges_lehmann(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_hodges_lehmann(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
