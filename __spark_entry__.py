@@ -1817,7 +1817,40 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_kuiper": _q_streaming_kuiper,
         "hodges_lehmann": _q_hodges_lehmann,
         "streaming_hodges_lehmann": _q_streaming_hodges_lehmann,
+        # -- round-10 wave 2: weekly-shape twin, per-source signature
+        #    audit, and the windowed family's tail + effect-size
+        #    members (batch + watermarked twins) --
+        "streaming_dow_gof": _q_streaming_dow_gof,
+        "dedup_agreement_by_source": _q_dedup_agreement_by_source,
+        "windowed_anderson_darling": _q_windowed_anderson_darling,
+        "streaming_windowed_anderson_darling": _q_streaming_windowed_ad,
+        "windowed_cliffs_delta": _q_windowed_cliffs_delta,
+        "streaming_windowed_cliffs": _q_streaming_windowed_cliffs,
     }
+
+
+def _q_streaming_dow_gof(spark, sf):
+    return streaming_rollup.stream_dow_gof(spark, sf)
+
+
+def _q_dedup_agreement_by_source(spark, sf):
+    return dedup.dedup_agreement_by_source(load_table(spark, sf, "documents"))
+
+
+def _q_windowed_anderson_darling(spark, sf):
+    return anomaly.windowed_anderson_darling(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_ad(spark, sf):
+    return streaming_rollup.stream_windowed_anderson_darling(spark, sf)
+
+
+def _q_windowed_cliffs_delta(spark, sf):
+    return analytics.windowed_cliffs_delta(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_cliffs(spark, sf):
+    return streaming_rollup.stream_windowed_cliffs(spark, sf)
 
 
 def _q_anderson_darling(spark, sf):
@@ -9508,7 +9541,10 @@ def oracle_sql() -> dict[str, str]:
     # point: both pipelines are the registry operators' own oracle
     # machinery (shared _portable_sig_ctes; the ngram CTE block at
     # threshold 0.5); κ finals shared verbatim via dedup.KAPPA_SQL
-    sql["dedup_agreement_kappa"] = f"""
+    # Shared verdict CTE block (through the per-doc v relation, source
+    # carried) — consumed by the global kappa audit and its per-source
+    # rollup, so the two audits cannot drift
+    _kappa_verdicts = f"""
         WITH {_portable_sig_ctes('ka_', 'documents', 3)},
         ka_cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -9570,12 +9606,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_a AS doc_id FROM exact_pairs
                 UNION ALL SELECT doc_b FROM exact_pairs)),
         v AS (
-            SELECT d.doc_id,
+            SELECT d.doc_id, d.source,
                    s.doc_id IS NOT NULL AS v_sig,
                    e.doc_id IS NOT NULL AS v_exact
-            FROM (SELECT doc_id FROM documents) d
+            FROM (SELECT doc_id, source FROM documents) d
             LEFT JOIN sig_docs s USING (doc_id)
-            LEFT JOIN ex_docs e USING (doc_id)),
+            LEFT JOIN ex_docs e USING (doc_id))
+    """
+
+    sql["dedup_agreement_kappa"] = f"""
+        {_kappa_verdicts},
         cm AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(CASE WHEN v_sig AND v_exact THEN 1 ELSE 0 END)
@@ -9591,6 +9631,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE) AS agree_rate,
                {dedup.KAPPA_SQL} AS kappa
         FROM cm
+    """
+
+    sql["dedup_agreement_by_source"] = f"""
+        {_kappa_verdicts},
+        cm AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN v_sig AND v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN v_sig AND NOT v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS b,
+                   CAST(sum(CASE WHEN NOT v_sig AND v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN NOT v_sig AND NOT v_exact THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d
+            FROM v GROUP BY 1)
+        SELECT source, n AS n_docs, a AS both_dup, b AS sig_only,
+               c AS exact_only,
+               CAST(a + d AS DOUBLE) / CAST(n AS DOUBLE) AS agree_rate,
+               {dedup.KAPPA_SQL} AS kappa
+        FROM cm ORDER BY source
     """
 
     # dup-chain closure over the winnow pair evidence: the
@@ -10272,5 +10332,117 @@ def oracle_sql() -> dict[str, str]:
         FROM agg ORDER BY event_type
     """
     sql["streaming_hodges_lehmann"] = sql["hodges_lehmann"]
+
+    # Streaming weekly-shape GoF: availableNow (type, day) state ==
+    # the batch daily reduction, so the batch oracle applies verbatim
+    sql["streaming_dow_gof"] = sql["dow_activity_gof"]
+
+    # Day-over-day Anderson–Darling: the _WKS_CORE day-shift pairing
+    # with the fixed-point AD term sum keyed by (event_type, day);
+    # AD_TERM_SQL / AD_STAT_SQL shared with the operator
+    _WAD_CORE = """
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        pv0 AS (
+            SELECT event_type, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, day, cents)),
+        pv AS (SELECT * FROM pv0{day_filter}),
+        tot AS (SELECT event_type, day, SUM(c_ref) AS n_ref,
+                       SUM(c_cur) AS n_cur
+                FROM pv GROUP BY 1, 2),
+        ecdf AS (
+            SELECT event_type, day, c_ref + c_cur AS l,
+                   SUM(c_ref) OVER w AS c_ref,
+                   SUM(c_cur) OVER w AS c_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type, day ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        terms AS (
+            SELECT e.event_type, e.day, n_ref, n_cur,
+                   n_ref + n_cur AS nt, e.c_ref + e.c_cur AS b, l,
+                   CAST(e.c_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(e.c_cur AS HUGEINT) * CAST(n_ref AS HUGEINT)
+                       AS gap
+            FROM ecdf e JOIN tot USING (event_type, day)),
+        agg AS (
+            SELECT event_type, day,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(SUM(CASE WHEN b < nt THEN {ad_term}
+                            ELSE CAST(0 AS BIGINT) END) AS BIGINT)
+                       AS ad_scaled
+            FROM terms GROUP BY 1, 2)
+        SELECT event_type, day, n_ref, n_cur, ad_scaled,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {ad_stat} END
+                   AS ad_stat
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    _wad_stream_filter = (
+        "\n                WHERE (day + 1) * 86400000 <="
+        " (SELECT (max(epoch_us(ts)) // 1000) - 3600000"
+        " FROM events WHERE value IS NOT NULL)"
+    )
+    sql["windowed_anderson_darling"] = "WITH " + _WAD_CORE.format(
+        day_filter="", ad_term=anomaly.AD_TERM_SQL, ad_stat=anomaly.AD_STAT_SQL
+    )
+    sql["streaming_windowed_anderson_darling"] = "WITH " + _WAD_CORE.format(
+        day_filter=_wad_stream_filter,
+        ad_term=anomaly.AD_TERM_SQL,
+        ad_stat=anomaly.AD_STAT_SQL,
+    )
+
+    # Day-over-day Cliff's delta: the same day-shift pairing with the
+    # pair-class cumsum coda keyed by (event_type, day)
+    _WCD_CORE = """
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        pv0 AS (
+            SELECT event_type, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, day, cents)),
+        pv AS (SELECT * FROM pv0{day_filter}),
+        stepped AS (
+            SELECT event_type, day, c_ref, c_cur,
+                   SUM(c_cur) OVER (
+                       PARTITION BY event_type, day ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_cur_incl
+            FROM pv),
+        agg AS (
+            SELECT event_type, day,
+                   CAST(SUM(c_ref) AS BIGINT) AS n_ref,
+                   CAST(SUM(c_cur) AS BIGINT) AS n_cur,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(cum_cur_incl - c_cur AS HUGEINT)) AS a_before,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(cum_cur_incl AS HUGEINT)) AS b_incl
+            FROM stepped GROUP BY 1, 2)
+        SELECT event_type, day, n_ref, n_cur,
+               CAST(a_before AS BIGINT) AS gt_pairs,
+               CAST(CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                    - b_incl AS BIGINT) AS lt_pairs,
+               CAST(b_incl - a_before AS BIGINT) AS tie_pairs,
+               CAST(a_before + b_incl - CAST(n_ref AS HUGEINT)
+                    * CAST(n_cur AS HUGEINT) AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)) AS delta
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    sql["windowed_cliffs_delta"] = "WITH " + _WCD_CORE.format(day_filter="")
+    sql["streaming_windowed_cliffs"] = "WITH " + _WCD_CORE.format(
+        day_filter=_wad_stream_filter
+    )
 
     return sql

@@ -268,11 +268,15 @@ HEADLINE = [
     "top_dup_ngrams",
     "dow_activity_gof",
     "top_dup_ngrams_by_source",
-    # round-10 waves (streaming twins stay out per the rule)
+    # round-10 waves (streaming twins stay out per the rule;
+    # dedup_agreement_by_source stays out — it re-runs the
+    # dedup_agreement_kappa dual-pass core already timed above)
     "anderson_darling",
     "cramer_von_mises",
     "kuiper_drift",
     "hodges_lehmann",
+    "windowed_anderson_darling",
+    "windowed_cliffs_delta",
 ]
 
 

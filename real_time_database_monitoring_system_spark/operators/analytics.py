@@ -2001,22 +2001,27 @@ def cliffs_delta(events: DataFrame) -> DataFrame:
     return cliffs_from_value_counts(half_cents_counts(events))
 
 
-def cliffs_from_value_counts(per_value: DataFrame) -> DataFrame:
-    """Cliff's-delta coda over an (event_type, cents, c_ref, c_cur)
+def cliffs_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Cliff's-delta coda over a (keys…, cents, c_ref, c_cur)
     half-count relation (shared-coda pattern; see
-    `wasserstein_from_value_counts`)."""
+    `wasserstein_from_value_counts`). ``keys`` defaults to the
+    per-type shape; `windowed_cliffs_delta` passes (event_type, day)
+    for the sliding-reference variant."""
+    keys = keys or ["event_type"]
     wrun = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("cents")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     stepped = per_value.select(
-        "event_type",
+        *keys,
         "c_ref",
         "c_cur",
         F.sum("c_cur").over(wrun).alias("cum_cur_incl"),
     )
-    agg = stepped.groupBy("event_type").agg(
+    agg = stepped.groupBy(*keys).agg(
         F.sum("c_ref").cast("bigint").alias("n_ref"),
         F.sum("c_cur").cast("bigint").alias("n_cur"),
         F.sum(
@@ -2035,7 +2040,7 @@ def cliffs_from_value_counts(per_value: DataFrame) -> DataFrame:
     return (
         agg.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
         .select(
-            "event_type",
+            *keys,
             "n_ref",
             "n_cur",
             F.expr("CAST(a_before AS BIGINT)").alias("gt_pairs"),
@@ -2050,8 +2055,41 @@ def cliffs_from_value_counts(per_value: DataFrame) -> DataFrame:
                 " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
             ).alias("delta"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
+
+
+def windowed_cliffs_delta(events: DataFrame) -> DataFrame:
+    """Day-over-day Cliff's delta per event type — the ordinal
+    EFFECT-SIZE member of the windowed drift family: `windowed_ks`
+    and `windowed_wasserstein` say the day shapes differ and by how
+    much in value units; this says how OFTEN one day dominates the
+    other (δ = P(prev > cur) − P(prev < cur)) — the "big enough to
+    care" gate, day by day. Same machinery end-to-end: the feed
+    reduces ONCE to the (type, day, cents) count relation; the
+    previous-day side arrives by the SHARED `day_shift_half_counts`
+    shift; the coda is `cliffs_from_value_counts` keyed by
+    (event_type, day) — exact pair-class counts by cumsum algebra,
+    never pair enumeration."""
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"{_US_A} div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return windowed_cliffs_from_counts(counts)
+
+
+def windowed_cliffs_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference Cliff's-delta coda over the (event_type,
+    day, cents, c) relation — shared verbatim by the batch operator
+    and `streaming.rollup.stream_windowed_cliffs` (whose watermarked
+    state IS this relation over the finalized days)."""
+    per_value = day_shift_half_counts(_materialize(counts))
+    return cliffs_from_value_counts(per_value, keys=["event_type", "day"])
 
 
 # Jackknife finals shared verbatim with the DuckDB oracle (the
@@ -2898,18 +2936,30 @@ def dow_activity_gof(events: DataFrame) -> DataFrame:
     days_total) rather than a double p_d. The 7×k table is exact
     BIGINT.
 
-    Scale shape: one map-side-partial aggregation of the feed to
-    ≤ 7k rows + one tiny calendar relation from the (type, day)
-    distinct — nothing else touches the feed."""
+    Scale shape: one map-side-partial aggregation of the feed to the
+    (type, day) daily-count relation (≤ types × days rows — the
+    `mann_kendall_trend` state bound, and exactly what the streaming
+    twin maintains) — nothing else touches the feed."""
     day = F.expr(f"{_US_A} div 86400000000")
-    obs = events.groupBy(
-        "event_type", ((day + 4) % 7).alias("dow")
-    ).agg(F.count("*").alias("n_events"))
-    cal = (
-        events.select("event_type", day.alias("day"))
-        .distinct()
-        .groupBy("event_type", ((F.col("day") + 4) % 7).alias("dow"))
-        .agg(F.count("*").alias("days_d"))
+    daily = events.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    return dow_gof_from_daily(daily)
+
+
+def dow_gof_from_daily(daily: DataFrame) -> DataFrame:
+    """Weekly-shape GoF coda over the reduced ``(event_type, day,
+    n)`` daily-count relation — shared verbatim by the batch operator
+    and `streaming.rollup.stream_dow_gof` (whose state IS this
+    relation). Materialized here: it feeds the observed AND calendar
+    aggregations (the diamond rule)."""
+    daily = _materialize(daily)
+    dow = ((F.col("day") + 4) % 7).alias("dow")
+    obs = daily.groupBy("event_type", dow).agg(
+        F.sum("n").cast("bigint").alias("n_events")
+    )
+    cal = daily.groupBy("event_type", dow).agg(
+        F.count("*").alias("days_d")
     )
     tot = cal.groupBy("event_type").agg(
         F.sum("days_d").cast("bigint").alias("days_total")

@@ -429,10 +429,15 @@ def dispersion_panel(events: DataFrame, bucket_seconds: int = 60) -> DataFrame:
 # value v, |ECDF_ref(v) − ECDF_cur(v)| = |c_ref·n_cur − c_cur·n_ref| /
 # (n_ref·n_cur) — the numerator is exact (DECIMAL products so a
 # trillion-row half can't overflow a BIGINT), the single division
-# happens once on the per-type maximum.
+# happens once on the per-type maximum. No round() (retrofitted in
+# r10, the AD_STAT_SQL lesson): both operands are exact integers cast
+# to DOUBLE, so the raw IEEE quotient is the SAME double in both
+# engines, while round(x, 9) diverges at decimal half-boundaries
+# (ks_num/(n·m) lands exactly on …5 whenever n·m divides a power of
+# 10 times an integer — a real case, seen on windowed AD).
 KS_STAT_SQL = (
-    "round(CAST(ks_num AS DOUBLE)"
-    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 9)"
+    "CAST(ks_num AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
 )
 
 
@@ -561,9 +566,16 @@ AD_TERM_SQL = (
     "CAST(round(CAST(l AS DOUBLE) * CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)"
     " * 10000.0 / (CAST(b AS DOUBLE) * CAST(nt - b AS DOUBLE))) AS BIGINT)"
 )
+# NO round() here (unlike KS_STAT_SQL): ad_scaled and the denominator
+# are exact integers below 2⁵³, so the raw IEEE division is the SAME
+# double in both engines (the mwu u_stat rule) — while round(x, 9)
+# hits decimal half-boundaries (ad_scaled/(nm·10⁴) often lands exactly
+# on …5 at 9 dp because the denominator divides a power of 10) where
+# Spark's BigDecimal HALF_UP and DuckDB's double-multiply rounding
+# disagree — the observed windowed-AD sf0.001 mismatch.
 AD_STAT_SQL = (
-    "round(CAST(ad_scaled AS DOUBLE)"
-    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 10000.0), 9)"
+    "CAST(ad_scaled AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 10000.0)"
 )
 
 
@@ -656,9 +668,11 @@ def ad_from_value_counts(
 # (N²·n·m) — unlike AD there is no per-value denominator, so the sum
 # accumulates exactly in DECIMAL(38,0) and only the final division is
 # floating (the KS rule).
+# no round() — integer inputs → identical IEEE division in both
+# engines (the AD_STAT_SQL half-boundary lesson)
 CVM_STAT_SQL = (
-    "round(CAST(cvm_num AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)"
-    " * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 9)"
+    "CAST(cvm_num AS DOUBLE) / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)"
+    " * CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
 )
 
 
@@ -738,9 +752,11 @@ def cvm_from_value_counts(
     )
 
 
+# no round() — integer inputs → identical IEEE division in both
+# engines (the AD_STAT_SQL half-boundary lesson)
 KUIPER_STAT_SQL = (
-    "round(CAST(d_plus_num + d_minus_num AS DOUBLE)"
-    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)), 9)"
+    "CAST(d_plus_num + d_minus_num AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE))"
 )
 
 
@@ -1431,6 +1447,52 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     # against — drop it (the windowed_wasserstein convention) instead
     # of emitting a NULL-ks row
     return ks_from_value_counts(per_value, keys=["event_type", "day"]).filter(
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    )
+
+
+def windowed_anderson_darling(events: DataFrame) -> DataFrame:
+    """Day-over-day two-sample Anderson–Darling per event type — the
+    TAIL-sensitive member of the windowed drift family (completing it
+    the way `anderson_darling` completed the two-half panel):
+    `windowed_ks` reacts to the largest mid-distribution ECDF break,
+    `windowed_wasserstein` to the aggregate mass moved; this weights
+    each squared gap by 1/(B·(N−B)), so a TAIL migration between
+    consecutive days — the shape latency regressions take — scores
+    first. Same machinery end-to-end: the feed reduces ONCE to the
+    (type, day, cents) count relation; the previous-day side arrives
+    by the SHARED `analytics.day_shift_half_counts` shift; the coda is
+    `ad_from_value_counts` keyed by (event_type, day) — order-free
+    fixed-point integer terms (`AD_TERM_SQL`), one final division."""
+    counts = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"{_US} div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return windowed_ad_from_counts(counts)
+
+
+def windowed_ad_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference AD coda over the (event_type, day, cents, c)
+    relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_windowed_anderson_darling` (whose
+    watermarked state IS this relation over the finalized days)."""
+    from .analytics import day_shift_half_counts
+
+    per_value = day_shift_half_counts(_materialize(counts)).select(
+        "event_type",
+        "day",
+        F.col("cents").alias("value"),
+        F.col("c_ref").alias("d_ref"),
+        F.col("c_cur").alias("d_cur"),
+    )
+    # a day with an empty previous day has no reference to score
+    # against (the windowed_wasserstein convention)
+    return ad_from_value_counts(per_value, keys=["event_type", "day"]).filter(
         (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
     )
 

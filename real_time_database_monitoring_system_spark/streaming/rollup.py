@@ -2055,3 +2055,88 @@ def stream_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return hl_from_value_counts(per_value)
+
+
+def stream_dow_gof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.dow_activity_gof`: the live
+    weekly-shape monitor. State is the (event_type, day) daily count
+    relation — ≤ types × days rows forever, one of the family's
+    tightest bounds (no value alphabet) — and the coda is the SHARED
+    `dow_gof_from_daily`, so availableNow equals the batch table
+    digit for digit and the batch oracle applies verbatim."""
+    from ..operators.analytics import dow_gof_from_daily
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = src.groupBy(
+        "event_type",
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias("day"),
+    ).agg(F.count("*").alias("n"))
+    state = materialize(_run_to_memory(state_agg, "complete"))
+    return dow_gof_from_daily(state)
+
+
+def stream_windowed_anderson_darling(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `anomaly.windowed_anderson_darling` —
+    identical state discipline to `stream_windowed_ks` (per-(window,
+    type, cents) counts, real eviction, append over finalized days);
+    only the coda differs (the fixed-point tail-weighted terms), so
+    the windowed drift family stays live from ONE state shape."""
+    from ..operators.anomaly import windowed_ad_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    counts = state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "cents",
+        "c",
+    )
+    return windowed_ad_from_counts(counts)
+
+
+def stream_windowed_cliffs(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `analytics.windowed_cliffs_delta` — the
+    `stream_windowed_ks` state shape with the pair-class cumsum coda
+    (`windowed_cliffs_from_counts`) over the finalized days."""
+    from ..operators.analytics import windowed_cliffs_from_counts
+
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    counts = state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "cents",
+        "c",
+    )
+    return windowed_cliffs_from_counts(counts)

@@ -95,7 +95,7 @@ class TestAndersonDarling:
         )
         [r] = anomaly.ad_from_value_counts(pv).collect()
         assert (r["n_ref"], r["n_cur"], r["ad_scaled"]) == (3, 3, 74000)
-        assert r["ad_stat"] == round(74000 / (9 * 10000), 9)
+        assert r["ad_stat"] == 74000 / (9 * 10000)
 
     def test_identical_halves_zero(self, spark):
         pv = _half_pv(spark, [("a", 1.0, 2, 2), ("a", 5.0, 3, 3)])
@@ -118,7 +118,7 @@ class TestCramerVonMises:
         )
         [r] = anomaly.cvm_from_value_counts(pv).collect()
         assert (r["n_ref"], r["n_cur"]) == (3, 3)
-        assert r["cvm_stat"] == round(45 / (36 * 9), 9)
+        assert r["cvm_stat"] == 45 / (36 * 9)
 
     def test_identical_halves_zero(self, spark):
         pv = _half_pv(spark, [("a", 1.0, 2, 2), ("a", 5.0, 3, 3)])
@@ -136,7 +136,7 @@ class TestKuiper:
         )
         [r] = anomaly.kuiper_from_value_counts(pv).collect()
         assert (r["d_plus_num"], r["d_minus_num"]) == (3, 0)
-        assert r["kuiper_v"] == round(3 / 9, 9)
+        assert r["kuiper_v"] == 3 / 9
 
     def test_bidirectional_beats_ks(self, spark):
         # mass moved both down AND up: ref all at 2, cur split to 1
@@ -188,3 +188,93 @@ class TestHodgesLehmann:
         pv = self._pv(spark, [("a", 1, 1, 0), ("b", 1, 1, 0), ("b", 3, 0, 1)])
         rows = {r["event_type"] for r in analytics.hl_from_value_counts(pv).collect()}
         assert rows == {"b"}
+
+
+# ---- wave 2: windowed tail/effect-size members, per-source audit,
+#      weekly-shape twin ----
+
+import pyspark.sql.functions as _F  # noqa: E402
+
+
+def _day_events(spark, rows):
+    """rows of (day, event_type, value) -> events frame (5 µs apart)."""
+    us = 86400000000
+    return spark.createDataFrame(
+        [(i, d * us + 5 * i, t, v) for i, (d, t, v) in enumerate(rows)],
+        "event_id long, us long, event_type string, value double",
+    ).select(
+        "event_id",
+        _F.expr("timestamp_micros(us)").cast("timestamp_ntz").alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+class TestWindowedAndersonDarling:
+    def test_hand_values(self, spark):
+        # day0: [1,2,3]; day1: [2,3,4] — the TestAndersonDarling
+        # fixture as consecutive days: ad_scaled=74000, A²=0.82222…;
+        # day2 == day1 → A²=0; day0 absent (no previous day)
+        rows = (
+            [(0, "a", 1.0), (0, "a", 2.0), (0, "a", 3.0)]
+            + [(1, "a", 2.0), (1, "a", 3.0), (1, "a", 4.0)]
+            + [(2, "a", 2.0), (2, "a", 3.0), (2, "a", 4.0)]
+        )
+        got = {
+            r["day"]: r
+            for r in anomaly.windowed_anderson_darling(
+                _day_events(spark, rows)
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert got[1]["ad_scaled"] == 74000
+        assert got[1]["ad_stat"] == 74000 / (9 * 10000)
+        assert got[2]["ad_scaled"] == 0 and got[2]["ad_stat"] == 0.0
+
+
+class TestWindowedCliffsDelta:
+    def test_hand_values(self, spark):
+        # day0: [1,2]; day1: [3,4] → every cur value beats every ref
+        # (ref=prev day): gt=0, lt=4, ties=0, δ = (0−4)/4 = −1
+        # (δ = P(ref>cur) − P(ref<cur)); day2: [3,4] == day1 → all
+        # pair classes split 1/1/2, δ=0
+        rows = (
+            [(0, "a", 0.01), (0, "a", 0.02)]
+            + [(1, "a", 0.03), (1, "a", 0.04)]
+            + [(2, "a", 0.03), (2, "a", 0.04)]
+        )
+        got = {
+            r["day"]: r
+            for r in analytics.windowed_cliffs_delta(
+                _day_events(spark, rows)
+            ).collect()
+        }
+        assert set(got) == {1, 2}
+        assert (got[1]["gt_pairs"], got[1]["lt_pairs"], got[1]["tie_pairs"]) == (0, 4, 0)
+        assert got[1]["delta"] == -1.0
+        assert (got[2]["gt_pairs"], got[2]["lt_pairs"], got[2]["tie_pairs"]) == (1, 1, 2)
+        assert got[2]["delta"] == 0.0
+
+
+class TestDedupAgreementBySource:
+    def test_cells_sum_to_global(self, spark, sf_dir):
+        """Doc-level verdicts partition by source, so the per-source
+        2×2 cells must sum exactly to the global audit's cells."""
+        from real_time_database_monitoring_system_spark.operators import dedup
+        from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        [g] = dedup.dedup_agreement_kappa(docs).collect()
+        per = dedup.dedup_agreement_by_source(docs).collect()
+        assert len(per) >= 2
+        for col in ("n_docs", "both_dup", "sig_only", "exact_only"):
+            assert sum(r[col] for r in per) == g[col]
+
+
+def test_stream_dow_gof_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+    from real_time_database_monitoring_system_spark.streaming import rollup as sr
+
+    batch = analytics.dow_activity_gof(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_dow_gof(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))

@@ -731,6 +731,9 @@ def test_registry_wide_plan_audit(spark):
         "ann_recall_audit": 16,
         "curation_waterfall": 16,
         "dedup_agreement_kappa": 20,
+        # same dual-pass composition as the global audit + one extra
+        # exchange for the per-source keyed final aggregate
+        "dedup_agreement_by_source": 21,
     }
     failures = []
     for name, fn in sorted(queries().items()):
