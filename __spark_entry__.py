@@ -1826,7 +1826,29 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_anderson_darling": _q_streaming_windowed_ad,
         "windowed_cliffs_delta": _q_windowed_cliffs_delta,
         "streaming_windowed_cliffs": _q_streaming_windowed_cliffs,
+        # -- round-10 wave 3: cycle-aware and ordered-alternative
+        #    trend tests (batch + twins) --
+        "seasonal_mann_kendall": _q_seasonal_mann_kendall,
+        "streaming_seasonal_mann_kendall": _q_streaming_seasonal_mk,
+        "jonckheere_terpstra": _q_jonckheere_terpstra,
+        "streaming_jonckheere": _q_streaming_jonckheere,
     }
+
+
+def _q_seasonal_mann_kendall(spark, sf):
+    return anomaly.seasonal_mann_kendall(load_table(spark, sf, "events"))
+
+
+def _q_streaming_seasonal_mk(spark, sf):
+    return streaming_rollup.stream_seasonal_mann_kendall(spark, sf)
+
+
+def _q_jonckheere_terpstra(spark, sf):
+    return analytics.jonckheere_terpstra(load_table(spark, sf, "events"))
+
+
+def _q_streaming_jonckheere(spark, sf):
+    return streaming_rollup.stream_jonckheere(spark, sf)
 
 
 def _q_streaming_dow_gof(spark, sf):
@@ -10444,5 +10466,102 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_windowed_cliffs"] = "WITH " + _WCD_CORE.format(
         day_filter=_wad_stream_filter
     )
+
+    # Seasonal (Hirsch–Slack) Mann–Kendall: the MK oracle keyed by
+    # (event_type, weekday) over the same dense daily spine; weekday
+    # from pure integer epoch-day arithmetic (the dow_activity_gof
+    # rule)
+    sql["seasonal_mann_kendall"] = f"""
+        WITH {_DENSE_DAILY},
+        sd AS (SELECT event_type, CAST((day + 4) % 7 AS INTEGER) AS dow,
+                      day, y
+               FROM dense),
+        s AS (
+            SELECT a.event_type, a.dow,
+                   CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                                 WHEN b.y < a.y THEN -1 ELSE 0 END)
+                        AS BIGINT) AS s_stat
+            FROM sd a JOIN sd b
+              ON a.event_type = b.event_type AND a.dow = b.dow
+             AND a.day < b.day
+            GROUP BY 1, 2),
+        ties AS (
+            SELECT event_type, dow,
+                   CAST(SUM(t) AS BIGINT) AS n_days,
+                   CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+                       AS tie_term
+            FROM (SELECT event_type, dow, y, CAST(count(*) AS BIGINT) AS t
+                  FROM sd GROUP BY 1, 2, 3)
+            GROUP BY 1, 2)
+        SELECT event_type, dow, n_days,
+               coalesce(s_stat, 0) AS s_stat, tie_term
+        FROM ties LEFT JOIN s USING (event_type, dow)
+        ORDER BY event_type, dow
+    """
+    sql["streaming_seasonal_mann_kendall"] = sql["seasonal_mann_kendall"]
+
+    # Jonckheere–Terpstra: dense 24×alphabet grid, cascaded prefix
+    # sums (the kendall_tau technique), integral verdict components
+    sql["jonckheere_terpstra"] = """
+        WITH pc AS (
+            SELECT event_type, (epoch_us(ts) // 3600000000) % 24 AS h,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        vals AS (SELECT DISTINCT event_type, cents FROM pc),
+        grid AS (
+            SELECT v.event_type, hh.h, v.cents, coalesce(pc.c, 0) AS c
+            FROM vals v
+            CROSS JOIN (SELECT range AS h FROM range(24)) hh
+            LEFT JOIN pc ON pc.event_type = v.event_type
+                        AND pc.h = hh.h AND pc.cents = v.cents),
+        staged AS (
+            SELECT event_type, h, cents, c,
+                   coalesce(SUM(c) OVER (
+                       PARTITION BY event_type, cents ORDER BY h
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS eq_before
+            FROM grid),
+        staged2 AS (
+            SELECT event_type, h, cents, c, eq_before,
+                   coalesce(SUM(eq_before) OVER (
+                       PARTITION BY event_type, h ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS lt_before
+            FROM staged),
+        jt AS (
+            SELECT event_type,
+                   SUM(CAST(c AS HUGEINT)
+                       * CAST(2 * lt_before + eq_before AS HUGEINT)) AS jt2d
+            FROM staged2 GROUP BY 1),
+        grp AS (
+            SELECT event_type,
+                   CAST(SUM(n_h) AS BIGINT) AS n_total,
+                   CAST(SUM(n_h * n_h) AS BIGINT) AS sum_n2,
+                   CAST(SUM(n_h * (n_h - 1) * (2 * n_h + 5)) AS BIGINT)
+                       AS grp_t1,
+                   CAST(SUM(n_h * (n_h - 1) * (n_h - 2)) AS BIGINT)
+                       AS grp_t2,
+                   CAST(SUM(n_h * (n_h - 1)) AS BIGINT) AS grp_t3
+            FROM (SELECT event_type, h, SUM(c) AS n_h
+                  FROM pc GROUP BY 1, 2)
+            GROUP BY 1),
+        val AS (
+            SELECT event_type,
+                   CAST(SUM(t_v * (t_v - 1) * (2 * t_v + 5)) AS BIGINT)
+                       AS val_t1,
+                   CAST(SUM(t_v * (t_v - 1) * (t_v - 2)) AS BIGINT)
+                       AS val_t2,
+                   CAST(SUM(t_v * (t_v - 1)) AS BIGINT) AS val_t3
+            FROM (SELECT event_type, cents, SUM(c) AS t_v
+                  FROM pc GROUP BY 1, 2)
+            GROUP BY 1)
+        SELECT g.event_type, n_total,
+               CAST(coalesce(jt2d, 0) AS BIGINT) AS jt2, sum_n2,
+               grp_t1, grp_t2, grp_t3, val_t1, val_t2, val_t3
+        FROM grp g JOIN val USING (event_type) LEFT JOIN jt USING (event_type)
+        ORDER BY event_type
+    """
+    sql["streaming_jonckheere"] = sql["jonckheere_terpstra"]
 
     return sql

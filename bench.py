@@ -277,6 +277,8 @@ HEADLINE = [
     "hodges_lehmann",
     "windowed_anderson_darling",
     "windowed_cliffs_delta",
+    "seasonal_mann_kendall",
+    "jonckheere_terpstra",
 ]
 
 

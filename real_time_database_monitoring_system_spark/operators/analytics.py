@@ -2975,3 +2975,168 @@ def dow_gof_from_daily(daily: DataFrame) -> DataFrame:
         .join(tot, "event_type")
         .orderBy("event_type", "dow")
     )
+
+
+def jonckheere_terpstra(events: DataFrame) -> DataFrame:
+    """Jonckheere–Terpstra ordered-alternative trend components per
+    event type, with HOUR OF DAY as the ordered grouping: "does
+    `value` trend monotonically across the day?" — the ordered
+    k-sample test `kruskal_wallis` cannot express (KW asks "do the
+    hours differ AT ALL"; JT gains power by testing the specific
+    ordered alternative h0 ≤ h1 ≤ … ≤ h23, the shape diurnal load
+    curves actually take). JT = Σ_{i<j hours} U_ij (pairwise
+    Mann–Whitney counts between every earlier/later hour pair) — a
+    k² pairwise-MWU sweep collapsed into ONE pass of cascaded prefix
+    sums (the `kendall_tau` dense-grid technique).
+
+    Doubled statistic: jt2 = Σ_cells c(h,v)·(2·LT(h,v) + EQ(h,v))
+    where LT = Σ_{h'<h, v'<v} c(h',v') (the 2-D prefix) and
+    EQ = Σ_{h'<h} c(h',v) (ties count half → integer when doubled,
+    the `mannwhitney_u` midrank identity). The hashed edge emits ONLY
+    integral components — jt2, N, Σn_h², and the three group/value
+    tie sums of the Lehmann tie-corrected variance
+    (Σx(x−1)(2x+5), Σx(x−1)(x−2), Σx(x−1) over hour sizes and over
+    pooled value multiplicities) — the consumer assembles
+    E[JT] = (N²−Σn²)/4 and var(JT).
+
+    Exactness: every prefix is an integer window sum over the DENSE
+    hour×alphabet grid (24·V rows per type — missing cells must carry
+    explicit zeros or their prefix contributions vanish); products
+    accumulate in DECIMAL(38,0) (c·LT is O(n²)), BIGINT at the edge
+    (exact to jt2 ≈ n² < 2⁶³ → n ≈ 3·10⁹ per type, ANSI-loud
+    beyond).
+
+    Scale shape: the feed reduces ONCE to the (type, hour, cents)
+    count relation (map-side partials, bounded by 24 × alphabet × k).
+    The dense grid is 24·V rows per type — the `kendall_tau`
+    dense-bounded-grid waiver: constant in feed rows, bounded by the
+    quantized alphabet. Both prefix windows partition by (type, v)
+    [24 rows] and (type, h) [V rows] — never a global single
+    partition, never the feed."""
+    per_cell = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"({_US_A} div 3600000000) % 24").alias("h"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    return jt_from_cell_counts(per_cell)
+
+
+def jt_from_cell_counts(per_cell: DataFrame) -> DataFrame:
+    """Jonckheere–Terpstra coda over the reduced ``(event_type, h,
+    cents, c)`` hour-cell count relation — shared verbatim by the
+    batch operator and `streaming.rollup.stream_jonckheere` (whose
+    state IS this relation). Materialized first: the relation feeds
+    the dense-grid join AND the group/value marginals (a three-way
+    diamond)."""
+    per_cell = _materialize(per_cell)
+    hours = per_cell.sparkSession.range(24).select(
+        F.col("id").cast("bigint").alias("h")
+    )
+    vals = per_cell.select("event_type", "cents").distinct()
+    grid = (
+        vals.crossJoin(F.broadcast(hours))
+        .join(per_cell, ["event_type", "h", "cents"], "left")
+        .select(
+            "event_type",
+            "h",
+            "cents",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+    )
+    w_hours = (
+        Window.partitionBy("event_type", "cents")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_vals = (
+        Window.partitionBy("event_type", "h")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # EQ(h,v) = earlier-hour mass at the same value; LT(h,v) =
+    # value-prefix of EQ at fixed h = the 2-D prefix
+    staged = grid.select(
+        "event_type",
+        "h",
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(w_hours), F.lit(0)).alias("eq_before"),
+    ).select(
+        "event_type",
+        "h",
+        "cents",
+        "c",
+        "eq_before",
+        F.coalesce(F.sum("eq_before").over(w_vals), F.lit(0)).alias("lt_before"),
+    )
+    jt = staged.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "CAST(c AS DECIMAL(38,0))"
+                " * CAST(2 * lt_before + eq_before AS DECIMAL(38,0))"
+            )
+        ).alias("jt2d")
+    )
+    grp = (
+        per_cell.groupBy("event_type", "h")
+        .agg(F.sum("c").alias("n_h"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_h").cast("bigint").alias("n_total"),
+            F.sum(F.col("n_h") * F.col("n_h")).cast("bigint").alias("sum_n2"),
+            F.sum(
+                F.col("n_h") * (F.col("n_h") - 1) * (2 * F.col("n_h") + 5)
+            )
+            .cast("bigint")
+            .alias("grp_t1"),
+            F.sum(
+                F.col("n_h") * (F.col("n_h") - 1) * (F.col("n_h") - 2)
+            )
+            .cast("bigint")
+            .alias("grp_t2"),
+            F.sum(F.col("n_h") * (F.col("n_h") - 1))
+            .cast("bigint")
+            .alias("grp_t3"),
+        )
+    )
+    val = (
+        per_cell.groupBy("event_type", "cents")
+        .agg(F.sum("c").alias("t_v"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t_v") * (F.col("t_v") - 1) * (2 * F.col("t_v") + 5)
+            )
+            .cast("bigint")
+            .alias("val_t1"),
+            F.sum(
+                F.col("t_v") * (F.col("t_v") - 1) * (F.col("t_v") - 2)
+            )
+            .cast("bigint")
+            .alias("val_t2"),
+            F.sum(F.col("t_v") * (F.col("t_v") - 1))
+            .cast("bigint")
+            .alias("val_t3"),
+        )
+    )
+    return (
+        grp.join(val, "event_type")
+        .join(jt, "event_type", "left")
+        .select(
+            "event_type",
+            "n_total",
+            F.coalesce(F.col("jt2d").cast("bigint"), F.lit(0)).alias("jt2"),
+            "sum_n2",
+            "grp_t1",
+            "grp_t2",
+            "grp_t3",
+            "val_t1",
+            "val_t2",
+            "val_t3",
+        )
+        .orderBy("event_type")
+    )

@@ -1542,21 +1542,26 @@ def mann_kendall_trend(events: DataFrame) -> DataFrame:
     return mann_kendall_from_daily(_dense_daily_counts(events))
 
 
-def mann_kendall_from_daily(dense: DataFrame) -> DataFrame:
+def mann_kendall_from_daily(
+    dense: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
     """Mann–Kendall coda over an already-materialized dense
-    (event_type, day, y) daily relation — shared verbatim by the
+    (keys…, day, y) daily relation — shared verbatim by the
     batch operator and `streaming.rollup.stream_mann_kendall` (whose
-    state IS the daily count relation)."""
+    state IS the daily count relation). ``keys`` defaults to the
+    per-type shape; `seasonal_mann_kendall` passes (event_type, dow)
+    so each weekday subseries gets its own S and tie components."""
+    keys = keys or ["event_type"]
     a = dense.select(
-        "event_type", F.col("day").alias("di"), F.col("y").alias("yi")
+        *keys, F.col("day").alias("di"), F.col("y").alias("yi")
     )
     b = dense.select(
-        "event_type", F.col("day").alias("dj"), F.col("y").alias("yj")
+        *keys, F.col("day").alias("dj"), F.col("y").alias("yj")
     )
     s = (
-        a.join(b, "event_type")
+        a.join(b, list(keys))
         .filter(F.col("di") < F.col("dj"))
-        .groupBy("event_type")
+        .groupBy(*keys)
         .agg(
             F.sum(F.signum(F.col("yj") - F.col("yi")).cast("bigint")).alias(
                 "s_stat"
@@ -1564,9 +1569,9 @@ def mann_kendall_from_daily(dense: DataFrame) -> DataFrame:
         )
     )
     ties = (
-        dense.groupBy("event_type", "y")
+        dense.groupBy(*keys, "y")
         .agg(F.count("*").alias("t"))
-        .groupBy("event_type")
+        .groupBy(*keys)
         .agg(
             F.sum("t").cast("bigint").alias("n_days"),
             F.sum(
@@ -1577,15 +1582,45 @@ def mann_kendall_from_daily(dense: DataFrame) -> DataFrame:
         )
     )
     return (
-        ties.join(s, "event_type", "left")
+        ties.join(s, list(keys), "left")
         .select(
-            "event_type",
+            *keys,
             "n_days",
             F.coalesce("s_stat", F.lit(0)).cast("bigint").alias("s_stat"),
             "tie_term",
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
+
+
+def seasonal_mann_kendall(events: DataFrame) -> DataFrame:
+    """Seasonal (Hirsch–Slack) Mann–Kendall per event type: the MK
+    monotone-trend components computed SEPARATELY on each weekday's
+    daily-count subseries — the trend test that stays valid when the
+    series has a strong weekly cycle (plain `mann_kendall_trend` reads
+    the Mon→Sun sawtooth as massive tie-breaking noise; comparing
+    Mondays only to Mondays removes the cycle by construction,
+    `dow_activity_gof`'s weekday from pure integer epoch-day
+    arithmetic). Emits the 7 per-season component rows; the consumer
+    sums S_d and var_d across seasons for the seasonal z (the
+    classical independence assumption — seasons share no day pairs).
+
+    Exactness: identical to `mann_kendall_trend` per subseries — S is
+    a ±1 sum over within-season day pairs (BIGINT), ties from the
+    per-season daily-value marginal. Calendar-dense days (silent days
+    are real zeros) exactly as the plain test.
+
+    Scale shape: the same dense (type, day, y) relation; the pair
+    stage is a self-join WITHIN (type, dow) — ~(span/7)² per season,
+    7× cheaper than the plain test's pair stage. Final ≤ 7·#types
+    rows."""
+    dense = _dense_daily_counts(events).select(
+        "event_type",
+        ((F.col("day") + 4) % 7).cast("int").alias("dow"),
+        "day",
+        "y",
+    )
+    return mann_kendall_from_daily(dense, keys=["event_type", "dow"])
 
 
 def runs_test(events: DataFrame) -> DataFrame:

@@ -2140,3 +2140,47 @@ def stream_windowed_cliffs(
         "c",
     )
     return windowed_cliffs_from_counts(counts)
+
+
+def stream_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.seasonal_mann_kendall` over the
+    SAME daily count state as `stream_mann_kendall` (one state
+    relation serves the whole trend-test family); the dow key and the
+    shared keyed coda are pure coda work, so availableNow equals the
+    batch components digit for digit and the batch oracle applies
+    verbatim."""
+    from ..operators.anomaly import mann_kendall_from_daily
+
+    dense = _stream_dense_daily(spark, sf_dir).select(
+        "event_type",
+        ((F.col("day") + 4) % 7).cast("int").alias("dow"),
+        "day",
+        "y",
+    )
+    return mann_kendall_from_daily(dense, keys=["event_type", "dow"])
+
+
+def stream_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.jonckheere_terpstra`: the live
+    ordered-diurnal-trend monitor. State is the (event_type, hour,
+    cents) count relation — bounded by 24 × value alphabet × k,
+    forever — and the coda is the SHARED `jt_from_cell_counts`
+    (dense-grid cascaded prefix sums), so availableNow equals the
+    batch components digit for digit and the batch oracle applies
+    verbatim."""
+    from ..operators.analytics import jt_from_cell_counts
+
+    src = _events_stream(spark, sf_dir)
+    state_agg = (
+        src.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "(unix_micros(cast(ts as timestamp)) div 3600000000) % 24"
+            ).alias("h"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(state_agg, "complete")
+    return jt_from_cell_counts(state)

@@ -278,3 +278,98 @@ def test_stream_dow_gof_equals_batch(spark, sf_dir):
     batch = analytics.dow_activity_gof(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_dow_gof(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+# ---- wave 3: cycle-aware and ordered-alternative trend tests ----
+
+
+class TestSeasonalMannKendall:
+    def test_weekly_sawtooth_flat_within_seasons(self, spark):
+        # 28 days of a pure weekly cycle (no trend): counts depend on
+        # dow only → within every weekday subseries all y equal → S=0
+        # everywhere, full ties; plain MK would see the sawtooth.
+        rows = []
+        for d in range(28):
+            for _ in range(1 + (d + 4) % 7):  # dow-shaped volume
+                rows.append((d, "a", 1.0))
+        got = anomaly.seasonal_mann_kendall(_day_events(spark, rows)).collect()
+        assert len(got) == 7
+        for r in got:
+            assert r["s_stat"] == 0 and r["n_days"] == 4
+            # all 4 same-dow days tie: 4·3·13 = 156
+            assert r["tie_term"] == 156
+
+    def test_within_season_trend_detected(self, spark):
+        # counts strictly increase across same-dow days → S = C(4,2)
+        # = +6 in every season (28 days, volume = week index + 1)
+        rows = []
+        for d in range(28):
+            for _ in range(d // 7 + 1):
+                rows.append((d, "a", 1.0))
+        got = anomaly.seasonal_mann_kendall(_day_events(spark, rows)).collect()
+        assert [r["s_stat"] for r in got] == [6] * 7
+        assert all(r["tie_term"] == 0 for r in got)
+
+
+class TestJonckheereTerpstra:
+    def _ev(self, spark, rows):
+        """rows of (hour, event_type, value) -> events frame."""
+        return spark.createDataFrame(
+            [(i, h * 3600000000 + i, t, v) for i, (h, t, v) in enumerate(rows)],
+            "event_id long, us long, event_type string, value double",
+        ).select(
+            "event_id",
+            _F.expr("timestamp_micros(us)").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        )
+
+    def test_perfect_ascending_trend(self, spark):
+        # hours 0,1,2 with values 1<2<3, one obs each: every cross
+        # pair is an ascent → jt2 = 2·3 = 6 (3 pairs, all lt)
+        ev = self._ev(spark, [(0, "a", 0.01), (1, "a", 0.02), (2, "a", 0.03)])
+        [r] = analytics.jonckheere_terpstra(ev).collect()
+        assert r["jt2"] == 6 and r["n_total"] == 3
+        assert r["sum_n2"] == 3 and r["grp_t3"] == 0 and r["val_t3"] == 0
+
+    def test_perfect_descending_trend(self, spark):
+        ev = self._ev(spark, [(0, "a", 0.03), (1, "a", 0.02), (2, "a", 0.01)])
+        [r] = analytics.jonckheere_terpstra(ev).collect()
+        assert r["jt2"] == 0  # no ascending pair
+
+    def test_ties_count_half(self, spark):
+        # two hours, same value → jt2 = 2·lt + eq = 0 + 1
+        ev = self._ev(spark, [(0, "a", 0.05), (5, "a", 0.05)])
+        [r] = analytics.jonckheere_terpstra(ev).collect()
+        assert r["jt2"] == 1 and r["val_t3"] == 2  # pooled tie 2·1
+
+    def test_null_under_h0_expectation(self, spark):
+        # groups of equal size with identical value multisets:
+        # jt2 = 2·E[JT] exactly (every cross pair splits evenly)
+        rows = [(h, "a", v) for h in (0, 1, 2) for v in (0.01, 0.02)]
+        ev = self._ev(spark, rows)
+        [r] = analytics.jonckheere_terpstra(ev).collect()
+        n, sum_n2 = r["n_total"], r["sum_n2"]
+        assert r["jt2"] == (n * n - sum_n2) // 2  # 2·(N²−Σn²)/4
+
+
+def test_stream_seasonal_mk_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+    from real_time_database_monitoring_system_spark.streaming import rollup as sr
+
+    batch = anomaly.seasonal_mann_kendall(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    stream = sr.stream_seasonal_mann_kendall(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+def test_stream_jonckheere_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+    from real_time_database_monitoring_system_spark.streaming import rollup as sr
+
+    batch = analytics.jonckheere_terpstra(
+        load_table(spark, sf_dir, "events")
+    ).collect()
+    stream = sr.stream_jonckheere(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
