@@ -1832,7 +1832,24 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_seasonal_mann_kendall": _q_streaming_seasonal_mk,
         "jonckheere_terpstra": _q_jonckheere_terpstra,
         "streaming_jonckheere": _q_streaming_jonckheere,
+        # -- round-10 wave 4: two-sample scale test + boilerplate
+        #    mass budget --
+        "ansari_bradley": _q_ansari_bradley,
+        "streaming_ansari_bradley": _q_streaming_ansari_bradley,
+        "boilerplate_mass_by_source": _q_boilerplate_mass_by_source,
     }
+
+
+def _q_ansari_bradley(spark, sf):
+    return anomaly.ansari_bradley(load_table(spark, sf, "events"))
+
+
+def _q_streaming_ansari_bradley(spark, sf):
+    return streaming_rollup.stream_ansari_bradley(spark, sf)
+
+
+def _q_boilerplate_mass_by_source(spark, sf):
+    return dedup.boilerplate_mass_by_source(load_table(spark, sf, "documents"))
 
 
 def _q_seasonal_mann_kendall(spark, sf):
@@ -10563,5 +10580,75 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type
     """
     sql["streaming_jonckheere"] = sql["jonckheere_terpstra"]
+
+    # Ansari–Bradley: rank spans from the half-count relation, the
+    # operator's own shared f2/term/stat SQL constants
+    _ab_f2_hi = anomaly.AB_F2_SQL.format(x="b_rank")
+    _ab_f2_lo = anomaly.AB_F2_SQL.format(x="(b_rank - t)")
+    sql["ansari_bradley"] = f"""
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        pv AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS d_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS d_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(d_ref) AS n_ref, SUM(d_cur) AS n_cur
+                FROM pv GROUP BY 1),
+        spans AS (
+            SELECT event_type, d_ref AS c_ref, d_ref + d_cur AS t,
+                   SUM(d_ref + d_cur) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_rank
+            FROM pv),
+        terms AS (
+            SELECT s.event_type, n_ref, n_cur, n_ref + n_cur AS nt,
+                   c_ref, t, b_rank
+            FROM spans s JOIN tot USING (event_type)),
+        t2 AS (
+            SELECT event_type, n_ref, n_cur, c_ref, t,
+                   ({_ab_f2_hi} - {_ab_f2_lo}) AS s2
+            FROM terms),
+        agg AS (
+            SELECT event_type,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(SUM({anomaly.AB_TERM_SQL}) AS BIGINT) AS ab_scaled
+            FROM t2 GROUP BY 1)
+        SELECT event_type, n_ref, n_cur, ab_scaled,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN {anomaly.AB_STAT_SQL} END AS ab_stat
+        FROM agg ORDER BY event_type
+    """
+    sql["streaming_ansari_bradley"] = sql["ansari_bradley"]
+
+    # Per-source boilerplate mass: the top_dup_ngrams_by_source gram
+    # CTEs, aggregated to a mass budget instead of a top-N
+    sql["boilerplate_mass_by_source"] = f"""
+        WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents
+                   WHERE text IS NOT NULL),
+        g AS (SELECT doc_id, source,
+                     unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4]
+                             for i in range(1, len(toks) - 3)]) AS gram
+              FROM t),
+        c AS (SELECT source, gram,
+                     CAST(count(*) AS BIGINT) AS n_occ,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM g GROUP BY 1, 2)
+        SELECT source,
+               CAST(SUM(n_occ) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+                    AS BIGINT) AS dup_gram_occurrences,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CASE WHEN SUM(n_occ) > 0 THEN
+                    CAST(SUM(CASE WHEN n_docs >= 2 THEN n_occ ELSE 0 END)
+                         AS DOUBLE) / CAST(SUM(n_occ) AS DOUBLE) END
+                   AS dup_mass_share
+        FROM c GROUP BY 1 ORDER BY 1
+    """
 
     return sql

@@ -279,6 +279,8 @@ HEADLINE = [
     "windowed_cliffs_delta",
     "seasonal_mann_kendall",
     "jonckheere_terpstra",
+    "ansari_bradley",
+    "boilerplate_mass_by_source",
 ]
 
 

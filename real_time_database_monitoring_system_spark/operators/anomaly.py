@@ -1451,6 +1451,119 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+# Ansari–Bradley per-value term at SCALE=10⁴ (the AD_TERM_SQL
+# fixed-point discipline): a value group spanning pooled ranks
+# [a, b] carries the DOUBLED score sum s2 = f2(b) − f2(a−1) (f2 the
+# closed-form doubled prefix of min(r, N+1−r)); each tied observation
+# takes the average score s2/(2t), so the ref-side contribution is
+# c_ref·s2/(2t) — fixed-point rounded ONCE per distinct value, then
+# summed as integers (order-free). Shared verbatim with the oracle.
+AB_TERM_SQL = (
+    "CAST(round(CAST(c_ref AS DOUBLE) * CAST(s2 AS DOUBLE) * 10000.0"
+    " / (2.0 * CAST(t AS DOUBLE))) AS BIGINT)"
+)
+AB_STAT_SQL = "CAST(ab_scaled AS DOUBLE) / 10000.0"
+# doubled prefix of the AB score: f2(x) = 2·Σ_{r=1..x} min(r, N+1−r)
+# with m = ⌊(N+1)/2⌋ — written as floor of an exact double (not
+# `div`, which DuckDB lacks; nt+1 « 2⁵³ so the floor is exact and
+# identical in both engines), every other term pure integer
+_AB_M = "CAST(floor((nt + 1) / 2.0) AS BIGINT)"
+AB_F2_SQL = (
+    f"(CASE WHEN {{x}} <= {_AB_M} THEN {{x}} * ({{x}} + 1)"
+    f" ELSE {_AB_M} * ({_AB_M} + 1)"
+    f" + ({{x}} - {_AB_M})"
+    f" * (2 * (nt + 1) - ({{x}} + {_AB_M} + 1)) END)"
+)
+
+
+def ansari_bradley(events: DataFrame) -> DataFrame:
+    """Two-sample Ansari–Bradley SCALE test per event type between
+    the feed's time halves — the dispersion companion to
+    `mannwhitney_u`'s location test: AB ranks the pooled sample from
+    BOTH ends inward (score = min(rank, N+1−rank)), so a half whose
+    values spread wider collects systematically LOWER scores even
+    when the medians agree — the "same median, fatter tails"
+    regression that MWU and Welch both miss, detected without any
+    variance estimate. Completes the two-sample rank pair:
+    location (MWU) + scale (this).
+
+    Exactness: pooled midrank score sums come in closed form from the
+    integer rank spans of the per-distinct-value count relation
+    (`AB_F2_SQL` — the doubled prefix of min(r, N+1−r), pure integer
+    CASE arithmetic); tied observations take the exact average score
+    of their span via ONE fixed-point rounding per distinct value
+    (`AB_TERM_SQL`, SCALE=10⁴ — the `AD_TERM_SQL` discipline: the
+    per-type sum is an integer sum, order-free). The hashed edge
+    emits ab_scaled (BIGINT, ANSI-loud past N ≈ 10⁸ per type) and the
+    one fixed-shape division `AB_STAT_SQL`; the consumer computes the
+    null moments E[AB] and var(AB) from n_ref/n_cur in closed form.
+
+    Scale shape: identical to `ks_drift` — the shared
+    `half_value_counts` reduction, one per-type window over the
+    reduced relation, totals broadcast."""
+    return ab_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def ab_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Ansari–Bradley coda over the reduced ``(keys…, value, d_ref,
+    d_cur)`` relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_ansari_bradley`."""
+    keys = keys or ["event_type"]
+    totals = per_value.groupBy(*keys).agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = per_value.select(
+        *keys,
+        F.col("d_ref").alias("c_ref"),
+        (F.col("d_ref") + F.col("d_cur")).alias("t"),
+        (F.sum(F.col("d_ref") + F.col("d_cur")).over(w)).alias("b_rank"),
+    )
+    terms = spans.join(F.broadcast(totals), list(keys)).select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "c_ref",
+        "t",
+        (F.col("n_ref") + F.col("n_cur")).alias("nt"),
+        "b_rank",
+    ).select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "c_ref",
+        "t",
+        (
+            F.expr(AB_F2_SQL.format(x="b_rank"))
+            - F.expr(AB_F2_SQL.format(x="(b_rank - t)"))
+        ).alias("s2"),
+    )
+    return (
+        terms.groupBy(*keys)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.sum(F.expr(AB_TERM_SQL)).alias("ab_scaled"),
+        )
+        .select(
+            *keys,
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("ab_scaled").cast("bigint").alias("ab_scaled"),
+            F.expr(
+                f"CASE WHEN n_ref > 0 AND n_cur > 0 THEN {AB_STAT_SQL} END"
+            ).alias("ab_stat"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def windowed_anderson_darling(events: DataFrame) -> DataFrame:
     """Day-over-day two-sample Anderson–Darling per event type — the
     TAIL-sensitive member of the windowed drift family (completing it

@@ -2184,3 +2184,14 @@ def stream_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     state = _run_to_memory(state_agg, "complete")
     return jt_from_cell_counts(state)
+
+
+def stream_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.ansari_bradley`: the live two-sample
+    SCALE monitor over the shared `_stream_half_value_counts` state;
+    coda (`ab_from_value_counts`) shared verbatim, so availableNow
+    equals the batch panel digit for digit and the batch oracle
+    applies."""
+    from ..operators.anomaly import ab_from_value_counts
+
+    return ab_from_value_counts(_stream_half_value_counts(spark, sf_dir))

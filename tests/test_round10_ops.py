@@ -373,3 +373,88 @@ def test_stream_jonckheere_equals_batch(spark, sf_dir):
     ).collect()
     stream = sr.stream_jonckheere(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+# ---- wave 4: two-sample scale test + boilerplate mass ----
+
+
+class TestAnsariBradley:
+    def test_hand_values_no_ties(self, spark):
+        # ref=[2,3], cur=[1,4] (cur wider): pooled ranks 1..4, scores
+        # 1,2,2,1 → AB_ref = 2+2 = 4 → ab_scaled = 40000
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 0, 1), ("a", 2.0, 1, 0), ("a", 3.0, 1, 0), ("a", 4.0, 0, 1)],
+        )
+        [r] = anomaly.ab_from_value_counts(pv).collect()
+        assert (r["n_ref"], r["n_cur"], r["ab_scaled"]) == (2, 2, 40000)
+        assert r["ab_stat"] == 4.0
+
+    def test_tied_span_average_score(self, spark):
+        # pooled = [1,1,2] (N=3, scores 1,2,1 → wait: scores by rank:
+        # r=1→1, r=2→min(2,2)=2, r=3→1). Values: v=1 ties ranks 1-2
+        # (avg score 1.5), v=2 rank 3 (score 1). ref holds one of the
+        # tied 1s and the 2 → AB_ref = 1.5 + 1 = 2.5 → 25000.
+        pv = _half_pv(spark, [("a", 1.0, 1, 1), ("a", 2.0, 1, 0)])
+        [r] = anomaly.ab_from_value_counts(pv).collect()
+        assert r["ab_scaled"] == 25000
+        assert r["ab_stat"] == 2.5
+
+    def test_wider_half_scores_lower(self, spark):
+        # same median, ref tight [5,5], cur wide [1,9]: pooled scores
+        # 1,2,2,1 → ref takes the middle (2+2=4), cur the ends (1+1=2)
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 0, 1), ("a", 5.0, 2, 0), ("a", 9.0, 0, 1)],
+        )
+        [r] = anomaly.ab_from_value_counts(pv).collect()
+        assert r["ab_stat"] == 4.0  # tight half collects the high scores
+
+
+class TestBoilerplateMass:
+    def test_planted_boilerplate(self, spark):
+        from real_time_database_monitoring_system_spark.operators import dedup
+
+        # source s1: the same 5-gram sentence in two docs (all grams
+        # dup) + one unique doc; s2: all unique
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "alpha beta gamma delta epsilon"),
+                (2, "s1", "alpha beta gamma delta epsilon"),
+                (3, "s1", "zeta eta theta iota kappa"),
+                (4, "s2", "one two three four five"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r["source"]: r for r in dedup.boilerplate_mass_by_source(docs).collect()}
+        # each 5-token doc yields exactly one 5-gram
+        assert got["s1"]["n_grams"] == 3
+        assert got["s1"]["dup_gram_occurrences"] == 2
+        assert got["s1"]["n_distinct_grams"] == 2
+        assert got["s1"]["dup_mass_share"] == 2 / 3
+        assert got["s2"]["dup_gram_occurrences"] == 0
+        assert got["s2"]["dup_mass_share"] == 0.0
+
+    def test_cross_source_repeat_not_dup(self, spark):
+        from real_time_database_monitoring_system_spark.operators import dedup
+
+        # the same sentence in two DIFFERENT sources is not
+        # boilerplate for either (the per-source criterion)
+        docs = spark.createDataFrame(
+            [
+                (1, "s1", "alpha beta gamma delta epsilon"),
+                (2, "s2", "alpha beta gamma delta epsilon"),
+            ],
+            "doc_id long, source string, text string",
+        )
+        got = {r["source"]: r for r in dedup.boilerplate_mass_by_source(docs).collect()}
+        assert all(r["dup_gram_occurrences"] == 0 for r in got.values())
+
+
+def test_stream_ansari_bradley_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+    from real_time_database_monitoring_system_spark.streaming import rollup as sr
+
+    batch = anomaly.ansari_bradley(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_ansari_bradley(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
