@@ -1837,7 +1837,29 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ansari_bradley": _q_ansari_bradley,
         "streaming_ansari_bradley": _q_streaming_ansari_bradley,
         "boilerplate_mass_by_source": _q_boilerplate_mass_by_source,
+        # -- round-10 wave 5: the windowed drift panel's last two
+        #    members (L2 + rotation-invariant sup), batch + twins --
+        "windowed_cramer_von_mises": _q_windowed_cvm,
+        "streaming_windowed_cvm": _q_streaming_windowed_cvm,
+        "windowed_kuiper": _q_windowed_kuiper,
+        "streaming_windowed_kuiper": _q_streaming_windowed_kuiper,
     }
+
+
+def _q_windowed_cvm(spark, sf):
+    return anomaly.windowed_cramer_von_mises(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_cvm(spark, sf):
+    return streaming_rollup.stream_windowed_cvm(spark, sf)
+
+
+def _q_windowed_kuiper(spark, sf):
+    return anomaly.windowed_kuiper(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_kuiper(spark, sf):
+    return streaming_rollup.stream_windowed_kuiper(spark, sf)
 
 
 def _q_ansari_bradley(spark, sf):
@@ -10580,6 +10602,90 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type
     """
     sql["streaming_jonckheere"] = sql["jonckheere_terpstra"]
+
+    # Day-over-day CvM and Kuiper: the _WAD_CORE day-shift spine with
+    # the integer-L2 / signed-two-maxima codas; stat SQL shared
+    _WCVM_CORE = """
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        pv0 AS (
+            SELECT event_type, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, day, cents)),
+        pv AS (SELECT * FROM pv0{day_filter}),
+        tot AS (SELECT event_type, day, SUM(c_ref) AS n_ref,
+                       SUM(c_cur) AS n_cur
+                FROM pv GROUP BY 1, 2),
+        ecdf AS (
+            SELECT event_type, day, c_ref + c_cur AS l,
+                   SUM(c_ref) OVER w AS c_ref,
+                   SUM(c_cur) OVER w AS c_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type, day ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        terms AS (
+            SELECT e.event_type, e.day, n_ref, n_cur,
+                   n_ref + n_cur AS nt, l,
+                   CAST(e.c_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(e.c_cur AS HUGEINT) * CAST(n_ref AS HUGEINT)
+                       AS gap
+            FROM ecdf e JOIN tot USING (event_type, day)),
+        agg AS (
+            SELECT event_type, day,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(first(nt) AS BIGINT) AS nt,
+                   SUM(CAST(l AS HUGEINT) * gap * gap) AS cvm_num,
+                   CAST(greatest(MAX(gap), 0) AS BIGINT) AS d_plus_num,
+                   CAST(greatest(MAX(-gap), 0) AS BIGINT) AS d_minus_num
+            FROM terms GROUP BY 1, 2)
+    """
+    sql["windowed_cramer_von_mises"] = (
+        "WITH "
+        + _WCVM_CORE.format(day_filter="")
+        + f"""
+        SELECT event_type, day, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {anomaly.CVM_STAT_SQL}
+                    END AS cvm_stat
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    )
+    sql["streaming_windowed_cvm"] = (
+        "WITH "
+        + _WCVM_CORE.format(day_filter=_wad_stream_filter)
+        + f"""
+        SELECT event_type, day, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {anomaly.CVM_STAT_SQL}
+                    END AS cvm_stat
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    )
+    sql["windowed_kuiper"] = (
+        "WITH "
+        + _WCVM_CORE.format(day_filter="")
+        + f"""
+        SELECT event_type, day, n_ref, n_cur, d_plus_num, d_minus_num,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN {anomaly.KUIPER_STAT_SQL} END AS kuiper_v
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    )
+    sql["streaming_windowed_kuiper"] = (
+        "WITH "
+        + _WCVM_CORE.format(day_filter=_wad_stream_filter)
+        + f"""
+        SELECT event_type, day, n_ref, n_cur, d_plus_num, d_minus_num,
+               CASE WHEN n_ref > 0 AND n_cur > 0
+                    THEN {anomaly.KUIPER_STAT_SQL} END AS kuiper_v
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1 ORDER BY event_type, day
+    """
+    )
 
     # Ansari–Bradley: rank spans from the half-count relation, the
     # operator's own shared f2/term/stat SQL constants

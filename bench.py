@@ -281,6 +281,8 @@ HEADLINE = [
     "jonckheere_terpstra",
     "ansari_bradley",
     "boilerplate_mass_by_source",
+    "windowed_cramer_von_mises",
+    "windowed_kuiper",
 ]
 
 

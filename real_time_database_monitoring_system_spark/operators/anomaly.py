@@ -1415,18 +1415,7 @@ def windowed_ks(events: DataFrame) -> DataFrame:
     is `ks_from_value_counts` keyed by (event_type, day) — integer
     cross-multiplied ECDF gaps, one rounded double division per row
     (`KS_STAT_SQL`, shared with the oracle)."""
-    from .analytics import day_shift_half_counts
-
-    counts = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy(
-            "event_type",
-            F.expr(f"{_US} div 86400000000").alias("day"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    return windowed_ks_from_counts(counts)
+    return windowed_ks_from_counts(_windowed_cents_counts(events))
 
 
 def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
@@ -1577,16 +1566,7 @@ def windowed_anderson_darling(events: DataFrame) -> DataFrame:
     by the SHARED `analytics.day_shift_half_counts` shift; the coda is
     `ad_from_value_counts` keyed by (event_type, day) — order-free
     fixed-point integer terms (`AD_TERM_SQL`), one final division."""
-    counts = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy(
-            "event_type",
-            F.expr(f"{_US} div 86400000000").alias("day"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    return windowed_ad_from_counts(counts)
+    return windowed_ad_from_counts(_windowed_cents_counts(events))
 
 
 def windowed_ad_from_counts(counts: DataFrame) -> DataFrame:
@@ -1608,6 +1588,79 @@ def windowed_ad_from_counts(counts: DataFrame) -> DataFrame:
     return ad_from_value_counts(per_value, keys=["event_type", "day"]).filter(
         (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
     )
+
+
+def _windowed_cents_counts(events: DataFrame) -> DataFrame:
+    """The (event_type, day, cents, c) count relation every windowed
+    drift member reduces the feed to — shared by the KS/AD/CvM/Kuiper
+    day-over-day variants (W1/PSI/quantile/cliffs build the identical
+    shape in their own modules)."""
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(f"{_US} div 86400000000").alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def windowed_cramer_von_mises(events: DataFrame) -> DataFrame:
+    """Day-over-day two-sample Cramér–von Mises per event type — the
+    L2 member of the windowed drift panel (KS = sup, AD = tail-
+    weighted L2, W1 = L1, Cliff's = ordinal): many moderate ECDF gaps
+    between consecutive days outscore one sharp spike. Shared
+    machinery end-to-end: `day_shift_half_counts` pairing, the
+    `cvm_from_value_counts` coda keyed by (event_type, day) — pure
+    integer numerator, one fixed-shape division."""
+    return windowed_cvm_from_counts(_windowed_cents_counts(events))
+
+
+def windowed_cvm_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference CvM coda over the (event_type, day, cents,
+    c) relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_windowed_cvm`."""
+    from .analytics import day_shift_half_counts
+
+    per_value = day_shift_half_counts(_materialize(counts)).select(
+        "event_type",
+        "day",
+        F.col("cents").alias("value"),
+        F.col("c_ref").alias("d_ref"),
+        F.col("c_cur").alias("d_cur"),
+    )
+    return cvm_from_value_counts(per_value, keys=["event_type", "day"]).filter(
+        (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
+    )
+
+
+def windowed_kuiper(events: DataFrame) -> DataFrame:
+    """Day-over-day two-sample Kuiper per event type — the rotation-
+    invariant sup member of the windowed drift panel: V = D⁺ + D⁻
+    catches a day whose distribution split BOTH ways vs yesterday
+    (bimodal migration) that windowed KS halves. Shared machinery:
+    `day_shift_half_counts` pairing, `kuiper_from_value_counts` keyed
+    by (event_type, day) — signed integer gaps, two exact maxima."""
+    return windowed_kuiper_from_counts(_windowed_cents_counts(events))
+
+
+def windowed_kuiper_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference Kuiper coda over the (event_type, day,
+    cents, c) relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_windowed_kuiper`."""
+    from .analytics import day_shift_half_counts
+
+    per_value = day_shift_half_counts(_materialize(counts)).select(
+        "event_type",
+        "day",
+        F.col("cents").alias("value"),
+        F.col("c_ref").alias("d_ref"),
+        F.col("c_cur").alias("d_cur"),
+    )
+    return kuiper_from_value_counts(
+        per_value, keys=["event_type", "day"]
+    ).filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
 
 
 def _dense_daily_counts(events: DataFrame) -> DataFrame:

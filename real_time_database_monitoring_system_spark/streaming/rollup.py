@@ -1697,6 +1697,40 @@ def stream_kendall(
     return kendall_from_joint_counts(state)
 
 
+def _watermarked_day_cents_counts(
+    spark: SparkSession, sf_dir: str, lateness: str
+) -> DataFrame:
+    """The ONE watermarked state shape behind every windowed drift
+    twin (W1/KS/AD/CvM/Kuiper/Cliff's): per-(window, type, cents)
+    counts under a real watermark, EVICTED as event time advances
+    (bounded by types × value alphabet × in-flight windows), replayed
+    availableNow in APPEND mode so only FINALIZED days emit — the
+    `stream_windowed_psi` determinism argument word for word. Returns
+    the finalized (event_type, day, cents, c) relation the batch
+    `*_from_counts` codas take verbatim."""
+    src = _events_stream(spark, sf_dir)
+    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    binned = (
+        src.filter(F.col("value").isNotNull())
+        .withWatermark("ts", lateness)
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    state = _run_to_memory(binned, "append")
+    return state.select(
+        "event_type",
+        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
+            "day"
+        ),
+        "cents",
+        "c",
+    )
+
+
 def stream_windowed_wasserstein(
     spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
 ) -> DataFrame:
@@ -1713,28 +1747,9 @@ def stream_windowed_wasserstein(
     determinism argument word for word)."""
     from ..operators.analytics import windowed_wasserstein_from_counts
 
-    src = _events_stream(spark, sf_dir)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    binned = (
-        src.filter(F.col("value").isNotNull())
-        .withWatermark("ts", lateness)
-        .groupBy(
-            F.window("ts", "1 day").alias("w"),
-            "event_type",
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
+    return windowed_wasserstein_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
     )
-    state = _run_to_memory(binned, "append")
-    counts = state.select(
-        "event_type",
-        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
-            "day"
-        ),
-        "cents",
-        "c",
-    )
-    return windowed_wasserstein_from_counts(counts)
 
 
 def stream_windowed_ks(
@@ -1748,28 +1763,9 @@ def stream_windowed_ks(
     from ONE state shape."""
     from ..operators.anomaly import windowed_ks_from_counts
 
-    src = _events_stream(spark, sf_dir)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    binned = (
-        src.filter(F.col("value").isNotNull())
-        .withWatermark("ts", lateness)
-        .groupBy(
-            F.window("ts", "1 day").alias("w"),
-            "event_type",
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
+    return windowed_ks_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
     )
-    state = _run_to_memory(binned, "append")
-    counts = state.select(
-        "event_type",
-        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
-            "day"
-        ),
-        "cents",
-        "c",
-    )
-    return windowed_ks_from_counts(counts)
 
 
 def stream_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1851,28 +1847,9 @@ def stream_quantile_drift(
     batch panel digit for digit."""
     from ..operators.analytics import quantile_drift_from_counts
 
-    src = _events_stream(spark, sf_dir)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    binned = (
-        src.filter(F.col("value").isNotNull())
-        .withWatermark("ts", lateness)
-        .groupBy(
-            F.window("ts", "1 day").alias("w"),
-            "event_type",
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
+    return quantile_drift_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
     )
-    state = _run_to_memory(binned, "append")
-    counts = state.select(
-        "event_type",
-        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
-            "day"
-        ),
-        "cents",
-        "c",
-    )
-    return quantile_drift_from_counts(counts)
 
 
 def stream_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2086,28 +2063,9 @@ def stream_windowed_anderson_darling(
     the windowed drift family stays live from ONE state shape."""
     from ..operators.anomaly import windowed_ad_from_counts
 
-    src = _events_stream(spark, sf_dir)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    binned = (
-        src.filter(F.col("value").isNotNull())
-        .withWatermark("ts", lateness)
-        .groupBy(
-            F.window("ts", "1 day").alias("w"),
-            "event_type",
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
+    return windowed_ad_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
     )
-    state = _run_to_memory(binned, "append")
-    counts = state.select(
-        "event_type",
-        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
-            "day"
-        ),
-        "cents",
-        "c",
-    )
-    return windowed_ad_from_counts(counts)
 
 
 def stream_windowed_cliffs(
@@ -2118,28 +2076,9 @@ def stream_windowed_cliffs(
     (`windowed_cliffs_from_counts`) over the finalized days."""
     from ..operators.analytics import windowed_cliffs_from_counts
 
-    src = _events_stream(spark, sf_dir)
-    src = src.withColumn("ts", F.col("ts").cast("timestamp"))
-    binned = (
-        src.filter(F.col("value").isNotNull())
-        .withWatermark("ts", lateness)
-        .groupBy(
-            F.window("ts", "1 day").alias("w"),
-            "event_type",
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
+    return windowed_cliffs_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
     )
-    state = _run_to_memory(binned, "append")
-    counts = state.select(
-        "event_type",
-        F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
-            "day"
-        ),
-        "cents",
-        "c",
-    )
-    return windowed_cliffs_from_counts(counts)
 
 
 def stream_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2195,3 +2134,29 @@ def stream_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import ab_from_value_counts
 
     return ab_from_value_counts(_stream_half_value_counts(spark, sf_dir))
+
+
+def stream_windowed_cvm(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `anomaly.windowed_cramer_von_mises` — the
+    shared `_watermarked_day_cents_counts` state with the integer-L2
+    coda over the finalized days."""
+    from ..operators.anomaly import windowed_cvm_from_counts
+
+    return windowed_cvm_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
+    )
+
+
+def stream_windowed_kuiper(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `anomaly.windowed_kuiper` — the shared
+    `_watermarked_day_cents_counts` state with the signed-gap
+    two-maxima coda over the finalized days."""
+    from ..operators.anomaly import windowed_kuiper_from_counts
+
+    return windowed_kuiper_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
+    )

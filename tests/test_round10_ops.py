@@ -458,3 +458,29 @@ def test_stream_ansari_bradley_equals_batch(spark, sf_dir):
     batch = anomaly.ansari_bradley(load_table(spark, sf_dir, "events")).collect()
     stream = sr.stream_ansari_bradley(spark, sf_dir).collect()
     assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
+
+
+# ---- wave 5: windowed panel completion (L2 + rotation-invariant) ----
+
+
+class TestWindowedCvmKuiper:
+    def _got(self, spark, fn):
+        rows = (
+            [(0, "a", 1.0), (0, "a", 2.0), (0, "a", 3.0)]
+            + [(1, "a", 2.0), (1, "a", 3.0), (1, "a", 4.0)]
+            + [(2, "a", 2.0), (2, "a", 3.0), (2, "a", 4.0)]
+        )
+        return {r["day"]: r for r in fn(_day_events(spark, rows)).collect()}
+
+    def test_windowed_cvm_hand_values(self, spark):
+        got = self._got(spark, anomaly.windowed_cramer_von_mises)
+        assert set(got) == {1, 2}
+        assert got[1]["cvm_stat"] == 45 / (36 * 9)  # the AD fixture pair
+        assert got[2]["cvm_stat"] == 0.0
+
+    def test_windowed_kuiper_hand_values(self, spark):
+        got = self._got(spark, anomaly.windowed_kuiper)
+        assert set(got) == {1, 2}
+        assert (got[1]["d_plus_num"], got[1]["d_minus_num"]) == (3, 0)
+        assert got[1]["kuiper_v"] == 3 / 9
+        assert got[2]["kuiper_v"] == 0.0

@@ -95,6 +95,44 @@ def build_documents(spark, n_copies, out):
     print(f"{out}: {spark.read.parquet(out).count()} docs")
 
 
+def build_embeddings(spark, n_total, out):
+    """The rounds-9/10 embedding-decade construction: the sf0.1 base
+    (2k vectors, kept verbatim so the 1× corpus is an exact subset) +
+    fresh unit-normalized isotropic 64-d vectors, labels uniform over
+    the same 10-label alphabet. Fresh vectors come from seeded numpy
+    inside mapInPandas — the RNG is re-seeded from each batch's FIRST
+    id, so the build is deterministic given Spark's deterministic
+    range partitioning (contiguous id runs per partition)."""
+    base = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    n_base = base.count()
+    n_fresh = n_total - n_base
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            rng = np.random.default_rng(1_000_003 + int(ids[0]))
+            v = rng.standard_normal((len(ids), 64)).astype("float32")
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": ids + n_base,
+                    "embedding": list(v),
+                    "label": (ids % 10).astype("int32"),
+                }
+            )
+
+    fresh = spark.range(n_fresh, numPartitions=64).mapInPandas(
+        gen, "vec_id long, embedding array<float>, label int"
+    )
+    base.select("vec_id", "embedding", "label").unionByName(fresh).write.mode(
+        "overwrite"
+    ).parquet(out)
+    print(f"{out}: {spark.read.parquet(out).count()} vectors")
+
+
 def main():
     targets = sys.argv[1:] or ["events1000", "events100", "docs1000", "docs100"]
     spark = get_local_spark()
@@ -106,6 +144,10 @@ def main():
         build_documents(spark, 1000, "/tmp/stress1000x/documents.parquet")
     if "docs100" in targets:
         build_documents(spark, 100, "/tmp/stress100x/documents.parquet")
+    if "emb1m" in targets:
+        build_embeddings(spark, 1_000_000, "/tmp/stress1M/embeddings.parquet")
+    if "emb10m" in targets:
+        build_embeddings(spark, 10_000_000, "/tmp/stress10M/embeddings.parquet")
 
 
 if __name__ == "__main__":
