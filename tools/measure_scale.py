@@ -64,6 +64,15 @@ def main():
             n = fn(spark, stress_dir).count()
             times.append(time.time() - t0)
         print(f"{name}: {min(times):.2f} s ({n} rows)", flush=True)
+        # release the localCheckpoint blocks the measured query's
+        # materialize() calls pinned: across a multi-query campaign
+        # they accumulate in executor heap and OOM'd the 5M-doc kappa
+        # run after the winnow pass (r10) — each measurement should
+        # start from a clean block manager
+        jsc = spark.sparkContext._jsc.sc()
+        it = jsc.getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
 
 
 if __name__ == "__main__":
