@@ -27,6 +27,7 @@ from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
 from .util import disc_quantiles_from_counts as _disc_quantiles
+from .util import spread as _spread
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1708,14 +1709,25 @@ def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
         F.sum("c_ref").cast("bigint").alias("n_ref"),
         F.sum("c_cur").cast("bigint").alias("n_cur"),
     )
+    # Parallelize the grid expansion: the count relation is
+    # alphabet-sized, so AQE coalesces it to ~1 post-shuffle partition
+    # and the V_ref·V_cur expansion (the operator's dominant cost)
+    # runs on one core — measured 128.8 s single-core at sf0.1. The
+    # fix pins the join shape: the ref side broadcasts EXPLICITLY
+    # (both sides are tiny, so the planner would otherwise pick a
+    # side arbitrarily) and the cur side — the probe side whose
+    # partitioning the expansion inherits — spreads to worker width.
+    # The shuffle moves only narrow alphabet rows.
     refs = per_value.filter(F.col("c_ref") > 0).select(
         "event_type", F.col("cents").alias("v_ref"), "c_ref"
     )
-    curs = per_value.filter(F.col("c_cur") > 0).select(
-        "event_type", F.col("cents").alias("v_cur"), "c_cur"
+    curs = _spread(
+        per_value.filter(F.col("c_cur") > 0).select(
+            "event_type", F.col("cents").alias("v_cur"), "c_cur"
+        )
     )
     diffs = (
-        refs.join(curs, "event_type")
+        curs.join(F.broadcast(refs), "event_type")
         .groupBy("event_type", (F.col("v_cur") - F.col("v_ref")).alias("d"))
         .agg(
             F.sum(
