@@ -1843,7 +1843,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_cvm": _q_streaming_windowed_cvm,
         "windowed_kuiper": _q_windowed_kuiper,
         "streaming_windowed_kuiper": _q_streaming_windowed_kuiper,
+        # -- round-10 wave 6: the dispersion pair's tail-weighted
+        #    member --
+        "mood_scale_test": _q_mood_scale_test,
+        "streaming_mood_scale": _q_streaming_mood_scale,
     }
+
+
+def _q_mood_scale_test(spark, sf):
+    return anomaly.mood_scale_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_mood_scale(spark, sf):
+    return streaming_rollup.stream_mood_scale(spark, sf)
 
 
 def _q_windowed_cvm(spark, sf):
@@ -10730,6 +10742,46 @@ def oracle_sql() -> dict[str, str]:
         FROM agg ORDER BY event_type
     """
     sql["streaming_ansari_bradley"] = sql["ansari_bradley"]
+
+    # Mood squared-rank scale test: the ansari_bradley CTE spine with
+    # the integer doubled-centered deviation; every emitted column is
+    # an exact integral component (no DOUBLE at the edge at all)
+    sql["mood_scale_test"] = """
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        pv AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS d_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS d_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(d_ref) AS n_ref, SUM(d_cur) AS n_cur
+                FROM pv GROUP BY 1),
+        spans AS (
+            SELECT event_type, d_ref AS c_ref, d_ref + d_cur AS t,
+                   SUM(d_ref + d_cur) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_rank
+            FROM pv),
+        terms AS (
+            SELECT s.event_type, n_ref, n_cur, c_ref, t,
+                   2 * (b_rank - t) + t - (n_ref + n_cur) AS dev
+            FROM spans s JOIN tot USING (event_type))
+        SELECT event_type,
+               CAST(first(n_ref) AS BIGINT) AS n_ref,
+               CAST(first(n_cur) AS BIGINT) AS n_cur,
+               CAST(SUM(CAST(c_ref AS HUGEINT) * CAST(dev AS HUGEINT)
+                        * CAST(dev AS HUGEINT)) AS BIGINT) AS m4,
+               CAST(SUM(CAST(t AS HUGEINT) * CAST(dev AS HUGEINT)
+                        * CAST(dev AS HUGEINT)) AS BIGINT) AS s2_pool,
+               CAST(SUM(CAST(t AS HUGEINT) * CAST(dev AS HUGEINT)
+                        * CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)
+                        * CAST(dev AS HUGEINT)) AS DOUBLE) AS s4_pool
+        FROM terms GROUP BY 1 ORDER BY event_type
+    """
+    sql["streaming_mood_scale"] = sql["mood_scale_test"]
 
     # Per-source boilerplate mass: the top_dup_ngrams_by_source gram
     # CTEs, aggregated to a mass budget instead of a top-N

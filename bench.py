@@ -283,6 +283,7 @@ HEADLINE = [
     "boilerplate_mass_by_source",
     "windowed_cramer_von_mises",
     "windowed_kuiper",
+    "mood_scale_test",
 ]
 
 

@@ -1553,6 +1553,116 @@ def ab_from_value_counts(
     )
 
 
+def mood_scale_test(events: DataFrame) -> DataFrame:
+    """Mood's squared-rank SCALE test per event type between the
+    feed's time halves — the second member of the two-sample
+    dispersion pair: `ansari_bradley` scores ranks linearly from both
+    ends (most powerful near the middle); Mood squares the centered
+    rank, so far-tail mass dominates — a variance regression driven
+    by a few extreme values moves Mood's M first, a broad IQR widening
+    moves AB first. Running both brackets the dispersion alternative
+    the way KS/AD bracket the location one.
+
+    Statistic (doubled-centered form, fully integer): each distinct
+    value's tied span takes the midrank r̄, and 2r̄ − N − 1 =
+    2·cum_before + t − N is an INTEGER (the `mannwhitney_u` midrank
+    identity), so m4 = Σ_ref c·(2r̄−N−1)² = 4·Σ(r̄ − (N+1)/2)² is an
+    exact BIGINT. The hashed edge also emits the POOLED moment sums
+    s2_pool = Σ_j t_j·dev_j² and s4_pool = Σ_j t_j·dev_j⁴ — the
+    consumer assembles the exact tie-aware null moments by sampling
+    without replacement: E[m4] = n_ref·s2_pool/N and
+    var(m4) = n_ref·n_cur·(N·s4_pool − s2_pool²) / (N²·(N−1)).
+    m4 and s2_pool emit as BIGINT (O(n·N²) / O(N³) — exact to
+    N ≈ 2·10⁶ per type, ANSI-loud beyond); s4_pool grows as N⁵ and
+    overflows BIGINT at N ≈ 6·10³ (measured at sf0.1), so it emits
+    as the correctly-rounded DOUBLE of the exact DECIMAL(38,0) sum —
+    the cvm_num edge precedent, exact below 2⁵³.
+
+    Scale shape: identical to `ks_drift` — the shared
+    `half_value_counts` reduction, one per-type window over the
+    reduced relation, totals broadcast."""
+    return mood_scale_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def mood_scale_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Mood squared-rank coda over the reduced ``(keys…, value,
+    d_ref, d_cur)`` relation — shared verbatim by the batch operator
+    and `streaming.rollup.stream_mood_scale`."""
+    keys = keys or ["event_type"]
+    totals = per_value.groupBy(*keys).agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = per_value.select(
+        *keys,
+        F.col("d_ref").alias("c_ref"),
+        (F.col("d_ref") + F.col("d_cur")).alias("t"),
+        (F.sum(F.col("d_ref") + F.col("d_cur")).over(w)).alias("b_rank"),
+    )
+    terms = spans.join(F.broadcast(totals), list(keys)).select(
+        *keys,
+        "n_ref",
+        "n_cur",
+        "c_ref",
+        "t",
+        # dev = 2r̄ − N − 1 = 2·cum_before + t − N with cum_before =
+        # b_rank − t
+        (
+            F.lit(2) * (F.col("b_rank") - F.col("t"))
+            + F.col("t")
+            - (F.col("n_ref") + F.col("n_cur"))
+        ).alias("dev"),
+    )
+    return (
+        terms.groupBy(*keys)
+        .agg(
+            F.first("n_ref").alias("n_ref"),
+            F.first("n_cur").alias("n_cur"),
+            F.sum(
+                F.expr(
+                    "CAST(c_ref AS DECIMAL(38,0))"
+                    " * CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))"
+                )
+            ).alias("m4d"),
+            F.sum(
+                F.expr(
+                    "CAST(t AS DECIMAL(38,0))"
+                    " * CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))"
+                )
+            ).alias("s2d"),
+            F.sum(
+                F.expr(
+                    "CAST(t AS DECIMAL(38,0))"
+                    " * CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))"
+                    " * CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))"
+                )
+            ).alias("s4d"),
+        )
+        .select(
+            *keys,
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            F.col("m4d").cast("bigint").alias("m4"),
+            F.col("s2d").cast("bigint").alias("s2_pool"),
+            # s4 = Σ t·dev⁴ grows as N⁵ — BIGINT overflows at
+            # N ≈ 6·10³ per type (measured: 6.2e20 at sf0.1, ANSI
+            # CAST_OVERFLOW). DECIMAL(38,0) stays exact to N ≈ 10⁷;
+            # the edge emits the correctly-rounded DOUBLE of that
+            # decimal (the cvm_num precedent: both engines' decimal→
+            # double casts are correctly rounded, so the emitted
+            # double is identical; exact below 2⁵³)
+            F.col("s4d").cast("double").alias("s4_pool"),
+        )
+        .orderBy(*keys)
+    )
+
+
 def windowed_anderson_darling(events: DataFrame) -> DataFrame:
     """Day-over-day two-sample Anderson–Darling per event type — the
     TAIL-sensitive member of the windowed drift family (completing it

@@ -2160,3 +2160,17 @@ def stream_windowed_kuiper(
     return windowed_kuiper_from_counts(
         _watermarked_day_cents_counts(spark, sf_dir, lateness)
     )
+
+
+def stream_mood_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.mood_scale_test`: the live
+    tail-weighted dispersion monitor over the shared
+    `_stream_half_value_counts` state; coda
+    (`mood_scale_from_value_counts`) shared verbatim, so availableNow
+    equals the batch panel digit for digit and the batch oracle
+    applies."""
+    from ..operators.anomaly import mood_scale_from_value_counts
+
+    return mood_scale_from_value_counts(
+        _stream_half_value_counts(spark, sf_dir)
+    )

@@ -484,3 +484,49 @@ class TestWindowedCvmKuiper:
         assert (got[1]["d_plus_num"], got[1]["d_minus_num"]) == (3, 0)
         assert got[1]["kuiper_v"] == 3 / 9
         assert got[2]["kuiper_v"] == 0.0
+
+
+# ---- wave 6: the dispersion pair's tail-weighted member ----
+
+
+class TestMoodScale:
+    def test_hand_values(self, spark):
+        # pooled [1,2,3,4], N=4: dev = 2r−5 ∈ {−3,−1,1,3}. ref={2,3}
+        # → m4 = 1+1 = 2; s2 = 9+1+1+9 = 20; s4 = 81+1+1+81 = 164
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 0, 1), ("a", 2.0, 1, 0), ("a", 3.0, 1, 0), ("a", 4.0, 0, 1)],
+        )
+        [r] = anomaly.mood_scale_from_value_counts(pv).collect()
+        assert (r["n_ref"], r["n_cur"]) == (2, 2)
+        assert (r["m4"], r["s2_pool"], r["s4_pool"]) == (2, 20, 164)
+
+    def test_tied_span_midrank(self, spark):
+        # pooled [1,1,2], N=3: value 1 spans ranks 1-2, midrank dev =
+        # 2·0+2−3 = −1; value 2 dev = 2·2+1−3 = 2. ref = one tied 1 +
+        # the 2 → m4 = 1+4 = 5; s2 = 2·1+1·4 = 6; s4 = 2+16 = 18
+        pv = _half_pv(spark, [("a", 1.0, 1, 1), ("a", 2.0, 1, 0)])
+        [r] = anomaly.mood_scale_from_value_counts(pv).collect()
+        assert (r["m4"], r["s2_pool"], r["s4_pool"]) == (5, 6, 18)
+
+    def test_wide_half_scores_higher(self, spark):
+        # ref tight at the middle, cur at the ends: Mood's m4 for the
+        # TIGHT half is minimal (ends carry the big squared devs)
+        pv = _half_pv(
+            spark,
+            [("a", 1.0, 0, 1), ("a", 5.0, 2, 0), ("a", 9.0, 0, 1)],
+        )
+        [r] = anomaly.mood_scale_from_value_counts(pv).collect()
+        # pooled [1,5,5,9]: devs −3, (2·1+2−4)=0, 2·3+1−4=3 →
+        # ref (the two 5s) m4 = 0; E[m4] = n·s2/N = 2·18/4 = 9
+        assert r["m4"] == 0
+        assert r["s2_pool"] == 18  # 9 + 0 + 9
+
+
+def test_stream_mood_scale_equals_batch(spark, sf_dir):
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+    from real_time_database_monitoring_system_spark.streaming import rollup as sr
+
+    batch = anomaly.mood_scale_test(load_table(spark, sf_dir, "events")).collect()
+    stream = sr.stream_mood_scale(spark, sf_dir).collect()
+    assert sorted(map(tuple, batch)) == sorted(map(tuple, stream))
