@@ -1697,6 +1697,15 @@ def hodges_lehmann(events: DataFrame) -> DataFrame:
     return hl_from_value_counts(per_value)
 
 
+# Cap on the (event_type, value) alphabet relation feeding the
+# Hodges–Lehmann grid join. The integer-cents quantization bounds the
+# real alphabet to ~20k rows; the cap is a loud-failure ceiling for
+# callers that skip quantization, far below broadcast-OOM territory
+# (200k narrow rows broadcast fine; the danger is the per-type grid
+# PRODUCT, which at 200k/2 sides would be 1e10 cells).
+_HL_MAX_ALPHABET_ROWS = 200_000
+
+
 def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
     """Hodges–Lehmann coda over the reduced ``(event_type, cents,
     c_ref, c_cur)`` half-count relation — shared verbatim by the batch
@@ -1705,6 +1714,22 @@ def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
     feeds the per-type totals AND both sides of the grid join (a
     three-way diamond)."""
     per_value = _materialize(per_value)
+    # Dense-bounded-grid waiver guard (ADVICE r10): the ref side is
+    # force-broadcast and the expansion is |V_ref|·|V_cur| per type, so
+    # an unquantized/high-cardinality value domain would die as an
+    # opaque broadcast OOM deep in the exchange. Fail loudly at the
+    # operator boundary instead — per_value is already materialized, so
+    # the count reads checkpointed blocks, not the source.
+    alphabet_rows = per_value.count()
+    if alphabet_rows > _HL_MAX_ALPHABET_ROWS:
+        raise ValueError(
+            "hl_from_value_counts: value alphabet has "
+            f"{alphabet_rows} (type, value) rows, exceeding the dense-grid "
+            f"cap of {_HL_MAX_ALPHABET_ROWS}. The pairwise-difference grid "
+            "is |V_ref|x|V_cur| per type and the ref side is broadcast; "
+            "quantize the value axis (e.g. coarser cents bucketing) before "
+            "calling, or the grid join will OOM."
+        )
     totals = per_value.groupBy("event_type").agg(
         F.sum("c_ref").cast("bigint").alias("n_ref"),
         F.sum("c_cur").cast("bigint").alias("n_cur"),
@@ -2083,16 +2108,9 @@ def windowed_cliffs_delta(events: DataFrame) -> DataFrame:
     shift; the coda is `cliffs_from_value_counts` keyed by
     (event_type, day) — exact pair-class counts by cumsum algebra,
     never pair enumeration."""
-    counts = (
-        events.filter(F.col("value").isNotNull())
-        .groupBy(
-            "event_type",
-            F.expr(f"{_US_A} div 86400000000").alias("day"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
-    return windowed_cliffs_from_counts(counts)
+    from .util import windowed_day_cents_counts
+
+    return windowed_cliffs_from_counts(windowed_day_cents_counts(events))
 
 
 def windowed_cliffs_from_counts(counts: DataFrame) -> DataFrame:

@@ -1702,18 +1702,13 @@ def windowed_ad_from_counts(counts: DataFrame) -> DataFrame:
 
 def _windowed_cents_counts(events: DataFrame) -> DataFrame:
     """The (event_type, day, cents, c) count relation every windowed
-    drift member reduces the feed to — shared by the KS/AD/CvM/Kuiper
-    day-over-day variants (W1/PSI/quantile/cliffs build the identical
-    shape in their own modules)."""
-    return (
-        events.filter(F.col("value").isNotNull())
-        .groupBy(
-            "event_type",
-            F.expr(f"{_US} div 86400000000").alias("day"),
-            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
-        )
-        .agg(F.count("*").alias("c"))
-    )
+    drift member reduces the feed to — the shared builder now lives in
+    `operators.util.windowed_day_cents_counts` (ADVICE r10: one
+    definition of the round(value*100) axis) and is reused by the
+    KS/AD/CvM/Kuiper variants here plus `analytics.windowed_cliffs_delta`."""
+    from .util import windowed_day_cents_counts
+
+    return windowed_day_cents_counts(events)
 
 
 def windowed_cramer_von_mises(events: DataFrame) -> DataFrame:

@@ -297,3 +297,25 @@ def cont_quantiles_from_counts(
     picked = cum.groupBy(*keys).agg(*aggs).select(*finals)
     out = groups.join(picked, keys, "left")
     return out.drop("_g") if drop_key else out
+
+
+def windowed_day_cents_counts(events: DataFrame) -> DataFrame:
+    """The (event_type, day, cents, c) count relation every windowed
+    day-over-day drift member reduces the feed to — shared by the
+    KS/AD/CvM/Kuiper variants (`anomaly`) and Cliff's delta
+    (`analytics`), so the round(value*100) quantization axis is
+    defined ONCE (ADVICE r10). One map-side-combinable groupBy; the
+    raw feed never row-shuffles past this point."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+        .agg(F.count("*").alias("c"))
+    )

@@ -42,7 +42,7 @@ def pytest_sessionstart(session):
     try:
         out = subprocess.run(
             ["git", "ls-files", "--others", "--exclude-standard"],
-            cwd="/root/repo",
+            cwd=str(session.config.rootpath),
             capture_output=True,
             text=True,
             timeout=30,
