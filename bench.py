@@ -321,6 +321,58 @@ def host_canary() -> dict[str, float]:
     }
 
 
+def spark_canary(spark) -> dict[str, float]:
+    """Fixed reference SPARK jobs, timed inside the live session and
+    emitted next to the CPU canaries (VERDICT r10 task 1: the r10
+    artifact proved single-thread CPU canaries do NOT track Spark
+    query time — int-mul read 2.3x FASTER than r9 while queries sat
+    1.6x slower than r8). These two jobs exercise the layers the
+    headline queries actually ride — codegen'd expression eval,
+    hash-agg with map-side combine, a real exchange, sort-merge join —
+    from pure literals (spark.range), so they are byte-identical
+    across rounds and host-state is the only free variable. Future
+    cross-round bands divide out against these fields; if queries move
+    and the Spark canary doesn't, suspect the code, not the host.
+    Min of 3 (stalls only add time). Excluded from the headline."""
+    from pyspark.sql import functions as F
+
+    def agg_job() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(10_000_000)
+            .select(
+                (F.col("id") % 4096).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+            )
+            .groupBy("k")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("c"), F.avg("v").alias("a"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    def join_job() -> float:
+        t0 = time.perf_counter()
+        left = spark.range(3_000_000).select(
+            (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("lv")
+        )
+        right = spark.range(3_000_000).select(
+            ((F.col("id") * 7) % 1_000_000).alias("k"), F.col("id").alias("rv")
+        )
+        (
+            left.hint("merge")
+            .join(right, "k")
+            .groupBy((F.col("k") % 256).alias("b"))
+            .agg(F.count("*").alias("c"), F.sum(F.col("lv") + F.col("rv")).alias("s"))
+            .write.format("noop").mode("overwrite").save()
+        )
+        return time.perf_counter() - t0
+
+    return {
+        "spark_agg_10m_sec": round(min(agg_job() for _ in range(3)), 3),
+        "spark_join_3m_sec": round(min(join_job() for _ in range(3)), 3),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     canary = host_canary()
@@ -333,6 +385,11 @@ def main() -> None:
 
     # warm-up: JVM, codegen, parquet footers
     qs["session_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # Spark-side canary AFTER warm-up (JVM hot, same session the
+    # headline queries run in) so it measures the execution stack,
+    # not startup.
+    canary.update(spark_canary(spark))
 
     # Per-query min over INTERLEAVED full passes (not back-to-back
     # repeats): this host shows wave-shaped noisy-neighbor stalls
