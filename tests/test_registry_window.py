@@ -15,6 +15,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import sys
 
 import __spark_entry__ as entry_mod
 
@@ -193,3 +194,44 @@ def test_bench_headline_names_are_registry_entries():
     missing = [n for n in bench.HEADLINE if n not in qs]
     assert not missing, missing
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_no_entry_green_proof_older_than_max_age():
+    """Staleness budget, machine-enforced (VERDICT r10 task 2): with
+    366+ entries and a 50-slot window, a tail regression can only hide
+    as long as its last green proof is allowed to age. The rotation
+    puts oldest-proof entries first, so under normal operation no
+    entry's age exceeds ceil(registry/50)+1; if registry growth
+    starves rotation slots long enough to breach
+    MAX_GREEN_AGE_ROUNDS, this fails and the round plan owes a
+    catch-up rotation."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import green_age_audit
+
+    ages = green_age_audit.green_ages(REPO)
+    over = {
+        n: a
+        for n, a in ages.items()
+        if a > green_age_audit.MAX_GREEN_AGE_ROUNDS
+    }
+    assert not over, (
+        f"entries whose latest green proof is older than "
+        f"{green_age_audit.MAX_GREEN_AGE_ROUNDS} rounds: {over} — "
+        "the driver window needs a catch-up rotation before more growth"
+    )
+
+
+def test_green_age_audit_tool_distribution_is_consistent():
+    """The tool's distribution must sum to the green-entry count and
+    its max must match the per-entry fold (guards the tool itself
+    against drifting from the rotation's fold)."""
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import green_age_audit
+
+    ages = green_age_audit.green_ages(REPO)
+    import collections
+
+    dist = collections.Counter(ages.values())
+    assert sum(dist.values()) == len(ages)
+    if ages:
+        assert max(dist) == max(ages.values())
