@@ -1177,7 +1177,11 @@ def stream_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAME exact-integer core as the batch operator, so the availableNow
     result equals `mannwhitney_u` and shares its oracle verbatim.
     NULL values drop in the coda exactly where the batch op drops
-    them (after the whole-feed midpoint is fixed)."""
+    them (after the whole-feed midpoint is fixed). PARITY SHAPE, NOT
+    PRODUCTION: the per-distinct-(type,value,µs) state is corpus-sized
+    on an unbounded stream — production monitoring uses the
+    watermarked windowed drift family (bounded by types × watermark
+    days × cents alphabet) or a day-bucketed midpoint."""
     from ..operators.analytics import mwu_from_value_counts
     from ..operators.util import materialize
 
@@ -1935,7 +1939,15 @@ def _stream_half_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the coda re-derives the whole-feed midpoint from that state's
     min/max before tagging halves, exactly as the batch helper does
     over the feed. Returns the MATERIALIZED (event_type, value,
-    d_ref, d_cur) relation the family codas take."""
+    d_ref, d_cur) relation the family codas take.
+
+    PARITY SHAPE, NOT PRODUCTION: per-distinct-(type,value,µs) state
+    is corpus-sized on an unbounded stream — this twin exists to prove
+    availableNow == batch against the shared oracle. A production
+    deployment uses the watermarked windowed family instead
+    (`stream_windowed_ks` etc. over `_watermarked_day_cents_counts`,
+    state bounded by types × days-in-watermark × cents alphabet), or
+    a day-bucketed midpoint so the µs axis collapses to days."""
     from ..operators.util import materialize
 
     src = _events_stream(spark, sf_dir)
@@ -2000,7 +2012,10 @@ def stream_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts and hands them to `hl_from_value_counts` — the SAME
     grid-and-order-statistics core as the batch operator, so
     availableNow equals `hodges_lehmann` and shares its oracle
-    verbatim."""
+    verbatim. PARITY SHAPE, NOT PRODUCTION: (type,cents,µs) state is
+    corpus-sized on an unbounded stream — production uses a
+    day-bucketed midpoint (state collapses to types × days × cents)
+    or the watermarked windowed family."""
     from ..operators.analytics import hl_from_value_counts
     from ..operators.util import materialize
 
