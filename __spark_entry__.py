@@ -1847,7 +1847,19 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    member --
         "mood_scale_test": _q_mood_scale_test,
         "streaming_mood_scale": _q_streaming_mood_scale,
+        # -- round-11 wave 1: the two-sample rank panel's omnibus
+        #    member — Lepage's combined location+scale statistic --
+        "lepage_test": _q_lepage_test,
+        "streaming_lepage": _q_streaming_lepage,
     }
+
+
+def _q_lepage_test(spark, sf):
+    return anomaly.lepage_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_lepage(spark, sf):
+    return streaming_rollup.stream_lepage(spark, sf)
 
 
 def _q_mood_scale_test(spark, sf):
@@ -10808,5 +10820,68 @@ def oracle_sql() -> dict[str, str]:
                    AS dup_mass_share
         FROM c GROUP BY 1 ORDER BY 1
     """
+
+    # Lepage omnibus: the ansari_bradley CTE spine extended with the
+    # mwu integer components and the tie-aware AB second moment; every
+    # edge fragment (LEPAGE_*_SQL) is the operator's own constant,
+    # shared verbatim
+    sql["lepage_test"] = f"""
+        WITH st AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+                    FROM events),
+        pv AS (
+            SELECT event_type, value,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 1 ELSE 0 END) AS d_ref,
+                   SUM(CASE WHEN epoch_us(ts) <= (mn + mx) // 2
+                            THEN 0 ELSE 1 END) AS d_cur
+            FROM events, st WHERE value IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT event_type, SUM(d_ref) AS n_ref, SUM(d_cur) AS n_cur
+                FROM pv GROUP BY 1),
+        spans AS (
+            SELECT event_type, d_ref AS c_ref, d_ref + d_cur AS t,
+                   SUM(d_ref + d_cur) OVER (
+                       PARTITION BY event_type ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_rank
+            FROM pv),
+        terms AS (
+            SELECT s.event_type, n_ref, n_cur, n_ref + n_cur AS nt,
+                   c_ref, t, b_rank
+            FROM spans s JOIN tot USING (event_type)),
+        t2 AS (
+            SELECT event_type, n_ref, n_cur, nt, c_ref, t, b_rank,
+                   ({_ab_f2_hi} - {_ab_f2_lo}) AS s2
+            FROM terms),
+        agg AS (
+            SELECT event_type,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(first(nt) AS BIGINT) AS nt,
+                   CAST(SUM({anomaly.AB_TERM_SQL}) AS BIGINT) AS ab_scaled,
+                   SUM(CAST({anomaly.LEPAGE_AB2_TERM_SQL} AS HUGEINT))
+                       AS ab2_scaled,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(2 * (b_rank - t) + t + 1 AS HUGEINT)) AS r2_ref,
+                   SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                       * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie_cube
+            FROM t2 GROUP BY 1),
+        m AS (
+            SELECT event_type, n_ref, n_cur, nt, ab_scaled, ab2_scaled,
+                   CAST(r2_ref - CAST(n_ref AS HUGEINT) * (n_ref + 1)
+                        - CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                        AS BIGINT) AS z_num,
+                   CAST(CAST(nt AS HUGEINT) * nt * nt - nt - tie_cube
+                        AS BIGINT) AS tie_term
+            FROM agg WHERE n_ref >= 1 AND n_cur >= 1),
+        z AS (
+            SELECT event_type, n_ref, n_cur,
+                   {anomaly.LEPAGE_W_Z2_SQL} AS w_z2,
+                   {anomaly.LEPAGE_AB_Z2_SQL} AS ab_z2
+            FROM m)
+        SELECT event_type, n_ref, n_cur, w_z2, ab_z2,
+               w_z2 + ab_z2 AS lepage_stat
+        FROM z ORDER BY event_type
+    """
+    sql["streaming_lepage"] = sql["lepage_test"]
 
     return sql

@@ -284,6 +284,8 @@ HEADLINE = [
     "windowed_cramer_von_mises",
     "windowed_kuiper",
     "mood_scale_test",
+    # round-11 waves
+    "lepage_test",
 ]
 
 

@@ -1663,6 +1663,170 @@ def mood_scale_from_value_counts(
     )
 
 
+# Lepage edge fragments — shared verbatim with the oracle; every
+# input column is an exact integer (or the correctly-rounded double of
+# an exact decimal), so both engines evaluate the SAME IEEE expression.
+# z²_W from the mwu coda's integer components: z_num = 2U − n·m and
+# Var(2U) = n·m·tie_term / (3·N·(N−1)) (tie_term = (N³−N) − Σ(t³−t)),
+# so z²_W = z_num²·3·N·(N−1) / (n·m·tie_term).
+LEPAGE_W_Z2_SQL = (
+    "CASE WHEN tie_term > 0 THEN"
+    " CAST(z_num AS DOUBLE) * CAST(z_num AS DOUBLE)"
+    " * 3.0 * CAST(nt AS DOUBLE) * CAST(nt - 1 AS DOUBLE)"
+    " / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)"
+    " * CAST(tie_term AS DOUBLE)) END"
+)
+# Tie-aware AB null moments via the general two-sample linear-rank
+# form (sampling n_ref scores without replacement from the pooled
+# midrank scores): E[AB] = n_ref·S1/N with S1 = f2(N)/2 EXACT in N
+# alone (averaging over a tie span preserves the pooled score total),
+# Var(AB) = n_ref·n_cur·(N·S2 − S1²) / (N²·(N−1)) with S2 = Σ_j h²/t
+# (h = s2/2 the span's exact score sum) carried as the fixed-point
+# ab2_scaled below.
+LEPAGE_AB_S1_SQL = "(CAST(" + AB_F2_SQL.format(x="nt") + " AS DOUBLE) / 2.0)"
+LEPAGE_AB_VAR_SQL = (
+    "(CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)"
+    " * (CAST(nt AS DOUBLE) * (CAST(ab2_scaled AS DOUBLE) / 10000.0)"
+    f" - {LEPAGE_AB_S1_SQL} * {LEPAGE_AB_S1_SQL})"
+    " / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)"
+    " * CAST(nt - 1 AS DOUBLE)))"
+)
+LEPAGE_AB_Z2_SQL = (
+    f"CASE WHEN nt > 1 AND {LEPAGE_AB_VAR_SQL} > 0.0 THEN"
+    " (CAST(ab_scaled AS DOUBLE) / 10000.0"
+    f" - CAST(n_ref AS DOUBLE) * {LEPAGE_AB_S1_SQL} / CAST(nt AS DOUBLE))"
+    " * (CAST(ab_scaled AS DOUBLE) / 10000.0"
+    f" - CAST(n_ref AS DOUBLE) * {LEPAGE_AB_S1_SQL} / CAST(nt AS DOUBLE))"
+    f" / {LEPAGE_AB_VAR_SQL} END"
+)
+# Per-distinct-value second-moment term h²·10⁴/t = s2²·2500/t,
+# floored ONCE per value as the floor of one shared IEEE double (the
+# HL_K_CI_SQL discipline: identical inputs → identical double →
+# identical floor in both engines), then summed as exact integers
+# (order-free). The caller casts the floored double to its engine's
+# wide integer (DECIMAL(38,0) / HUGEINT) before summing.
+LEPAGE_AB2_TERM_SQL = (
+    "floor(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) * 2500.0"
+    " / CAST(t AS DOUBLE))"
+)
+
+
+def lepage_test(events: DataFrame) -> DataFrame:
+    """Two-sample Lepage test per event type between the feed's time
+    halves — the combined LOCATION+SCALE drift verdict closing the
+    rank panel: `mannwhitney_u` moves only when the center shifts,
+    `ansari_bradley` only when the spread changes; Lepage's
+    L = z²_W + z²_AB (the squared standardized Wilcoxon plus the
+    squared standardized Ansari–Bradley, asymptotically χ²₂) moves for
+    EITHER, so one thresholded number monitors both failure modes —
+    the omnibus companion the two marginal tests bracket.
+
+    Exactness: both component statistics and all null moments derive
+    from the shared `half_value_counts` relation in exact integer
+    arithmetic — the Wilcoxon side reuses `mwu_from_value_counts`'
+    z_num/tie_term components verbatim; the AB side reuses the
+    `AB_F2_SQL`/`AB_TERM_SQL` rank-span machinery, with the tie-aware
+    second moment carried as one floor-of-shared-IEEE-double
+    fixed-point term per distinct value (LEPAGE_AB2_TERM_SQL). The
+    hashed edge emits the two z² and their sum via fragments shared
+    verbatim with the oracle.
+
+    Scale shape: identical to `ks_drift` — ONE feed reduction to the
+    per-distinct-value half counts, per-type windows over the reduced
+    relation, totals broadcast. Types living entirely in one half drop
+    (no two-sample statistic exists), the `mannwhitney_u` convention."""
+    return lepage_from_value_counts(_materialize(half_value_counts(events)))
+
+
+def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
+    """Lepage coda over the reduced ``(event_type, value, d_ref,
+    d_cur)`` relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_lepage`."""
+    from .analytics import mwu_from_value_counts
+
+    mwu = mwu_from_value_counts(
+        per_value.select(
+            "event_type",
+            "value",
+            F.col("d_ref").alias("c_ref"),
+            F.col("d_cur").alias("c_cur"),
+        )
+    ).select("event_type", "z_num", "tie_term")
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = per_value.select(
+        "event_type",
+        F.col("d_ref").alias("c_ref"),
+        (F.col("d_ref") + F.col("d_cur")).alias("t"),
+        (F.sum(F.col("d_ref") + F.col("d_cur")).over(w)).alias("b_rank"),
+    )
+    t2 = (
+        spans.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "c_ref",
+            "t",
+            (F.col("n_ref") + F.col("n_cur")).alias("nt"),
+            "b_rank",
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "c_ref",
+            "t",
+            (
+                F.expr(AB_F2_SQL.format(x="b_rank"))
+                - F.expr(AB_F2_SQL.format(x="(b_rank - t)"))
+            ).alias("s2"),
+        )
+    )
+    ab = t2.groupBy("event_type").agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.sum(F.expr(AB_TERM_SQL)).alias("ab_scaled"),
+        F.sum(
+            F.expr(f"CAST({LEPAGE_AB2_TERM_SQL} AS DECIMAL(38,0))")
+        ).alias("ab2_scaled"),
+    )
+    z = (
+        ab.join(mwu, "event_type")
+        .select(
+            "event_type",
+            F.col("n_ref").cast("bigint").alias("n_ref"),
+            F.col("n_cur").cast("bigint").alias("n_cur"),
+            (F.col("n_ref") + F.col("n_cur")).cast("bigint").alias("nt"),
+            F.col("ab_scaled").cast("bigint").alias("ab_scaled"),
+            "ab2_scaled",
+            "z_num",
+            "tie_term",
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            F.expr(LEPAGE_W_Z2_SQL).alias("w_z2"),
+            F.expr(LEPAGE_AB_Z2_SQL).alias("ab_z2"),
+        )
+    )
+    return z.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "w_z2",
+        "ab_z2",
+        (F.col("w_z2") + F.col("ab_z2")).alias("lepage_stat"),
+    ).orderBy("event_type")
+
+
 def windowed_anderson_darling(events: DataFrame) -> DataFrame:
     """Day-over-day two-sample Anderson–Darling per event type — the
     TAIL-sensitive member of the windowed drift family (completing it

@@ -2151,6 +2151,17 @@ def stream_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_from_value_counts(_stream_half_value_counts(spark, sf_dir))
 
 
+def stream_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.lepage_test`: the live combined
+    location+scale monitor over the shared `_stream_half_value_counts`
+    state; coda (`lepage_from_value_counts`) shared verbatim, so
+    availableNow equals the batch panel digit for digit and the batch
+    oracle applies."""
+    from ..operators.anomaly import lepage_from_value_counts
+
+    return lepage_from_value_counts(_stream_half_value_counts(spark, sf_dir))
+
+
 def stream_windowed_cvm(
     spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
 ) -> DataFrame:
