@@ -1851,7 +1851,30 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    member — Lepage's combined location+scale statistic --
         "lepage_test": _q_lepage_test,
         "streaming_lepage": _q_streaming_lepage,
+        # -- round-11 wave 2: drift ATTRIBUTION — the windowed panel
+        #    keyed by the bounded experiment cohort (which cohort
+        #    drifted, not just which day) --
+        "windowed_ks_by_cohort": _q_windowed_ks_by_cohort,
+        "streaming_windowed_ks_by_cohort": _q_streaming_wks_by_cohort,
+        "windowed_wasserstein_by_cohort": _q_windowed_w1_by_cohort,
+        "streaming_windowed_w1_by_cohort": _q_streaming_ww1_by_cohort,
     }
+
+
+def _q_windowed_ks_by_cohort(spark, sf):
+    return anomaly.windowed_ks_by_cohort(load_table(spark, sf, "events"))
+
+
+def _q_streaming_wks_by_cohort(spark, sf):
+    return streaming_rollup.stream_windowed_ks_by_cohort(spark, sf)
+
+
+def _q_windowed_w1_by_cohort(spark, sf):
+    return analytics.windowed_wasserstein_by_cohort(load_table(spark, sf, "events"))
+
+
+def _q_streaming_ww1_by_cohort(spark, sf):
+    return streaming_rollup.stream_windowed_w1_by_cohort(spark, sf)
 
 
 def _q_lepage_test(spark, sf):
@@ -10883,5 +10906,116 @@ def oracle_sql() -> dict[str, str]:
         FROM z ORDER BY event_type
     """
     sql["streaming_lepage"] = sql["lepage_test"]
+
+    # Cohort-keyed windowed drift (KS + W1): the _WKS_CORE/_WW1_CORE
+    # shapes with the bounded cohort key threaded through every key
+    # list; the cohort expression mirrors util.COHORT_SQL (json k
+    # bucket, NULL→-1)
+    _COHORT_DUCK = (
+        "coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        " // 25, -1)"
+    )
+    _WKSC_CORE = f"""
+        c AS (SELECT event_type, {_COHORT_DUCK} AS cohort,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4),
+        pv0 AS (
+            SELECT event_type, cohort, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, cohort, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, cohort, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, cohort, day, cents)),
+        pv AS (SELECT * FROM pv0{{day_filter}}),
+        tot AS (SELECT event_type, cohort, day, SUM(c_ref) AS n_ref,
+                       SUM(c_cur) AS n_cur
+                FROM pv GROUP BY 1, 2, 3),
+        ecdf AS (
+            SELECT event_type, cohort, day,
+                   SUM(c_ref) OVER w AS c_ref,
+                   SUM(c_cur) OVER w AS c_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type, cohort, day ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        gaps AS (
+            SELECT e.event_type, e.cohort, e.day, n_ref, n_cur,
+                   abs(CAST(c_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(c_cur AS HUGEINT) * CAST(n_ref AS HUGEINT))
+                       AS gap
+            FROM ecdf e JOIN tot USING (event_type, cohort, day)),
+        mx AS (
+            SELECT event_type, cohort, day,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   MAX(gap) AS ks_num
+            FROM gaps GROUP BY 1, 2, 3)
+        SELECT event_type, cohort, day, n_ref, n_cur,
+               CASE WHEN n_ref > 0 AND n_cur > 0 THEN {{ks_stat}} END AS ks_d
+        FROM mx WHERE n_ref >= 1 AND n_cur >= 1
+        ORDER BY event_type, cohort, day
+    """
+    _wstream_day_filter = (
+        "\n                WHERE (day + 1) * 86400000 <="
+        " (SELECT (max(epoch_us(ts)) // 1000) - 3600000"
+        " FROM events WHERE value IS NOT NULL)"
+    )
+    sql["windowed_ks_by_cohort"] = "WITH " + _WKSC_CORE.format(
+        day_filter="", ks_stat=anomaly.KS_STAT_SQL
+    )
+    sql["streaming_windowed_ks_by_cohort"] = "WITH " + _WKSC_CORE.format(
+        day_filter=_wstream_day_filter, ks_stat=anomaly.KS_STAT_SQL
+    )
+    _WW1C_CORE = f"""
+        c AS (SELECT event_type, {_COHORT_DUCK} AS cohort,
+                     epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3, 4),
+        pv0 AS (
+            SELECT event_type, cohort, day, cents,
+                   coalesce(r.c_ref, 0) AS c_ref,
+                   coalesce(u.c_cur, 0) AS c_cur
+            FROM (SELECT event_type, cohort, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, cohort, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, cohort, day, cents)),
+        pv AS (SELECT * FROM pv0{{day_filter}}),
+        stepped AS (
+            SELECT event_type, cohort, day, cents,
+                   SUM(c_ref) OVER w AS cum_ref,
+                   SUM(c_cur) OVER w AS cum_cur,
+                   lead(cents) OVER (PARTITION BY event_type, cohort, day
+                                     ORDER BY cents) AS nxt,
+                   SUM(c_ref) OVER wa AS n_ref,
+                   SUM(c_cur) OVER wa AS n_cur
+            FROM pv
+            WINDOW w AS (PARTITION BY event_type, cohort, day ORDER BY cents
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   wa AS (PARTITION BY event_type, cohort, day)),
+        agg AS (
+            SELECT event_type, cohort, day,
+                   CAST(max(n_ref) AS BIGINT) AS n_ref,
+                   CAST(max(n_cur) AS BIGINT) AS n_cur,
+                   SUM(CASE WHEN nxt IS NULL THEN CAST(0 AS HUGEINT) ELSE
+                       abs(CAST(cum_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                         - CAST(cum_cur AS HUGEINT) * CAST(n_ref AS HUGEINT))
+                       * CAST(nxt - cents AS HUGEINT) END) AS acc
+            FROM stepped GROUP BY 1, 2, 3)
+        SELECT event_type, cohort, day, n_ref, n_cur,
+               CAST(acc AS DOUBLE)
+                   / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE) * 100.0)
+                   AS w1_value
+        FROM agg WHERE n_ref >= 1 AND n_cur >= 1
+        ORDER BY event_type, cohort, day
+    """
+    sql["windowed_wasserstein_by_cohort"] = "WITH " + _WW1C_CORE.format(
+        day_filter=""
+    )
+    sql["streaming_windowed_w1_by_cohort"] = "WITH " + _WW1C_CORE.format(
+        day_filter=_wstream_day_filter
+    )
 
     return sql

@@ -286,6 +286,8 @@ HEADLINE = [
     "mood_scale_test",
     # round-11 waves
     "lepage_test",
+    "windowed_ks_by_cohort",
+    "windowed_wasserstein_by_cohort",
 ]
 
 

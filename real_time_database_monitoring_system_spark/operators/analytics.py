@@ -2541,31 +2541,67 @@ def windowed_wasserstein_from_counts(counts: DataFrame) -> DataFrame:
     return wasserstein_from_value_counts(per_value, keys=["event_type", "day"])
 
 
-def day_shift_half_counts(counts: DataFrame, value_col: str = "cents") -> DataFrame:
+def day_shift_half_counts(
+    counts: DataFrame,
+    value_col: str = "cents",
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Sliding-reference pairing shared by the windowed drift family
     (`windowed_wasserstein`, `anomaly.windowed_ks`): turn a
-    MATERIALIZED (event_type, day, value, c) count relation into the
-    (keys…, value, c_ref, c_cur) half-count shape the two-sample codas
-    take, with the reference side the SAME relation shifted one day
-    (full outer: a value present on only one side keeps a zero on the
-    other; a day whose previous day is empty yields n_ref = 0 and is
-    dropped by the codas' n filters — the `windowed_psi`
-    convention)."""
-    cur = counts.select(
-        "event_type", "day", value_col, F.col("c").alias("c_cur")
-    )
+    MATERIALIZED (keys…, day, value, c) count relation into the
+    (keys…, day, value, c_ref, c_cur) half-count shape the two-sample
+    codas take, with the reference side the SAME relation shifted one
+    day (full outer: a value present on only one side keeps a zero on
+    the other; a day whose previous day is empty yields n_ref = 0 and
+    is dropped by the codas' n filters — the `windowed_psi`
+    convention). ``keys`` defaults to the per-type shape; the
+    by-cohort variants pass (event_type, cohort)."""
+    keys = list(keys or ["event_type"])
+    cur = counts.select(*keys, "day", value_col, F.col("c").alias("c_cur"))
     ref = counts.select(
-        "event_type",
+        *keys,
         (F.col("day") + 1).alias("day"),
         value_col,
         F.col("c").alias("c_ref"),
     )
-    return cur.join(ref, ["event_type", "day", value_col], "full_outer").select(
-        "event_type",
+    return cur.join(ref, keys + ["day", value_col], "full_outer").select(
+        *keys,
         "day",
         value_col,
         F.coalesce("c_ref", F.lit(0)).alias("c_ref"),
         F.coalesce("c_cur", F.lit(0)).alias("c_cur"),
+    )
+
+
+def windowed_wasserstein_by_cohort(events: DataFrame) -> DataFrame:
+    """Day-over-day W1 per (event type, experiment cohort) — the
+    drift-attribution variant of `windowed_wasserstein`, the
+    earth-mover companion to `anomaly.windowed_ks_by_cohort`: KS names
+    the cohort whose day broke sharpest; W1 ranks cohorts by how much
+    probability mass MOVED and how far, in value units — the number a
+    rollout review reads. Shared machinery end-to-end:
+    `util.windowed_day_cents_counts(by_cohort=True)` reduction,
+    `day_shift_half_counts` pairing, `wasserstein_from_value_counts`
+    coda keyed by (type, cohort, day) — exact integer trapezoid
+    algebra, one fixed-shape division."""
+    from .util import windowed_day_cents_counts
+
+    return windowed_w1_by_cohort_from_counts(
+        windowed_day_cents_counts(events, by_cohort=True)
+    )
+
+
+def windowed_w1_by_cohort_from_counts(counts: DataFrame) -> DataFrame:
+    """Cohort-keyed sliding-reference W1 coda over the (event_type,
+    cohort, day, cents, c) relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_windowed_w1_by_cohort`
+    (whose watermarked state IS this relation over the finalized
+    days)."""
+    per_value = day_shift_half_counts(
+        _materialize(counts), keys=["event_type", "cohort"]
+    )
+    return wasserstein_from_value_counts(
+        per_value, keys=["event_type", "cohort", "day"]
     )
 
 

@@ -1440,6 +1440,55 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+def windowed_ks_by_cohort(events: DataFrame) -> DataFrame:
+    """Day-over-day two-sample KS per (event type, experiment cohort)
+    — the drift-ATTRIBUTION variant of `windowed_ks` (VERDICT r10
+    task 3c): the global windowed panel says a day's distribution
+    broke; this keys the identical statistic by the bounded props
+    cohort so the alert names WHICH cohort drifted — one rollout gone
+    wrong lights up its own row instead of diluting into the type
+    aggregate.
+
+    Same machinery end-to-end: the shared
+    `util.windowed_day_cents_counts(by_cohort=True)` reduction (one
+    more bounded key on the ONE quantization axis), the shared
+    `day_shift_half_counts` previous-day pairing, the shared
+    `ks_from_value_counts` coda keyed by (type, cohort, day) —
+    integer ECDF-gap algebra, `KS_STAT_SQL` verbatim.
+
+    Scale shape: unchanged from `windowed_ks` — the count relation
+    grows by the cohort factor (bounded, 4+1 here) and the feed still
+    reduces in ONE map-side-combinable pass."""
+    from .util import windowed_day_cents_counts
+
+    return windowed_ks_by_cohort_from_counts(
+        windowed_day_cents_counts(events, by_cohort=True)
+    )
+
+
+def windowed_ks_by_cohort_from_counts(counts: DataFrame) -> DataFrame:
+    """Cohort-keyed sliding-reference KS coda over the (event_type,
+    cohort, day, cents, c) relation — shared verbatim by the batch
+    operator and `streaming.rollup.stream_windowed_ks_by_cohort`
+    (whose watermarked state IS this relation over the finalized
+    days)."""
+    from .analytics import day_shift_half_counts
+
+    per_value = day_shift_half_counts(
+        _materialize(counts), keys=["event_type", "cohort"]
+    ).select(
+        "event_type",
+        "cohort",
+        "day",
+        F.col("cents").alias("value"),
+        F.col("c_ref").alias("d_ref"),
+        F.col("c_cur").alias("d_cur"),
+    )
+    return ks_from_value_counts(
+        per_value, keys=["event_type", "cohort", "day"]
+    ).filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
+
+
 # Ansari–Bradley per-value term at SCALE=10⁴ (the AD_TERM_SQL
 # fixed-point discipline): a value group spanning pooled ranks
 # [a, b] carries the DOUBLED score sum s2 = f2(b) − f2(a−1) (f2 the

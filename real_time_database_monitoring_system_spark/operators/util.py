@@ -299,19 +299,40 @@ def cont_quantiles_from_counts(
     return out.drop("_g") if drop_key else out
 
 
-def windowed_day_cents_counts(events: DataFrame) -> DataFrame:
-    """The (event_type, day, cents, c) count relation every windowed
-    day-over-day drift member reduces the feed to — shared by the
-    KS/AD/CvM/Kuiper variants (`anomaly`) and Cliff's delta
+# The experiment-cohort axis for per-source drift attribution: the
+# props variant key k bucketed into 4 cohorts (k ∈ 0..~100 in the
+# feed), NULL/missing props folded to cohort -1 so the sliding-day
+# full-outer pairing never sees a NULL join key (NULL keys never
+# match themselves in SQL joins — each row would pair with nothing).
+# Defined ONCE (the windowed_day_cents_counts rule) and mirrored
+# verbatim by the oracles' json_extract_string expression.
+COHORT_SQL = (
+    "coalesce(variant_get(try_parse_json(props), '$.k', 'bigint')"
+    " div 25, -1)"
+)
+
+
+def windowed_day_cents_counts(
+    events: DataFrame, by_cohort: bool = False
+) -> DataFrame:
+    """The (event_type[, cohort], day, cents, c) count relation every
+    windowed day-over-day drift member reduces the feed to — shared by
+    the KS/AD/CvM/Kuiper variants (`anomaly`) and Cliff's delta
     (`analytics`), so the round(value*100) quantization axis is
-    defined ONCE (ADVICE r10). One map-side-combinable groupBy; the
-    raw feed never row-shuffles past this point."""
+    defined ONCE (ADVICE r10). With ``by_cohort`` the relation carries
+    one more bounded key (`COHORT_SQL`) so the drift panel can say
+    WHICH experiment cohort drifted, not just that the day did
+    (VERDICT r10 task 3c). One map-side-combinable groupBy; the raw
+    feed never row-shuffles past this point."""
     from pyspark.sql import functions as F
 
+    keys = [F.col("event_type")]
+    if by_cohort:
+        keys.append(F.expr(COHORT_SQL).alias("cohort"))
     return (
         events.filter(F.col("value").isNotNull())
         .groupBy(
-            "event_type",
+            *keys,
             F.expr(
                 "unix_micros(cast(ts as timestamp)) div 86400000000"
             ).alias("day"),

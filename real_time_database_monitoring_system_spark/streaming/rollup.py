@@ -1702,7 +1702,7 @@ def stream_kendall(
 
 
 def _watermarked_day_cents_counts(
-    spark: SparkSession, sf_dir: str, lateness: str
+    spark: SparkSession, sf_dir: str, lateness: str, by_cohort: bool = False
 ) -> DataFrame:
     """The ONE watermarked state shape behind every windowed drift
     twin (W1/KS/AD/CvM/Kuiper/Cliff's): per-(window, type, cents)
@@ -1710,23 +1710,31 @@ def _watermarked_day_cents_counts(
     (bounded by types × value alphabet × in-flight windows), replayed
     availableNow in APPEND mode so only FINALIZED days emit — the
     `stream_windowed_psi` determinism argument word for word. Returns
-    the finalized (event_type, day, cents, c) relation the batch
-    `*_from_counts` codas take verbatim."""
+    the finalized (event_type[, cohort], day, cents, c) relation the
+    batch `*_from_counts` codas take verbatim; ``by_cohort`` adds the
+    bounded `util.COHORT_SQL` key for the drift-attribution twins
+    (state grows by the cohort factor, still bounded)."""
+    from ..operators.util import COHORT_SQL
+
     src = _events_stream(spark, sf_dir)
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    keys = ["event_type"]
+    if by_cohort:
+        src = src.withColumn("cohort", F.expr(COHORT_SQL))
+        keys.append("cohort")
     binned = (
         src.filter(F.col("value").isNotNull())
         .withWatermark("ts", lateness)
         .groupBy(
             F.window("ts", "1 day").alias("w"),
-            "event_type",
+            *keys,
             F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
         )
         .agg(F.count("*").alias("c"))
     )
     state = _run_to_memory(binned, "append")
     return state.select(
-        "event_type",
+        *keys,
         F.expr("unix_micros(cast(w.start as timestamp)) div 86400000000").alias(
             "day"
         ),
@@ -2149,6 +2157,33 @@ def stream_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import ab_from_value_counts
 
     return ab_from_value_counts(_stream_half_value_counts(spark, sf_dir))
+
+
+def stream_windowed_ks_by_cohort(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `anomaly.windowed_ks_by_cohort` — the
+    shared cohort-keyed `_watermarked_day_cents_counts` state (one
+    more bounded key) with the cohort KS coda over the finalized
+    days."""
+    from ..operators.anomaly import windowed_ks_by_cohort_from_counts
+
+    return windowed_ks_by_cohort_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness, by_cohort=True)
+    )
+
+
+def stream_windowed_w1_by_cohort(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `analytics.windowed_wasserstein_by_cohort`
+    — the shared cohort-keyed state with the cohort W1 coda over the
+    finalized days."""
+    from ..operators.analytics import windowed_w1_by_cohort_from_counts
+
+    return windowed_w1_by_cohort_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness, by_cohort=True)
+    )
 
 
 def stream_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:

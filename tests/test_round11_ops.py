@@ -120,3 +120,88 @@ class TestLepage:
         )
         out = {r["event_type"] for r in anomaly.lepage_test(df).collect()}
         assert out == {"both"}
+
+
+class TestWindowedByCohort:
+    def _planted(self, spark):
+        """Three days × two cohorts: cohort 0 stays N(10,1)-ish every
+        day; cohort 1 jumps by +5 on day 2 — only cohort 1's day-2
+        rows should light up. Cohort comes from props {"k": ...}
+        (k<25 → cohort 0, 25≤k<50 → cohort 1); one props-less row
+        lands in cohort -1."""
+        rng = np.random.default_rng(5)
+        rows = []
+        for day in range(3):
+            base = datetime.datetime(2024, 3, 1 + day)
+            for i in range(120):
+                ts = base + datetime.timedelta(seconds=int(i))
+                v0 = float(np.round(rng.normal(10, 1), 1))
+                shift = 5.0 if day == 2 else 0.0
+                v1 = float(np.round(rng.normal(10 + shift, 1), 1))
+                rows.append(("t", ts, v0, '{"k": 3}'))
+                rows.append(("t", ts, v1, '{"k": 30}'))
+        rows.append(("t", datetime.datetime(2024, 3, 1), 9.9, None))
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double, props string"
+        )
+
+    def test_ks_names_the_drifting_cohort(self, spark):
+        from real_time_database_monitoring_system_spark.operators.anomaly import (
+            windowed_ks_by_cohort,
+        )
+
+        out = {
+            (r["cohort"], r["day"]): r["ks_d"]
+            for r in windowed_ks_by_cohort(self._planted(spark)).collect()
+        }
+        days = sorted({d for _, d in out})
+        assert len(days) == 2  # day 1 vs 0, day 2 vs 1
+        d2 = days[1]
+        assert out[(1, d2)] > 0.9  # the +5 jump saturates KS
+        assert out[(0, d2)] < 0.35  # stable cohort stays quiet
+        assert (-1, d2) not in out  # props-less cohort: day-0 only
+
+    def test_w1_magnitude_matches_the_planted_shift(self, spark):
+        from real_time_database_monitoring_system_spark.operators.analytics import (
+            windowed_wasserstein_by_cohort,
+        )
+
+        out = {
+            (r["cohort"], r["day"]): r["w1_value"]
+            for r in windowed_wasserstein_by_cohort(
+                self._planted(spark)
+            ).collect()
+        }
+        days = sorted({d for _, d in out})
+        d2 = days[1]
+        assert out[(1, d2)] == pytest.approx(5.0, abs=0.6)
+        assert out[(0, d2)] < 0.6
+
+    def test_cohort_panel_refines_the_global_panel(self, spark):
+        """Summing each cohort's (n_ref, n_cur) per day must reproduce
+        the global windowed_ks day totals — the cohort axis partitions
+        the feed, it must not drop or double-count rows."""
+        from real_time_database_monitoring_system_spark.operators.anomaly import (
+            windowed_ks,
+            windowed_ks_by_cohort,
+        )
+
+        df = self._planted(spark)
+        by_c = windowed_ks_by_cohort(df).collect()
+        tot: dict[int, tuple[int, int]] = {}
+        for r in by_c:
+            a, b = tot.get(r["day"], (0, 0))
+            tot[r["day"]] = (a + r["n_ref"], b + r["n_cur"])
+        glob = {
+            r["day"]: (r["n_ref"], r["n_cur"])
+            for r in windowed_ks(df).collect()
+        }
+        # the props-less row exists only on day 0, so every scored
+        # day's totals match exactly... except day 1 whose REF side
+        # includes day 0 (240 + the 1 props-less ref row)
+        days = sorted(glob)
+        assert tot[days[1]] == glob[days[1]]
+        d1_by_c = tot[days[0]]
+        d1_glob = glob[days[0]]
+        assert d1_glob[0] - d1_by_c[0] == 1  # the cohort -1 ref row
+        assert d1_by_c[1] == d1_glob[1]
