@@ -1858,7 +1858,30 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_ks_by_cohort": _q_streaming_wks_by_cohort,
         "windowed_wasserstein_by_cohort": _q_windowed_w1_by_cohort,
         "streaming_windowed_w1_by_cohort": _q_streaming_ww1_by_cohort,
+        # -- round-11 wave 3: changepoint pair over the calendar-sized
+        #    daily relation — retrospective (Pettitt) + sequential
+        #    (Page–Hinkley) --
+        "pettitt_test": _q_pettitt_test,
+        "streaming_pettitt": _q_streaming_pettitt,
+        "page_hinkley": _q_page_hinkley,
+        "streaming_page_hinkley": _q_streaming_page_hinkley,
     }
+
+
+def _q_pettitt_test(spark, sf):
+    return anomaly.pettitt_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_pettitt(spark, sf):
+    return streaming_rollup.stream_pettitt(spark, sf)
+
+
+def _q_page_hinkley(spark, sf):
+    return anomaly.page_hinkley(load_table(spark, sf, "events"))
+
+
+def _q_streaming_page_hinkley(spark, sf):
+    return streaming_rollup.stream_page_hinkley(spark, sf)
 
 
 def _q_windowed_ks_by_cohort(spark, sf):
@@ -11017,5 +11040,90 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_windowed_w1_by_cohort"] = "WITH " + _WW1C_CORE.format(
         day_filter=_wstream_day_filter
     )
+
+    # Changepoint pair over the daily (type, day, Σcents, count)
+    # relation. Pettitt: exact integer sign algebra via the
+    # U_t = −Σ_{d≤t} r_d identity; the only double is the rounded
+    # significance fragment (PETTITT_P_SQL, shared verbatim).
+    _DAILY_CTE = """
+        daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                         SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+                         count(*) AS c
+                  FROM events WHERE value IS NOT NULL GROUP BY 1, 2)
+    """
+    sql["pettitt_test"] = f"""
+        WITH {_DAILY_CTE},
+        r AS (
+            SELECT d.event_type, d.day AS d,
+                   CAST(SUM(CASE
+                       WHEN CAST(d.s AS HUGEINT) * e.c
+                            > CAST(e.s AS HUGEINT) * d.c THEN 1
+                       WHEN CAST(d.s AS HUGEINT) * e.c
+                            < CAST(e.s AS HUGEINT) * d.c THEN -1
+                       ELSE 0 END) AS BIGINT) AS r
+            FROM daily d JOIN daily e USING (event_type) GROUP BY 1, 2),
+        u AS (
+            SELECT event_type, d,
+                   -SUM(r) OVER (PARTITION BY event_type ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS u
+            FROM r),
+        k AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(max(abs(u)) AS BIGINT) AS k_stat
+              FROM u GROUP BY 1),
+        ch AS (SELECT u.event_type, CAST(min(d) AS BIGINT) AS change_day
+               FROM u JOIN k USING (event_type)
+               WHERE abs(u) = k_stat GROUP BY 1)
+        SELECT event_type, n_days, k_stat, change_day,
+               {anomaly.PETTITT_P_SQL} AS p_approx
+        FROM k JOIN ch USING (event_type) ORDER BY event_type
+    """
+    sql["streaming_pettitt"] = sql["pettitt_test"]
+
+    # Page–Hinkley: truncating integer division throughout (both
+    # engines' // and div truncate toward zero — the NOTES rule), δ =
+    # 25 cents and λ = 200 cents in mu-units (×10⁴: 250000 / 2000000);
+    # gaps descale to VALUE units (/10⁶)
+    sql["page_hinkley"] = f"""
+        WITH {_DAILY_CTE},
+        mu AS (SELECT event_type, day, (s * 10000) // c AS mu FROM daily),
+        cums AS (
+            SELECT event_type, day,
+                   SUM(mu) OVER w AS cum_mu,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY day) AS t
+            FROM mu
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        xb AS (SELECT event_type, day, t, cum_mu, cum_mu // t AS xb
+               FROM cums),
+        m AS (
+            SELECT event_type, day, t,
+                   cum_mu - SUM(xb) OVER w AS cum_dev
+            FROM xb
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        m2 AS (SELECT event_type, day,
+                      cum_dev - t * 250000 AS m_up,
+                      cum_dev + t * 250000 AS m_dn
+               FROM m),
+        ph AS (
+            SELECT event_type, day,
+                   m_up - MIN(m_up) OVER w AS ph_up,
+                   MAX(m_dn) OVER w - m_dn AS ph_dn
+            FROM m2
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max(ph_up) AS DOUBLE) / 1000000.0 AS ph_up_max,
+               CAST(max(ph_dn) AS DOUBLE) / 1000000.0 AS ph_dn_max,
+               CAST(min(CASE WHEN ph_up > 2000000 OR ph_dn > 2000000
+                             THEN day END) AS BIGINT) AS first_alarm_day,
+               CAST(SUM(CASE WHEN ph_up > 2000000 OR ph_dn > 2000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+        FROM ph GROUP BY 1 ORDER BY 1
+    """
+    sql["streaming_page_hinkley"] = sql["page_hinkley"]
 
     return sql

@@ -288,6 +288,8 @@ HEADLINE = [
     "lepage_test",
     "windowed_ks_by_cohort",
     "windowed_wasserstein_by_cohort",
+    "pettitt_test",
+    "page_hinkley",
 ]
 
 

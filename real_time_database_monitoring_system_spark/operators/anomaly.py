@@ -1440,6 +1440,215 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+# Pettitt approximate significance: 2·exp(−6K²/(T³+T²)), capped at 1.
+# exp() is NOT correctly-rounded across libms (JVM vs DuckDB), so the
+# emission follows the repo's transcendental rule: round(·, 9) absorbs
+# the ULP (the ln-family precedent throughout the oracles).
+PETTITT_P_SQL = (
+    "round(least(1.0, 2.0 * exp(-6.0 * CAST(k_stat AS DOUBLE)"
+    " * CAST(k_stat AS DOUBLE)"
+    " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE)"
+    " + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)))), 9)"
+)
+
+
+def pettitt_test(events: DataFrame) -> DataFrame:
+    """Pettitt changepoint test per event type over the daily mean
+    series — the retrospective "WHEN did it break" companion to
+    `drift_cusum` (which flags that a run of days sits off-baseline)
+    and the windowed panel (which scores each day against yesterday):
+    Pettitt finds the single split day τ maximizing the rank statistic
+    |U_t| = |Σ_{i≤t} Σ_{j>t} sgn(x_j − x_i)| — the nonparametric
+    changepoint estimate with an exact integer core and a closed-form
+    significance approximation, robust to outlier days because only
+    SIGNS of pairwise differences enter.
+
+    Exactness: daily means never materialize as doubles — the pairwise
+    sign is sgn(s_d·c_e − s_e·c_d) over the exact integer (Σcents,
+    count) sufficient statistics (DECIMAL(38,0) cross-products), and
+    U_t arrives by the identity U_t = −Σ_{d≤t} r_d with r_d =
+    Σ_e sgn(x_d − x_e) — one bounded grid join + one cumulative
+    window, all BIGINT. The only double is the `PETTITT_P_SQL`
+    significance emission (rounded, the transcendental rule).
+
+    Scale shape: the feed reduces ONCE to (type, day, s, c) — a
+    CALENDAR-sized relation (`util.daily_cents_sums`) — so the
+    days×days grid is bounded (~decades of days squared is still
+    trivial) and independent of feed rows; the grid join broadcasts
+    one side explicitly (the `hodges_lehmann` pin-the-shape rule)."""
+    from .util import daily_cents_sums
+
+    return pettitt_from_daily(_materialize(daily_cents_sums(events)))
+
+
+def pettitt_from_daily(daily: DataFrame) -> DataFrame:
+    """Pettitt coda over the (event_type, day, s, c) daily relation —
+    shared verbatim by the batch operator and
+    `streaming.rollup.stream_pettitt` (whose bounded state IS this
+    relation)."""
+    d = daily.select(
+        "event_type", F.col("day").alias("d"), F.col("s").alias("sd"),
+        F.col("c").alias("cd"),
+    )
+    e = daily.select(
+        "event_type", F.col("day").alias("e"), F.col("s").alias("se"),
+        F.col("c").alias("ce"),
+    )
+    r = (
+        d.join(F.broadcast(e), "event_type")
+        .select(
+            "event_type",
+            "d",
+            F.expr(
+                "CASE WHEN CAST(sd AS DECIMAL(38,0)) * CAST(ce AS DECIMAL(38,0))"
+                " > CAST(se AS DECIMAL(38,0)) * CAST(cd AS DECIMAL(38,0))"
+                " THEN 1 WHEN CAST(sd AS DECIMAL(38,0)) * CAST(ce AS DECIMAL(38,0))"
+                " < CAST(se AS DECIMAL(38,0)) * CAST(cd AS DECIMAL(38,0))"
+                " THEN -1 ELSE 0 END"
+            ).alias("sgn"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("sgn").cast("bigint").alias("r"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = _materialize(
+        r.select(
+            "event_type", "d", (-F.sum("r").over(wcum)).alias("u")
+        )
+    )
+    k = u.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max(F.abs("u")).cast("bigint").alias("k_stat"),
+    )
+    change = (
+        u.join(F.broadcast(k), "event_type")
+        .filter(F.abs("u") == F.col("k_stat"))
+        .groupBy("event_type")
+        .agg(F.min("d").cast("bigint").alias("change_day"))
+    )
+    return (
+        k.join(change, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "k_stat",
+            "change_day",
+            F.expr(PETTITT_P_SQL).alias("p_approx"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def page_hinkley(
+    events: DataFrame, delta_cents: int = 25, lam_cents: int = 200
+) -> DataFrame:
+    """Two-sided Page–Hinkley changepoint monitor per event type over
+    the daily mean series — the SEQUENTIAL companion to `pettitt_test`
+    (which looks back over the closed series): PH accumulates
+    m_t = Σ_{i≤t}(x_i − x̄_i ∓ δ) against its running extremum and
+    alarms the first day the gap exceeds λ — the classic streaming
+    changepoint detector, O(1) state per type in a true online
+    deployment, replayed here over the bounded daily relation.
+
+    Exactness (no doubles anywhere): the daily mean enters as the
+    TRUNCATED scaled integer μ̃_d = (s_d·10⁴) div c_d (both engines'
+    integer division truncates toward zero — the NOTES `div` rule), δ
+    and λ are integer cents scaled the same way, and every cumulative
+    sum / running extremum below is BIGINT window algebra. The 10⁻⁴
+    quantization is detection slack, not estimator error. Emits the
+    max upward/downward PH gaps (descaled, fixed-shape division), the
+    first alarm day on either side, and the alarm-day count.
+
+    Scale shape: identical to `pettitt_test` — the
+    `util.daily_cents_sums` calendar relation, then three ordered
+    windows over it. The feed is scanned once."""
+    from .util import daily_cents_sums
+
+    return page_hinkley_from_daily(
+        _materialize(daily_cents_sums(events)), delta_cents, lam_cents
+    )
+
+
+def page_hinkley_from_daily(
+    daily: DataFrame, delta_cents: int = 25, lam_cents: int = 200
+) -> DataFrame:
+    """Page–Hinkley coda over the (event_type, day, s, c) daily
+    relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_page_hinkley` (whose bounded state IS
+    this relation)."""
+    # mu is mean-cents at SCALE=10⁴, so one cent = 10⁴ mu-units
+    dscale = int(delta_cents) * 10000
+    lscale = int(lam_cents) * 10000
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mu = daily.select(
+        "event_type",
+        "day",
+        F.expr("(s * 10000) div c").alias("mu"),
+    )
+    cums = mu.select(
+        "event_type",
+        "day",
+        F.sum("mu").over(wcum).alias("cum_mu"),
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("t"),
+    )
+    xbar = cums.select(
+        "event_type",
+        "day",
+        "t",
+        "cum_mu",
+        F.expr("cum_mu div t").alias("xb"),
+    )
+    m = xbar.select(
+        "event_type",
+        "day",
+        "t",
+        (F.col("cum_mu") - F.sum("xb").over(wcum)).alias("cum_dev"),
+    ).select(
+        "event_type",
+        "day",
+        (F.col("cum_dev") - F.col("t") * F.lit(dscale)).alias("m_up"),
+        (F.col("cum_dev") + F.col("t") * F.lit(dscale)).alias("m_dn"),
+    )
+    ph = m.select(
+        "event_type",
+        "day",
+        (F.col("m_up") - F.min("m_up").over(wcum)).alias("ph_up"),
+        (F.max("m_dn").over(wcum) - F.col("m_dn")).alias("ph_dn"),
+    )
+    return (
+        ph.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            # descale to VALUE units (mu-units /10⁴ → cents, /100 → value)
+            F.expr("CAST(max(ph_up) AS DOUBLE) / 1000000.0").alias("ph_up_max"),
+            F.expr("CAST(max(ph_dn) AS DOUBLE) / 1000000.0").alias("ph_dn_max"),
+            F.min(
+                F.when(
+                    (F.col("ph_up") > lscale) | (F.col("ph_dn") > lscale),
+                    F.col("day"),
+                )
+            ).cast("bigint").alias("first_alarm_day"),
+            F.sum(
+                F.when(
+                    (F.col("ph_up") > lscale) | (F.col("ph_dn") > lscale), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_alarm_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def windowed_ks_by_cohort(events: DataFrame) -> DataFrame:
     """Day-over-day two-sample KS per (event type, experiment cohort)
     — the drift-ATTRIBUTION variant of `windowed_ks` (VERDICT r10

@@ -340,3 +340,29 @@ def windowed_day_cents_counts(
         )
         .agg(F.count("*").alias("c"))
     )
+
+
+def daily_cents_sums(events: DataFrame) -> DataFrame:
+    """The (event_type, day, s, c) daily integer-cents sufficient
+    statistics the changepoint family (`anomaly.pettitt_test`,
+    `anomaly.page_hinkley`) reduces the feed to: s = Σ round(value·100)
+    (each row rounded ONCE, then summed exactly — BIGINT), c = row
+    count. One map-side-combinable groupBy bounded by types × days;
+    the raw feed never row-shuffles past this point, so everything
+    downstream runs on a relation whose size is a calendar, not a
+    corpus."""
+    from pyspark.sql import functions as F
+
+    return (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )

@@ -2186,6 +2186,53 @@ def stream_windowed_w1_by_cohort(
     )
 
 
+def _stream_daily_cents_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming construction of `util.daily_cents_sums`: the
+    changepoint family's state is the (event_type, day, Σcents, count)
+    daily sufficient-statistics aggregation — BOUNDED by types ×
+    calendar days (unlike the per-distinct-value complete-mode twins,
+    this is the production state shape: a year of days is 365 rows per
+    type no matter the feed rate)."""
+    from ..operators.util import materialize
+
+    src = _events_stream(spark, sf_dir)
+    agg = (
+        src.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    return materialize(_run_to_memory(agg, "complete"))
+
+
+def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.pettitt_test`: the live
+    retrospective changepoint estimate over the bounded daily state;
+    coda (`pettitt_from_daily`) shared verbatim, so availableNow
+    equals the batch operator and shares its oracle."""
+    from ..operators.anomaly import pettitt_from_daily
+
+    return pettitt_from_daily(_stream_daily_cents_sums(spark, sf_dir))
+
+
+def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.page_hinkley`: the live sequential
+    changepoint monitor over the bounded daily state; coda
+    (`page_hinkley_from_daily`) shared verbatim — and unlike the
+    complete-mode parity twins, this state shape (types × days) IS the
+    production deployment."""
+    from ..operators.anomaly import page_hinkley_from_daily
+
+    return page_hinkley_from_daily(_stream_daily_cents_sums(spark, sf_dir))
+
+
 def stream_lepage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `anomaly.lepage_test`: the live combined
     location+scale monitor over the shared `_stream_half_value_counts`

@@ -205,3 +205,101 @@ class TestWindowedByCohort:
         d1_glob = glob[days[0]]
         assert d1_glob[0] - d1_by_c[0] == 1  # the cohort -1 ref row
         assert d1_by_c[1] == d1_glob[1]
+
+
+def _level_shift_df(spark, days=40, rows_per_day=50, shift_day=25, shift=3.0,
+                    seed=13):
+    rng = np.random.default_rng(seed)
+    rows, planted = [], []
+    for d in range(days):
+        mu = 10.0 + (shift if d >= shift_day else 0.0)
+        vals = np.round(rng.normal(mu, 1.0, rows_per_day), 2)
+        planted.append(vals)
+        base = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+        rows += [
+            ("t", base + datetime.timedelta(seconds=int(i)), float(v))
+            for i, v in enumerate(vals)
+        ]
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ), planted
+
+
+DAY0 = 19723  # 2024-01-01 as integer day
+
+
+class TestPettitt:
+    def test_matches_bruteforce_and_finds_the_shift(self, spark):
+        df, planted = _level_shift_df(spark)
+        # brute force on exact scaled daily means (sign algebra only)
+        s = [int(np.round(v * 100).sum()) for v in planted]
+        c = [len(v) for v in planted]
+        T = len(s)
+
+        def sgn(i, j):
+            a, b = s[j] * c[i], s[i] * c[j]
+            return (a > b) - (a < b)
+
+        U = [
+            sum(sgn(i, j) for i in range(t) for j in range(t, T))
+            for t in range(1, T + 1)
+        ]
+        K = max(abs(u) for u in U)
+        tau = min(t for t, u in enumerate(U) if abs(u) == K)
+        p = round(min(1.0, 2 * np.exp(-6 * K * K / (T**3 + T**2))), 9)
+        row = anomaly.pettitt_test(df).collect()[0]
+        assert row["k_stat"] == K
+        assert row["change_day"] == DAY0 + tau
+        assert row["n_days"] == T
+        assert row["p_approx"] == pytest.approx(p, abs=1e-9)
+        # the planted break is at day index 25 → split at 24
+        assert row["change_day"] == DAY0 + 24
+
+    def test_no_change_is_insignificant(self, spark):
+        df, _ = _level_shift_df(spark, shift=0.0, seed=21)
+        row = anomaly.pettitt_test(df).collect()[0]
+        assert row["p_approx"] > 0.05
+
+
+class TestPageHinkley:
+    def test_matches_bruteforce_sequential_replay(self, spark):
+        df, planted = _level_shift_df(spark)
+        s = [int(np.round(v * 100).sum()) for v in planted]
+        c = [len(v) for v in planted]
+        mu = [(si * 10000) // ci for si, ci in zip(s, c)]
+        cum = cumxb = 0
+        mn = mx = None
+        phu_max = phd_max = 0
+        first = None
+        nal = 0
+        for t, m_ in enumerate(mu, 1):
+            cum += m_
+            cumxb += cum // t
+            m_up = (cum - cumxb) - t * 250000
+            m_dn = (cum - cumxb) + t * 250000
+            mn = m_up if mn is None else min(mn, m_up)
+            mx = m_dn if mx is None else max(mx, m_dn)
+            phu, phd = m_up - mn, mx - m_dn
+            phu_max, phd_max = max(phu_max, phu), max(phd_max, phd)
+            if phu > 2000000 or phd > 2000000:
+                nal += 1
+                first = first if first is not None else t
+        row = anomaly.page_hinkley(df).collect()[0]
+        assert row["ph_up_max"] == pytest.approx(phu_max / 1e6, abs=1e-9)
+        assert row["ph_dn_max"] == pytest.approx(phd_max / 1e6, abs=1e-9)
+        assert row["first_alarm_day"] == DAY0 + first - 1
+        assert row["n_alarm_days"] == nal
+        # the upward shift must alarm shortly after the planted break
+        assert DAY0 + 25 <= row["first_alarm_day"] <= DAY0 + 27
+
+    def test_downward_shift_alarms_the_other_side(self, spark):
+        df, _ = _level_shift_df(spark, shift=-3.0, seed=9)
+        row = anomaly.page_hinkley(df).collect()[0]
+        assert row["ph_dn_max"] > row["ph_up_max"]
+        assert row["first_alarm_day"] is not None
+
+    def test_stable_series_never_alarms(self, spark):
+        df, _ = _level_shift_df(spark, shift=0.0, seed=4)
+        row = anomaly.page_hinkley(df).collect()[0]
+        assert row["n_alarm_days"] == 0
+        assert row["first_alarm_day"] is None
