@@ -1865,7 +1865,18 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_pettitt": _q_streaming_pettitt,
         "page_hinkley": _q_page_hinkley,
         "streaming_page_hinkley": _q_streaming_page_hinkley,
+        # -- round-11 wave 4: the windowed panel's omnibus member --
+        "windowed_lepage": _q_windowed_lepage,
+        "streaming_windowed_lepage": _q_streaming_windowed_lepage,
     }
+
+
+def _q_windowed_lepage(spark, sf):
+    return anomaly.windowed_lepage(load_table(spark, sf, "events"))
+
+
+def _q_streaming_windowed_lepage(spark, sf):
+    return streaming_rollup.stream_windowed_lepage(spark, sf)
 
 
 def _q_pettitt_test(spark, sf):
@@ -11125,5 +11136,76 @@ def oracle_sql() -> dict[str, str]:
         FROM ph GROUP BY 1 ORDER BY 1
     """
     sql["streaming_page_hinkley"] = sql["page_hinkley"]
+
+    # Day-over-day Lepage: the _WKS_CORE day-shift pairing feeding the
+    # lepage_test CTE algebra keyed by (event_type, day); the operator's
+    # LEPAGE_*_SQL edge fragments verbatim (nt present in every scope
+    # AB_F2_SQL is interpolated into)
+    _WLEP_CORE = f"""
+        c AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                     CAST(round(value * 100) AS BIGINT) AS cents,
+                     count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        pv0 AS (
+            SELECT event_type, day, cents AS value,
+                   coalesce(r.c_ref, 0) AS d_ref,
+                   coalesce(u.c_cur, 0) AS d_cur
+            FROM (SELECT event_type, day, cents, c AS c_cur FROM c) u
+            FULL JOIN (SELECT event_type, day + 1 AS day, cents,
+                              c AS c_ref FROM c) r
+            USING (event_type, day, cents)),
+        pv AS (SELECT * FROM pv0{{day_filter}}),
+        tot AS (SELECT event_type, day, SUM(d_ref) AS n_ref,
+                       SUM(d_cur) AS n_cur
+                FROM pv GROUP BY 1, 2),
+        spans AS (
+            SELECT event_type, day, d_ref AS c_ref, d_ref + d_cur AS t,
+                   SUM(d_ref + d_cur) OVER (
+                       PARTITION BY event_type, day ORDER BY value
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS b_rank
+            FROM pv),
+        terms AS (
+            SELECT s.event_type, s.day, n_ref, n_cur, n_ref + n_cur AS nt,
+                   c_ref, t, b_rank
+            FROM spans s JOIN tot USING (event_type, day)),
+        t2 AS (
+            SELECT event_type, day, n_ref, n_cur, nt, c_ref, t, b_rank,
+                   ({_ab_f2_hi} - {_ab_f2_lo}) AS s2
+            FROM terms),
+        agg AS (
+            SELECT event_type, day,
+                   CAST(first(n_ref) AS BIGINT) AS n_ref,
+                   CAST(first(n_cur) AS BIGINT) AS n_cur,
+                   CAST(first(nt) AS BIGINT) AS nt,
+                   CAST(SUM({anomaly.AB_TERM_SQL}) AS BIGINT) AS ab_scaled,
+                   SUM(CAST({anomaly.LEPAGE_AB2_TERM_SQL} AS HUGEINT))
+                       AS ab2_scaled,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(2 * (b_rank - t) + t + 1 AS HUGEINT)) AS r2_ref,
+                   SUM(CAST(t AS HUGEINT) * CAST(t AS HUGEINT)
+                       * CAST(t AS HUGEINT) - CAST(t AS HUGEINT)) AS tie_cube
+            FROM t2 GROUP BY 1, 2),
+        m AS (
+            SELECT event_type, day, n_ref, n_cur, nt, ab_scaled, ab2_scaled,
+                   CAST(r2_ref - CAST(n_ref AS HUGEINT) * (n_ref + 1)
+                        - CAST(n_ref AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                        AS BIGINT) AS z_num,
+                   CAST(CAST(nt AS HUGEINT) * nt * nt - nt - tie_cube
+                        AS BIGINT) AS tie_term
+            FROM agg WHERE n_ref >= 1 AND n_cur >= 1),
+        z AS (
+            SELECT event_type, day, n_ref, n_cur,
+                   {anomaly.LEPAGE_W_Z2_SQL} AS w_z2,
+                   {anomaly.LEPAGE_AB_Z2_SQL} AS ab_z2
+            FROM m)
+        SELECT event_type, day, n_ref, n_cur, w_z2, ab_z2,
+               w_z2 + ab_z2 AS lepage_stat
+        FROM z ORDER BY event_type, day
+    """
+    sql["windowed_lepage"] = "WITH " + _WLEP_CORE.format(day_filter="")
+    sql["streaming_windowed_lepage"] = "WITH " + _WLEP_CORE.format(
+        day_filter=_wstream_day_filter
+    )
 
     return sql

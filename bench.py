@@ -290,6 +290,7 @@ HEADLINE = [
     "windowed_wasserstein_by_cohort",
     "pettitt_test",
     "page_hinkley",
+    "windowed_lepage",
 ]
 
 

@@ -1545,19 +1545,24 @@ def mannwhitney_u(events: DataFrame) -> DataFrame:
     return mwu_from_value_counts(per_value)
 
 
-def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
-    """Mann–Whitney core over an already-reduced (event_type, value,
+def mwu_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Mann–Whitney core over an already-reduced (keys…, value,
     c_ref, c_cur) half-count relation — shared verbatim by the batch
     operator and `streaming.rollup.stream_mannwhitney` (the
     `ks_from_value_counts` pattern: exactness over a stream costs
-    per-distinct-value state, and the coda is the SAME arithmetic)."""
+    per-distinct-value state, and the coda is the SAME arithmetic).
+    ``keys`` defaults to the per-type shape; `anomaly.windowed_lepage`
+    passes (event_type, day) for the sliding-reference variant."""
+    keys = keys or ["event_type"]
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = per_value.select(
-        "event_type",
+        *keys,
         "c_ref",
         "c_cur",
         (F.col("c_ref") + F.col("c_cur")).alias("t"),
@@ -1570,7 +1575,7 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
     # Σ c_ref·2r is O(n·N) and t³ is cubic in the hottest value's
     # count — both overflow BIGINT at warehouse row counts (the
     # `acf_panel` HUGEINT/DECIMAL(38,0) rule)
-    agg = ranked.groupBy("event_type").agg(
+    agg = ranked.groupBy(*keys).agg(
         F.sum("c_ref").alias("n_ref"),
         F.sum("c_cur").alias("n_cur"),
         F.sum(
@@ -1589,7 +1594,7 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
     return (
         agg.filter((F.col("n_ref") >= 1) & (F.col("n_cur") >= 1))
         .select(
-            "event_type",
+            *keys,
             F.col("n_ref").cast("bigint").alias("n_ref"),
             F.col("n_cur").cast("bigint").alias("n_cur"),
             F.expr(
@@ -1600,7 +1605,7 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
             F.col("tie_cube").cast("decimal(38,0)").alias("tie_cube"),
         )
         .select(
-            "event_type",
+            *keys,
             "n_ref",
             "n_cur",
             # NO DECIMAL TYPES AT THE HASHED EDGE (the round-7 failure
@@ -1626,7 +1631,7 @@ def mwu_from_value_counts(per_value: DataFrame) -> DataFrame:
                 " - tie_cube AS BIGINT)"
             ).alias("tie_term"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
 
 

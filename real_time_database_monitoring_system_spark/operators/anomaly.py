@@ -1440,6 +1440,43 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+def windowed_lepage(events: DataFrame) -> DataFrame:
+    """Day-over-day Lepage per event type — the OMNIBUS member of the
+    windowed drift panel: KS/AD/CvM/Kuiper score ECDF shape, W1 scores
+    moved mass, Cliff's scores dominance; this emits one χ²₂-scaled
+    number that moves for a location shift OR a scale change between
+    consecutive days — the single thresholdable day-quality gate when
+    you don't know which failure mode to expect.
+
+    Same machinery end-to-end: the shared
+    `util.windowed_day_cents_counts` reduction, the shared
+    `day_shift_half_counts` previous-day pairing, the shared
+    `lepage_from_value_counts` coda keyed by (event_type, day) — every
+    component statistic and null moment in exact integer arithmetic,
+    the `LEPAGE_*_SQL` edge fragments verbatim."""
+    return windowed_lepage_from_counts(_windowed_cents_counts(events))
+
+
+def windowed_lepage_from_counts(counts: DataFrame) -> DataFrame:
+    """Sliding-reference Lepage coda over the (event_type, day, cents,
+    c) relation — shared verbatim by the batch operator and
+    `streaming.rollup.stream_windowed_lepage` (whose watermarked state
+    IS this relation over the finalized days)."""
+    from .analytics import day_shift_half_counts
+
+    per_value = day_shift_half_counts(_materialize(counts)).select(
+        "event_type",
+        "day",
+        F.col("cents").alias("value"),
+        F.col("c_ref").alias("d_ref"),
+        F.col("c_cur").alias("d_cur"),
+    )
+    # zero-count rows from the full-outer pairing stay IN the relation
+    # (they carry the other side's mass); days with an empty previous
+    # day drop inside the mwu coda's n filters
+    return lepage_from_value_counts(per_value, keys=["event_type", "day"])
+
+
 # Pettitt approximate significance: 2·exp(−6K²/(T³+T²)), capped at 1.
 # exp() is NOT correctly-rounded across libms (JVM vs DuckDB), so the
 # emission follows the repo's transcendental rule: round(·, 9) absorbs
@@ -1996,38 +2033,43 @@ def lepage_test(events: DataFrame) -> DataFrame:
     return lepage_from_value_counts(_materialize(half_value_counts(events)))
 
 
-def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
-    """Lepage coda over the reduced ``(event_type, value, d_ref,
-    d_cur)`` relation — shared verbatim by the batch operator and
-    `streaming.rollup.stream_lepage`."""
+def lepage_from_value_counts(
+    per_value: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Lepage coda over the reduced ``(keys…, value, d_ref, d_cur)``
+    relation — shared verbatim by the batch operator,
+    `streaming.rollup.stream_lepage`, and the sliding-reference
+    `windowed_lepage` (keys = (event_type, day))."""
     from .analytics import mwu_from_value_counts
 
+    keys = keys or ["event_type"]
     mwu = mwu_from_value_counts(
         per_value.select(
-            "event_type",
+            *keys,
             "value",
             F.col("d_ref").alias("c_ref"),
             F.col("d_cur").alias("c_cur"),
-        )
-    ).select("event_type", "z_num", "tie_term")
-    totals = per_value.groupBy("event_type").agg(
+        ),
+        keys=keys,
+    ).select(*keys, "z_num", "tie_term")
+    totals = per_value.groupBy(*keys).agg(
         F.sum("d_ref").alias("n_ref"), F.sum("d_cur").alias("n_cur")
     )
     w = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     spans = per_value.select(
-        "event_type",
+        *keys,
         F.col("d_ref").alias("c_ref"),
         (F.col("d_ref") + F.col("d_cur")).alias("t"),
         (F.sum(F.col("d_ref") + F.col("d_cur")).over(w)).alias("b_rank"),
     )
     t2 = (
-        spans.join(F.broadcast(totals), "event_type")
+        spans.join(F.broadcast(totals), list(keys))
         .select(
-            "event_type",
+            *keys,
             "n_ref",
             "n_cur",
             "c_ref",
@@ -2036,7 +2078,7 @@ def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
             "b_rank",
         )
         .select(
-            "event_type",
+            *keys,
             "n_ref",
             "n_cur",
             "c_ref",
@@ -2047,7 +2089,7 @@ def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
             ).alias("s2"),
         )
     )
-    ab = t2.groupBy("event_type").agg(
+    ab = t2.groupBy(*keys).agg(
         F.first("n_ref").alias("n_ref"),
         F.first("n_cur").alias("n_cur"),
         F.sum(F.expr(AB_TERM_SQL)).alias("ab_scaled"),
@@ -2056,9 +2098,9 @@ def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
         ).alias("ab2_scaled"),
     )
     z = (
-        ab.join(mwu, "event_type")
+        ab.join(mwu, list(keys))
         .select(
-            "event_type",
+            *keys,
             F.col("n_ref").cast("bigint").alias("n_ref"),
             F.col("n_cur").cast("bigint").alias("n_cur"),
             (F.col("n_ref") + F.col("n_cur")).cast("bigint").alias("nt"),
@@ -2068,7 +2110,7 @@ def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
             "tie_term",
         )
         .select(
-            "event_type",
+            *keys,
             "n_ref",
             "n_cur",
             F.expr(LEPAGE_W_Z2_SQL).alias("w_z2"),
@@ -2076,13 +2118,13 @@ def lepage_from_value_counts(per_value: DataFrame) -> DataFrame:
         )
     )
     return z.select(
-        "event_type",
+        *keys,
         "n_ref",
         "n_cur",
         "w_z2",
         "ab_z2",
         (F.col("w_z2") + F.col("ab_z2")).alias("lepage_stat"),
-    ).orderBy("event_type")
+    ).orderBy(*keys)
 
 
 def windowed_anderson_darling(events: DataFrame) -> DataFrame:

@@ -2186,6 +2186,19 @@ def stream_windowed_w1_by_cohort(
     )
 
 
+def stream_windowed_lepage(
+    spark: SparkSession, sf_dir: str, lateness: str = "1 hour"
+) -> DataFrame:
+    """Watermarked twin of `anomaly.windowed_lepage` — the shared
+    `_watermarked_day_cents_counts` state with the omnibus
+    location+scale coda over the finalized days."""
+    from ..operators.anomaly import windowed_lepage_from_counts
+
+    return windowed_lepage_from_counts(
+        _watermarked_day_cents_counts(spark, sf_dir, lateness)
+    )
+
+
 def _stream_daily_cents_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming construction of `util.daily_cents_sums`: the
     changepoint family's state is the (event_type, day, Σcents, count)

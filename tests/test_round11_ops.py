@@ -303,3 +303,43 @@ class TestPageHinkley:
         row = anomaly.page_hinkley(df).collect()[0]
         assert row["n_alarm_days"] == 0
         assert row["first_alarm_day"] is None
+
+
+class TestWindowedLepage:
+    def test_day_pair_matches_the_two_sample_operator(self, spark):
+        """Each (day, previous-day) row must equal lepage_test run on
+        the same two samples directly — the windowed variant is the
+        two-sample statistic under a sliding pairing, nothing else."""
+        rng = np.random.default_rng(17)
+        day_vals = [
+            np.round(rng.normal(10, 1, 150), 1),       # day 0
+            np.round(rng.normal(10, 1, 140), 1),       # day 1: null
+            np.round(rng.normal(12, 2.5, 160), 1),     # day 2: shift+scale
+        ]
+        rows = []
+        for d, vals in enumerate(day_vals):
+            base = datetime.datetime(2024, 5, 1) + datetime.timedelta(days=d)
+            rows += [
+                ("t", base + datetime.timedelta(seconds=int(i)), float(v))
+                for i, v in enumerate(vals)
+            ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        win = {
+            r["day"]: r for r in anomaly.windowed_lepage(df).collect()
+        }
+        assert len(win) == 2  # day1 vs day0, day2 vs day1
+        for d in (1, 2):
+            ref, cur = day_vals[d - 1], day_vals[d]
+            direct = anomaly.lepage_test(
+                _two_half_df(spark, ref, cur)
+            ).collect()[0]
+            got = win[min(win) + (d - 1)]
+            assert got["n_ref"] == len(ref) and got["n_cur"] == len(cur)
+            assert got["lepage_stat"] == pytest.approx(
+                direct["lepage_stat"], rel=1e-12
+            )
+        # and the day-2 row must dwarf the null day-1 row
+        days = sorted(win)
+        assert win[days[1]]["lepage_stat"] > 10 * win[days[0]]["lepage_stat"]
