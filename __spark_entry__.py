@@ -1868,7 +1868,18 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-11 wave 4: the windowed panel's omnibus member --
         "windowed_lepage": _q_windowed_lepage,
         "streaming_windowed_lepage": _q_streaming_windowed_lepage,
+        # -- round-11 wave 5: day-blocked k-sample rank test --
+        "friedman_test": _q_friedman_test,
+        "streaming_friedman": _q_streaming_friedman,
     }
+
+
+def _q_friedman_test(spark, sf):
+    return analytics.friedman_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_friedman(spark, sf):
+    return streaming_rollup.stream_friedman(spark, sf)
 
 
 def _q_windowed_lepage(spark, sf):
@@ -11207,5 +11218,51 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_windowed_lepage"] = "WITH " + _WLEP_CORE.format(
         day_filter=_wstream_day_filter
     )
+
+    # Friedman: within-day midranks by exact sign comparisons over the
+    # daily sufficient statistics; FRIEDMAN_CHI2_SQL shared verbatim
+    sql["friedman_test"] = f"""
+        WITH {_DAILY_CTE},
+        kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+               FROM daily),
+        complete AS (
+            SELECT day FROM daily, kk GROUP BY day, k
+            HAVING count(*) = max(k)),
+        dc AS (SELECT d.* FROM daily d JOIN complete USING (day)),
+        ranks AS (
+            SELECT a.day, a.event_type AS et,
+                   CAST(2 * SUM(CASE WHEN CAST(b.s AS HUGEINT) * a.c
+                                          < CAST(a.s AS HUGEINT) * b.c
+                                     THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN CAST(b.s AS HUGEINT) * a.c
+                                        = CAST(a.s AS HUGEINT) * b.c
+                                   THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2
+            FROM dc a JOIN dc b USING (day) GROUP BY 1, 2),
+        gsum AS (
+            SELECT et, CAST(SUM(r2) AS BIGINT) AS r2_sum,
+                   CAST(count(*) AS BIGINT) AS n_blocks
+            FROM ranks GROUP BY 1),
+        scalars AS (
+            SELECT CAST(SUM(CAST(r2_sum AS HUGEINT)
+                            * CAST(r2_sum AS HUGEINT)) AS BIGINT) AS b4n,
+                   CAST(count(*) AS BIGINT) AS k
+            FROM gsum),
+        a4s AS (
+            SELECT CAST(SUM(CAST(r2 AS HUGEINT) * CAST(r2 AS HUGEINT))
+                        AS BIGINT) AS a4
+            FROM ranks),
+        final AS (
+            SELECT g.et AS event_type, g.n_blocks, s.k, g.r2_sum,
+                   CAST(g.r2_sum AS DOUBLE)
+                       / (2.0 * CAST(g.n_blocks AS DOUBLE)) AS mean_rank,
+                   CAST(g.n_blocks * s.k * (s.k + 1) * (s.k + 1)
+                        AS BIGINT) AS c4n,
+                   a.a4, s.b4n
+            FROM gsum g, scalars s, a4s a)
+        SELECT event_type, n_blocks, k, r2_sum, mean_rank,
+               {analytics.FRIEDMAN_CHI2_SQL} AS chi2_f
+        FROM final ORDER BY event_type
+    """
+    sql["streaming_friedman"] = sql["friedman_test"]
 
     return sql

@@ -291,6 +291,7 @@ HEADLINE = [
     "pettitt_test",
     "page_hinkley",
     "windowed_lepage",
+    "friedman_test",
 ]
 
 

@@ -2610,6 +2610,145 @@ def windowed_w1_by_cohort_from_counts(counts: DataFrame) -> DataFrame:
     )
 
 
+# Friedman tie-aware χ² (Conover form), assembled from exact integer
+# components at doubled-rank scale: with r2 = 2·midrank, A4 = Σ r2²,
+# B4n = Σ_j (Σ_d r2)², C4n = n·k·(k+1)²,
+#   χ² = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C)
+#      = (k−1)·(B4n − n·C4n) / (A4 − C4n)
+# (both num and den pick up the same factor 4 at doubled scale) —
+# integer numerator and denominator, ONE fixed-shape double division,
+# shared verbatim with the oracle. A4 = C4n ⟺ every block fully tied
+# ⟹ no ranking information ⟹ NULL. Pinned against the classical
+# no-tie form 12ΣR²/(nk(k+1)) − 3n(k+1) in the fixture test.
+FRIEDMAN_CHI2_SQL = (
+    "CASE WHEN a4 > c4n THEN"
+    " CAST(k - 1 AS DOUBLE)"
+    " * CAST(b4n - n_blocks * c4n AS DOUBLE)"
+    " / CAST(a4 - c4n AS DOUBLE) END"
+)
+
+
+def friedman_test(events: DataFrame) -> DataFrame:
+    """Friedman test across event types BLOCKED BY DAY — the
+    within-day companion to `kruskal_wallis`: KW pools every row and a
+    strong day-of-week cycle can drown a real between-type difference
+    (or fake one); Friedman ranks the k types' daily means WITHIN each
+    day and asks whether one type consistently ranks above the others
+    once the shared daily level is blocked out. Emits one row per type
+    (its rank sum and mean rank — WHICH type runs hot) plus the global
+    tie-aware χ²_F (k−1 df).
+
+    Exactness: daily means never materialize — within-day midranks
+    come from exact sign comparisons of the (Σcents, count) sufficient
+    statistics (s_a·c_b vs s_b·c_a cross-products, DECIMAL(38,0)), the
+    doubled midrank 2r = 2·#less + #tied + 1 is an INTEGER, and every
+    χ² component is an exact BIGINT sum (`FRIEDMAN_CHI2_SQL` does the
+    one double division). Incomplete blocks (days missing a type) drop
+    — the classical complete-block requirement, k fixed globally.
+
+    Scale shape: the feed reduces ONCE to the calendar-sized
+    (type, day, s, c) relation (`util.daily_cents_sums`); the
+    within-day grid is k² per day (k = event types, a handful), so
+    everything after the first groupBy is calendar-bounded."""
+    from .util import daily_cents_sums
+
+    return friedman_from_daily(_materialize(daily_cents_sums(events)))
+
+
+def friedman_from_daily(daily: DataFrame) -> DataFrame:
+    """Friedman coda over the (event_type, day, s, c) daily relation —
+    shared verbatim by the batch operator and
+    `streaming.rollup.stream_friedman` (whose bounded state IS this
+    relation)."""
+    k_rel = daily.select(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count("*").alias("n_types"))
+        .join(F.broadcast(k_rel), F.col("n_types") == F.col("k"))
+        .select("day")
+    )
+    dc = _materialize(daily.join(F.broadcast(complete), "day"))
+    a = dc.select(
+        "day", F.col("event_type").alias("et"), F.col("s").alias("sa"),
+        F.col("c").alias("ca"),
+    )
+    b = dc.select(
+        "day", F.col("s").alias("sb"), F.col("c").alias("cb")
+    )
+    ranks = (
+        a.join(F.broadcast(b), "day")
+        .select(
+            "day",
+            "et",
+            F.expr(
+                "CASE WHEN CAST(sb AS DECIMAL(38,0)) * CAST(ca AS DECIMAL(38,0))"
+                " < CAST(sa AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))"
+                " THEN 1 ELSE 0 END"
+            ).alias("lt"),
+            F.expr(
+                "CASE WHEN CAST(sb AS DECIMAL(38,0)) * CAST(ca AS DECIMAL(38,0))"
+                " = CAST(sa AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))"
+                " THEN 1 ELSE 0 END"
+            ).alias("eq"),
+        )
+        .groupBy("day", "et")
+        .agg(
+            (2 * F.sum("lt") + F.sum("eq") + 1).cast("bigint").alias("r2")
+        )
+    )
+    ranks = _materialize(ranks)
+    glob = ranks.groupBy("et").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    glob = _materialize(glob)
+    scalars = (
+        glob.agg(
+            F.sum(
+                F.expr(
+                    "CAST(r2_sum AS DECIMAL(38,0)) * CAST(r2_sum AS DECIMAL(38,0))"
+                )
+            ).cast("bigint").alias("b4n"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+        .crossJoin(
+            ranks.agg(
+                F.sum(
+                    F.expr("CAST(r2 AS DECIMAL(38,0)) * CAST(r2 AS DECIMAL(38,0))")
+                ).cast("bigint").alias("a4")
+            )
+        )
+    )
+    return (
+        glob.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("et").alias("event_type"),
+            "n_blocks",
+            "k",
+            "r2_sum",
+            F.expr(
+                "CAST(r2_sum AS DOUBLE) / (2.0 * CAST(n_blocks AS DOUBLE))"
+            ).alias("mean_rank"),
+            (F.col("n_blocks") * F.col("k") * (F.col("k") + 1) * (F.col("k") + 1))
+            .cast("bigint")
+            .alias("c4n"),
+            "a4",
+            "b4n",
+        )
+        .select(
+            "event_type",
+            "n_blocks",
+            "k",
+            "r2_sum",
+            "mean_rank",
+            F.expr(FRIEDMAN_CHI2_SQL).alias("chi2_f"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def kruskal_wallis(events: DataFrame) -> DataFrame:
     """Kruskal–Wallis H components across ALL event types at once —
     the k-sample extension of `mannwhitney_u`: one distribution-free

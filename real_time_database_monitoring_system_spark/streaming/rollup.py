@@ -2225,6 +2225,16 @@ def _stream_daily_cents_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize(_run_to_memory(agg, "complete"))
 
 
+def stream_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.friedman_test`: the live
+    day-blocked k-sample monitor over the bounded daily state (the
+    `stream_pettitt` shape — types × days, production-sized); coda
+    (`friedman_from_daily`) shared verbatim."""
+    from ..operators.analytics import friedman_from_daily
+
+    return friedman_from_daily(_stream_daily_cents_sums(spark, sf_dir))
+
+
 def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `anomaly.pettitt_test`: the live
     retrospective changepoint estimate over the bounded daily state;

@@ -343,3 +343,105 @@ class TestWindowedLepage:
         # and the day-2 row must dwarf the null day-1 row
         days = sorted(win)
         assert win[days[1]]["lepage_stat"] > 10 * win[days[0]]["lepage_stat"]
+
+
+class TestFriedman:
+    @staticmethod
+    def _brute(mat: np.ndarray):
+        n, k = mat.shape
+        ranks = np.zeros_like(mat, dtype=float)
+        for d in range(n):
+            row = mat[d]
+            order = np.argsort(row, kind="stable")
+            r = np.empty(k)
+            sv = row[order]
+            i = 0
+            while i < k:
+                j = i
+                while j < k and sv[j] == sv[i]:
+                    j += 1
+                r[i:j] = (i + 1 + j) / 2.0
+                i = j
+            rr = np.empty(k)
+            rr[order] = r
+            ranks[d] = rr
+        R = ranks.sum(axis=0)
+        A = (ranks**2).sum()
+        C = n * k * (k + 1) ** 2 / 4
+        num = (k - 1) * ((R - n * (k + 1) / 2) ** 2).sum()
+        return R, (num / (A - C) if A > C else None)
+
+    def _build(self, spark, seed=23, favored=3, n_days=30, k=4):
+        from real_time_database_monitoring_system_spark.operators import (
+            analytics,
+        )
+
+        rng = np.random.default_rng(seed)
+        rows = []
+        mat = np.zeros((n_days, k))
+        for d in range(n_days):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+            daylevel = rng.normal(0, 5)  # strong shared day effect
+            for j in range(k):
+                mu = 20 + daylevel + (2.0 if j == favored else 0.0)
+                vals = np.round(rng.normal(mu, 1, 40), 2)
+                s = int(np.round(vals * 100).sum())
+                mat[d, j] = s / len(vals)
+                rows += [
+                    (
+                        f"t{j}",
+                        base + datetime.timedelta(seconds=int(i) + 100 * j),
+                        float(v),
+                    )
+                    for i, v in enumerate(vals)
+                ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        return analytics.friedman_test(df), mat
+
+    def test_matches_bruteforce_and_classical_form(self, spark):
+        out, mat = self._build(spark)
+        R, chi2 = self._brute(mat)
+        n, k = mat.shape
+        chi2_classic = 12 / (n * k * (k + 1)) * (R**2).sum() - 3 * n * (k + 1)
+        rows = {r["event_type"]: r for r in out.collect()}
+        assert len(rows) == k
+        for j in range(k):
+            assert rows[f"t{j}"]["r2_sum"] == int(round(2 * R[j]))
+            assert rows[f"t{j}"]["chi2_f"] == pytest.approx(chi2, rel=1e-12)
+        # no ties in this fixture → the classical form must agree too
+        assert rows["t0"]["chi2_f"] == pytest.approx(chi2_classic, rel=1e-9)
+        # the favored type consistently ranks top despite the ±5 day
+        # effect (exactly the signal kruskal_wallis would drown)
+        assert rows["t3"]["mean_rank"] == max(
+            rows[f"t{j}"]["mean_rank"] for j in range(k)
+        )
+        assert chi2 > 20
+
+    def test_incomplete_blocks_drop(self, spark):
+        """A day missing one type must not contribute to any rank sum
+        (complete-block requirement): n_blocks excludes it."""
+        from real_time_database_monitoring_system_spark.operators import (
+            analytics,
+        )
+
+        rows = []
+        for d in range(4):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+            for j in range(3):
+                if d == 2 and j == 1:
+                    continue  # day 2 missing t1
+                rows += [
+                    (f"t{j}", base + datetime.timedelta(seconds=i), float(10 + j))
+                    for i in range(5)
+                ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        out = analytics.friedman_test(df).collect()
+        assert all(r["n_blocks"] == 3 for r in out)
+        # constant per-type values → untied ranks 1,2,3 per day:
+        # doubled rank sums = 3 days × (2, 4, 6)
+        rows_d = {r["event_type"]: r["r2_sum"] for r in out}
+        assert rows_d == {"t0": 3 * 2, "t1": 3 * 4, "t2": 3 * 6}
