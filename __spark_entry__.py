@@ -1871,7 +1871,24 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-11 wave 5: day-blocked k-sample rank test --
         "friedman_test": _q_friedman_test,
         "streaming_friedman": _q_streaming_friedman,
+        # -- round-11 wave 6: changepoint attribution + the rollout
+        #    review report over the cohort drift panel --
+        "pettitt_by_cohort": _q_pettitt_by_cohort,
+        "streaming_pettitt_by_cohort": _q_streaming_pettitt_by_cohort,
+        "cohort_drift_summary": _q_cohort_drift_summary,
     }
+
+
+def _q_pettitt_by_cohort(spark, sf):
+    return anomaly.pettitt_by_cohort(load_table(spark, sf, "events"))
+
+
+def _q_streaming_pettitt_by_cohort(spark, sf):
+    return streaming_rollup.stream_pettitt_by_cohort(spark, sf)
+
+
+def _q_cohort_drift_summary(spark, sf):
+    return analytics.cohort_drift_summary(load_table(spark, sf, "events"))
 
 
 def _q_friedman_test(spark, sf):
@@ -11264,5 +11281,78 @@ def oracle_sql() -> dict[str, str]:
         FROM final ORDER BY event_type
     """
     sql["streaming_friedman"] = sql["friedman_test"]
+
+    # Pettitt keyed by (type, cohort): the pettitt_test CTE spine with
+    # the bounded cohort key threaded through
+    sql["pettitt_by_cohort"] = f"""
+        WITH daily AS (
+            SELECT event_type, {_COHORT_DUCK} AS cohort,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+                   count(*) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        r AS (
+            SELECT d.event_type, d.cohort, d.day AS d,
+                   CAST(SUM(CASE
+                       WHEN CAST(d.s AS HUGEINT) * e.c
+                            > CAST(e.s AS HUGEINT) * d.c THEN 1
+                       WHEN CAST(d.s AS HUGEINT) * e.c
+                            < CAST(e.s AS HUGEINT) * d.c THEN -1
+                       ELSE 0 END) AS BIGINT) AS r
+            FROM daily d JOIN daily e USING (event_type, cohort)
+            GROUP BY 1, 2, 3),
+        u AS (
+            SELECT event_type, cohort, d,
+                   -SUM(r) OVER (PARTITION BY event_type, cohort ORDER BY d
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS u
+            FROM r),
+        k AS (SELECT event_type, cohort,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(max(abs(u)) AS BIGINT) AS k_stat
+              FROM u GROUP BY 1, 2),
+        ch AS (SELECT u.event_type, u.cohort,
+                      CAST(min(d) AS BIGINT) AS change_day
+               FROM u JOIN k USING (event_type, cohort)
+               WHERE abs(u) = k_stat GROUP BY 1, 2)
+        SELECT event_type, cohort, n_days, k_stat, change_day,
+               {anomaly.PETTITT_P_SQL} AS p_approx
+        FROM k JOIN ch USING (event_type, cohort)
+        ORDER BY event_type, cohort
+    """
+    sql["streaming_pettitt_by_cohort"] = sql["pettitt_by_cohort"]
+
+    # Rollout-review report: extrema + deterministic argmax (smallest
+    # cohort id) over the cohort W1 relation — the _WW1C_CORE CTEs
+    # wrapped once more
+    sql["cohort_drift_summary"] = (
+        "WITH "
+        + _WW1C_CORE.format(day_filter="").replace(
+            "SELECT event_type, cohort, day, n_ref, n_cur,",
+            "SELECT 1",
+        ).split("SELECT 1")[0]
+        + """,
+        w1 AS (
+            SELECT event_type, cohort, day,
+                   CAST(acc AS DOUBLE)
+                       / (CAST(n_ref AS DOUBLE) * CAST(n_cur AS DOUBLE)
+                          * 100.0) AS w1_value
+            FROM agg WHERE n_ref >= 1 AND n_cur >= 1),
+        ext AS (
+            SELECT event_type, day,
+                   CAST(count(*) AS BIGINT) AS n_cohorts,
+                   MAX(w1_value) AS w1_max, MIN(w1_value) AS w1_min
+            FROM w1 GROUP BY 1, 2),
+        worst AS (
+            SELECT w.event_type, w.day,
+                   CAST(MIN(cohort) AS BIGINT) AS worst_cohort
+            FROM w1 w JOIN ext USING (event_type, day)
+            WHERE w1_value = w1_max GROUP BY 1, 2)
+        SELECT event_type, day, n_cohorts, worst_cohort, w1_max,
+               w1_max - w1_min AS w1_spread
+        FROM ext JOIN worst USING (event_type, day)
+        ORDER BY event_type, day
+    """
+    )
 
     return sql

@@ -292,6 +292,10 @@ HEADLINE = [
     "page_hinkley",
     "windowed_lepage",
     "friedman_test",
+    # pettitt_by_cohort is IN (its cohort-keyed reduction is its own
+    # cost); cohort_drift_summary stays out — it re-runs the
+    # windowed_wasserstein_by_cohort core already timed above
+    "pettitt_by_cohort",
 ]
 
 

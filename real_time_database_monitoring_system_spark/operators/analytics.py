@@ -2749,6 +2749,42 @@ def friedman_from_daily(daily: DataFrame) -> DataFrame:
     )
 
 
+def cohort_drift_summary(events: DataFrame) -> DataFrame:
+    """Per (event type, day) drift-attribution REPORT over the
+    cohort-keyed windowed W1 panel: which cohort moved the most
+    probability mass versus yesterday (the rollout-review one-liner),
+    how bad it is, and the worst-vs-quietest spread (a spread near
+    zero says the day drifted EVERYWHERE — upstream/global cause; a
+    large spread says one cohort owns it). Composition of
+    `windowed_wasserstein_by_cohort` — the cohort relation
+    materializes once and feeds both the extrema and the argmax
+    join-back (deterministic tiebreak: smallest cohort id)."""
+    per_cohort = _materialize(windowed_wasserstein_by_cohort(events))
+    ext = per_cohort.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_cohorts"),
+        F.max("w1_value").alias("w1_max"),
+        F.min("w1_value").alias("w1_min"),
+    )
+    worst = (
+        per_cohort.join(F.broadcast(ext), ["event_type", "day"])
+        .filter(F.col("w1_value") == F.col("w1_max"))
+        .groupBy("event_type", "day")
+        .agg(F.min("cohort").cast("bigint").alias("worst_cohort"))
+    )
+    return (
+        ext.join(worst, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "n_cohorts",
+            "worst_cohort",
+            "w1_max",
+            (F.col("w1_max") - F.col("w1_min")).alias("w1_spread"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def kruskal_wallis(events: DataFrame) -> DataFrame:
     """Kruskal–Wallis H components across ALL event types at once —
     the k-sample extension of `mannwhitney_u`: one distribution-free

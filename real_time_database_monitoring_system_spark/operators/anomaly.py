@@ -1519,23 +1519,27 @@ def pettitt_test(events: DataFrame) -> DataFrame:
     return pettitt_from_daily(_materialize(daily_cents_sums(events)))
 
 
-def pettitt_from_daily(daily: DataFrame) -> DataFrame:
-    """Pettitt coda over the (event_type, day, s, c) daily relation —
-    shared verbatim by the batch operator and
+def pettitt_from_daily(
+    daily: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """Pettitt coda over the (keys…, day, s, c) daily relation —
+    shared verbatim by the batch operator,
     `streaming.rollup.stream_pettitt` (whose bounded state IS this
-    relation)."""
+    relation), and the attribution variant `pettitt_by_cohort`
+    (keys = (event_type, cohort))."""
+    keys = keys or ["event_type"]
     d = daily.select(
-        "event_type", F.col("day").alias("d"), F.col("s").alias("sd"),
+        *keys, F.col("day").alias("d"), F.col("s").alias("sd"),
         F.col("c").alias("cd"),
     )
     e = daily.select(
-        "event_type", F.col("day").alias("e"), F.col("s").alias("se"),
+        *keys, F.col("day").alias("e"), F.col("s").alias("se"),
         F.col("c").alias("ce"),
     )
     r = (
-        d.join(F.broadcast(e), "event_type")
+        d.join(F.broadcast(e), list(keys))
         .select(
-            "event_type",
+            *keys,
             "d",
             F.expr(
                 "CASE WHEN CAST(sd AS DECIMAL(38,0)) * CAST(ce AS DECIMAL(38,0))"
@@ -1545,39 +1549,55 @@ def pettitt_from_daily(daily: DataFrame) -> DataFrame:
                 " THEN -1 ELSE 0 END"
             ).alias("sgn"),
         )
-        .groupBy("event_type", "d")
+        .groupBy(*keys, "d")
         .agg(F.sum("sgn").cast("bigint").alias("r"))
     )
     wcum = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = _materialize(
-        r.select(
-            "event_type", "d", (-F.sum("r").over(wcum)).alias("u")
-        )
+        r.select(*keys, "d", (-F.sum("r").over(wcum)).alias("u"))
     )
-    k = u.groupBy("event_type").agg(
+    k = u.groupBy(*keys).agg(
         F.count("*").cast("bigint").alias("n_days"),
         F.max(F.abs("u")).cast("bigint").alias("k_stat"),
     )
     change = (
-        u.join(F.broadcast(k), "event_type")
+        u.join(F.broadcast(k), list(keys))
         .filter(F.abs("u") == F.col("k_stat"))
-        .groupBy("event_type")
+        .groupBy(*keys)
         .agg(F.min("d").cast("bigint").alias("change_day"))
     )
     return (
-        k.join(change, "event_type")
+        k.join(change, list(keys))
         .select(
-            "event_type",
+            *keys,
             "n_days",
             "k_stat",
             "change_day",
             F.expr(PETTITT_P_SQL).alias("p_approx"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
+    )
+
+
+def pettitt_by_cohort(events: DataFrame) -> DataFrame:
+    """Pettitt changepoint per (event type, experiment cohort) — the
+    ATTRIBUTION variant of `pettitt_test` (the `windowed_ks_by_cohort`
+    move applied to the changepoint family): the global test says the
+    type's daily series broke on day τ; this keys the identical sign
+    algebra by the bounded props cohort, so a rollout that bent ONE
+    cohort's series names that cohort and its own break day instead of
+    smearing into the type aggregate. Shared machinery end-to-end:
+    `util.daily_cents_sums(by_cohort=True)` (one more bounded key) and
+    the `pettitt_from_daily` coda keyed by (type, cohort)."""
+    from .util import daily_cents_sums
+
+    return pettitt_from_daily(
+        _materialize(daily_cents_sums(events, by_cohort=True)),
+        keys=["event_type", "cohort"],
     )
 
 

@@ -342,21 +342,27 @@ def windowed_day_cents_counts(
     )
 
 
-def daily_cents_sums(events: DataFrame) -> DataFrame:
-    """The (event_type, day, s, c) daily integer-cents sufficient
-    statistics the changepoint family (`anomaly.pettitt_test`,
-    `anomaly.page_hinkley`) reduces the feed to: s = Σ round(value·100)
-    (each row rounded ONCE, then summed exactly — BIGINT), c = row
-    count. One map-side-combinable groupBy bounded by types × days;
+def daily_cents_sums(events: DataFrame, by_cohort: bool = False) -> DataFrame:
+    """The (event_type[, cohort], day, s, c) daily integer-cents
+    sufficient statistics the changepoint family
+    (`anomaly.pettitt_test`, `anomaly.page_hinkley`,
+    `analytics.friedman_test`) reduces the feed to: s =
+    Σ round(value·100) (each row rounded ONCE, then summed exactly —
+    BIGINT), c = row count. With ``by_cohort`` the bounded `COHORT_SQL`
+    key rides along for changepoint ATTRIBUTION (which cohort broke).
+    One map-side-combinable groupBy bounded by types × days [× cohorts];
     the raw feed never row-shuffles past this point, so everything
     downstream runs on a relation whose size is a calendar, not a
     corpus."""
     from pyspark.sql import functions as F
 
+    keys = [F.col("event_type")]
+    if by_cohort:
+        keys.append(F.expr(COHORT_SQL).alias("cohort"))
     return (
         events.filter(F.col("value").isNotNull())
         .groupBy(
-            "event_type",
+            *keys,
             F.expr(
                 "unix_micros(cast(ts as timestamp)) div 86400000000"
             ).alias("day"),

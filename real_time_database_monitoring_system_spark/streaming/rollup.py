@@ -2199,20 +2199,27 @@ def stream_windowed_lepage(
     )
 
 
-def _stream_daily_cents_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_daily_cents_sums(
+    spark: SparkSession, sf_dir: str, by_cohort: bool = False
+) -> DataFrame:
     """Streaming construction of `util.daily_cents_sums`: the
-    changepoint family's state is the (event_type, day, Σcents, count)
-    daily sufficient-statistics aggregation — BOUNDED by types ×
-    calendar days (unlike the per-distinct-value complete-mode twins,
-    this is the production state shape: a year of days is 365 rows per
-    type no matter the feed rate)."""
-    from ..operators.util import materialize
+    changepoint family's state is the (event_type[, cohort], day,
+    Σcents, count) daily sufficient-statistics aggregation — BOUNDED
+    by types × calendar days [× cohorts] (unlike the
+    per-distinct-value complete-mode twins, this is the production
+    state shape: a year of days is 365 rows per type no matter the
+    feed rate)."""
+    from ..operators.util import COHORT_SQL, materialize
 
     src = _events_stream(spark, sf_dir)
+    keys = ["event_type"]
+    if by_cohort:
+        src = src.withColumn("cohort", F.expr(COHORT_SQL))
+        keys.append("cohort")
     agg = (
         src.filter(F.col("value").isNotNull())
         .groupBy(
-            "event_type",
+            *keys,
             F.expr(
                 "unix_micros(cast(ts as timestamp)) div 86400000000"
             ).alias("day"),
@@ -2243,6 +2250,18 @@ def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.anomaly import pettitt_from_daily
 
     return pettitt_from_daily(_stream_daily_cents_sums(spark, sf_dir))
+
+
+def stream_pettitt_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly.pettitt_by_cohort`: the attribution
+    changepoint over the cohort-keyed bounded daily state; coda shared
+    verbatim."""
+    from ..operators.anomaly import pettitt_from_daily
+
+    return pettitt_from_daily(
+        _stream_daily_cents_sums(spark, sf_dir, by_cohort=True),
+        keys=["event_type", "cohort"],
+    )
 
 
 def stream_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -445,3 +445,61 @@ class TestFriedman:
         # doubled rank sums = 3 days × (2, 4, 6)
         rows_d = {r["event_type"]: r["r2_sum"] for r in out}
         assert rows_d == {"t0": 3 * 2, "t1": 3 * 4, "t2": 3 * 6}
+
+
+class TestCohortChangepointAndSummary:
+    def _planted(self, spark):
+        """Two cohorts, 20 days: cohort 0 flat at 10; cohort 1 jumps
+        +4 from day 12 — attribution must name cohort 1 with a break
+        at the last pre-shift day, and the summary must name cohort 1
+        as the worst mover on the jump day."""
+        rng = np.random.default_rng(31)
+        rows = []
+        for d in range(20):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+            for i in range(60):
+                ts = base + datetime.timedelta(seconds=int(i))
+                rows.append(
+                    ("t", ts, float(np.round(rng.normal(10, 0.5), 1)),
+                     '{"k": 3}')
+                )
+                mu = 14.0 if d >= 12 else 10.0
+                rows.append(
+                    ("t", ts, float(np.round(rng.normal(mu, 0.5), 1)),
+                     '{"k": 30}')
+                )
+        return spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double, props string"
+        )
+
+    def test_pettitt_by_cohort_names_the_cohort_and_day(self, spark):
+        out = {
+            r["cohort"]: r
+            for r in anomaly.pettitt_by_cohort(self._planted(spark)).collect()
+        }
+        assert out[1]["change_day"] == DAY0 + 11  # split after day 11
+        assert out[1]["p_approx"] < 0.005  # saturated K at T=20 days
+        assert out[0]["p_approx"] > 0.05
+        # the +4σ·8 jump separates every pre/post day pair: K saturates
+        # at 12·8 = 96; the flat cohort's K is random-walk noise with an
+        # insignificant p (asserted above), not a comparable magnitude
+        assert out[1]["k_stat"] == 96
+
+    def test_summary_names_the_worst_cohort(self, spark):
+        from real_time_database_monitoring_system_spark.operators.analytics import (
+            cohort_drift_summary,
+        )
+
+        rows = {
+            r["day"]: r
+            for r in cohort_drift_summary(self._planted(spark)).collect()
+        }
+        jump_day = DAY0 + 12
+        assert rows[jump_day]["worst_cohort"] == 1
+        assert rows[jump_day]["w1_max"] == pytest.approx(4.0, abs=0.4)
+        # one cohort owns the drift → spread ≈ the whole magnitude
+        assert rows[jump_day]["w1_spread"] > 3.0
+        # a quiet day: both cohorts near zero
+        quiet = rows[DAY0 + 5]
+        assert quiet["w1_max"] < 0.5
+        assert quiet["n_cohorts"] == 2
