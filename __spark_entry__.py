@@ -1876,7 +1876,17 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pettitt_by_cohort": _q_pettitt_by_cohort,
         "streaming_pettitt_by_cohort": _q_streaming_pettitt_by_cohort,
         "cohort_drift_summary": _q_cohort_drift_summary,
+        "page_hinkley_by_cohort": _q_page_hinkley_by_cohort,
+        "streaming_ph_by_cohort": _q_streaming_ph_by_cohort,
     }
+
+
+def _q_page_hinkley_by_cohort(spark, sf):
+    return anomaly.page_hinkley_by_cohort(load_table(spark, sf, "events"))
+
+
+def _q_streaming_ph_by_cohort(spark, sf):
+    return streaming_rollup.stream_page_hinkley_by_cohort(spark, sf)
 
 
 def _q_pettitt_by_cohort(spark, sf):
@@ -11321,6 +11331,56 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY event_type, cohort
     """
     sql["streaming_pettitt_by_cohort"] = sql["pettitt_by_cohort"]
+
+    # Page–Hinkley keyed by (type, cohort): the page_hinkley CTE spine
+    # with the cohort key threaded through every partition/group list
+    sql["page_hinkley_by_cohort"] = f"""
+        WITH daily AS (
+            SELECT event_type, {_COHORT_DUCK} AS cohort,
+                   epoch_us(ts) // 86400000000 AS day,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS s,
+                   count(*) AS c
+            FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+        mu AS (SELECT event_type, cohort, day, (s * 10000) // c AS mu
+               FROM daily),
+        cums AS (
+            SELECT event_type, cohort, day,
+                   SUM(mu) OVER w AS cum_mu,
+                   row_number() OVER (PARTITION BY event_type, cohort
+                                      ORDER BY day) AS t
+            FROM mu
+            WINDOW w AS (PARTITION BY event_type, cohort ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        xb AS (SELECT event_type, cohort, day, t, cum_mu, cum_mu // t AS xb
+               FROM cums),
+        m AS (
+            SELECT event_type, cohort, day, t,
+                   cum_mu - SUM(xb) OVER w AS cum_dev
+            FROM xb
+            WINDOW w AS (PARTITION BY event_type, cohort ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        m2 AS (SELECT event_type, cohort, day,
+                      cum_dev - t * 250000 AS m_up,
+                      cum_dev + t * 250000 AS m_dn
+               FROM m),
+        ph AS (
+            SELECT event_type, cohort, day,
+                   m_up - MIN(m_up) OVER w AS ph_up,
+                   MAX(m_dn) OVER w - m_dn AS ph_dn
+            FROM m2
+            WINDOW w AS (PARTITION BY event_type, cohort ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_type, cohort,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(max(ph_up) AS DOUBLE) / 1000000.0 AS ph_up_max,
+               CAST(max(ph_dn) AS DOUBLE) / 1000000.0 AS ph_dn_max,
+               CAST(min(CASE WHEN ph_up > 2000000 OR ph_dn > 2000000
+                             THEN day END) AS BIGINT) AS first_alarm_day,
+               CAST(SUM(CASE WHEN ph_up > 2000000 OR ph_dn > 2000000
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days
+        FROM ph GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    sql["streaming_ph_by_cohort"] = sql["page_hinkley_by_cohort"]
 
     # Rollout-review report: extrema + deterministic argmax (smallest
     # cohort id) over the cohort W1 relation — the _WW1C_CORE CTEs

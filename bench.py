@@ -296,6 +296,7 @@ HEADLINE = [
     # cost); cohort_drift_summary stays out — it re-runs the
     # windowed_wasserstein_by_cohort core already timed above
     "pettitt_by_cohort",
+    "page_hinkley_by_cohort",
 ]
 
 

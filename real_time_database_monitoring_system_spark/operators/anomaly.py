@@ -1583,6 +1583,27 @@ def pettitt_from_daily(
     )
 
 
+def page_hinkley_by_cohort(
+    events: DataFrame, delta_cents: int = 25, lam_cents: int = 200
+) -> DataFrame:
+    """Two-sided Page–Hinkley per (event type, experiment cohort) —
+    the SEQUENTIAL half of changepoint attribution (the retrospective
+    half is `pettitt_by_cohort`): alarms on the first day ONE
+    cohort's daily-mean series drifts past λ while the other cohorts'
+    accumulators stay quiet. Shared machinery:
+    `util.daily_cents_sums(by_cohort=True)` and the
+    `page_hinkley_from_daily` coda keyed by (type, cohort) — all
+    integer fixed-point, same δ/λ cents semantics."""
+    from .util import daily_cents_sums
+
+    return page_hinkley_from_daily(
+        _materialize(daily_cents_sums(events, by_cohort=True)),
+        delta_cents,
+        lam_cents,
+        keys=["event_type", "cohort"],
+    )
+
+
 def pettitt_by_cohort(events: DataFrame) -> DataFrame:
     """Pettitt changepoint per (event type, experiment cohort) — the
     ATTRIBUTION variant of `pettitt_test` (the `windowed_ks_by_cohort`
@@ -1632,59 +1653,64 @@ def page_hinkley(
 
 
 def page_hinkley_from_daily(
-    daily: DataFrame, delta_cents: int = 25, lam_cents: int = 200
+    daily: DataFrame,
+    delta_cents: int = 25,
+    lam_cents: int = 200,
+    keys: list[str] | None = None,
 ) -> DataFrame:
-    """Page–Hinkley coda over the (event_type, day, s, c) daily
-    relation — shared verbatim by the batch operator and
+    """Page–Hinkley coda over the (keys…, day, s, c) daily relation —
+    shared verbatim by the batch operator,
     `streaming.rollup.stream_page_hinkley` (whose bounded state IS
-    this relation)."""
+    this relation), and the attribution variant
+    `page_hinkley_by_cohort` (keys = (event_type, cohort))."""
+    keys = keys or ["event_type"]
     # mu is mean-cents at SCALE=10⁴, so one cent = 10⁴ mu-units
     dscale = int(delta_cents) * 10000
     lscale = int(lam_cents) * 10000
     wcum = (
-        Window.partitionBy("event_type")
+        Window.partitionBy(*keys)
         .orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     mu = daily.select(
-        "event_type",
+        *keys,
         "day",
         F.expr("(s * 10000) div c").alias("mu"),
     )
     cums = mu.select(
-        "event_type",
+        *keys,
         "day",
         F.sum("mu").over(wcum).alias("cum_mu"),
         F.row_number()
-        .over(Window.partitionBy("event_type").orderBy("day"))
+        .over(Window.partitionBy(*keys).orderBy("day"))
         .alias("t"),
     )
     xbar = cums.select(
-        "event_type",
+        *keys,
         "day",
         "t",
         "cum_mu",
         F.expr("cum_mu div t").alias("xb"),
     )
     m = xbar.select(
-        "event_type",
+        *keys,
         "day",
         "t",
         (F.col("cum_mu") - F.sum("xb").over(wcum)).alias("cum_dev"),
     ).select(
-        "event_type",
+        *keys,
         "day",
         (F.col("cum_dev") - F.col("t") * F.lit(dscale)).alias("m_up"),
         (F.col("cum_dev") + F.col("t") * F.lit(dscale)).alias("m_dn"),
     )
     ph = m.select(
-        "event_type",
+        *keys,
         "day",
         (F.col("m_up") - F.min("m_up").over(wcum)).alias("ph_up"),
         (F.max("m_dn").over(wcum) - F.col("m_dn")).alias("ph_dn"),
     )
     return (
-        ph.groupBy("event_type")
+        ph.groupBy(*keys)
         .agg(
             F.count("*").cast("bigint").alias("n_days"),
             # descale to VALUE units (mu-units /10⁴ → cents, /100 → value)
@@ -1702,7 +1728,7 @@ def page_hinkley_from_daily(
                 ).otherwise(0)
             ).cast("bigint").alias("n_alarm_days"),
         )
-        .orderBy("event_type")
+        .orderBy(*keys)
     )
 
 

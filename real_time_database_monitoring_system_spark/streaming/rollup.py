@@ -2252,6 +2252,22 @@ def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pettitt_from_daily(_stream_daily_cents_sums(spark, sf_dir))
 
 
+def stream_page_hinkley_by_cohort(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming twin of `anomaly.page_hinkley_by_cohort`: the live
+    per-cohort sequential changepoint monitor over the cohort-keyed
+    bounded daily state; coda shared verbatim — and like the other
+    daily-state twins, this state shape IS the production
+    deployment."""
+    from ..operators.anomaly import page_hinkley_from_daily
+
+    return page_hinkley_from_daily(
+        _stream_daily_cents_sums(spark, sf_dir, by_cohort=True),
+        keys=["event_type", "cohort"],
+    )
+
+
 def stream_pettitt_by_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `anomaly.pettitt_by_cohort`: the attribution
     changepoint over the cohort-keyed bounded daily state; coda shared

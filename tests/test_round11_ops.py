@@ -503,3 +503,36 @@ class TestCohortChangepointAndSummary:
         quiet = rows[DAY0 + 5]
         assert quiet["w1_max"] < 0.5
         assert quiet["n_cohorts"] == 2
+
+
+class TestPageHinkleyByCohort:
+    def test_only_the_shifted_cohort_alarms(self, spark):
+        """Cohort 1 drifts upward by +4 from day 12 (≫ λ = 2.0 value
+        units); cohort 0 stays flat with tiny noise — the attribution
+        monitor must alarm on cohort 1 shortly after the break and
+        stay silent on cohort 0."""
+        rng = np.random.default_rng(41)
+        rows = []
+        for d in range(25):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+            for i in range(80):
+                ts = base + datetime.timedelta(seconds=int(i))
+                rows.append(
+                    ("t", ts, float(np.round(rng.normal(10, 0.2), 2)),
+                     '{"k": 3}')
+                )
+                mu = 14.0 if d >= 12 else 10.0
+                rows.append(
+                    ("t", ts, float(np.round(rng.normal(mu, 0.2), 2)),
+                     '{"k": 30}')
+                )
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double, props string"
+        )
+        out = {
+            r["cohort"]: r for r in anomaly.page_hinkley_by_cohort(df).collect()
+        }
+        assert out[0]["n_alarm_days"] == 0
+        assert out[1]["n_alarm_days"] > 0
+        assert DAY0 + 12 <= out[1]["first_alarm_day"] <= DAY0 + 14
+        assert out[1]["ph_up_max"] > out[1]["ph_dn_max"]
