@@ -1878,7 +1878,18 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_drift_summary": _q_cohort_drift_summary,
         "page_hinkley_by_cohort": _q_page_hinkley_by_cohort,
         "streaming_ph_by_cohort": _q_streaming_ph_by_cohort,
+        # -- round-11 wave 8: the weighted blocked k-sample test --
+        "quade_test": _q_quade_test,
+        "streaming_quade": _q_streaming_quade,
     }
+
+
+def _q_quade_test(spark, sf):
+    return analytics.quade_test(load_table(spark, sf, "events"))
+
+
+def _q_streaming_quade(spark, sf):
+    return streaming_rollup.stream_quade(spark, sf)
 
 
 def _q_page_hinkley_by_cohort(spark, sf):
@@ -11291,6 +11302,62 @@ def oracle_sql() -> dict[str, str]:
         FROM final ORDER BY event_type
     """
     sql["streaming_friedman"] = sql["friedman_test"]
+
+    # Quade: the friedman within-day rank spine + integer fixed-point
+    # day ranges ((s*10^4)//c, the page_hinkley rule) ranked across
+    # days; QUADE_F_SQL shared verbatim
+    sql["quade_test"] = f"""
+        WITH {_DAILY_CTE},
+        kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+               FROM daily),
+        complete AS (
+            SELECT day FROM daily, kk GROUP BY day, k
+            HAVING count(*) = max(k)),
+        dc AS (SELECT d.* FROM daily d JOIN complete USING (day)),
+        cells AS (
+            SELECT a.day, a.event_type AS et,
+                   CAST(2 * SUM(CASE WHEN CAST(b.s AS HUGEINT) * a.c
+                                          < CAST(a.s AS HUGEINT) * b.c
+                                     THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN CAST(b.s AS HUGEINT) * a.c
+                                        = CAST(a.s AS HUGEINT) * b.c
+                                   THEN 1 ELSE 0 END) + 1 AS BIGINT) AS r2,
+                   CAST(MAX((b.s * 10000) // b.c)
+                        - MIN((b.s * 10000) // b.c) AS BIGINT) AS rng
+            FROM dc a JOIN dc b USING (day) GROUP BY 1, 2),
+        dr AS (SELECT DISTINCT day, rng FROM cells),
+        q2 AS (
+            SELECT x.day,
+                   CAST(2 * SUM(CASE WHEN y.rng < x.rng THEN 1 ELSE 0 END)
+                        + SUM(CASE WHEN y.rng = x.rng THEN 1 ELSE 0 END)
+                        + 1 AS BIGINT) AS q2
+            FROM dr x, dr y GROUP BY x.day, x.rng),
+        scored AS (
+            SELECT c.day, c.et, k.k,
+                   CAST(q.q2 * (c.r2 - (k.k + 1)) AS BIGINT) AS s4
+            FROM cells c JOIN q2 q USING (day), kk k),
+        pt AS (
+            SELECT et, CAST(first(k) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   CAST(SUM(s4) AS BIGINT) AS s4_sum
+            FROM scored GROUP BY 1),
+        scalars AS (
+            SELECT CAST(SUM(CAST(s4_sum AS HUGEINT)
+                            * CAST(s4_sum AS HUGEINT)) AS BIGINT) AS b16n
+            FROM pt),
+        a16s AS (
+            SELECT CAST(SUM(CAST(s4 AS HUGEINT) * CAST(s4 AS HUGEINT))
+                        AS BIGINT) AS a16
+            FROM scored),
+        final AS (
+            SELECT p.et AS event_type, p.n_blocks, p.k, p.s4_sum,
+                   a.a16, s.b16n
+            FROM pt p, scalars s, a16s a)
+        SELECT event_type, n_blocks, k, s4_sum,
+               {analytics.QUADE_F_SQL} AS quade_f
+        FROM final ORDER BY event_type
+    """
+    sql["streaming_quade"] = sql["quade_test"]
 
     # Pettitt keyed by (type, cohort): the pettitt_test CTE spine with
     # the bounded cohort key threaded through

@@ -297,6 +297,7 @@ HEADLINE = [
     # windowed_wasserstein_by_cohort core already timed above
     "pettitt_by_cohort",
     "page_hinkley_by_cohort",
+    "quade_test",
 ]
 
 

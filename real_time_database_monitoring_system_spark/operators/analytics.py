@@ -2785,6 +2785,175 @@ def cohort_drift_summary(events: DataFrame) -> DataFrame:
     )
 
 
+# Quade F from exact integer components at 4×-doubled scale: with
+# S4_dj = Q2_d·dev2_dj (Q2 = doubled block-range rank, dev2 = r2−(k+1)
+# the doubled centered within-block rank), a16 = Σ S4², b16n = Σ_j
+# (Σ_d S4)², the statistic F = (n−1)·B/(A−B) with A = a16/16 and
+# B = (Σ_j S_j²)/n = b16n/(16n) becomes
+#   F = (n−1)·b16n / (n·a16 − b16n)
+# — integer numerator/denominator, ONE fixed-shape double division,
+# shared verbatim with the oracle. n·a16 = b16n ⟺ perfect block
+# consistency (F → ∞) or no information ⟹ NULL (the consumer reads
+# the components).
+QUADE_F_SQL = (
+    "CASE WHEN n_blocks * a16 > b16n THEN"
+    " CAST(n_blocks - 1 AS DOUBLE) * CAST(b16n AS DOUBLE)"
+    " / CAST(n_blocks * a16 - b16n AS DOUBLE) END"
+)
+
+
+def quade_test(events: DataFrame) -> DataFrame:
+    """Quade test across event types blocked by day — the WEIGHTED
+    companion to `friedman_test`: Friedman gives every day one vote;
+    Quade weights each day by the rank of its between-type RANGE, so
+    days where the types actually separated dominate and quiet days
+    stop diluting the signal — the more powerful choice at small k
+    (k ≤ 5, exactly this feed's shape). Emits one row per type (its
+    weighted score sum — signed: positive means ranks-above-center on
+    the informative days) plus the global F (df (k−1), (n−1)(k−1)).
+
+    Exactness: within-day midranks by exact sign comparisons of the
+    (Σcents, count) sufficient statistics (the `friedman_test` grid);
+    the day's range enters as the exact INTEGER range of 10⁻⁴-scaled
+    truncated means ((s·10⁴) div c — the `page_hinkley` fixed-point
+    rule, so range comparisons never need 4-way rational
+    cross-products that overflow DECIMAL(38) at warehouse scale);
+    range ranks across days are midranks by the same sign algebra.
+    Every component below is an exact BIGINT/DECIMAL sum;
+    `QUADE_F_SQL` does the one double division. Incomplete blocks
+    drop (the complete-block requirement, shared with Friedman).
+
+    Scale shape: ONE feed reduction to the calendar-sized daily
+    relation; the k² within-day grid and the days² range-rank grid
+    are both bounded (types and calendar), never feed-sized."""
+    from .util import daily_cents_sums
+
+    return quade_from_daily(_materialize(daily_cents_sums(events)))
+
+
+def quade_from_daily(daily: DataFrame) -> DataFrame:
+    """Quade coda over the (event_type, day, s, c) daily relation —
+    shared verbatim by the batch operator and
+    `streaming.rollup.stream_quade` (whose bounded state IS this
+    relation)."""
+    k_rel = daily.select(
+        F.countDistinct("event_type").cast("bigint").alias("k")
+    )
+    complete = (
+        daily.groupBy("day")
+        .agg(F.count("*").alias("n_types"))
+        .join(F.broadcast(k_rel), F.col("n_types") == F.col("k"))
+        .select("day")
+    )
+    dc = _materialize(daily.join(F.broadcast(complete), "day"))
+    # within-day doubled midranks (the friedman grid) + the day's
+    # integer fixed-point range
+    a = dc.select(
+        "day", F.col("event_type").alias("et"),
+        F.expr("(s * 10000) div c").alias("mua"),
+        F.col("s").alias("sa"), F.col("c").alias("ca"),
+    )
+    b = dc.select(
+        "day", F.expr("(s * 10000) div c").alias("mub"),
+        F.col("s").alias("sb"), F.col("c").alias("cb"),
+    )
+    cells = (
+        a.join(F.broadcast(b), "day")
+        .groupBy("day", "et")
+        .agg(
+            (
+                2
+                * F.sum(
+                    F.expr(
+                        "CASE WHEN CAST(sb AS DECIMAL(38,0)) * CAST(ca AS DECIMAL(38,0))"
+                        " < CAST(sa AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))"
+                        " THEN 1 ELSE 0 END"
+                    )
+                )
+                + F.sum(
+                    F.expr(
+                        "CASE WHEN CAST(sb AS DECIMAL(38,0)) * CAST(ca AS DECIMAL(38,0))"
+                        " = CAST(sa AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0))"
+                        " THEN 1 ELSE 0 END"
+                    )
+                )
+                + 1
+            ).cast("bigint").alias("r2"),
+            (F.max("mub") - F.min("mub")).cast("bigint").alias("rng"),
+        )
+    )
+    cells = _materialize(cells)
+    # doubled midrank of each day's range across days (per the whole
+    # series — one more bounded grid, days × days)
+    dr = cells.select("day", "rng").distinct()
+    q2 = (
+        dr.alias("x")
+        .join(F.broadcast(dr.select(F.col("rng").alias("rng_o"))), F.lit(True))
+        .groupBy("day", "rng")
+        .agg(
+            (
+                2 * F.sum(F.when(F.col("rng_o") < F.col("rng"), 1).otherwise(0))
+                + F.sum(F.when(F.col("rng_o") == F.col("rng"), 1).otherwise(0))
+                + 1
+            ).cast("bigint").alias("q2")
+        )
+        .select("day", "q2")
+    )
+    scored = (
+        cells.join(F.broadcast(q2), "day")
+        .join(F.broadcast(k_rel), F.lit(True))
+        .select(
+            "day",
+            "et",
+            "k",
+            (
+                F.col("q2") * (F.col("r2") - (F.col("k") + 1))
+            ).cast("bigint").alias("s4"),
+        )
+    )
+    scored = _materialize(scored)
+    per_type = scored.groupBy("et").agg(
+        F.first("k").alias("k"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("s4").cast("bigint").alias("s4_sum"),
+    )
+    scalars = (
+        per_type.agg(
+            F.sum(
+                F.expr(
+                    "CAST(s4_sum AS DECIMAL(38,0)) * CAST(s4_sum AS DECIMAL(38,0))"
+                )
+            ).cast("bigint").alias("b16n")
+        )
+        .crossJoin(
+            scored.agg(
+                F.sum(
+                    F.expr("CAST(s4 AS DECIMAL(38,0)) * CAST(s4 AS DECIMAL(38,0))")
+                ).cast("bigint").alias("a16")
+            )
+        )
+    )
+    return (
+        per_type.crossJoin(F.broadcast(scalars))
+        .select(
+            F.col("et").alias("event_type"),
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("k").cast("bigint").alias("k"),
+            "s4_sum",
+            "a16",
+            "b16n",
+        )
+        .select(
+            "event_type",
+            "n_blocks",
+            "k",
+            "s4_sum",
+            F.expr(QUADE_F_SQL).alias("quade_f"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def kruskal_wallis(events: DataFrame) -> DataFrame:
     """Kruskal–Wallis H components across ALL event types at once —
     the k-sample extension of `mannwhitney_u`: one distribution-free

@@ -2242,6 +2242,15 @@ def stream_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return friedman_from_daily(_stream_daily_cents_sums(spark, sf_dir))
 
 
+def stream_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `analytics.quade_test`: the live weighted
+    day-blocked k-sample monitor over the bounded daily state; coda
+    (`quade_from_daily`) shared verbatim."""
+    from ..operators.analytics import quade_from_daily
+
+    return quade_from_daily(_stream_daily_cents_sums(spark, sf_dir))
+
+
 def stream_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `anomaly.pettitt_test`: the live
     retrospective changepoint estimate over the bounded daily state;

@@ -536,3 +536,88 @@ class TestPageHinkleyByCohort:
         assert out[1]["n_alarm_days"] > 0
         assert DAY0 + 12 <= out[1]["first_alarm_day"] <= DAY0 + 14
         assert out[1]["ph_up_max"] > out[1]["ph_dn_max"]
+
+
+class TestQuade:
+    def test_matches_bruteforce_and_weights_informative_days(self, spark):
+        from real_time_database_monitoring_system_spark.operators import (
+            analytics,
+        )
+
+        def midranks(vals):
+            order = np.argsort(vals, kind="stable")
+            r = np.empty(len(vals))
+            sv = np.asarray(vals, dtype=float)[order]
+            i = 0
+            while i < len(vals):
+                j = i
+                while j < len(vals) and sv[j] == sv[i]:
+                    j += 1
+                r[i:j] = (i + 1 + j) / 2.0
+                i = j
+            out = np.empty(len(vals))
+            out[order] = r
+            return out
+
+        rng_g = np.random.default_rng(29)
+        n_days, k = 24, 4
+        rows = []
+        mat = np.zeros((n_days, k), dtype=np.int64)
+        for d in range(n_days):
+            base = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=d)
+            daylevel = rng_g.normal(0, 3)
+            sep = 3.0 if d % 3 == 0 else 0.3  # informative vs quiet days
+            for j in range(k):
+                mu = 20 + daylevel + sep * j / 2
+                vals = np.round(rng_g.normal(mu, 0.5, 30), 2)
+                s = int(np.round(vals * 100).sum())
+                mat[d, j] = (s * 10000) // len(vals)
+                rows += [
+                    (
+                        f"t{j}",
+                        base + datetime.timedelta(seconds=int(i) + 100 * j),
+                        float(v),
+                    )
+                    for i, v in enumerate(vals)
+                ]
+        ranks = np.array([midranks(row) for row in mat])
+        rng_d = mat.max(axis=1) - mat.min(axis=1)
+        Q = midranks(rng_d)
+        S = Q[:, None] * (ranks - (k + 1) / 2)
+        Sj = S.sum(axis=0)
+        A, B = (S**2).sum(), (Sj**2).sum() / n_days
+        f_ref = (n_days - 1) * B / (A - B)
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        out = {r["event_type"]: r for r in analytics.quade_test(df).collect()}
+        for j in range(k):
+            assert out[f"t{j}"]["s4_sum"] == int(round(4 * Sj[j]))
+            assert out[f"t{j}"]["quade_f"] == pytest.approx(f_ref, rel=1e-12)
+        # the ordered separation on informative days must surface:
+        # monotone weighted scores across the planted order
+        s4s = [out[f"t{j}"]["s4_sum"] for j in range(k)]
+        assert s4s == sorted(s4s)
+        assert f_ref > 10
+
+    def test_no_information_yields_null_f(self, spark):
+        """All types identical every day → every rank tied at the
+        center, every S4 = 0 → n·a16 = b16n = 0 → NULL F."""
+        from real_time_database_monitoring_system_spark.operators import (
+            analytics,
+        )
+
+        rows = []
+        for d in range(5):
+            base = datetime.datetime(2024, 2, 1) + datetime.timedelta(days=d)
+            for j in range(3):
+                rows += [
+                    (f"t{j}", base + datetime.timedelta(seconds=i), 7.0)
+                    for i in range(4)
+                ]
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp, value double"
+        )
+        out = analytics.quade_test(df).collect()
+        assert all(r["quade_f"] is None for r in out)
+        assert all(r["s4_sum"] == 0 for r in out)
