@@ -1881,7 +1881,13 @@ def _queries_canonical() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-11 wave 8: the weighted blocked k-sample test --
         "quade_test": _q_quade_test,
         "streaming_quade": _q_streaming_quade,
+        # -- round-11 wave 9: one-vs-rest per-source length panel --
+        "source_length_drift": _q_source_length_drift,
     }
+
+
+def _q_source_length_drift(spark, sf):
+    return pipeline.source_length_drift(load_table(spark, sf, "documents"))
 
 
 def _q_quade_test(spark, sf):
@@ -11358,6 +11364,68 @@ def oracle_sql() -> dict[str, str]:
         FROM final ORDER BY event_type
     """
     sql["streaming_quade"] = sql["quade_test"]
+
+    # One-vs-rest per-source length panel: leave-one-out algebra over
+    # the (source, n_chars) count relation; KS_STAT_SQL + the cliffs
+    # pair identities shared verbatim
+    sql["source_length_drift"] = f"""
+        WITH counts AS (
+            SELECT source, n_chars AS v, CAST(count(*) AS BIGINT) AS own
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT v, CAST(SUM(own) AS BIGINT) AS g
+                FROM counts GROUP BY 1),
+        srcs AS (SELECT DISTINCT source FROM counts),
+        grid AS (
+            SELECT s.source, t.v,
+                   coalesce(c.own, 0) AS c_cur,
+                   t.g - coalesce(c.own, 0) AS c_ref
+            FROM srcs s CROSS JOIN tot t
+            LEFT JOIN counts c ON c.source = s.source AND c.v = t.v),
+        kt AS (SELECT source, SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur
+               FROM grid GROUP BY 1),
+        ecdf AS (
+            SELECT source,
+                   SUM(c_ref) OVER w AS ccr, SUM(c_cur) OVER w AS ccc
+            FROM grid
+            WINDOW w AS (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        gaps AS (
+            SELECT e.source, n_ref, n_cur,
+                   abs(CAST(ccr AS HUGEINT) * CAST(n_cur AS HUGEINT)
+                       - CAST(ccc AS HUGEINT) * CAST(n_ref AS HUGEINT))
+                       AS gap
+            FROM ecdf e JOIN kt USING (source)),
+        mx AS (SELECT source, CAST(first(n_ref) AS BIGINT) AS n_ref,
+                      CAST(first(n_cur) AS BIGINT) AS n_cur,
+                      MAX(gap) AS ks_num
+               FROM gaps GROUP BY 1),
+        st AS (
+            SELECT source, c_ref, c_cur,
+                   SUM(c_cur) OVER w AS cum_cur_incl
+            FROM grid
+            WINDOW w AS (PARTITION BY source ORDER BY v
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        ca AS (
+            SELECT source,
+                   SUM(c_ref) AS n_ref2, SUM(c_cur) AS n_cur2,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(cum_cur_incl - c_cur AS HUGEINT)) AS a_before,
+                   SUM(CAST(c_ref AS HUGEINT)
+                       * CAST(cum_cur_incl AS HUGEINT)) AS b_incl
+            FROM st GROUP BY 1)
+        SELECT m.source, m.n_ref, m.n_cur,
+               CASE WHEN m.n_ref > 0 AND m.n_cur > 0
+                    THEN {anomaly.KS_STAT_SQL} END AS ks_d,
+               CAST(a_before + b_incl
+                    - CAST(n_ref2 AS HUGEINT) * CAST(n_cur2 AS HUGEINT)
+                    AS DOUBLE)
+                   / (CAST(n_ref2 AS DOUBLE) * CAST(n_cur2 AS DOUBLE))
+                   AS delta
+        FROM mx m JOIN ca USING (source)
+        WHERE m.n_ref >= 1 AND m.n_cur >= 1
+        ORDER BY m.source
+    """
 
     # Pettitt keyed by (type, cohort): the pettitt_test CTE spine with
     # the bounded cohort key threaded through

@@ -298,6 +298,7 @@ HEADLINE = [
     "pettitt_by_cohort",
     "page_hinkley_by_cohort",
     "quade_test",
+    "source_length_drift",
 ]
 
 

@@ -985,6 +985,77 @@ def tokenize_to_ids(
     )
 
 
+def source_length_drift(documents: DataFrame) -> DataFrame:
+    """EXACT one-vs-rest two-sample panel of document length per
+    source: for each source, the two-sample KS statistic AND Cliff's
+    delta of its n_chars distribution against the REST of the corpus —
+    the distribution-level companion to `source_kl_divergence`'s
+    binned score: KS is binning-free (the exact sup over the real
+    ECDFs, no bucket-edge artifacts) and δ adds the signed ordinal
+    direction (does this source run long or short, and how often).
+    The pair is the curation dashboard's "which source is shaped
+    wrong" row.
+
+    Scale shape — leave-one-out count algebra, NOT a per-source
+    re-scan: the corpus reduces ONCE to the (source, n_chars) count
+    relation (bounded by sources × the length alphabet); the global
+    per-length totals broadcast back, and each source's REST side is
+    g(v) − own(v) on the dense source×length grid (the
+    `independence_chi2` margin-spine rule — a source missing a length
+    must still carry the rest side's mass there). S sources cost ONE
+    reduction + S bounded coda partitions, not S scans; the shared
+    `ks_from_value_counts` / `cliffs_from_value_counts` codas run
+    keyed by source over the same materialized relation."""
+    from .analytics import cliffs_from_value_counts
+    from .anomaly import ks_from_value_counts
+    from .util import materialize
+
+    counts = (
+        documents.filter(
+            F.col("source").isNotNull() & F.col("n_chars").isNotNull()
+        )
+        .groupBy("source", F.col("n_chars").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("own"))
+    )
+    counts = materialize(counts)
+    totals = counts.groupBy("v").agg(F.sum("own").cast("bigint").alias("g"))
+    grid = (
+        counts.select("source").distinct()
+        .join(F.broadcast(totals), F.lit(True))
+        .join(counts, ["source", "v"], "left")
+        .select(
+            "source",
+            "v",
+            F.coalesce("own", F.lit(0)).alias("c_cur"),
+            (F.col("g") - F.coalesce("own", F.lit(0))).alias("c_ref"),
+        )
+    )
+    grid = materialize(grid)
+    ks = ks_from_value_counts(
+        grid.select(
+            "source",
+            F.col("v").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        ),
+        keys=["source"],
+    )
+    cl = cliffs_from_value_counts(
+        grid.select(
+            "source",
+            F.col("v").alias("cents"),
+            "c_ref",
+            "c_cur",
+        ),
+        keys=["source"],
+    ).select("source", "delta")
+    return (
+        ks.join(cl, "source")
+        .select("source", "n_ref", "n_cur", "ks_d", "delta")
+        .orderBy("source")
+    )
+
+
 def source_kl_divergence(documents: DataFrame) -> DataFrame:
     """Training-mix divergence audit: KL(source ‖ corpus) over unigram
     distributions — "how far does each source's token mix sit from the

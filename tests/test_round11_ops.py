@@ -621,3 +621,56 @@ class TestQuade:
         out = analytics.quade_test(df).collect()
         assert all(r["quade_f"] is None for r in out)
         assert all(r["s4_sum"] == 0 for r in out)
+
+
+class TestSourceLengthDrift:
+    def test_matches_bruteforce_one_vs_rest(self, spark):
+        from real_time_database_monitoring_system_spark.operators import (
+            pipeline,
+        )
+
+        rng = np.random.default_rng(47)
+        rows = []
+        lengths = {}
+        # srcA long-shifted, srcB matches the rest
+        for s, mu in [("a", 140), ("b", 100), ("c", 100), ("d", 101)]:
+            ls = np.maximum(1, rng.normal(mu, 10, 200).astype(int))
+            lengths[s] = ls
+            rows += [(f"doc{(s,i)}", "x" * 3, "en", s, int(v))
+                     for i, v in enumerate(ls)]
+        df = spark.createDataFrame(
+            rows, "doc_id string, text string, lang string, source string,"
+            " n_chars long"
+        )
+
+        def brute(src):
+            own = np.sort(lengths[src])
+            rest = np.sort(
+                np.concatenate([v for k, v in lengths.items() if k != src])
+            )
+            allv = np.unique(np.concatenate([own, rest]))
+            Fo = np.searchsorted(own, allv, side="right") / len(own)
+            Fr = np.searchsorted(rest, allv, side="right") / len(rest)
+            ks = np.max(np.abs(Fo - Fr))
+            gt = sum((rest > v).sum() for v in own)  # rest above own
+            lt = sum((rest < v).sum() for v in own)
+            delta = (gt - lt) / (len(own) * len(rest))
+            return ks, delta
+
+        out = {
+            r["source"]: r
+            for r in pipeline.source_length_drift(df).collect()
+        }
+        for s in "abcd":
+            ks, delta = brute(s)
+            assert out[s]["n_cur"] == 200
+            assert out[s]["n_ref"] == 600
+            assert out[s]["ks_d"] == pytest.approx(ks, rel=1e-12)
+            # operator delta = P(ref > cur) - P(ref < cur): rest vs own
+            assert out[s]["delta"] == pytest.approx(delta, rel=1e-9)
+        # the long source must dominate the panel, signed the right way
+        # (note: a's shift contaminates every OTHER source's "rest",
+        # so b/c/d read nonzero too — one-vs-rest semantics)
+        assert out["a"]["ks_d"] == max(out[s]["ks_d"] for s in "abcd")
+        assert out["a"]["ks_d"] > 2 * out["b"]["ks_d"]
+        assert out["a"]["delta"] < -0.8  # rest is BELOW the long source
