@@ -1702,13 +1702,14 @@ def hodges_lehmann(events: DataFrame) -> DataFrame:
     return hl_from_value_counts(per_value)
 
 
-# Cap on the (event_type, value) alphabet relation feeding the
-# Hodges–Lehmann grid join. The integer-cents quantization bounds the
-# real alphabet to ~20k rows; the cap is a loud-failure ceiling for
-# callers that skip quantization, far below broadcast-OOM territory
-# (200k narrow rows broadcast fine; the danger is the per-type grid
-# PRODUCT, which at 200k/2 sides would be 1e10 cells).
-_HL_MAX_ALPHABET_ROWS = 200_000
+# Cap on the PER-TYPE value alphabet feeding the Hodges–Lehmann grid
+# join. The integer-cents quantization bounds the real per-type
+# alphabet to a few thousand rows; the cap is a loud-failure ceiling
+# for callers that skip quantization. Per TYPE, not global (ADVICE
+# r10 follow-up): the danger is the per-type grid PRODUCT — one
+# 100k-value type alone builds a ~2.5e9-cell expansion even when the
+# global row count looks harmless.
+_HL_MAX_ALPHABET_ROWS = 100_000
 
 
 def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
@@ -1725,11 +1726,17 @@ def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
     # opaque broadcast OOM deep in the exchange. Fail loudly at the
     # operator boundary instead — per_value is already materialized, so
     # the count reads checkpointed blocks, not the source.
-    alphabet_rows = per_value.count()
-    if alphabet_rows > _HL_MAX_ALPHABET_ROWS:
+    worst = (
+        per_value.groupBy("event_type")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+        or 0
+    )
+    if worst > _HL_MAX_ALPHABET_ROWS:
         raise ValueError(
-            "hl_from_value_counts: value alphabet has "
-            f"{alphabet_rows} (type, value) rows, exceeding the dense-grid "
+            "hl_from_value_counts: some event_type has a value alphabet of "
+            f"{worst} distinct values, exceeding the per-type dense-grid "
             f"cap of {_HL_MAX_ALPHABET_ROWS}. The pairwise-difference grid "
             "is |V_ref|x|V_cur| per type and the ref side is broadcast; "
             "quantize the value axis (e.g. coarser cents bucketing) before "
@@ -2850,7 +2857,6 @@ def quade_from_daily(daily: DataFrame) -> DataFrame:
     # integer fixed-point range
     a = dc.select(
         "day", F.col("event_type").alias("et"),
-        F.expr("(s * 10000) div c").alias("mua"),
         F.col("s").alias("sa"), F.col("c").alias("ca"),
     )
     b = dc.select(

@@ -1464,16 +1464,21 @@ def windowed_lepage_from_counts(counts: DataFrame) -> DataFrame:
     IS this relation over the finalized days)."""
     from .analytics import day_shift_half_counts
 
-    per_value = day_shift_half_counts(_materialize(counts)).select(
-        "event_type",
-        "day",
-        F.col("cents").alias("value"),
-        F.col("c_ref").alias("d_ref"),
-        F.col("c_cur").alias("d_cur"),
+    per_value = _materialize(
+        day_shift_half_counts(_materialize(counts)).select(
+            "event_type",
+            "day",
+            F.col("cents").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        )
     )
-    # zero-count rows from the full-outer pairing stay IN the relation
-    # (they carry the other side's mass); days with an empty previous
-    # day drop inside the mwu coda's n filters
+    # materialized TWICE deliberately: the coda reads per_value in
+    # THREE branches (mwu window+agg, totals, AB spans) — without the
+    # second materialize the full-outer day-shift join recomputes per
+    # branch (review finding r11). Zero-count rows from the pairing
+    # stay IN the relation (they carry the other side's mass); days
+    # with an empty previous day drop inside the mwu coda's n filters
     return lepage_from_value_counts(per_value, keys=["event_type", "day"])
 
 

@@ -221,17 +221,40 @@ def test_no_entry_green_proof_older_than_max_age():
     )
 
 
-def test_green_age_audit_tool_distribution_is_consistent():
-    """The tool's distribution must sum to the green-entry count and
-    its max must match the per-entry fold (guards the tool itself
-    against drifting from the rotation's fold)."""
+def test_green_age_audit_agrees_with_independent_artifact_fold():
+    """Cross-check the tool against an INDEPENDENT recomputation
+    straight from the committed CORRECTNESS_r*.json artifacts
+    (latest-wins, same rule stated in the docstrings) — the earlier
+    version of this test only asserted identities of a Counter built
+    from the tool's own output, which could never fail (review
+    finding r11)."""
     sys.path.insert(0, os.path.join(REPO, "tools"))
     import green_age_audit
 
     ages = green_age_audit.green_ages(REPO)
-    import collections
 
-    dist = collections.Counter(ages.values())
-    assert sum(dist.values()) == len(ages)
-    if ages:
-        assert max(dist) == max(ages.values())
+    # independent fold: parse artifacts directly, no entry-module code
+    rounds = {}
+    latest = 0
+    import re
+
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+        latest = max(latest, rnd)
+        try:
+            data = json.load(open(path))
+        except Exception:
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                rounds[name] = rnd
+            else:
+                rounds.pop(name, None)  # latest-wins, not a latch
+    expected = {n: latest - r for n, r in rounds.items()}
+    assert ages == expected
