@@ -3598,7 +3598,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["props_histogram"] = """
-        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k, count(*) AS n
+        SELECT CAST(json_extract_string(
+                   CASE WHEN json_valid(props) THEN props END, '$.k')
+               AS INTEGER) AS k, count(*) AS n
         FROM events GROUP BY 1 ORDER BY 1
     """
 
@@ -6580,7 +6582,9 @@ def oracle_sql() -> dict[str, str]:
     sql["variant_props_stats"] = """
         WITH e AS (
             SELECT event_type,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                   CAST(json_extract_string(
+                       CASE WHEN json_valid(props) THEN props END, '$.k')
+                   AS BIGINT) AS k
             FROM events)
         SELECT event_type, count(*) AS n, count(k) AS n_with_k,
                min(k) AS min_k, max(k) AS max_k,
@@ -10999,9 +11003,14 @@ def oracle_sql() -> dict[str, str]:
     # Cohort-keyed windowed drift (KS + W1): the _WKS_CORE/_WW1_CORE
     # shapes with the bounded cohort key threaded through every key
     # list; the cohort expression mirrors util.COHORT_SQL (json k
-    # bucket, NULL→-1)
+    # bucket, NULL→-1). The json_valid guard matches Spark's
+    # try_parse_json on MALFORMED props (NULL → cohort -1) — DuckDB's
+    # raw json_extract_string hard-errors there, a latent divergence
+    # if the feed ever carries a non-NULL non-JSON props string
+    # (ADVICE r11).
     _COHORT_DUCK = (
-        "coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT)"
+        "coalesce(CAST(json_extract_string("
+        "CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)"
         " // 25, -1)"
     )
     _WKSC_CORE = f"""

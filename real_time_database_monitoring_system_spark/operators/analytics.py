@@ -1718,7 +1718,15 @@ def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
     operator and `streaming.rollup.stream_hodges_lehmann` (the
     `mwu_from_value_counts` pattern). Materialized here: the relation
     feeds the per-type totals AND both sides of the grid join (a
-    three-way diamond)."""
+    three-way diamond).
+
+    NOT fully lazy (deliberate, ADVICE r11): the dense-grid cap below
+    runs an eager count at construction time — every call (including
+    `stream_hodges_lehmann` per micro-batch) pays one small job over
+    the already-materialized alphabet relation even if the returned
+    plan is never executed. That is the chosen fail-loud boundary: an
+    over-cap alphabet must surface as this ValueError at the operator
+    boundary, not as an opaque broadcast OOM deep in the exchange."""
     per_value = _materialize(per_value)
     # Dense-bounded-grid waiver guard (ADVICE r10): the ref side is
     # force-broadcast and the expansion is |V_ref|·|V_cur| per type, so

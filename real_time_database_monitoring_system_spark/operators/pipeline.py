@@ -985,6 +985,14 @@ def tokenize_to_ids(
     )
 
 
+# Cap on the distinct n_chars alphabet feeding the one-vs-rest
+# source-drift grid (ADVICE r11). Lengths are unquantized (exact KS),
+# so the ceiling guards the sources×alphabet grid and the per-length
+# totals broadcast against a pathological length domain; 100k narrow
+# rows broadcast in single-digit MBs.
+_SLD_MAX_LENGTH_ALPHABET = 100_000
+
+
 def source_length_drift(documents: DataFrame) -> DataFrame:
     """EXACT one-vs-rest two-sample panel of document length per
     source: for each source, the two-sample KS statistic AND Cliff's
@@ -1018,6 +1026,26 @@ def source_length_drift(documents: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("own"))
     )
     counts = materialize(counts)
+    # Dense-grid loud-failure cap (ADVICE r11, the hl_from_value_counts
+    # rule): the grid below is sources × the DISTINCT raw-length
+    # alphabet, and `totals` (one row per distinct length) is
+    # broadcast. Corpus lengths are unquantized by design (KS is the
+    # binning-free panel), so a warehouse-scale corpus could push the
+    # alphabet to 1e5–1e6 distinct values; fail loudly at the operator
+    # boundary instead of an opaque broadcast OOM. The count reads the
+    # just-materialized blocks, not the source (eager by choice — same
+    # trade as hl_from_value_counts, documented there).
+    n_lengths = counts.select("v").distinct().count()
+    if n_lengths > _SLD_MAX_LENGTH_ALPHABET:
+        raise ValueError(
+            "source_length_drift: the corpus has "
+            f"{n_lengths} distinct n_chars values, exceeding the "
+            f"dense-grid cap of {_SLD_MAX_LENGTH_ALPHABET}. The "
+            "one-vs-rest grid is sources x length-alphabet with the "
+            "per-length totals broadcast; quantize n_chars into "
+            "buckets before calling (binned KS) or raise the cap "
+            "knowingly."
+        )
     totals = counts.groupBy("v").agg(F.sum("own").cast("bigint").alias("g"))
     grid = (
         counts.select("source").distinct()

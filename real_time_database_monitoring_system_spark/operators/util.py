@@ -305,7 +305,14 @@ def cont_quantiles_from_counts(
 # full-outer pairing never sees a NULL join key (NULL keys never
 # match themselves in SQL joins — each row would pair with nothing).
 # Defined ONCE (the windowed_day_cents_counts rule) and mirrored
-# verbatim by the oracles' json_extract_string expression.
+# verbatim by the oracles' json_extract_string expression (guarded
+# with json_valid so MALFORMED props folds to -1 on both engines —
+# try_parse_json yields NULL there, but raw json_extract_string
+# hard-errors; ADVICE r11). Feed invariant: k, when present, is an
+# exact JSON integer — a non-numeric k hard-errors LOUDLY in both
+# engines (Spark INVALID_VARIANT_CAST / DuckDB ConversionException;
+# pinned by tests/test_round12_ops.py), a deliberate boundary rather
+# than a silent -1 fold that would hide a schema break upstream.
 COHORT_SQL = (
     "coalesce(variant_get(try_parse_json(props), '$.k', 'bigint')"
     " div 25, -1)"

@@ -238,8 +238,17 @@ def test_green_age_audit_agrees_with_independent_artifact_fold():
     latest = 0
     import re
 
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+    # sort by PARSED round number, not path string: lexicographic order
+    # matches numeric order only while round numbers stay zero-padded
+    # two digits (r100 would sort before r99 and fold in the wrong
+    # order — ADVICE r11); same rule as tools/green_age_audit.py
+    def _rnd(path):
+        return int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_rnd
+    ):
+        rnd = _rnd(path)
         latest = max(latest, rnd)
         try:
             data = json.load(open(path))

@@ -1,0 +1,183 @@
+"""Round-12 consolidation checks: the ADVICE r11 hardening items made
+falsifiable — both dense-grid loud-failure caps actually FIRE, and the
+Spark/DuckDB cohort expressions agree on MALFORMED props (the latent
+operator/oracle divergence ADVICE r11 flagged)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from real_time_database_monitoring_system_spark.operators import (
+    analytics,
+    pipeline,
+    util,
+)
+
+
+# ---------------------------------------------------------------------------
+# Dense-grid caps: firing, not just documented
+# ---------------------------------------------------------------------------
+
+
+def test_hl_alphabet_cap_fires(spark, monkeypatch):
+    """hl_from_value_counts raises at the operator boundary when a
+    single event_type's value alphabet exceeds the per-type cap."""
+    monkeypatch.setattr(analytics, "_HL_MAX_ALPHABET_ROWS", 4)
+    pv = spark.createDataFrame(
+        [("t", c, 1, 1) for c in range(6)],
+        "event_type string, cents bigint, c_ref bigint, c_cur bigint",
+    )
+    with pytest.raises(ValueError, match="dense-grid|alphabet"):
+        analytics.hl_from_value_counts(pv)
+
+
+def test_hl_alphabet_cap_is_per_type(spark, monkeypatch):
+    """Two types of 3 values each pass a per-type cap of 4 even though
+    the GLOBAL row count (6) exceeds it — the r11 self-review fix."""
+    monkeypatch.setattr(analytics, "_HL_MAX_ALPHABET_ROWS", 4)
+    pv = spark.createDataFrame(
+        [(t, c, 2, 2) for t in ("a", "b") for c in range(3)],
+        "event_type string, cents bigint, c_ref bigint, c_cur bigint",
+    )
+    rows = analytics.hl_from_value_counts(pv).collect()
+    assert {r["event_type"] for r in rows} == {"a", "b"}
+
+
+def test_source_length_drift_alphabet_cap_fires(spark, monkeypatch):
+    """source_length_drift raises loudly when the distinct n_chars
+    alphabet exceeds the grid/broadcast cap (ADVICE r11)."""
+    monkeypatch.setattr(pipeline, "_SLD_MAX_LENGTH_ALPHABET", 5)
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 10 + i) for i in range(8)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    with pytest.raises(ValueError, match="distinct n_chars"):
+        pipeline.source_length_drift(docs)
+
+
+def test_source_length_drift_under_cap_unchanged(spark, monkeypatch):
+    """The guard is transparent below the cap: same 4-stat panel."""
+    monkeypatch.setattr(pipeline, "_SLD_MAX_LENGTH_ALPHABET", 100)
+    docs = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 6), (3, "b", 50), (4, "b", 60)],
+        "doc_id bigint, source string, n_chars bigint",
+    )
+    rows = {r["source"]: r for r in pipeline.source_length_drift(docs).collect()}
+    assert set(rows) == {"a", "b"}
+    # a's lengths are entirely below b's → KS D = 1 for both; delta is
+    # from the REST side's perspective (δ = P(rest > src) − P(rest <
+    # src), the cliffs_from_value_counts c_ref convention): the rest
+    # runs longer than a (δ=+1) and shorter than b (δ=−1)
+    assert rows["a"]["ks_d"] == pytest.approx(1.0)
+    assert rows["a"]["delta"] == pytest.approx(1.0)
+    assert rows["b"]["delta"] == pytest.approx(-1.0)
+
+
+# ---------------------------------------------------------------------------
+# Cohort expression: Spark and the (guarded) DuckDB mirror agree on
+# malformed / NULL / missing-key props — ADVICE r11's latent divergence
+# ---------------------------------------------------------------------------
+
+# Mirror of the oracle-side expression in __spark_entry__ (_COHORT_DUCK):
+# json_valid guards json_extract_string, which otherwise HARD-ERRORS on
+# a non-NULL non-JSON string while Spark's try_parse_json folds to NULL.
+_COHORT_DUCK_MIRROR = (
+    "coalesce(CAST(json_extract_string("
+    "CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)"
+    " // 25, -1)"
+)
+
+_PROPS_CASES = [
+    '{"k": 60}',  # valid, k present → 60 div 25 = 2
+    '{"k": 3}',  # valid → 0
+    "{}",  # valid, k missing → -1
+    "{bad json",  # MALFORMED → -1 (the divergence case)
+    None,  # NULL → -1
+    "",  # empty string: invalid JSON → -1
+]
+
+_EXPECTED = [2, 0, -1, -1, -1, -1]
+
+
+def test_cohort_sql_spark_on_malformed(spark):
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_PROPS_CASES)], "i int, props string"
+    )
+    from pyspark.sql import functions as F
+
+    got = [
+        r["c"]
+        for r in df.select("i", F.expr(util.COHORT_SQL).alias("c"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == _EXPECTED
+
+
+def test_cohort_duck_mirror_on_malformed():
+    con = duckdb.connect()
+    rows = ", ".join(
+        "(%d, %s)" % (i, "NULL" if p is None else "'%s'" % p.replace("'", "''"))
+        for i, p in enumerate(_PROPS_CASES)
+    )
+    got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {_COHORT_DUCK_MIRROR} FROM (VALUES {rows}) t(i, props)"
+            " ORDER BY i"
+        ).fetchall()
+    ]
+    assert got == _EXPECTED
+
+
+def test_cohort_nonnumeric_k_errs_loudly_in_both_engines(spark):
+    """Feed invariant boundary: props.k, when present, is an exact
+    JSON integer. A non-numeric k hard-errors in BOTH engines (Spark
+    INVALID_VARIANT_CAST, DuckDB ConversionException) — loud and
+    consistent, not a silent divergence. Documented at
+    util.COHORT_SQL; this test pins that the boundary stays loud."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([('{"k": "notanum"}',)], "props string")
+    with pytest.raises(Exception, match="INVALID_VARIANT_CAST"):
+        df.select(F.expr(util.COHORT_SQL)).collect()
+    con = duckdb.connect()
+    with pytest.raises(duckdb.ConversionException):
+        con.execute(
+            f"SELECT {_COHORT_DUCK_MIRROR} FROM "
+            "(VALUES ('{\"k\": \"notanum\"}')) t(props)"
+        ).fetchall()
+
+
+def test_cohort_duck_mirror_matches_entry_source():
+    """The test-local mirror and the entry module's oracle expression
+    can't drift apart silently."""
+    import inspect
+
+    import __spark_entry__ as entry
+
+    src = inspect.getsource(entry.oracle_sql)
+    # the expression is built as an adjacent-string literal; normalize
+    joined = "".join(
+        line.strip().strip('"') for line in src.splitlines()
+    )
+    assert "CASE WHEN json_valid(props) THEN props END" in joined
+
+
+def test_props_histogram_oracles_survive_malformed_props(tmp_path):
+    """The guarded oracle expressions run (not hard-error) over a feed
+    containing a malformed props row, and fold it exactly as Spark
+    does. Uses DuckDB directly on a crafted parquet."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM (VALUES "
+        "(1, '{\"k\": 10}'), (2, '{oops'), (3, NULL)"
+        ") t(event_id, props)"
+    )
+    import __spark_entry__ as entry
+
+    sql = entry.oracle_sql()["props_histogram"]
+    got = dict(con.execute(sql).fetchall())
+    # k=10 parses; malformed + NULL fold to NULL bucket
+    assert got == {10: 1, None: 2}
