@@ -388,6 +388,49 @@ def spark_canary(spark) -> dict[str, float]:
     }
 
 
+def vs_prev(repo: str, timings: dict[str, float], canary: dict[str, float],
+            this_round: int) -> dict | None:
+    """Mechanical cross-round comparison (VERDICT r11 task 2): the
+    common-query-set ratio vs the previous round's archived detail
+    artifact, reported BOTH raw and divided by the Spark-canary factor
+    (the two fixed-literal reference jobs added in r11). The canary
+    runs in the same session from pure literals, so host-state is its
+    only free variable — if queries move and the canary doesn't,
+    suspect the code, not the host. Returns None when no previous
+    artifact exists or it predates the Spark canary (r10 and earlier)."""
+    prev_path = os.path.join(repo, f"BENCH_DETAIL_r{this_round - 1:02d}.json")
+    if not os.path.exists(prev_path):
+        return None
+    with open(prev_path) as fh:
+        prev = json.load(fh)
+    prev_q = prev.get("queries", {})
+    common = sorted(set(prev_q) & set(timings))
+    if not common:
+        return None
+    cur_total = sum(timings[n] for n in common)
+    prev_total = sum(prev_q[n] for n in common)
+    if prev_total <= 0:
+        return None
+    raw = cur_total / prev_total
+    out = {
+        "prev_round": this_round - 1,
+        "common_n": len(common),
+        "common_sec": round(cur_total, 3),
+        "prev_common_sec": round(prev_total, 3),
+        "raw_ratio": round(raw, 4),
+    }
+    pc = prev.get("canary", {})
+    prev_spark = pc.get("spark_agg_10m_sec", 0) + pc.get("spark_join_3m_sec", 0)
+    cur_spark = canary.get("spark_agg_10m_sec", 0) + canary.get(
+        "spark_join_3m_sec", 0
+    )
+    if prev_spark > 0 and cur_spark > 0:
+        factor = cur_spark / prev_spark
+        out["spark_canary_factor"] = round(factor, 4)
+        out["normalized_ratio"] = round(raw / factor, 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     canary = host_canary()
@@ -443,6 +486,9 @@ def main() -> None:
         if (m := re.match(r"BENCH_r(\d+)\.json$", f))
     ]
     this_round = (max(rounds) if rounds else 0) + 1
+    cmp_block = vs_prev(repo, timings, canary, this_round)
+    if cmp_block is not None:
+        payload["vs_prev"] = cmp_block
     for detail_path in (
         os.path.join(repo, "BENCH_DETAIL.json"),
         os.path.join(repo, f"BENCH_DETAIL_r{this_round:02d}.json"),
@@ -464,6 +510,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "detail_file": "BENCH_DETAIL.json",
                 "canary": canary,
+                **({"vs_prev": cmp_block} if cmp_block is not None else {}),
             }
         )
     )
