@@ -181,3 +181,75 @@ def test_props_histogram_oracles_survive_malformed_props(tmp_path):
     got = dict(con.execute(sql).fetchall())
     # k=10 parses; malformed + NULL fold to NULL bucket
     assert got == {10: 1, None: 2}
+
+
+# ---------------------------------------------------------------------------
+# Cohort-as-ingest-column path (VERDICT r11 task 3)
+# ---------------------------------------------------------------------------
+
+
+def test_with_cohort_adds_column_and_is_idempotent(spark):
+    from real_time_database_monitoring_system_spark.operators.util import (
+        with_cohort,
+    )
+
+    df = spark.createDataFrame(
+        [('{"k": 60}',), (None,)], "props string"
+    )
+    enr = with_cohort(df)
+    assert "cohort" in enr.columns
+    assert [r["cohort"] for r in enr.collect()] == [2, -1]
+    # idempotent: a feed already carrying the column is untouched
+    assert with_cohort(enr) is enr
+
+
+def test_windowed_counts_use_ingest_column_without_props(spark):
+    """The fast path keys on a pre-existing ``cohort`` column — proven
+    by feeding a frame with NO props column at all: were the parse
+    path taken, props would fail to resolve."""
+    import datetime
+
+    from real_time_database_monitoring_system_spark.operators.util import (
+        daily_cents_sums,
+        windowed_day_cents_counts,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    df = spark.createDataFrame(
+        [("t", ts, 1.5, 2), ("t", ts, 2.5, -1)],
+        "event_type string, ts timestamp, value double, cohort bigint",
+    )
+    w = windowed_day_cents_counts(df, by_cohort=True).collect()
+    assert {r["cohort"] for r in w} == {2, -1}
+    d = daily_cents_sums(df, by_cohort=True).collect()
+    assert {r["cohort"] for r in d} == {2, -1}
+
+
+def test_cohort_column_path_matches_parse_path(spark):
+    """Lazy with_cohort projection → bit-identical panel to the parse
+    path (the 100M cross-check in SCALE.md, miniaturized)."""
+    import datetime
+
+    from real_time_database_monitoring_system_spark.operators import anomaly
+    from real_time_database_monitoring_system_spark.operators.util import (
+        with_cohort,
+    )
+
+    rows = []
+    for day in range(1, 9):
+        for i in range(6):
+            rows.append(
+                (
+                    "sale",
+                    datetime.datetime(2024, 1, day, 8 + i),
+                    float(day * 3 + i),
+                    '{"k": %d}' % ((i * 20) % 100) if i % 3 else None,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, props string"
+    )
+    a = anomaly.windowed_ks_by_cohort(df)
+    b = anomaly.windowed_ks_by_cohort(with_cohort(df))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
