@@ -1712,15 +1712,17 @@ def _watermarked_day_cents_counts(
     `stream_windowed_psi` determinism argument word for word. Returns
     the finalized (event_type[, cohort], day, cents, c) relation the
     batch `*_from_counts` codas take verbatim; ``by_cohort`` adds the
-    bounded `util.COHORT_SQL` key for the drift-attribution twins
-    (state grows by the cohort factor, still bounded)."""
-    from ..operators.util import COHORT_SQL
+    bounded cohort key via `util.with_cohort` — a pre-enriched stream
+    carrying a materialized ``cohort`` ingest column skips the per-row
+    parse exactly like the batch path (state grows by the cohort
+    factor, still bounded)."""
+    from ..operators.util import with_cohort
 
     src = _events_stream(spark, sf_dir)
     src = src.withColumn("ts", F.col("ts").cast("timestamp"))
     keys = ["event_type"]
     if by_cohort:
-        src = src.withColumn("cohort", F.expr(COHORT_SQL))
+        src = with_cohort(src)
         keys.append("cohort")
     binned = (
         src.filter(F.col("value").isNotNull())
@@ -2209,12 +2211,12 @@ def _stream_daily_cents_sums(
     per-distinct-value complete-mode twins, this is the production
     state shape: a year of days is 365 rows per type no matter the
     feed rate)."""
-    from ..operators.util import COHORT_SQL, materialize
+    from ..operators.util import materialize, with_cohort
 
     src = _events_stream(spark, sf_dir)
     keys = ["event_type"]
     if by_cohort:
-        src = src.withColumn("cohort", F.expr(COHORT_SQL))
+        src = with_cohort(src)
         keys.append("cohort")
     agg = (
         src.filter(F.col("value").isNotNull())

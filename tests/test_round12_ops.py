@@ -253,3 +253,70 @@ def test_cohort_column_path_matches_parse_path(spark):
     b = anomaly.windowed_ks_by_cohort(with_cohort(df))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     assert a.count() > 0
+
+
+# ---------------------------------------------------------------------------
+# Reliable-materialize on the EMBEDDING SIGNATURE pipeline (VERDICT r11
+# task 4): the decade-4 scratch-volume failure's prescribed fix,
+# demonstrated rather than asserted. The generic local/reliable parity
+# test (test_plans.py) covers ngram_jaccard; this one drives the exact
+# pipeline whose signature-pass materialization hit the boundary
+# (similarity.embedding_near_dup_pairs' materialize_wide'd signature
+# table) and proves (a) identical pairs, (b) checkpoint FILES actually
+# written to the configured dir — i.e. the signature relation really
+# moved from executor block storage to the durable store.
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_signature_pipeline_reliable_parity(spark, sf_dir, tmp_path):
+    import os
+
+    from real_time_database_monitoring_system_spark.operators import similarity
+    from real_time_database_monitoring_system_spark.sources.registry import (
+        load_table,
+    )
+
+    from pyspark.sql import functions as F
+
+    base = load_table(spark, sf_dir, "embeddings")
+    # plant exact duplicates (re-id'd copies): identical vectors agree
+    # in EVERY band, so the fixture is non-empty regardless of the
+    # random-hyperplane draw — sf0.001's 500 organic vectors carry no
+    # ≥0.9 pair of their own
+    emb = base.unionByName(
+        base.limit(25).withColumn(
+            "vec_id", F.col("vec_id") + F.lit(1_000_000_000)
+        )
+    )
+    assert spark.conf.get("spark.graft.materialize.mode", "local") == "local"
+    local_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.9
+        ).collect()
+    }
+    ckpt = str(tmp_path / "graft-ckpt")
+    sc = spark.sparkContext
+    prev_dir = sc.getCheckpointDir()
+    sc.setCheckpointDir(ckpt)
+    spark.conf.set("spark.graft.materialize.mode", "reliable")
+    try:
+        reliable_pairs = {
+            (r.vec_a, r.vec_b)
+            for r in similarity.embedding_near_dup_pairs(
+                emb, threshold=0.9
+            ).collect()
+        }
+        # checkpoint files physically exist under the configured dir
+        written = [
+            os.path.join(d, f)
+            for d, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        assert written, "reliable mode wrote no checkpoint files"
+    finally:
+        spark.conf.set("spark.graft.materialize.mode", "local")
+        if prev_dir is not None:
+            sc.setCheckpointDir(prev_dir.removeprefix("file:"))
+    assert reliable_pairs == local_pairs
+    assert local_pairs, "parity fixture must be non-empty"
