@@ -3204,6 +3204,19 @@ def _simhash_portable_oracle(max_hamming: int) -> str:
     """
 
 
+# The DuckDB mirror of operators.util.COHORT_SQL (json k bucket,
+# NULL/missing/malformed → -1; json_valid guard = Spark's
+# try_parse_json fold, ADVICE r11). Module-level so
+# tests/test_round12_ops.py pins its DuckDB-vs-Spark agreement against
+# THIS string — the single definition the cohort oracles interpolate —
+# instead of a test-local copy that could silently drift.
+COHORT_DUCK_SQL = (
+    "coalesce(CAST(json_extract_string("
+    "CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)"
+    " // 25, -1)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
@@ -11027,16 +11040,8 @@ def oracle_sql() -> dict[str, str]:
     # Cohort-keyed windowed drift (KS + W1): the _WKS_CORE/_WW1_CORE
     # shapes with the bounded cohort key threaded through every key
     # list; the cohort expression mirrors util.COHORT_SQL (json k
-    # bucket, NULL→-1). The json_valid guard matches Spark's
-    # try_parse_json on MALFORMED props (NULL → cohort -1) — DuckDB's
-    # raw json_extract_string hard-errors there, a latent divergence
-    # if the feed ever carries a non-NULL non-JSON props string
-    # (ADVICE r11).
-    _COHORT_DUCK = (
-        "coalesce(CAST(json_extract_string("
-        "CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)"
-        " // 25, -1)"
-    )
+    # bucket, NULL→-1) — see module-level COHORT_DUCK_SQL.
+    _COHORT_DUCK = COHORT_DUCK_SQL
     _WKSC_CORE = f"""
         c AS (SELECT event_type, {_COHORT_DUCK} AS cohort,
                      epoch_us(ts) // 86400000000 AS day,

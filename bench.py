@@ -397,7 +397,9 @@ def vs_prev(repo: str, timings: dict[str, float], canary: dict[str, float],
     runs in the same session from pure literals, so host-state is its
     only free variable — if queries move and the canary doesn't,
     suspect the code, not the host. Returns None when no previous
-    artifact exists or it predates the Spark canary (r10 and earlier)."""
+    artifact exists (or shares no queries); when the previous artifact
+    predates the Spark canary (r10 and earlier) the block still
+    reports the RAW ratio, just without the canary-normalized fields."""
     prev_path = os.path.join(repo, f"BENCH_DETAIL_r{this_round - 1:02d}.json")
     if not os.path.exists(prev_path):
         return None

@@ -309,10 +309,18 @@ def cont_quantiles_from_counts(
 # with json_valid so MALFORMED props folds to -1 on both engines —
 # try_parse_json yields NULL there, but raw json_extract_string
 # hard-errors; ADVICE r11). Feed invariant: k, when present, is an
-# exact JSON integer — a non-numeric k hard-errors LOUDLY in both
-# engines (Spark INVALID_VARIANT_CAST / DuckDB ConversionException;
-# pinned by tests/test_round12_ops.py), a deliberate boundary rather
-# than a silent -1 fold that would hide a schema break upstream.
+# exact JSON integer (numeric strings like "42" also agree across
+# engines). A non-numeric STRING k hard-errors LOUDLY in both engines
+# (Spark INVALID_VARIANT_CAST / DuckDB ConversionException) — a
+# deliberate boundary rather than a silent -1 fold that would hide a
+# schema break upstream. A BOOLEAN k is the one shape where the
+# engines disagree (Spark's variant cast folds true/false to 1/0;
+# DuckDB's CAST('true' AS BIGINT) hard-errors) — excluded by the same
+# feed contract, and the production admission gate for it is
+# `curation.data_contract_audit` run BEFORE the batch enters the
+# lake. Both boundaries are pinned by tests/test_round12_ops.py so
+# any engine-behavior drift surfaces as a test failure, not a silent
+# divergence.
 COHORT_SQL = (
     "coalesce(variant_get(try_parse_json(props), '$.k', 'bigint')"
     " div 25, -1)"
@@ -332,11 +340,22 @@ def with_cohort(events: DataFrame) -> DataFrame:
     pre-existing ``cohort`` column instead of re-parsing). Lazy: as a
     plain projection it costs the same parse in the same scan; the
     win comes from materializing the result so later queries never
-    touch ``props``."""
+    touch ``props``.
+
+    A pre-existing ``cohort`` column is NORMALIZED, not trusted
+    verbatim: cast to BIGINT and NULL folded to -1, the same contract
+    COHORT_SQL guarantees — an externally materialized column may
+    carry NULLs (rows appended after the enrich job, a left-join
+    ingest), and a raw NULL group key would silently vanish from the
+    downstream full-outer day pairing (NULL keys never match
+    themselves; see the COHORT_SQL comment). Normalization is
+    idempotent, so re-applying `with_cohort` is always safe."""
     from pyspark.sql import functions as F
 
     if "cohort" in events.columns:
-        return events
+        return events.withColumn(
+            "cohort", F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1))
+        )
     return events.withColumn("cohort", F.expr(COHORT_SQL))
 
 
@@ -364,7 +383,12 @@ def windowed_day_cents_counts(
     keys = [F.col("event_type")]
     if by_cohort:
         keys.append(
-            F.col("cohort").cast("bigint").alias("cohort")
+            # same NULL→-1 fold as COHORT_SQL: an external ingest
+            # column may carry NULLs, and a NULL group key would
+            # silently drop from the full-outer day pairing
+            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias(
+                "cohort"
+            )
             if "cohort" in events.columns
             else F.expr(COHORT_SQL).alias("cohort")
         )
@@ -402,7 +426,12 @@ def daily_cents_sums(events: DataFrame, by_cohort: bool = False) -> DataFrame:
     keys = [F.col("event_type")]
     if by_cohort:
         keys.append(
-            F.col("cohort").cast("bigint").alias("cohort")
+            # same NULL→-1 fold as COHORT_SQL: an external ingest
+            # column may carry NULLs, and a NULL group key would
+            # silently drop from the full-outer day pairing
+            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias(
+                "cohort"
+            )
             if "cohort" in events.columns
             else F.expr(COHORT_SQL).alias("cohort")
         )

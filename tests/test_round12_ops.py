@@ -79,14 +79,12 @@ def test_source_length_drift_under_cap_unchanged(spark, monkeypatch):
 # malformed / NULL / missing-key props — ADVICE r11's latent divergence
 # ---------------------------------------------------------------------------
 
-# Mirror of the oracle-side expression in __spark_entry__ (_COHORT_DUCK):
-# json_valid guards json_extract_string, which otherwise HARD-ERRORS on
-# a non-NULL non-JSON string while Spark's try_parse_json folds to NULL.
-_COHORT_DUCK_MIRROR = (
-    "coalesce(CAST(json_extract_string("
-    "CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)"
-    " // 25, -1)"
-)
+# The oracle-side expression, imported from the entry module itself so
+# this file always tests the EXACT string the cohort oracles
+# interpolate (a test-local copy could drift silently): json_valid
+# guards json_extract_string, which otherwise HARD-ERRORS on a
+# non-NULL non-JSON string while Spark's try_parse_json folds to NULL.
+from __spark_entry__ import COHORT_DUCK_SQL as _COHORT_DUCK_MIRROR
 
 _PROPS_CASES = [
     '{"k": 60}',  # valid, k present → 60 div 25 = 2
@@ -133,9 +131,9 @@ def test_cohort_duck_mirror_on_malformed():
 
 def test_cohort_nonnumeric_k_errs_loudly_in_both_engines(spark):
     """Feed invariant boundary: props.k, when present, is an exact
-    JSON integer. A non-numeric k hard-errors in BOTH engines (Spark
-    INVALID_VARIANT_CAST, DuckDB ConversionException) — loud and
-    consistent, not a silent divergence. Documented at
+    JSON integer. A non-numeric STRING k hard-errors in BOTH engines
+    (Spark INVALID_VARIANT_CAST, DuckDB ConversionException) — loud
+    and consistent, not a silent divergence. Documented at
     util.COHORT_SQL; this test pins that the boundary stays loud."""
     from pyspark.sql import functions as F
 
@@ -150,19 +148,36 @@ def test_cohort_nonnumeric_k_errs_loudly_in_both_engines(spark):
         ).fetchall()
 
 
-def test_cohort_duck_mirror_matches_entry_source():
-    """The test-local mirror and the entry module's oracle expression
-    can't drift apart silently."""
-    import inspect
+def test_cohort_boolean_k_known_engine_asymmetry(spark):
+    """The ONE shape where the engines disagree, pinned so drift is
+    visible: a boolean k folds to 1/0 under Spark's variant cast but
+    hard-errors in DuckDB's CAST('true' AS BIGINT). Excluded by the
+    feed contract (k is an exact JSON integer; the admission gate is
+    curation.data_contract_audit) — documented at util.COHORT_SQL. If
+    either engine changes behavior here, this test fails and the
+    contract comment must be revisited."""
+    from pyspark.sql import functions as F
 
+    df = spark.createDataFrame([('{"k": true}',)], "props string")
+    got = df.select(F.expr(util.COHORT_SQL).alias("c")).collect()
+    assert [r["c"] for r in got] == [0]  # true → 1 → 1 div 25 = 0
+    con = duckdb.connect()
+    with pytest.raises(duckdb.ConversionException):
+        con.execute(
+            f"SELECT {_COHORT_DUCK_MIRROR} FROM "
+            "(VALUES ('{\"k\": true}')) t(props)"
+        ).fetchall()
+
+
+def test_cohort_duck_sql_is_what_the_oracles_interpolate():
+    """COHORT_DUCK_SQL (the constant the agreement tests above drive)
+    is the literal expression inside the shipped cohort oracles — so
+    the agreement proof covers the real driver gate, not a lookalike."""
     import __spark_entry__ as entry
 
-    src = inspect.getsource(entry.oracle_sql)
-    # the expression is built as an adjacent-string literal; normalize
-    joined = "".join(
-        line.strip().strip('"') for line in src.splitlines()
-    )
-    assert "CASE WHEN json_valid(props) THEN props END" in joined
+    sqls = entry.oracle_sql()
+    for name in ("windowed_ks_by_cohort", "windowed_wasserstein_by_cohort"):
+        assert entry.COHORT_DUCK_SQL in sqls[name], name
 
 
 def test_props_histogram_oracles_survive_malformed_props(tmp_path):
@@ -199,8 +214,28 @@ def test_with_cohort_adds_column_and_is_idempotent(spark):
     enr = with_cohort(df)
     assert "cohort" in enr.columns
     assert [r["cohort"] for r in enr.collect()] == [2, -1]
-    # idempotent: a feed already carrying the column is untouched
-    assert with_cohort(enr) is enr
+    # idempotent: re-applying to an already-enriched feed is a no-op
+    # on values (the normalization pass keeps the same rows/typing)
+    again = with_cohort(enr)
+    assert [r["cohort"] for r in again.collect()] == [2, -1]
+    assert dict(again.dtypes)["cohort"] == "bigint"
+
+
+def test_with_cohort_normalizes_external_column(spark):
+    """An EXTERNALLY materialized cohort column is normalized, not
+    trusted: NULLs fold to -1 (a raw NULL group key would silently
+    vanish from the full-outer day pairing) and the type is cast to
+    bigint (an int32 writer must not change the panel schema)."""
+    from real_time_database_monitoring_system_spark.operators.util import (
+        with_cohort,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, None)], "event_id int, cohort int"
+    )
+    out = with_cohort(df)
+    assert dict(out.dtypes)["cohort"] == "bigint"
+    assert sorted(r["cohort"] for r in out.collect()) == [-1, 2]
 
 
 def test_windowed_counts_use_ingest_column_without_props(spark):
@@ -318,5 +353,13 @@ def test_embedding_signature_pipeline_reliable_parity(spark, sf_dir, tmp_path):
         spark.conf.set("spark.graft.materialize.mode", "local")
         if prev_dir is not None:
             sc.setCheckpointDir(prev_dir.removeprefix("file:"))
+        else:
+            # don't leave the session-scoped context pointed at this
+            # test's pruned tmp_path: park it on the warehouse fallback
+            # util.materialize itself would choose
+            wh = spark.conf.get(
+                "spark.sql.warehouse.dir", "/tmp"
+            ).removeprefix("file:")
+            sc.setCheckpointDir(os.path.join(wh, ".graft-checkpoints"))
     assert reliable_pairs == local_pairs
     assert local_pairs, "parity fixture must be non-empty"
