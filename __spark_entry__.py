@@ -11559,14 +11559,21 @@ def oracle_sql() -> dict[str, str]:
     sql["streaming_ph_by_cohort"] = sql["page_hinkley_by_cohort"]
 
     # Rollout-review report: extrema + deterministic argmax (smallest
-    # cohort id) over the cohort W1 relation — the _WW1C_CORE CTEs
-    # wrapped once more
+    # cohort id) over the cohort W1 relation — the _WW1C_CORE CTE
+    # prefix (everything before its final SELECT) wrapped once more.
+    # The marker split is guarded: if _WW1C_CORE's final-SELECT line
+    # is ever reworded, fail HERE with a pointed message instead of
+    # emitting two stacked SELECTs that die as a DuckDB parse error
+    # at driver time (r12 review).
+    _ww1c = _WW1C_CORE.format(day_filter="")
+    _ww1c_marker = "SELECT event_type, cohort, day, n_ref, n_cur,"
+    assert _ww1c_marker in _ww1c, (
+        "cohort_drift_summary oracle: _WW1C_CORE final-SELECT marker "
+        "moved — update _ww1c_marker to match"
+    )
     sql["cohort_drift_summary"] = (
         "WITH "
-        + _WW1C_CORE.format(day_filter="").replace(
-            "SELECT event_type, cohort, day, n_ref, n_cur,",
-            "SELECT 1",
-        ).split("SELECT 1")[0]
+        + _ww1c.split(_ww1c_marker)[0]
         + """,
         w1 AS (
             SELECT event_type, cohort, day,

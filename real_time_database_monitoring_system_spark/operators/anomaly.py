@@ -1425,12 +1425,18 @@ def windowed_ks_from_counts(counts: DataFrame) -> DataFrame:
     this relation over the finalized days)."""
     from .analytics import day_shift_half_counts
 
-    per_value = day_shift_half_counts(_materialize(counts)).select(
-        "event_type",
-        "day",
-        F.col("cents").alias("value"),
-        F.col("c_ref").alias("d_ref"),
-        F.col("c_cur").alias("d_cur"),
+    # materialized TWICE (the windowed_lepage rule, r12 review): the
+    # downstream coda reads per_value in TWO branches (totals + ECDF
+    # window, joined) — without this the full-outer day-shift join
+    # recomputes per branch
+    per_value = _materialize(
+        day_shift_half_counts(_materialize(counts)).select(
+            "event_type",
+            "day",
+            F.col("cents").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        )
     )
     # a day whose previous day is empty has no reference to score
     # against — drop it (the windowed_wasserstein convention) instead
@@ -1771,15 +1777,19 @@ def windowed_ks_by_cohort_from_counts(counts: DataFrame) -> DataFrame:
     days)."""
     from .analytics import day_shift_half_counts
 
-    per_value = day_shift_half_counts(
-        _materialize(counts), keys=["event_type", "cohort"]
-    ).select(
-        "event_type",
-        "cohort",
-        "day",
-        F.col("cents").alias("value"),
-        F.col("c_ref").alias("d_ref"),
-        F.col("c_cur").alias("d_cur"),
+    # materialized TWICE (the windowed_lepage rule, r12 review): the
+    # KS coda reads per_value in TWO branches (totals + ECDF window)
+    per_value = _materialize(
+        day_shift_half_counts(
+            _materialize(counts), keys=["event_type", "cohort"]
+        ).select(
+            "event_type",
+            "cohort",
+            "day",
+            F.col("cents").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        )
     )
     return ks_from_value_counts(
         per_value, keys=["event_type", "cohort", "day"]
@@ -2201,12 +2211,18 @@ def windowed_ad_from_counts(counts: DataFrame) -> DataFrame:
     watermarked state IS this relation over the finalized days)."""
     from .analytics import day_shift_half_counts
 
-    per_value = day_shift_half_counts(_materialize(counts)).select(
-        "event_type",
-        "day",
-        F.col("cents").alias("value"),
-        F.col("c_ref").alias("d_ref"),
-        F.col("c_cur").alias("d_cur"),
+    # materialized TWICE (the windowed_lepage rule, r12 review): the
+    # downstream coda reads per_value in TWO branches (totals + ECDF
+    # window, joined) — without this the full-outer day-shift join
+    # recomputes per branch
+    per_value = _materialize(
+        day_shift_half_counts(_materialize(counts)).select(
+            "event_type",
+            "day",
+            F.col("cents").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        )
     )
     # a day with an empty previous day has no reference to score
     # against (the windowed_wasserstein convention)
@@ -2243,12 +2259,18 @@ def windowed_cvm_from_counts(counts: DataFrame) -> DataFrame:
     `streaming.rollup.stream_windowed_cvm`."""
     from .analytics import day_shift_half_counts
 
-    per_value = day_shift_half_counts(_materialize(counts)).select(
-        "event_type",
-        "day",
-        F.col("cents").alias("value"),
-        F.col("c_ref").alias("d_ref"),
-        F.col("c_cur").alias("d_cur"),
+    # materialized TWICE (the windowed_lepage rule, r12 review): the
+    # downstream coda reads per_value in TWO branches (totals + ECDF
+    # window, joined) — without this the full-outer day-shift join
+    # recomputes per branch
+    per_value = _materialize(
+        day_shift_half_counts(_materialize(counts)).select(
+            "event_type",
+            "day",
+            F.col("cents").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        )
     )
     return cvm_from_value_counts(per_value, keys=["event_type", "day"]).filter(
         (F.col("n_ref") >= 1) & (F.col("n_cur") >= 1)
@@ -2271,12 +2293,18 @@ def windowed_kuiper_from_counts(counts: DataFrame) -> DataFrame:
     `streaming.rollup.stream_windowed_kuiper`."""
     from .analytics import day_shift_half_counts
 
-    per_value = day_shift_half_counts(_materialize(counts)).select(
-        "event_type",
-        "day",
-        F.col("cents").alias("value"),
-        F.col("c_ref").alias("d_ref"),
-        F.col("c_cur").alias("d_cur"),
+    # materialized TWICE (the windowed_lepage rule, r12 review): the
+    # downstream coda reads per_value in TWO branches (totals + ECDF
+    # window, joined) — without this the full-outer day-shift join
+    # recomputes per branch
+    per_value = _materialize(
+        day_shift_half_counts(_materialize(counts)).select(
+            "event_type",
+            "day",
+            F.col("cents").alias("value"),
+            F.col("c_ref").alias("d_ref"),
+            F.col("c_cur").alias("d_cur"),
+        )
     )
     return kuiper_from_value_counts(
         per_value, keys=["event_type", "day"]

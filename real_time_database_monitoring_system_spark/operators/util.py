@@ -382,16 +382,11 @@ def windowed_day_cents_counts(
 
     keys = [F.col("event_type")]
     if by_cohort:
-        keys.append(
-            # same NULL→-1 fold as COHORT_SQL: an external ingest
-            # column may carry NULLs, and a NULL group key would
-            # silently drop from the full-outer day pairing
-            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias(
-                "cohort"
-            )
-            if "cohort" in events.columns
-            else F.expr(COHORT_SQL).alias("cohort")
-        )
+        # with_cohort is the ONE definition of the cohort key: parse
+        # path when absent, normalization (bigint cast, NULL->-1 fold)
+        # when an ingest column pre-exists
+        events = with_cohort(events)
+        keys.append(F.col("cohort"))
     return (
         events.filter(F.col("value").isNotNull())
         .groupBy(
@@ -425,16 +420,11 @@ def daily_cents_sums(events: DataFrame, by_cohort: bool = False) -> DataFrame:
 
     keys = [F.col("event_type")]
     if by_cohort:
-        keys.append(
-            # same NULL→-1 fold as COHORT_SQL: an external ingest
-            # column may carry NULLs, and a NULL group key would
-            # silently drop from the full-outer day pairing
-            F.coalesce(F.col("cohort").cast("bigint"), F.lit(-1)).alias(
-                "cohort"
-            )
-            if "cohort" in events.columns
-            else F.expr(COHORT_SQL).alias("cohort")
-        )
+        # with_cohort is the ONE definition of the cohort key: parse
+        # path when absent, normalization (bigint cast, NULL->-1 fold)
+        # when an ingest column pre-exists
+        events = with_cohort(events)
+        keys.append(F.col("cohort"))
     return (
         events.filter(F.col("value").isNotNull())
         .groupBy(

@@ -257,6 +257,11 @@ def test_green_age_audit_agrees_with_independent_artifact_fold():
         if not isinstance(data, dict):
             continue
         for name, row in data.items():
+            if not isinstance(row, dict):
+                # mirror _green_cache_impl: a truncated/repaired
+                # artifact's non-dict row is SKIPPED (prior verdict
+                # kept), not crashed on (r12 review)
+                continue
             if (
                 row.get("rows_match")
                 and row.get("schema_match")

@@ -180,10 +180,11 @@ def test_cohort_duck_sql_is_what_the_oracles_interpolate():
         assert entry.COHORT_DUCK_SQL in sqls[name], name
 
 
-def test_props_histogram_oracles_survive_malformed_props(tmp_path):
+def test_props_histogram_oracles_survive_malformed_props():
     """The guarded oracle expressions run (not hard-error) over a feed
     containing a malformed props row, and fold it exactly as Spark
-    does. Uses DuckDB directly on a crafted parquet."""
+    does. Uses DuckDB directly on an in-memory VALUES view standing in
+    for the events table."""
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM (VALUES "
