@@ -36,8 +36,16 @@ def ensure_column(spark: SparkSession, table: str, col_name: str, col_type: str)
 
 def insert_into(spark: SparkSession, table: str, rows: DataFrame, check: Column | None = None) -> None:
     """S9: ``INSERT INTO … SELECT``; `check` emulates a CHECK
-    constraint (rows failing it are rejected with an error count)."""
+    constraint (rows failing it are rejected with an error count).
+    The checked relation is MATERIALIZED before the count so the write
+    appends exactly the rows that were checked — without it the two
+    actions re-evaluate the plan independently, and a
+    nondeterministic or concurrently-growing input could slip
+    check-violating rows past the guard (TOCTOU; r12 review)."""
     if check is not None:
+        from ..operators.util import materialize
+
+        rows = materialize(rows)
         bad = rows.filter(~F.coalesce(check, F.lit(False))).count()
         if bad:
             raise ValueError(f"CHECK constraint failed for {bad} rows")
@@ -45,11 +53,15 @@ def insert_into(spark: SparkSession, table: str, rows: DataFrame, check: Column 
 
 
 def truncate_table(spark: SparkSession, table: str) -> None:
-    """S12: TRUNCATE — overwrite with an empty frame built from the
-    catalog schema (reading the target while overwriting it is
-    rejected; schema lookup is metadata-only)."""
-    empty = spark.createDataFrame([], spark.table(table).schema)
-    empty.write.mode("overwrite").insertInto(table, overwrite=True)
+    """S12: TRUNCATE — ``TRUNCATE TABLE`` DDL, the mode-independent
+    equivalent of the reference's TRUNCATE. (The previous
+    empty-overwrite-insertInto emulation silently NO-OPS on a
+    partitioned table under
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` — a zero-row
+    overwrite touches zero partitions — which would make
+    `archive_table` duplicate the full source on every run; r12
+    review.)"""
+    spark.sql(f"TRUNCATE TABLE {table}")
 
 
 def archive_table(
@@ -60,12 +72,25 @@ def archive_table(
 ) -> int:
     """The reference's full archive pipeline (views.py:913-994):
     create-if-missing archive with src schema + timestamp column, copy
-    all rows stamped, truncate src. Returns rows archived."""
+    all rows stamped, truncate src. Returns rows archived.
+
+    The stamped snapshot is MATERIALIZED once, so the returned count,
+    the appended rows, and the rows the truncate discards are the SAME
+    snapshot — without it count/append are independent scans and a
+    concurrent append lands in neither consistently (r12 review).
+    NOT crash-atomic across the append/truncate pair (the reference
+    leans on ``transaction.atomic`` here): a crash between them leaves
+    src un-truncated and a naive re-run would re-archive those rows —
+    production either keys the archive on a content digest or runs the
+    pair through `txn.SnapshotCatalog.commit` for the all-or-nothing
+    guarantee."""
+    from ..operators.util import materialize
+
     src = spark.table(src_table)
-    stamped = src.withColumn(ts_col, F.current_timestamp())
+    stamped = materialize(src.withColumn(ts_col, F.current_timestamp()))
     create_table_like(spark, archive_table_name, stamped)
     ensure_column(spark, archive_table_name, ts_col, "timestamp")
-    n = src.count()
+    n = stamped.count()
     stamped.write.mode("append").insertInto(archive_table_name)
     truncate_table(spark, src_table)
     return n

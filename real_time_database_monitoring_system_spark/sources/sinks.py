@@ -166,6 +166,14 @@ def _xlsx_bytes(columns: list[str], rows) -> bytes:
         r += 1
         body.write(f'<row r="{r}">')
         for letter, value in zip(letters, row):
+            # array/map/struct cells (e.g. an embeddings export) reach
+            # here as np.ndarray/list/dict, whose `!=` is elementwise —
+            # render them as text BEFORE the NaN self-equality check,
+            # which would raise "truth value of an array is ambiguous"
+            # on them (r12 review)
+            if isinstance(value, (list, dict)) or type(value).__name__ == "ndarray":
+                body.write(_xlsx_cell(f"{letter}{r}", str(value)))
+                continue
             # pandas NaN/NaT surface as float('nan')/pd.NaT; both fail
             # self-equality and must become empty cells, not "nan" text
             if value is None or value != value:
@@ -197,8 +205,17 @@ def write_sharded_corpus(documents: DataFrame, path: str, budget_tokens: int = 2
     deterministic (pure function of source + doc_id order), so a
     failed write re-runs to identical shards."""
     from ..operators.pipeline import shard_pack
+    from ..operators.util import materialize
 
-    assign = shard_pack(documents, budget_tokens).select("doc_id", "shard_id", "n_tokens")
+    # diamond rule (r12 review): the join's probe side re-expands the
+    # shard_pack subplan — without materializing the assignment the
+    # documents source is scanned (and the packing cumsum re-run) once
+    # for assignment and once for the join
+    assign = materialize(
+        shard_pack(documents, budget_tokens).select(
+            "doc_id", "shard_id", "n_tokens"
+        )
+    )
     (
         documents.join(assign, "doc_id")
         .repartition("source", "shard_id")
@@ -235,9 +252,12 @@ def write_alert_maildir(
     small BY CONSTRUCTION (a threshold filter's survivors), and a cap
     that trips is itself an alerting bug worth surfacing, so breaching
     it raises instead of silently truncating. Filenames are
-    deterministic (row index + md5 of the payload), so re-running a
-    batch overwrites the same files instead of duplicating mail —
-    at-least-once delivery stays idempotent. Returns the paths."""
+    deterministic (row index + md5 of the payload), and the batch OWNS
+    the directory: any `alert-*.eml` left from a previous run is
+    removed first, so a re-run whose alerts changed (or shrank) can't
+    leave stale files for the relay to double-deliver (r12 review) —
+    an UNCHANGED batch still rewrites byte-identical files, keeping
+    at-least-once delivery idempotent. Returns the paths."""
     import hashlib
     import os
     from email.message import EmailMessage
@@ -250,6 +270,12 @@ def write_alert_maildir(
             "threshold this loose is a paging storm, not a mail batch"
         )
     os.makedirs(path, exist_ok=True)
+    # the batch owns the dir: clear the previous run's alert files so
+    # a changed/shrunk batch can't leave stale mail behind
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(path, "alert-*.eml")):
+        os.unlink(stale)
     cols = df.columns
     written = []
     for i, row in enumerate(rows):

@@ -166,11 +166,25 @@ class SnapshotCatalog:
                 )
             version = m["version"] + 1
             new_tables = dict(m["tables"])
-            for table, df in writes.items():
-                target = self._version_dir(table, version)
-                df.write.mode("errorifexists").parquet(target)
-                new_tables[table] = os.path.relpath(target, self.root)
-            self._swap_manifest({"version": version, "tables": new_tables})
+            written: list[str] = []
+            try:
+                for table, df in writes.items():
+                    target = self._version_dir(table, version)
+                    df.write.mode("errorifexists").parquet(target)
+                    written.append(target)
+                    new_tables[table] = os.path.relpath(target, self.root)
+                self._swap_manifest({"version": version, "tables": new_tables})
+            except BaseException:
+                # a failed phase 1 must not BRICK the next attempt: the
+                # retry recomputes the same version number, and
+                # errorifexists would then reject it against this
+                # attempt's debris forever (r12 review). Remove only
+                # what THIS attempt wrote — a crash that skips this
+                # cleanup still leaves invisible orphans for vacuum(),
+                # which is the documented (weaker) fallback.
+                for target in written:
+                    shutil.rmtree(target, ignore_errors=True)
+                raise
             return version
         finally:
             os.unlink(lock)
@@ -178,22 +192,40 @@ class SnapshotCatalog:
     def vacuum(self) -> list[str]:
         """Remove version directories not referenced by the CURRENT
         manifest (orphans from crashed commits and superseded
-        versions). Never runs inside a commit — the split that keeps
-        readers of older snapshots safe until the operator chooses to
-        reclaim."""
-        live = {
-            os.path.normpath(rel) for rel in self.manifest()["tables"].values()
-        }
-        removed = []
-        data = os.path.join(self.root, "data")
-        for table in sorted(os.listdir(data)):
-            tdir = os.path.join(data, table)
-            for vdir in sorted(os.listdir(tdir)):
-                rel = os.path.normpath(os.path.join("data", table, vdir))
-                if rel not in live:
-                    shutil.rmtree(os.path.join(tdir, vdir))
-                    removed.append(rel)
-        return removed
+        versions). Serializes on the SAME `.commit.lock` as `commit`
+        and re-reads the manifest UNDER it (r12 review): an unlocked
+        vacuum that resolved the live set from a stale manifest could
+        rmtree a concurrent commit's phase-1 directory — or, after the
+        swap lands, the just-published CURRENT version. Raises
+        `ConcurrentCommitError` if a commit is in flight (retry when
+        it finishes), mirroring the commit-side contract."""
+        lock = os.path.join(self.root, ".commit.lock")
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"a commit holds {lock}; vacuum after it finishes (or "
+                "remove the lock file if its writer crashed)"
+            ) from None
+        try:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            live = {
+                os.path.normpath(rel)
+                for rel in self.manifest()["tables"].values()
+            }
+            removed = []
+            data = os.path.join(self.root, "data")
+            for table in sorted(os.listdir(data)):
+                tdir = os.path.join(data, table)
+                for vdir in sorted(os.listdir(tdir)):
+                    rel = os.path.normpath(os.path.join("data", table, vdir))
+                    if rel not in live:
+                        shutil.rmtree(os.path.join(tdir, vdir))
+                        removed.append(rel)
+            return removed
+        finally:
+            os.unlink(lock)
 
 
 def merge_into(

@@ -36,6 +36,10 @@ def _track_user(
     else:
         n, mx, last = 0, float("-inf"), -1
     for pdf in batches:
+        if len(pdf) == 0:
+            # empty Arrow chunks make max() NaN and int(NaN) raise —
+            # the _gap_buckets guard, applied here too (r12 review)
+            continue
         n += len(pdf)
         mx = max(mx, float(pdf["value"].max()))
         # event_id is monotone in the feed: the max is the latest
@@ -89,6 +93,8 @@ def _advance_funnel(
     (user_id,) = key
     t1, t2, t3 = state.get if state.exists else (-1, -1, -1)
     for pdf in batches:
+        if len(pdf) == 0:
+            continue  # the _gap_buckets empty-chunk guard (r12 review)
         pdf = pdf.sort_values(["us", "event_id"])
         for us, et in zip(pdf["us"], pdf["event_type"], strict=True):
             us = int(us)
@@ -110,14 +116,26 @@ def _funnel_panel(final: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    rows = None
-    for i, (step, col) in enumerate(zip(_FUNNEL_STEPS, ("t1", "t2", "t3"), strict=True)):
-        one = final.agg(
-            F.sum(F.when(F.col(col) >= 0, 1).otherwise(0)).cast("bigint").alias("n_users")
-        ).select(
-            F.lit(i + 1).alias("step_no"), F.lit(step).alias("step"), "n_users"
+    # ONE aggregation computes all three step counts, then stacks to
+    # long form — the previous per-step agg loop launched three
+    # independent subplans that each re-ran the per-user grouping
+    # (r12 review)
+    counts = final.agg(
+        *[
+            F.sum(F.when(F.col(col) >= 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{i + 1}")
+            for i, col in enumerate(("t1", "t2", "t3"))
+        ]
+    )
+    stack_args = ", ".join(
+        f"{i + 1}, '{step}', n{i + 1}" for i, step in enumerate(_FUNNEL_STEPS)
+    )
+    rows = counts.select(
+        F.expr(
+            f"stack(3, {stack_args}) AS (step_no, step, n_users)"
         )
-        rows = one if rows is None else rows.unionByName(one)
+    )
     w_prev = F.lag("n_users").over(Window.orderBy("step_no"))
     return (
         rows.withColumn(

@@ -179,16 +179,20 @@ class TestSnapshotCatalog:
         assert cat.read(spark, "t").count() == 3
         assert cat.read(spark, "u").count() == 4
 
-    def test_crash_before_swap_is_invisible_and_vacuumable(self, spark, tmp_path, monkeypatch):
+    def test_crash_before_swap_is_invisible_and_retryable(self, spark, tmp_path, monkeypatch):
+        import os
+
         import pytest
         from real_time_database_monitoring_system_spark.sources import txn
 
         cat = self._cat(tmp_path)
         cat.commit({"t": spark.range(3), "u": spark.range(4)})
 
-        # simulate a process crash BETWEEN the data writes and the
-        # manifest swap: every new version directory is on disk, the
-        # publish never happens
+        # an IN-PROCESS failure between the data writes and the
+        # manifest swap: the publish never happens, readers keep the
+        # old snapshot, and (r12 review) the failed attempt cleans its
+        # own version-dir debris so an immediate RETRY is not bricked
+        # by errorifexists at the recomputed version number
         def die(*a, **k):
             raise OSError("simulated crash before manifest swap")
 
@@ -199,13 +203,29 @@ class TestSnapshotCatalog:
 
         assert cat.read(spark, "t").count() == 3
         assert cat.read(spark, "u").count() == 4
-        # the stranded version dirs are reclaimed by vacuum, and a
-        # LATER commit succeeds at a fresh version number
-        removed = cat.vacuum()
-        assert any("v2" in r for r in removed)
-        cat.commit({"t": spark.range(7)})
+        assert not os.path.exists(
+            os.path.join(str(tmp_path), "cat", "data", "t", "v2")
+        ), "failed phase-1 debris must be cleaned for the retry"
+        cat.commit({"t": spark.range(7)})  # retry succeeds immediately
         assert cat.read(spark, "t").count() == 7
         assert cat.read(spark, "u").count() == 4
+
+    def test_hard_crash_debris_is_vacuumable(self, spark, tmp_path):
+        # a REAL process crash (kill -9) runs no cleanup: simulate by
+        # planting a stranded version dir the manifest never saw —
+        # invisible to readers, reclaimed by vacuum()
+        import os
+
+        cat = self._cat(tmp_path)
+        cat.commit({"t": spark.range(3)})
+        spark.range(99).write.parquet(
+            os.path.join(str(tmp_path), "cat", "data", "t", "v99")
+        )
+        assert cat.read(spark, "t").count() == 3
+        removed = cat.vacuum()
+        assert any("v99" in r for r in removed)
+        cat.commit({"t": spark.range(7)})
+        assert cat.read(spark, "t").count() == 7
 
     def test_snapshot_isolation_until_vacuum(self, spark, tmp_path):
         cat = self._cat(tmp_path)
@@ -304,3 +324,28 @@ class TestSnapshotCatalog:
         # matching expectation commits fine
         cat.commit({"t": spark.range(9)}, expected_version=cat.manifest()["version"])
         assert cat.read(spark, "t").count() == 9
+
+
+class TestVacuumLocking:
+    def test_vacuum_refuses_while_commit_in_flight(self, tmp_path, spark):
+        """vacuum serializes on the commit lock (r12 review): an
+        unlocked vacuum resolving its live set from a stale manifest
+        could rmtree a concurrently landing commit's data."""
+        import os
+
+        import pytest
+        from real_time_database_monitoring_system_spark.sources.txn import (
+            ConcurrentCommitError,
+            SnapshotCatalog,
+        )
+
+        cat = SnapshotCatalog(str(tmp_path / "cat"))
+        cat.commit({"t": spark.range(3)})
+        lock = os.path.join(str(tmp_path / "cat"), ".commit.lock")
+        open(lock, "w").close()  # a commit (or crashed writer) holds it
+        try:
+            with pytest.raises(ConcurrentCommitError, match="vacuum"):
+                cat.vacuum()
+        finally:
+            os.unlink(lock)
+        cat.vacuum()  # lock released → vacuum proceeds

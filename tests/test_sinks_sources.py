@@ -284,3 +284,42 @@ def test_alert_maildir_cap_raises(spark, tmp_path):
     many = spark.range(5).withColumnRenamed("id", "event_id")
     with pytest.raises(ValueError, match="paging storm"):
         sinks.write_alert_maildir(many, str(tmp_path / "m"), max_alerts=3)
+
+
+def test_xlsx_array_cells_render_as_text(spark, tmp_path):
+    """Array columns (an embeddings export) must not crash the NaN
+    self-equality guard with numpy's elementwise != (r12 review)."""
+    from real_time_database_monitoring_system_spark.sources.sinks import write_xlsx
+
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.25]), (2, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = str(tmp_path / "emb.xlsx")
+    write_xlsx(df.orderBy("vec_id"), out)
+    import zipfile
+
+    sheet = zipfile.ZipFile(out).read("xl/worksheets/sheet1.xml").decode()
+    assert "0.5" in sheet and "0.25" in sheet
+
+
+def test_maildir_rerun_removes_stale_alerts(spark, tmp_path):
+    """A re-run with FEWER/different alerts owns the dir: the previous
+    run's alert files are cleared, so a relay can't double-deliver
+    stale payloads (r12 review)."""
+    import os
+
+    from real_time_database_monitoring_system_spark.sources.sinks import (
+        write_alert_maildir,
+    )
+
+    d = str(tmp_path / "mail")
+    big = spark.createDataFrame(
+        [(1, 98.7), (2, 99.1)], "alert_id bigint, value double"
+    )
+    write_alert_maildir(big, d)
+    assert len([f for f in os.listdir(d) if f.endswith(".eml")]) == 2
+    small = spark.createDataFrame([(1, 99.9)], "alert_id bigint, value double")
+    paths = write_alert_maildir(small, d)
+    left = [f for f in os.listdir(d) if f.endswith(".eml")]
+    assert len(left) == 1 and os.path.basename(paths[0]) == left[0]
