@@ -1412,10 +1412,13 @@ def welch_ttest(events: DataFrame) -> DataFrame:
     Scale shape: one min/max aggregate (broadcast back), then ONE
     keyed aggregation over the feed with map-side partials into
     #types×2 groups. Output #types rows."""
-    stats = _materialize(
-        events.agg(
-            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
-        )
+    # Lazy single-consumer scalar: the min/max aggregate runs as the
+    # broadcast-build subtree of the SAME job that scans the feed for
+    # the keyed aggregation (one feed scan per subtree either way);
+    # materializing it eagerly only added a sequential driver-blocking
+    # job per call (guide §1.2/§2.4 — r12 job-count sweep).
+    stats = events.agg(
+        F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
     )
     sides = (
         events.filter(F.col("value").isNotNull())
@@ -1523,10 +1526,13 @@ def mannwhitney_u(events: DataFrame) -> DataFrame:
     bounded by distinct values per type, the `ks_drift` trade — then a
     per-type window over that REDUCED relation (never the feed) and a
     #types-row final join."""
-    stats = _materialize(
-        events.agg(
-            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
-        )
+    # Lazy single-consumer scalar: the min/max aggregate runs as the
+    # broadcast-build subtree of the SAME job that scans the feed for
+    # the keyed aggregation (one feed scan per subtree either way);
+    # materializing it eagerly only added a sequential driver-blocking
+    # job per call (guide §1.2/§2.4 — r12 job-count sweep).
+    stats = events.agg(
+        F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
     )
     per_value = (
         events.filter(F.col("value").isNotNull())
@@ -1680,10 +1686,13 @@ def hodges_lehmann(events: DataFrame) -> DataFrame:
     runs per type over that bounded relation (the
     `ks_from_value_counts` trade). A type with an empty half emits no
     row (no pairs to take a median of)."""
-    stats = _materialize(
-        events.agg(
-            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
-        )
+    # Lazy single-consumer scalar: the min/max aggregate runs as the
+    # broadcast-build subtree of the SAME job that scans the feed for
+    # the keyed aggregation (one feed scan per subtree either way);
+    # materializing it eagerly only added a sequential driver-blocking
+    # job per call (guide §1.2/§2.4 — r12 job-count sweep).
+    stats = events.agg(
+        F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
     )
     per_value = (
         events.filter(F.col("value").isNotNull())
@@ -1934,10 +1943,13 @@ def half_cents_counts(events: DataFrame) -> DataFrame:
     bounded by distinct values per type, never the feed — the same
     state bound `ks_drift` and `mannwhitney_u` accept, and the exact
     relation a streaming twin maintains forever."""
-    stats = _materialize(
-        events.agg(
-            F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
-        )
+    # Lazy single-consumer scalar: the min/max aggregate runs as the
+    # broadcast-build subtree of the SAME job that scans the feed for
+    # the keyed aggregation (one feed scan per subtree either way);
+    # materializing it eagerly only added a sequential driver-blocking
+    # job per call (guide §1.2/§2.4 — r12 job-count sweep).
+    stats = events.agg(
+        F.expr(f"min({_US_A})").alias("mn"), F.expr(f"max({_US_A})").alias("mx")
     )
     return (
         events.filter(F.col("value").isNotNull())
