@@ -348,10 +348,14 @@ def psi_drift(events: DataFrame, nbins: int = 10) -> DataFrame:
     streaming twin shares this coda verbatim."""
     if nbins < 2:
         raise ValueError("psi_drift: nbins must be ≥ 2")
-    stats = _materialize(
-        events.agg(
-            F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
-        )
+    # Lazy single-consumer scalar: the min/max aggregate runs as the
+    # broadcast-build subtree of the SAME job that scans the feed for
+    # the keyed aggregation (one feed scan per subtree either way, and
+    # identical broadcast subtrees are exchange-reused); materializing
+    # it eagerly only added a sequential driver-blocking job per call
+    # (guide §1.2/§2.4 — r12 job-count sweep).
+    stats = events.agg(
+        F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
     )
     per_value = (
         events.crossJoin(F.broadcast(stats))
@@ -477,10 +481,14 @@ def half_value_counts(events: DataFrame) -> DataFrame:
     (type, distinct value) with both halves' counts in ONE keyed
     aggregate. Callers materialize it (every coda reads the relation
     at least twice — the diamond rule)."""
-    stats = _materialize(
-        events.agg(
-            F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
-        )
+    # Lazy single-consumer scalar: the min/max aggregate runs as the
+    # broadcast-build subtree of the SAME job that scans the feed for
+    # the keyed aggregation (one feed scan per subtree either way, and
+    # identical broadcast subtrees are exchange-reused); materializing
+    # it eagerly only added a sequential driver-blocking job per call
+    # (guide §1.2/§2.4 — r12 job-count sweep).
+    stats = events.agg(
+        F.expr(f"min({_US})").alias("mn"), F.expr(f"max({_US})").alias("mx")
     )
     return (
         events.filter(F.col("value").isNotNull())
