@@ -314,15 +314,31 @@ def _incremental_near_core(old, new, key, threshold, shingle_k):
     identical to re-signing the kept docs)."""
     from .dedup import portable_bands, portable_shingle_hashes
 
-    # diamond: the exact-pass survivors feed the near pass AND the
-    # final anti-join — materialize or the CDC join/window re-runs
-    surv = _materialize(incremental_dedup(old, new, key))
-    new_docs = new.join(surv.select(key), key).select(
-        F.col(key).alias("doc_id"), "text"
-    )
     old_docs = old.select(F.col(key).alias("doc_id"), "text")
-    hs_new = portable_shingle_hashes(new_docs, shingle_k)
-    hs_old = portable_shingle_hashes(old_docs, shingle_k)
+    # The old-side signing pass (the corpus-sized one) depends only on
+    # `old`, while the exact CDC pass and the survivor signing chain
+    # depend on old+new — two independent eager pipelines. Overlap
+    # them from a 2-thread pool so the old-side shingle/hash jobs
+    # back-fill the survivor chain's stragglers instead of running
+    # strictly after it (guide §2.6; the `_dedup_verdicts` pattern).
+    # Results unchanged: threads only build/materialize deterministic
+    # relations; composition below stays lazy.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _surv_chain():
+        # diamond: the exact-pass survivors feed the near pass AND the
+        # final anti-join — materialize or the CDC join/window re-runs
+        surv = _materialize(incremental_dedup(old, new, key))
+        new_docs = new.join(surv.select(key), key).select(
+            F.col(key).alias("doc_id"), "text"
+        )
+        return surv, portable_shingle_hashes(new_docs, shingle_k)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(portable_shingle_hashes, old_docs, shingle_k)
+        f_surv = pool.submit(_surv_chain)
+        hs_old = f_old.result()
+        surv, hs_new = f_surv.result()
     cand = (
         portable_bands(hs_new)
         .withColumnRenamed("doc_id", "new_id")
