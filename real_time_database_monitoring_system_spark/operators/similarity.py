@@ -202,7 +202,18 @@ def embedding_near_dup_pairs(
     literal planes; a production deployment sets the knob from its
     corpus count.
     """
-    emb_d = _spread(embeddings, "vec_id").select(
+    # Spread width capped by the input's split count (×4): the band
+    # projection below carries bands·bits·64 expression terms, and
+    # every TASK regenerates its ~1 MB of projection source before the
+    # executor's codegen cache can answer — at full local width a tiny
+    # input pays ~32 concurrent source-gens for a few dozen rows each
+    # (measured 3.6–4.5 s at width 32 vs ≤0.8 s at width ≤4 on the
+    # sf0.1 2 000-row table). A real corpus arrives in thousands of
+    # scan splits, so the cap never binds in production (guide §1.2:
+    # fix the per-task fixed cost before adding parallelism).
+    emb_d = _spread(
+        embeddings, "vec_id", cap=4 * embeddings.rdd.getNumPartitions()
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     # materialized: both pair-join sides consume the signature table,
