@@ -156,7 +156,19 @@ def kmeans_fit(
     (cluster_id = seed vec_id's rank order = vec_id for the test
     tables). A cluster that loses all members keeps its previous
     centroid (both engines implement the same carry rule)."""
-    qv = _materialize(_spread(quantized(embeddings), "vec_id"))
+    # spread width capped by the input's split count (the
+    # embedding_near_dup_pairs rule): the Lloyd assignment projection
+    # is k × 64-term fold trees, and at full local width a tiny table
+    # fans out into setup-dominated tasks (measured kmeans_clusters
+    # 3.03 → 2.38 s at sf0.1 with the cap; a real corpus arrives in
+    # thousands of splits, so the cap never binds in production)
+    qv = _materialize(
+        _spread(
+            quantized(embeddings),
+            "vec_id",
+            cap=4 * embeddings.rdd.getNumPartitions(),
+        )
+    )
     seeds = qv.orderBy("vec_id").limit(k).select("vec_id", "qvec").collect()
     centroids = {i: list(r["qvec"]) for i, r in enumerate(seeds)}
     if not centroids:
@@ -274,7 +286,9 @@ def semantic_dedup(
     where the operator actually spends its time."""
     assign = _materialize(
         _spread(
-            kmeans_assign(embeddings, k=k, n_iter=n_iter, keep_qvec=True), "vec_id"
+            kmeans_assign(embeddings, k=k, n_iter=n_iter, keep_qvec=True),
+            "vec_id",
+            cap=4 * embeddings.rdd.getNumPartitions(),
         ).select(
             "cluster_id",
             "vec_id",

@@ -54,7 +54,9 @@ def knn_bruteforce(embeddings: DataFrame, n_queries: int = 20, k: int = 5) -> Da
     reproducible across engines (the raw double differs only in the
     last ulp across summation strategies).
     """
-    emb_d = _spread(embeddings, "vec_id").select(
+    emb_d = _spread(
+        embeddings, "vec_id", cap=4 * embeddings.rdd.getNumPartitions()
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     queries = emb_d.filter(F.col("vec_id") < n_queries).select(
@@ -410,7 +412,12 @@ def ivf_knn(
     dependent), and the probe ranking uses the round-9 cosine with a
     label tiebreak, the same contract the exact top-k applies.
     """
-    emb_d = _spread(embeddings, "vec_id").select(
+    # spread width capped by the input split count (the
+    # embedding_near_dup_pairs rule: tiny inputs must not fan out into
+    # setup-dominated tasks; never binds on a many-split real corpus)
+    emb_d = _spread(
+        embeddings, "vec_id", cap=4 * embeddings.rdd.getNumPartitions()
+    ).select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     # centroid per list: element-wise decimal-exact mean, one grouped pass
@@ -469,7 +476,7 @@ def knn_lsh(
     planes = _hyperplanes(n_planes, dim)
     bits_per_band = n_planes // bands
     emb_d = _materialize(
-        _spread(embeddings, "vec_id")
+        _spread(embeddings, "vec_id", cap=4 * embeddings.rdd.getNumPartitions())
         .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("vec"))
         .withColumn("sig", lsh_signature("vec", planes))
     )
@@ -685,7 +692,11 @@ def knn_projected(
         ]
     )
     base = _materialize(
-        _spread(embeddings.filter(F.col("embedding").isNotNull()), "vec_id").select(
+        _spread(
+            embeddings.filter(F.col("embedding").isNotNull()),
+            "vec_id",
+            cap=4 * embeddings.rdd.getNumPartitions(),
+        ).select(
             "vec_id",
             "label",
             F.col("embedding").cast("array<double>").alias("vec"),
@@ -943,7 +954,9 @@ def embedding_norm_audit(embeddings: DataFrame) -> DataFrame:
     Scale shape: one map-side projection computes each row's norm;
     one keyed aggregate per label. No joins, no windows, no shuffle
     beyond the ≤ #labels aggregation."""
-    per = _spread(embeddings, "vec_id").select(
+    per = _spread(
+        embeddings, "vec_id", cap=4 * embeddings.rdd.getNumPartitions()
+    ).select(
         "label",
         F.size("embedding").alias("dim"),
         _norm(F.col("embedding").cast("array<double>")).alias("nrm"),
