@@ -126,9 +126,15 @@ def spread(df: DataFrame, *cols: str, cap: int | None = None) -> DataFrame:
     real corpus (thousands of scan splits) keeps full width."""
     spark = df.sparkSession
     conf = spark.conf.get("spark.graft.spread.partitions", None)
-    n = int(conf) if conf else spark.sparkContext.defaultParallelism
-    if cap is not None:
-        n = max(1, min(n, cap))
+    if conf:
+        # the explicit production knob wins outright — a deployment
+        # that sized the width data-proportionally knows better than
+        # the input-split heuristic below
+        n = int(conf)
+    else:
+        n = spark.sparkContext.defaultParallelism
+        if cap is not None:
+            n = max(1, min(n, cap))
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
