@@ -74,7 +74,7 @@ def decontaminate(train: DataFrame, bench: DataFrame, shingle_k: int = 3) -> Dat
 def _shingle_hashes(documents: DataFrame, shingle_k: int) -> DataFrame:
     """(doc_id, sh_h): distinct hashed word-shingles per document."""
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .filter(F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")) >= shingle_k)
         .select("doc_id", F.explode(_word_shingles(F.col("text"), shingle_k)).alias("sh"))
         .select("doc_id", F.xxhash64("sh").alias("sh_h"))
@@ -143,7 +143,7 @@ def temperature_sample(
         "source", "sample_rate"
     )
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .withColumn("h1e6", content_hash_bucket("text", 1_000_000))
         .join(F.broadcast(rates), "source")
         .filter(F.col("h1e6") < F.expr("CAST(floor(sample_rate * 1000000.0) AS BIGINT)"))
@@ -189,7 +189,7 @@ def length_buckets(documents: DataFrame) -> DataFrame:
     corpus-total join is a broadcast scalar (the repo's injected-scalar
     pattern, not a driver-side collect)."""
     n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).cast("bigint")
-    d = _spread(documents, "doc_id").select(
+    d = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id",
         n_tok.alias("n_tokens"),
     ).select(

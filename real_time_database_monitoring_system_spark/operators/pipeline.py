@@ -58,7 +58,7 @@ def hash_sample(documents: DataFrame, pct: int = 10) -> DataFrame:
     the document, so reruns, retries, and other engines agree row for
     row."""
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .withColumn("hash_bucket", content_hash_bucket("text"))
         .filter(F.col("hash_bucket") < pct)
         .select("doc_id", "source", "lang", "n_chars", "hash_bucket")
@@ -97,7 +97,7 @@ def weighted_sample(documents: DataFrame, k: int = 100) -> DataFrame:
         F.substring(F.md5(F.col("text").cast("binary")), 1, 8), 16, 10
     ).cast("bigint")
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .withColumn("h32", h)
         .withColumn("sample_key", F.expr(_AES_KEY_SQL.format(h="h32")))
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
@@ -116,7 +116,7 @@ def stratified_sample(documents: DataFrame, n_per_source: int = 5) -> DataFrame:
     order; one shuffle on `source`, per-partition top-n via window."""
     w = Window.partitionBy("source").orderBy("h256", "doc_id")
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .withColumn("h256", content_hash_bucket("text", 256))
         .withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_source)
@@ -157,7 +157,7 @@ def stratified_sample_exact(
         10,
     ).cast("bigint")
     width = (1 << 32) // int(n_buckets)
-    base = _spread(documents, "doc_id").select(
+    base = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", "source", h.alias("h")
     ).withColumn("b", F.expr(f"h div {width}"))
     # base is re-derived (not materialized) on the probe side: the
@@ -246,7 +246,7 @@ def shard_pack(documents: DataFrame, budget_tokens: int = 2000) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", "source", n_tok.cast("bigint").alias("n_tokens"))
         .withColumn("tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint")))
         .withColumn("shard_id", F.expr(f"tokens_before div {int(budget_tokens)}"))
@@ -264,7 +264,7 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
     two keyed aggs (term-per-doc and doc-freq), a broadcast scalar N,
     and a per-doc top-k window — each shuffle is on a key, nothing is
     global or quadratic."""
-    toks = _spread(documents, "doc_id").select(
+    toks = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("term")
     )
     # materialized: doc_len, doc_freq, and the scoring join all read tf
@@ -342,7 +342,7 @@ def bm25_search(
     if n_queries <= 0 or query_len <= 0 or k <= 0:
         raise ValueError("bm25_search: n_queries, query_len and k must be positive")
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    toks = _spread(documents, "doc_id").select(
+    toks = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", F.explode(tok_arr).alias("term")
     )
     tf = _materialize(toks.groupBy("doc_id", "term").agg(F.count("*").alias("n_term")))
@@ -413,7 +413,7 @@ def vocab_topk(documents: DataFrame, k: int = 50) -> DataFrame:
     by term asc) with document frequency. Explode → single keyed agg
     with map-side combine → TakeOrderedAndProject; the classic
     vocabulary-extraction shape."""
-    toks = _spread(documents, "doc_id").select(
+    toks = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("term")
     )
     return (
@@ -447,7 +447,7 @@ def ngram_counts(documents: DataFrame, n: int = 2, k: int = 50) -> DataFrame:
         out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
     grams = F.filter(out, lambda x: x.isNotNull())
     exploded = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", grams.alias("grams"))
         .select("doc_id", F.explode("grams").alias("gram"))
     )
@@ -483,7 +483,7 @@ def pmi_pairs(
     overflows bigint on a 100 TB corpus.
     """
     toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    d = _spread(documents, "doc_id").select("doc_id", toks_arr.alias("toks"))
+    d = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select("doc_id", toks_arr.alias("toks"))
     pair_arrays = []
     for j in range(1, window + 1):
         shifted = F.slice("toks", j + 1, 1 << 30)
@@ -555,7 +555,7 @@ def quality_quantile_filter(documents: DataFrame, exact: bool = True) -> DataFra
     q = quality_score(documents).select("doc_id", "quality")
     # materialized: read by the median aggregate AND the filter join
     with_src = _materialize(
-        q.join(_spread(documents, "doc_id").select("doc_id", "source"), "doc_id")
+        q.join(_spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select("doc_id", "source"), "doc_id")
     )
     med_expr = (
         F.expr("percentile(quality, 0.5)")
@@ -590,7 +590,7 @@ def chunk_documents(
         raise ValueError("window and stride must be positive")
     toks = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     base = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", toks.alias("toks"))
         .withColumn("n_tokens", F.size("toks").cast("bigint"))
         .filter(F.col("n_tokens") > 0)
@@ -635,7 +635,7 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     aggregates per source too. The corpus-total join is a broadcast
     scalar (the repo's injected-scalar pattern, never a collect)."""
     n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != "")).cast("bigint")
-    rows = _spread(documents, "doc_id").select(
+    rows = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "source",
         "lang",
         n_tok.alias("n_tokens"),
@@ -695,7 +695,7 @@ def unigram_logprob_score(documents: DataFrame) -> DataFrame:
     standard cross-engine float rules).
     """
     toks = _materialize(
-        _spread(documents, "doc_id").select(
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
             "doc_id",
             "source",
             F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias(
@@ -835,7 +835,7 @@ def feature_hash_embed(documents: DataFrame, n_buckets: int = 32) -> DataFrame:
     Shuffles: tf aggregation on (doc_id, bucket), then the norm window
     on doc_id — both keyed, combine-friendly, never global.
     """
-    toks = _spread(documents, "doc_id").select(
+    toks = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id",
         F.explode(F.filter(F.split("text", r"\s+"), lambda x: x != "")).alias("tok"),
     )
@@ -958,7 +958,7 @@ def tokenize_to_ids(
     if vocab_size <= 0:
         raise ValueError("tokenize_to_ids: vocab_size must be positive")
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
-    tokp = _spread(documents, "doc_id").select(
+    tokp = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", F.posexplode(tok_arr).alias("pos", "term")
     )
     counts = tokp.groupBy("term").agg(F.count("*").alias("n"))
@@ -1111,7 +1111,7 @@ def source_kl_divergence(documents: DataFrame) -> DataFrame:
     final aggregate is #sources rows."""
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tf = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(tok_arr).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c_st"))
@@ -1173,7 +1173,7 @@ def bigram_logprob_score(documents: DataFrame) -> DataFrame:
     keeps the distributed sum exact and order-independent."""
     toks_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     pairs = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", "source", toks_arr.alias("l"))
         .filter(F.size("l") > 0)
         .select(
@@ -1253,7 +1253,7 @@ def sequence_pack(documents: DataFrame, seq_len: int = 512) -> DataFrame:
     if seq_len <= 0:
         raise ValueError("sequence_pack: seq_len must be positive")
     n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
-    per_doc = _spread(documents, "doc_id").select(
+    per_doc = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", "source", (n_tok + F.lit(1)).cast("bigint").alias("n_tokens")
     )
     w_src = (
@@ -1343,7 +1343,7 @@ def js_divergence(documents: DataFrame) -> DataFrame:
     (single-source corpus) are excluded (JS vs nothing is undefined)."""
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tf = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(tok_arr).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c_st"))
@@ -1405,7 +1405,7 @@ def seqlen_histogram(documents: DataFrame) -> DataFrame:
     output is #sources × ~20 rows."""
     n_tok = F.size(F.filter(F.split("text", r"\s+"), lambda x: x != ""))
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select(
             "source",
             n_tok.cast("bigint").alias("n_tokens"),
@@ -1443,7 +1443,7 @@ def sample_skew_audit(documents: DataFrame, pct: int = 10) -> DataFrame:
     integers (/, *, sqrt — correctly-rounded ops only)."""
     p_expr = f"CAST({pct} AS DOUBLE) / 100.0"
     per_src = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .withColumn("hash_bucket", content_hash_bucket("text"))
         .groupBy("source")
         .agg(

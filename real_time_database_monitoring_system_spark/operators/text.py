@@ -56,7 +56,7 @@ def _token_counts(
     # re-evaluated once per exploded token instead of once per document
     # (plan-asserted in tests/test_plans.py)
     base = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select(
             "doc_id",
             *[c.alias(n) for n, c in carry.items()],
@@ -236,7 +236,7 @@ def clean_text(documents: DataFrame) -> DataFrame:
         )
     )
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select(
             "doc_id",
             cleaned.alias("clean"),
@@ -297,7 +297,7 @@ def c4_rule_filter(documents: DataFrame) -> DataFrame:
     for expr in rules.values():
         keep = expr if keep is None else (keep & expr)
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select(
             "doc_id",
             F.size(toks).cast("int").alias("n_tokens"),
@@ -321,7 +321,7 @@ def repetition_score(documents: DataFrame) -> DataFrame:
         lambda x: x.isNotNull(),
     )
     per_bigram = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", F.explode(bigrams).alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count("*").alias("n"))
@@ -373,7 +373,7 @@ def pii_redact(documents: DataFrame) -> DataFrame:
         )
         redacted = F.regexp_replace(redacted, pat, rep)
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", *counts, redacted.alias("redacted"))
         .withColumn(
             "n_redactions",
@@ -400,7 +400,7 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % 1000000007,
     )
-    return _spread(documents, "doc_id").select(
+    return _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id",
         F.md5(norm.cast("binary")).alias("md5_fp"),
         rolling.alias("rolling_fp"),
@@ -422,7 +422,7 @@ def bpe_pair_stats(documents: DataFrame, top_n: int = 50) -> DataFrame:
     set (≤ ~1.3k for [a-z0-9]²), so the shuffle is tiny at any corpus
     size.
     """
-    toks = _spread(documents, "doc_id").select(
+    toks = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         F.explode(_tokens(F.col("text"))).alias("tok")
     )
     pairs = (
@@ -528,7 +528,7 @@ def char_trigram_langid(documents: DataFrame, k: int = 50) -> DataFrame:
     # rows — one grouped shuffle replaces a raw materialization plus a
     # later corpus-sized DISTINCT
     tri_counts = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .filter(F.length("text") >= 3)
         .select("doc_id", F.col("lang").alias("lang_true"), tri_arr.alias("ts"))
         .select("doc_id", "lang_true", F.explode("ts").alias("tg"))
@@ -594,7 +594,7 @@ def vocab_growth(documents: DataFrame, n_buckets: int = 20) -> DataFrame:
     # is bounded by per-doc distinct terms, the same trade
     # char_trigram_langid makes)
     tf_dt = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("doc_id", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("n"))
@@ -686,7 +686,7 @@ def zipf_fit(documents: DataFrame, top_n: int = 100) -> DataFrame:
     if top_n < 3:
         raise ValueError("zipf_fit: top_n must be ≥ 3")
     tf = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("n_term"))
@@ -768,7 +768,7 @@ def gopher_rule_filter(documents: DataFrame) -> DataFrame:
     for sw in GOPHER_STOPWORDS:
         term = F.when(F.array_contains(toks, sw), 1).otherwise(0)
         n_stop = term if n_stop is None else (n_stop + term)
-    stats = _spread(documents, "doc_id").select(
+    stats = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id",
         n_words.cast("int").alias("n_words"),
         total_chars.alias("total_chars"),
@@ -830,7 +830,7 @@ def oov_rate(documents: DataFrame, vocab_size: int = 16) -> DataFrame:
     aggregate is #sources rows."""
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tf = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(tok_arr).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c_st"))
@@ -899,7 +899,7 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     one final (doc, n) aggregate. No all-pairs step, no feed-scale
     window."""
     toks = _tokens(F.col("text"))
-    base = _spread(documents, "doc_id").select(
+    base = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id",
         F.length(F.array_join(toks, " ")).cast("bigint").alias("total_chars"),
         toks.alias("toks"),
@@ -998,7 +998,7 @@ def gopher_line_repetition(documents: DataFrame) -> DataFrame:
     size, no windows, no joins wider than #docs."""
 
     def _family(unit_col, prefix):
-        ex = _spread(documents, "doc_id").select(
+        ex = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
             "doc_id", F.explode(F.split("text", unit_col)).alias("u")
         )
         per_u = ex.groupBy("doc_id", "u").agg(F.count("*").alias("c"))
@@ -1063,14 +1063,14 @@ def tokenizer_fertility(documents: DataFrame, vocab_size: int = 64) -> DataFrame
     — one tokenize+explode reduced to (source, term, count),
     vocabulary = TakeOrdered top-V broadcast into the piece-cost join;
     final relation is #sources rows."""
-    doc_side = _spread(documents, "doc_id").groupBy("source").agg(
+    doc_side = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.octet_length("text")).cast("bigint").alias("total_bytes"),
         F.sum(F.length("text")).cast("bigint").alias("total_chars"),
     )
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     tf = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(tok_arr).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("c_st"))
@@ -1141,7 +1141,7 @@ def vocab_coverage_curve(documents: DataFrame, max_k: int = 1024) -> DataFrame:
     broadcasts into the final projection."""
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     term_tot = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select(F.explode(tok_arr).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c_t"))
@@ -1191,7 +1191,7 @@ def char_entropy(documents: DataFrame) -> DataFrame:
     `char_trigram_langid` cost, ~chars rows) reduced immediately to
     (doc, char) counts — state bounded by alphabet × docs — then one
     doc-keyed aggregate. No windows, no joins."""
-    ex = _spread(documents, "doc_id").select(
+    ex = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id",
         F.expr("regexp_extract_all(text, '(?s).', 0)").alias("chars"),
     ).select("doc_id", F.explode("chars").alias("ch"))
@@ -1287,7 +1287,7 @@ def distinct_ngram_ratio(documents: DataFrame) -> DataFrame:
     single double division of exact integers. Output 3×#sources rows;
     no windows, no joins."""
     toks = _tokens(F.col("text"))
-    base = _spread(documents, "doc_id").select("source", toks.alias("toks"))
+    base = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select("source", toks.alias("toks"))
     big = 1 << 30
     g2 = F.zip_with(
         F.col("toks"),
@@ -1351,7 +1351,7 @@ def pii_density_by_source(documents: DataFrame) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).alias(f"n_{name}s")
         for name, pat, _ in PII_PATTERNS
     ]
-    per_doc = _spread(documents, "doc_id").select(
+    per_doc = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "source", F.length("text").cast("bigint").alias("chars"), *counts
     )
     hit_cols = [f"n_{name}s" for name, _, _ in PII_PATTERNS]
@@ -1402,7 +1402,7 @@ def template_prefix_groups(
     number of real templates."""
     norm = F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
     return (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select(
             "doc_id",
             "source",
@@ -1452,7 +1452,7 @@ def encoding_audit(documents: DataFrame) -> DataFrame:
     so the streaming twin runs the identical code and shares the
     oracle verbatim."""
     return encoding_panel_from_source_counts(
-        encoding_source_counts(encoding_doc_stats(_spread(documents, "doc_id")))
+        encoding_source_counts(encoding_doc_stats(_spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())))
     )
 
 
@@ -1516,7 +1516,7 @@ def intra_doc_line_dedup(documents: DataFrame) -> DataFrame:
 
     Returns (doc_id, n_lines, n_kept, text_clean) — `text_clean`
     rejoins the survivors with newlines."""
-    lined = _spread(documents, "doc_id").select(
+    lined = _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions()).select(
         "doc_id", F.split("text", "\n").alias("lines")
     )
     kept = F.filter(
@@ -1560,7 +1560,7 @@ def vocab_overlap_matrix(documents: DataFrame) -> DataFrame:
     engines agree by construction."""
     tok_arr = F.filter(F.split("text", r"\s+"), lambda x: x != "")
     st = _materialize(
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(tok_arr).alias("term"))
         .distinct()
     )
@@ -1627,7 +1627,7 @@ def vocab_richness(documents: DataFrame) -> DataFrame:
     exchange, map-side combinable — then a #sources-row aggregate.
     Nothing quadratic, no windows over the feed."""
     tf = (
-        _spread(documents, "doc_id")
+        _spread(documents, "doc_id", cap=4 * documents.rdd.getNumPartitions())
         .select("source", F.explode(_tokens(F.col("text"))).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").alias("n_term"))
