@@ -943,15 +943,21 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
             (F.col("cnt") * F.length("gram").cast("bigint")).alias("mass"),
         )
     )
-    w = Window.partitionBy("doc_id", "n")
+    # top_cnt/top_mass via ONE lexicographic struct max — identical to
+    # the former max-window + tie filter ("max cnt, count ties broken
+    # toward the larger mass" IS the (cnt, mass) struct order), but as
+    # a plain aggregate it combines map-side: the per-gram relation
+    # (~3× the token stream) collapses to #docs×3 rows BEFORE the
+    # exchange instead of sorting in full under a window (guide §2.3
+    # "aggregate before you shuffle"). At sf0.1 the explode + first
+    # string-keyed count dominates, so the local delta is small
+    # (2.43 → 2.38 s min-of-5, same window); the removed full-relation
+    # sort + exchange is the at-scale win, and the plan is strictly
+    # smaller (one Window + one Exchange fewer).
     return (
-        per_gram.withColumn("top_cnt", F.max("cnt").over(w))
-        .groupBy("doc_id", "n", "total_chars")
+        per_gram.groupBy("doc_id", "n", "total_chars")
         .agg(
-            F.max("top_cnt").cast("bigint").alias("top_cnt"),
-            F.max(F.when(F.col("cnt") == F.col("top_cnt"), F.col("mass")))
-            .cast("bigint")
-            .alias("top_mass"),
+            F.max(F.struct(F.col("cnt"), F.col("mass"))).alias("_top"),
             F.coalesce(
                 F.sum(F.when(F.col("cnt") >= 2, F.col("mass"))), F.lit(0)
             )
@@ -962,8 +968,8 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
             "doc_id",
             "n",
             "total_chars",
-            "top_cnt",
-            "top_mass",
+            F.col("_top.cnt").cast("bigint").alias("top_cnt"),
+            F.col("_top.mass").cast("bigint").alias("top_mass"),
             "dup_mass",
             (F.col("top_mass").cast("double") / F.col("total_chars").cast("double")).alias(
                 "top_frac"
