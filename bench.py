@@ -435,6 +435,12 @@ def vs_prev(repo: str, timings: dict[str, float], canary: dict[str, float],
         factor = cur_spark / prev_spark
         out["spark_canary_factor"] = round(factor, 4)
         out["normalized_ratio"] = round(raw / factor, 4)
+        # sampling-scheme provenance for the factor's numerator/
+        # denominator (r11: single early sample; r12: min of early+
+        # late; r13+: min over 4 interleaved samples) — the scheme
+        # changed across rounds, so cross-round normalized ratios
+        # carry that asymmetry until both sides are r13+.
+        out["canary_sampling"] = "r13+: per-field min over 4 interleaved samples"
     return out
 
 
@@ -451,10 +457,15 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footers
     qs["session_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # Spark-side canary AFTER warm-up (JVM hot, same session the
-    # headline queries run in) so it measures the execution stack,
-    # not startup.
-    canary.update(spark_canary(spark))
+    # Spark-side canary sampling is INTERLEAVED with the passes
+    # (VERDICT r12 task 5): one sample after warm-up and one after
+    # each full pass, per-field min kept for cross-round comparison
+    # and the FULL sample list archived in BENCH_DETAIL. The r12
+    # scheme (one early sample + one late, min of two) left the r11/
+    # r12 canary asymmetric (r11 artifacts hold a single early
+    # sample); from r13 on the canary rides the same stall-wave
+    # timeline as the interleaved query passes.
+    canary_samples: list[dict[str, float]] = [spark_canary(spark)]
 
     # Per-query min over INTERLEAVED full passes (not back-to-back
     # repeats): this host shows wave-shaped noisy-neighbor stalls
@@ -468,18 +479,12 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = min(timings[name], time.perf_counter() - t0)
+        canary_samples.append(spark_canary(spark))
     timings = {name: round(t, 3) for name, t in timings.items()}
 
-    # Re-sample the Spark canary AFTER the passes and keep the
-    # per-field min: the single early reading sits inside one point of
-    # the host's stall-wave timeline, so a wave at that moment poisons
-    # the cross-round normalizer while the interleaved queries escape
-    # it (observed r12: canary 2.05× with queries at 0.99×). Two
-    # samples ~15 min apart decorrelate the same way the interleaved
-    # passes do.
-    late = spark_canary(spark)
-    for k, v in late.items():
-        canary[k] = min(canary.get(k, v), v)
+    for sample in canary_samples:
+        for k, v in sample.items():
+            canary[k] = min(canary.get(k, v), v)
 
     total = round(sum(timings.values()), 3)
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -492,6 +497,11 @@ def main() -> None:
         "n_queries": len(timings),
         "method": "min over 3 interleaved full passes, noop sink",
         "canary": canary,
+        # the raw interleaved samples (1 post-warm-up + 1 per pass),
+        # so future rounds can audit the normalizer's variance instead
+        # of trusting one min (VERDICT r12 task 5)
+        "canary_samples": canary_samples,
+        "canary_sampling": "per-field min over 4 interleaved samples (r13+)",
     }
     # BENCH_DETAIL.json is mutable (latest run); a per-round archive
     # copy keeps cross-round per-query comparisons out of git

@@ -27,7 +27,6 @@ from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
 from .util import disc_quantiles_from_counts as _disc_quantiles
-from .util import spread as _spread
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -1666,26 +1665,24 @@ def hodges_lehmann(events: DataFrame) -> DataFrame:
 
     Exactness: the axis is integer cents (round(value·100) — the
     `psi_fixed_bin_sql` rule), so every pairwise difference is an
-    integer and the difference DISTRIBUTION is exact: pair counts per
-    distinct difference d are Σ_v c_ref(v)·c_cur(v+d) — pure BIGINT
-    products of half counts (exact to N ≈ 6·10⁹ per type, ANSI-loud
-    beyond). Order statistics are conditional minima over the exact
-    cumulative pair counts — no sampling, no sketch. The midpoint
-    split is the whole-feed integer-µs convention (`psi_drift`). The
-    lone double is the Moses rank floor (shared SQL) and the lo/hi
-    midpoint emission (exact: /2 of an integer sum).
+    integer and the cumulative pair count below any threshold d is
+    exact: Σ_vc c_cur(vc)·(ref mass ≥ vc−d) — pure BIGINT products of
+    half counts (exact to N ≈ 6·10⁹ per type, ANSI-loud beyond).
+    Order statistics are minimal integer thresholds reaching exact
+    integer ranks — no sampling, no sketch. The midpoint split is the
+    whole-feed integer-µs convention (`psi_drift`). The lone double is
+    the Moses rank floor (shared SQL) and the lo/hi midpoint emission
+    (exact: /2 of an integer sum).
 
     Scale shape: the feed reduces ONCE to the per-(type, cents, side)
     half-count relation (map-side partials, bounded by the value
-    alphabet × k). The pairwise-difference distribution comes from the
-    ALPHABET×ALPHABET grid join — the `kendall_tau` dense-bounded-grid
-    waiver: its cost is |V_ref|·|V_cur| per type, INDEPENDENT of feed
-    row count (production bounds V by quantization), and the grid rows
-    flow through a map-side partial aggregate keyed by (type, d) —
-    ≤ types × diff-alphabet rows ever shuffle. The cumulative window
-    runs per type over that bounded relation (the
-    `ks_from_value_counts` trade). A type with an empty half emits no
-    row (no pairs to take a median of)."""
+    alphabet × k). The four order statistics come from a per-type
+    SELECTION over that relation (`hl_from_value_counts`): binary
+    search on the difference value with an O(V log V) vectorized
+    count per probe — the r13 replacement for the former
+    |V_ref|·|V_cur| grid join, whose V² constant was feed-independent
+    and survived at 100 TB. A type with an empty half emits no row
+    (no pairs to take a median of)."""
     # Lazy single-consumer scalar: the min/max aggregate runs as the
     # broadcast-build subtree of the SAME job that scans the feed for
     # the keyed aggregation (one feed scan per subtree either way);
@@ -1721,38 +1718,129 @@ def hodges_lehmann(events: DataFrame) -> DataFrame:
 _HL_MAX_ALPHABET_ROWS = 100_000
 
 
+def _hl_select_group(pdf):
+    """Per-type order-statistic SELECTION over the half-count alphabet
+    (runs inside `applyInPandas`; see `hl_from_value_counts`). Pure
+    integer arithmetic throughout: the four target ranks arrive
+    precomputed (Spark evaluates `HL_K_CI_SQL` and the ANSI `npairs`
+    products, so overflow stays loud and the one floating expression
+    has exactly one definition), and the k-th smallest pairwise
+    difference is found by binary search on the difference VALUE with
+    an O(V log V) vectorized counting pass per probe — never
+    materializing the |V_ref|·|V_cur| grid. count_le(d) = Σ_vc
+    c_cur(vc) · (ref mass at values ≥ vc − d); the minimal integer d
+    with count_le(d) ≥ k is always an ACHIEVED difference (the count
+    only steps up at achieved differences), so it equals the oracle's
+    "min d in the difference relation with cum ≥ k". Proven against a
+    brute-force grid on 20k random fixtures
+    (tests/test_round13_ops.py) and against the DuckDB oracle at
+    sf0.001/0.01/0.1."""
+    import numpy as np
+    import pandas as pd
+
+    v = pdf["cents"].to_numpy(dtype=np.int64)
+    cr = pdf["c_ref"].to_numpy(dtype=np.int64)
+    cc = pdf["c_cur"].to_numpy(dtype=np.int64)
+    rm, cm = cr > 0, cc > 0
+    if not rm.any() or not cm.any():
+        return pd.DataFrame(
+            columns=[
+                "event_type",
+                "n_ref",
+                "n_cur",
+                "hl_lo_cents",
+                "hl_hi_cents",
+                "ci_lo_cents",
+                "ci_hi_cents",
+            ]
+        )
+    order_r = np.argsort(v[rm], kind="stable")
+    v_r, c_r = v[rm][order_r], cr[rm][order_r]
+    order_c = np.argsort(v[cm], kind="stable")
+    v_c, c_c = v[cm][order_c], cc[cm][order_c]
+    n_ref = int(c_r.sum())
+    # prefix[i] = ref mass strictly below v_r[i]
+    prefix = np.concatenate(([0], np.cumsum(c_r)))
+
+    def count_le(d: int) -> int:
+        idx = np.searchsorted(v_r, v_c - d, side="left")
+        # every per-term product and the total are ≤ npairs, which the
+        # Spark-side ANSI multiply already proved < 2^63 — no silent
+        # int64 overflow is possible here
+        return int((c_c * (n_ref - prefix[idx])).sum())
+
+    def min_d(rank: int) -> int:
+        lo = int(v_c[0] - v_r[-1])
+        hi = int(v_c[-1] - v_r[0])
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if count_le(mid) >= rank:
+                hi = mid
+            else:
+                lo = mid + 1
+        return lo
+
+    first = pdf.iloc[0]
+    return pd.DataFrame(
+        {
+            "event_type": [first["event_type"]],
+            "n_ref": [n_ref],
+            "n_cur": [int(c_c.sum())],
+            "hl_lo_cents": [min_d(int(first["t_hl_lo"]))],
+            "hl_hi_cents": [min_d(int(first["t_hl_hi"]))],
+            "ci_lo_cents": [min_d(int(first["t_ci_lo"]))],
+            "ci_hi_cents": [min_d(int(first["t_ci_hi"]))],
+        }
+    )
+
+
 def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
     """Hodges–Lehmann coda over the reduced ``(event_type, cents,
     c_ref, c_cur)`` half-count relation — shared verbatim by the batch
     operator and `streaming.rollup.stream_hodges_lehmann` (the
     `mwu_from_value_counts` pattern). Materialized here: the relation
-    feeds the per-type totals AND both sides of the grid join (a
-    three-way diamond).
+    feeds the per-type rank targets AND the selection pass (a
+    diamond).
 
-    NOT fully lazy (deliberate, ADVICE r11): the dense-grid cap below
+    Selection, not distribution (r13, guide §1.2 "fix the
+    algorithm"): the operator needs only FOUR order statistics of the
+    pairwise-difference multiset per type, so materializing the full
+    |V_ref|·|V_cur| difference distribution (the former grid join +
+    cumulative window — ~1.7e8 hash-agg probes at sf0.1, and
+    alphabet-bounded means the SAME constant at 100 TB) was paying for
+    V² work to read 4 numbers. The selection runs per type inside ONE
+    `applyInPandas` over the alphabet relation: binary search on the
+    difference value (≤ ~42 probes for the full bigint cents range),
+    each probe an O(V log V) vectorized count — ~10⁵ ops per type
+    instead of ~10⁸ grid cells. Guide §4.2 (vectorized native compute
+    over a SMALL relation — the alphabet rows that cross the Arrow
+    boundary are the same rows the grid used to broadcast) and §8
+    (decide on lightweight proxies). Everything that decides a value
+    is still integer-exact, and the four target RANKS (including the
+    `HL_K_CI_SQL` float) are computed by Spark expressions unchanged
+    from the grid version, so cross-engine parity holds digit for
+    digit — measured exceptAll-identical at sf0.001/0.01/0.1 plus the
+    20k-fixture brute-force sweep in tests/test_round13_ops.py.
+
+    NOT fully lazy (deliberate, ADVICE r11): the alphabet cap below
     runs an eager count at construction time — every call (including
     `stream_hodges_lehmann` per micro-batch) pays one small job over
     the already-materialized alphabet relation even if the returned
     plan is never executed. That is the chosen fail-loud boundary: an
     over-cap alphabet must surface as this ValueError at the operator
-    boundary, not as an opaque broadcast OOM deep in the exchange."""
+    boundary, not as an opaque executor OOM deep in the selection
+    pass."""
     per_value = _materialize(per_value)
-    # Dense-bounded-grid waiver guard (ADVICE r10): the ref side is
-    # force-broadcast and the expansion is |V_ref|·|V_cur| per type, so
-    # an unquantized/high-cardinality value domain would die as an
-    # opaque broadcast OOM deep in the exchange. Fail loudly at the
-    # operator boundary instead — per_value is already materialized, so
-    # the count reads checkpointed blocks, not the source. The same
-    # eager job also proves the 64-bit type-code injectivity the grid
-    # below relies on (see `tc` note) — no extra job.
+    # Alphabet-cap guard (ADVICE r10): each type's whole alphabet is
+    # buffered as one in-memory group by the selection pass, so an
+    # unquantized/high-cardinality value domain must fail loudly at
+    # the operator boundary, not as an executor OOM. per_value is
+    # already materialized, so the count reads checkpointed blocks,
+    # not the source.
     guard = (
         per_value.groupBy("event_type")
         .count()
-        .agg(
-            F.max("count").alias("worst"),
-            F.count("*").alias("n_types"),
-            F.countDistinct(F.xxhash64("event_type")).alias("n_codes"),
-        )
+        .agg(F.max("count").alias("worst"))
         .first()
     )
     worst = guard["worst"] or 0
@@ -1760,123 +1848,62 @@ def hl_from_value_counts(per_value: DataFrame) -> DataFrame:
         raise ValueError(
             "hl_from_value_counts: some event_type has a value alphabet of "
             f"{worst} distinct values, exceeding the per-type dense-grid "
-            f"cap of {_HL_MAX_ALPHABET_ROWS}. The pairwise-difference grid "
-            "is |V_ref|x|V_cur| per type and the ref side is broadcast; "
-            "quantize the value axis (e.g. coarser cents bucketing) before "
-            "calling, or the grid join will OOM."
+            f"cap of {_HL_MAX_ALPHABET_ROWS}. The selection pass buffers "
+            "one type's alphabet per task; quantize the value axis (e.g. "
+            "coarser cents bucketing) before calling, or the group buffer "
+            "will OOM."
         )
-    if (guard["n_types"] or 0) != (guard["n_codes"] or 0):
-        raise RuntimeError(
-            "hl_from_value_counts: xxhash64 collision across event_type "
-            "values — the integer grid key is not injective for this "
-            "type alphabet (astronomically unlikely; re-key the types)"
-        )
-    # The grid/window/agg pipeline below is keyed by a 64-bit type
-    # code (xxhash64 of event_type) instead of the string: the
-    # dominant cost of the operator is |V_ref|·|V_cur| hash-aggregate
-    # probes per type, and hashing/comparing (bigint, bigint) keys
-    # beats (string, bigint) per cell — measured 4.13 → 3.20 s for
-    # the grid aggregate alone at sf0.1 (identical output, exceptAll
-    # both ways = 0; guide §2.3 "narrower types"). Injectivity of the
-    # code over the (bounded, output-sized) type alphabet is proven
-    # loudly by the guard job above; the string joins back from the
-    # broadcast totals relation at alphabet size, never per cell.
-    tc = F.xxhash64("event_type").alias("tc")
+    # The four target ranks are Spark expressions, NOT Python: npairs
+    # is the ANSI bigint product (overflow stays loud) and k_ci is the
+    # shared HL_K_CI_SQL — the operator's one floating computation
+    # keeps its single definition. The selection pass then compares
+    # integer ranks only.
     totals = (
         per_value.groupBy("event_type")
         .agg(
             F.sum("c_ref").cast("bigint").alias("n_ref"),
             F.sum("c_cur").cast("bigint").alias("n_cur"),
         )
-        .select(tc, "event_type", "n_ref", "n_cur")
-    )
-    # Parallelize the grid expansion: the count relation is
-    # alphabet-sized, so AQE coalesces it to ~1 post-shuffle partition
-    # and the V_ref·V_cur expansion (the operator's dominant cost)
-    # runs on one core — measured 128.8 s single-core at sf0.1. The
-    # fix pins the join shape: the ref side broadcasts EXPLICITLY
-    # (both sides are tiny, so the planner would otherwise pick a
-    # side arbitrarily) and the cur side — the probe side whose
-    # partitioning the expansion inherits — spreads to worker width.
-    # The shuffle moves only narrow alphabet rows.
-    refs = per_value.filter(F.col("c_ref") > 0).select(
-        tc, F.col("cents").alias("v_ref"), "c_ref"
-    )
-    curs = _spread(
-        per_value.filter(F.col("c_cur") > 0).select(
-            tc, F.col("cents").alias("v_cur"), "c_cur"
-        )
-    )
-    diffs = (
-        curs.join(F.broadcast(refs), "tc")
-        .groupBy("tc", (F.col("v_cur") - F.col("v_ref")).alias("d"))
-        .agg(
-            F.sum(
-                F.col("c_ref").cast("bigint") * F.col("c_cur").cast("bigint")
-            ).alias("pairs")
-        )
-    )
-    w = (
-        Window.partitionBy("tc")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = diffs.select(
-        "tc", "d", F.sum("pairs").over(w).alias("cum")
-    )
-    ranked = cum.join(F.broadcast(totals), "tc").select(
-        "tc",
-        "event_type",
-        "d",
-        "cum",
-        "n_ref",
-        "n_cur",
-        (F.col("n_ref") * F.col("n_cur")).alias("npairs"),
-        F.expr(HL_K_CI_SQL).alias("k_ci"),
-    )
-    return (
-        # grouping by (tc, event_type) — tc determines event_type, so
-        # the groups are identical, and partitioning-on-a-subset lets
-        # the aggregate reuse the window's tc hash partitioning
-        # instead of adding a fresh exchange on event_type
-        ranked.groupBy("tc", "event_type")
-        .agg(
-            F.first("n_ref").alias("n_ref"),
-            F.first("n_cur").alias("n_cur"),
-            F.min(
-                F.when(
-                    F.col("cum") >= F.expr("(npairs + 1) div 2"), F.col("d")
-                )
-            ).alias("hl_lo_cents"),
-            F.min(
-                F.when(
-                    F.col("cum") >= F.expr("npairs div 2 + 1"), F.col("d")
-                )
-            ).alias("hl_hi_cents"),
-            F.min(F.when(F.col("cum") >= F.col("k_ci"), F.col("d"))).alias(
-                "ci_lo_cents"
-            ),
-            F.min(
-                F.when(
-                    F.col("cum") >= F.col("npairs") + 1 - F.col("k_ci"),
-                    F.col("d"),
-                )
-            ).alias("ci_hi_cents"),
-        )
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
         .select(
             "event_type",
             "n_ref",
             "n_cur",
-            F.col("hl_lo_cents").cast("bigint").alias("hl_lo_cents"),
-            F.col("hl_hi_cents").cast("bigint").alias("hl_hi_cents"),
-            F.col("ci_lo_cents").cast("bigint").alias("ci_lo_cents"),
-            F.col("ci_hi_cents").cast("bigint").alias("ci_hi_cents"),
-            F.expr(
-                "CAST(hl_lo_cents + hl_hi_cents AS DOUBLE) / 2"
-            ).alias("hl_shift_cents"),
+            (F.col("n_ref") * F.col("n_cur")).alias("npairs"),
         )
-        .orderBy("event_type")
+        .select(
+            "event_type",
+            F.expr("(npairs + 1) div 2").alias("t_hl_lo"),
+            F.expr("npairs div 2 + 1").alias("t_hl_hi"),
+            F.expr(HL_K_CI_SQL).alias("t_ci_lo"),
+            F.expr(f"npairs + 1 - ({HL_K_CI_SQL})").alias("t_ci_hi"),
+        )
     )
+    et_type = per_value.schema["event_type"].dataType.simpleString()
+    picked = (
+        per_value.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .applyInPandas(
+            _hl_select_group,
+            schema=(
+                f"event_type {et_type}, n_ref bigint, n_cur bigint, "
+                "hl_lo_cents bigint, hl_hi_cents bigint, "
+                "ci_lo_cents bigint, ci_hi_cents bigint"
+            ),
+        )
+    )
+    return picked.select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "hl_lo_cents",
+        "hl_hi_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        F.expr("CAST(hl_lo_cents + hl_hi_cents AS DOUBLE) / 2").alias(
+            "hl_shift_cents"
+        ),
+    ).orderBy("event_type")
 
 
 def apdex_score(events: DataFrame, threshold_cents: int = 10000) -> DataFrame:

@@ -2020,7 +2020,7 @@ def stream_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer cents ((event_type, cents, event-µs) counts — the
     midpoint needs the µs axis); the coda reduces to per-cents half
     counts and hands them to `hl_from_value_counts` — the SAME
-    grid-and-order-statistics core as the batch operator, so
+    selection-and-order-statistics core as the batch operator, so
     availableNow equals `hodges_lehmann` and shares its oracle
     verbatim. PARITY SHAPE, NOT PRODUCTION: (type,cents,µs) state is
     corpus-sized on an unbounded stream — production uses a

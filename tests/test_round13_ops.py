@@ -1,0 +1,206 @@
+"""Round-13 optimization equivalence pins.
+
+The r13 optimization round restructured hot operators without touching
+what they compute; these tests make the equivalences falsifiable:
+
+- `analytics._hl_select_group` (the Hodges–Lehmann order-statistic
+  SELECTION that replaced the |V_ref|·|V_cur| grid) against a
+  brute-force pairwise-difference grid on thousands of random
+  fixtures, pure Python (no Spark) so the sweep is wide.
+- `hl_from_value_counts` end-to-end on adversarial fixtures (the
+  Spark path: rank targets, Arrow boundary, empty halves).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+
+import pandas as pd
+import pytest
+
+from real_time_database_monitoring_system_spark.operators import analytics
+
+
+def _brute_hl(pv):
+    """Oracle-shaped brute force: expand the full difference grid and
+    read the four order statistics off the cumulative relation."""
+    refs = [(v, cr) for v, cr, cc in pv if cr > 0]
+    curs = [(v, cc) for v, cr, cc in pv if cc > 0]
+    n_ref = sum(cr for _, cr, _ in pv)
+    n_cur = sum(cc for _, _, cc in pv)
+    if not refs or not curs:
+        return None
+    pairs: dict[int, int] = defaultdict(int)
+    for vr, cr in refs:
+        for vc, cc in curs:
+            pairs[vc - vr] += cr * cc
+    ds = sorted(pairs)
+    cum, acc = {}, 0
+    for d in ds:
+        acc += pairs[d]
+        cum[d] = acc
+    npairs = n_ref * n_cur
+    k_ci = max(
+        1,
+        math.floor(
+            float(npairs) / 2
+            - 1.96
+            * math.sqrt(
+                float(n_ref) * float(n_cur) * float(n_ref + n_cur + 1) / 12.0
+            )
+        ),
+    )
+
+    def pick(t):
+        for d in ds:
+            if cum[d] >= t:
+                return d
+        return None
+
+    return (
+        n_ref,
+        n_cur,
+        pick((npairs + 1) // 2),
+        pick(npairs // 2 + 1),
+        pick(k_ci),
+        pick(npairs + 1 - k_ci),
+    )
+
+
+def _select_hl(pv):
+    """Drive `_hl_select_group` the way applyInPandas does, with the
+    rank targets computed the way the Spark expressions compute them."""
+    n_ref = sum(cr for _, cr, _ in pv)
+    n_cur = sum(cc for _, _, cc in pv)
+    if n_ref == 0 or n_cur == 0:
+        return None
+    npairs = n_ref * n_cur
+    k_ci = max(
+        1,
+        math.floor(
+            float(npairs) / 2
+            - 1.96
+            * math.sqrt(
+                float(n_ref) * float(n_cur) * float(n_ref + n_cur + 1) / 12.0
+            )
+        ),
+    )
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * len(pv),
+            "cents": [v for v, _, _ in pv],
+            "c_ref": [cr for _, cr, _ in pv],
+            "c_cur": [cc for _, _, cc in pv],
+            "t_hl_lo": [(npairs + 1) // 2] * len(pv),
+            "t_hl_hi": [npairs // 2 + 1] * len(pv),
+            "t_ci_lo": [k_ci] * len(pv),
+            "t_ci_hi": [npairs + 1 - k_ci] * len(pv),
+        }
+    )
+    out = analytics._hl_select_group(pdf)
+    if len(out) == 0:
+        return None
+    r = out.iloc[0]
+    return (
+        int(r["n_ref"]),
+        int(r["n_cur"]),
+        int(r["hl_lo_cents"]),
+        int(r["hl_hi_cents"]),
+        int(r["ci_lo_cents"]),
+        int(r["ci_hi_cents"]),
+    )
+
+
+def test_hl_selection_matches_bruteforce_sweep():
+    """The binary-search selection equals the full-grid cumulative
+    read on thousands of random alphabets, including one-sided types,
+    singleton alphabets, heavy ties and negative values."""
+    rng = random.Random(13)
+    checked = 0
+    for _ in range(4000):
+        nvals = rng.randint(1, 12)
+        vals = rng.sample(range(-30, 31), nvals)
+        pv = [
+            (v, rng.randint(0, 3), rng.randint(0, 3))
+            for v in vals
+        ]
+        pv = [row for row in pv if row[1] + row[2] > 0]
+        if not pv:
+            continue
+        assert _select_hl(pv) == _brute_hl(pv), f"fixture: {pv}"
+        checked += 1
+    assert checked > 3000
+
+
+def test_hl_selection_wide_alphabet_heavy_counts():
+    """Large sparse alphabets with heavy counts (the shape the cents
+    quantization actually produces) agree too."""
+    rng = random.Random(1313)
+    for _ in range(60):
+        vals = rng.sample(range(-100_000, 100_000), rng.randint(50, 200))
+        pv = [(v, rng.randint(0, 500), rng.randint(0, 500)) for v in vals]
+        assert _select_hl(pv) == _brute_hl(pv)
+
+
+def test_hl_from_value_counts_spark_path(spark):
+    """End-to-end through the Spark plan (rank-target expressions,
+    Arrow boundary, presentation sort): adversarial fixtures including
+    a type whose halves never overlap and a type with one giant tie."""
+    fixtures = [
+        ("gap", -5, 3, 0),
+        ("gap", 1000, 0, 7),
+        ("tie", 42, 9, 9),
+        ("mix", -3, 2, 1),
+        ("mix", 0, 0, 4),
+        ("mix", 11, 5, 0),
+        ("mix", 12, 1, 2),
+        ("onesided", 7, 4, 0),
+    ]
+    pv = spark.createDataFrame(
+        fixtures, "event_type string, cents bigint, c_ref bigint, c_cur bigint"
+    )
+    got = {
+        r["event_type"]: (
+            r["n_ref"],
+            r["n_cur"],
+            r["hl_lo_cents"],
+            r["hl_hi_cents"],
+            r["ci_lo_cents"],
+            r["ci_hi_cents"],
+            r["hl_shift_cents"],
+        )
+        for r in analytics.hl_from_value_counts(pv).collect()
+    }
+    assert set(got) == {"gap", "tie", "mix"}
+    for name in got:
+        rows = [
+            (v, cr, cc) for t, v, cr, cc in fixtures if t == name
+        ]
+        b = _brute_hl(rows)
+        assert got[name][:6] == b, f"{name}: {got[name][:6]} != {b}"
+        assert got[name][6] == (b[2] + b[3]) / 2
+
+
+def test_hl_output_order_and_schema(spark):
+    """Presentation contract unchanged: ordered by event_type, the
+    eight columns in their historical order and types."""
+    pv = spark.createDataFrame(
+        [("b", 1, 1, 1), ("a", 2, 2, 2)],
+        "event_type string, cents bigint, c_ref bigint, c_cur bigint",
+    )
+    out = analytics.hl_from_value_counts(pv)
+    assert out.columns == [
+        "event_type",
+        "n_ref",
+        "n_cur",
+        "hl_lo_cents",
+        "hl_hi_cents",
+        "ci_lo_cents",
+        "ci_hi_cents",
+        "hl_shift_cents",
+    ]
+    rows = out.collect()
+    assert [r["event_type"] for r in rows] == ["a", "b"]
+    assert all(isinstance(r["hl_shift_cents"], float) for r in rows)
