@@ -3508,11 +3508,11 @@ def jonckheere_terpstra(events: DataFrame) -> DataFrame:
 
     Scale shape: the feed reduces ONCE to the (type, hour, cents)
     count relation (map-side partials, bounded by 24 × alphabet × k).
-    The dense grid is 24·V rows per type — the `kendall_tau`
-    dense-bounded-grid waiver: constant in feed rows, bounded by the
-    quantized alphabet. Both prefix windows partition by (type, v)
-    [24 rows] and (type, h) [V rows] — never a global single
-    partition, never the feed."""
+    The dense 24×V prefix matrix is computed per type inside one
+    vectorized Arrow task (`jt_from_cell_counts`) — constant in feed
+    rows, bounded by the quantized alphabet; the tie-sum marginals
+    stay Spark aggregates over the same bounded relation. Nothing
+    feed-scale ever re-shuffles past the first reduction."""
     per_cell = (
         events.filter(F.col("value").isNotNull())
         .groupBy(
@@ -3525,61 +3525,78 @@ def jonckheere_terpstra(events: DataFrame) -> DataFrame:
     return jt_from_cell_counts(per_cell)
 
 
+def _jt_grid_group(pdf):
+    """Per-type doubled JT statistic over the hour×alphabet count
+    matrix (runs inside `applyInPandas`; see `jt_from_cell_counts`).
+    jt2 = Σ_cells c(h,v)·(2·LT(h,v) + EQ(h,v)) with EQ the
+    earlier-hour prefix and LT its value prefix — two exclusive
+    cumsums over the dense 24×V matrix, vectorized. Pure integer
+    arithmetic; every intermediate is a pair count ≤ n² (prefixes are
+    counts ≤ n, each product term ≤ the final jt2), so the explicit
+    n ≤ 3·10⁹ guard below makes int64 overflow impossible — the same
+    loud boundary the former DECIMAL(38,0)→BIGINT edge cast enforced.
+    Faithful to the former dense-grid join in the corner cases: only
+    hour cells 0–23 enter the statistic (the grid only carried those
+    hours) and NULL-cents rows are excluded from it (a NULL cents key
+    never matched the grid join) while both still count in the
+    marginals, which stay in Spark."""
+    import numpy as np
+    import pandas as pd
+
+    et = pdf.iloc[0]["event_type"]
+    sub = pdf[
+        (pdf["h"] >= 0) & (pdf["h"] <= 23) & pdf["cents"].notna()
+    ]
+    if len(sub) == 0:
+        return pd.DataFrame({"event_type": [et], "jt2d": [0]})
+    cents_np = sub["cents"].to_numpy(dtype=np.int64)
+    cents = np.sort(np.unique(cents_np))
+    vi = np.searchsorted(cents, cents_np)
+    m = np.zeros((24, len(cents)), dtype=np.int64)
+    # NULL c cells counted as 0, the former grid's coalesce(c, 0)
+    m[sub["h"].to_numpy(dtype=np.int64), vi] = (
+        sub["c"].fillna(0).to_numpy(dtype=np.int64)
+    )
+    n = int(m.sum())
+    if n > 3_000_000_000:
+        raise RuntimeError(
+            "jt_from_cell_counts: a type holds more than 3e9 rows — "
+            "jt2 ~ n^2 would exceed the 2^63 exactness bound (the same "
+            "boundary the former DECIMAL->BIGINT edge cast enforced)"
+        )
+    eq = np.cumsum(m, axis=0) - m        # Σ_{h'<h} c(h', v)
+    lt = np.cumsum(eq, axis=1) - eq      # Σ_{v'<v} eq(h, v')
+    jt2 = int((m * (2 * lt + eq)).sum())
+    return pd.DataFrame({"event_type": [et], "jt2d": [jt2]})
+
+
 def jt_from_cell_counts(per_cell: DataFrame) -> DataFrame:
     """Jonckheere–Terpstra coda over the reduced ``(event_type, h,
     cents, c)`` hour-cell count relation — shared verbatim by the
     batch operator and `streaming.rollup.stream_jonckheere` (whose
     state IS this relation). Materialized first: the relation feeds
-    the dense-grid join AND the group/value marginals (a three-way
-    diamond)."""
+    the jt2 selection pass AND the group/value marginals (a three-way
+    diamond).
+
+    jt2 via one per-type `applyInPandas` over the alphabet relation
+    (r13, guide §1.2/§4.2 — the `hl_from_value_counts` pattern): the
+    former shape materialized the dense 24×V grid as a broadcast-join
+    against a generated hours relation and ran TWO window passes over
+    it (two exchanges + two sorts, per-(type,cents) partitions of 24
+    rows each); the prefix sums are two vectorized cumsums over the
+    same bounded matrix inside one Arrow task — the rows crossing the
+    boundary are the alphabet rows the grid join used to shuffle.
+    Exactness unchanged: jt2 is pure pair-count integer arithmetic
+    with a loud n ≤ 3e9 guard (see `_jt_grid_group`), and the
+    marginal tie sums — whose BIGINT products are the binding ANSI
+    overflow boundary — stay Spark expressions, unchanged. Proven
+    against the former shape on random fixtures
+    (tests/test_round13_ops.py) and the DuckDB oracle at
+    sf0.001/0.01/0.1."""
     per_cell = _materialize(per_cell)
-    hours = per_cell.sparkSession.range(24).select(
-        F.col("id").cast("bigint").alias("h")
-    )
-    vals = per_cell.select("event_type", "cents").distinct()
-    grid = (
-        vals.crossJoin(F.broadcast(hours))
-        .join(per_cell, ["event_type", "h", "cents"], "left")
-        .select(
-            "event_type",
-            "h",
-            "cents",
-            F.coalesce("c", F.lit(0)).alias("c"),
-        )
-    )
-    w_hours = (
-        Window.partitionBy("event_type", "cents")
-        .orderBy("h")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_vals = (
-        Window.partitionBy("event_type", "h")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    # EQ(h,v) = earlier-hour mass at the same value; LT(h,v) =
-    # value-prefix of EQ at fixed h = the 2-D prefix
-    staged = grid.select(
-        "event_type",
-        "h",
-        "cents",
-        "c",
-        F.coalesce(F.sum("c").over(w_hours), F.lit(0)).alias("eq_before"),
-    ).select(
-        "event_type",
-        "h",
-        "cents",
-        "c",
-        "eq_before",
-        F.coalesce(F.sum("eq_before").over(w_vals), F.lit(0)).alias("lt_before"),
-    )
-    jt = staged.groupBy("event_type").agg(
-        F.sum(
-            F.expr(
-                "CAST(c AS DECIMAL(38,0))"
-                " * CAST(2 * lt_before + eq_before AS DECIMAL(38,0))"
-            )
-        ).alias("jt2d")
+    et_type = per_cell.schema["event_type"].dataType.simpleString()
+    jt = per_cell.groupBy("event_type").applyInPandas(
+        _jt_grid_group, schema=f"event_type {et_type}, jt2d bigint"
     )
     grp = (
         per_cell.groupBy("event_type", "h")

@@ -106,27 +106,35 @@ def quantized(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def _dist_sq(qvec: Column, centroid: list[int]) -> Column:
-    """Exact squared L2 distance between a qvec column and a literal
-    centroid: Σ(a−b)² ≤ 64·(2^21)² ≪ 2^63, fold over longs.
+def _dist_sq_sql(vec_name: str, centroid: list[int]) -> str:
+    """SQL text for the exact squared L2 distance between column
+    ``vec_name`` and a literal centroid: Σ(a−b)² ≤ 64·(2^21)² ≪ 2^63,
+    fold over longs.
 
-    The centroid literal is ONE parsed SQL array, not 64 `F.lit`
-    py4j calls — with k centroids × 64 dims × n_iter fit rounds the
-    py4j roundtrips alone measured ~0.6 s per iteration at k=8, pure
-    driver-side overhead on a millisecond query."""
-    lit_c = F.expr(
-        "array(" + ",".join(f"{int(v)}L" for v in centroid) + ")"
+    The WHOLE expression is one SQL string (extending the
+    `_plane_dot_sql` py4j rule from the centroid array literal to the
+    fold itself): the former Column-built form (`F.zip_with` +
+    `F.aggregate` with Python lambdas) cost dozens of py4j round-trips
+    per centroid — k=8 centroids × (2 Lloyd iterations + the
+    assignment projection) measured ~0.23 s of pure driver-side plan
+    CONSTRUCTION per query call (r13 instrumentation). One parsed
+    string is the identical resolved expression — same zip_with/
+    aggregate fold, same long arithmetic — so results are unchanged
+    bit for bit."""
+    lit_c = "array(" + ",".join(f"{int(v)}L" for v in centroid) + ")"
+    return (
+        f"aggregate(zip_with({vec_name}, {lit_c},"
+        " (a, b) -> (a - b) * (a - b)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
-    return F.aggregate(
-        F.zip_with(qvec, lit_c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
 
 
-def _best_cluster(qvec: Column, centroids: dict[int, list[int]]) -> tuple[Column, Column]:
+def _best_cluster(vec_sql: str, centroids: dict[int, list[int]]) -> tuple[Column, Column]:
     """(cluster_id, dist_sq) of the nearest centroid, ties to the
-    smaller cluster id.
+    smaller cluster id. ``vec_sql`` is the SQL TEXT of the quantized
+    vector (a column name, or a quantization expression — see
+    `cluster_id_col`), interpolated into one parsed expression per
+    output (the `_dist_sq_sql` py4j rule).
 
     The argmin is `least(dist << 6 | cid)` — dist ≤ 64·(2^21)² < 2^47,
     so the shifted key stays well inside a long and orders exactly like
@@ -136,51 +144,69 @@ def _best_cluster(qvec: Column, centroids: dict[int, list[int]]) -> tuple[Column
     struct type coercion; the integer encoding is also cheaper.)"""
     assert len(centroids) <= 64, "encoded argmin supports ≤ 64 clusters"
     cands = [
-        F.shiftleft(_dist_sq(qvec, cvec), 6).bitwiseOR(F.lit(cid))
+        f"(shiftleft({_dist_sq_sql(vec_sql, cvec)}, 6) | {int(cid)})"
         for cid, cvec in sorted(centroids.items())
     ]
-    best = cands[0] if len(cands) == 1 else F.least(*cands)
+    best_sql = cands[0] if len(cands) == 1 else (
+        "least(" + ", ".join(cands) + ")"
+    )
     return (
-        best.bitwiseAND(F.lit(63)).cast("int"),
-        F.shiftrightunsigned(best, 6),
+        F.expr(f"CAST(({best_sql}) & 63 AS INT)"),
+        F.expr(f"shiftrightunsigned({best_sql}, 6)"),
     )
 
 
-def kmeans_fit(
-    embeddings: DataFrame, k: int = 8, n_iter: int = 2
-) -> dict[int, list[int]]:
-    """Lloyd iterations on the quantized table; returns the final
-    centroids {cluster_id: [64 longs]}.
+def _quantized_table(embeddings: DataFrame) -> DataFrame:
+    """The materialized, spread quantized relation every Lloyd job and
+    (r13) every same-call consumer reads — computed from the source
+    exactly once per operator call.
 
-    Init is deterministic: the k smallest vec_ids seed the clusters
-    (cluster_id = seed vec_id's rank order = vec_id for the test
-    tables). A cluster that loses all members keeps its previous
-    centroid (both engines implement the same carry rule)."""
-    # spread width capped by the input's split count (the
-    # embedding_near_dup_pairs rule): the Lloyd assignment projection
-    # is k × 64-term fold trees, and at full local width a tiny table
-    # fans out into setup-dominated tasks (measured kmeans_clusters
-    # 3.03 → 2.38 s at sf0.1 with the cap; a real corpus arrives in
-    # thousands of splits, so the cap never binds in production)
-    qv = _materialize(
+    Spread width capped by the input's split count (the
+    embedding_near_dup_pairs rule): the Lloyd assignment projection
+    is k × 64-term fold trees, and at full local width a tiny table
+    fans out into setup-dominated tasks (measured kmeans_clusters
+    3.03 → 2.38 s at sf0.1 with the cap; a real corpus arrives in
+    thousands of splits, so the cap never binds in production)."""
+    return _materialize(
         _spread(
             quantized(embeddings),
             "vec_id",
             cap=4 * embeddings.rdd.getNumPartitions(),
         )
     )
+
+
+# one parsed expression per dimension sum (the _plane_dot_sql py4j
+# rule), built ONCE at import: the 64 F.expr round-trips measured
+# 0.115 s per kmeans_fit call when rebuilt per iteration-loop (r13
+# instrumentation). Static column objects over a fixed schema are
+# reusable across plans and sessions within one JVM gateway.
+_DIM_SUMS: list[Column] | None = None
+
+
+def _dim_sums() -> list[Column]:
+    global _DIM_SUMS
+    if _DIM_SUMS is None:
+        _DIM_SUMS = [
+            F.expr(f"sum(qvec[{i}])").alias(f"s_{i}") for i in range(64)
+        ]
+    return _DIM_SUMS
+
+
+def _lloyd(qv: DataFrame, k: int, n_iter: int) -> dict[int, list[int]]:
+    """Lloyd iterations over an already-materialized quantized
+    relation; returns the final centroids (see `kmeans_fit`)."""
     seeds = qv.orderBy("vec_id").limit(k).select("vec_id", "qvec").collect()
     centroids = {i: list(r["qvec"]) for i, r in enumerate(seeds)}
     if not centroids:
         return centroids
-    # one parsed expression per dimension sum (the _plane_dot_sql py4j
-    # rule); a single groupBy(cid) with 64 sums + count shuffles k×65
-    # values total — the earlier posexplode form multiplied the feed
-    # ×64 before its (cid, pos) shuffle for the same integer sums
+    # a single groupBy(cid) with 64 sums + count shuffles k×65 values
+    # total — the earlier posexplode form multiplied the feed ×64
+    # before its (cid, pos) shuffle for the same integer sums
     # (equivalence: Σ qvec[i] per cid is the same number either way)
-    dim_sums = [F.expr(f"sum(qvec[{i}])").alias(f"s_{i}") for i in range(64)]
+    dim_sums = _dim_sums()
     for _ in range(n_iter):
-        cid_col, _d = _best_cluster(F.col("qvec"), centroids)
+        cid_col, _d = _best_cluster("qvec", centroids)
         rows = (
             qv.select(cid_col.alias("cid"), "qvec")
             .groupBy("cid")
@@ -194,6 +220,19 @@ def kmeans_fit(
         # empty clusters carry their previous centroid
         centroids = {cid: new.get(cid, cvec) for cid, cvec in centroids.items()}
     return centroids
+
+
+def kmeans_fit(
+    embeddings: DataFrame, k: int = 8, n_iter: int = 2
+) -> dict[int, list[int]]:
+    """Lloyd iterations on the quantized table; returns the final
+    centroids {cluster_id: [64 longs]}.
+
+    Init is deterministic: the k smallest vec_ids seed the clusters
+    (cluster_id = seed vec_id's rank order = vec_id for the test
+    tables). A cluster that loses all members keeps its previous
+    centroid (both engines implement the same carry rule)."""
+    return _lloyd(_quantized_table(embeddings), k, n_iter)
 
 
 def kmeans_assign(
@@ -225,7 +264,7 @@ def kmeans_assign(
             F.lit(None).cast("long").alias("dist_sq"),
             *extra,
         ).limit(0)
-    cid_col, dist_col = _best_cluster(F.col("qvec"), centroids)
+    cid_col, dist_col = _best_cluster("qvec", centroids)
     return qv.select(
         "vec_id",
         "label",
@@ -236,8 +275,27 @@ def kmeans_assign(
 
 
 def kmeans_clusters(embeddings: DataFrame, k: int = 8, n_iter: int = 2) -> DataFrame:
-    """Driver-checked surface: full assignment ordered by vec_id."""
-    return kmeans_assign(embeddings, k=k, n_iter=n_iter).orderBy("vec_id")
+    """Driver-checked surface: full assignment ordered by vec_id.
+
+    r13: reads the fit's materialized quantized relation instead of
+    re-scanning and re-quantizing the source for the assignment pass
+    (the `semantic_dedup` reuse — the fit already paid for that
+    relation; identical rows by construction). `kmeans_assign` keeps
+    the zero-exchange scan+project shape for callers that want a
+    source-anchored assignment plan."""
+    qv = _quantized_table(embeddings)
+    centroids = _lloyd(qv, k, n_iter)
+    if not centroids:
+        return kmeans_assign(
+            embeddings, k=k, n_iter=n_iter, centroids=centroids
+        ).orderBy("vec_id")
+    cid_col, dist_col = _best_cluster("qvec", centroids)
+    return qv.select(
+        "vec_id",
+        "label",
+        cid_col.alias("cluster_id"),
+        dist_col.alias("dist_sq"),
+    ).orderBy("vec_id")
 
 
 def _int_dot(a: Column, b: Column) -> Column:
@@ -283,13 +341,26 @@ def semantic_dedup(
     evaluates a single 64-element fold per pair (the cross dot)
     instead of three — same final expression bit for bit
     (sqrt(na)·sqrt(nb) on the exact integer norms), 3× less fold work
-    where the operator actually spends its time."""
+    where the operator actually spends its time.
+
+    r13: the assignment is built over the SAME materialized quantized
+    relation the fit iterated on (guide §2.4 — the former shape
+    re-read the source, re-quantized and re-spread it for the
+    assignment pass; the relation is already spread by vec_id, so the
+    second repartition exchange disappears with the duplicate scan).
+    Identical rows: `kmeans_assign` applies the same `quantized`
+    projection this relation was built from."""
+    qv = _quantized_table(embeddings)
+    centroids = _lloyd(qv, k, n_iter)
+    if centroids:
+        cid_col, _dist = _best_cluster("qvec", centroids)
+        assigned = qv.select(cid_col.alias("cluster_id"), "vec_id", "qvec")
+    else:
+        assigned = kmeans_assign(
+            embeddings, k=k, n_iter=n_iter, keep_qvec=True, centroids=centroids
+        ).select("cluster_id", "vec_id", "qvec")
     assign = _materialize(
-        _spread(
-            kmeans_assign(embeddings, k=k, n_iter=n_iter, keep_qvec=True),
-            "vec_id",
-            cap=4 * embeddings.rdd.getNumPartitions(),
-        ).select(
+        assigned.select(
             "cluster_id",
             "vec_id",
             "qvec",
@@ -335,8 +406,25 @@ def prototypicality(
 
     One map-side assignment pass + one k-row quantile aggregate
     (exact `percentile_disc` over integer distances — no float
-    interpolation to disagree across engines) joined back broadcast."""
-    assign = _materialize(kmeans_assign(embeddings, k=k, n_iter=n_iter))
+    interpolation to disagree across engines) joined back broadcast.
+    r13: the assignment reads the fit's materialized quantized
+    relation instead of re-scanning and re-quantizing the source
+    (the `semantic_dedup` reuse; identical rows by construction)."""
+    qv = _quantized_table(embeddings)
+    centroids = _lloyd(qv, k, n_iter)
+    if centroids:
+        cid_col, dist_col = _best_cluster("qvec", centroids)
+        assigned = qv.select(
+            "vec_id",
+            "label",
+            cid_col.alias("cluster_id"),
+            dist_col.alias("dist_sq"),
+        )
+    else:
+        assigned = kmeans_assign(
+            embeddings, k=k, n_iter=n_iter, centroids=centroids
+        )
+    assign = _materialize(assigned)
     thr = assign.groupBy("cluster_id").agg(
         F.expr(f"percentile_disc({tail}) WITHIN GROUP (ORDER BY dist_sq)")
         .cast("long")  # disc picks an actual integer distance; keep it integral
@@ -356,19 +444,21 @@ def prototypicality(
     )
 
 
-def cluster_id_col(embeddings_col: Column, centroids: dict[int, list[int]]) -> Column:
-    """Map-side cluster id for a raw float embedding column under
+def cluster_id_col(embeddings_col: str, centroids: dict[int, list[int]]) -> Column:
+    """Map-side cluster id for a raw float embedding COLUMN NAME under
     fitted centroids — quantization + argmin in one projected
-    expression (no join, no shuffle). Empty centroids (a fit on an
-    empty table) degrade to a NULL cluster id, so a partitioned write
-    of an empty corpus still succeeds."""
+    expression (no join, no shuffle; the quantization inlines into the
+    `_best_cluster` SQL text, the same transform `quantized` applies).
+    Empty centroids (a fit on an empty table) degrade to a NULL
+    cluster id, so a partitioned write of an empty corpus still
+    succeeds."""
     if not centroids:
         return F.lit(None).cast("int")
-    qcol = F.transform(
-        embeddings_col.cast("array<double>"),
-        lambda x: F.round(x * _SCALE).cast("long"),
+    q_sql = (
+        f"transform(CAST({embeddings_col} AS ARRAY<DOUBLE>),"
+        f" x -> CAST(round(x * {_SCALE}) AS BIGINT))"
     )
-    cid, _dist = _best_cluster(qcol, centroids)
+    cid, _dist = _best_cluster(q_sql, centroids)
     return cid
 
 
@@ -389,7 +479,7 @@ def write_clustered(
     centroids = kmeans_fit(embeddings, k=k, n_iter=n_iter)
     (
         embeddings.withColumn(
-            "cluster_id", cluster_id_col(F.col("embedding"), centroids)
+            "cluster_id", cluster_id_col("embedding", centroids)
         )
         .write.mode("overwrite")
         .partitionBy("cluster_id")

@@ -204,3 +204,106 @@ def test_hl_output_order_and_schema(spark):
     rows = out.collect()
     assert [r["event_type"] for r in rows] == ["a", "b"]
     assert all(isinstance(r["hl_shift_cents"], float) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere–Terpstra: pandas prefix-matrix jt2 vs the dense-grid form
+# ---------------------------------------------------------------------------
+
+
+def _brute_jt2(cells):
+    """Doubled JT from (h, cents, c) cells the slow way: expand every
+    cell and sum, over ordered hour pairs, 2·#(x<y) + #(x==y) —
+    restricted to hours 0..23 and non-null cents, the dense-grid
+    domain."""
+    vals = []
+    for h, v, c in cells:
+        if 0 <= h <= 23 and v is not None:
+            vals.extend([(h, v)] * c)
+    jt2 = 0
+    for i, (h1, v1) in enumerate(vals):
+        for h2, v2 in vals[i + 1 :]:
+            if h1 == h2:
+                continue
+            lo, hi = ((v1, v2) if h1 < h2 else (v2, v1))
+            if lo < hi:
+                jt2 += 2
+            elif lo == hi:
+                jt2 += 1
+    return jt2
+
+
+def _pandas_jt2(cells):
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * len(cells),
+            "h": [h for h, _, _ in cells],
+            "cents": [v for _, v, _ in cells],
+            "c": [c for _, _, c in cells],
+        }
+    )
+    out = analytics._jt_grid_group(pdf)
+    return int(out.iloc[0]["jt2d"])
+
+
+def test_jt2_matches_bruteforce_sweep():
+    rng = random.Random(131)
+    for _ in range(300):
+        ncells = rng.randint(1, 40)
+        seen = set()
+        cells = []
+        for _ in range(ncells):
+            h = rng.randint(0, 23)
+            v = rng.randint(-5, 5)
+            if (h, v) in seen:
+                continue
+            seen.add((h, v))
+            cells.append((h, v, rng.randint(1, 4)))
+        assert _pandas_jt2(cells) == _brute_jt2(cells), f"cells: {cells}"
+
+
+def test_jt2_out_of_range_hours_and_null_cents_excluded():
+    """Rows outside the 0–23 hour grid (pre-epoch negative hours) and
+    NULL-cents rows never matched the former dense-grid join, so they
+    are excluded from jt2 — while the Spark-side marginals still count
+    them (pinned end-to-end below)."""
+    base = [(1, 10, 2), (2, 20, 3)]
+    with_extras = base + [(-3, 10, 5), (25, 20, 1)]
+    assert _pandas_jt2(with_extras) == _brute_jt2(base)
+    # NULL cents via the pandas path directly
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * 3,
+            "h": [1, 2, 3],
+            "cents": [10.0, 20.0, float("nan")],
+            "c": [2, 3, 4],
+        }
+    )
+    assert int(analytics._jt_grid_group(pdf).iloc[0]["jt2d"]) == _brute_jt2(
+        [(1, 10, 2), (2, 20, 3)]
+    )
+
+
+def test_jt_from_cell_counts_spark_path(spark):
+    """End-to-end: jt2 via the Arrow task, marginals via Spark, on a
+    fixture with an out-of-range hour (counts in marginals, not jt2)."""
+    rows = [
+        ("a", 1, 10, 2),
+        ("a", 2, 20, 3),
+        ("a", -3, 10, 5),
+        ("b", 0, 7, 1),
+        ("b", 23, 7, 2),
+    ]
+    pc = spark.createDataFrame(
+        rows, "event_type string, h bigint, cents bigint, c bigint"
+    )
+    got = {r["event_type"]: r.asDict() for r in analytics.jt_from_cell_counts(pc).collect()}
+    # type a: jt2 over the in-grid cells only
+    assert got["a"]["jt2"] == _brute_jt2([(1, 10, 2), (2, 20, 3)])
+    # marginals count the out-of-range hour row too
+    assert got["a"]["n_total"] == 10
+    # per-hour sizes: h=1→2, h=2→3, h=-3→5 (the out-of-range hour counts)
+    assert got["a"]["sum_n2"] == 2 * 2 + 3 * 3 + 5 * 5
+    # type b: all ties at cents=7 across two hours → jt2 = #tie-pairs = 1*2
+    assert got["b"]["jt2"] == 2
+    assert got["b"]["n_total"] == 3
