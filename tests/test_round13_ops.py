@@ -19,6 +19,7 @@ from collections import defaultdict
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from real_time_database_monitoring_system_spark.operators import analytics
 
@@ -307,3 +308,64 @@ def test_jt_from_cell_counts_spark_path(spark):
     # type b: all ties at cents=7 across two hours → jt2 = #tie-pairs = 1*2
     assert got["b"]["jt2"] == 2
     assert got["b"]["n_total"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bands: vectorized Arrow pass vs the expression-chain spec
+# ---------------------------------------------------------------------------
+
+
+def _band_parity(spark, df, bands, bits):
+    from real_time_database_monitoring_system_spark.operators import similarity
+
+    arrow = similarity.banded_signatures_arrow(df, bands, bits)
+    chain = df.select(
+        "vec_id", "label", "vec",
+        *similarity.near_dup_band_cols("vec", bands, bits),
+    )
+    assert chain.exceptAll(arrow).count() == 0
+    assert arrow.exceptAll(chain).count() == 0
+
+
+def test_arrow_bands_bit_identical_to_chain_real_corpus(spark, sf_dir):
+    """Every band of every row of the real embeddings table must match
+    the expression-chain spec exactly, at both the check-scale 6-bit
+    and the prod 16-bit band widths."""
+    from real_time_database_monitoring_system_spark.sources.registry import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_d = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    _band_parity(spark, emb_d, 8, 6)
+    _band_parity(spark, emb_d, 8, 16)
+
+
+def test_arrow_bands_corner_cases(spark):
+    """NULL vector / NULL element → all-zero bands (the chain's NULL
+    dot); NaN element → every bit set (Spark's NaN ≥ 0.0 is true);
+    longer-than-64 vectors use their first 64 elements — all checked
+    against the chain itself; a shorter-than-64 vector raises (the
+    chain's ANSI index would too)."""
+    import random as _random
+
+    from real_time_database_monitoring_system_spark.operators import similarity
+
+    rng = _random.Random(7)
+    rows = [(i, 1, [rng.uniform(-2, 2) for _ in range(64)]) for i in range(50)]
+    rows.append((1000, 1, None))
+    v = [0.5] * 64
+    v[13] = None
+    rows.append((1001, 1, v))
+    v = [0.5] * 64
+    v[7] = float("nan")
+    rows.append((1002, 1, v))
+    rows.append((1003, 1, [0.25] * 70))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, vec array<double>")
+    _band_parity(spark, df, 4, 6)
+
+    short = spark.createDataFrame(
+        [(1, 1, [0.5] * 10)], "vec_id bigint, label int, vec array<double>"
+    )
+    with pytest.raises(Exception, match="shorter"):
+        similarity.banded_signatures_arrow(short, 2, 3).collect()
