@@ -620,7 +620,6 @@ def pca_power_iter(embeddings: DataFrame, dims: int = 64) -> DataFrame:
     if dims != 64:
         raise ValueError("pca_power_iter: the engine's embedding width is 64")
     qv = _materialize(quantized(embeddings).select("vec_id", "qvec"))
-    sumq = _pca_chain([f"qvec[{d}]" for d in range(dims)])
     # the per-row sum is projected ONCE and the 64 aggregates read the
     # projected column — embedding the 64-term chain inside each of the
     # 64 SUM expressions generates 64×64-term methods that overflow
@@ -628,69 +627,102 @@ def pca_power_iter(embeddings: DataFrame, dims: int = 64) -> DataFrame:
     # aggregate runs interpreted, and every stage pays repeated failed
     # compiles: measured 15.7 s → ~1 s at sf0.1). Same arithmetic
     # (BIGINT product, DECIMAL(38,0) accumulation), same values.
-    s1 = qv.select("qvec", F.expr(f"({sumq})").alias("rowsum")).agg(
-        *[
-            F.expr(
-                f"SUM(CAST(qvec[{d}] * rowsum AS DECIMAL(38,0)))"
-            ).alias(f"s1_{d}")
-            for d in range(dims)
-        ]
+    # All five expression groups are STATIC in dims, so they are built
+    # once per process (`_pca_exprs`) — rebuilding them per call cost
+    # 1.08 s of py4j round-trips (r13 instrumentation, the `_dim_sums`
+    # rule).
+    rowsum, s1_aggs, v1_cols, idot, s2_aggs, l_cols, dim_structs = _pca_exprs(
+        dims
     )
-    norm1 = _pca_chain(
-        [f"CAST(s1_{d} AS DOUBLE) * CAST(s1_{d} AS DOUBLE)" for d in range(dims)]
-    )
+    s1 = qv.select("qvec", rowsum).agg(*s1_aggs)
     # norm chains likewise project once (64 copies of a 64-term chain
     # is the same codegen blowup, just on a 1-row relation)
-    v1 = s1.select("*", F.expr(f"({norm1})").alias("n1sq")).select(
-        *[
-            F.expr(
-                f"CASE WHEN n1sq > 0.0 THEN"
-                f" round(CAST(s1_{d} AS DOUBLE) / sqrt(n1sq), 6) END"
-            ).alias(f"v1_{d}")
-            for d in range(dims)
-        ]
-    )
-    dot1 = _pca_chain([f"qvec[{d}] * v1_{d}" for d in range(dims)])
+    v1 = s1.select("*", _pca_norm_col(dims, "s1", "n1sq")).select(*v1_cols)
     # the per-row micro-dot is projected ONCE, then 64 sums read it —
     # not re-derived inside every aggregate expression (the twin's
     # planner materializes each copy; one projection keeps both plans
     # linear in dims instead of quadratic)
-    s2 = (
-        qv.crossJoin(F.broadcast(v1))
-        .select(
-            "qvec",
-            F.expr(
-                f"CAST(round(round({dot1}, 6) * 1000000.0, 0)"
-                " AS DECIMAL(38,0))"
-            ).alias("idot"),
-        )
-        .agg(
-            *[
-                F.expr(f"SUM(qvec[{d}] * idot)").alias(f"s2_{d}")
-                for d in range(dims)
-            ]
-        )
-    )
-    norm2 = _pca_chain(
-        [f"CAST(s2_{d} AS DOUBLE) * CAST(s2_{d} AS DOUBLE)" for d in range(dims)]
-    )
-    loadings = s2.select("*", F.expr(f"({norm2})").alias("n2sq")).select(
-        *[
-            F.expr(
-                f"CASE WHEN n2sq > 0.0 THEN"
-                f" round(CAST(s2_{d} AS DOUBLE) / sqrt(n2sq), 9) END"
-            ).alias(f"l_{d}")
-            for d in range(dims)
-        ]
-    )
-    dim_structs = F.array(
-        *[
-            F.struct(F.lit(d).alias("dim"), F.col(f"l_{d}").alias("loading"))
-            for d in range(dims)
-        ]
+    s2 = qv.crossJoin(F.broadcast(v1)).select("qvec", idot).agg(*s2_aggs)
+    loadings = s2.select("*", _pca_norm_col(dims, "s2", "n2sq")).select(
+        *l_cols
     )
     return (
         loadings.select(F.explode(dim_structs).alias("x"))
         .select(F.col("x.dim").alias("dim"), F.col("x.loading").alias("loading"))
         .orderBy("dim")
     )
+
+
+_PCA_EXPRS: dict[int, tuple] = {}
+_PCA_NORMS: dict[tuple[int, str, str], Column] = {}
+
+
+def _pca_norm_col(dims: int, pre: str, alias: str) -> Column:
+    """The left-associated squared-norm chain over ``pre``_d columns —
+    static per (dims, prefix), built once per process."""
+    key = (dims, pre, alias)
+    if key not in _PCA_NORMS:
+        chain = _pca_chain(
+            [
+                f"CAST({pre}_{d} AS DOUBLE) * CAST({pre}_{d} AS DOUBLE)"
+                for d in range(dims)
+            ]
+        )
+        _PCA_NORMS[key] = F.expr(f"({chain})").alias(alias)
+    return _PCA_NORMS[key]
+
+
+def _pca_exprs(dims: int) -> tuple:
+    """The static expression groups of `pca_power_iter`, built once
+    per process: (rowsum, s1 aggregates, v1 projection, idot, s2
+    aggregates, loading projection, dim structs). The generated TEXT
+    is byte-identical to the former per-call construction, so both
+    engines' parse trees — and every IEEE operation sequence — are
+    unchanged."""
+    if dims not in _PCA_EXPRS:
+        sumq = _pca_chain([f"qvec[{d}]" for d in range(dims)])
+        rowsum = F.expr(f"({sumq})").alias("rowsum")
+        s1_aggs = [
+            F.expr(f"SUM(CAST(qvec[{d}] * rowsum AS DECIMAL(38,0)))").alias(
+                f"s1_{d}"
+            )
+            for d in range(dims)
+        ]
+        v1_cols = [
+            F.expr(
+                f"CASE WHEN n1sq > 0.0 THEN"
+                f" round(CAST(s1_{d} AS DOUBLE) / sqrt(n1sq), 6) END"
+            ).alias(f"v1_{d}")
+            for d in range(dims)
+        ]
+        dot1 = _pca_chain([f"qvec[{d}] * v1_{d}" for d in range(dims)])
+        idot = F.expr(
+            f"CAST(round(round({dot1}, 6) * 1000000.0, 0) AS DECIMAL(38,0))"
+        ).alias("idot")
+        s2_aggs = [
+            F.expr(f"SUM(qvec[{d}] * idot)").alias(f"s2_{d}")
+            for d in range(dims)
+        ]
+        l_cols = [
+            F.expr(
+                f"CASE WHEN n2sq > 0.0 THEN"
+                f" round(CAST(s2_{d} AS DOUBLE) / sqrt(n2sq), 9) END"
+            ).alias(f"l_{d}")
+            for d in range(dims)
+        ]
+        dim_structs = F.array(
+            *[
+                F.struct(F.lit(d).alias("dim"), F.col(f"l_{d}").alias("loading"))
+                for d in range(dims)
+            ]
+        )
+        _PCA_EXPRS[dims] = (
+            rowsum,
+            s1_aggs,
+            v1_cols,
+            idot,
+            s2_aggs,
+            l_cols,
+            dim_structs,
+        )
+    return _PCA_EXPRS[dims]

@@ -40,7 +40,7 @@ def main():
     spark = get_local_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     docs = os.path.join(stress_dir, "documents.parquet")
-    if os.path.exists(docs):
+    if os.path.isdir(docs):
         size = sum(
             os.path.getsize(os.path.join(docs, f)) for f in os.listdir(docs)
         )
