@@ -932,8 +932,9 @@ def gopher_repetition(documents: DataFrame) -> DataFrame:
     # re-evaluates the ENTIRE tokenize + 3×zip_with gram construction
     # per document a second time — at scan parallelism, before the
     # spread — just to decide emptiness (plan showed the full gram
-    # expression duplicated into the scan-side Filter; 19 zip_with
-    # occurrences in the executed plan vs 6 after). explode_outer
+    # expression duplicated into the scan-side Filter; 18 zip_with
+    # occurrences in plans/r13/gopher_repetition_before.txt vs 6 in
+    # the after snapshot). explode_outer
     # infers no such filter; the post-explode isnotnull(s) drops
     # exactly the empty-array rows explode would have skipped (the
     # gram structs themselves are never null — _tagged builds them
